@@ -1,0 +1,171 @@
+"""Deterministic Common-Crawl-style web-page corpus (BASELINE.json input_hint).
+
+Schema exactly: (url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
+``text`` is NULL at generation time — the engine's E1 extract stage populates it;
+the oracle fills its own copy for byte-identity / P/R runs (FIXTURES.md §1).
+
+Content mix exercises every branch of the reference extractor (T1 entity regex,
+the semicolon-less ``&lt;code&gt`` alternative, real ``<code>`` blocks for T2/T3,
+700-word chunk boundaries for C1, non-English sentences for T5, latin1-roundtrip
+chars for T6) plus Zipf-distributed entity mentions in SVO sentences for the KG
+stages (triples, skew salting, alias canonicalization).
+
+Everything is seeded (seed=42) and library-free, so any two runs — and the
+single-process oracle — see identical bytes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog while many small systems process "
+    "large tables of data across wide clusters and narrow pipes with steady "
+    "throughput during long nights and short days because every query wants an "
+    "answer that arrives fast and correct even when the input grows beyond any "
+    "single machine memory and must be split shuffled joined and reduced again"
+).split()
+
+_SVO_TEMPLATES = [
+    "{s} acquired {o}.",
+    "{s} is based in {o}.",
+    "{s} was founded by {o}.",
+    "{s} works for {o}.",
+    "{s} is located in {o}.",
+    "{s} owns {o}.",
+    "{s} partnered with {o}.",
+]
+
+_PLACES = ["Berlin", "Paris", "Tokyo", "Oslo", "Madrid", "Lagos", "Lima", "Delhi"]
+_PEOPLE = ["Ada Byron", "Alan Turing", "Grace Hopper", "Edsger Dijkstra"]
+
+_DE_SENT = "Der schnelle braune Fuchs springt über den faulen Hund und die Daten sind groß."
+_FR_SENT = "Le renard brun rapide saute sur le chien paresseux et les données sont grandes."
+_LATIN1 = "The café naïve résumé costs £9 and the größe is ü."
+
+# doc word-lengths cycle to hit the 700-word bucket-fill boundaries
+_LEN_CYCLE = [50, 350, 699, 700, 701, 1400, 2100]
+
+EPOCH0 = dt.datetime(2023, 1, 1, 0, 0, 0)
+
+
+def _zipf_rank(rng: random.Random, n: int, alpha: float = 1.2) -> int:
+    """Deterministic Zipf(alpha) sample in [1, n] by inverse-CDF over a
+    precomputed table-free harmonic approximation (good enough for skew)."""
+    u = rng.random()
+    # Pareto inverse-CDF: k = u^(-1/(alpha-1)) puts heavy mass on small ranks
+    u = max(u, 1e-12)
+    k = int(u ** (-1.0 / (alpha - 1.0))) if alpha > 1.0 else int(u * n) + 1
+    return min(max(k, 1), n)
+
+
+def entity_name(rank: int, variant: int) -> str:
+    """Alias family for entity `rank`: three surface forms that canonicalize
+    together (FIXTURES.md: "Entity_7", "Entity 7", "E7 Corp")."""
+    forms = [f"Entity_{rank}", f"Entity {rank}", f"E{rank} Corp"]
+    return forms[variant % 3]
+
+
+def make_doc_html(i: int, n_entities: int = 200) -> tuple[str, str]:
+    """Deterministic (html, lang) for document `i`."""
+    rng = random.Random(42 * 1_000_003 + i)
+    lang_slot = i % 20
+    if lang_slot < 17:
+        lang = "en"
+    elif lang_slot == 17:
+        lang = "de"
+    elif lang_slot == 18:
+        lang = "fr"
+    else:
+        lang = "mixed"
+
+    target_words = _LEN_CYCLE[i % len(_LEN_CYCLE)]
+    parts: list[str] = []
+    words_emitted = 0
+    para_idx = 0
+    while words_emitted < target_words:
+        para_idx += 1
+        n = min(25 + (i + para_idx) % 30, target_words - words_emitted)
+        sent_words = [_WORDS[rng.randrange(len(_WORDS))] for _ in range(max(n, 1))]
+        sentence = " ".join(sent_words) + "."
+        words_emitted += max(n, 1)
+
+        # SVO entity sentences every other paragraph (KG signal)
+        if para_idx % 2 == 0:
+            s_rank = _zipf_rank(rng, n_entities)
+            subj = entity_name(s_rank, rng.randrange(3))
+            tmpl = _SVO_TEMPLATES[rng.randrange(len(_SVO_TEMPLATES))]
+            if "founded by" in tmpl or "works for" in tmpl:
+                obj = _PEOPLE[rng.randrange(len(_PEOPLE))]
+            elif "based in" in tmpl or "located in" in tmpl:
+                obj = _PLACES[rng.randrange(len(_PLACES))]
+            else:
+                obj = entity_name(_zipf_rank(rng, n_entities), rng.randrange(3))
+            svo = tmpl.format(s=subj, o=obj)
+            sentence = sentence + " " + svo
+            words_emitted += len(svo.split())
+
+        parts.append("<p>" + sentence + "</p>")
+
+    # entity-regex branch: raw HTML entities in ~every 3rd doc
+    if i % 3 == 0:
+        parts.append("<p>Fish &amp; chips cost &#65;&#x41; pounds&nbsp;here.</p>")
+    # escaped pseudo-tags incl. the semicolon-less &lt;code&gt alternative
+    if i % 5 == 0:
+        parts.append(
+            "<p>escaped &lt;pre&gt; and &lt;/pre&gt; plus &lt;code&gt "
+            "and &lt;/code&gt; with p&gt; /p&gt; and &#xA; markers.</p>"
+        )
+    # real <code> blocks for T2/T3 (~20% of docs, 1-3 blocks, some multi-line)
+    if i % 5 == 1:
+        n_blocks = 1 + (i // 5) % 3
+        for b in range(n_blocks):
+            body = f"x = {b}; print(x)" if b % 2 == 0 else f"for k in range({b}):\n  y += k"
+            parts.append(f"<code>{body}</code>")
+    # latin1-roundtrip characters for the T6 branch
+    if i % 7 == 0:
+        parts.append("<p>" + _LATIN1 + "</p>")
+    # non-English sentences for the per-sentence language filter
+    if lang == "de":
+        parts.append("<p>" + _DE_SENT + "</p>")
+    elif lang == "fr":
+        parts.append("<p>" + _FR_SENT + "</p>")
+    elif lang == "mixed":
+        parts.append("<p>" + _DE_SENT + " " + _FR_SENT + "</p>")
+
+    html = "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+    return html, lang
+
+
+def generate_rows(n_docs: int, n_entities: int = 200):
+    """Yield dict rows of the documents table (html as utf-8 bytes)."""
+    for i in range(n_docs):
+        html, lang = make_doc_html(i, n_entities)
+        yield {
+            "url": f"https://site{i % 97}.example.org/page/{i}",
+            "warc_ts": EPOCH0 + dt.timedelta(seconds=137 * i),
+            "html": html.encode("utf-8"),
+            "text": None,
+            "lang": lang,
+        }
+
+
+def write_corpus_parquet(path: str, n_docs: int, n_entities: int = 200) -> str:
+    """Materialize the corpus to a parquet file via pyarrow (driver-side,
+    generation is test fixture work — the engine itself only ever reads)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = list(generate_rows(n_docs, n_entities))
+    table = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+    return path
