@@ -104,12 +104,15 @@ def chunk_documents(
     url_col: str = "url",
     chunksize: int = kernels.TXTCHUNKSIZE,
     validate: bool = True,
+    doc_acc=None,
+    chunk_acc=None,
 ) -> DataFrame:
     """C1 bucket-fill chunker (aiwhisprBaseClasses.py:589-692) as mapInPandas.
 
     Per-document independent ⇒ embarrassingly parallel, NO shuffle: each input
     partition maps straight to chunk rows.  Numbering comes from the algorithm
-    (1-based), not row position (SURVEY.md §2.4).
+    (1-based), not row position (SURVEY.md §2.4).  Optional accumulators count
+    docs/chunks seen on executors (the reference's SQLite status counters).
     """
     cols = [url_col, text_col]
 
@@ -127,6 +130,10 @@ def chunk_documents(
                     urls.append(url)
                     nos.append(j + 1)
                     texts.append(chunk)
+            if doc_acc is not None:
+                doc_acc.add(len(pdf))
+            if chunk_acc is not None:
+                chunk_acc.add(len(urls))
             yield pd.DataFrame({"url": urls, "chunk_no": nos, "text_chunk": texts})
 
     return df.select(*cols).mapInPandas(gen, CHUNK_SCHEMA)
@@ -146,7 +153,7 @@ TRIPLE_SCHEMA = StructType(
 
 
 def extract_triples_df(
-    df: DataFrame, text_col: str = "text_chunk", url_col: str = "url"
+    df: DataFrame, text_col: str = "text_chunk", url_col: str = "url", triple_acc=None
 ) -> DataFrame:
     """E3 pattern OpenIE over chunk rows — narrow map, no shuffle."""
 
@@ -162,6 +169,8 @@ def extract_triples_df(
                     out["subj"].append(subj)
                     out["pred"].append(pred)
                     out["obj"].append(obj)
+            if triple_acc is not None:
+                triple_acc.add(len(out["url"]))
             yield pd.DataFrame(out)
 
     return df.select(url_col, "chunk_no", text_col).mapInPandas(gen, TRIPLE_SCHEMA)

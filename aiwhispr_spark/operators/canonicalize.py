@@ -1,0 +1,222 @@
+"""E6: alias canonicalization = MinHash-LSH blocking + connected components.
+
+New component (the reference has no canonicalization; SURVEY.md §7.1 E6),
+built from idiomatic-Spark parts:
+
+1. **Blocking** — every alias is shingled (char 3-grams of its normalized
+   form, triples.alias_shingles).  MinHash signatures are computed entirely
+   JVM-side: ``xxhash64(shingle, seed=i)`` per permutation, ``min`` per
+   signature row, grouped into bands (banding à la MMDS ch.3).  Aliases
+   sharing any band bucket become candidate pairs — a self-equi-join on
+   (band_id, band_hash), which shuffles only (alias, band) rows, never the
+   full cross product.
+2. **Verification** — candidate pairs are kept when true shingle-set Jaccard
+   ≥ threshold (JVM-side: array_intersect/array_union sizes), or when the
+   normalized forms are equal / share a numeric stem (``entity7`` ~ ``e7``).
+3. **Connected components** — min-label propagation with label-path
+   compression (the alternating-star trick's cheap cousin: each round also
+   re-points labels at their label's label, so convergence is O(log diameter)
+   rounds).  Each round is one shuffle on the label key; DataFrames are
+   localCheckpointed per round to truncate the lineage that would otherwise
+   grow unboundedly — the standard iterative-algorithm discipline on Spark.
+4. **Election** — canonical id = lexicographically-smallest alias of the
+   component (deterministic, content-derived: no uuid1, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import alias_shingles_udf, normalize_alias_udf
+
+DEFAULT_BANDS = 8
+DEFAULT_ROWS_PER_BAND = 2  # 16 minhashes; b=8, r=2 → s-curve threshold ≈ (1/8)^(1/2) ≈ 0.35
+# Verify threshold is deliberately strict: alias surface forms are SHORT, and
+# shingle Jaccard between different entities ("entity4" vs "entity41") is high;
+# the exact-norm and numeric-stem blocking channels carry the recall instead.
+DEFAULT_JACCARD = 0.85
+
+
+def _with_shingles(aliases: DataFrame, alias_col: str) -> DataFrame:
+    return (
+        aliases.select(F.col(alias_col).alias("alias"))
+        .filter(F.col("alias").isNotNull())
+        .distinct()
+        .withColumn("norm", normalize_alias_udf(F.col("alias")))
+        .withColumn("shingles", alias_shingles_udf(F.col("alias")))
+        .filter(F.size("shingles") > 0)
+    )
+
+
+def candidate_pairs(
+    aliases: DataFrame,
+    alias_col: str = "alias",
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    jaccard_threshold: float = DEFAULT_JACCARD,
+) -> DataFrame:
+    """LSH-blocked, Jaccard-verified alias pairs (a < b)."""
+    base = _with_shingles(aliases, alias_col)
+
+    # minhash signature: for seed i, min over shingles of xxhash64(shingle, i)
+    n_hashes = bands * rows_per_band
+    sig_cols = [
+        F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i)))).alias(
+            f"mh{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    signed = base.select("alias", "norm", "shingles", *sig_cols)
+
+    # band key: hash of the band's row of minhashes
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            signed.select(
+                "alias",
+                "norm",
+                "shingles",
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*cols).alias("band_hash"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+
+    # multi-pass blocking (SparkER-style): LSH band buckets ∪ exact normalized
+    # key ∪ numeric stem ("entity7" ~ "e7").  Each channel emits (block_key,
+    # alias) rows; a single self-equi-join on block_key yields candidates.
+    stem = F.regexp_extract(F.col("norm"), r"^(?:entity|e)([0-9]+)$", 1)
+    keyed = (
+        banded.select(
+            "alias", "norm", "shingles",
+            F.concat(F.lit("lsh:"), F.col("band_id"), F.lit(":"), F.col("band_hash")).alias("bkey"),
+        )
+        .unionByName(
+            base.select(
+                "alias", "norm", "shingles", F.concat(F.lit("norm:"), F.col("norm")).alias("bkey")
+            )
+        )
+        .unionByName(
+            base.filter(stem != "").select(
+                "alias", "norm", "shingles", F.concat(F.lit("stem:"), stem).alias("bkey")
+            )
+        )
+    )
+    left = keyed.alias("l")
+    right = keyed.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.bkey") == F.col("r.bkey")) & (F.col("l.alias") < F.col("r.alias")),
+        )
+        .select(
+            F.col("l.alias").alias("a"),
+            F.col("r.alias").alias("b"),
+            F.col("l.norm").alias("norm_a"),
+            F.col("r.norm").alias("norm_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    num_stem = lambda c: F.regexp_extract(c, r"^(?:entity|e)([0-9]+)$", 1)  # noqa: E731
+    same_stem = (
+        (num_stem(F.col("norm_a")) != "")
+        & (num_stem(F.col("norm_a")) == num_stem(F.col("norm_b")))
+    )
+    verified = pairs.filter(
+        (F.col("norm_a") == F.col("norm_b")) | same_stem | (jaccard >= jaccard_threshold)
+    )
+    return verified.select("a", "b")
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Min-label propagation with path compression over undirected `edges`.
+
+    Returns (alias, component) where component = min alias in the component.
+    Each iteration: one aggregation shuffle + one join; rounds ~ log(diameter).
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # neighbor-min: candidate label for u = min label among neighbors
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("u", "node")
+        )
+        updated = (
+            labels.join(neigh, "node", "left")
+            .select("node", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+        )
+        # path compression: label := label(label)
+        compressed = (
+            updated.alias("x")
+            .join(
+                updated.select(
+                    F.col("node").alias("label"), F.col("label").alias("label2")
+                ).alias("y"),
+                "label",
+                "left",
+            )
+            .select(F.col("node"), F.least("label", F.coalesce("label2", "label")).alias("label"))
+        )
+        compressed = compressed.localCheckpoint(eager=True)
+        changed = (
+            compressed.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = compressed
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node").alias("alias"), F.col("label").alias("component"))
+
+
+def canonicalize_aliases(
+    aliases: DataFrame,
+    alias_col: str = "alias",
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    jaccard_threshold: float = DEFAULT_JACCARD,
+) -> DataFrame:
+    """Full E6: (alias, entity_id) where entity_id is the component's smallest
+    alias.  Singleton aliases (no verified pair) map to themselves."""
+    distinct_aliases = (
+        aliases.select(F.col(alias_col).alias("alias"))
+        .filter(F.col("alias").isNotNull())
+        .distinct()
+    )
+    edges = candidate_pairs(
+        distinct_aliases, "alias", bands=bands, rows_per_band=rows_per_band,
+        jaccard_threshold=jaccard_threshold,
+    )
+    comp = connected_components(edges)
+    return (
+        distinct_aliases.join(comp, "alias", "left")
+        .select("alias", F.coalesce("component", "alias").alias("entity_id"))
+    )

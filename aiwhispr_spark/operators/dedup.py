@@ -1,0 +1,311 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Five strategies, all shuffle-disciplined for 100 TB inputs:
+
+* exact            — hash-groupBy on content (or a content digest for wide
+                     text: shuffle moves 8-byte hashes, not documents)
+* minhash_lsh      — shingle → minhash → band → bucket-join (near-dup text);
+                     signatures are JVM-side xxhash64 folds, no Python
+* simhash          — 64-bit simhash via per-token md5-derived bits, hamming
+                     band blocking
+* ngram_jaccard    — token n-gram Jaccard verify over length-banded pairs
+* embedding_cosine — near-dup by cosine over an embedding column
+
+Each returns a decision DataFrame (keep/drop or pair lists) rather than
+mutating inputs, so callers compose them with anti-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .canonicalize import connected_components
+from ..functions.udfs import cosine_cols_expr
+
+
+def exact_duplicates(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, keep_id, group_size): groups of byte-identical content; keeper =
+    min id.  Shuffles (digest, id) pairs only — the 128-bit md5 digest stands
+    in for arbitrarily large documents."""
+    digested = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(content_col).cast("string")).alias("digest")
+    )
+    w = Window.partitionBy("digest")
+    return (
+        digested.withColumn("keep_id", F.min("id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .select("id", "keep_id", "group_size")
+    )
+
+
+def _token_ngrams(col: Column, n: int) -> Column:
+    """Token n-grams of a whitespace-tokenized string, JVM-side."""
+    toks = F.split(F.trim(col), r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda _, i: F.when(
+                    i + n <= F.size(toks), F.array_join(F.slice(toks, i + 1, n), " ")
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b, jaccard) via MinHash banding.
+
+    All signature math is expression-level: minhash_i = min(xxhash64(shingle,
+    seed=i)); band key = xxhash64(row of minhashes).  The only shuffle is the
+    band-bucket self-join on (band, hash) — candidates, never the corpus
+    cross-product.  Final Jaccard verified on true shingle sets.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), _token_ngrams(F.col(content_col), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    n_hashes = bands * rows_per_band
+    sig = base.select(
+        "id",
+        "sh",
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            sig.select(
+                "id", "sh", F.lit(b).alias("band"), F.xxhash64(*cols).alias("bhash")
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    return pairs.select("a", "b", jac).filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def minhash_dedup_groups(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", **kw
+) -> DataFrame:
+    """(id, keep_id): connected components over near-dup pairs; keeper = min id."""
+    pairs = minhash_lsh_pairs(df, content_col, id_col, **kw)
+    comp = connected_components(pairs.select("a", "b"))
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(
+        comp.withColumnRenamed("alias", "id").withColumnRenamed("component", "keep_id"),
+        "id",
+        "left",
+    ).select("id", F.coalesce("keep_id", "id").alias("keep_id"))
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of a whitespace-tokenized string column, fully JVM-side.
+
+    Per token: md5 → two 32-hex halves → two 64-bit lanes give bit samples;
+    per bit position: majority vote via sum of ±1.  Expressed with transform/
+    aggregate over the 64 bit positions.
+    """
+    toks = F.array_distinct(F.split(F.trim(col), r"\s+"))
+    # per-token 64-bit value from md5 (first 15 hex chars → 60 bits is enough,
+    # we use two 30-bit halves to cover 64 positions cyclically)
+    tok_hash = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    bit_positions = F.sequence(F.lit(0), F.lit(63))
+    # majority per bit: sum over tokens of (bit ? 1 : -1), then sign
+    bits = F.transform(
+        bit_positions,
+        lambda i: F.when(
+            F.aggregate(
+                tok_hash,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, (i % 60).cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        bits.cast("array<long>"), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 × 16-bit bands (any pair within
+    hamming ≤ 3 of 64 bits shares at least one exact 16-bit band — pigeonhole),
+    verify true hamming distance."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(content_col)).alias("simhash"))
+    bandcols = [
+        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
+        for i in range(4)
+    ]
+    banded = sh.select("id", "simhash", *bandcols)
+    parts = [
+        banded.select("id", "simhash", F.lit(i).alias("band"), F.col(f"b{i}").alias("bval"))
+        for i in range(4)
+    ]
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    pairs = (
+        stacked.alias("l")
+        .join(
+            stacked.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    return pairs.select("a", "b", hamming).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.8,
+    length_band_pct: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LENGTH-BANDED pairs: docs whose token counts
+    differ by more than `length_band_pct` cannot reach the threshold, so the
+    self-join is keyed on a coarse length bucket instead of being a cross
+    product.  (At 100 TB this is the verify stage after MinHash blocking; the
+    standalone form here is for modest candidate sets.)"""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _token_ngrams(F.col(content_col), n).alias("grams"),
+        F.size(F.split(F.trim(F.col(content_col)), r"\s+")).alias("len"),
+    ).filter(F.size("grams") > 0)
+    bucket_width = F.greatest(F.lit(1), (F.col("len") * length_band_pct).cast("int"))
+    base = base.withColumn("bucket", (F.col("len") / bucket_width).cast("long"))
+    # a qualifying pair's buckets differ by at most 1 → join on bucket and bucket+1
+    cands = base.select("id", "grams", "bucket").unionByName(
+        base.select("id", "grams", (F.col("bucket") + 1).alias("bucket"))
+    )
+    pairs = (
+        base.alias("l")
+        .join(
+            cands.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.grams").alias("g_a"),
+            F.col("r.grams").alias("g_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    jac = (
+        F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    ).alias("jaccard")
+    return pairs.select("a", "b", jac).filter(F.col("jaccard") >= threshold)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold.  Blocking: random-
+    hyperplane (sign-LSH) bucket — vectors agreeing on all `n_planes` signs
+    meet; high-cosine pairs agree w.h.p.  Verify with exact cosine.  For exact
+    small-scale semantics set n_planes=0 (single bucket → full self-join)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_planes > 0:
+        import random
+
+        rng = random.Random(42)
+        dim = len(base.select("v").first()["v"])
+        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+        sig = F.concat(
+            *[
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v").cast("array<double>"),
+                            F.lit(p).cast("array<double>"),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for p in planes
+            ]
+        )
+        base = base.withColumn("bucket", sig)
+    else:
+        base = base.withColumn("bucket", F.lit("all"))
+    pairs = (
+        base.alias("l")
+        .join(
+            base.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            cosine_cols_expr(F.col("l.v"), F.col("r.v")).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= threshold)

@@ -1,0 +1,126 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, batch shapes, partition discipline) is real
+and tested; the actual media decoding is stubbed (image/audio libraries are
+not in this container) behind ``register_decoder`` — the same plug-point shape
+as the reference's doc-type → extractor dispatch (U5,
+initializeDocumentProcessor.py:27-62, suffix map aiwhisprConstants.py:11-29).
+
+Design rules for 100 TB of media:
+* binary payloads ride in their own column; metadata-only queries never touch
+  them (parquet column pruning — verified in tests via ReadSchema);
+* decode/feature-extract runs in ``mapInPandas`` so one Arrow batch amortizes
+  library setup, with ``maxRecordsPerBatch`` bounding memory per task;
+* frame-sampling / resize emit one row per artifact (explode AFTER the heavy
+  decode, not before, so the binary is deserialized once).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+_DECODERS: dict[str, object] = {}
+
+
+def register_decoder(kind: str, fn) -> None:
+    """Plug in a real decoder: fn(payload: bytes) -> np.ndarray feature."""
+    _DECODERS[kind] = fn
+
+
+def _fake_feature(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in feature: byte-histogram folded to `dim` buckets,
+    L2-normalized.  Replace via register_decoder when PIL/librosa exist.
+
+    STUB: not a real decode — the distributed plumbing around it is the
+    deliverable here."""
+    if not payload:
+        return np.zeros(dim, dtype=np.float32)
+    hist = np.bincount(np.frombuffer(payload, dtype=np.uint8), minlength=256).astype(np.float64)
+    folded = hist.reshape(dim, 256 // dim).sum(axis=1)
+    norm = np.linalg.norm(folded)
+    return (folded / norm if norm else folded).astype(np.float32)
+
+
+def extract_features(df: DataFrame, batch_dim: int = 16) -> DataFrame:
+    """Decode + featurize media rows (mapInPandas; one Arrow batch per call)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, nbytes = [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                decoder = _DECODERS.get(kind, lambda b: _fake_feature(b, batch_dim))
+                b = bytes(payload) if payload is not None else b""
+                feats.append(decoder(b).tolist())
+                nbytes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(gen, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame.  The 'frames' here
+    are byte slices (STUB standing in for video keyframes); the row-explosion
+    shape, 1→N schema, and batch memory profile are the real contract."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                for j in range(min(max_frames, max(len(b) // every_n_bytes, 1))):
+                    ids.append(mid)
+                    nos.append(j)
+                    frames.append(b[j * every_n_bytes : (j + 1) * every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.select("media_id", "payload").mapInPandas(gen, FRAME_SCHEMA)

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns: exact top-k + IVF scale path.
+
+The exact path is operators/topk.py (TakeOrderedAndProject).  This module adds
+the candidate-pruned variants a 100 TB embedding table needs:
+
+* ``ivf_topk`` — IVF-flat: k-means-ish centroids (deterministic seeded sample
+  refined by one Lloyd step, computed once and broadcast), every vector is
+  assigned to its nearest centroid at write time; a query probes the
+  ``n_probe`` nearest centroids and scans only those partitions.  With the
+  table partitioned by ``centroid_id`` this is partition pruning — the scan
+  touches n_probe/n_centroids of the data.
+* ``knn_join`` — batch k-NN: every left row gets its k nearest right rows;
+  broadcast right side (the linker's physical plan, reused generically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.udfs import cosine_cols_expr, cosine_expr
+
+
+def assign_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Nearest-centroid assignment, JVM-side: argmax over a literal centroid
+    array (centroid count is small — hundreds to low thousands)."""
+    scores = F.array(*[cosine_expr(vec_col, c) for c in centroids])
+    # argmax via array_position(max)
+    best = F.expr(
+        f"array_position(array({','.join(f'_c{i}' for i in range(len(centroids)))}), "
+        f"array_max(array({','.join(f'_c{i}' for i in range(len(centroids)))}))) - 1"
+    )
+    tmp = df
+    for i, _ in enumerate(centroids):
+        tmp = tmp.withColumn(f"_c{i}", scores[i])
+    out = tmp.withColumn(out_col, best.cast("int"))
+    return out.drop(*[f"_c{i}" for i in range(len(centroids))])
+
+
+def train_centroids(
+    df: DataFrame, vec_col: str = "embedding", n_centroids: int = 16, sample_per: int = 4
+) -> list[list[float]]:
+    """Deterministic centroid init: the first `n_centroids` vectors by id-hash
+    order, refined by one mean step over a bounded sample.  (Full k-means is
+    pyspark.ml.KMeans; this keeps the operator library dependency-light and
+    reproducible.)"""
+    seed_rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("v").cast("array<float>").cast("string")))
+        .orderBy("h")
+        .limit(n_centroids * sample_per)
+        .collect()
+    )
+    vecs = [list(map(float, r["v"])) for r in seed_rows]
+    if not vecs:
+        return []
+    dim = len(vecs[0])
+    groups: list[list[list[float]]] = [[] for _ in range(n_centroids)]
+    for i, v in enumerate(vecs):
+        groups[i % n_centroids].append(v)
+    cents = []
+    for g in groups:
+        if not g:
+            continue
+        cents.append([sum(v[d] for v in g) / len(g) for d in range(dim)])
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vector: list[float],
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 25,
+    n_probe: int = 4,
+    assigned_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: scan only the n_probe centroid cells nearest the
+    query.  If `assigned_col` already exists (table bucketed by centroid at
+    write time) the filter prunes partitions; otherwise assignment is computed
+    on the fly (still a narrow map)."""
+    from ..embedding import cosine
+
+    ranked_cells = sorted(
+        range(len(centroids)), key=lambda i: -cosine(query_vector, centroids[i])
+    )[:n_probe]
+    if assigned_col is None:
+        df = assign_centroids(df, centroids, vec_col)
+        assigned_col = "centroid_id"
+    pruned = df.filter(F.col(assigned_col).isin(ranked_cells))
+    scored = pruned.withColumn("match_score", cosine_expr(vec_col, query_vector))
+    return scored.orderBy(F.col("match_score").desc(), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    left_id: str = "id",
+    right_id: str = "id",
+    k: int = 5,
+) -> DataFrame:
+    """For each left row: its k nearest right rows by cosine.  Right side is
+    broadcast (dim tables); per-left ranking via window on the left key —
+    the generalized form of the reference's per-query top-k search."""
+    l = left.select(F.col(left_id).alias("lid"), F.col(left_vec).alias("lv"))
+    r = right.select(F.col(right_id).alias("rid"), F.col(right_vec).alias("rv"))
+    pairs = l.join(F.broadcast(r)).withColumn("score", cosine_cols_expr("lv", "rv"))
+    w = Window.partitionBy("lid").orderBy(F.col("score").desc(), F.col("rid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lid", "rid", "score", "rank")
+    )

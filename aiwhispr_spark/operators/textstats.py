@@ -1,0 +1,100 @@
+"""Text analysis for training-data curation: language-ID, quality scores,
+token counts, fingerprints.  All pure Spark expressions (whole-stage codegen;
+zero Python in the hot path) so they run at scan speed over 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword evidence sets (ASCII-safe subsets of the kernel
+# lists in kernels.py so SQL engines agree byte-for-byte)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "den"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"],
+    "es": ["el", "la", "los", "las", "es", "en", "que", "una", "por", "con"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def lang_id_expr(col: Column) -> Column:
+    """Heuristic language-ID: the language with the most stopword hits;
+    ties and zero evidence → 'en' (mirrors kernels.detect_sentence_lang)."""
+    toks = _tokens(col)
+    scores = {
+        lang: F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    result = F.lit("en")
+    # later whens take precedence in reverse build order: check non-en langs
+    # in reverse-alpha so alphabetical order wins ties after 'en'
+    for lang in sorted((l for l in scores if l != "en"), reverse=True):
+        result = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(result)
+    result = F.when((scores["en"] == best) & (best > 0), F.lit("en")).otherwise(result)
+    return F.when(best == 0, F.lit("en")).otherwise(result)
+
+
+def token_count_expr(col: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count_expr(col: Column) -> Column:
+    """BPE-ish subword proxy: count of letter-runs, digit-runs, and individual
+    punctuation marks — the standard cheap stand-in for tokenizer cost."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token count, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio, and a composite
+    [0,1] quality score (heuristics in the C4/Gopher-rules family)."""
+    c = F.col(text_col)
+    toks = _tokens(c)
+    n_tok = token_count_expr(c)
+    n_chars = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}]", ""))
+    upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+        )
+    )
+    out = (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "mean_word_len",
+            F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio", F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "upper_ratio", F.when(n_chars > 0, upper / n_chars).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0, stop_hits / F.lit(len(LANG_STOPWORDS["en"]))).otherwise(F.lit(0.0)),
+        )
+    )
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+        + F.col("stopword_ratio") * 0.4
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.2
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def fingerprint_expr(col: Column) -> Column:
+    """Deterministic 64-bit-ish document fingerprint: md5 → first 15 hex chars
+    → bigint.  Content-derived and engine-portable (md5 exists in Spark,
+    DuckDB, Trino) — the distributed stand-in for a rolling hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 from ..embedding import cosine, hash_embed
-from ..kernels import bucket_fill_chunks, clean_html
+from ..kernels import bucket_fill_chunks, clean_html, file_roundtrip
 from ..triples import extract_triples, normalize_alias
 
 
@@ -24,8 +24,11 @@ def oracle_extract(html_bytes: bytes) -> str:
 
 
 def oracle_chunks(text: str, chunksize: int = 700) -> list[tuple[int, str]]:
-    """E2 oracle: (chunk_no, text) with 1-based numbering, language-validated."""
-    return [(i + 1, c) for i, c in enumerate(bucket_fill_chunks(text, chunksize))]
+    """E2 oracle: (chunk_no, text) with 1-based numbering, language-validated.
+    Applies the reference's utf-8→ISO-8859-1 disk hop (kernels.file_roundtrip)
+    before chunking, exactly as the file-based reference run would."""
+    staged = file_roundtrip(text)
+    return [(i + 1, c) for i, c in enumerate(bucket_fill_chunks(staged, chunksize))]
 
 
 def run_oracle(docs: list[dict], chunksize: int = 700, n_candidates: int = 200):

@@ -1,0 +1,171 @@
+"""The flagship plan: Common-Crawl-style docs → knowledge graph (E1-E7).
+
+One lazy DataFrame chain replaces the reference's process-per-core pipeline
+(filepathContentSite.py:202-359: scan → work split → pickle → mp.Process →
+per-row download/extract/chunk/encode/insert):
+
+    docs(url, warc_ts, html, text, lang)
+      E1 extract   pandas UDF, T1 regex, byte-identical per url  [no shuffle]
+      E2 chunk     mapInPandas, C1 bucket-fill + T5 validator    [no shuffle]
+      E3 triples   mapInPandas, SVO patterns                     [no shuffle]
+      E4 embed     pandas UDF (only distinct mentions, not the triple stream)
+      E5 link      broadcast-join linker, row_number()==1
+      E6 canonical MinHash-LSH blocking + connected components
+      E7 write     salted repartition on subject hash → parquet tables
+                   (triples, entities, aliases) + lineage manifest
+
+Stages E1-E3 are narrow maps: a 10^12-doc input runs them as a single fused
+stage with zero shuffle.  The first shuffle in the whole plan is the distinct
+over mentions (tiny relative to the corpus); the only wide write is E7's
+salted repartition, sized by ``target_partitions``.
+
+Accumulator metrics (docs/chunks/triples) give the per-run counters the
+reference kept in its SQLite status table.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import chunk_documents, clean_html_udf, extract_triples_df
+from ..operators.canonicalize import canonicalize_aliases
+from ..operators.linking import link_triples
+from ..operators.resume import filter_unprocessed, lineage_manifest
+from ..operators.skew import salted_repartition
+from .. import kernels
+
+
+def extract_text(docs: DataFrame) -> DataFrame:
+    """E1: populate the `text` column from `html` (byte-identical T1)."""
+    return docs.withColumn("text", clean_html_udf(F.col("html")))
+
+
+def docs_to_chunks(
+    docs: DataFrame, chunksize: int = kernels.TXTCHUNKSIZE, emulate_roundtrip: bool = True
+) -> DataFrame:
+    """E1+E2.  `emulate_roundtrip` reproduces the reference's utf-8→ISO-8859-1
+    disk hop between extraction and chunking (kernels.file_roundtrip)."""
+    extracted = extract_text(docs)
+    staged = (
+        extracted.withColumn("text", F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1"))
+        if emulate_roundtrip
+        else extracted
+    )
+    return chunk_documents(staged, chunksize=chunksize)
+
+
+def build_knowledge_graph(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: str | None = None,
+    chunksize: int = kernels.TXTCHUNKSIZE,
+    candidates: DataFrame | None = None,
+    manifest: DataFrame | None = None,
+    target_partitions: int = 32,
+    salt_factor: int = 16,
+    run_id: str | None = None,
+) -> dict:
+    """Run E1-E7.  Returns dict of DataFrames (and writes parquet tables +
+    manifest when `output_dir` is given).  `manifest` (a previous run's
+    lineage) activates checkpoint resume via left_anti."""
+    run_id = run_id or f"run{int(time.time())}"
+
+    n_docs = spark.sparkContext.accumulator(0)
+    n_chunks = spark.sparkContext.accumulator(0)
+    n_triples = spark.sparkContext.accumulator(0)
+
+    docs = filter_unprocessed(docs, manifest)
+
+    extracted = extract_text(docs).withColumn(
+        "text", F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1")
+    )
+    chunks = chunk_documents(extracted, chunksize=chunksize, doc_acc=n_docs, chunk_acc=n_chunks)
+    # persist: the triple stream feeds the candidate build, the linker join,
+    # and the final write — without a persist each action re-runs E1-E3 (and
+    # double-counts the accumulators).  MEMORY_AND_DISK: spills, never OOMs.
+    triples = extract_triples_df(chunks, triple_acc=n_triples).persist()
+
+    # E5: candidate set = distinct mentions themselves unless an external
+    # entity table is supplied (mirrors the oracle's self-link construction)
+    if candidates is None:
+        from ..functions.udfs import embed_udf
+
+        candidates = (
+            triples.select(F.col("subj").alias("entity"))
+            .unionByName(triples.select(F.col("obj").alias("entity")))
+            .distinct()
+            .withColumn("embedding", embed_udf(F.col("entity")))
+        )
+    linked = link_triples(triples, candidates)
+
+    # E6: canonicalize over all linked mention surfaces
+    aliases = (
+        linked.select(F.col("subj_link").alias("alias"))
+        .unionByName(linked.select(F.col("obj_link").alias("alias")))
+        .distinct()
+    )
+    alias_map = canonicalize_aliases(aliases)
+
+    canonical_triples = (
+        linked.join(
+            F.broadcast(alias_map.withColumnRenamed("alias", "subj_link").withColumnRenamed("entity_id", "subj_id")),
+            "subj_link",
+            "left",
+        )
+        .join(
+            F.broadcast(alias_map.withColumnRenamed("alias", "obj_link").withColumnRenamed("entity_id", "obj_id")),
+            "obj_link",
+            "left",
+        )
+        .select(
+            "url",
+            "chunk_no",
+            "subj",
+            "pred",
+            "obj",
+            F.coalesce("subj_id", "subj_link", "subj").alias("subj_id"),
+            F.coalesce("obj_id", "obj_link", "obj").alias("obj_id"),
+        )
+    )
+
+    entities = (
+        alias_map.groupBy("entity_id")
+        .agg(F.sort_array(F.collect_set("alias")).alias("aliases"))
+    )
+
+    result = {
+        "chunks": chunks,
+        "triples": triples,
+        "canonical_triples": canonical_triples,
+        "alias_map": alias_map,
+        "entities": entities,
+    }
+
+    if output_dir:
+        # E7: salted repartition on subject hash defuses Zipfian heads; the
+        # parquet layout is partitioned the way an Iceberg table would bucket
+        out_triples = salted_repartition(
+            canonical_triples, "subj_id", target_partitions, salt_factor
+        )
+        out_triples.write.mode("overwrite").parquet(os.path.join(output_dir, "triples"))
+        entities.write.mode("overwrite").parquet(os.path.join(output_dir, "entities"))
+        alias_map.write.mode("overwrite").parquet(os.path.join(output_dir, "aliases"))
+
+        written = spark.read.parquet(os.path.join(output_dir, "triples"))
+        manifest_df = lineage_manifest(written, run_id=run_id)
+        # docs that produced no triples still count as processed: union their urls
+        all_urls = docs.select("url").distinct().withColumn("partition_id", F.lit(-1)).withColumn(
+            "rows_out", F.lit(0)
+        ).withColumn("run_id", F.lit(run_id)).withColumn("completed_ts", F.current_timestamp())
+        manifest_df = manifest_df.unionByName(
+            all_urls.join(manifest_df.select("url"), "url", "left_anti")
+        )
+        manifest_df.write.mode("append").parquet(os.path.join(output_dir, "manifest"))
+        result["manifest_path"] = os.path.join(output_dir, "manifest")
+
+    result["metrics"] = {"docs": n_docs, "chunks": n_chunks, "triples": n_triples}
+    return result

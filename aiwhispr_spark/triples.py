@@ -28,8 +28,10 @@ import re
 
 from .kernels import split_sentences
 
-# A mention: one or more capitalized/underscore/digit tokens, joined by spaces.
-_MENTION = r"((?:[A-Z][A-Za-z0-9_]*)(?: (?:[A-Z][A-Za-z0-9_]*))*)"
+# A mention: a capitalized token, then capitalized or numeric continuation
+# tokens ("Entity 7", "E7 Corp", "New York"; bare numbers can continue but not
+# start a mention — "Entity 1" must capture whole or alias components glue).
+_MENTION = r"((?:[A-Z][A-Za-z0-9_]*)(?: (?:[A-Z][A-Za-z0-9_]*|[0-9]+))*)"
 
 _PATTERNS: list[tuple[re.Pattern, str]] = [
     (re.compile(_MENTION + r" acquired " + _MENTION), "acquired"),

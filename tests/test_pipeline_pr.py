@@ -1,0 +1,100 @@
+"""Distributed run vs single-process oracle: the BASELINE.json gates.
+
+* extracted text per url — byte-identical (gate: exact)
+* chunk rows — byte-identical per (url, chunk_no)
+* triples — P/R ≥ 0.95 keyed on (url, subj, pred, obj) (exact in practice)
+* canonicalization — alias families merge to one entity id
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from aiwhispr_spark.oracle.pipeline import run_oracle
+from aiwhispr_spark.plans.kg_pipeline import build_knowledge_graph, docs_to_chunks, extract_text
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus_path):
+    table = pq.read_table(corpus_path)
+    docs = [{"url": u, "html": h} for u, h in zip(table["url"].to_pylist(), table["html"].to_pylist())]
+    return run_oracle(docs)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus_path):
+    return spark.read.parquet(corpus_path)
+
+
+def test_e1_extract_byte_identity(spark, docs_df, oracle_result):
+    rows = extract_text(docs_df).select("url", "text").collect()
+    assert len(rows) == len(oracle_result["texts"])
+    for r in rows:
+        assert r["text"] == oracle_result["texts"][r["url"]], r["url"]
+
+
+def test_e2_chunks_byte_identity(spark, docs_df, oracle_result):
+    got = {
+        (r["url"], r["chunk_no"]): r["text_chunk"]
+        for r in docs_to_chunks(docs_df).collect()
+    }
+    want = {(c["url"], c["chunk_no"]): c["text_chunk"] for c in oracle_result["chunks"]}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == want[key], key
+
+
+@pytest.fixture(scope="module")
+def kg_result(spark, docs_df):
+    return build_knowledge_graph(spark, docs_df)
+
+
+def test_e3_triples_precision_recall(spark, kg_result, oracle_result):
+    got = {
+        (r["url"], r["subj"], r["pred"], r["obj"])
+        for r in kg_result["triples"].collect()
+    }
+    want = {(t["url"], t["subj"], t["pred"], t["obj"]) for t in oracle_result["triples"]}
+    assert want, "oracle produced no triples — corpus generator broken"
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_e6_alias_families_merge(spark, kg_result):
+    alias_map = {r["alias"]: r["entity_id"] for r in kg_result["alias_map"].collect()}
+    # the three surface forms of a rank present in the corpus must share an id
+    families = {}
+    for alias, eid in alias_map.items():
+        import re
+
+        m = re.match(r"^(?:Entity[_ ]|E)(\d+)(?: Corp)?$", alias)
+        if m:
+            families.setdefault(m.group(1), set()).add(eid)
+    multi = [k for k, v in families.items() if len(v) > 1]
+    assert families, "no entity aliases found"
+    assert not multi, f"unmerged alias families: {multi[:5]}"
+
+
+def test_e7_writes_and_resume(spark, docs_df, tmp_path):
+    out = str(tmp_path / "kg")
+    res1 = build_knowledge_graph(spark, docs_df, output_dir=out, run_id="r1")
+    triples1 = spark.read.parquet(out + "/triples")
+    n1 = triples1.count()
+    assert n1 > 0
+    manifest = spark.read.parquet(res1["manifest_path"])
+    assert manifest.select("url").distinct().count() == docs_df.count()
+
+    # resume: everything already processed → zero new docs flow
+    res2 = build_knowledge_graph(spark, docs_df, manifest=manifest, run_id="r2")
+    assert res2["triples"].count() == 0
+
+    # partial manifest → only the missing urls flow
+    half = manifest.filter(F.crc32(F.col("url")) % 2 == 0)
+    res3 = build_knowledge_graph(spark, docs_df, manifest=half, run_id="r3")
+    remaining_urls = {r["url"] for r in res3["chunks"].select("url").distinct().collect()}
+    done_urls = {r["url"] for r in half.select("url").collect()}
+    assert not (remaining_urls & done_urls)
