@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship semantic-search query on sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (plus the training-data-pipeline additions); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one.
+
+Float discipline: every float-valued output column is emitted as a
+``*_i``-suffixed BIGINT = round(value × scale), and every ORDER BY / top-k
+boundary orders on the scaled integer with an id tie-break, so Spark and
+DuckDB agree bit-for-bit despite differing float summation orders.
 """
 
 from __future__ import annotations
@@ -12,27 +16,702 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aiwhispr_spark.functions.udfs import (
+    clean_text_se_udf,
+    clean_text_udf,
+    cosine_cols_expr,
+    cosine_expr,
+    extract_codeblocks_udf,
+    strip_punctuation_udf,
+    truncate_display_expr,
+)
+from aiwhispr_spark.kernels import CLEANR_PATTERN, CLEANR_SE_PATTERN
+from aiwhispr_spark.operators.textstats import (
+    LANG_STOPWORDS,
+    bpe_ish_token_count_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    token_count_expr,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _scaled(col, scale: int = 10000):
+    return F.round(col * scale).cast("long")
+
+
+# --- the synthesized-HTML wrappers shared by Spark and SQL --------------------------
+# (driver `documents.text` is plain words; the T-kernels need HTML-ish input,
+#  so both engines wrap the text identically before cleaning)
+HTML_WRAP_SPARK = lambda c: F.concat(  # noqa: E731
+    F.lit("<p>"), c, F.lit(" &amp; tail&nbsp;&#65; &lt;code&gt marker</p>")
+)
+HTML_WRAP_SQL = "'<p>' || text || ' &amp; tail&nbsp;&#65; &lt;code&gt marker</p>'"
+
+CODE_WRAP_SPARK = lambda c: F.concat(  # noqa: E731
+    F.lit("<code>"), F.substring(c, 1, 24), F.lit("</code> mid <code>x = 1</code>")
+)
+CODE_WRAP_SQL = "'<code>' || substr(text, 1, 24) || '</code> mid <code>x = 1</code>'"
+
+PUNCT_SUFFIX = " a;b, (c) ~d e'f"
+
+
+def _punct_strip_sql(var: str = "w") -> str:
+    """DuckDB replace-chain equivalent of kernels.remove_punctuations_word."""
+    expr = var
+    for ch in ";,'-:\"#!@%&*()[]{}?+`|^~":
+        lit = "''" if ch == "'" else ch
+        repl = " " if ch == "~" else ""
+        expr = f"replace({expr}, '{lit}', '{repl}')"
+    return expr
+
+
+def _stop_array_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+
+
+# --- flagship -------------------------------------------------------------------------
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q2/Q3/Q8: exact top-25 cosine search for the vec_id=0 query vector,
+    with distance / angle / rank-tier columns (the reference's full search
+    result shape; cites searchService.py:73-97, 6_Semantic_Search.py:137-142,
+    370-418)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    scored = emb.withColumn("score_i", _scaled(cosine_expr("embedding", qvec)))
+    top = scored.orderBy(F.col("score_i").desc(), F.col("vec_id")).limit(25)
+    w = Window.orderBy(F.col("score_i").desc(), F.col("vec_id"))
+    rank = F.row_number().over(w)
+    dist = F.lit(1.0) - F.col("score_i") / 10000.0
+    return top.select(
+        "vec_id",
+        "score_i",
+        _scaled(dist).alias("distance_i"),
+        _scaled(F.acos(F.least(dist, F.lit(1.0)))).alias("angle_i"),
+        F.when(rank <= 5, "blue").when(rank <= 10, "orange").otherwise("red").alias("tier"),
+    )
+
+
+FLAGSHIP_SQL = """
+WITH q AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         CAST(round(10000 * list_dot_product(embedding::DOUBLE[], (SELECT e FROM q)::DOUBLE[])
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product((SELECT e FROM q)::DOUBLE[], (SELECT e FROM q)::DOUBLE[])))) AS BIGINT) AS score_i
+  FROM embeddings
+),
+top AS (SELECT * FROM scored ORDER BY score_i DESC, vec_id LIMIT 25),
+ranked AS (SELECT *, row_number() OVER (ORDER BY score_i DESC, vec_id) AS rnk FROM top)
+SELECT vec_id, score_i,
+       CAST(round(10000 * (1.0 - score_i / 10000.0)) AS BIGINT) AS distance_i,
+       CAST(round(10000 * acos(least(1.0 - score_i / 10000.0, 1.0))) AS BIGINT) AS angle_i,
+       CASE WHEN rnk <= 5 THEN 'blue' WHEN rnk <= 10 THEN 'orange' ELSE 'red' END AS tier
+FROM ranked
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, SF_SMOKE)
+
+
+# --- queries --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q["flagship_semantic_search"] = _flagship
+
+    # ---- scalar text kernels (SURVEY §2.3) ----
+    def t1_clean_html(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", clean_text_udf(HTML_WRAP_SPARK(F.col("text"))).alias("cleaned"))
+
+    q["t1_clean_html"] = t1_clean_html
+
+    def t4_clean_se(spark, sf):
+        d = _t(spark, sf, "documents")
+        wrapped = F.concat(F.lit("<p>"), F.col("text"), F.lit(" p&gt; /p&gt; &lt;pre&gt; end</p>"))
+        return d.select("doc_id", clean_text_se_udf(wrapped).alias("cleaned"))
+
+    q["t4_clean_se"] = t4_clean_se
+
+    def t2_codeblocks(spark, sf):
+        d = _t(spark, sf, "documents")
+        blocks = extract_codeblocks_udf(CODE_WRAP_SPARK(F.col("text")))
+        return d.select("doc_id", F.posexplode(blocks).alias("block_no", "codeblock"))
+
+    q["t2_codeblocks"] = t2_codeblocks
+
+    def t7_strip_punct(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            strip_punctuation_udf(F.concat(F.col("text"), F.lit(PUNCT_SUFFIX))).alias("stripped"),
+        )
+
+    q["t7_strip_punct"] = t7_strip_punct
+
+    def t8_truncate(spark, sf):
+        d = _t(spark, sf, "documents")
+        tripled = F.concat(F.col("text"), F.col("text"), F.col("text"))
+        return d.select("doc_id", truncate_display_expr(tripled).alias("display"))
+
+    q["t8_truncate"] = t8_truncate
+
+    # ---- filters / projections (SURVEY §2.2) ----
+    def meta_projection(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.filter(F.col("n_chars") > 0)
+            .select(
+                "doc_id",
+                "source",
+                "n_chars",
+                F.length("text").alias("text_len"),
+                F.regexp_replace("source", "^src", "site_").alias("site"),
+            )
+        )
+
+    q["f5_meta_projection"] = meta_projection
+
+    def f1_do_not_read(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.filter(
+            ~F.col("source").isin("src3", "src7") & ~F.col("text").rlike("window window window")
+        ).select("doc_id")
+
+    q["f1_do_not_read"] = f1_do_not_read
+
+    def f7_resume_anti_join(spark, sf):
+        d = _t(spark, sf, "documents")
+        ev = _t(spark, sf, "events")
+        return d.join(
+            ev.select(F.col("user_id").alias("doc_id")).distinct(), "doc_id", "left_anti"
+        ).select("doc_id")
+
+    q["f7_resume_anti_join"] = f7_resume_anti_join
+
+    def f8_site_filter(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.filter(F.col("event_type") == "click").select("event_id", "user_id")
+
+    q["f8_site_filter"] = f8_site_filter
+
+    # ---- grouping / assembly (SURVEY §2.5) ----
+    def g1_qa_assembly(spark, sf):
+        from aiwhispr_spark.operators.qa import assemble_qa
+
+        orders = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("post_id"), F.col("o_orderpriority").alias("body")
+        )
+        answers = _t(spark, sf, "lineitem").select(
+            F.col("l_orderkey").alias("parent_id"),
+            F.col("l_linenumber").alias("answer_order"),
+            F.concat("l_returnflag", "l_linestatus").alias("body"),
+        )
+        return assemble_qa(
+            orders, answers, q_id="post_id", a_parent="parent_id", a_order="answer_order"
+        ).select("post_id", "post_body_for_llm")
+
+    q["g1_qa_assembly"] = g1_qa_assembly
+
+    def g3_reassembly(spark, sf):
+        from aiwhispr_spark.operators.qa import ordered_concat
+
+        ev = _t(spark, sf, "events").withColumn(
+            "ord", F.struct(F.col("ts"), F.col("event_id"))
+        )
+        return ordered_concat(ev, "user_id", "ord", "event_type", out_col="doc")
+
+    q["g3_reassembly"] = g3_reassembly
+
+    def g4_counts(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    q["g4_hit_counts"] = g4_counts
+
+    def g5_round_robin(spark, sf):
+        from aiwhispr_spark.operators.qa import round_robin_split
+
+        d = _t(spark, sf, "documents")
+        return round_robin_split(d, 8, "doc_id").select("doc_id", "worker")
+
+    q["g5_round_robin"] = g5_round_robin
+
+    # ---- query-side (SURVEY §2.7) ----
+    def q5_point_lookup(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return emb.filter(F.col("vec_id") == 123).select(
+            "vec_id", "label", F.size("embedding").alias("dim")
+        )
+
+    q["q5_point_lookup"] = q5_point_lookup
+
+    def q4_text_match(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.filter(F.col("text").like("%vector%"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_match"))
+        )
+
+    q["q4_text_match"] = q4_text_match
+
+    # ---- dedup / similarity (training-data ops) ----
+    def dedup_exact(spark, sf):
+        d = _t(spark, sf, "documents")
+        w = Window.partitionBy(F.md5("text"))
+        return d.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("keep_id"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+
+    q["dedup_exact"] = dedup_exact
+
+    def ngram_jaccard(spark, sf):
+        d = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select(
+                F.col("doc_id").alias("id"),
+                F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+            )
+        )
+        pairs = (
+            d.alias("l")
+            .join(d.alias("r"), F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("a"),
+                F.col("r.id").alias("b"),
+                _scaled(
+                    F.size(F.array_intersect("l.toks", "r.toks"))
+                    / F.size(F.array_union("l.toks", "r.toks"))
+                ).alias("jaccard_i"),
+            )
+        )
+        return pairs.filter(F.col("jaccard_i") >= 5000)
+
+    q["ngram_jaccard_pairs"] = ngram_jaccard
+
+    def embedding_near_dup(spark, sf):
+        e = (
+            _t(spark, sf, "embeddings")
+            .filter(F.col("vec_id") < 300)
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+        )
+        pairs = (
+            e.alias("l")
+            .join(e.alias("r"), F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("a"),
+                F.col("r.id").alias("b"),
+                _scaled(cosine_cols_expr(F.col("l.v"), F.col("r.v"))).alias("cos_i"),
+            )
+        )
+        return pairs.filter(F.col("cos_i") >= 3500)
+
+    q["embedding_near_dup"] = embedding_near_dup
+
+    def knn_join_sample(spark, sf):
+        e = _t(spark, sf, "embeddings").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+        )
+        left = e.filter(F.col("id") < 20).select(
+            F.col("id").alias("a"), F.col("v").alias("va")
+        )
+        right = e.filter(F.col("id") < 500).select(
+            F.col("id").alias("b"), F.col("v").alias("vb")
+        )
+        pairs = left.join(F.broadcast(right), F.col("a") != F.col("b")).select(
+            "a", "b", _scaled(cosine_cols_expr("va", "vb")).alias("cos_i")
+        )
+        w = Window.partitionBy("a").orderBy(F.col("cos_i").desc(), F.col("b"))
+        return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+    q["knn_join_top3"] = knn_join_sample
+
+    # ---- text analysis ----
+    def lang_id(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", lang_id_expr(F.col("text")).alias("lang_detected"))
+
+    q["lang_id_heuristic"] = lang_id
+
+    def token_counts(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            token_count_expr(F.col("text")).alias("ws_tokens"),
+            bpe_ish_token_count_expr(F.col("text")).alias("bpe_tokens"),
+        )
+
+    q["token_counts"] = token_counts
+
+    def fingerprint(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
+
+    q["doc_fingerprint"] = fingerprint
+
+    def quality(spark, sf):
+        from aiwhispr_spark.operators.textstats import quality_features
+
+        d = _t(spark, sf, "documents")
+        feats = quality_features(d, "text")
+        return feats.select(
+            "doc_id",
+            "n_tokens",
+            _scaled(F.col("mean_word_len")).alias("mean_word_len_i"),
+            _scaled(F.col("stopword_ratio")).alias("stopword_ratio_i"),
+            _scaled(F.col("quality_score")).alias("quality_i"),
+        )
+
+    q["quality_features"] = quality
+
+    # ---- generic relational coverage (§2.8 components our engine adds) ----
+    def tpch_q1(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").cast("long").alias("sum_qty"),
+                F.round(F.sum("l_extendedprice")).cast("long").alias("sum_base_price_i"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .cast("long")
+                .alias("sum_disc_price_i"),
+                F.round(F.avg("l_quantity") * 100).cast("long").alias("avg_qty_i"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    q["tpch_q1_pricing_summary"] = tpch_q1
+
+    def tpch_q3ish(spark, sf):
+        cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        )
+        rev = joined.groupBy("o_orderkey").agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_i")
+        )
+        return rev.orderBy(F.col("revenue_i").desc(), F.col("o_orderkey")).limit(10)
+
+    q["tpch_q3_top_revenue"] = tpch_q3ish
+
+    def region_suppliers(spark, sf):
+        r = _t(spark, sf, "region")
+        n = _t(spark, sf, "nation")
+        s = _t(spark, sf, "supplier")
+        return (
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        )
+
+    q["broadcast_chain_region_suppliers"] = region_suppliers
+
+    def sessionize(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        marked = ev.withColumn(
+            "new_session", F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+        )
+        return marked.groupBy("user_id").agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    q["events_sessionize"] = sessionize
+
+    # ---- non-SQL-expressible (driver records rows-only) ----
+    def kg_triples(spark, sf):
+        import os
+        import tempfile
+
+        from aiwhispr_spark.plans.kg_pipeline import docs_to_chunks
+        from aiwhispr_spark.functions.udfs import extract_triples_df
+        from aiwhispr_spark.sources.synthetic import write_corpus_parquet
+
+        path = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_corpus_120.parquet")
+        if not os.path.exists(path):
+            write_corpus_parquet(path, n_docs=120)
+        docs = spark.read.parquet(path)
+        chunks = docs_to_chunks(docs)
+        return extract_triples_df(chunks).orderBy("url", "chunk_no", "subj", "pred", "obj")
+
+    q["kg_triples_synthetic"] = kg_triples
+
+    def minhash_dedup(spark, sf):
+        from aiwhispr_spark.operators.dedup import minhash_dedup_groups
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+        return minhash_dedup_groups(d, "text", "doc_id")
+
+    q["minhash_dedup_groups"] = minhash_dedup
+
+    def simhash(spark, sf):
+        from aiwhispr_spark.operators.dedup import simhash64
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+        return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+    q["simhash_fingerprint"] = simhash
+
+    def multimodal(spark, sf):
+        from aiwhispr_spark.operators.multimodal import extract_features
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        media = d.select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        return extract_features(media)
+
+    q["multimodal_features"] = multimodal
+
+    return q
+
+
+# --- oracle SQL -----------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+    o["flagship_semantic_search"] = FLAGSHIP_SQL
+
+    o["t1_clean_html"] = (
+        f"SELECT doc_id, regexp_replace({HTML_WRAP_SQL}, '{CLEANR_PATTERN}', '', 'g') "
+        "AS cleaned FROM documents"
+    )
+    o["t4_clean_se"] = (
+        "SELECT doc_id, regexp_replace('<p>' || text || ' p&gt; /p&gt; &lt;pre&gt; end</p>', "
+        f"'{CLEANR_SE_PATTERN}', '', 'g') AS cleaned FROM documents"
+    )
+    # T2: blocks = whole <code>…</code> spans run through the T1 regex
+    o["t2_codeblocks"] = f"""
+        WITH src AS (SELECT doc_id, {CODE_WRAP_SQL} AS h FROM documents),
+        blocks AS (
+          SELECT doc_id, unnest(regexp_extract_all(h, '(?s)<code>.*?</code>')) AS raw,
+                 generate_subscripts(regexp_extract_all(h, '(?s)<code>.*?</code>'), 1) - 1 AS block_no
+          FROM src
+        )
+        SELECT doc_id, block_no,
+               regexp_replace(raw, '{CLEANR_PATTERN}', '', 'g') AS codeblock
+        FROM blocks
     """
-    return {}
+    o["t7_strip_punct"] = f"""
+        SELECT doc_id,
+               array_to_string(
+                 list_transform(regexp_split_to_array(trim(text || '{PUNCT_SUFFIX.replace("'", "''")}'), '\\s+'),
+                                w -> {_punct_strip_sql("w")}),
+                 ' ') AS stripped
+        FROM documents
+    """
+    o["t8_truncate"] = """
+        SELECT doc_id,
+               CASE WHEN length(text || text || text) > 500
+                    THEN substr(text || text || text, 1, 497) || '...'
+                    ELSE text || text || text END AS display
+        FROM documents
+    """
+    o["f5_meta_projection"] = """
+        SELECT doc_id, source, n_chars, length(text) AS text_len,
+               regexp_replace(source, '^src', 'site_') AS site
+        FROM documents WHERE n_chars > 0
+    """
+    o["f1_do_not_read"] = """
+        SELECT doc_id FROM documents
+        WHERE source NOT IN ('src3', 'src7')
+          AND NOT regexp_matches(text, 'window window window')
+    """
+    o["f7_resume_anti_join"] = """
+        SELECT doc_id FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = d.doc_id)
+    """
+    o["f8_site_filter"] = (
+        "SELECT event_id, user_id FROM events WHERE event_type = 'click'"
+    )
+    o["g1_qa_assembly"] = """
+        SELECT o.o_orderkey AS post_id,
+               '[QUESTION]' || o.o_orderpriority || coalesce(a.answers, '') AS post_body_for_llm
+        FROM orders o
+        LEFT JOIN (
+          SELECT l_orderkey,
+                 string_agg('[ANSWER]' || l_returnflag || l_linestatus, ''
+                            ORDER BY l_linenumber, l_returnflag || l_linestatus) AS answers
+          FROM lineitem GROUP BY l_orderkey
+        ) a ON a.l_orderkey = o.o_orderkey
+    """
+    o["g3_reassembly"] = """
+        SELECT user_id, string_agg(event_type, '' ORDER BY ts, event_id) AS doc
+        FROM events GROUP BY user_id
+    """
+    o["g4_hit_counts"] = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    o["g5_round_robin"] = """
+        SELECT doc_id, CAST((row_number() OVER (ORDER BY doc_id) - 1) % 8 AS INT) AS worker
+        FROM documents
+    """
+    o["q5_point_lookup"] = (
+        "SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim FROM embeddings WHERE vec_id = 123"
+    )
+    o["q4_text_match"] = """
+        SELECT source, count(*) AS n_match FROM documents
+        WHERE text LIKE '%vector%' GROUP BY source
+    """
+    o["dedup_exact"] = """
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+               count(*) OVER (PARTITION BY md5(text)) AS group_size
+        FROM documents
+    """
+    o["ngram_jaccard_pairs"] = """
+        WITH d AS (
+          SELECT doc_id AS id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+          FROM documents WHERE doc_id < 200
+        )
+        SELECT l.id AS a, r.id AS b,
+               CAST(round(10000 * len(list_intersect(l.toks, r.toks))::DOUBLE
+                    / len(list_distinct(l.toks || r.toks))) AS BIGINT) AS jaccard_i
+        FROM d l JOIN d r ON l.id < r.id
+        WHERE CAST(round(10000 * len(list_intersect(l.toks, r.toks))::DOUBLE
+                   / len(list_distinct(l.toks || r.toks))) AS BIGINT) >= 5000
+    """
+    o["embedding_near_dup"] = """
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+        p AS (
+          SELECT l.id AS a, r.id AS b,
+                 CAST(round(10000 * list_dot_product(l.v, r.v)
+                      / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))) AS BIGINT) AS cos_i
+          FROM e l JOIN e r ON l.id < r.id
+        )
+        SELECT a, b, cos_i FROM p WHERE cos_i >= 3500
+    """
+    o["knn_join_top3"] = """
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT l.id AS a, r.id AS b,
+                 CAST(round(10000 * list_dot_product(l.v, r.v)
+                      / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))) AS BIGINT) AS cos_i
+          FROM e l JOIN e r ON l.id < 20 AND r.id < 500 AND l.id <> r.id
+        ),
+        ranked AS (
+          SELECT a, b, cos_i, row_number() OVER (PARTITION BY a ORDER BY cos_i DESC, b) AS rank
+          FROM p
+        )
+        SELECT a, b, cos_i, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
+    """
+    lang_cases = []
+    for lang in ("en", "de", "es", "fr"):
+        lang_cases.append(
+            f"len(list_intersect(toks, {_stop_array_sql(lang)})) AS s_{lang}"
+        )
+    o["lang_id_heuristic"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+          FROM documents
+        ),
+        s AS (SELECT doc_id, {', '.join(lang_cases)} FROM t),
+        g AS (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM s)
+        SELECT doc_id,
+               CASE WHEN best = 0 THEN 'en'
+                    WHEN s_en = best THEN 'en'
+                    WHEN s_de = best THEN 'de'
+                    WHEN s_es = best THEN 'es'
+                    ELSE 'fr' END AS lang_detected
+        FROM g
+    """
+    o["token_counts"] = """
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) END AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
+        FROM documents
+    """
+    o["doc_fingerprint"] = (
+        "SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM documents"
+    )
+    en_stop = _stop_array_sql("en")
+    o["quality_features"] = f"""
+        WITH t AS (
+          SELECT doc_id, text, length(text) AS n_chars,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+                 length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g')) AS punct,
+                 len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                                    {en_stop})) AS stop_hits
+          FROM documents
+        )
+        SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+               CAST(round(10000 * (CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1))::DOUBLE / n_tok ELSE 0 END)) AS BIGINT) AS mean_word_len_i,
+               CAST(round(10000 * (CASE WHEN n_tok > 0 THEN stop_hits / 10.0 ELSE 0 END)) AS BIGINT) AS stopword_ratio_i,
+               CAST(round(10000 * round(
+                 least(n_tok / 100.0, 1.0) * 0.4
+                 + (CASE WHEN n_tok > 0 THEN stop_hits / 10.0 ELSE 0 END) * 0.4
+                 + (1.0 - least((CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0 END) * 5.0, 1.0)) * 0.2
+               , 6)) AS BIGINT) AS quality_i
+        FROM t
+    """
+    o["tpch_q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(round(sum(l_extendedprice)) AS BIGINT) AS sum_base_price_i,
+               CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS sum_disc_price_i,
+               CAST(round(avg(l_quantity) * 100) AS BIGINT) AS avg_qty_i,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    o["tpch_q3_top_revenue"] = """
+        SELECT o_orderkey,
+               CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue_i
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue_i DESC, o_orderkey LIMIT 10
+    """
+    o["broadcast_chain_region_suppliers"] = """
+        SELECT r_name, count(*) AS n_suppliers
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+    o["events_sessionize"] = """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        )
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        FROM g GROUP BY user_id
+    """
+    return o

@@ -176,6 +176,50 @@ def extract_triples_df(
     return df.select(url_col, "chunk_no", text_col).mapInPandas(gen, TRIPLE_SCHEMA)
 
 
+def docs_to_triples_fused(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    chunksize: int = kernels.TXTCHUNKSIZE,
+    doc_acc=None,
+    triple_acc=None,
+) -> DataFrame:
+    """E1+E2+E3 fused into ONE mapInPandas pass: extract (T1) → file-roundtrip
+    → chunk (C1+T5) → triples, emitting triple rows directly.
+
+    Why fused: each python eval node in a task pipeline is a separate worker
+    process plus a full Arrow serialization of the intermediate stream.  Three
+    chained stages triple the JVM↔Python traffic and the worker pool — measured
+    2-3× wall-clock loss at local[32] on the unfused chain.  The composable
+    stages (clean_html_udf / chunk_documents / extract_triples_df) remain for
+    byte-identity tests and chunk materialization; this is the hot path.
+    """
+    from ..triples import extract_triples
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "chunk_no": [], "subj": [], "pred": [], "obj": []}
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                if html is None:
+                    continue
+                raw = html.decode("utf-8") if isinstance(html, (bytes, bytearray)) else html
+                text = kernels.file_roundtrip(kernels.clean_html(raw))
+                for j, chunk in enumerate(kernels.bucket_fill_chunks(text, chunksize)):
+                    for subj, pred, obj in extract_triples(chunk):
+                        out["url"].append(url)
+                        out["chunk_no"].append(j + 1)
+                        out["subj"].append(subj)
+                        out["pred"].append(pred)
+                        out["obj"].append(obj)
+            if doc_acc is not None:
+                doc_acc.add(len(pdf))
+            if triple_acc is not None:
+                triple_acc.add(len(out["url"]))
+            yield pd.DataFrame(out)
+
+    return df.select(url_col, html_col).mapInPandas(gen, TRIPLE_SCHEMA)
+
+
 # --- E4: batch embedding -------------------------------------------------------------
 
 

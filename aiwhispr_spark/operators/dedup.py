@@ -140,35 +140,30 @@ def minhash_dedup_groups(
     ).select("id", F.coalesce("keep_id", "id").alias("keep_id"))
 
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash of a whitespace-tokenized string column, fully JVM-side.
+SIMHASH_BITS = 60  # md5's first 15 hex chars give 60 clean bits
 
-    Per token: md5 → two 32-hex halves → two 64-bit lanes give bit samples;
-    per bit position: majority vote via sum of ±1.  Expressed with transform/
-    aggregate over the 64 bit positions.
+
+def simhash64(col: Column) -> Column:
+    """60-bit SimHash of a whitespace-tokenized string column, fully JVM-side.
+
+    Per token: md5 → first 15 hex chars → 60-bit long; per bit position:
+    majority vote via sum of ±1.  The bit loop unrolls in Python (Spark's
+    shiftright takes a literal shift), producing one flat codegen'd
+    expression — no UDF, no shuffle.
     """
     toks = F.array_distinct(F.split(F.trim(col), r"\s+"))
-    # per-token 64-bit value from md5 (first 15 hex chars → 60 bits is enough,
-    # we use two 30-bit halves to cover 64 positions cyclically)
     tok_hash = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
-    bit_positions = F.sequence(F.lit(0), F.lit(63))
-    # majority per bit: sum over tokens of (bit ? 1 : -1), then sign
-    bits = F.transform(
-        bit_positions,
-        lambda i: F.when(
-            F.aggregate(
-                tok_hash,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, (i % 60).cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    return F.aggregate(
-        bits.cast("array<long>"), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
-    )
+    def vote_fn(i: int):
+        # Spark requires exactly-2-ary merge lambdas; bind i via factory
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    val = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        vote = F.aggregate(tok_hash, F.lit(0), vote_fn(i))
+        val = val + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return val
 
 
 def simhash_pairs(
@@ -177,12 +172,12 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 × 16-bit bands (any pair within
-    hamming ≤ 3 of 64 bits shares at least one exact 16-bit band — pigeonhole),
+    """Near-dup pairs by SimHash: block on 4 × 15-bit bands (any pair within
+    hamming ≤ 3 of 60 bits shares at least one exact band — pigeonhole),
     verify true hamming distance."""
     sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(content_col)).alias("simhash"))
     bandcols = [
-        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
+        F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF)).alias(f"b{i}")
         for i in range(4)
     ]
     banded = sh.select("id", "simhash", *bandcols)

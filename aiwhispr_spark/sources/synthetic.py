@@ -151,14 +151,10 @@ def generate_rows(n_docs: int, n_entities: int = 200):
         }
 
 
-def write_corpus_parquet(path: str, n_docs: int, n_entities: int = 200) -> str:
-    """Materialize the corpus to a parquet file via pyarrow (driver-side,
-    generation is test fixture work — the engine itself only ever reads)."""
+def _rows_to_table(rows):
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    rows = list(generate_rows(n_docs, n_entities))
-    table = pa.table(
+    return pa.table(
         {
             "url": pa.array([r["url"] for r in rows], pa.string()),
             "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
@@ -167,5 +163,33 @@ def write_corpus_parquet(path: str, n_docs: int, n_entities: int = 200) -> str:
             "lang": pa.array([r["lang"] for r in rows], pa.string()),
         }
     )
-    pq.write_table(table, path)
+
+
+def write_corpus_parquet(
+    path: str, n_docs: int, n_entities: int = 200, n_files: int | None = None
+) -> str:
+    """Materialize the corpus via pyarrow (driver-side: generation is test
+    fixture work — the engine itself only ever reads).
+
+    Large corpora are written as a DIRECTORY of many parquet files so the
+    Spark scan has natural split parallelism (a single-row-group file caps the
+    read at 1 task no matter the cluster size — the local stand-in for how a
+    real Iceberg table arrives in many data files)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if n_files is None:
+        n_files = 1 if n_docs < 4000 else 64
+    rows = list(generate_rows(n_docs, n_entities))
+    if n_files == 1:
+        pq.write_table(_rows_to_table(rows), path)
+        return path
+    os.makedirs(path, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = rows[i * per : (i + 1) * per]
+        if not part:
+            break
+        pq.write_table(_rows_to_table(part), os.path.join(path, f"part-{i:05d}.parquet"))
     return path

@@ -1,0 +1,201 @@
+"""Unit tests for the operator library (dedup, similarity, qa, textstats,
+skew, multimodal, streaming) on small in-memory frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aiwhispr_spark.embedding import cosine, hash_embed
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines and shuffles"),
+        (5, "der schnelle braune fuchs springt über den faulen hund und die daten"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    from aiwhispr_spark.operators.dedup import exact_duplicates
+
+    res = {r["id"]: (r["keep_id"], r["group_size"]) for r in exact_duplicates(docs).collect()}
+    assert res[1] == (1, 2) and res[2] == (1, 2)
+    assert res[3] == (3, 1)
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    from aiwhispr_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(
+            docs, shingle_n=2, bands=16, rows_per_band=1, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs  # identical
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_near_dup(spark, docs):
+    from aiwhispr_spark.operators.dedup import simhash_pairs
+
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert all(h <= 10 for h in pairs.values())
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    from aiwhispr_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, n=1, threshold=0.5).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs
+
+
+def test_embedding_near_dup_pairs(spark):
+    from aiwhispr_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [
+        (1, hash_embed("alpha beta gamma")),
+        (2, hash_embed("alpha beta gamma")),
+        (3, hash_embed("totally unrelated text here")),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(df, threshold=0.99, n_planes=4).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_cosine_topk_matches_numpy(spark):
+    from aiwhispr_spark.operators.topk import cosine_topk
+
+    texts = [f"token{i} alpha beta common words {i}" for i in range(50)]
+    rows = [(i, hash_embed(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = hash_embed("alpha beta common words")
+    got = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    want = sorted(range(50), key=lambda i: (-cosine(rows[i][1], q), i))[:5]
+    assert got == want
+
+
+def test_ivf_topk_recall(spark):
+    from aiwhispr_spark.operators.similarity import ivf_topk, train_centroids
+    from aiwhispr_spark.operators.topk import cosine_topk
+
+    rows = [(i, hash_embed(f"doc {i} group {i % 5} filler words")) for i in range(100)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = hash_embed("doc group 3 filler words")
+    cents = train_centroids(df, n_centroids=4)
+    exact = {r["vec_id"] for r in cosine_topk(df, q, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_topk(df, q, cents, k=10, n_probe=2).collect()}
+    # recall need not be 1.0 (it's an ANN), but must be substantial
+    assert len(exact & approx) >= 5
+
+
+def test_knn_join(spark):
+    from aiwhispr_spark.operators.similarity import knn_join
+
+    rows = [(i, hash_embed(f"item {i} shared vocabulary")) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "embedding"])
+    res = knn_join(df, df, k=3)
+    by_left = {}
+    for r in res.collect():
+        by_left.setdefault(r["lid"], []).append(r)
+    assert all(len(v) == 3 for v in by_left.values())
+    # nearest neighbor of any item is itself (score 1.0)
+    for lid, nbrs in by_left.items():
+        best = max(nbrs, key=lambda r: r["score"])
+        assert best["rid"] == lid and best["score"] == pytest.approx(1.0)
+
+
+def test_assemble_qa_semantics(spark):
+    from aiwhispr_spark.operators.qa import assemble_qa
+
+    questions = spark.createDataFrame(
+        [(1, "How?"), (2, "Why?"), (3, "Unanswered?")], ["post_id", "body"]
+    )
+    answers = spark.createDataFrame(
+        [(10, 1, "B"), (11, 1, "A"), (12, 2, "C"), (13, 99, "orphan")],
+        ["post_id", "parent_id", "body"],
+    )
+    res = {
+        r["post_id"]: r["post_body_for_llm"]
+        for r in assemble_qa(questions, answers).collect()
+    }
+    assert res[1] == "[QUESTION]How?[ANSWER]B[ANSWER]A"  # ordered by answer post_id
+    assert res[2] == "[QUESTION]Why?[ANSWER]C"
+    assert res[3] == "[QUESTION]Unanswered?"  # left semantics
+    assert len(res) == 3  # orphan answer dropped
+
+
+def test_salted_count_matches_plain(spark, docs):
+    from aiwhispr_spark.operators.skew import salted_count
+
+    plain = {r["text"]: r["cnt"] for r in docs.groupBy("text").count().withColumnRenamed("count", "cnt").collect()}
+    salted = {r["text"]: r["cnt"] for r in salted_count(docs, "text").collect()}
+    assert plain == salted
+
+
+def test_lang_id_expr(spark):
+    from aiwhispr_spark.operators.textstats import lang_id_expr
+
+    rows = [
+        (1, "the cat and the dog sat in that house"),
+        (2, "der hund und die katze ist nicht da"),
+        (3, "le chien et la maison est dans les arbres"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r["id"]: r["lang"] for r in df.select("id", lang_id_expr(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "en"}
+
+
+def test_multimodal_features_and_frames(spark):
+    from aiwhispr_spark.operators.multimodal import extract_features, sample_frames
+
+    rows = [("m1", "image", bytearray(b"\x00\x01" * 600)), ("m2", "audio", bytearray(b""))]
+    df = spark.createDataFrame(rows, ["media_id", "kind", "payload"])
+    feats = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert len(feats["m1"]["feature"]) == 16
+    assert feats["m1"]["n_bytes"] == 1200
+    assert feats["m2"]["feature"] == [0.0] * 16
+    frames = sample_frames(df, every_n_bytes=512, max_frames=4).collect()
+    m1_frames = [f for f in frames if f["media_id"] == "m1"]
+    assert len(m1_frames) == 2  # 1200 bytes / 512 → 2 frames
+
+
+def test_streaming_ingest(spark, tmp_path):
+    import json
+
+    from aiwhispr_spark.streaming.ingest import start_ingest_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    msgs = [
+        {"content_site_name": "s", "src_path": "/p", "content_path": f"c{i}",
+         "text_chunk": "The data is here. Good text.", "chunk_no": None,
+         "last_edit_date": None, "tags": "t", "title": "T"}
+        for i in range(5)
+    ]
+    (src / "batch1.json").write_text("\n".join(json.dumps(m) for m in msgs))
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    q = start_ingest_stream(spark, str(src), sink, chk)
+    q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 5
+    row = out.first()
+    assert row["chunk_no"] == 1  # default applied
+    assert row["last_edit_date"] is not None
+    assert len(row["embedding"]) == 64
+    # exactly-once on restart: same files, nothing new
+    q2 = start_ingest_stream(spark, str(src), sink, chk)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(sink).count() == 5
