@@ -210,6 +210,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["f8_site_filter"] = f8_site_filter
 
+    def f2_suffix_filter(spark, sf):
+        p = _t(spark, sf, "part")
+        return p.filter(F.col("p_type").isin("ECONOMY", "PROMO")).select(
+            "p_partkey", "p_type"
+        )
+
+    q["f2_suffix_filter"] = f2_suffix_filter
+
+    def f6_xml_attr_projection(spark, sf):
+        # the reference's typed XML-attribute getters (extract_int/str/ts_
+        # attribute_xml_element.py) over synthesized <row .../> elements
+        o = _t(spark, sf, "orders")
+        xml = F.concat(
+            F.lit('<row Id="'), F.col("o_orderkey"),
+            F.lit('" Pri="'), F.col("o_orderpriority"),
+            F.lit('" Ts="1995-03-15T10:30:00.000"/>'),
+        )
+        src = o.select(xml.alias("xml"))
+        return src.select(
+            F.regexp_extract("xml", r'Id="([^"]*)"', 1).cast("int").alias("id_attr"),
+            F.regexp_extract("xml", r'Pri="([^"]*)"', 1).alias("pri_attr"),
+            F.unix_timestamp(
+                F.to_timestamp(
+                    F.regexp_extract("xml", r'Ts="([^"]*)"', 1),
+                    "yyyy-MM-dd'T'HH:mm:ss.SSS",
+                )
+            ).cast("long").alias("ts_epoch"),
+        )
+
+    q["f6_xml_attr_projection"] = f6_xml_attr_projection
+
+    def g2_coalesce(spark, sf):
+        # G2's coalesce-chain semantics over a JSON side-channel (events.props)
+        ev = _t(spark, sf, "events")
+        k = F.get_json_object("props", "$.k")
+        return ev.select(
+            "event_id",
+            F.coalesce(F.nullif(k, F.lit("0")), F.lit("-1")).cast("int").alias("k_final"),
+        )
+
+    q["g2_coalesce_json"] = g2_coalesce
+
+    def u5_doc_dispatch(spark, sf):
+        # U5 suffix → extractor dispatch: txt passthrough, html→T1 clean,
+        # pdf→stub banner (the reference's per-format extractor map)
+        d = _t(spark, sf, "documents")
+        suffix = F.element_at(F.array(F.lit("txt"), F.lit("html"), F.lit("pdf")),
+                              (F.col("doc_id") % 3 + 1).cast("int"))
+        routed = d.withColumn("suffix", suffix)
+        extracted = (
+            F.when(F.col("suffix") == "txt", F.col("text"))
+            .when(F.col("suffix") == "html", clean_text_udf(HTML_WRAP_SPARK(F.col("text"))))
+            .otherwise(F.concat(F.lit("[PDF]"), F.substring("text", 1, 40)))
+        )
+        return routed.select("doc_id", "suffix", extracted.alias("extracted"))
+
+    q["u5_doc_dispatch"] = u5_doc_dispatch
+
+    def t5_language_validate(spark, sf):
+        # rows-only (the per-sentence stopword/encoding stub is python-side)
+        from aiwhispr_spark.functions.udfs import validate_chunk_udf
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        mixed = F.concat(
+            F.col("text"),
+            F.lit(". Der schnelle Fuchs springt über den faulen Hund und die Daten sind groß. The end is here."),
+        )
+        return d.select("doc_id", validate_chunk_udf(mixed).alias("validated"))
+
+    q["t5_language_validate"] = t5_language_validate
+
     # ---- grouping / assembly (SURVEY §2.5) ----
     def g1_qa_assembly(spark, sf):
         from aiwhispr_spark.operators.qa import assemble_qa
@@ -555,6 +626,38 @@ def oracle_sql() -> dict[str, str]:
     o["f8_site_filter"] = (
         "SELECT event_id, user_id FROM events WHERE event_type = 'click'"
     )
+    o["f2_suffix_filter"] = (
+        "SELECT p_partkey, p_type FROM part WHERE p_type IN ('ECONOMY', 'PROMO')"
+    )
+    o["f6_xml_attr_projection"] = """
+        WITH src AS (
+          SELECT '<row Id="' || o_orderkey || '" Pri="' || o_orderpriority
+                 || '" Ts="1995-03-15T10:30:00.000"/>' AS xml
+          FROM orders
+        )
+        SELECT CAST(regexp_extract(xml, 'Id="([^"]*)"', 1) AS INT) AS id_attr,
+               regexp_extract(xml, 'Pri="([^"]*)"', 1) AS pri_attr,
+               CAST(epoch(strptime(regexp_extract(xml, 'Ts="([^"]*)"', 1),
+                                   '%Y-%m-%dT%H:%M:%S.%g')) AS BIGINT) AS ts_epoch
+        FROM src
+    """
+    o["g2_coalesce_json"] = """
+        SELECT event_id,
+               CAST(coalesce(nullif(json_extract_string(props, '$.k'), '0'), '-1') AS INT) AS k_final
+        FROM events
+    """
+    o["u5_doc_dispatch"] = f"""
+        WITH routed AS (
+          SELECT doc_id, text,
+                 ['txt','html','pdf'][CAST(doc_id % 3 AS INT) + 1] AS suffix
+          FROM documents
+        )
+        SELECT doc_id, suffix,
+               CASE WHEN suffix = 'txt' THEN text
+                    WHEN suffix = 'html' THEN regexp_replace({HTML_WRAP_SQL}, '{CLEANR_PATTERN}', '', 'g')
+                    ELSE '[PDF]' || substr(text, 1, 40) END AS extracted
+        FROM routed
+    """
     o["g1_qa_assembly"] = """
         SELECT o.o_orderkey AS post_id,
                '[QUESTION]' || o.o_orderpriority || coalesce(a.answers, '') AS post_body_for_llm

@@ -1,0 +1,124 @@
+"""Physical-plan quality gates: the properties that matter at 100 TB,
+asserted against .explain output so regressions are caught, not noticed.
+
+* scans prune columns (ReadSchema contains only what's selected)
+* filters push to the parquet scan (PushedFilters)
+* small dims broadcast (BroadcastHashJoin, no SortMergeJoin)
+* top-k compiles to TakeOrderedAndProject (no global Sort+Limit)
+* the fused KG path has NO Exchange (zero-shuffle narrow pipeline)
+* expression operators stay in WholeStageCodegen (no BatchEvalPython)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_flagship_is_take_ordered(spark):
+    df = entrymod.queries()["flagship_semantic_search"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_meta_projection_pushdown_and_pruning(spark):
+    df = entrymod.queries()["f5_meta_projection"](spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,0)]" in plan
+    # scan must not read the embedding-sized columns it doesn't need
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    df = entrymod.queries()["tpch_q3_top_revenue"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_chain_no_sort_merge(spark):
+    df = entrymod.queries()["broadcast_chain_region_suppliers"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_fused_kg_path_has_no_exchange(spark, corpus_path):
+    from aiwhispr_spark.functions.udfs import docs_to_triples_fused
+
+    docs = spark.read.parquet(corpus_path)
+    plan = plan_of(docs_to_triples_fused(docs))
+    assert "Exchange" not in plan  # pure narrow map: scan → python map
+    # exactly one python stage (tree lists a node once as "MapInPandas (n)")
+    assert plan.count("MapInPandas (") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_textstats_are_pure_expressions(spark):
+    """lang-id / quality / token counting are expression-only: no python
+    stage, no shuffle — a single project over the scan (higher-order array
+    functions run JVM-side outside whole-stage codegen, which is fine)."""
+    for name in ("lang_id_heuristic", "token_counts", "quality_features", "doc_fingerprint"):
+        df = entrymod.queries()[name](spark, SF)
+        plan = plan_of(df)
+        assert "Python" not in plan, name
+        assert "Exchange" not in plan, name
+        assert "Project" in plan, name
+
+
+def test_resume_anti_join_broadcasts(spark):
+    from aiwhispr_spark.operators.resume import filter_unprocessed
+
+    docs = spark.range(100).selectExpr("cast(id as string) url")
+    manifest = spark.range(50).selectExpr(
+        "cast(id as string) url", "0 partition_id", "0L rows_out", "'r' run_id",
+        "current_timestamp() completed_ts"
+    )
+    plan = plan_of(filter_unprocessed(docs, manifest))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_linker_broadcasts_candidate_map(spark):
+    from aiwhispr_spark.operators.linking import link_triples
+    from aiwhispr_spark.functions.udfs import embed_udf
+
+    triples = spark.createDataFrame(
+        [("u", 1, "A", "owns", "B")], ["url", "chunk_no", "subj", "pred", "obj"]
+    )
+    cands = spark.createDataFrame([("A",), ("B",)], ["entity"]).withColumn(
+        "embedding", embed_udf(F.col("entity"))
+    )
+    plan = plan_of(link_triples(triples, cands))
+    # the big triple stream joins the tiny link maps via broadcast, never SMJ
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_repartition_partition_count(spark):
+    from aiwhispr_spark.operators.skew import salted_repartition
+
+    df = spark.range(1000).selectExpr("cast(id % 3 as string) subj", "id value")
+    out = salted_repartition(df, "subj", 16, salt_factor=8)
+    assert out.rdd.getNumPartitions() == 16
+    # a 3-key Zipf head must not collapse into ≤3 partitions
+    sizes = out.rdd.glom().map(len).collect()
+    assert sum(1 for s in sizes if s > 0) > 3
+
+
+@pytest.mark.parametrize("name", ["t1_clean_html", "t7_strip_punct"])
+def test_regex_kernels_are_arrow_udfs(spark, name):
+    """Byte-compat kernels must run as Arrow-vectorized python (ArrowEvalPython),
+    never row-at-a-time (BatchEvalPython)."""
+    df = entrymod.queries()[name](spark, SF)
+    plan = plan_of(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
