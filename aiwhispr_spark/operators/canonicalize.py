@@ -57,7 +57,10 @@ def candidate_pairs(
     jaccard_threshold: float = DEFAULT_JACCARD,
 ) -> DataFrame:
     """LSH-blocked, Jaccard-verified alias pairs (a < b)."""
-    base = _with_shingles(aliases, alias_col)
+    # persist: the banding union re-reads `base` per band, and the blocking
+    # channels re-read it twice more — without a persist the upstream alias
+    # derivation (often a whole linker run) re-executes per branch
+    base = _with_shingles(aliases, alias_col).persist()
 
     # minhash signature: for seed i, min over shingles of xxhash64(shingle, i)
     n_hashes = bands * rows_per_band

@@ -83,9 +83,11 @@ def link_triples(
     mentions = triples.select(F.col("subj").alias("mention")).unionByName(
         triples.select(F.col("obj").alias("mention"))
     )
+    # persist: the subj and obj broadcast arms below would otherwise each
+    # re-run the full linker (embed UDF + candidate join + window)
     links = link_mentions(
         mentions, candidates, cand_col=cand_col, cand_vec_col=cand_vec_col, strategy=strategy
-    )
+    ).persist()
     subj_map = F.broadcast(
         links.select(
             F.col("mention").alias("subj"),

@@ -103,12 +103,14 @@ def build_knowledge_graph(
     linked = link_triples(triples, candidates)
 
     # E6: canonicalize over all linked mention surfaces
+    linked = linked.persist()
     aliases = (
         linked.select(F.col("subj_link").alias("alias"))
         .unionByName(linked.select(F.col("obj_link").alias("alias")))
         .distinct()
     )
-    alias_map = canonicalize_aliases(aliases)
+    # persist: reused by both canonical_triples joins and the entities rollup
+    alias_map = canonicalize_aliases(aliases).persist()
 
     canonical_triples = (
         linked.join(
