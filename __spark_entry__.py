@@ -535,6 +535,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triples_synthetic"] = kg_triples
 
+    def q7_pca_map(spark, sf):
+        # Q7 (6_Semantic_Search.py:420-437): StandardScaler+PCA(3) over result
+        # embeddings for the semantic plot.  pyspark.ml implementation;
+        # rows-only check (PCA axes have sign/rotation ambiguity across libs).
+        from pyspark.ml.feature import PCA, StandardScaler
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+        vecs = emb.select("vec_id", array_to_vector("embedding").alias("features"))
+        scaled = (
+            StandardScaler(inputCol="features", outputCol="scaled", withMean=True)
+            .fit(vecs)
+            .transform(vecs)
+        )
+        pca = PCA(k=3, inputCol="scaled", outputCol="pca").fit(scaled)
+        return pca.transform(scaled).select(
+            "vec_id", vector_to_array("pca").cast("array<float>").alias("pca3")
+        ).withColumn("pca3", F.transform("pca3", lambda x: F.round(x, 4)))
+
+    q["q7_pca_map"] = q7_pca_map
+
     def minhash_dedup(spark, sf):
         from aiwhispr_spark.operators.dedup import minhash_dedup_groups
 
