@@ -63,6 +63,78 @@ CODE_WRAP_SQL = "'<code>' || substr(text, 1, 24) || '</code> mid <code>x = 1</co
 
 PUNCT_SUFFIX = " a;b, (c) ~d e'f"
 
+MINHASH_TAIL = " extra trailing words appended here"
+
+
+def _simhash_sql(where: str) -> str:
+    """DuckDB twin of operators.dedup.simhash64 (md5-derived 60-bit SimHash):
+    per distinct token h = first 15 md5 hex chars as a 60-bit int; bit i of the
+    fingerprint set iff strictly more tokens have bit i set than clear."""
+    terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {i}) & 1) = 1)) > len(hs) "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(60)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                                w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+          FROM documents WHERE {where}
+        )
+        SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t
+    """
+
+
+def _minhash_sql(bands: int = 8, rows_per_band: int = 2) -> str:
+    """DuckDB twin of operators.dedup.minhash_lsh_pairs_md5 over the augmented
+    (original ∪ perturbed-copy) corpus used by the minhash_pairs_md5 query."""
+    n = bands * rows_per_band
+    mh = ",\n                 ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5(s || ':{i}'), 1, 15))::BIGINT)) AS mh{i}"
+        for i in range(n)
+    )
+    band_rows = "\n          UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band))
+        + ") AS bhash FROM sig"
+        for b in range(bands)
+    )
+    jac = "len(list_intersect(la.sh, lb.sh))::DOUBLE / len(list_distinct(la.sh || lb.sh))"
+    return f"""
+        WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        alld AS (
+          SELECT doc_id, text FROM d0
+          UNION ALL
+          SELECT doc_id + 10000, text || '{MINHASH_TAIL}' FROM d0
+        ),
+        toks AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t FROM alld),
+        base AS (
+          SELECT id,
+                 list_distinct(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM toks WHERE len(t) >= 3
+        ),
+        sig AS (
+          SELECT id, sh,
+                 {mh}
+          FROM base
+        ),
+        banded AS (
+          {band_rows}
+        ),
+        cand AS (
+          SELECT DISTINCT l.id AS a, r.id AS b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id
+        )
+        SELECT c.a, c.b, CAST(round(10000 * ({jac})) AS BIGINT) AS jaccard_i
+        FROM cand c
+        JOIN base la ON la.id = c.a
+        JOIN base lb ON lb.id = c.b
+        WHERE {jac} >= 0.5
+    """
+
 
 def _punct_strip_sql(var: str = "w") -> str:
     """DuckDB replace-chain equivalent of kernels.remove_punctuations_word."""
@@ -517,6 +589,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessionize"] = sessionize
 
+    # ---- temporal / relational additions (§2.8 components our engine adds) ----
+    def asof_purchase_click(spark, sf):
+        # as-of join: each purchase gains the latest click by the same user at
+        # or before its timestamp (single-shuffle union+window plan)
+        from aiwhispr_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("click_id"))
+        )
+        out = asof_join(purchases, clicks, on="user_id", value_cols=["click_id"])
+        return out.select(
+            "event_id", "user_id", F.coalesce("click_id", F.lit(-1)).alias("click_id")
+        )
+
+    q["asof_join_purchase_click"] = asof_purchase_click
+
+    def lineage_rollup(spark, sf):
+        # per-partition lineage manifest rollup (E7): doc counts and byte
+        # volumes at (source, lang), per-source, and grand-total grain
+        d = _t(spark, sf, "documents")
+        return d.rollup("source", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+
+    q["lineage_rollup"] = lineage_rollup
+
+    def setops_active_custkeys(spark, sf):
+        o = _t(spark, sf, "orders")
+        a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+        b = o.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+        c = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+        return a.intersect(b).subtract(c)
+
+    q["setops_active_custkeys"] = setops_active_custkeys
+
+    def minhash_pairs_md5(spark, sf):
+        # md5-hash MinHash banding (oracle-checkable twin of the xxhash64 scale
+        # path); near-dup pairs guaranteed by unioning a perturbed copy of each
+        # doc (doc_id + 10000, trailing words appended) — both engines build
+        # the identical augmented corpus
+        from aiwhispr_spark.operators.dedup import minhash_lsh_pairs_md5
+
+        d0 = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select("doc_id", "text")
+        aug = d0.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(MINHASH_TAIL)).alias("text"),
+        )
+        pairs = minhash_lsh_pairs_md5(d0.unionByName(aug), "text", "doc_id")
+        return pairs.select("a", "b", _scaled(F.col("jaccard")).alias("jaccard_i"))
+
+    q["minhash_pairs_md5"] = minhash_pairs_md5
+
     # ---- non-SQL-expressible (driver records rows-only) ----
     def kg_triples(spark, sf):
         import os
@@ -800,6 +931,28 @@ def oracle_sql() -> dict[str, str]:
                , 6)) AS BIGINT) AS quality_i
         FROM t
     """
+    o["asof_join_purchase_click"] = """
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, ts, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id, coalesce(c.click_id, -1) AS click_id
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+    o["lineage_rollup"] = """
+        SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY ROLLUP (source, lang)
+    """
+    o["setops_active_custkeys"] = """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """
+    o["minhash_pairs_md5"] = _minhash_sql()
+    o["simhash_fingerprint"] = _simhash_sql("doc_id < 500")
     o["tpch_q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

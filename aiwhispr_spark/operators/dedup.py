@@ -126,6 +126,82 @@ def minhash_lsh_pairs(
     return pairs.select("a", "b", jac).filter(F.col("jaccard") >= jaccard_threshold)
 
 
+def _md5_hash60(col: Column, seed: int) -> Column:
+    """Seeded 60-bit hash of a string: first 15 hex chars of md5(s + ':seed').
+    md5 exists identically in Spark and DuckDB, so operators built on this
+    hash admit exact cross-engine oracles (unlike xxhash64)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f":{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Oracle-checkable variant of :func:`minhash_lsh_pairs`: identical banding
+    dataflow, but every hash is md5-derived (``_md5_hash60``) so DuckDB can
+    reproduce each signature, band key, and surviving pair bit-for-bit.  The
+    scale path stays on xxhash64 (one JVM hash vs four md5 rounds per probe);
+    this path is the correctness gate for it."""
+    base = df.select(
+        F.col(id_col).alias("id"), _token_ngrams(F.col(content_col), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    n_hashes = bands * rows_per_band
+    sig = base.select(
+        "id",
+        "sh",
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), (lambda i: lambda s: _md5_hash60(s, i))(i))
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    parts = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        parts.append(
+            sig.select(
+                "id", "sh", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bhash")
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    return pairs.select("a", "b", jac).filter(F.col("jaccard") >= jaccard_threshold)
+
+
 def minhash_dedup_groups(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id", **kw
 ) -> DataFrame:

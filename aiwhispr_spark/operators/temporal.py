@@ -1,0 +1,72 @@
+"""Temporal operators: as-of join (point-in-time lookup).
+
+The reference has no as-of machinery (SURVEY.md §2.8) — this is one of the
+idiomatic-Spark components our engine adds for training-data pipelines
+(e.g. "attach the latest crawl snapshot / price / label known at event time").
+
+Scale design: the naive formulation is an inequality join
+(``l.key = r.key AND l.ts >= r.ts`` + argmax), which Spark executes as a
+broadcast-nested-loop or a shuffled range join — quadratic per key.  Instead we
+use the single-shuffle union+window plan:
+
+    tag right rows (is_right=1) and left rows (is_right=0)
+    → union → one shuffle on key
+    → ``last(value, ignoreNulls) over (partition by key
+         order by ts, is_right desc  rows unbounded preceding..current)``
+    → keep left rows
+
+Each row is touched once, the only shuffle is the window's hash partition on
+key, and skewed keys can reuse the same salting as operators/skew.py.  Right
+rows sort *before* left rows at equal timestamps (is_right desc), giving the
+inclusive ``l.ts >= r.ts`` semantics DuckDB's ASOF JOIN uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Left as-of join: every `left` row gains each `value_cols` column from
+    the latest `right` row with the same `on` key and ``right_ts <= left_ts``
+    (NULL when no such row).  `right` must be unique per (on, right_ts) —
+    pre-aggregate otherwise (duplicate event times make any as-of join
+    nondeterministic; DuckDB imposes the same requirement).
+    """
+    value_cols = list(value_cols)
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_is_right"),
+        F.struct(*left.columns).alias("_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_is_right"),
+        F.lit(None).cast(l_tagged.schema["_left"].dataType).alias("_left"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "_left",
+        "_is_right",
+        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.filter(F.col("_is_right") == 0).select("_left.*", *value_cols)

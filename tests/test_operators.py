@@ -44,6 +44,31 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_md5_matches_python_oracle(spark, docs):
+    """The oracle-checkable md5 banding path: every emitted pair's jaccard must
+    equal the pure-Python shingle-set jaccard, and the identical/near-dup pairs
+    must surface (dense banding: 16 bands × 1 row ⇒ recall ≈ 1 at j ≥ 0.5)."""
+    from aiwhispr_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    def shingles(text, n=2):
+        toks = text.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_lsh_pairs_md5(
+            docs, shingle_n=2, bands=16, rows_per_band=1, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got
+    assert not any(4 in p for p in got)
+    for (a, b), j in got.items():
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        assert j == pytest.approx(len(sa & sb) / len(sa | sb))
+
+
 def test_simhash_near_dup(spark, docs):
     from aiwhispr_spark.operators.dedup import simhash_pairs
 

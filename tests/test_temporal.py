@@ -1,0 +1,55 @@
+"""asof_join unit semantics (operators/temporal.py): latest right row with
+right_ts <= left_ts per key, inclusive at equality, NULL when none precedes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    from aiwhispr_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # between r1 and r2
+            (2, 10, _ts("2024-01-01 12:00:00")),  # exactly at r2 → inclusive
+            (3, 10, _ts("2024-01-01 08:00:00")),  # before any right row → NULL
+            (4, 20, _ts("2024-01-01 10:00:00")),  # key with no right rows → NULL
+            (5, 30, _ts("2024-01-02 00:00:00")),  # far after the only right row
+        ],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 09:00:00"), 100),
+            (10, _ts("2024-01-01 12:00:00"), 200),
+            (30, _ts("2024-01-01 00:00:00"), 300),
+        ],
+        "user_id int, ts timestamp, snap int",
+    )
+    out = {
+        r["event_id"]: r["snap"]
+        for r in asof_join(left, right, on="user_id", value_cols=["snap"]).collect()
+    }
+    assert out == {1: 100, 2: 200, 3: None, 4: None, 5: 300}
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """Plan check: the union+window formulation must not contain a join at all
+    (no broadcast-nested-loop / cartesian fallback an inequality join risks)."""
+    from aiwhispr_spark.operators.temporal import asof_join
+
+    left = spark.range(100).selectExpr(
+        "id AS event_id", "CAST(id % 7 AS INT) AS user_id", "timestamp_seconds(id * 60) AS ts"
+    )
+    right = spark.range(20).selectExpr(
+        "CAST(id % 7 AS INT) AS user_id", "timestamp_seconds(id * 300) AS ts", "id AS snap"
+    )
+    plan = asof_join(left, right, on="user_id", value_cols=["snap"])._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan, f"asof_join plan fell back to {bad}:\n{plan[:1500]}"
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
