@@ -227,6 +227,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t2_codeblocks"] = t2_codeblocks
 
+    def t3_replace_codeblocks(spark, sf):
+        from aiwhispr_spark.functions.udfs import replace_codeblocks_udf
+
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            replace_codeblocks_udf(CODE_WRAP_SPARK(F.col("text")), F.lit(2)).alias("replaced"),
+        )
+
+    q["t3_replace_codeblocks"] = t3_replace_codeblocks
+
+    def t9_display_url(spark, sf):
+        from aiwhispr_spark.functions.udfs import display_url_udf
+
+        d = _t(spark, sf, "documents")
+        prefix = F.concat(F.lit("http://site "), F.col("source"))
+        nonhttp = F.concat(F.lit("/mnt/data "), F.col("source"))
+        path = F.concat(F.lit("page dir/"), F.col("doc_id").cast("string"), F.lit(" x?.txt"))
+        return d.select(
+            "doc_id",
+            display_url_udf(prefix, path).alias("url_http"),
+            display_url_udf(nonhttp, path).alias("url_plain"),
+        )
+
+    q["t9_display_url"] = t9_display_url
+
     def t7_strip_punct(spark, sf):
         d = _t(spark, sf, "documents")
         return d.select(
@@ -745,6 +771,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, block_no,
                regexp_replace(raw, '{CLEANR_PATTERN}', '', 'g') AS codeblock
         FROM blocks
+    """
+    # T3: n=2 sequential first-match replacements — DuckDB regexp_replace
+    # without 'g' replaces only the first occurrence, mirroring the loop
+    o["t3_replace_codeblocks"] = f"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace({CODE_WRAP_SQL}, '(?s)<code>.*?</code>', '[#CODEBLOCK][0]'),
+                 '(?s)<code>.*?</code>', '[#CODEBLOCK][1]') AS replaced
+        FROM documents
+    """
+    # T9: inputs use a controlled charset (alnum + space + '?'), so the
+    # quote_plus/quote calls reduce to fixed replacements
+    o["t9_display_url"] = """
+        SELECT doc_id,
+               replace('http://site ' || source, ' ', '+') || '/'
+                 || replace(replace('page dir/' || doc_id || ' x?.txt', ' ', '%20'), '?', '%3F') AS url_http,
+               '/mnt/data ' || source || '/page dir/' || doc_id || ' x?.txt' AS url_plain
+        FROM documents
     """
     o["t7_strip_punct"] = f"""
         SELECT doc_id,

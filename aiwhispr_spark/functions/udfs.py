@@ -76,6 +76,17 @@ def replace_codeblocks_udf(text: pd.Series, n: pd.Series) -> pd.Series:
 
 
 @pandas_udf(StringType())
+def display_url_udf(prefix: pd.Series, path: pd.Series) -> pd.Series:
+    """T9 display-URL quoting. cites searchService.py:153-156"""
+    return pd.Series(
+        [
+            None if (a is None or b is None) else kernels.display_url(a, b)
+            for a, b in zip(prefix, path)
+        ]
+    )
+
+
+@pandas_udf(StringType())
 def validate_chunk_udf(text: pd.Series) -> pd.Series:
     """T5/T6 sentence language filter. cites aiwhisprBaseClasses.py:460-486"""
     return text.map(kernels.validate_text_chunk, na_action="ignore")

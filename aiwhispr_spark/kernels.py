@@ -18,6 +18,7 @@ Reference semantics reproduced here (file:line are reference paths):
 * T6  latin1→utf-8 encoding fix   python/base-classes/aiwhisprBaseClasses.py:473-480
 * T7  punctuation strip           python/vectordb/postgresVectorDb.py:104-132,351-361
 * T8  display truncation          python/flask-app/searchService.py:159-162
+* T9  display-URL quoting         python/flask-app/searchService.py:153-156
 * C1  bucket-fill word chunker    python/base-classes/aiwhisprBaseClasses.py:589-692
 
 They are written fresh from the observed semantics; the regex constants
@@ -196,6 +197,21 @@ def truncate_display(text: str, limit: int = DISPLAY_TEXTSIZE) -> str:
     if len(text) > limit:
         return text[: limit - 3] + "..."
     return text
+
+
+def display_url(src_path_for_results: str, content_path: str) -> str:
+    """T9: the search-result display URL (searchService.py:153-156): http-ish
+    prefixes get ``quote_plus(prefix, safe='/:') + '/' + quote(path)``;
+    anything else is plain concatenation."""
+    import urllib.parse
+
+    if src_path_for_results[0:4] == "http":
+        return (
+            urllib.parse.quote_plus(src_path_for_results, safe="/:")
+            + "/"
+            + urllib.parse.quote(content_path)
+        )
+    return src_path_for_results + "/" + content_path
 
 
 def file_roundtrip(text: str) -> str:

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "tpch_q3_top_revenue",
     "g1_qa_assembly",
     "events_sessionize",
+    "asof_join_purchase_click",
     "dedup_exact",
     "lang_id_heuristic",
     "quality_features",

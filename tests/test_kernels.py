@@ -161,6 +161,19 @@ def test_t8_truncate():
     assert kernels.truncate_display("x" * 500) == "x" * 500
 
 
+def test_t9_display_url():
+    # http prefix → quote_plus(prefix, safe='/:') + '/' + quote(path)
+    # (searchService.py:153-156); space in prefix → '+', in path → '%20'
+    assert (
+        kernels.display_url("http://a b.com:8080/x", "p q/r?.txt")
+        == "http://a+b.com:8080/x/p%20q/r%3F.txt"
+    )
+    # https also matches the reference's `[0:4] == 'http'` check
+    assert kernels.display_url("https://a", "b").startswith("https://a/")
+    # non-http → plain concatenation, no quoting
+    assert kernels.display_url("/mnt/data x", "p q.txt") == "/mnt/data x/p q.txt"
+
+
 def test_t5_language_filter_drops_german():
     text = "The data is large. Der schnelle Fuchs springt über den faulen Hund und die Daten sind groß. It works well."
     out = kernels.validate_text_chunk(text)
