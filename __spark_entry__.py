@@ -440,6 +440,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q4_text_match"] = q4_text_match
 
+    def q4_fulltext_rank(spark, sf):
+        # Q4 proper: inverted-index build → broadcast term join → tf-sum rank
+        from aiwhispr_spark.operators.fulltext import build_inverted_index, search_terms
+
+        d = _t(spark, sf, "documents")
+        idx = build_inverted_index(d, "text", "doc_id")
+        top = search_terms(idx, ["data", "query", "fast"], k=20)
+        return top.withColumnRenamed("id", "doc_id")
+
+    q["q4_fulltext_rank"] = q4_fulltext_rank
+
     # ---- dedup / similarity (training-data ops) ----
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
@@ -880,6 +891,18 @@ def oracle_sql() -> dict[str, str]:
     o["q4_text_match"] = """
         SELECT source, count(*) AS n_match FROM documents
         WHERE text LIKE '%vector%' GROUP BY source
+    """
+    o["q4_fulltext_rank"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS score,
+                 CAST(count(DISTINCT token) AS INT) AS n_terms
+          FROM toks WHERE token IN ('data', 'query', 'fast') GROUP BY doc_id
+        )
+        SELECT doc_id, score, n_terms FROM scored ORDER BY score DESC, doc_id LIMIT 20
     """
     o["dedup_exact"] = """
         SELECT doc_id,

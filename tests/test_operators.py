@@ -140,6 +140,36 @@ def test_knn_join(spark):
         assert best["rid"] == lid and best["score"] == pytest.approx(1.0)
 
 
+def test_fulltext_search_modes(spark):
+    from aiwhispr_spark.operators.fulltext import build_inverted_index, search_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine query planner"),   # query×2
+            (2, "fast data and fast query paths"),     # fast×2 query×1 data×1
+            (3, "nothing relevant here"),
+            (4, "data data data"),                     # data×3
+        ],
+        ["doc_id", "text"],
+    )
+    idx = build_inverted_index(docs)
+    any_hits = {r["id"]: (r["score"], r["n_terms"]) for r in search_terms(idx, ["data", "query", "fast"]).collect()}
+    assert any_hits == {1: (2, 1), 2: (4, 3), 4: (3, 1)}
+    all_hits = [r["id"] for r in search_terms(idx, ["data", "query", "fast"], mode="all").collect()]
+    assert all_hits == [2]
+
+
+def test_fulltext_plan_broadcasts_terms(spark):
+    from aiwhispr_spark.operators.fulltext import build_inverted_index, search_terms
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    df = search_terms(build_inverted_index(docs), ["a", "b"], k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan  # query terms broadcast, postings never reshuffled
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_assemble_qa_semantics(spark):
     from aiwhispr_spark.operators.qa import assemble_qa
 
