@@ -31,6 +31,24 @@ def oracle_chunks(text: str, chunksize: int = 700) -> list[tuple[int, str]]:
     return [(i + 1, c) for i, c in enumerate(bucket_fill_chunks(staged, chunksize))]
 
 
+def oracle_link(mentions: list[str], candidates: list[str]) -> dict[str, str]:
+    """E5 oracle: argmax-cosine linker, the sequential twin of
+    operators.linking.link_mentions (reference Q1 top-k semantics with k=1,
+    searchService.py:73-97).  Ties break to the alphabetically smallest
+    entity, matching the linker's ``order by score desc, entity`` window."""
+    cand_vecs = [(c, hash_embed(c)) for c in sorted(set(candidates))]
+    links: dict[str, str] = {}
+    for m in set(mentions):
+        mv = hash_embed(m)
+        best_entity, best_score = None, float("-inf")
+        for entity, vec in cand_vecs:  # sorted ⇒ first strict max wins ties
+            s = cosine(mv, vec)
+            if s > best_score:
+                best_entity, best_score = entity, s
+        links[m] = best_entity
+    return links
+
+
 def run_oracle(docs: list[dict], chunksize: int = 700, n_candidates: int = 200):
     """Full sequential pipeline over `docs` rows ({url, html} at minimum).
 

@@ -64,6 +64,43 @@ def test_e3_triples_precision_recall(spark, kg_result, oracle_result):
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
 
 
+def test_e5_external_candidate_linking_agreement(spark, oracle_result):
+    """Distributed linker vs oracle linker on an EXTERNAL candidate table
+    (canonical corp forms + places/people + pure distractors) — the mention
+    stream and candidate set are disjoint constructions, so agreement here
+    means the cosine argmax is real, not the self-link tautology."""
+    from aiwhispr_spark.embedding import hash_embed
+    from aiwhispr_spark.operators.linking import link_mentions
+    from aiwhispr_spark.oracle.pipeline import oracle_link
+
+    mentions = sorted(
+        {t["subj"] for t in oracle_result["triples"]}
+        | {t["obj"] for t in oracle_result["triples"]}
+    )
+    assert mentions, "oracle produced no mentions"
+    candidates = (
+        [f"E{n} Corp" for n in range(1, 121)]
+        + ["Berlin", "Paris", "Tokyo", "Oslo", "Madrid", "Lagos", "Lima", "Delhi"]
+        + ["Ada Byron", "Alan Turing", "Grace Hopper", "Edsger Dijkstra"]
+        + ["Unrelated Distractor", "Phantom Holdings", "Null Island"]
+    )
+    want = oracle_link(mentions, candidates)
+
+    m_df = spark.createDataFrame([(m,) for m in mentions], "mention string")
+    c_df = spark.createDataFrame(
+        [(c, hash_embed(c)) for c in candidates], "entity string, embedding array<float>"
+    )
+    got = {r["mention"]: r["entity"] for r in link_mentions(m_df, c_df).collect()}
+
+    assert set(got) == set(want)
+    agree = sum(got[m] == want[m] for m in mentions) / len(mentions)
+    # float-summation-order near-ties may flip an argmax; anything beyond
+    # that is a real linker divergence
+    assert agree >= 0.98, [
+        (m, got[m], want[m]) for m in mentions if got[m] != want[m]
+    ][:10]
+
+
 def test_e6_alias_families_merge(spark, kg_result):
     alias_map = {r["alias"]: r["entity_id"] for r in kg_result["alias_map"].collect()}
     # the three surface forms of a rank present in the corpus must share an id
