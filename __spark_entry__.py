@@ -724,6 +724,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q7_pca_map"] = q7_pca_map
 
+    def ivf_topk_search(spark, sf):
+        # IVF-flat ANN scale path (rows-only: approximate by construction;
+        # exactness vs brute force gated by tests/test_operators.py recall
+        # test).  Deterministic: seeded centroids, scaled-int score ordering.
+        from aiwhispr_spark.operators.similarity import (
+            assign_centroids,
+            ivf_topk,
+            train_centroids,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        cents = train_centroids(emb, n_centroids=8)
+        assigned = assign_centroids(emb, cents)
+        top = ivf_topk(assigned, qvec, cents, k=10, n_probe=3)
+        return top.select(
+            "vec_id", _scaled(F.col("match_score")).alias("score_i")
+        ).orderBy(F.col("score_i").desc(), F.col("vec_id"))
+
+    q["ivf_topk_search"] = ivf_topk_search
+
     def minhash_dedup(spark, sf):
         from aiwhispr_spark.operators.dedup import minhash_dedup_groups
 
