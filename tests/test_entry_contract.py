@@ -28,7 +28,17 @@ def test_entry_returns_rows(spark):
     assert {"vec_id", "score_i", "distance_i", "angle_i", "tier"} == set(df.columns)
 
 
-@pytest.mark.parametrize("name", ["tpch_q1_pricing_summary", "g1_qa_assembly", "t1_clean_html"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q1_pricing_summary",
+        "g1_qa_assembly",
+        "t1_clean_html",
+        "asof_join_purchase_click",
+        "q4_fulltext_rank",
+        "simhash_fingerprint",
+    ],
+)
 def test_query_matches_oracle(spark, name):
     con = duckdb.connect()
     for t in TABLES:
