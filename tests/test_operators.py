@@ -254,3 +254,16 @@ def test_streaming_ingest(spark, tmp_path):
     q2 = start_ingest_stream(spark, str(src), sink, chk)
     q2.awaitTermination(60)
     assert spark.read.parquet(sink).count() == 5
+    # incremental pickup: a new burst after restart processes ONLY the delta
+    more = [
+        {"content_site_name": "s", "src_path": "/p", "content_path": f"c{i}",
+         "text_chunk": "More data arrived. Still good.", "chunk_no": None,
+         "last_edit_date": None, "tags": "t", "title": "T"}
+        for i in range(5, 8)
+    ]
+    (src / "batch2.json").write_text("\n".join(json.dumps(m) for m in more))
+    q3 = start_ingest_stream(spark, str(src), sink, chk)
+    q3.awaitTermination(60)
+    out2 = spark.read.parquet(sink)
+    assert out2.count() == 8
+    assert out2.select("content_path").distinct().count() == 8

@@ -1,0 +1,108 @@
+"""S5 + G1 end-to-end from actual XML text (FIXTURES.md §3): a seeded
+Posts.xml-shaped corpus (300 rows, ~40% answers, 5% orphan answers, 10%
+answerless questions) is parsed with the F6 typed-attribute projections and
+assembled with G1; the result must match a sequential oracle implementing the
+reference's dict-based loop (stackexchangeContentSite.py:295-328): questions
+init '[QUESTION]'+body, answers append '[ANSWER]'+body to their parent in
+document order, orphan answers dropped, answerless questions kept."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _make_posts(n: int = 300, seed: int = 42) -> list[str]:
+    rng = random.Random(seed)
+    rows: list[str] = []
+    q_ids: list[int] = []
+    for i in range(1, n + 1):
+        body = " ".join(rng.choice(["alpha", "beta", "gamma", "delta"]) for _ in range(4))
+        r = rng.random()
+        if not q_ids or r < 0.55:
+            q_ids.append(i)
+            rows.append(
+                f'<row Id="{i}" PostTypeId="1" Body="{body}" '
+                f'CreationDate="2023-01-{(i % 28) + 1:02d}T00:00:00.000" Score="{i % 7}"/>'
+            )
+        elif r < 0.95:
+            parent = rng.choice(q_ids)
+            rows.append(f'<row Id="{i}" PostTypeId="2" ParentId="{parent}" Body="{body}"/>')
+        else:  # orphan answer: parent id never exists
+            rows.append(f'<row Id="{i}" PostTypeId="2" ParentId="{900000 + i}" Body="{body}"/>')
+    return rows
+
+
+def _oracle_assemble(rows: list[str]) -> dict[int, str]:
+    import re
+
+    posts: dict[int, str] = {}
+    for line in rows:
+        attrs = dict(re.findall(r'(\w+)="([^"]*)"', line))
+        if attrs["PostTypeId"] == "1":
+            posts[int(attrs["Id"])] = "[QUESTION]" + attrs["Body"]
+        else:
+            try:  # orphan answers dropped (reference try/except :324-328)
+                posts[int(attrs["ParentId"])] += "[ANSWER]" + attrs["Body"]
+            except KeyError:
+                pass
+    return posts
+
+
+def test_g1_from_xml_matches_reference_loop(spark):
+    from aiwhispr_spark.operators.qa import assemble_qa
+
+    lines = _make_posts()
+    want = _oracle_assemble(lines)
+
+    # S5 scan: one XML row element per line; F6 typed attribute projection
+    src = spark.createDataFrame(
+        [(i, line) for i, line in enumerate(lines)], "doc_order int, xml string"
+    )
+    parsed = src.select(
+        "doc_order",
+        F.regexp_extract("xml", r'Id="([^"]*)"', 1).cast("int").alias("post_id"),
+        F.regexp_extract("xml", r'PostTypeId="([^"]*)"', 1).cast("int").alias("post_type"),
+        F.nullif(F.regexp_extract("xml", r'ParentId="([^"]*)"', 1), F.lit("")).cast("int").alias("parent_id"),
+        F.regexp_extract("xml", r'Body="([^"]*)"', 1).alias("body"),
+    )
+    questions = parsed.filter(F.col("post_type") == 1).select("post_id", "body")
+    answers = parsed.filter(F.col("post_type") == 2).select(
+        "parent_id", F.col("doc_order").alias("answer_order"), "body"
+    )
+    got = {
+        r["post_id"]: r["post_body_for_llm"]
+        for r in assemble_qa(
+            questions, answers, q_id="post_id", a_parent="parent_id", a_order="answer_order"
+        ).collect()
+    }
+    assert got == want
+    # the mix must actually exercise every branch
+    n_answerless = sum(1 for v in want.values() if "[ANSWER]" not in v)
+    assert n_answerless > 0, "fixture produced no answerless questions"
+    assert len(want) < len(lines), "fixture produced no answers"
+
+
+def test_f6_typed_attrs_null_default(spark):
+    """F6 semantics: absent attribute → NULL (extract_*_attribute_xml_element
+    returns None on missing), typed casts for int and epoch-float ts."""
+    src = spark.createDataFrame(
+        [
+            ('<row Id="5" CreationDate="2023-03-08T10:30:00.500"/>',),
+            ('<row Id="6"/>',),
+        ],
+        "xml string",
+    )
+    out = src.select(
+        F.regexp_extract("xml", r'Id="([^"]*)"', 1).cast("int").alias("id"),
+        F.unix_timestamp(
+            F.to_timestamp(
+                F.nullif(F.regexp_extract("xml", r'CreationDate="([^"]*)"', 1), F.lit("")),
+                "yyyy-MM-dd'T'HH:mm:ss.SSS",
+            )
+        ).alias("ts_epoch"),
+    ).collect()
+    assert out[0]["id"] == 5 and out[0]["ts_epoch"] is not None
+    assert out[1]["id"] == 6 and out[1]["ts_epoch"] is None
