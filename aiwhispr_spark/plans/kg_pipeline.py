@@ -58,6 +58,66 @@ def docs_to_chunks(
     return chunk_documents(staged, chunksize=chunksize)
 
 
+def _overwrite_via_tmp(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Overwrite a parquet table whose current contents feed the new version
+    (Spark refuses/corrupts a direct self-overwrite): stage to `<path>.tmp`,
+    re-read, write.  Local-FS rm here; on HDFS/S3 the same shape uses the
+    Hadoop FileSystem API (Iceberg's REPLACE TABLE makes this atomic)."""
+    tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def recanonicalize_output(
+    spark: SparkSession,
+    output_dir: str,
+    target_partitions: int = 32,
+    salt_factor: int = 16,
+) -> None:
+    """Compaction: refresh subj_id/obj_id of EVERY written triple against the
+    current (merged) alias map.  Resume runs append triples with the ids
+    current at their run time; if a later run merged alias families, old rows
+    may carry superseded ids.  This is the periodic full-rewrite job (one scan
+    + two broadcast joins + one salted write) — deliberately separate from
+    resume, which must stay O(delta) at 10^12 docs."""
+    triples_path = os.path.join(output_dir, "triples")
+    alias_map = spark.read.parquet(os.path.join(output_dir, "aliases"))
+    triples = spark.read.parquet(triples_path)
+    refreshed = (
+        triples.drop("subj_id", "obj_id")
+        .join(
+            F.broadcast(
+                alias_map.select(
+                    F.col("alias").alias("subj_link"), F.col("entity_id").alias("subj_id")
+                )
+            ),
+            triples["subj"] == F.col("subj_link"),
+            "left",
+        )
+        .drop("subj_link")
+        .join(
+            F.broadcast(
+                alias_map.select(
+                    F.col("alias").alias("obj_link"), F.col("entity_id").alias("obj_id")
+                )
+            ),
+            triples["obj"] == F.col("obj_link"),
+            "left",
+        )
+        .drop("obj_link")
+        .withColumn("subj_id", F.coalesce("subj_id", "subj"))
+        .withColumn("obj_id", F.coalesce("obj_id", "obj"))
+    )
+    _overwrite_via_tmp(
+        spark,
+        salted_repartition(refreshed, "subj_id", target_partitions, salt_factor),
+        triples_path,
+    )
+
+
 def build_knowledge_graph(
     spark: SparkSession,
     docs: DataFrame,
@@ -152,12 +212,44 @@ def build_knowledge_graph(
         # parquet layout is partitioned the way an Iceberg table would bucket
         out_triples = salted_repartition(
             canonical_triples, "subj_id", target_partitions, salt_factor
-        )
-        out_triples.write.mode("overwrite").parquet(os.path.join(output_dir, "triples"))
-        entities.write.mode("overwrite").parquet(os.path.join(output_dir, "entities"))
-        alias_map.write.mode("overwrite").parquet(os.path.join(output_dir, "aliases"))
+        ).withColumn("run_id", F.lit(run_id))
+        triples_path = os.path.join(output_dir, "triples")
+        aliases_path = os.path.join(output_dir, "aliases")
+        entities_path = os.path.join(output_dir, "entities")
+        if manifest is not None:
+            # resume: the input was anti-joined down to the UNPROCESSED delta,
+            # so prior runs' triples must survive — append (Iceberg: table
+            # append), and re-elect canonical ids over the union of alias
+            # surfaces so families that straddle runs still merge.  Canonical
+            # ids already written in old triple rows are refreshed only by
+            # recanonicalize_output (compaction), never inline: at 10^12 docs
+            # an inline refresh would rewrite the full table on every resume.
+            out_triples.write.mode("append").parquet(triples_path)
+            try:
+                old_surfaces = spark.read.parquet(aliases_path).select("alias")
+            except Exception:
+                old_surfaces = None
+            surfaces = (
+                aliases.unionByName(old_surfaces).distinct()
+                if old_surfaces is not None
+                else aliases
+            )
+            alias_map_out = canonicalize_aliases(surfaces).persist()
+            entities_out = alias_map_out.groupBy("entity_id").agg(
+                F.sort_array(F.collect_set("alias")).alias("aliases")
+            )
+            # overwrite via staged tmp: sources of this write include the
+            # table being replaced
+            _overwrite_via_tmp(spark, alias_map_out, aliases_path)
+            _overwrite_via_tmp(spark, entities_out, entities_path)
+        else:
+            out_triples.write.mode("overwrite").parquet(triples_path)
+            entities.write.mode("overwrite").parquet(entities_path)
+            alias_map.write.mode("overwrite").parquet(aliases_path)
 
-        written = spark.read.parquet(os.path.join(output_dir, "triples"))
+        # lineage covers only THIS run's rows (triples rows are run_id-tagged;
+        # on resume the dir also holds prior runs' rows)
+        written = spark.read.parquet(triples_path).filter(F.col("run_id") == run_id)
         manifest_df = lineage_manifest(written, run_id=run_id)
         # docs that produced no triples still count as processed: union their urls
         all_urls = docs.select("url").distinct().withColumn("partition_id", F.lit(-1)).withColumn(

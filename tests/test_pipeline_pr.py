@@ -134,3 +134,53 @@ def test_e7_writes_and_resume(spark, docs_df, tmp_path):
     done_urls = {r["url"] for r in half.select("url").collect()}
     assert not (remaining_urls & done_urls)
     assert remaining_urls  # the other half did flow
+
+    # resume INTO the same output dir: prior triples must SURVIVE (append,
+    # not overwrite) — a complete manifest yields a 0-row delta and the
+    # materialized tables must be unchanged, not clobbered
+    full_manifest = spark.read.parquet(res1["manifest_path"])
+    res4 = build_knowledge_graph(
+        spark, small, output_dir=out, manifest=full_manifest, run_id="r4"
+    )
+    assert res4["metrics"]["docs"].value == 0
+    assert spark.read.parquet(out + "/triples").count() == n1
+    assert spark.read.parquet(out + "/entities").count() > 0
+    assert spark.read.parquet(out + "/aliases").count() > 0
+
+    # incremental resume: half-manifest delta appends ONLY the missing urls'
+    # triples; union of both runs equals a from-scratch full run
+    out2 = str(tmp_path / "kg2")
+    build_knowledge_graph(spark, small, output_dir=out2, manifest=half, run_id="r5")
+    first = spark.read.parquet(out2 + "/triples")
+    assert {r["url"] for r in first.select("url").distinct().collect()} <= remaining_urls
+    build_knowledge_graph(
+        spark,
+        small,
+        output_dir=out2,
+        manifest=spark.read.parquet(out2 + "/manifest"),
+        run_id="r6",
+    )
+    merged = spark.read.parquet(out2 + "/triples")
+    want = {
+        (r["url"], r["subj"], r["pred"], r["obj"])
+        for r in triples1.select("url", "subj", "pred", "obj").collect()
+    }
+    got = {
+        (r["url"], r["subj"], r["pred"], r["obj"])
+        for r in merged.select("url", "subj", "pred", "obj").collect()
+    }
+    assert got == want
+    # run_id lineage: every triple row is tagged with the run that wrote it
+    assert set(r["run_id"] for r in merged.select("run_id").distinct().collect()) == {"r5", "r6"}
+
+    # compaction: refreshes every row's ids against the merged alias map,
+    # preserving the row multiset
+    from aiwhispr_spark.plans.kg_pipeline import recanonicalize_output
+
+    n_merged = merged.count()
+    recanonicalize_output(spark, out2)
+    refreshed = spark.read.parquet(out2 + "/triples")
+    assert refreshed.count() == n_merged
+    amap = {r["alias"]: r["entity_id"] for r in spark.read.parquet(out2 + "/aliases").collect()}
+    for r in refreshed.select("subj", "subj_id").distinct().collect():
+        assert r["subj_id"] == amap.get(r["subj"], r["subj"])
