@@ -648,6 +648,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_join_purchase_click"] = asof_purchase_click
 
+    def range_join_purchase_clicks(spark, sf):
+        # range join via bucketed candidate pruning: clicks within 1h AFTER
+        # each purchase, per user (zero-click purchases kept at 0)
+        from aiwhispr_spark.operators.temporal import bucketed_range_join
+
+        ev = _t(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        pairs = bucketed_range_join(purchases, clicks, on="user_id")
+        counts = pairs.groupBy("event_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_clicks_1h")
+        )
+        return (
+            purchases.join(counts, "event_id", "left")
+            .select(
+                "event_id",
+                "user_id",
+                F.coalesce("n_clicks_1h", F.lit(0)).cast("long").alias("n_clicks_1h"),
+            )
+        )
+
+    q["range_join_purchase_clicks"] = range_join_purchase_clicks
+
     def lineage_rollup(spark, sf):
         # per-partition lineage manifest rollup (E7): doc counts and byte
         # volumes at (source, lang), per-source, and grand-total grain
@@ -1027,6 +1054,16 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT p.event_id, p.user_id, coalesce(c.click_id, -1) AS click_id
         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+    o["range_join_purchase_clicks"] = """
+        SELECT p.event_id, p.user_id,
+               CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
     """
     o["lineage_rollup"] = """
         SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

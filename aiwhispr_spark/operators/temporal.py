@@ -30,6 +30,48 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Pairs (left row, right row) with the same `on` key and
+    ``left_ts < right_ts <= left_ts + window_seconds``.
+
+    Scale design: the naive inequality join degenerates to a per-key cross
+    product (broadcast-nested-loop at best).  Instead both sides get a
+    time-bucket key of width ``window_seconds``; a qualifying right row lies
+    in the left row's bucket or the next one, so the left side is exploded to
+    those two candidate buckets and the join is a plain equi-join on
+    (key, bucket) — hash-partitioned, AQE-skew-splittable — followed by the
+    exact range filter.  Candidate blowup is bounded: 2× left rows, and each
+    pair candidate is within one bucket of qualifying.
+
+    Returns all left columns plus the right columns suffixed ``_r``.
+    """
+    bucket_l = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
+    bucket_r = F.floor(F.unix_timestamp(F.col(right_ts)) / window_seconds)
+    l = left.withColumn("_bucket", F.explode(F.array(bucket_l, bucket_l + 1)))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_rts"),
+        bucket_r.alias("_bucket"),
+        *[
+            F.col(c).alias(f"{c}_r")
+            for c in right.columns
+            if c not in (on, right_ts)
+        ],
+    )
+    pairs = l.join(r, [on, "_bucket"]).filter(
+        (F.col("_rts") > F.col(left_ts))
+        & (F.col("_rts") <= F.col(left_ts) + F.expr(f"INTERVAL {window_seconds} SECOND"))
+    )
+    return pairs.drop("_bucket").withColumnRenamed("_rts", f"{right_ts}_r")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

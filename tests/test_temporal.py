@@ -38,6 +38,36 @@ def test_asof_join_semantics(spark):
     assert out == {1: 100, 2: 200, 3: None, 4: None, 5: 300}
 
 
+def test_bucketed_range_join_boundaries(spark):
+    """Exact window semantics (l.ts < r.ts <= l.ts + W) incl. the bucket seam:
+    a qualifying pair whose rows land in adjacent buckets must still meet."""
+    from aiwhispr_spark.operators.temporal import bucketed_range_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:30:00")),
+            (2, 10, _ts("2024-01-01 13:59:30")),  # candidates in the next bucket
+            (3, 20, _ts("2024-01-01 10:30:00")),  # other key: no clicks
+        ],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:30:00"), 100),  # == l.ts → excluded (strict >)
+            (10, _ts("2024-01-01 11:30:00"), 101),  # == l.ts + 1h → included
+            (10, _ts("2024-01-01 11:30:01"), 102),  # just past window → excluded
+            (10, _ts("2024-01-01 14:00:30"), 103),  # next bucket for event 2 → included
+            (20, _ts("2024-01-01 12:00:00"), 104),  # wrong window for key 20
+        ],
+        "user_id int, ts timestamp, click_id int",
+    )
+    pairs = {
+        (r["event_id"], r["click_id_r"])
+        for r in bucketed_range_join(left, right, on="user_id").collect()
+    }
+    assert pairs == {(1, 101), (2, 103)}
+
+
 def test_asof_join_is_single_shuffle(spark):
     """Plan check: the union+window formulation must not contain a join at all
     (no broadcast-nested-loop / cartesian fallback an inequality join risks)."""
