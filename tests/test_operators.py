@@ -190,6 +190,32 @@ def test_assemble_qa_semantics(spark):
     assert len(res) == 3  # orphan answer dropped
 
 
+def test_salted_repartition_balances_zipf_head(spark):
+    """The point of salting: a 90%-hot key must spread across partitions.
+    Plain hash repartition puts ~9000 rows in one partition; salted spreads
+    the hot key over salt_factor partitions (bound: 3× the even share)."""
+    from aiwhispr_spark.operators.skew import salted_repartition
+
+    df = spark.range(10000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 'HOT' ELSE concat('k', id) END AS subj", "id"
+    )
+    P = 16
+
+    def partition_sizes(frame):
+        return [
+            r["n"]
+            for r in frame.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+
+    plain_max = max(partition_sizes(df.repartition(P, F.col("subj"))))
+    salted_max = max(partition_sizes(salted_repartition(df, "subj", P, salt_factor=16)))
+    assert plain_max >= 9000  # the hot key owns one partition
+    assert salted_max <= 3 * 10000 // P, (plain_max, salted_max)
+
+
 def test_salted_count_matches_plain(spark, docs):
     from aiwhispr_spark.operators.skew import salted_count
 
