@@ -11,6 +11,7 @@ import importlib.util
 from hypothesis import given, settings, strategies as st
 
 from aiwhispr_spark import kernels
+from tests.test_kernels import _ref_chunks, ref_doc_processor_cls  # noqa: F401 (fixture)
 
 REF = "/root/reference/python"
 
@@ -56,6 +57,34 @@ def test_t2_extract_property(s):
 @given(st.one_of(_HTMLISH, _ANYTEXT), st.integers(min_value=0, max_value=4))
 def test_t3_replace_property(s, n):
     assert kernels.replace_codeblocks(s, n) == ref_replace.replace(s, n)
+
+
+def test_c1_chunker_property(ref_doc_processor_cls, tmp_path):
+    """C1 vs the real reference chunker on generated word/line streams around
+    the boundary cases (exact fill, spill, long single lines that trip the
+    stale-word-list quirk, blank lines, tab separators).  Uses hypothesis as
+    a generator loop (the function-scoped tmp_path forbids @given)."""
+    import random as _random
+
+    from aiwhispr_spark.kernels import bucket_fill_chunks
+
+    rng = _random.Random(1234)
+    words = ["a", "bb", "ccc", "w0", "x_y", "zz9"]
+    for trial in range(60):
+        chunksize = rng.choice([1, 2, 3, 7, 10])
+        n_lines = rng.randint(0, 8)
+        lines = []
+        for _ in range(n_lines):
+            n_words = rng.choice([0, 1, chunksize - 1, chunksize, chunksize + 1,
+                                  2 * chunksize + 3, rng.randint(0, 3 * chunksize)])
+            sep = rng.choice([" ", "  ", "\t"])
+            lines.append(sep.join(rng.choice(words) for _ in range(max(n_words, 0))))
+        text = "\n".join(lines)
+        ours = bucket_fill_chunks(text, chunksize, validate=False)
+        case_dir = tmp_path / f"t{trial}"
+        case_dir.mkdir()
+        ref = _ref_chunks(ref_doc_processor_cls, case_dir, text, chunksize)
+        assert ours == ref, (trial, chunksize, repr(text)[:200])
 
 
 @settings(max_examples=200, deadline=None)
