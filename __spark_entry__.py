@@ -86,6 +86,32 @@ def _simhash_sql(where: str) -> str:
     """
 
 
+def _e3_sql() -> str:
+    """DuckDB twin of the E3 pattern kernel over the inline SVO construction.
+    Patterns are taken from triples._PATTERNS verbatim (RE2-compatible: no
+    lookarounds/backrefs); matches cannot span sentence boundaries ('.' is
+    not a mention character), so whole-text extract_all equals the kernel's
+    per-sentence finditer."""
+    from aiwhispr_spark.triples import _PATTERNS
+
+    base = (
+        "SELECT 'u' || doc_id AS url, "
+        "'Entity_' || (doc_id % 37) || ' acquired E' || (doc_id % 11) || "
+        "' Corp. Entity_' || (doc_id % 37) || ' is based in Berlin. "
+        "Ada Byron works for Entity_' || (doc_id % 5) || '. plain tail words.' AS t "
+        "FROM documents"
+    )
+    parts = []
+    for pattern, pred in _PATTERNS:
+        rx = pattern.pattern
+        parts.append(
+            f"SELECT url, regexp_extract(m, '^{rx}$', 1) AS subj, '{pred}' AS pred, "
+            f"rtrim(regexp_extract(m, '^{rx}$', 2), '.') AS obj "
+            f"FROM (SELECT url, unnest(regexp_extract_all(t, '{rx}')) AS m FROM c)"
+        )
+    return "WITH c AS (" + base + ")\n" + "\nUNION ALL\n".join(parts)
+
+
 def _minhash_sql(bands: int = 8, rows_per_band: int = 2) -> str:
     """DuckDB twin of operators.dedup.minhash_lsh_pairs_md5 over the augmented
     (original ∪ perturbed-copy) corpus used by the minhash_pairs_md5 query."""
@@ -712,6 +738,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_pairs_md5"] = minhash_pairs_md5
 
+    def e3_triples_inline_svo(spark, sf):
+        # E3 value gate: deterministic SVO sentences built from documents in
+        # BOTH engines; Spark runs the real mapInPandas triple kernel
+        # (sentence split + pattern finditer), DuckDB mirrors it with
+        # regexp_extract_all of the same pattern constants
+        from aiwhispr_spark.functions.udfs import extract_triples_df
+
+        d = _t(spark, sf, "documents")
+        text = F.concat(
+            F.lit("Entity_"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(" acquired E"), (F.col("doc_id") % 11).cast("string"),
+            F.lit(" Corp. Entity_"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(" is based in Berlin. Ada Byron works for Entity_"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(". plain tail words."),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit(1).cast("int").alias("chunk_no"),
+            text.alias("text_chunk"),
+        )
+        return extract_triples_df(chunks).select("url", "subj", "pred", "obj")
+
+    q["e3_triples_inline_svo"] = e3_triples_inline_svo
+
     # ---- non-SQL-expressible (driver records rows-only) ----
     def kg_triples(spark, sf):
         import os
@@ -1077,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """
     o["minhash_pairs_md5"] = _minhash_sql()
+    o["e3_triples_inline_svo"] = _e3_sql()
     o["simhash_fingerprint"] = _simhash_sql("doc_id < 500")
     o["tpch_q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
