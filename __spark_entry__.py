@@ -763,6 +763,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e3_triples_inline_svo"] = e3_triples_inline_svo
 
+    def cc_label_propagation(spark, sf):
+        # E6 value gate: min-label connected components over a deterministic
+        # graph (decade stars + bridge chains at user_id % 40 == 9) vs a
+        # DuckDB recursive-closure oracle
+        from aiwhispr_spark.operators.canonicalize import connected_components
+
+        ev = _t(spark, sf, "events")
+        stars = ev.select(
+            F.col("user_id").alias("a"),
+            (F.col("user_id") - F.col("user_id") % 10).alias("b"),
+        )
+        bridges = ev.filter(F.col("user_id") % 40 == 9).select(
+            F.col("user_id").alias("a"), (F.col("user_id") + 1).alias("b")
+        )
+        comp = connected_components(stars.unionByName(bridges).distinct())
+        return comp.select(F.col("alias").alias("node"), "component")
+
+    q["cc_label_propagation"] = cc_label_propagation
+
     # ---- non-SQL-expressible (driver records rows-only) ----
     def kg_triples(spark, sf):
         import os
@@ -1129,6 +1148,21 @@ def oracle_sql() -> dict[str, str]:
     """
     o["minhash_pairs_md5"] = _minhash_sql()
     o["e3_triples_inline_svo"] = _e3_sql()
+    o["cc_label_propagation"] = """
+        WITH RECURSIVE base AS (
+          SELECT DISTINCT user_id AS a, user_id - (user_id % 10) AS b FROM events
+          UNION
+          SELECT DISTINCT user_id, user_id + 1 FROM events WHERE user_id % 40 = 9
+        ),
+        edges AS (SELECT a AS u, b AS v FROM base UNION SELECT b, a FROM base),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        reach(node, root) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT node, min(root) AS component FROM reach GROUP BY node
+    """
     o["simhash_fingerprint"] = _simhash_sql("doc_id < 500")
     o["tpch_q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
