@@ -75,6 +75,76 @@ def _fake_feature(payload: bytes, dim: int = 16) -> np.ndarray:
     return (folded / norm if norm else folded).astype(np.float32)
 
 
+# --- real decode path: netpbm images (PGM P2/P5, PPM P3/P6) ------------------------
+# The heavyweight formats (JPEG/PNG/audio/video) stay stubbed — their codecs
+# aren't in this container — but netpbm is a pure header+raster format, so this
+# decoder is REAL: numpy-only, covering ascii and binary variants, comments,
+# 8- and 16-bit samples.  It exercises the exact decode→feature contract a
+# PIL/ffmpeg decoder would plug into via register_decoder.
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """bytes → float32 image in [0,1]: HxW (gray P2/P5) or HxWx3 (RGB P3/P6)."""
+
+    def token(pos: int) -> tuple[bytes, int]:
+        while pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] not in (b"\n", b"\r"):
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        return payload[start:pos], pos
+
+    magic, pos = token(0)
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError(f"not a netpbm payload: {magic!r}")
+    w_b, pos = token(pos)
+    h_b, pos = token(pos)
+    max_b, pos = token(pos)
+    w, h, maxval = int(w_b), int(h_b), int(max_b)
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    n = w * h * channels
+    if magic in (b"P2", b"P3"):  # ascii raster
+        vals = np.array(payload[pos:].split()[:n], dtype=np.float64)
+    else:  # binary raster: exactly ONE whitespace byte after maxval
+        pos += 1
+        dtype = ">u2" if maxval > 255 else np.uint8
+        vals = np.frombuffer(payload, dtype=dtype, count=n, offset=pos).astype(np.float64)
+    if vals.size != n:
+        raise ValueError(f"raster truncated: {vals.size} of {n} samples")
+    img = (vals / maxval).reshape((h, w) if channels == 1 else (h, w, 3))
+    return img.astype(np.float32)
+
+
+def netpbm_feature(payload: bytes) -> np.ndarray:
+    """Image feature: [mean, std, 8-bin luminance histogram] (10-d float32)."""
+    img = decode_netpbm(payload)
+    gray = img if img.ndim == 2 else img.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+    hist = hist.astype(np.float64) / max(gray.size, 1)
+    return np.concatenate(([gray.mean()], [gray.std()], hist)).astype(np.float32)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index striding (the numpy-only stand-in for
+    a real resampler; same shape contract)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def enable_netpbm_decoder() -> None:
+    """Route kind='image' through the real netpbm decode."""
+    register_decoder("image", netpbm_feature)
+
+
 def extract_features(df: DataFrame, batch_dim: int = 16) -> DataFrame:
     """Decode + featurize media rows (mapInPandas; one Arrow batch per call)."""
 

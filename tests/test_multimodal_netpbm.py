@@ -1,0 +1,89 @@
+"""Real image decode through the multimodal pipeline: netpbm payloads
+(numpy-only decoder) via register_decoder → mapInPandas feature extraction,
+validated against a direct pure-Python computation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aiwhispr_spark.operators.multimodal import (
+    _DECODERS,
+    decode_netpbm,
+    enable_netpbm_decoder,
+    extract_features,
+    netpbm_feature,
+    resize_nearest,
+)
+
+
+def _pgm_p5(img: np.ndarray) -> bytes:
+    h, w = img.shape
+    return f"P5 {w} {h} 255\n".encode() + (img * 255).astype(np.uint8).tobytes()
+
+
+def _pgm_p2(img: np.ndarray) -> bytes:
+    h, w = img.shape
+    body = " ".join(str(v) for v in (img * 255).astype(np.uint8).ravel())
+    return f"P2\n# a comment\n{w} {h}\n255\n{body}\n".encode()
+
+
+def _ppm_p6(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return f"P6 {w} {h} 255\n".encode() + (img * 255).astype(np.uint8).tobytes()
+
+
+GRAY = np.linspace(0.0, 1.0, 16 * 8).reshape(8, 16).astype(np.float32)
+RGB = np.stack([GRAY, GRAY * 0.5, 1.0 - GRAY], axis=2)
+
+
+def test_decode_roundtrip_variants():
+    for payload in (_pgm_p5(GRAY), _pgm_p2(GRAY)):
+        img = decode_netpbm(payload)
+        assert img.shape == (8, 16)
+        assert np.allclose(img, np.round(GRAY * 255) / 255, atol=1 / 255)
+    rgb = decode_netpbm(_ppm_p6(RGB))
+    assert rgb.shape == (8, 16, 3)
+    # 16-bit big-endian binary
+    img16 = (GRAY * 65535).astype(">u2")
+    payload16 = b"P5 16 8 65535\n" + img16.tobytes()
+    assert np.allclose(decode_netpbm(payload16), GRAY, atol=1 / 65535)
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_netpbm(b"JFIF not a pnm")
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P5 16 8 255\nshort")
+
+
+def test_resize_nearest():
+    out = resize_nearest(GRAY, 4, 4)
+    assert out.shape == (4, 4)
+    assert out[0, 0] == GRAY[0, 0]
+    assert resize_nearest(RGB, 2, 3).shape == (2, 3, 3)
+
+
+def test_real_decode_through_spark_pipeline(spark):
+    payloads = {
+        "g5": _pgm_p5(GRAY),
+        "g2": _pgm_p2(GRAY),
+        "rgb": _ppm_p6(RGB),
+    }
+    media = spark.createDataFrame(
+        [(mid, "image", p) for mid, p in payloads.items()],
+        "media_id string, kind string, payload binary",
+    )
+    enable_netpbm_decoder()
+    try:
+        rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    finally:
+        _DECODERS.pop("image", None)
+    for mid, payload in payloads.items():
+        want = netpbm_feature(payload)
+        got = np.array(rows[mid]["feature"], dtype=np.float32)
+        assert got.shape == (10,)
+        assert np.allclose(got, want, atol=1e-6), mid
+        assert rows[mid]["n_bytes"] == len(payload)
+    # the P5 and P2 encodings of the same image must featurize identically
+    assert np.allclose(rows["g5"]["feature"], rows["g2"]["feature"], atol=1e-6)
