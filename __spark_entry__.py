@@ -112,9 +112,9 @@ def _e3_sql() -> str:
     return "WITH c AS (" + base + ")\n" + "\nUNION ALL\n".join(parts)
 
 
-def _minhash_sql(bands: int = 8, rows_per_band: int = 2) -> str:
-    """DuckDB twin of operators.dedup.minhash_lsh_pairs_md5 over the augmented
-    (original ∪ perturbed-copy) corpus used by the minhash_pairs_md5 query."""
+def _minhash_cte(bands: int = 8, rows_per_band: int = 2) -> str:
+    """Shared CTE chain (corpus augmentation → shingles → md5 minhash
+    signatures → banding → verified pairs ≥ 0.5) for the minhash oracles."""
     n = bands * rows_per_band
     mh = ",\n                 ".join(
         f"list_min(list_transform(sh, s -> ('0x' || substr(md5(s || ':{i}'), 1, 15))::BIGINT)) AS mh{i}"
@@ -128,7 +128,7 @@ def _minhash_sql(bands: int = 8, rows_per_band: int = 2) -> str:
     )
     jac = "len(list_intersect(la.sh, lb.sh))::DOUBLE / len(list_distinct(la.sh || lb.sh))"
     return f"""
-        WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
         alld AS (
           SELECT doc_id, text FROM d0
           UNION ALL
@@ -153,13 +153,44 @@ def _minhash_sql(bands: int = 8, rows_per_band: int = 2) -> str:
           SELECT DISTINCT l.id AS a, r.id AS b
           FROM banded l JOIN banded r
             ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id
+        ),
+        pairs AS (
+          SELECT c.a, c.b, CAST(round(10000 * ({jac})) AS BIGINT) AS jaccard_i
+          FROM cand c
+          JOIN base la ON la.id = c.a
+          JOIN base lb ON lb.id = c.b
+          WHERE {jac} >= 0.5
         )
-        SELECT c.a, c.b, CAST(round(10000 * ({jac})) AS BIGINT) AS jaccard_i
-        FROM cand c
-        JOIN base la ON la.id = c.a
-        JOIN base lb ON lb.id = c.b
-        WHERE {jac} >= 0.5
     """
+
+
+def _minhash_sql() -> str:
+    """DuckDB twin of operators.dedup.minhash_lsh_pairs_md5 over the augmented
+    (original ∪ perturbed-copy) corpus used by the minhash_pairs_md5 query."""
+    return "WITH " + _minhash_cte() + "\nSELECT a, b, jaccard_i FROM pairs"
+
+
+def _minhash_groups_sql() -> str:
+    """Full dedup-group oracle: md5 banding pairs + recursive transitive
+    closure electing min-id keepers (the SQL twin of minhash pairs →
+    connected_components → keep_id)."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_cte()
+        + """,
+        edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        ids AS (SELECT doc_id AS id FROM alld),
+        enodes AS (SELECT DISTINCT u AS node FROM edges),
+        reach(node, root) AS (
+          SELECT node, node FROM enodes
+          UNION
+          SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+        ),
+        comp AS (SELECT node, min(root) AS keep FROM reach GROUP BY node)
+        SELECT i.id, coalesce(c.keep, i.id) AS keep_id
+        FROM ids i LEFT JOIN comp c ON c.node = i.id
+    """
+    )
 
 
 def _punct_strip_sql(var: str = "w") -> str:
@@ -738,6 +769,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_pairs_md5"] = minhash_pairs_md5
 
+    def minhash_groups_md5(spark, sf):
+        # full dedup-group pipeline, value-checked: md5 banding pairs →
+        # connected components → min-id keeper per group
+        from aiwhispr_spark.operators.canonicalize import connected_components
+        from aiwhispr_spark.operators.dedup import minhash_lsh_pairs_md5
+
+        d0 = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select("doc_id", "text")
+        aug = d0.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(MINHASH_TAIL)).alias("text"),
+        )
+        alld = d0.unionByName(aug)
+        pairs = minhash_lsh_pairs_md5(alld, "text", "doc_id")
+        comp = connected_components(pairs.select("a", "b"))
+        ids = alld.select(F.col("doc_id").alias("id"))
+        return ids.join(
+            comp.withColumnRenamed("alias", "id").withColumnRenamed("component", "keep_id"),
+            "id",
+            "left",
+        ).select("id", F.coalesce("keep_id", "id").alias("keep_id"))
+
+    q["minhash_groups_md5"] = minhash_groups_md5
+
     def e3_triples_inline_svo(spark, sf):
         # E3 value gate: deterministic SVO sentences built from documents in
         # BOTH engines; Spark runs the real mapInPandas triple kernel
@@ -1147,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """
     o["minhash_pairs_md5"] = _minhash_sql()
+    o["minhash_groups_md5"] = _minhash_groups_sql()
     o["e3_triples_inline_svo"] = _e3_sql()
     o["cc_label_propagation"] = """
         WITH RECURSIVE base AS (
