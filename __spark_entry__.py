@@ -86,6 +86,65 @@ def _simhash_sql(where: str) -> str:
     """
 
 
+T5_TAIL = (
+    ". Der schnelle Fuchs springt über den faulen Hund und die Daten sind groß."
+    " The end is here."
+)
+
+
+def _t5_sql() -> str:
+    """DuckDB twin of kernels.validate_text_chunk (T5/T6).  The Python
+    lookbehind sentence split ``(?<=[.!?])\\s+`` is emulated (RE2 has no
+    lookbehind) by rewriting 'punct + whitespace-run' to 'punct + US-marker'
+    and splitting on the marker — byte-equivalent on ASCII whitespace.
+    Per-sentence detection mirrors detect_sentence_lang exactly: multiplicity
+    stopword counts over strip('.,;:!?\"'()[]{}')+lower words, best=0 → en,
+    en-wins-ties, then de < es < fr.  Kept sentences concat with NO separator
+    in order (T6 encoding fix is identity on the kept ASCII sentences)."""
+    from aiwhispr_spark.kernels import STOPWORDS
+
+    def stoplist(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang])) + "]"
+
+    strip_chars = ".,;:!?\"''()[]{}"  # '' = escaped single quote in SQL
+    scores = ", ".join(
+        f"len(list_filter(words, w -> list_contains({stoplist(lang)}, w))) AS s_{lang}"
+        for lang in ("en", "de", "fr", "es")
+    )
+    return f"""
+        WITH src AS (
+          SELECT doc_id, text || '{T5_TAIL}' AS t
+          FROM documents WHERE doc_id < 300
+        ),
+        marked AS (
+          SELECT doc_id, regexp_replace(t, '([.!?])(\\s+)', '\\1' || chr(30), 'g') AS m
+          FROM src
+        ),
+        sents AS (
+          SELECT doc_id, s, ord FROM (
+            SELECT doc_id, unnest(string_split(m, chr(30))) AS s,
+                   generate_subscripts(string_split(m, chr(30)), 1) AS ord
+            FROM marked
+          ) WHERE s <> ''
+        ),
+        tokenized AS (
+          SELECT doc_id, s, ord,
+                 list_transform(list_filter(regexp_split_to_array(s, '\\s+'), x -> x <> ''),
+                                w -> trim(lower(w), '{strip_chars}')) AS words
+          FROM sents
+        ),
+        scored AS (SELECT doc_id, s, ord, {scores} FROM tokenized),
+        decided AS (
+          SELECT doc_id, s, ord, greatest(s_en, s_de, s_fr, s_es) AS best, s_en
+          FROM scored
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN best = 0 OR s_en = best THEN s END,
+                                   '' ORDER BY ord), '') AS validated
+        FROM decided GROUP BY doc_id
+    """
+
+
 def _e3_sql() -> str:
     """DuckDB twin of the E3 pattern kernel over the inline SVO construction.
     Patterns are taken from triples._PATTERNS verbatim (RE2-compatible: no
@@ -424,14 +483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["u5_doc_dispatch"] = u5_doc_dispatch
 
     def t5_language_validate(spark, sf):
-        # rows-only (the per-sentence stopword/encoding stub is python-side)
+        # full value gate via the lookbehind-emulating DuckDB twin (_t5_sql)
         from aiwhispr_spark.functions.udfs import validate_chunk_udf
 
         d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-        mixed = F.concat(
-            F.col("text"),
-            F.lit(". Der schnelle Fuchs springt über den faulen Hund und die Daten sind groß. The end is here."),
-        )
+        mixed = F.concat(F.col("text"), F.lit(T5_TAIL))
         return d.select("doc_id", validate_chunk_udf(mixed).alias("validated"))
 
     q["t5_language_validate"] = t5_language_validate
@@ -973,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
                '/mnt/data ' || source || '/page dir/' || doc_id || ' x?.txt' AS url_plain
         FROM documents
     """
+    o["t5_language_validate"] = _t5_sql()
     o["t7_strip_punct"] = f"""
         SELECT doc_id,
                array_to_string(

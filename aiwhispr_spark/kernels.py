@@ -120,6 +120,10 @@ _ES_STOP = frozenset(
 )
 
 
+# public view of the detector's evidence sets (oracle SQL generation)
+STOPWORDS = {"en": _EN_STOP, "de": _DE_STOP, "fr": _FR_STOP, "es": _ES_STOP}
+
+
 def split_sentences(text: str) -> list[str]:
     """Deterministic sentence segmenter (spaCy ``doc.sents`` stand-in)."""
     if not text:
