@@ -68,6 +68,23 @@ def test_bucketed_range_join_boundaries(spark):
     assert pairs == {(1, 101), (2, 103)}
 
 
+def test_bucketed_range_join_is_equi_join(spark):
+    """Plan check: the bucket trick must compile to a hash/merge equi-join —
+    never the nested-loop/cartesian fallback a raw inequality join produces."""
+    from aiwhispr_spark.operators.temporal import bucketed_range_join
+
+    left = spark.range(200).selectExpr(
+        "id AS event_id", "CAST(id % 9 AS INT) AS user_id", "timestamp_seconds(id * 50) AS ts"
+    )
+    right = spark.range(300).selectExpr(
+        "CAST(id % 9 AS INT) AS user_id", "timestamp_seconds(id * 37) AS ts", "id AS click_id"
+    )
+    df = bucketed_range_join(left, right, on="user_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan[:1500]
+    assert any(j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")), plan[:1500]
+
+
 def test_asof_join_is_single_shuffle(spark):
     """Plan check: the union+window formulation must not contain a join at all
     (no broadcast-nested-loop / cartesian fallback an inequality join risks)."""
