@@ -36,6 +36,11 @@ def main() -> None:
         "--resume", action="store_true",
         help="left_anti against <output>/manifest before processing",
     )
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="skip ingestion; refresh canonical ids of ALL written triples "
+        "against the current alias map (run after resume runs merged families)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,7 +53,15 @@ def main() -> None:
     )
     spark = builder.getOrCreate()
 
-    from aiwhispr_spark.plans.kg_pipeline import build_knowledge_graph
+    from aiwhispr_spark.plans.kg_pipeline import build_knowledge_graph, recanonicalize_output
+
+    if args.compact:
+        recanonicalize_output(
+            spark, args.output, target_partitions=args.partitions, salt_factor=args.salt
+        )
+        print(f"KG_COMPACTED output={args.output}")
+        spark.stop()
+        return
 
     docs = spark.read.parquet(args.input)
     manifest = None
