@@ -193,6 +193,7 @@ def docs_to_triples_fused(
     url_col: str = "url",
     chunksize: int = kernels.TXTCHUNKSIZE,
     doc_acc=None,
+    chunk_acc=None,
     triple_acc=None,
 ) -> DataFrame:
     """E1+E2+E3 fused into ONE mapInPandas pass: extract (T1) → file-roundtrip
@@ -210,12 +211,14 @@ def docs_to_triples_fused(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"url": [], "chunk_no": [], "subj": [], "pred": [], "obj": []}
+            n_chunks = 0
             for url, html in zip(pdf[url_col], pdf[html_col]):
                 if html is None:
                     continue
                 raw = html.decode("utf-8") if isinstance(html, (bytes, bytearray)) else html
                 text = kernels.file_roundtrip(kernels.clean_html(raw))
                 for j, chunk in enumerate(kernels.bucket_fill_chunks(text, chunksize)):
+                    n_chunks += 1
                     for subj, pred, obj in extract_triples(chunk):
                         out["url"].append(url)
                         out["chunk_no"].append(j + 1)
@@ -224,6 +227,8 @@ def docs_to_triples_fused(
                         out["obj"].append(obj)
             if doc_acc is not None:
                 doc_acc.add(len(pdf))
+            if chunk_acc is not None:
+                chunk_acc.add(n_chunks)
             if triple_acc is not None:
                 triple_acc.add(len(out["url"]))
             yield pd.DataFrame(out)

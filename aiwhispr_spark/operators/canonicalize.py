@@ -61,6 +61,13 @@ def candidate_pairs(
     # channels re-read it twice more — without a persist the upstream alias
     # derivation (often a whole linker run) re-executes per branch
     base = _with_shingles(aliases, alias_col).persist()
+    # size partitioning to the data BEFORE the (bands+2)-way union below:
+    # inheriting spark.sql.shuffle.partitions would fan a few-hundred-alias
+    # frame into bands×partitions map tasks (observed 640), each paying the
+    # ~250 ms python-worker floor.  count() doubles as the persist trigger.
+    n_aliases = base.count()
+    cap = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+    base = base.coalesce(max(2, min(cap, n_aliases // 20_000 + 1)))
 
     # minhash signature: for seed i, min over shingles of xxhash64(shingle, i)
     n_hashes = bands * rows_per_band
@@ -154,10 +161,19 @@ def connected_components(
         .distinct()
     )
     sym = sym.localCheckpoint(eager=True)
+    # right-size the iteration frames: every round shuffles sym and labels,
+    # and a component graph is usually orders smaller than the corpus that
+    # produced it — inheriting the corpus-sized partition count makes each of
+    # the ~diameter rounds pay empty-task overhead instead
+    n_edges = sym.count()
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    p = max(2, min(cap, n_edges // 50_000 + 1))
+    sym = sym.coalesce(p).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .coalesce(p)
         .localCheckpoint(eager=True)
     )
 

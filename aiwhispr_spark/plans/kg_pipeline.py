@@ -140,14 +140,19 @@ def build_knowledge_graph(
 
     docs = filter_unprocessed(docs, manifest)
 
-    extracted = extract_text(docs).withColumn(
-        "text", F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1")
-    )
-    chunks = chunk_documents(extracted, chunksize=chunksize, doc_acc=n_docs, chunk_acc=n_chunks)
-    # persist: the triple stream feeds the candidate build, the linker join,
-    # and the final write — without a persist each action re-runs E1-E3 (and
-    # double-counts the accumulators).  MEMORY_AND_DISK: spills, never OOMs.
-    triples = extract_triples_df(chunks, triple_acc=n_triples).persist()
+    # chunks table for callers that want it (byte-identity tests, chunk
+    # materialization) — lazy, NOT on the hot path, carries no accumulators
+    chunks = docs_to_chunks(docs, chunksize=chunksize)
+    # E1-E3 in ONE fused python stage (docs_to_triples_fused docstring has the
+    # measured 2-3× cost of the chained alternative); all three accumulators
+    # are counted inside the single pass.  persist: the triple stream feeds
+    # the candidate build, the linker join, and the final write — without it
+    # each action re-runs E1-E3 (and re-counts the accumulators).
+    from ..functions.udfs import docs_to_triples_fused
+
+    triples = docs_to_triples_fused(
+        docs, chunksize=chunksize, doc_acc=n_docs, chunk_acc=n_chunks, triple_acc=n_triples
+    ).persist()
 
     # E5: candidate set = distinct mentions themselves unless an external
     # entity table is supplied (mirrors the oracle's self-link construction)
