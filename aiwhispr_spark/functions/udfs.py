@@ -239,15 +239,39 @@ def docs_to_triples_fused(
 # --- E4: batch embedding -------------------------------------------------------------
 
 
-def make_embed_udf(encoder_name: str = "hash64"):
+class EncoderAuthError(Exception):
+    """Fail-fast channel: the reference aborts immediately on auth/invalid-
+    request errors instead of retrying (openaiLlmService.py:96-111)."""
+
+
+def make_embed_udf(encoder_name: str = "hash64", max_attempts: int = 3, retry_sleep: float = 5.0):
     """Batch-encode pandas UDF; model resolved once per executor process
     (reference's per-chunk encode at filepathContentSite.py:135 becomes one
-    Arrow batch per call — the 10-100× vectorization win)."""
+    Arrow batch per call — the 10-100× vectorization win).
+
+    U2 retry semantics (openaiLlmService.py:67-134): transient encoder
+    failures retry up to `max_attempts` with `retry_sleep` seconds between
+    attempts; EncoderAuthError fails fast.  Spark's own task retries
+    (spark.task.maxFailures) then wrap this as the outer layer."""
 
     @pandas_udf(ArrayType(FloatType()))
     def embed_udf(text: pd.Series) -> pd.Series:
-        encoder = get_encoder(encoder_name)
-        mat = encoder(text.fillna("").tolist())
+        import time as _time
+
+        # a callable ships in the closure (registry mutations on the driver
+        # are invisible to python workers); a name resolves worker-side
+        encoder = encoder_name if callable(encoder_name) else get_encoder(encoder_name)
+        batch = text.fillna("").tolist()
+        for attempt in range(max_attempts):
+            try:
+                mat = encoder(batch)
+                break
+            except EncoderAuthError:
+                raise
+            except Exception:
+                if attempt == max_attempts - 1:
+                    raise
+                _time.sleep(retry_sleep)
         return pd.Series(list(mat))
 
     return embed_udf
