@@ -799,6 +799,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lineage_rollup"] = lineage_rollup
 
+    def lineage_cube(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.cube("source", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+
+    q["lineage_cube"] = lineage_cube
+
     def setops_active_custkeys(spark, sf):
         o = _t(spark, sf, "orders")
         a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
@@ -1249,6 +1258,10 @@ def oracle_sql() -> dict[str, str]:
     o["lineage_rollup"] = """
         SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY ROLLUP (source, lang)
+    """
+    o["lineage_cube"] = """
+        SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY CUBE (source, lang)
     """
     o["setops_active_custkeys"] = """
         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
