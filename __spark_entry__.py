@@ -896,7 +896,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bridges = ev.filter(F.col("user_id") % 40 == 9).select(
             F.col("user_id").alias("a"), (F.col("user_id") + 1).alias("b")
         )
-        comp = connected_components(stars.unionByName(bridges).distinct())
+        # driver_threshold=0 forces the DISTRIBUTED label-propagation path, so
+        # the oracle gates the iterative implementation (the driver union-find
+        # path is gated by the equivalence unit test)
+        comp = connected_components(
+            stars.unionByName(bridges).distinct(), driver_threshold=0
+        )
         return comp.select(F.col("alias").alias("node"), "component")
 
     q["cc_label_propagation"] = cc_label_propagation

@@ -146,13 +146,29 @@ def candidate_pairs(
     return verified.select("a", "b")
 
 
+DRIVER_CC_THRESHOLD = 1_000_000  # edges; ~50 MB of pairs — trivial for union-find
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, src: str = "a", dst: str = "b"
+    edges: DataFrame,
+    max_iterations: int = 20,
+    src: str = "a",
+    dst: str = "b",
+    driver_threshold: int = DRIVER_CC_THRESHOLD,
 ) -> DataFrame:
     """Min-label propagation with path compression over undirected `edges`.
 
     Returns (alias, component) where component = min alias in the component.
-    Each iteration: one aggregation shuffle + one join; rounds ~ log(diameter).
+
+    Physical strategy by size: an alias graph is orders smaller than the
+    corpus that produced it (10^12 docs ⇒ ~10^6-10^8 distinct surfaces), so
+    below `driver_threshold` edges the component computation collects the
+    edge list and runs union-find on the driver (milliseconds, zero shuffles)
+    — iterative joins there only pay ~diameter × per-action overhead.  Above
+    the threshold the distributed path runs: one aggregation shuffle + one
+    join per round, rounds ~ log(diameter), lineage truncated per round.
+    Both paths implement identical min-label semantics (gated against the
+    same recursive-closure SQL oracle).
     """
     spark = edges.sparkSession
     sym = (
@@ -166,6 +182,31 @@ def connected_components(
     # produced it — inheriting the corpus-sized partition count makes each of
     # the ~diameter rounds pay empty-task overhead instead
     n_edges = sym.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in sym.collect():
+            u, v = row["u"], row["v"]
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        node_type = sym.schema["u"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [StructField("alias", node_type), StructField("component", node_type)]
+        )
+        rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(rows, schema)
+
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
     p = max(2, min(cap, n_edges // 50_000 + 1))
     sym = sym.coalesce(p).localCheckpoint(eager=True)

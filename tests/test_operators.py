@@ -190,6 +190,26 @@ def test_assemble_qa_semantics(spark):
     assert len(res) == 3  # orphan answer dropped
 
 
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """connected_components: the driver union-find fast path and the
+    distributed label-propagation path must produce identical components on
+    a random graph (chains + stars + singleton-free shuffle)."""
+    import random
+
+    from aiwhispr_spark.operators.canonicalize import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i - (i % 7)) for i in range(200)]  # 7-node stars
+    edges += [(rng.randint(0, 199), rng.randint(0, 199)) for _ in range(60)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    fast = {r["alias"]: r["component"] for r in connected_components(df).collect()}
+    dist = {
+        r["alias"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == dist and fast
+
+
 def test_salted_repartition_balances_zipf_head(spark):
     """The point of salting: a 90%-hot key must spread across partitions.
     Plain hash repartition puts ~9000 rows in one partition; salted spreads
