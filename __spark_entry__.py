@@ -86,6 +86,35 @@ def _simhash_sql(where: str) -> str:
     """
 
 
+def _multimodal_sql() -> str:
+    """DuckDB twin of the multimodal byte-bucket feature: payload = utf-8 bytes
+    of the ASCII-sanitized text, so per-CHAR counts equal per-BYTE counts;
+    bucket b counts chars in [16b, 16b+15].  Buckets outside printable ASCII
+    are structurally zero (the sanitizer removed those bytes)."""
+    cases = []
+    for b in range(16):
+        lo, hi = 16 * b, 16 * b + 15
+        if hi < 0x20 or lo > 0x7E:
+            cases.append(f"WHEN {b} THEN 0")
+        else:
+            cls = f"[\\x{lo:02x}-\\x{hi:02x}]"
+            cases.append(
+                f"WHEN {b} THEN length(t) - length(regexp_replace(t, '{cls}', '', 'g'))"
+            )
+    case_expr = "CASE b.bucket " + " ".join(cases) + " ELSE 0 END"
+    return f"""
+        WITH src AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                 regexp_replace(text, '[^ -~]', '', 'g') AS t
+          FROM documents WHERE doc_id < 200
+        )
+        SELECT media_id, CAST(b.bucket AS INT) AS bucket,
+               CAST({case_expr} AS BIGINT) AS cnt,
+               CAST(length(t) AS INT) AS n_bytes
+        FROM src, (SELECT unnest(generate_series(0, 15)) AS bucket) b
+    """
+
+
 T5_TAIL = (
     ". Der schnelle Fuchs springt über den faulen Hund und die Daten sind groß."
     " The end is here."
@@ -928,6 +957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Q7 (6_Semantic_Search.py:420-437): StandardScaler+PCA(3) over result
         # embeddings for the semantic plot.  pyspark.ml implementation;
         # rows-only check (PCA axes have sign/rotation ambiguity across libs).
+        # Output is exploded to SCALAR rows (vec_id, axis, loading_abs_i) —
+        # the driver canonicalizer sorts/hashes column values and cannot sort
+        # array cells; abs() neutralizes per-axis sign ambiguity.
         from pyspark.ml.feature import PCA, StandardScaler
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -940,8 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         pca = PCA(k=3, inputCol="scaled", outputCol="pca").fit(scaled)
         return pca.transform(scaled).select(
-            "vec_id", vector_to_array("pca").cast("array<float>").alias("pca3")
-        ).withColumn("pca3", F.transform("pca3", lambda x: F.round(x, 4)))
+            "vec_id", F.posexplode(vector_to_array("pca")).alias("axis", "loading")
+        ).select("vec_id", "axis", _scaled(F.abs("loading")).alias("loading_abs_i"))
 
     q["q7_pca_map"] = q7_pca_map
 
@@ -983,15 +1015,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_fingerprint"] = simhash
 
     def multimodal(spark, sf):
-        from aiwhispr_spark.operators.multimodal import extract_features
+        # real mapInPandas decode plumbing (schema, Arrow batching, explicit
+        # decoder table), value-gated: the decoder emits the 16-bucket folded
+        # byte histogram — integer-exact, so DuckDB reproduces it from the
+        # same ASCII-sanitized payload.  Scalar rows (no arrays) so the driver
+        # canonicalizer can sort/hash.
+        from aiwhispr_spark.operators.multimodal import (
+            byte_bucket_fold_counts,
+            extract_features,
+        )
 
         d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
         media = d.select(
             F.col("doc_id").cast("string").alias("media_id"),
             F.lit("image").alias("kind"),
-            F.encode("text", "UTF-8").alias("payload"),
+            F.encode(F.regexp_replace("text", "[^ -~]", ""), "UTF-8").alias("payload"),
         )
-        return extract_features(media)
+        feats = extract_features(media, decoders={"image": byte_bucket_fold_counts})
+        return feats.select(
+            "media_id", "n_bytes", F.posexplode("feature").alias("bucket", "cnt")
+        ).select(
+            "media_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("cnt").cast("long").alias("cnt"),
+            "n_bytes",
+        )
 
     q["multimodal_features"] = multimodal
 
@@ -1294,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, min(root) AS component FROM reach GROUP BY node
     """
     o["simhash_fingerprint"] = _simhash_sql("doc_id < 500")
+    o["multimodal_features"] = _multimodal_sql()
     o["tpch_q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -69,69 +69,64 @@ def candidate_pairs(
     cap = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
     base = base.coalesce(max(2, min(cap, n_aliases // 20_000 + 1)))
 
-    # minhash signature: for seed i, min over shingles of xxhash64(shingle, i)
-    n_hashes = bands * rows_per_band
-    sig_cols = [
-        F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i)))).alias(
-            f"mh{i}"
-        )
-        for i in range(n_hashes)
-    ]
-    signed = base.select("alias", "norm", "shingles", *sig_cols)
+    # minhash signature: for seed i, min over shingles of xxhash64(shingle, i).
+    # Seeds bind via minhash_signature's closure factory — a 2-arg transform
+    # lambda would silently receive the ELEMENT INDEX as its second argument
+    # (CLAUDE.md arity note), collapsing every hash function into one.
+    from .dedup import minhash_signature
 
-    # band key: hash of the band's row of minhashes
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            signed.select(
-                "alias",
-                "norm",
-                "shingles",
-                F.lit(b).alias("band_id"),
-                F.xxhash64(*cols).alias("band_hash"),
-            )
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+    n_hashes = bands * rows_per_band
+    signed = base.select("alias", *minhash_signature(F.col("shingles"), n_hashes))
 
     # multi-pass blocking (SparkER-style): LSH band buckets ∪ exact normalized
-    # key ∪ numeric stem ("entity7" ~ "e7").  Each channel emits (block_key,
-    # alias) rows; a single self-equi-join on block_key yields candidates.
+    # key ∪ numeric stem ("entity7" ~ "e7").  Each channel emits skinny
+    # (alias, block_key) rows — the norm/shingle attributes are re-joined only
+    # on the candidate-sized pair set below, so the blocking shuffle never
+    # carries shingle arrays (×bands, the 100 TB scale-killer).  LSH keys come
+    # from ONE posexplode-style array expansion, not a bands-way union (a
+    # K-branch union multiplies map-side partitions by K).
+    lsh_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"lsh:{b}:"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
     stem = F.regexp_extract(F.col("norm"), r"^(?:entity|e)([0-9]+)$", 1)
     keyed = (
-        banded.select(
-            "alias", "norm", "shingles",
-            F.concat(F.lit("lsh:"), F.col("band_id"), F.lit(":"), F.col("band_hash")).alias("bkey"),
-        )
+        signed.select("alias", F.explode(lsh_keys).alias("bkey"))
+        .unionByName(base.select("alias", F.concat(F.lit("norm:"), F.col("norm")).alias("bkey")))
         .unionByName(
-            base.select(
-                "alias", "norm", "shingles", F.concat(F.lit("norm:"), F.col("norm")).alias("bkey")
-            )
-        )
-        .unionByName(
-            base.filter(stem != "").select(
-                "alias", "norm", "shingles", F.concat(F.lit("stem:"), stem).alias("bkey")
-            )
+            base.filter(stem != "").select("alias", F.concat(F.lit("stem:"), stem).alias("bkey"))
         )
     )
-    left = keyed.alias("l")
-    right = keyed.alias("r")
-    pairs = (
-        left.join(
-            right,
+    cand = (
+        keyed.alias("l")
+        .join(
+            keyed.alias("r"),
             (F.col("l.bkey") == F.col("r.bkey")) & (F.col("l.alias") < F.col("r.alias")),
         )
-        .select(
-            F.col("l.alias").alias("a"),
-            F.col("r.alias").alias("b"),
-            F.col("l.norm").alias("norm_a"),
-            F.col("r.norm").alias("norm_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        .select(F.col("l.alias").alias("a"), F.col("r.alias").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    attrs = base.select("alias", "norm", "shingles")
+    pairs = (
+        cand.join(
+            attrs.select(
+                F.col("alias").alias("a"), F.col("norm").alias("norm_a"), F.col("shingles").alias("sh_a")
+            ),
+            "a",
+        )
+        .join(
+            attrs.select(
+                F.col("alias").alias("b"), F.col("norm").alias("norm_b"), F.col("shingles").alias("sh_b")
+            ),
+            "b",
+        )
     )
 
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))

@@ -60,6 +60,68 @@ def _token_ngrams(col: Column, n: int) -> Column:
     )
 
 
+def _seeded_xxhash(seed: int):
+    """Closure factory for a seeded shingle hash.  MUST be a factory: a
+    2-parameter lambda passed to F.transform binds its second argument to the
+    array ELEMENT INDEX, so `lambda s, i=i: xxhash64(s, lit(i))` silently makes
+    every "seed" the element index — all minhash columns become the same
+    expression and LSH degenerates to a single hash function (CLAUDE.md arity
+    note)."""
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
+def minhash_signature(sh_col: Column, n_hashes: int, seeded_hash=_seeded_xxhash) -> list[Column]:
+    """minhash_i = min over shingles of seeded_hash(i)(shingle), i in
+    [0, n_hashes).  Shared by the dedup and alias-canonicalization paths and
+    pinned by a seed-sensitivity test (different seeds MUST give different
+    signature columns on a fixed shingle set)."""
+    return [
+        F.array_min(F.transform(sh_col, seeded_hash(i))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def _band_candidates(sig: DataFrame, band_keys: Column) -> DataFrame:
+    """(a, b) candidate pairs from a banded self-join.
+
+    `band_keys` is an ARRAY of per-band bucket keys; posexplode turns it into
+    (band, bhash) rows in ONE narrow stage — no bands-way union (a K-branch
+    union multiplies map-side partitions by K, CLAUDE.md perf trap) and, since
+    only (id, band, bhash) rows are projected, the self-join shuffle moves
+    fixed-width keys — never the shingle arrays (which would ride the exchange
+    ×bands at corpus scale)."""
+    banded = sig.select("id", F.posexplode(band_keys).alias("band", "bhash"))
+    return (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _jaccard_verify(
+    cand: DataFrame, shingles: DataFrame, jaccard_threshold: float
+) -> DataFrame:
+    """Re-attach true shingle sets to the (candidate-sized, not corpus×bands-
+    sized) pair set and keep pairs with Jaccard ≥ threshold.  The two id-keyed
+    joins shuffle each doc's shingles at most twice — independent of the band
+    count."""
+    pairs = (
+        cand.join(shingles.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(shingles.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    return pairs.select("a", "b", jac).filter(F.col("jaccard") >= jaccard_threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -72,58 +134,24 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (a < b, jaccard) via MinHash banding.
 
     All signature math is expression-level: minhash_i = min(xxhash64(shingle,
-    seed=i)); band key = xxhash64(row of minhashes).  The only shuffle is the
-    band-bucket self-join on (band, hash) — candidates, never the corpus
-    cross-product.  Final Jaccard verified on true shingle sets.
-    """
+    seed=i)); band key = xxhash64(row of minhashes).  The band-bucket
+    self-join shuffles only (id, band, bhash) rows — candidates, never the
+    corpus cross-product and never the shingle payloads.  Final Jaccard is
+    verified on true shingle sets re-joined by id (candidate-sized)."""
     base = df.select(
         F.col(id_col).alias("id"), _token_ngrams(F.col(content_col), shingle_n).alias("sh")
     ).filter(F.size("sh") > 0)
 
     n_hashes = bands * rows_per_band
-    sig = base.select(
-        "id",
-        "sh",
+    sig = base.select("id", *minhash_signature(F.col("sh"), n_hashes))
+    band_keys = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            ).alias(f"mh{i}")
-            for i in range(n_hashes)
-        ],
+            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
     )
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        parts.append(
-            sig.select(
-                "id", "sh", F.lit(b).alias("band"), F.xxhash64(*cols).alias("bhash")
-            )
-        )
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
-
-    pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["a", "b"])
-    )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b"))
-    ).alias("jaccard")
-    return pairs.select("a", "b", jac).filter(F.col("jaccard") >= jaccard_threshold)
+    cand = _band_candidates(sig, band_keys)
+    return _jaccard_verify(cand, base, jaccard_threshold)
 
 
 def _md5_hash60(col: Column, seed: int) -> Column:
@@ -156,50 +184,26 @@ def minhash_lsh_pairs_md5(
     n_hashes = bands * rows_per_band
     sig = base.select(
         "id",
-        "sh",
+        *minhash_signature(
+            F.col("sh"), n_hashes, lambda i: (lambda s: _md5_hash60(s, i))
+        ),
+    )
+    band_keys = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("sh"), (lambda i: lambda s: _md5_hash60(s, i))(i))
-            ).alias(f"mh{i}")
-            for i in range(n_hashes)
-        ],
-    )
-    parts = []
-    for b in range(bands):
-        cols = [
-            F.col(f"mh{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        parts.append(
-            sig.select(
-                "id", "sh", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bhash")
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
             )
-        )
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
-
-    pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bhash") == F.col("r.bhash"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["a", "b"])
+            for b in range(bands)
+        ]
     )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b"))
-    ).alias("jaccard")
-    return pairs.select("a", "b", jac).filter(F.col("jaccard") >= jaccard_threshold)
+    cand = _band_candidates(sig, band_keys)
+    return _jaccard_verify(cand, base, jaccard_threshold)
 
 
 def minhash_dedup_groups(
@@ -252,18 +256,16 @@ def simhash_pairs(
     hamming ≤ 3 of 60 bits shares at least one exact band — pigeonhole),
     verify true hamming distance."""
     sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(content_col)).alias("simhash"))
-    bandcols = [
-        F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF)).alias(f"b{i}")
-        for i in range(4)
-    ]
-    banded = sh.select("id", "simhash", *bandcols)
-    parts = [
-        banded.select("id", "simhash", F.lit(i).alias("band"), F.col(f"b{i}").alias("bval"))
-        for i in range(4)
-    ]
-    stacked = parts[0]
-    for p in parts[1:]:
-        stacked = stacked.unionByName(p)
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF))
+            for i in range(4)
+        ]
+    )
+    # posexplode, not a 4-way union: one narrow stage, no map-side fan-out.
+    # The 8-byte fingerprint rides the shuffle (needed for the hamming verify);
+    # unlike shingle arrays it is fixed-width, so the exchange stays skinny.
+    stacked = sh.select("id", "simhash", F.posexplode(bands).alias("band", "bval"))
     pairs = (
         stacked.alias("l")
         .join(
@@ -334,17 +336,24 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold.  Blocking: random-
     hyperplane (sign-LSH) bucket — vectors agreeing on all `n_planes` signs
     meet; high-cosine pairs agree w.h.p.  Verify with exact cosine.  For exact
-    small-scale semantics set n_planes=0 (single bucket → full self-join)."""
+    small-scale semantics set n_planes=0 (single bucket → full self-join).
+
+    Pass `dim` (the embedding dimensionality) explicitly — it is a property of
+    the table's schema contract, and reading it from the data would run a
+    driver-side action before the plan is even returned."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if n_planes > 0:
         import random
 
         rng = random.Random(42)
-        dim = len(base.select("v").first()["v"])
+        if dim is None:
+            # last-resort fallback for ad-hoc callers; hot paths pass dim
+            dim = len(base.select("v").first()["v"])
         planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
         sig = F.concat(
             *[

@@ -52,7 +52,8 @@ def search_terms(
     """Top-k (id, score, n_terms) over a posting-list table.  score = Σ tf of
     matched query terms; ``all`` mode keeps only docs matching every term.
     Deterministic order: score desc, id asc."""
-    terms = [t.lower() for t in terms]
+    # dedupe up front: a repeated query term must not double-count tf in score
+    terms = sorted({t.lower() for t in terms})
     spark = index.sparkSession
     q = spark.createDataFrame([(t,) for t in terms], "token string")
     scored = (
@@ -64,7 +65,7 @@ def search_terms(
         )
     )
     if mode == "all":
-        scored = scored.filter(F.col("n_terms") == len(set(terms)))
+        scored = scored.filter(F.col("n_terms") == len(terms))
     elif mode != "any":
         raise ValueError(f"unknown search mode: {mode}")
     return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)

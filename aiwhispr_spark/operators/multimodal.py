@@ -61,6 +61,17 @@ def register_decoder(kind: str, fn) -> None:
     _DECODERS[kind] = fn
 
 
+def byte_bucket_fold_counts(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Raw folded byte-histogram counts: bucket b = #bytes with value//(256//dim)
+    == b.  Integer-valued (exact in float32 below 2^24), so a SQL oracle can
+    reproduce it bit-for-bit — this is the un-normalized core of
+    :func:`_fake_feature` and the value gate for the mapInPandas decode path."""
+    if not payload:
+        return np.zeros(dim, dtype=np.float32)
+    hist = np.bincount(np.frombuffer(payload, dtype=np.uint8), minlength=256).astype(np.float64)
+    return hist.reshape(dim, 256 // dim).sum(axis=1).astype(np.float32)
+
+
 def _fake_feature(payload: bytes, dim: int = 16) -> np.ndarray:
     """Deterministic stand-in feature: byte-histogram folded to `dim` buckets,
     L2-normalized.  Replace via register_decoder when PIL/librosa exist.
@@ -145,14 +156,21 @@ def enable_netpbm_decoder() -> None:
     register_decoder("image", netpbm_feature)
 
 
-def extract_features(df: DataFrame, batch_dim: int = 16) -> DataFrame:
-    """Decode + featurize media rows (mapInPandas; one Arrow batch per call)."""
+def extract_features(
+    df: DataFrame, batch_dim: int = 16, decoders: dict | None = None
+) -> DataFrame:
+    """Decode + featurize media rows (mapInPandas; one Arrow batch per call).
+
+    `decoders` overrides the module registry per-call (an explicit dict ships
+    in the task closure — deterministic regardless of worker-side import
+    state); None uses :func:`register_decoder`'s registry."""
+    table = _DECODERS if decoders is None else decoders
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, nbytes = [], []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                decoder = _DECODERS.get(kind, lambda b: _fake_feature(b, batch_dim))
+                decoder = table.get(kind, lambda b: _fake_feature(b, batch_dim))
                 b = bytes(payload) if payload is not None else b""
                 feats.append(decoder(b).tolist())
                 nbytes.append(len(b))

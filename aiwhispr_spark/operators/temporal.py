@@ -87,19 +87,31 @@ def asof_join(
     nondeterministic; DuckDB imposes the same requirement).
     """
     value_cols = list(value_cols)
+    if not value_cols:
+        return left
+    # ALL value columns ride in ONE struct per right row: last(ignorenulls)
+    # over the struct picks the as-of row atomically, so a legitimately-NULL
+    # value in the matched row stays NULL (instead of being back-filled from
+    # an older right row) and every column comes from the SAME right row —
+    # matching DuckDB ASOF JOIN semantics.  The struct itself is non-null for
+    # every right row, null for left rows, so it never skips a matched row.
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(0).alias("_is_right"),
         F.struct(*left.columns).alias("_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+        )
+        .alias("_vals"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(1).alias("_is_right"),
         F.lit(None).cast(l_tagged.schema["_left"].dataType).alias("_left"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
     )
     w = (
         Window.partitionBy("_k")
@@ -109,6 +121,8 @@ def asof_join(
     filled = l_tagged.unionByName(r_tagged).select(
         "_left",
         "_is_right",
-        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("_vals", ignorenulls=True).over(w).alias("_vals"),
     )
-    return filled.filter(F.col("_is_right") == 0).select("_left.*", *value_cols)
+    return filled.filter(F.col("_is_right") == 0).select(
+        "_left.*", *[F.col(f"_vals.{c}").alias(c) for c in value_cols]
+    )

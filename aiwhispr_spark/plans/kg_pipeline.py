@@ -86,6 +86,15 @@ def recanonicalize_output(
     triples_path = os.path.join(output_dir, "triples")
     alias_map = spark.read.parquet(os.path.join(output_dir, "aliases"))
     triples = spark.read.parquet(triples_path)
+    # crash cleanup: a resume that died between its triples append and its
+    # manifest append leaves orphan rows (run_id with no manifest entry) whose
+    # urls the NEXT resume re-processes — dropping orphan runs here prevents
+    # duplicate triple rows from accumulating.  run_id cardinality is tiny →
+    # broadcast semi-join, no shuffle of the triples table.
+    manifest_path = os.path.join(output_dir, "manifest")
+    if os.path.exists(manifest_path):
+        valid_runs = spark.read.parquet(manifest_path).select("run_id").distinct()
+        triples = triples.join(F.broadcast(valid_runs), "run_id", "left_semi")
     refreshed = (
         triples.drop("subj_id", "obj_id")
         .join(
@@ -230,9 +239,15 @@ def build_knowledge_graph(
             # recanonicalize_output (compaction), never inline: at 10^12 docs
             # an inline refresh would rewrite the full table on every resume.
             out_triples.write.mode("append").parquet(triples_path)
-            try:
+            # only a MISSING aliases table means "first resume over a fresh
+            # dir"; a corrupt file or transient IO error must propagate —
+            # swallowing it would rebuild aliases/entities from the delta only,
+            # silently dropping previously-merged alias families.  (On
+            # HDFS/S3 the same check is FileSystem.exists / a caught
+            # PATH_NOT_FOUND AnalysisException.)
+            if os.path.exists(aliases_path):
                 old_surfaces = spark.read.parquet(aliases_path).select("alias")
-            except Exception:
+            else:
                 old_surfaces = None
             surfaces = (
                 aliases.unionByName(old_surfaces).distinct()
@@ -252,10 +267,12 @@ def build_knowledge_graph(
             entities.write.mode("overwrite").parquet(entities_path)
             alias_map.write.mode("overwrite").parquet(aliases_path)
 
-        # lineage covers only THIS run's rows (triples rows are run_id-tagged;
-        # on resume the dir also holds prior runs' rows)
-        written = spark.read.parquet(triples_path).filter(F.col("run_id") == run_id)
-        manifest_df = lineage_manifest(written, run_id=run_id)
+        # lineage covers only THIS run's rows, derived from the out_triples
+        # DataFrame itself (persisted upstream, so this re-runs only the cheap
+        # final joins) — NOT a rescan of the full on-disk table, which would
+        # make every resume O(table) instead of O(delta).  partition ids here
+        # are those of the salted repartition that produced the files.
+        manifest_df = lineage_manifest(out_triples, run_id=run_id)
         # docs that produced no triples still count as processed: union their urls
         all_urls = docs.select("url").distinct().withColumn("partition_id", F.lit(-1)).withColumn(
             "rows_out", F.lit(0)
