@@ -86,6 +86,75 @@ def _simhash_sql(where: str) -> str:
     """
 
 
+def _ensure_simple_corpus() -> str:
+    """Materialize the oracle-friendly KG corpus (idempotent; called from both
+    the Spark query and the oracle-SQL builder so file existence never depends
+    on the driver's execution order)."""
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.synthetic import write_simple_corpus_parquet
+
+    path = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_simple_150.parquet")
+    if not os.path.exists(path):
+        write_simple_corpus_parquet(path, n_docs=150)
+    return path
+
+
+def _kg_e2e_sql() -> str:
+    """DuckDB twin of the full E1→E2→E3 pipeline over the simple corpus.
+
+    Stage-by-stage closed forms (valid because make_simple_doc_html constrains
+    the input — ASCII, English, < 700 words/doc):
+    * E1 T1 clean  — regexp_replace(decode(html), CLEANR, '', 'g');
+    * roundtrip    — identity on ASCII;
+    * C1 chunker   — whole-line fill only ⇒ ONE chunk per doc:
+                     concat over nonblank lines of (' ' || rstrip(line));
+    * T5 validator — every sentence is English ⇒ reduces to deleting each
+                     whitespace run after [.!?] (the sentence splitter's
+                     separators; survivors concat with no separator);
+    * E3 kernel    — validated text has no post-punct whitespace, so the
+                     sentence splitter yields ONE span and per-sentence
+                     finditer equals whole-text regexp_extract_all (mentions
+                     cannot contain '.', so no cross-boundary matches).
+    """
+    from aiwhispr_spark.triples import _PATTERNS
+
+    path = _ensure_simple_corpus()
+    parts = []
+    for pattern, pred in _PATTERNS:
+        rx = pattern.pattern
+        parts.append(
+            f"SELECT url, CAST(1 AS INT) AS chunk_no, "
+            f"regexp_extract(m, '^{rx}$', 1) AS subj, '{pred}' AS pred, "
+            f"rtrim(regexp_extract(m, '^{rx}$', 2), '.') AS obj "
+            f"FROM (SELECT url, unnest(regexp_extract_all(v, '{rx}')) AS m FROM validated)"
+        )
+    return (
+        f"""
+        WITH raw AS (SELECT url, decode(html) AS h FROM read_parquet('{path}')),
+        cleaned AS (
+          SELECT url, regexp_replace(h, '{CLEANR_PATTERN}', '', 'g') AS txt FROM raw
+        ),
+        lines AS (
+          SELECT url, rtrim(l, concat(' ', chr(9), chr(13))) AS line, ord FROM (
+            SELECT url, unnest(string_split(txt, chr(10))) AS l,
+                   generate_subscripts(string_split(txt, chr(10)), 1) AS ord
+            FROM cleaned
+          )
+        ),
+        chunked AS (
+          SELECT url, string_agg(' ' || line, '' ORDER BY ord) AS chunk
+          FROM lines WHERE line <> '' GROUP BY url
+        ),
+        validated AS (
+          SELECT url, regexp_replace(chunk, '([.!?])\\s+', '\\1', 'g') AS v FROM chunked
+        )
+        """
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
 def _multimodal_sql() -> str:
     """DuckDB twin of the multimodal byte-bucket feature: payload = utf-8 bytes
     of the ASCII-sanitized text, so per-CHAR counts equal per-BYTE counts;
@@ -496,18 +565,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["g2_coalesce_json"] = g2_coalesce
 
     def u5_doc_dispatch(spark, sf):
-        # U5 suffix → extractor dispatch: txt passthrough, html→T1 clean,
-        # pdf→stub banner (the reference's per-format extractor map)
+        # U5 suffix → extractor dispatch through the REAL registry
+        # (docproc._EXTRACTORS: txt passthrough, html→T1 clean, pdf→real
+        # minimal PDF extractor with the reference-shaped '[PDF]' banner for
+        # non-PDF payloads — which these text payloads are, keeping the
+        # oracle closed-form; real-PDF extraction is golden-tested in
+        # tests/test_docproc.py)
+        from aiwhispr_spark.docproc import dispatch_extract_udf
+
         d = _t(spark, sf, "documents")
         suffix = F.element_at(F.array(F.lit("txt"), F.lit("html"), F.lit("pdf")),
                               (F.col("doc_id") % 3 + 1).cast("int"))
-        routed = d.withColumn("suffix", suffix)
-        extracted = (
-            F.when(F.col("suffix") == "txt", F.col("text"))
-            .when(F.col("suffix") == "html", clean_text_udf(HTML_WRAP_SPARK(F.col("text"))))
-            .otherwise(F.concat(F.lit("[PDF]"), F.substring("text", 1, 40)))
+        payload = F.encode(
+            F.when(suffix == "html", HTML_WRAP_SPARK(F.col("text"))).otherwise(F.col("text")),
+            "UTF-8",
         )
-        return routed.select("doc_id", "suffix", extracted.alias("extracted"))
+        return d.select(
+            "doc_id",
+            suffix.alias("suffix"),
+            dispatch_extract_udf()(suffix, payload).alias("extracted"),
+        )
 
     q["u5_doc_dispatch"] = u5_doc_dispatch
 
@@ -592,6 +669,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top.withColumnRenamed("id", "doc_id")
 
     q["q4_fulltext_rank"] = q4_fulltext_rank
+
+    def q4_fuzzy_match(spark, sf):
+        # Q4 fuzzy arm: levenshtein ≤ 2 vocabulary match (the mongo
+        # connector's $search fuzzy maxEdits=2, mongodbVectorDb.py:275-295);
+        # typo'd query terms so the fuzzy path itself carries the result
+        from aiwhispr_spark.operators.fulltext import (
+            build_inverted_index,
+            search_terms_fuzzy,
+        )
+
+        d = _t(spark, sf, "documents")
+        idx = build_inverted_index(d, "text", "doc_id")
+        top = search_terms_fuzzy(idx, ["dta", "querry", "fasst"], k=20, max_edits=2)
+        return top.withColumnRenamed("id", "doc_id")
+
+    q["q4_fuzzy_match"] = q4_fuzzy_match
+
+    def hybrid_two_arm(spark, sf):
+        # the reference's withtextsearch=Y combined response: semantic top-25
+        # AND text top-20 with per-arm found counts in one result set
+        # (searchService.py:73-97; typesenseVectorDb.py:214-282)
+        from aiwhispr_spark.operators.fulltext import hybrid_search
+
+        emb = _t(spark, sf, "embeddings")
+        d = _t(spark, sf, "documents")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return hybrid_search(d, emb, ["data", "query", "fast"], qvec)
+
+    q["hybrid_search_two_arm"] = hybrid_two_arm
 
     # ---- dedup / similarity (training-data ops) ----
     def dedup_exact(spark, sf):
@@ -935,21 +1041,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cc_label_propagation"] = cc_label_propagation
 
-    # ---- non-SQL-expressible (driver records rows-only) ----
     def kg_triples(spark, sf):
-        import os
-        import tempfile
-
-        from aiwhispr_spark.plans.kg_pipeline import docs_to_chunks
+        # E2E pipeline VALUE gate: the real composable path (E1 clean_html UDF
+        # → disk-hop roundtrip → C1 mapInPandas chunker with T5 validation →
+        # E3 mapInPandas SVO kernel) over the oracle-friendly corpus
+        # (make_simple_doc_html: ASCII/English/single-chunk, so every stage
+        # has a closed-form DuckDB equivalent — see _kg_e2e_sql).  The
+        # multi-chunk / multilingual corpus stays pytest-gated (byte-identity
+        # + P/R harness, tests/test_pipeline_pr.py).
         from aiwhispr_spark.functions.udfs import extract_triples_df
-        from aiwhispr_spark.sources.synthetic import write_corpus_parquet
+        from aiwhispr_spark.plans.kg_pipeline import docs_to_chunks
 
-        path = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_corpus_120.parquet")
-        if not os.path.exists(path):
-            write_corpus_parquet(path, n_docs=120)
-        docs = spark.read.parquet(path)
+        docs = spark.read.parquet(_ensure_simple_corpus())
         chunks = docs_to_chunks(docs)
-        return extract_triples_df(chunks).orderBy("url", "chunk_no", "subj", "pred", "obj")
+        return extract_triples_df(chunks).select("url", "chunk_no", "subj", "pred", "obj")
 
     q["kg_triples_synthetic"] = kg_triples
 
@@ -1195,6 +1300,70 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score, n_terms FROM scored ORDER BY score DESC, doc_id LIMIT 20
     """
+    o["q4_fuzzy_match"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+          FROM documents
+        ),
+        postings AS (
+          SELECT doc_id AS id, token, count(*) AS tf
+          FROM toks WHERE token <> '' GROUP BY doc_id, token
+        ),
+        vocab AS (SELECT DISTINCT token FROM postings),
+        q AS (SELECT unnest(['dta', 'fasst', 'querry']) AS term),
+        matched AS (
+          SELECT v.token, q.term FROM vocab v, q
+          WHERE abs(length(v.token) - length(q.term)) <= 2
+            AND levenshtein(v.token, q.term) <= 2
+        ),
+        scored AS (
+          SELECT id, CAST(sum(tf) AS BIGINT) AS score,
+                 CAST(count(DISTINCT term) AS INT) AS n_terms
+          FROM postings p JOIN matched m ON p.token = m.token GROUP BY id
+        )
+        SELECT id AS doc_id, score, n_terms FROM scored
+        ORDER BY score DESC, doc_id LIMIT 20
+    """
+    o["hybrid_search_two_arm"] = """
+        WITH q AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),
+        sem_scored AS (
+          SELECT CAST(vec_id AS BIGINT) AS id,
+                 CAST(round(10000 * list_dot_product(embedding::DOUBLE[], (SELECT e FROM q)::DOUBLE[])
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product((SELECT e FROM q)::DOUBLE[], (SELECT e FROM q)::DOUBLE[])))) AS BIGINT) AS score_i
+          FROM embeddings
+        ),
+        sem_top AS (SELECT * FROM sem_scored ORDER BY score_i DESC, id LIMIT 25),
+        sem_ranked AS (
+          SELECT 'semantic' AS result_type, id, score_i,
+                 CAST(row_number() OVER (ORDER BY score_i DESC, id) AS INT) AS rank
+          FROM sem_top
+        ),
+        sem_found AS (SELECT CAST(count(*) AS BIGINT) AS found FROM sem_scored),
+        toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+          FROM documents
+        ),
+        txt_scored AS (
+          SELECT CAST(doc_id AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS score
+          FROM toks WHERE token IN ('data', 'query', 'fast') GROUP BY doc_id
+        ),
+        txt_top AS (
+          SELECT id, CAST(score * 10000 AS BIGINT) AS score_i
+          FROM txt_scored ORDER BY score DESC, id LIMIT 20
+        ),
+        txt_ranked AS (
+          SELECT 'text' AS result_type, id, score_i,
+                 CAST(row_number() OVER (ORDER BY score_i DESC, id) AS INT) AS rank
+          FROM txt_top
+        ),
+        txt_found AS (SELECT CAST(count(*) AS BIGINT) AS found FROM txt_scored)
+        SELECT r.result_type, r.id, r.score_i, r.rank, f.found
+        FROM sem_ranked r, sem_found f
+        UNION ALL
+        SELECT r.result_type, r.id, r.score_i, r.rank, f.found
+        FROM txt_ranked r, txt_found f
+    """
     o["dedup_exact"] = """
         SELECT doc_id,
                min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
@@ -1343,6 +1512,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["simhash_fingerprint"] = _simhash_sql("doc_id < 500")
     o["multimodal_features"] = _multimodal_sql()
+    o["kg_triples_synthetic"] = _kg_e2e_sql()
     o["tpch_q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -69,3 +69,126 @@ def search_terms(
     elif mode != "any":
         raise ValueError(f"unknown search mode: {mode}")
     return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+
+
+def search_terms_fuzzy(
+    index: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    max_edits: int = 2,
+) -> DataFrame:
+    """Fuzzy full-text search: a posting matches a query term when
+    ``levenshtein(token, term) <= max_edits`` — the mongo connector's
+    ``$search`` fuzzy semantics (reference mongodbVectorDb.py:275-295,
+    fuzzy maxEdits=2).
+
+    Scale shape: the edit-distance match runs against the DISTINCT TOKEN
+    VOCABULARY (orders smaller than the postings table), as a broadcast
+    nested-loop of the tiny term list against the vocabulary with a length
+    prefilter (|len(token)-len(term)| <= max_edits — a necessary condition
+    for edit distance, pruning most of the vocabulary before the O(n*m)
+    levenshtein evaluates).  The matched-token set then equi-joins back into
+    the postings — the corpus-sized table never sees a non-equi join.
+
+    score = Σ tf over matched (term, token) pairs (a token within edit
+    distance of two query terms counts twice, once per term);
+    n_terms = #query terms matched.  Deterministic order: score desc, id."""
+    terms = sorted({t.lower() for t in terms})
+    spark = index.sparkSession
+    q = spark.createDataFrame([(t,) for t in terms], "term string")
+    vocab = index.select("token").distinct()
+    matched = vocab.join(
+        F.broadcast(q),
+        (F.abs(F.length("token") - F.length("term")) <= max_edits)
+        & (F.levenshtein("token", "term") <= max_edits),
+    )
+    scored = (
+        index.join(matched, "token")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("score"),
+            F.countDistinct("term").cast("int").alias("n_terms"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+
+
+def hybrid_search(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    terms: Sequence[str],
+    query_vector: list[float],
+    k_semantic: int = 25,
+    k_text: int = 20,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Combined text + vector search in ONE call — the reference's
+    ``withtextsearch=Y`` response carries BOTH result classes plus their found
+    counts (searchService.py:73-97 builds the two-armed response;
+    typesenseVectorDb.py:214-253 issues one multi_search with a vector query
+    and a text query, :255-282 shapes the two result sets).
+
+    Returns (result_type, id, score_i, rank, found):
+      * result_type 'semantic' — top ``k_semantic`` by cosine vs
+        ``query_vector``; score_i = round(cosine × 1e4) (scaled-int float
+        discipline so cross-engine order is exact);
+      * result_type 'text'     — top ``k_text`` by tf-sum over ``terms``;
+        score_i = tf_sum × 1e4 (same scale, integer-exact);
+      * found — the arm's candidate count before top-k (typesense 'found').
+
+    Physical shape: each arm is the already-optimal single-arm plan (top-k →
+    TakeOrderedAndProject; term match → broadcast join + partial agg); the
+    found counts are 1-row aggregates broadcast onto the ≤(k_sem+k_text)-row
+    result — nothing reshuffles the corpus."""
+    from ..functions.udfs import cosine_expr
+
+    from pyspark.sql.window import Window
+
+    sem_scored = embeddings.select(
+        F.col(vec_id_col).cast("long").alias("id"),
+        F.round(cosine_expr(vec_col, query_vector) * 10000).cast("long").alias("score_i"),
+    )
+    sem_top = sem_scored.orderBy(F.col("score_i").desc(), F.col("id")).limit(k_semantic)
+    w_sem = Window.orderBy(F.col("score_i").desc(), F.col("id"))
+    sem_top = sem_top.select(
+        F.lit("semantic").alias("result_type"),
+        "id",
+        "score_i",
+        F.row_number().over(w_sem).cast("int").alias("rank"),
+    )
+    sem_found = sem_scored.agg(F.count(F.lit(1)).alias("found")).withColumn(
+        "result_type", F.lit("semantic")
+    )
+
+    index = build_inverted_index(documents, text_col, doc_id_col)
+    txt_scored = search_terms(index, terms, k=k_text).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("score") * 10000).cast("long").alias("score_i"),
+    )
+    w_txt = Window.orderBy(F.col("score_i").desc(), F.col("id"))
+    txt_top = txt_scored.select(
+        F.lit("text").alias("result_type"),
+        "id",
+        "score_i",
+        F.row_number().over(w_txt).cast("int").alias("rank"),
+    )
+    q = documents.sparkSession.createDataFrame(
+        [(t,) for t in sorted({t.lower() for t in terms})], "token string"
+    )
+    txt_found = (
+        index.join(F.broadcast(q), "token")
+        .select("id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("found"))
+        .withColumn("result_type", F.lit("text"))
+    )
+
+    found = sem_found.unionByName(txt_found)
+    return (
+        sem_top.unionByName(txt_top)
+        .join(F.broadcast(found), "result_type")
+        .select("result_type", "id", "score_i", "rank", F.col("found").cast("long").alias("found"))
+    )

@@ -138,6 +138,74 @@ def make_doc_html(i: int, n_entities: int = 200) -> tuple[str, str]:
     return html, lang
 
 
+def make_simple_doc_html(i: int, n_entities: int = 50) -> str:
+    """ASCII-only, English-only, sub-700-word document: the SQL-composable
+    subset of :func:`make_doc_html`.
+
+    Constraints (each one buys a closed-form DuckDB equivalent of a pipeline
+    stage, enabling the end-to-end T1→roundtrip→C1→T5→SVO oracle):
+    * pure ASCII → the utf-8↔ISO-8859-1 disk-hop roundtrip is the identity;
+    * < 700 words → the C1 bucket-fill chunker takes only whole-line fills and
+      emits exactly ONE chunk: ``concat(' ' + rstrip(line) for nonblank line)``;
+    * every sentence detects as English (word sentences carry EN stopwords;
+      SVO-only sentences have zero stopword evidence → 'en' by the detector's
+      empty-evidence rule) → the T5 validator keeps all sentences, reducing to
+      deletion of each post-[.!?] whitespace run.
+    Still exercised for real: T1 entity/escape stripping (incl. the
+    semicolon-less ``&lt;code&gt`` quirk), multi-line fill, alias surface
+    variants, Zipf-weighted entity ranks, all 7 SVO templates."""
+    rng = random.Random(77 * 1_000_003 + i)
+    target_words = 40 + (i % 5) * 30
+    parts: list[str] = []
+    words_emitted = 0
+    para_idx = 0
+    while words_emitted < target_words:
+        para_idx += 1
+        n = min(8 + (i + para_idx) % 10, target_words - words_emitted)
+        sent_words = [_WORDS[rng.randrange(len(_WORDS))] for _ in range(max(n, 1))]
+        sentence = " ".join(sent_words) + "."
+        words_emitted += max(n, 1)
+        if para_idx % 2 == 0:
+            s_rank = _zipf_rank(rng, n_entities)
+            subj = entity_name(s_rank, rng.randrange(3))
+            tmpl = _SVO_TEMPLATES[rng.randrange(len(_SVO_TEMPLATES))]
+            if "founded by" in tmpl or "works for" in tmpl:
+                obj = _PEOPLE[rng.randrange(len(_PEOPLE))]
+            elif "based in" in tmpl or "located in" in tmpl:
+                obj = _PLACES[rng.randrange(len(_PLACES))]
+            else:
+                obj = entity_name(_zipf_rank(rng, n_entities), rng.randrange(3))
+            svo = tmpl.format(s=subj, o=obj)
+            sentence = sentence + " " + svo
+            words_emitted += len(svo.split())
+        parts.append("<p>" + sentence + "</p>")
+    if i % 3 == 0:
+        parts.append(
+            "<p>Fish &amp; chips cost &#65; pounds&nbsp;here and the "
+            "&lt;code&gt marker p&gt; sits in the middle.</p>"
+        )
+    return "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+
+
+def write_simple_corpus_parquet(path: str, n_docs: int, n_entities: int = 50) -> str:
+    """Materialize the oracle-friendly corpus (single parquet file, same
+    5-column schema as the main corpus)."""
+    import pyarrow.parquet as pq
+
+    rows = [
+        {
+            "url": f"https://simple{i % 13}.example.org/p/{i}",
+            "warc_ts": EPOCH0 + dt.timedelta(seconds=311 * i),
+            "html": make_simple_doc_html(i, n_entities).encode("utf-8"),
+            "text": None,
+            "lang": "en",
+        }
+        for i in range(n_docs)
+    ]
+    pq.write_table(_rows_to_table(rows), path)
+    return path
+
+
 def generate_rows(n_docs: int, n_entities: int = 200):
     """Yield dict rows of the documents table (html as utf-8 bytes)."""
     for i in range(n_docs):
