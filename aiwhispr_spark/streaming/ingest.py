@@ -77,3 +77,71 @@ def start_ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_ingest_stream_socket(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    sink_dir: str,
+    checkpoint_dir: str,
+):
+    """Socket-source variant: one JSON document per line over TCP — the
+    closest in-sandbox stand-in for the reference's HTTP POST push queue
+    (indexingService.py:197-202): a network listener feeding the same
+    validate→embed→append chain.  At-most-once on the source side (socket
+    has no replay), exactly-once from foreachBatch+checkpoint onward —
+    matching the reference's mp.Queue semantics."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parsed = raw.select(F.from_json(F.col("value"), INGEST_SCHEMA).alias("m")).select("m.*")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        transform_batch(batch_df).write.mode("append").parquet(sink_dir)
+
+    return (
+        parsed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def start_ingest_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    starting_offsets: str = "latest",
+):
+    """Kafka-source variant — the production shape of the push stream (the
+    reference's Flask POST endpoint becomes a Kafka producer; this is the
+    consumer side).  Requires the ``spark-sql-kafka-0-10`` package on the
+    classpath (``spark-submit --packages
+    org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``) — absent in
+    this sandbox, so constructing the reader raises AnalysisException at
+    ``load()``; the code path itself is the deliverable and is exercised by
+    the socket twin above (identical parse→transform→sink chain)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), INGEST_SCHEMA).alias("m")
+    ).select("m.*")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        transform_batch(batch_df).write.mode("append").parquet(sink_dir)
+
+    return (
+        parsed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

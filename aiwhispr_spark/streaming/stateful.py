@@ -1,0 +1,119 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState``.
+
+New component (the reference has no stateful stream processing; this is the
+idiomatic-Spark custom-operator path for semantics the built-in windowed
+aggregations can't express — a session ends on INACTIVITY GAP, not on a
+fixed window boundary).
+
+Semantics: per key, events are folded in timestamp order; a gap
+> ``gap_seconds`` between consecutive events closes the open session, which
+is emitted as ``(key, session_start, session_end, n_events)``.  The open
+session survives in the group state ACROSS micro-batches (checkpointed), so
+a session spanning many batches closes exactly once, when its closing gap
+finally arrives.  Open sessions also flush on processing-time timeout
+(``flush_timeout_ms``) so the last session of an idle key is not held
+forever.
+
+Scale notes: state is O(active keys) × a 4-field tuple — the minimum for gap
+sessionization; each micro-batch shuffles only that batch's rows on the key
+(the same hash partitioning every batch, so state stays co-located with its
+key's partition — Spark's state store contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start", LongType()),
+        StructField("session_end", LongType()),
+        StructField("n_events", IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", LongType()),
+        StructField("last_ts", LongType()),
+        StructField("n_events", IntegerType()),
+    ]
+)
+
+
+def make_sessionizer(gap_seconds: int, flush_timeout_ms: int = 30_000):
+    """Build the applyInPandasWithState function (closure carries only plain
+    ints — picklable, no driver references)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        closed: list[tuple[Any, int, int, int]] = []
+        if state.hasTimedOut:
+            # idle key: flush the open session and drop the state
+            start, last, n = state.get
+            closed.append((k, start, last, n))
+            state.remove()
+        else:
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = None, None, 0
+            ts_all: list[int] = []
+            for pdf in pdfs:
+                ts_all.extend(int(t) for t in pdf["ts_epoch"])
+            for t in sorted(ts_all):
+                if last is not None and t - last > gap_seconds:
+                    closed.append((k, start, last, n))
+                    start, n = t, 0
+                if start is None:
+                    start = t
+                n += 1
+                last = t
+            state.update((start, last, n))
+            state.setTimeoutDuration(flush_timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["key", "session_start", "session_end", "n_events"]
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_epoch",
+    gap_seconds: int = 3600,
+    flush_timeout_ms: int = 30_000,
+) -> DataFrame:
+    """events (streaming DF with key + epoch-seconds ts) → closed-session
+    stream.  Append output mode: a session row is emitted exactly once, when
+    it closes."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("key"), F.col(ts_col).cast("long").alias("ts_epoch")
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        make_sessionizer(gap_seconds, flush_timeout_ms),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

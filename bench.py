@@ -132,22 +132,41 @@ def kg_throughput(master_cores: int, docs_path: str, n_docs: int) -> float:
     raise RuntimeError(f"kg bench subprocess failed: {proc.stderr[-500:]}")
 
 
+def wait_for_quiet_machine(max_wait_s: float = 180.0, load_per_cpu: float = 0.5) -> float:
+    """Block (bounded) until 1-min loadavg drops below load_per_cpu × CPUS.
+    Concurrent CPU load is the single biggest source of bench variance here
+    (a co-running pytest once turned a 14 s total into 27 s and a 0.93
+    scaling efficiency into 0.60) — measuring under load produces numbers
+    that are wrong, not just noisy.  Returns the loadavg at start-of-bench
+    (recorded in the output JSON so a still-loaded run is at least visible)."""
+    threshold = float(CPUS) * load_per_cpu
+    deadline = time.time() + max_wait_s
+    load = os.getloadavg()[0]
+    while load > threshold and time.time() < deadline:
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from aiwhispr_spark.session import get_spark
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    load_at_start = wait_for_quiet_machine()
 
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     all_queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = all_queries[name]
-        df = fn(spark, SF_DIR)
-        run_to_completion(df)  # warm (plan compile + python workers)
-        t0 = time.time()
-        run_to_completion(fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        run_to_completion(fn(spark, SF_DIR))  # warm (plan compile + python workers)
+        best = float("inf")
+        for _ in range(3):  # best-of-3: robust to transient scheduler noise
+            t0 = time.time()
+            run_to_completion(fn(spark, SF_DIR))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     spark.stop()
 
     # scaling evidence: same KG job at N and 4N cores (north rule: eff >= 0.8).
@@ -179,6 +198,7 @@ def main() -> None:
                 f"kg_docs_per_sec_local{SCALE_N * 4}": round(tput_4n, 2),
                 "kg_scaling_efficiency": round(efficiency, 3),
                 f"kg_docs_per_sec_local{CPUS}": round(tput_full, 2),
+                "loadavg_at_start": round(load_at_start, 2),
             }
         )
     )

@@ -1,0 +1,226 @@
+"""Streaming gates: custom stateful sessionization (applyInPandasWithState),
+socket push-source ingest, and watermarked windowed aggregation.
+
+Each test drives a REAL StreamingQuery (file or socket source) — not the
+batch twin — so state crossing micro-batches, checkpointing, and watermark
+finalization are what's actually exercised.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_json(path: str, rows: list[dict], mtime: int | None = None) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    if mtime is not None:
+        # the file source orders batches by modification time; pin it so
+        # "batch 0 then batch 1" is deterministic (same-ms writes tie)
+        os.utime(path, (mtime, mtime))
+
+
+def test_stateful_sessionize_state_survives_batches(spark, tmp_path):
+    """A session opened in batch 0 must close in batch 1 (gap arrives there)
+    — exactly once, with counts accumulated across both micro-batches."""
+    from aiwhispr_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 0: u1 events at t=0,100,200 (one open session)
+    _write_json(
+        str(src / "0.json"),
+        [{"user_id": "u1", "ts_epoch": t} for t in (0, 100, 200)],
+        mtime=1_000_000,
+    )
+    # batch 1: u1 jumps to t=10000 (gap 9800 > 3600 → closes session 0-200);
+    # u2 appears (stays open, must NOT be emitted)
+    _write_json(
+        str(src / "1.json"),
+        [{"user_id": "u1", "ts_epoch": 10000}, {"user_id": "u2", "ts_epoch": 5}],
+        mtime=2_000_000,
+    )
+    stream = (
+        spark.readStream.schema("user_id string, ts_epoch long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    # flush timeout far beyond test wall-clock: only GAP-closed sessions emit
+    sessions = sessionize_stream(
+        stream, "user_id", "ts_epoch", gap_seconds=3600, flush_timeout_ms=3_600_000_000
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r.asDict() for r in spark.sql("SELECT * FROM sess_out").collect()]
+    assert rows == [
+        {"key": "u1", "session_start": 0, "session_end": 200, "n_events": 3}
+    ]
+
+
+def test_stateful_sessionize_multiple_gaps_in_one_batch(spark, tmp_path):
+    from aiwhispr_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_json(
+        str(src / "0.json"),
+        [{"user_id": "a", "ts_epoch": t} for t in (0, 10, 5000, 5020, 99000, 99001)],
+    )
+    stream = spark.readStream.schema("user_id string, ts_epoch long").json(str(src))
+    sessions = sessionize_stream(
+        stream, "user_id", "ts_epoch", gap_seconds=1000, flush_timeout_ms=3_600_000_000
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_gaps")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_gaps").collect()
+    )
+    # two CLOSED sessions; the (99000, 99001) session stays open in state
+    assert rows == [(0, 10, 2), (5000, 5020, 2)]
+
+
+def test_socket_ingest_stream(spark, tmp_path):
+    """The push-queue stand-in: JSON lines over TCP → validate→embed→parquet."""
+    from aiwhispr_spark.streaming.ingest import start_ingest_stream_socket
+
+    payloads = [
+        {"content_site_name": "s", "src_path": "p", "content_path": f"c{i}",
+         "text_chunk": "This is an English sentence. And another one here.",
+         "chunk_no": None, "last_edit_date": None, "tags": "", "title": f"t{i}"}
+        for i in range(5)
+    ]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("".join(json.dumps(p) + "\n" for p in payloads)).encode())
+            stop.wait(60)  # keep the connection open while the stream drains
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    sink = str(tmp_path / "sink")
+    q = start_ingest_stream_socket(
+        spark, "127.0.0.1", port, sink, str(tmp_path / "ck")
+    )
+    try:
+        deadline = time.time() + 90
+        n = 0
+        while time.time() < deadline:
+            if os.path.isdir(sink):
+                try:
+                    n = spark.read.parquet(sink).count()
+                except Exception:
+                    n = 0
+                if n >= 5:
+                    break
+            time.sleep(1)
+        assert n >= 5
+        out = spark.read.parquet(sink)
+        row = out.filter(F.col("content_path") == "c0").first()
+        assert row["chunk_no"] == 1  # default applied
+        assert len(row["embedding"]) > 0  # embed stage ran
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
+
+
+def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windows emit exactly once when the watermark passes their
+    end; a row arriving after its window was finalized+evicted is dropped —
+    no double emission, no count bump.  (A late row whose window state is
+    still live DOES aggregate — the watermark is a drop guarantee only after
+    eviction — hence the three-batch choreography here: finalize in batch 1,
+    late arrival in batch 2.)"""
+    from aiwhispr_spark.streaming.windows import windowed_event_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 0: one event in [00:00:00,00:00:10) + one at 00:01:00 → watermark
+    # after batch 0 = 00:00:50
+    _write_json(
+        str(src / "0.json"),
+        [
+            {"ts": "2024-01-01 00:00:05", "event_type": "click"},
+            {"ts": "2024-01-01 00:01:00", "event_type": "click"},
+        ],
+        mtime=1_000_000,
+    )
+    # batch 1: watermark 00:00:50 now in effect → window [00:00,00:10)
+    # finalizes with count 1; this batch's event advances watermark to 00:01:50
+    _write_json(
+        str(src / "1.json"), [{"ts": "2024-01-01 00:02:00", "event_type": "click"}],
+        mtime=2_000_000,
+    )
+    # batch 2: a LATE row for the already-evicted first window → dropped
+    _write_json(
+        str(src / "2.json"), [{"ts": "2024-01-01 00:00:07", "event_type": "click"}],
+        mtime=3_000_000,
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    counts = windowed_event_counts(
+        stream, "ts", "event_type", window="10 seconds", watermark="10 seconds"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r.asDict() for r in spark.sql("SELECT * FROM win_out").collect()]
+    finalized = sorted((str(r["window_start"]), r["n"]) for r in rows)
+    # win[00:00) finalized ONCE with the on-time count (late row dropped);
+    # win[01:00) finalized in batch 2; win[02:00) still open → absent
+    assert finalized == [
+        ("2024-01-01 00:00:00", 1),
+        ("2024-01-01 00:01:00", 1),
+    ]
+
+
+def test_kafka_path_requires_package(spark, tmp_path):
+    """The Kafka reader is the documented production path; without the
+    kafka-sql package it must fail FAST at load() with the standard
+    data-source error (not silently no-op)."""
+    from aiwhispr_spark.streaming.ingest import start_ingest_stream_kafka
+
+    with pytest.raises(Exception) as ei:
+        start_ingest_stream_kafka(
+            spark, "localhost:9092", "t", str(tmp_path / "s"), str(tmp_path / "c")
+        )
+    assert "kafka" in str(ei.value).lower()
