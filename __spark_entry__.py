@@ -737,18 +737,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_pairs"] = ngram_jaccard
 
     def embedding_near_dup(spark, sf):
+        # per-vector norms are computed ONCE before the pair join (not twice
+        # per pair): O(n) norm work instead of O(n²), ~3× less expression
+        # evaluation in the O(n²) stage.  Same IEEE values → same scaled ints.
+        vd = F.col("embedding").cast("array<double>")
         e = (
             _t(spark, sf, "embeddings")
             .filter(F.col("vec_id") < 300)
-            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+            .select(
+                F.col("vec_id").alias("id"),
+                vd.alias("v"),
+                F.sqrt(
+                    F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x)
+                ).alias("nv"),
+            )
         )
+        dot = F.aggregate(
+            F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = F.when(
+            (F.col("l.nv") > 0) & (F.col("r.nv") > 0), dot / (F.col("l.nv") * F.col("r.nv"))
+        ).otherwise(F.lit(0.0))
         pairs = (
             e.alias("l")
             .join(e.alias("r"), F.col("l.id") < F.col("r.id"))
             .select(
                 F.col("l.id").alias("a"),
                 F.col("r.id").alias("b"),
-                _scaled(cosine_cols_expr(F.col("l.v"), F.col("r.v"))).alias("cos_i"),
+                _scaled(cos).alias("cos_i"),
             )
         )
         return pairs.filter(F.col("cos_i") >= 3500)
@@ -1081,6 +1099,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("vec_id", "axis", _scaled(F.abs("loading")).alias("loading_abs_i"))
 
     q["q7_pca_map"] = q7_pca_map
+
+    def ivf_all_probe(spark, sf):
+        # the IVF dataflow's exactness limit: probing ALL cells must equal
+        # brute-force top-k — converts the (approximate-by-construction,
+        # rows-only) IVF path into a value-gated query at its n_probe=n_cells
+        # boundary.  Exercises the real centroid assignment + cell filter.
+        from aiwhispr_spark.operators.similarity import assign_centroids, train_centroids
+
+        emb = _t(spark, sf, "embeddings")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        cents = train_centroids(emb, n_centroids=8)
+        assigned = assign_centroids(emb, cents)
+        pruned = assigned.filter(F.col("centroid_id").isin(list(range(len(cents)))))
+        scored = pruned.select("vec_id", _scaled(cosine_expr("embedding", qvec)).alias("score_i"))
+        return scored.orderBy(F.col("score_i").desc(), F.col("vec_id")).limit(10)
+
+    q["ivf_all_probe_equals_exact"] = ivf_all_probe
 
     def ivf_topk_search(spark, sf):
         # IVF-flat ANN scale path (rows-only: approximate by construction;
@@ -1491,6 +1526,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """
+    o["ivf_all_probe_equals_exact"] = """
+        WITH q AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 CAST(round(10000 * list_dot_product(embedding::DOUBLE[], (SELECT e FROM q)::DOUBLE[])
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product((SELECT e FROM q)::DOUBLE[], (SELECT e FROM q)::DOUBLE[])))) AS BIGINT) AS score_i
+          FROM embeddings
+        )
+        SELECT vec_id, score_i FROM scored ORDER BY score_i DESC, vec_id LIMIT 10
     """
     o["minhash_pairs_md5"] = _minhash_sql()
     o["minhash_groups_md5"] = _minhash_groups_sql()

@@ -71,6 +71,27 @@ def search_terms(
     return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
 
 
+def write_bucketed_postings(
+    index: DataFrame, table_name: str, path: str, n_buckets: int = 64
+) -> None:
+    """Persist the posting-list table BUCKETED (and sorted) by token — the
+    'index as a table' scale story: after this one-time write, every
+    token-keyed operation (vocabulary distinct for fuzzy matching, postings
+    re-aggregation, an SMJ against a non-broadcastable term set) reads
+    pre-clustered buckets and needs NO exchange of the postings
+    (plan-asserted in tests/test_plans.py).  Locally this registers in the
+    in-memory session catalog with an external path; on a cluster the same
+    write targets a Hive/Iceberg catalog (Iceberg: ``bucket(n_buckets,
+    token)`` partition transform)."""
+    (
+        index.write.mode("overwrite")
+        .bucketBy(n_buckets, "token")
+        .sortBy("token")
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+
+
 def search_terms_fuzzy(
     index: DataFrame,
     terms: Sequence[str],

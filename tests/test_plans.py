@@ -114,6 +114,29 @@ def test_salted_repartition_partition_count(spark):
     assert sum(1 for s in sizes if s > 0) > 3
 
 
+def test_bucketed_postings_token_ops_need_no_exchange(spark, tmp_path):
+    """The persisted inverted index is bucketed by token: token-keyed
+    aggregations (vocabulary distinct — the fuzzy-match scan) read the
+    bucket layout and shuffle nothing."""
+    from aiwhispr_spark.operators.fulltext import (
+        build_inverted_index,
+        write_bucketed_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta word{i} gamma") for i in range(60)], ["doc_id", "text"]
+    )
+    idx = build_inverted_index(docs, "text", "doc_id")
+    write_bucketed_postings(idx, "postings_plan_t", str(tmp_path / "postings"), n_buckets=4)
+    try:
+        vocab = spark.table("postings_plan_t").select("token").distinct()
+        plan = plan_of(vocab)
+        assert "Exchange" not in plan
+        assert vocab.count() > 60
+    finally:
+        spark.sql("DROP TABLE IF EXISTS postings_plan_t")
+
+
 @pytest.mark.parametrize("name", ["t1_clean_html", "t7_strip_punct"])
 def test_regex_kernels_are_arrow_udfs(spark, name):
     """Byte-compat kernels must run as Arrow-vectorized python (ArrowEvalPython),
