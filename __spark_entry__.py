@@ -829,6 +829,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_features"] = quality
 
+    def repetition_signals(spark, sf):
+        # Gopher-rule repetition filters: duplicate-line char fraction (lines
+        # synthesized deterministically — text + its first-50-chars twice) and
+        # top-bigram fraction over the raw text
+        from aiwhispr_spark.operators.textstats import (
+            dup_line_frac_expr,
+            top_bigram_frac_expr,
+        )
+
+        d = _t(spark, sf, "documents")
+        synth = F.concat_ws(
+            "\n", F.col("text"), F.substring("text", 1, 50), F.substring("text", 1, 50)
+        )
+        return d.select(
+            "doc_id",
+            _scaled(dup_line_frac_expr(synth)).alias("dup_line_frac_i"),
+            _scaled(top_bigram_frac_expr(F.col("text"))).alias("top_bigram_frac_i"),
+        )
+
+    q["repetition_signals"] = repetition_signals
+
+    def hash_split(spark, sf):
+        # deterministic train/val/test assignment by content-stable hash
+        # (md5 prefix mod 100): the reproducible split every training corpus
+        # needs — no RNG, no shuffle, pure scan-speed expression
+        d = _t(spark, sf, "documents")
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 100
+        )
+        split = (
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("validation"))
+            .otherwise(F.lit("test"))
+        )
+        return d.select("doc_id", split.alias("split"))
+
+    q["hash_split_assign"] = hash_split
+
+    def stratified_sample(spark, sf):
+        # deterministic stratified sampling: top-3 docs per source by md5
+        # rank — the seeded-sample primitive for eval-set construction; one
+        # window shuffle on the stratum key
+        d = _t(spark, sf, "documents")
+        w = Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+        return (
+            d.select("doc_id", "source")
+            .withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= 3)
+        )
+
+    q["stratified_sample_top3"] = stratified_sample
+
+    def pack_sequences(spark, sf):
+        # greedy sequence packing per shard (applyInPandas custom operator)
+        # vs a DuckDB linear-recursion oracle — the corpus→training-shard
+        # planning step
+        from aiwhispr_spark.operators.packing import pack_greedy
+        from aiwhispr_spark.operators.textstats import token_count_expr
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.col("source").alias("shard"),
+            token_count_expr(F.col("text")).alias("n_tokens"),
+        )
+        return pack_greedy(d, capacity=256, shard_col="shard")
+
+    q["pack_sequences_greedy"] = pack_sequences
+
     # ---- generic relational coverage (§2.8 components our engine adds) ----
     def tpch_q1(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -1492,6 +1564,88 @@ def oracle_sql() -> dict[str, str]:
                  + (1.0 - least((CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0 END) * 5.0, 1.0)) * 0.2
                , 6)) AS BIGINT) AS quality_i
         FROM t
+    """
+    o["repetition_signals"] = """
+        WITH src AS (
+          SELECT doc_id,
+                 text || chr(10) || substr(text, 1, 50) || chr(10) || substr(text, 1, 50) AS t,
+                 text
+          FROM documents
+        ),
+        linespl AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(t, chr(10)), x -> x <> '') AS lines
+          FROM src
+        ),
+        dupfrac AS (
+          SELECT doc_id, text,
+                 list_sum(list_transform(lines,
+                   x -> CASE WHEN len(list_filter(lines, y -> y = x)) > 1
+                             THEN length(x) ELSE 0 END)) AS dup_chars,
+                 list_sum(list_transform(lines, x -> length(x))) AS tot_chars
+          FROM linespl
+        ),
+        toks AS (
+          SELECT doc_id, dup_chars, tot_chars,
+                 regexp_split_to_array(lower(trim(text)), '\\s+')[1:200] AS tk
+          FROM dupfrac
+        ),
+        bgrows AS (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+                                i -> tk[i] || ' ' || tk[i+1])) AS bg
+          FROM toks
+        ),
+        bgtop AS (
+          SELECT doc_id, max(c) AS topc, sum(c) AS total FROM (
+            SELECT doc_id, bg, count(*) AS c FROM bgrows GROUP BY doc_id, bg
+          ) GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(round(10000 * CASE WHEN t.tot_chars > 0
+                    THEN t.dup_chars::DOUBLE / t.tot_chars ELSE 0 END) AS BIGINT) AS dup_line_frac_i,
+               CAST(round(10000 * CASE WHEN g.topc IS NOT NULL AND g.total > 0
+                    THEN g.topc::DOUBLE / g.total ELSE 0 END) AS BIGINT) AS top_bigram_frac_i
+        FROM toks t LEFT JOIN bgtop g ON g.doc_id = t.doc_id
+    """
+    o["hash_split_assign"] = """
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+    o["stratified_sample_top3"] = """
+        WITH r AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+          FROM documents
+        )
+        SELECT doc_id, source, rk FROM r WHERE rk <= 3
+    """
+    o["pack_sequences_greedy"] = """
+        WITH RECURSIVE t AS (
+          SELECT source AS shard, doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents
+        ),
+        r AS (
+          SELECT shard, doc_id, n_tokens, rn, n_tokens AS acc, 0 AS seq
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.shard, t.doc_id, t.n_tokens, t.rn,
+                 CASE WHEN r.acc + t.n_tokens > 256 THEN t.n_tokens
+                      ELSE r.acc + t.n_tokens END,
+                 CASE WHEN r.acc + t.n_tokens > 256 THEN r.seq + 1 ELSE r.seq END
+          FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1
+        )
+        SELECT shard, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(seq AS INT) AS seq_id,
+               CAST(acc - n_tokens AS INT) AS seq_offset
+        FROM r
     """
     o["asof_join_purchase_click"] = """
         WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -1,0 +1,79 @@
+"""Sequence packing for LLM training batches.
+
+Greedy bin-packing of documents into fixed-token-capacity training sequences
+— the step between a cleaned corpus and a tokenized training shard.  New
+component (the reference stops at embedding); semantics follow the common
+greedy-concat packers: within a shard, documents are taken in a deterministic
+order and appended to the open sequence until the next document would
+overflow `capacity`, which starts a new sequence.  A document larger than
+`capacity` occupies its own sequence (never split — splitting is the
+chunker's job, upstream).
+
+Scale design: packing is stateful-sequential, so it runs per SHARD via
+``applyInPandas`` — shards (e.g. source, date bucket) partition the corpus
+into independent streams that pack in parallel; no global order, no driver
+state.  The output (doc → (shard, seq_id, offset)) is a plan for the
+writer, not a materialization: actual token concat happens at write time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PACK_SCHEMA = StructType(
+    [
+        StructField("shard", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", IntegerType()),
+        StructField("seq_id", IntegerType()),
+        StructField("seq_offset", IntegerType()),
+    ]
+)
+
+
+def pack_greedy(
+    df: DataFrame,
+    capacity: int,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(shard, doc_id, n_tokens, seq_id, seq_offset): greedy packing per
+    shard, documents ordered by id within the shard (deterministic — the
+    same input always packs identically, so resume/retry re-derive the same
+    plan)."""
+    from pyspark.sql import functions as F
+
+    prepared = df.select(
+        F.col(shard_col).cast("string").alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(tokens_col).cast("int").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, offs = [], []
+        acc, seq = 0, -1
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if seq < 0 or acc + t > capacity:
+                seq += 1
+                acc = 0
+            seqs.append(seq)
+            offs.append(acc)
+            acc += t
+        pdf["seq_id"] = pd.Series(seqs, dtype="int32")
+        pdf["seq_offset"] = pd.Series(offs, dtype="int32")
+        return pdf
+
+    return prepared.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
