@@ -114,6 +114,39 @@ def test_salted_repartition_partition_count(spark):
     assert sum(1 for s in sizes if s > 0) > 3
 
 
+def test_hybrid_search_arms_stay_optimal(spark):
+    """The two-arm response must not degrade either arm: semantic arm still
+    compiles to TakeOrderedAndProject, nothing falls into a sort-merge join
+    (found counts broadcast onto the ≤45-row result)."""
+    df = entrymod.queries()["hybrid_search_two_arm"](spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_match_levenshtein_runs_on_vocab_only(spark):
+    """The edit-distance predicate may only ever see the distinct token
+    vocabulary: exactly one nested-loop join (tiny term list × vocab), with
+    the postings table re-entering through a plain equi-join."""
+    df = entrymod.queries()["q4_fuzzy_match"](spark, SF)
+    plan = plan_of(df)
+    # count NODES, not mentions (formatted explain lists tree + details)
+    nlj_nodes = [l for l in plan.splitlines() if l.startswith("(") and "BroadcastNestedLoopJoin" in l and ")" in l.split()[0]]
+    assert len(nlj_nodes) == 1, nlj_nodes
+    assert "levenshtein" in plan
+    # the vocabulary aggregate feeds the NLJ — postings are never NLJ input
+    assert "HashAggregate" in plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Greedy packing shuffles the corpus exactly once, on the shard key."""
+    df = entrymod.queries()["pack_sequences_greedy"](spark, SF)
+    plan = plan_of(df)
+    ex_nodes = [l for l in plan.splitlines() if l.startswith("(") and "Exchange" in l and ")" in l.split()[0]]
+    assert len(ex_nodes) == 1, ex_nodes
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_bucketed_postings_token_ops_need_no_exchange(spark, tmp_path):
     """The persisted inverted index is bucketed by token: token-keyed
     aggregations (vocabulary distinct — the fuzzy-match scan) read the
