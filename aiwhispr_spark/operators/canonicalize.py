@@ -131,12 +131,20 @@ def candidate_pairs(
 
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     num_stem = lambda c: F.regexp_extract(c, r"^(?:entity|e)([0-9]+)$", 1)  # noqa: E731
-    same_stem = (
-        (num_stem(F.col("norm_a")) != "")
-        & (num_stem(F.col("norm_a")) == num_stem(F.col("norm_b")))
-    )
+    stem_a, stem_b = num_stem(F.col("norm_a")), num_stem(F.col("norm_b"))
+    same_stem = (stem_a != "") & (stem_a == stem_b)
+    # numeric-identifier VETO: aliases that both carry a numeric stem but with
+    # DIFFERENT numbers are distinct entities no matter how much their
+    # character shingles overlap — "entity14" vs "entity140" share 6/7
+    # shingles (J=0.857 ≥ any practical threshold) purely because one id is a
+    # prefix of the other.  (Round-1's broken seed binding hid this: the
+    # degenerate one-hash LSH never surfaced these pairs, so the threshold
+    # alone appeared sufficient.)
+    diff_stem = (stem_a != "") & (stem_b != "") & (stem_a != stem_b)
     verified = pairs.filter(
-        (F.col("norm_a") == F.col("norm_b")) | same_stem | (jaccard >= jaccard_threshold)
+        (F.col("norm_a") == F.col("norm_b"))
+        | same_stem
+        | ((jaccard >= jaccard_threshold) & ~diff_stem)
     )
     return verified.select("a", "b")
 

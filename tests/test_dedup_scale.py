@@ -69,6 +69,24 @@ def test_simhash_banding_is_posexplode_not_union(spark):
     assert "Union" not in plan
 
 
+def test_canonicalize_numeric_stem_veto(spark):
+    """entity14 vs entity140 share 6/7 shingles (J=0.857) but carry DIFFERENT
+    numeric ids → must stay distinct; same-id surface variants still merge.
+    (Regression for the over-merge the seed-binding fix uncovered: working
+    LSH surfaces prefix-id pairs the degenerate banding never did.)"""
+    from aiwhispr_spark.operators.canonicalize import canonicalize_aliases
+
+    aliases = spark.createDataFrame(
+        [("Entity_14",), ("Entity 14",), ("E14 Corp",), ("Entity 140",), ("E140 Corp",)],
+        ["alias"],
+    )
+    out = {r["alias"]: r["entity_id"] for r in canonicalize_aliases(aliases).collect()}
+    fam14 = {out["Entity_14"], out["Entity 14"], out["E14 Corp"]}
+    fam140 = {out["Entity 140"], out["E140 Corp"]}
+    assert len(fam14) == 1 and len(fam140) == 1
+    assert fam14 != fam140
+
+
 def test_canonicalize_blocking_shuffle_excludes_shingles(spark):
     from aiwhispr_spark.operators.canonicalize import candidate_pairs
 
