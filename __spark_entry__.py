@@ -327,6 +327,29 @@ def _minhash_sql() -> str:
     return "WITH " + _minhash_cte() + "\nSELECT a, b, jaccard_i FROM pairs"
 
 
+def _minhash_keepers_sql() -> str:
+    """Survivor set of the full dedup-group pipeline (groups oracle + the
+    keeper filter — the applied form every dedup consumer runs)."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_cte()
+        + """,
+        edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        ids AS (SELECT doc_id AS id FROM alld),
+        enodes AS (SELECT DISTINCT u AS node FROM edges),
+        reach(node, root) AS (
+          SELECT node, node FROM enodes
+          UNION
+          SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+        ),
+        comp AS (SELECT node, min(root) AS keep FROM reach GROUP BY node)
+        SELECT i.id
+        FROM ids i LEFT JOIN comp c ON c.node = i.id
+        WHERE coalesce(c.keep, i.id) = i.id
+    """
+    )
+
+
 def _minhash_groups_sql() -> str:
     """Full dedup-group oracle: md5 banding pairs + recursive transitive
     closure electing min-id keepers (the SQL twin of minhash pairs →
@@ -1082,6 +1105,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_groups_md5"] = minhash_groups_md5
 
+    def dedup_apply_keepers(spark, sf):
+        # the dedup DECISION applied: survivors of the full minhash group
+        # pipeline (banding → closure → min-id election) — the anti-join shape
+        # every dedup consumer runs; value-gated end to end via the md5 twin
+        from aiwhispr_spark.operators.canonicalize import connected_components
+        from aiwhispr_spark.operators.dedup import minhash_lsh_pairs_md5
+
+        d0 = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select("doc_id", "text")
+        aug = d0.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(MINHASH_TAIL)).alias("text"),
+        )
+        alld = d0.unionByName(aug)
+        pairs = minhash_lsh_pairs_md5(alld, "text", "doc_id")
+        comp = connected_components(pairs.select("a", "b"))
+        ids = alld.select(F.col("doc_id").alias("id"))
+        keep = ids.join(
+            comp.withColumnRenamed("alias", "id").withColumnRenamed("component", "keep_id"),
+            "id",
+            "left",
+        ).select("id", F.coalesce("keep_id", "id").alias("keep_id"))
+        return keep.filter(F.col("id") == F.col("keep_id")).select("id")
+
+    q["dedup_apply_keepers"] = dedup_apply_keepers
+
+    def clean_corpus_filter_chain(spark, sf):
+        # the C4-style curation chain as ONE declarative plan: language gate ∧
+        # quality floor ∧ exact-dedup keeper — the composition a corpus
+        # builder actually ships; every leg reuses an already-gated operator
+        from aiwhispr_spark.operators.textstats import lang_id_expr, quality_features
+
+        d = _t(spark, sf, "documents")
+        feats = quality_features(d, "text")
+        w = Window.partitionBy(F.md5("text"))
+        keeper = F.min("doc_id").over(w) == F.col("doc_id")
+        return (
+            feats.withColumn("lang_detected", lang_id_expr(F.col("text")))
+            .withColumn("is_keeper", keeper)
+            .withColumn("quality_i", _scaled(F.col("quality_score")))
+            .filter(
+                (F.col("lang_detected") == "en")
+                # threshold on the SCALED int (float discipline: the boundary
+                # decision must be taken on the identical integer both engines
+                # compute, never on a float comparison)
+                & (F.col("quality_i") >= 3000)
+                & F.col("is_keeper")
+            )
+            .select("doc_id", "quality_i")
+        )
+
+    q["clean_corpus_filter_chain"] = clean_corpus_filter_chain
+
     def e3_triples_inline_svo(spark, sf):
         # E3 value gate: deterministic SVO sentences built from documents in
         # BOTH engines; Spark runs the real mapInPandas triple kernel
@@ -1739,6 +1814,21 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """
+    o["dedup_apply_keepers"] = _minhash_keepers_sql()
+    o["clean_corpus_filter_chain"] = f"""
+        WITH qf AS ({o["quality_features"]}),
+             lg AS ({o["lang_id_heuristic"]}),
+             kp AS (
+               SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+               FROM documents
+             )
+        SELECT qf.doc_id, qf.quality_i
+        FROM qf
+        JOIN lg ON lg.doc_id = qf.doc_id
+        JOIN kp ON kp.doc_id = qf.doc_id
+        WHERE lg.lang_detected = 'en' AND qf.quality_i >= 3000
+          AND kp.keep_id = qf.doc_id
     """
     o["events_sessionize"] = """
         WITH g AS (
