@@ -924,6 +924,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences_greedy"] = pack_sequences
 
+    def udaf_geomean(spark, sf):
+        # UDAF surface (§2.8: the reference has none): grouped-agg pandas UDF
+        # computing per-source geometric mean of document sizes
+        from aiwhispr_spark.functions.extensions import gmean_udaf
+
+        d = _t(spark, sf, "documents").filter(F.col("n_chars") > 0)
+        return d.groupBy("source").agg(
+            _scaled(gmean_udaf(F.col("n_chars").cast("double"))).alias("gmean_chars_i")
+        )
+
+    q["udaf_geomean_chars"] = udaf_geomean
+
+    def udtf_sentences(spark, sf):
+        # UDTF surface (§2.8): LATERAL table function exploding each document
+        # into (sent_no, sentence) rows via the engine's T5 segmenter
+        from aiwhispr_spark.functions.extensions import register_extensions
+
+        register_extensions(spark)
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        wrapped = d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(". Alpha beta! Gamma delta? The end.")).alias("txt"),
+        )
+        wrapped.createOrReplaceTempView("udtf_sentences_src")
+        return spark.sql(
+            "SELECT doc_id, t.sent_no, t.sentence "
+            "FROM udtf_sentences_src, LATERAL split_sentences_udtf(txt) t"
+        )
+
+    q["udtf_sentence_explode"] = udtf_sentences
+
+    def global_sort_rank(spark, sf):
+        # generic multi-key global sort (§2.8), made value-checkable by
+        # emitting the rank: row_number over (lang, n_chars desc, doc_id).
+        # Gate-scale single window; at 100 TB this is a range-partitioned
+        # sort (orderBy → Exchange rangepartitioning), rank via zipWithIndex-
+        # style partition offsets
+        d = _t(spark, sf, "documents")
+        w = Window.orderBy(F.col("lang"), F.col("n_chars").desc(), F.col("doc_id"))
+        return d.select(
+            "doc_id", F.row_number().over(w).cast("int").alias("rank")
+        )
+
+    q["global_sort_rank"] = global_sort_rank
+
     # ---- generic relational coverage (§2.8 components our engine adds) ----
     def tpch_q1(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -1814,6 +1859,37 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """
+    o["udaf_geomean_chars"] = """
+        SELECT source,
+               CAST(round(10000 * exp(avg(ln(n_chars)))) AS BIGINT) AS gmean_chars_i
+        FROM documents WHERE n_chars > 0 GROUP BY source
+    """
+    o["udtf_sentence_explode"] = """
+        WITH src AS (
+          SELECT doc_id, text || '. Alpha beta! Gamma delta? The end.' AS t
+          FROM documents WHERE doc_id < 200
+        ),
+        marked AS (
+          SELECT doc_id, regexp_replace(t, '([.!?])(\\s+)', '\\1' || chr(30), 'g') AS m
+          FROM src
+        ),
+        sents AS (
+          SELECT doc_id, s, ord FROM (
+            SELECT doc_id, unnest(string_split(m, chr(30))) AS s,
+                   generate_subscripts(string_split(m, chr(30)), 1) AS ord
+            FROM marked
+          ) WHERE s <> ''
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT) AS sent_no,
+               s AS sentence
+        FROM sents
+    """
+    o["global_sort_rank"] = """
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY lang, n_chars DESC, doc_id) AS INT) AS rank
+        FROM documents
     """
     o["dedup_apply_keepers"] = _minhash_keepers_sql()
     o["clean_corpus_filter_chain"] = f"""
