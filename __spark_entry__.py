@@ -1018,6 +1018,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["broadcast_chain_region_suppliers"] = region_suppliers
 
+    def chars_percentiles(spark, sf):
+        # exact interpolated percentiles per group (the analytics form; the
+        # 100 TB scale path is percentile_approx's t-digest sketch, gated
+        # rows-only by nature — this exact twin value-gates the semantics)
+        d = _t(spark, sf, "documents")
+        pct = F.percentile(F.col("n_chars"), F.lit([0.5, 0.9]))
+        return d.groupBy("lang").agg(
+            _scaled(F.element_at(pct, 1)).alias("p50_i"),
+            _scaled(F.element_at(pct, 2)).alias("p90_i"),
+        )
+
+    q["chars_percentiles"] = chars_percentiles
+
+    def order_date_math(spark, sf):
+        # date/math function coverage (§2.8): trunc-to-month, day arithmetic,
+        # extract, last_day over the orders table
+        # dates are emitted as yyyy-MM-dd STRINGS: the driver compares
+        # stringified values, and date objects stringify differently across
+        # engines (pandas Timestamp vs datetime.date)
+        o = _t(spark, sf, "orders")
+        return o.select(
+            "o_orderkey",
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("month_start"),
+            F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
+            F.dayofweek("o_orderdate").cast("int").alias("dow"),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            F.datediff(F.last_day("o_orderdate"), F.col("o_orderdate")).cast("int").alias("days_left"),
+        )
+
+    q["order_date_math"] = order_date_math
+
     def sessionize(spark, sf):
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
@@ -1905,6 +1936,21 @@ def oracle_sql() -> dict[str, str]:
         JOIN kp ON kp.doc_id = qf.doc_id
         WHERE lg.lang_detected = 'en' AND qf.quality_i >= 3000
           AND kp.keep_id = qf.doc_id
+    """
+    o["chars_percentiles"] = """
+        SELECT lang,
+               CAST(round(10000 * quantile_cont(n_chars, 0.5)) AS BIGINT) AS p50_i,
+               CAST(round(10000 * quantile_cont(n_chars, 0.9)) AS BIGINT) AS p90_i
+        FROM documents GROUP BY lang
+    """
+    o["order_date_math"] = """
+        SELECT o_orderkey,
+               strftime(date_trunc('month', o_orderdate::DATE), '%Y-%m-%d') AS month_start,
+               strftime(o_orderdate::DATE + 30, '%Y-%m-%d') AS due_date,
+               CAST(dayofweek(o_orderdate::DATE) + 1 AS INT) AS dow,
+               strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+               CAST(date_diff('day', o_orderdate::DATE, last_day(o_orderdate::DATE)) AS INT) AS days_left
+        FROM orders
     """
     o["events_sessionize"] = """
         WITH g AS (
