@@ -30,8 +30,10 @@ import pandas as pd
 
 # --- minimal PDF text extraction ----------------------------------------------------
 
-# literal PDF string: ( ... ) with \-escapes and no unescaped nested parens
-_PDF_STR = rb"\((?:\\.|[^\\()])*\)"
+# literal PDF string: ( ... ) with \-escapes and no unescaped nested parens.
+# The escaped-char branch is \\[\s\S] (not \\.): an escape can precede an EOL
+# (line continuation), and '.' would refuse the newline without DOTALL.
+_PDF_STR = rb"\((?:\\[\s\S]|[^\\()])*\)"
 # a text-showing op: (s) Tj | (s) ' | [ (a) -120 (b) ... ] TJ
 _TJ = re.compile(_PDF_STR + rb"\s*(?:Tj|')")
 _TJ_ARRAY = re.compile(rb"\[((?:" + _PDF_STR + rb"|[^\]\\(])*)\]\s*TJ", re.DOTALL)
@@ -66,7 +68,14 @@ def _unescape_pdf_string(tok: bytes) -> str:
                 out.append(int(digits, 8) & 0xFF)
                 i = j
                 continue
-            i += 1  # lone backslash: swallowed (PDF spec)
+            if n in (0x0A, 0x0D):
+                # backslash-EOL line continuation: spec drops BOTH the
+                # backslash and the EOL (CRLF counts as one EOL)
+                i += 2
+                if n == 0x0D and i < len(body) and body[i] == 0x0A:
+                    i += 1
+                continue
+            i += 1  # lone backslash before other chars: swallowed (PDF spec)
             continue
         out.append(c)
         i += 1

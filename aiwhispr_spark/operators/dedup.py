@@ -347,13 +347,19 @@ def embedding_near_dup_pairs(
     the table's schema contract, and reading it from the data would run a
     driver-side action before the plan is even returned."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_planes > 0 and dim is None:
+        # last-resort fallback for ad-hoc callers; hot paths pass dim
+        row = base.select("v").first()
+        if row is None or row["v"] is None:
+            # empty (or all-null) input: no planes to derive — degrade to the
+            # single-bucket path, whose self-join is trivially empty
+            n_planes = 0
+        else:
+            dim = len(row["v"])
     if n_planes > 0:
         import random
 
         rng = random.Random(42)
-        if dim is None:
-            # last-resort fallback for ad-hoc callers; hot paths pass dim
-            dim = len(base.select("v").first()["v"])
         planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
         sig = F.concat(
             *[

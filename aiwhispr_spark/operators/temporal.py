@@ -102,7 +102,13 @@ def asof_join(
         F.struct(*left.columns).alias("_left"),
         F.lit(None)
         .cast(
-            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+            # backtick-quote field names: DDL parsing must survive spaces /
+            # metachars in value-column names
+            "struct<"
+            + ",".join(
+                f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in value_cols
+            )
+            + ">"
         )
         .alias("_vals"),
     )
@@ -111,7 +117,8 @@ def asof_join(
         F.col(right_ts).alias("_t"),
         F.lit(1).alias("_is_right"),
         F.lit(None).cast(l_tagged.schema["_left"].dataType).alias("_left"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
+        # right[c] (not F.col(c)): resolves names containing dots literally
+        F.struct(*[right[c] for c in value_cols]).alias("_vals"),
     )
     w = (
         Window.partitionBy("_k")
@@ -124,5 +131,5 @@ def asof_join(
         F.last("_vals", ignorenulls=True).over(w).alias("_vals"),
     )
     return filled.filter(F.col("_is_right") == 0).select(
-        "_left.*", *[F.col(f"_vals.{c}").alias(c) for c in value_cols]
+        "_left.*", *[F.col("_vals").getField(c).alias(c) for c in value_cols]
     )

@@ -98,8 +98,11 @@ def dup_line_frac_expr(col: Column, sep: str = "\n") -> Column:
     that occur MORE THAN ONCE in the document (duplicate-line character
     fraction).  Pure nested-lambda expressions (O(L²) per doc over its line
     list — lines per doc are bounded; the corpus-wide analogue for
-    cross-document lines is explode + groupBy count)."""
-    lines = F.filter(F.split(col, sep), lambda x: x != "")
+    cross-document lines is explode + groupBy count).  `sep` is a LITERAL
+    separator (regex-escaped before the split)."""
+    import re as _re
+
+    lines = F.filter(F.split(col, _re.escape(sep)), lambda x: x != "")
     dup_chars = F.aggregate(
         F.transform(
             lines,

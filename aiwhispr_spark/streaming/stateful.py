@@ -84,7 +84,14 @@ def make_sessionizer(gap_seconds: int, flush_timeout_ms: int = 30_000):
                 if start is None:
                     start = t
                 n += 1
-                last = t
+                # clamp monotonically: a CROSS-BATCH late event (t ≤ last —
+                # sorting only orders within the batch) merges into the open
+                # session instead of dragging its end time backwards, which
+                # would emit end < start and spuriously split the session on
+                # the next gap test.  start follows min() so the session span
+                # still covers the late event.
+                last = t if last is None else max(last, t)
+                start = min(start, t)
             state.update((start, last, n))
             state.setTimeoutDuration(flush_timeout_ms)
         if closed:

@@ -51,6 +51,15 @@ def test_extract_pdf_text_uncompressed_stream():
     assert extract_pdf_text(pdf) == "Hello PDFWorld!again"
 
 
+def test_extract_pdf_text_backslash_eol_continuation():
+    """\\<EOL> inside a literal is a line continuation: BOTH the backslash
+    and the EOL drop (CRLF counts as one EOL) — common writer output for
+    wrapped long strings."""
+    page = b"BT (long\\\nstring) Tj (a\\\r\nb) Tj ET"
+    pdf = _pdf_with_streams([page])
+    assert extract_pdf_text(pdf) == "longstringab"
+
+
 def test_extract_document_dispatch_routes_pdf():
     pdf = _pdf_with_streams([PAGE1])
     assert extract_document("pdf", pdf) == "Hello PDFWorld!again"

@@ -102,6 +102,42 @@ def test_stateful_sessionize_multiple_gaps_in_one_batch(spark, tmp_path):
     assert rows == [(0, 10, 2), (5000, 5020, 2)]
 
 
+def test_stateful_sessionize_cross_batch_late_event_merges(spark, tmp_path):
+    """A late event in a later micro-batch (t ≤ state's last) must merge into
+    the open session — never drag its end time backwards (which would emit
+    end < start and split the session on the next gap test)."""
+    from aiwhispr_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_json(str(src / "0.json"), [{"user_id": "u", "ts_epoch": 1000}], mtime=1_000_000)
+    # late event (400 < 1000) arrives in batch 1
+    _write_json(str(src / "1.json"), [{"user_id": "u", "ts_epoch": 400}], mtime=2_000_000)
+    # batch 2: gap vs the CLAMPED last (1000) → closes one merged session
+    _write_json(str(src / "2.json"), [{"user_id": "u", "ts_epoch": 9000}], mtime=3_000_000)
+    stream = (
+        spark.readStream.schema("user_id string, ts_epoch long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sessions = sessionize_stream(
+        stream, "user_id", "ts_epoch", gap_seconds=3600, flush_timeout_ms=3_600_000_000
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [r.asDict() for r in spark.sql("SELECT * FROM sess_late").collect()]
+    assert rows == [
+        {"key": "u", "session_start": 400, "session_end": 1000, "n_events": 2}
+    ]
+
+
 def test_socket_ingest_stream(spark, tmp_path):
     """The push-queue stand-in: JSON lines over TCP → validate→embed→parquet."""
     from aiwhispr_spark.streaming.ingest import start_ingest_stream_socket
