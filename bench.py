@@ -172,6 +172,9 @@ def main() -> None:
     # scaling evidence: same KG job at N and 4N cores (north rule: eff >= 0.8).
     # Alternate the two levels and keep each level's best — robust to transient
     # machine noise that would otherwise skew whichever level it landed on.
+    # Re-check machine quiet here too: this phase is the north-rule evidence,
+    # and the headline loop above may have outlived the initial quiet window.
+    wait_for_quiet_machine()
     docs_path = corpus_path(KG_BENCH_DOCS)
     tput_n = 0.0
     tput_4n = 0.0
