@@ -163,6 +163,38 @@ def build_knowledge_graph(
         docs, chunksize=chunksize, doc_acc=n_docs, chunk_acc=n_chunks, triple_acc=n_triples
     ).persist()
 
+    # populate the persist with ONE count — the single unavoidable corpus
+    # scan — and short-circuit when the (resume-filtered) delta yields no
+    # triples: E5/E6/E7 on empty frames still cost ~30 fixed-overhead jobs
+    # (persist/count/banding/CC/tmp-staged writes), measured 55 s at
+    # local[32] for a 0-delta resume that should cost one scan (~5 s).
+    if triples.count() == 0:
+        empty_alias = spark.createDataFrame([], "alias string, entity_id string")
+        result = {
+            "chunks": chunks,
+            "triples": triples,
+            "canonical_triples": triples.select(
+                "url", "chunk_no", "subj", "pred", "obj",
+                F.col("subj").alias("subj_id"), F.col("obj").alias("obj_id"),
+            ),
+            "alias_map": empty_alias,
+            "entities": spark.createDataFrame([], "entity_id string, aliases array<string>"),
+        }
+        if output_dir:
+            # docs that produced no triples still count as processed (empty
+            # on a true 0-delta resume); existing tables stay untouched
+            no_triple_urls = (
+                docs.select("url").distinct()
+                .withColumn("partition_id", F.lit(-1))
+                .withColumn("rows_out", F.lit(0))
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("completed_ts", F.current_timestamp())
+            )
+            no_triple_urls.write.mode("append").parquet(os.path.join(output_dir, "manifest"))
+            result["manifest_path"] = os.path.join(output_dir, "manifest")
+        result["metrics"] = {"docs": n_docs, "chunks": n_chunks, "triples": n_triples}
+        return result
+
     # E5: candidate set = distinct mentions themselves unless an external
     # entity table is supplied (mirrors the oracle's self-link construction)
     if candidates is None:
