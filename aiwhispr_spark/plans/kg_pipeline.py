@@ -163,12 +163,14 @@ def build_knowledge_graph(
         docs, chunksize=chunksize, doc_acc=n_docs, chunk_acc=n_chunks, triple_acc=n_triples
     ).persist()
 
-    # populate the persist with ONE count — the single unavoidable corpus
-    # scan — and short-circuit when the (resume-filtered) delta yields no
-    # triples: E5/E6/E7 on empty frames still cost ~30 fixed-overhead jobs
-    # (persist/count/banding/CC/tmp-staged writes), measured 55 s at
-    # local[32] for a 0-delta resume that should cost one scan (~5 s).
-    if triples.count() == 0:
+    # RESUME-ONLY probe: short-circuit when the resume-filtered delta yields
+    # no triples — E5/E6/E7 on empty frames still cost ~30 fixed-overhead
+    # jobs (persist/count/banding/CC/tmp-staged writes), measured 55 s at
+    # local[32] for a 0-delta resume that should cost one scan (~10 s).  The
+    # count doubles as the persist trigger on this path; fresh builds skip it
+    # (their persist populates lazily on the first downstream action, the
+    # measured-fastest shape).
+    if manifest is not None and triples.count() == 0:
         empty_alias = spark.createDataFrame([], "alias string, entity_id string")
         result = {
             "chunks": chunks,
