@@ -249,6 +249,53 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
     ]
 
 
+def test_kg_stream_matches_batch_pipeline(spark, tmp_path):
+    """Streaming corpus→KG must produce EXACTLY the batch pipeline's triple
+    set over the same documents, with per-batch run_ids and a manifest
+    covering every url (incl. docs yielding no triples)."""
+    from aiwhispr_spark.functions.udfs import docs_to_triples_fused
+    from aiwhispr_spark.sources.synthetic import write_corpus_parquet
+    from aiwhispr_spark.streaming.kg_stream import start_kg_stream
+
+    import glob as globmod
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # two arrival batches of the same seeded corpus, each as ONE parquet FILE
+    # (the file source lists plain files; pin mtimes for batch order)
+    corpus = str(tmp_path / "corpus.parquet")
+    write_corpus_parquet(corpus, n_docs=40)
+    full = spark.read.parquet(corpus)
+
+    def one_file(df, name, mtime):
+        tmp = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = globmod.glob(tmp + "/part-*.parquet")[0]
+        dest = str(src / name)
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    one_file(full.filter(F.col("url").rlike("/page/[0-1]?[0-9]$")), "a.parquet", 1_000_000)
+    one_file(full.filter(~F.col("url").rlike("/page/[0-1]?[0-9]$")), "b.parquet", 2_000_000)
+
+    out = str(tmp_path / "kg")
+    q = start_kg_stream(
+        spark, str(src), out, str(tmp_path / "ck"), max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+
+    streamed = spark.read.parquet(out + "/triples")
+    batch = docs_to_triples_fused(full)
+    key = ["url", "chunk_no", "subj", "pred", "obj"]
+    assert streamed.select(key).exceptAll(batch.select(key)).count() == 0
+    assert batch.select(key).exceptAll(streamed.select(key)).count() == 0
+    runs = {r["run_id"] for r in streamed.select("run_id").distinct().collect()}
+    assert len(runs) == 2  # one run tag per micro-batch
+    manifest = spark.read.parquet(out + "/manifest")
+    assert manifest.select("url").distinct().count() == 40  # every doc covered
+
+
 def test_kafka_path_requires_package(spark, tmp_path):
     """The Kafka reader is the documented production path; without the
     kafka-sql package it must fail FAST at load() with the standard
