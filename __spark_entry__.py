@@ -66,15 +66,21 @@ PUNCT_SUFFIX = " a;b, (c) ~d e'f"
 MINHASH_TAIL = " extra trailing words appended here"
 
 
-def _simhash_sql(where: str) -> str:
-    """DuckDB twin of operators.dedup.simhash64 (md5-derived 60-bit SimHash):
-    per distinct token h = first 15 md5 hex chars as a 60-bit int; bit i of the
-    fingerprint set iff strictly more tokens have bit i set than clear."""
-    terms = " + ".join(
+def _simhash_terms() -> str:
+    """Per-bit majority-vote sum expression over the `hs` token-hash list
+    (shared by the fingerprint and pair oracles)."""
+    return " + ".join(
         f"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {i}) & 1) = 1)) > len(hs) "
         f"THEN {1 << i} ELSE 0 END"
         for i in range(60)
     )
+
+
+def _simhash_sql(where: str) -> str:
+    """DuckDB twin of operators.dedup.simhash64 (md5-derived 60-bit SimHash):
+    per distinct token h = first 15 md5 hex chars as a 60-bit int; bit i of the
+    fingerprint set iff strictly more tokens have bit i set than clear."""
+    terms = _simhash_terms()
     return f"""
         WITH t AS (
           SELECT doc_id,
@@ -1377,6 +1383,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_fingerprint"] = simhash
 
+    def simhash_near_dup_pairs(spark, sf):
+        # SimHash PAIRS dataflow (banded blocking + hamming verify): the
+        # 4×15-bit pigeonhole guarantees every pair within hamming ≤ 3 shares
+        # a band, so the blocked result EQUALS the all-pairs oracle — near
+        # dups guaranteed by unioning a lightly-perturbed copy of each doc
+        from aiwhispr_spark.operators.dedup import simhash_pairs
+
+        d0 = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id", "text")
+        aug = d0.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+        pairs = simhash_pairs(d0.unionByName(aug), "text", "doc_id", max_hamming=3)
+        return pairs.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+    q["simhash_near_dup_pairs"] = simhash_near_dup_pairs
+
+    def events_sessions_detail(spark, sf):
+        # full session reconstruction (the batch twin of the streaming
+        # sessionizer): gap > 1h starts a session; emit per-session bounds
+        # and counts — one window shuffle + one agg on the same key
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        marked = ev.withColumn(
+            "new_session", F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+        ).withColumn("session_no", F.sum("new_session").over(w).cast("int"))
+        return marked.groupBy("user_id", "session_no").agg(
+            F.min(F.unix_timestamp("ts")).cast("long").alias("session_start"),
+            F.max(F.unix_timestamp("ts")).cast("long").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    q["events_sessions_detail"] = events_sessions_detail
+
     def multimodal(spark, sf):
         # real mapInPandas decode plumbing (schema, Arrow batching, explicit
         # decoder table), value-gated: the decoder emits the 16-bucket folded
@@ -1862,6 +1903,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, min(root) AS component FROM reach GROUP BY node
     """
     o["simhash_fingerprint"] = _simhash_sql("doc_id < 500")
+    o["simhash_near_dup_pairs"] = f"""
+        WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        alld AS (
+          SELECT doc_id, text FROM d0
+          UNION ALL
+          SELECT doc_id + 10000, text || ' tail' FROM d0
+        ),
+        t AS (
+          SELECT doc_id,
+                 list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                                w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+          FROM alld
+        ),
+        s AS (SELECT doc_id, CAST({_simhash_terms()} AS BIGINT) AS simhash FROM t)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+    o["events_sessions_detail"] = """
+        WITH g AS (
+          -- floor() to whole seconds FIRST: Spark's unix_timestamp truncates,
+          -- so the gap test and session bounds must work on floored epochs
+          -- (CAST(double AS BIGINT) in DuckDB would ROUND instead)
+          SELECT user_id, event_id, ts, floor(epoch(ts)) AS ep,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id))) > 3600
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, ts, ep,
+                 CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS session_no
+          FROM g
+        )
+        SELECT user_id, session_no,
+               CAST(min(ep) AS BIGINT) AS session_start,
+               CAST(max(ep) AS BIGINT) AS session_end,
+               count(*) AS n_events
+        FROM m GROUP BY user_id, session_no
+    """
     o["multimodal_features"] = _multimodal_sql()
     o["kg_triples_synthetic"] = _kg_e2e_sql()
     o["tpch_q1_pricing_summary"] = """
