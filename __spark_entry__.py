@@ -594,20 +594,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["g2_coalesce_json"] = g2_coalesce
 
     def u5_doc_dispatch(spark, sf):
-        # U5 suffix → extractor dispatch through the REAL registry
-        # (docproc._EXTRACTORS: txt passthrough, html→T1 clean, pdf→real
-        # minimal PDF extractor with the reference-shaped '[PDF]' banner for
-        # non-PDF payloads — which these text payloads are, keeping the
-        # oracle closed-form; real-PDF extraction is golden-tested in
-        # tests/test_docproc.py)
-        from aiwhispr_spark.docproc import dispatch_extract_udf
+        # U5 suffix → extractor dispatch through the REAL registry, all SIX
+        # real arms (docproc._EXTRACTORS: txt passthrough, html→T1 clean,
+        # pdf→minimal PDF extractor — these text payloads are not PDFs, so
+        # the reference-shaped '[PDF]' banner keeps the oracle closed-form;
+        # real-PDF extraction is golden-tested in tests/test_docproc.py —
+        # and docx/xlsx/pptx: the payload is a REAL OOXML zip built from the
+        # row's text, so a hash match proves the stdlib zip+XML extraction
+        # round-trips byte-exactly end to end)
+        from aiwhispr_spark.docproc import dispatch_extract_udf, office_payload_udf
 
+        office_payload = office_payload_udf()
         d = _t(spark, sf, "documents")
-        suffix = F.element_at(F.array(F.lit("txt"), F.lit("html"), F.lit("pdf")),
-                              (F.col("doc_id") % 3 + 1).cast("int"))
-        payload = F.encode(
-            F.when(suffix == "html", HTML_WRAP_SPARK(F.col("text"))).otherwise(F.col("text")),
-            "UTF-8",
+        kinds = ["txt", "html", "pdf", "docx", "xlsx", "pptx"]
+        suffix = F.element_at(
+            F.array(*[F.lit(s) for s in kinds]), (F.col("doc_id") % 6 + 1).cast("int")
+        )
+        payload = F.when(
+            suffix.isin("docx", "xlsx", "pptx"), office_payload(suffix, F.col("text"))
+        ).otherwise(
+            F.encode(
+                F.when(suffix == "html", HTML_WRAP_SPARK(F.col("text"))).otherwise(F.col("text")),
+                "UTF-8",
+            )
         )
         return d.select(
             "doc_id",
@@ -727,6 +736,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hybrid_search(d, emb, ["data", "query", "fast"], qvec)
 
     q["hybrid_search_two_arm"] = hybrid_two_arm
+
+    def fulltext_multifield(spark, sf):
+        # typesense query_by multi-field semantics (VERDICT r2 #5,
+        # typesenseVectorDb.py:229-233): title (w=3) and content_path (w=5)
+        # hits outrank body (w=1) hits.  title/path are derived from the
+        # documents row with expressions DuckDB mirrors exactly; the path
+        # term 'src3/3.txt' pins the path arm, 'spark'/'batch' exercise
+        # title-vs-body weighting (title = first 30 chars of text).
+        from aiwhispr_spark.operators.fulltext import search_fields_weighted
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            "text",
+            F.substring("text", 1, 30).alias("title"),
+            F.concat("source", F.lit("/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+                "content_path"
+            ),
+        )
+        top = search_fields_weighted(
+            d,
+            ["spark", "batch", "src3/3.txt"],
+            {"text": 1.0, "title": 3.0, "content_path": 5.0},
+            k=30,
+        )
+        return top.withColumnRenamed("id", "doc_id")
+
+    q["fulltext_multifield_rank"] = fulltext_multifield
+
+    def websearch_filter(spark, sf):
+        # postgres websearch_to_tsquery parity (VERDICT r2 #6,
+        # postgresVectorDb.py:490-493): quoted phrase AND (scan OR merge)
+        # AND NOT vector, parsed by fulltext.parse_websearch and compiled to
+        # one pure-JVM predicate; the oracle is the same fixed query
+        # hand-translated to SQL, so a mis-parse or mis-compile breaks the
+        # hash.  Parser unit coverage: tests/test_operators.py.
+        from aiwhispr_spark.operators.fulltext import websearch_match
+
+        d = _t(spark, sf, "documents")
+        return d.filter(
+            websearch_match(F.col("text"), '"table value" scan OR merge -vector')
+        ).select("doc_id", "lang")
+
+    q["websearch_parse_filter"] = websearch_filter
 
     # ---- dedup / similarity (training-data ops) ----
     def dedup_exact(spark, sf):
@@ -964,14 +1016,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def global_sort_rank(spark, sf):
         # generic multi-key global sort (§2.8), made value-checkable by
         # emitting the rank: row_number over (lang, n_chars desc, doc_id).
-        # Gate-scale single window; at 100 TB this is a range-partitioned
-        # sort (orderBy → Exchange rangepartitioning), rank via zipWithIndex-
-        # style partition offsets
-        d = _t(spark, sf, "documents")
-        w = Window.orderBy(F.col("lang"), F.col("n_chars").desc(), F.col("doc_id"))
-        return d.select(
-            "doc_id", F.row_number().over(w).cast("int").alias("rank")
+        # SCALE-SAFE (VERDICT r2 #2): operators/ranking.py global_row_number
+        # — range Exchange + per-partition offsets, no single-partition
+        # window (plan-asserted in tests/test_plans.py); doc_id is the
+        # unique tie-break that makes the order total.
+        from aiwhispr_spark.operators.ranking import global_row_number
+
+        d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        ranked = global_row_number(
+            d, [F.col("lang"), F.col("n_chars").desc(), F.col("doc_id")], num_partitions=8
         )
+        return ranked.select("doc_id", "rank")
 
     q["global_sort_rank"] = global_sort_rank
 
@@ -1025,9 +1080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["broadcast_chain_region_suppliers"] = region_suppliers
 
     def chars_percentiles(spark, sf):
-        # exact interpolated percentiles per group (the analytics form; the
-        # 100 TB scale path is percentile_approx's t-digest sketch, gated
-        # rows-only by nature — this exact twin value-gates the semantics)
+        # exact interpolated percentiles per group (the analytics form).
+        # NOT the 100 TB plan: F.percentile buffers every group's values in
+        # executor memory — see chars_percentiles_approx, the gated sketch
+        # twin that IS the scale path.
         d = _t(spark, sf, "documents")
         pct = F.percentile(F.col("n_chars"), F.lit([0.5, 0.9]))
         return d.groupBy("lang").agg(
@@ -1036,6 +1092,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["chars_percentiles"] = chars_percentiles
+
+    def chars_percentiles_approx(spark, sf):
+        # the 100 TB scale path (VERDICT r2 #3): percentile_approx's
+        # fixed-memory Greenwald-Khanna sketch instead of F.percentile's
+        # per-group value buffer.  At max accuracy the sketch's rank error is
+        # < 1 value, so its discrete quantile is EXACT and hash-gateable
+        # against DuckDB's quantile_disc — the same probe-all≡exact pattern
+        # as ivf_all_probe_equals_exact.  The accuracy↔error trade at
+        # production accuracy is tolerance-gated in
+        # tests/test_operators.py::test_percentile_approx_tolerance.
+        d = _t(spark, sf, "documents")
+        pa = F.percentile_approx(F.col("n_chars"), F.lit([0.5, 0.9]), F.lit(2147483647))
+        return d.groupBy("lang").agg(
+            F.element_at(pa, 1).cast("long").alias("p50_disc"),
+            F.element_at(pa, 2).cast("long").alias("p90_disc"),
+        )
+
+    q["chars_percentiles_approx"] = chars_percentiles_approx
 
     def order_date_math(spark, sf):
         # date/math function coverage (§2.8): trunc-to-month, day arithmetic,
@@ -1447,7 +1521,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = multimodal
 
-    return q
+    # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
+    # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
+    # composition / scale-path / novel-operator oracles are promoted to the
+    # front and trivial kernel wrappers (plus the three documented rows-only
+    # queries, which get only a weak rows-check anyway) demoted to the back.
+    # Names absent from q (e.g. during partial test monkeypatching) are skipped.
+    first = [
+        "flagship_semantic_search",
+        "kg_triples_synthetic",
+        "minhash_pairs_md5",
+        "minhash_groups_md5",
+        "dedup_apply_keepers",
+        "simhash_fingerprint",
+        "simhash_near_dup_pairs",
+        "cc_label_propagation",
+        "e3_triples_inline_svo",
+        "clean_corpus_filter_chain",
+        "lineage_cube",
+        "setops_active_custkeys",
+        "events_sessions_detail",
+        "multimodal_features",
+        "ivf_all_probe_equals_exact",
+        "global_sort_rank",
+        "chars_percentiles",
+        "chars_percentiles_approx",
+        "fulltext_multifield_rank",
+        "websearch_parse_filter",
+        "u5_doc_dispatch",
+        "kg_session_provenance",
+        "pack_sequences_greedy",
+        "udaf_geomean_chars",
+        "udtf_sentence_explode",
+        "hybrid_search_two_arm",
+        "embedding_near_dup",
+        "ngram_jaccard_pairs",
+        "dedup_exact",
+        "knn_join_top3",
+        "asof_join_purchase_click",
+        "range_join_purchase_clicks",
+        "events_sessionize",
+        "g1_qa_assembly",
+        "t5_language_validate",
+        "t1_clean_html",
+        "q4_fulltext_rank",
+        "q4_fuzzy_match",
+        "hash_split_assign",
+        "stratified_sample_top3",
+        "lineage_rollup",
+        "repetition_signals",
+        "quality_features",
+        "lang_id_heuristic",
+        "doc_fingerprint",
+        "token_counts",
+        "g2_coalesce_json",
+        "g3_reassembly",
+        "tpch_q1_pricing_summary",
+        "tpch_q3_top_revenue",
+    ]
+    last = [
+        "t8_truncate",
+        "t9_display_url",
+        "t7_strip_punct",
+        "t2_codeblocks",
+        "t3_replace_codeblocks",
+        "t4_clean_se",
+        "f1_do_not_read",
+        "f2_suffix_filter",
+        "f5_meta_projection",
+        "f8_site_filter",
+        "q5_point_lookup",
+        "q4_text_match",
+        "broadcast_chain_region_suppliers",
+        "order_date_math",
+        "q7_pca_map",
+        "ivf_topk_search",
+        "minhash_dedup_groups",
+    ]
+    ordered = [k for k in first if k in q]
+    placed = set(ordered) | set(last)
+    ordered += [k for k in q if k not in placed]
+    ordered += [k for k in last if k in q]
+    assert set(ordered) == set(q), "query reorder dropped or invented names"
+    return {k: q[k] for k in ordered}
 
 
 # --- oracle SQL -----------------------------------------------------------------------
@@ -1551,13 +1707,16 @@ def oracle_sql() -> dict[str, str]:
     o["u5_doc_dispatch"] = f"""
         WITH routed AS (
           SELECT doc_id, text,
-                 ['txt','html','pdf'][CAST(doc_id % 3 AS INT) + 1] AS suffix
+                 ['txt','html','pdf','docx','xlsx','pptx'][CAST(doc_id % 6 AS INT) + 1] AS suffix
           FROM documents
         )
         SELECT doc_id, suffix,
                CASE WHEN suffix = 'txt' THEN text
                     WHEN suffix = 'html' THEN regexp_replace({HTML_WRAP_SQL}, '{CLEANR_PATTERN}', '', 'g')
-                    ELSE '[PDF]' || substr(text, 1, 40) END AS extracted
+                    WHEN suffix = 'pdf' THEN '[PDF]' || substr(text, 1, 40)
+                    -- docx/xlsx/pptx: payload is an OOXML zip OF the text,
+                    -- so a correct extractor round-trips it exactly
+                    ELSE text END AS extracted
         FROM routed
     """
     o["g1_qa_assembly"] = """
@@ -1662,6 +1821,45 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT r.result_type, r.id, r.score_i, r.rank, f.found
         FROM txt_ranked r, txt_found f
+    """
+    o["fulltext_multifield_rank"] = """
+        WITH base AS (
+          SELECT doc_id, text,
+                 substr(text, 1, 30) AS title,
+                 source || '/' || doc_id || '.txt' AS content_path
+          FROM documents
+        ),
+        fields AS (
+          SELECT doc_id, 1.0 AS w, text  AS val FROM base
+          UNION ALL SELECT doc_id, 3.0, title FROM base
+          UNION ALL SELECT doc_id, 5.0, content_path FROM base
+        ),
+        toks AS (
+          SELECT doc_id, w,
+                 unnest(regexp_split_to_array(lower(trim(val)), '\\s+')) AS token
+          FROM fields
+        ),
+        hits AS (
+          SELECT doc_id, w, token FROM toks
+          WHERE token IN ('batch', 'spark', 'src3/3.txt')
+        )
+        SELECT doc_id,
+               CAST(round(10000 * sum(w)) AS BIGINT) AS score_i,
+               CAST(count(DISTINCT token) AS INT) AS n_terms,
+               CAST(count(DISTINCT w) AS INT) AS n_fields
+        FROM hits GROUP BY doc_id
+        ORDER BY score_i DESC, doc_id LIMIT 30
+    """
+    o["websearch_parse_filter"] = """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS pt
+          FROM documents
+        )
+        SELECT doc_id, lang FROM t
+        WHERE position(' table value ' IN pt) > 0
+          AND (position(' scan ' IN pt) > 0 OR position(' merge ' IN pt) > 0)
+          AND NOT position(' vector ' IN pt) > 0
     """
     o["dedup_exact"] = """
         SELECT doc_id,
@@ -2025,6 +2223,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang,
                CAST(round(10000 * quantile_cont(n_chars, 0.5)) AS BIGINT) AS p50_i,
                CAST(round(10000 * quantile_cont(n_chars, 0.9)) AS BIGINT) AS p90_i
+        FROM documents GROUP BY lang
+    """
+    o["chars_percentiles_approx"] = """
+        SELECT lang,
+               CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_disc,
+               CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_disc
         FROM documents GROUP BY lang
     """
     o["order_date_math"] = """

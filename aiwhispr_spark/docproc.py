@@ -12,8 +12,9 @@ aiwhisprConstants.py:11-29.  This module is the engine's recast:
 * a REAL minimal PDF text extractor for the common un-encrypted case
   (FlateDecode streams via stdlib zlib, text from Tj / ' / TJ show
   operators) — no third-party dependency;
-* docx/xlsx/pptx stay honestly stubbed (textract is not in this sandbox):
-  registering them raises until a real extractor is plugged in.
+* REAL docx/xlsx/pptx extractors (OOXML = ZIP of XML; stdlib zipfile +
+  ElementTree — textract is absent, but these arms do the same text pull
+  its backends do; semantics documented per function below).
 
 Distribution: ``dispatch_extract_udf`` runs the registry inside an Arrow
 batch (scalar pandas UDF) — per-suffix routing happens per row but library
@@ -118,6 +119,144 @@ def extract_pdf_text(payload: bytes) -> str:
     return "\n".join(parts)
 
 
+# --- OOXML (docx / xlsx / pptx) extraction ------------------------------------------
+#
+# The reference routes all three through textract
+# (aiwhisprMSWordDocProcessor.py:25-45, aiwhisprMSExcelDocProcessor.py,
+# aiwhisprMSPptDocProcessor.py; suffix table aiwhisprConstants.py:11-29).
+# textract is not in this sandbox, but OOXML files are ZIPs of XML — so these
+# arms are REAL stdlib extractors (zipfile + ElementTree), the same spirit as
+# the round-2 minimal PDF arm: no third-party dependency, honest documented
+# semantics, golden + round-trip gated in tests/test_docproc.py.
+
+
+def _tag(node) -> str:
+    """Local tag name, namespace stripped ('{ns}t' → 't')."""
+    return node.tag.rsplit("}", 1)[-1]
+
+
+def extract_docx_text(payload: bytes) -> str:
+    """word/document.xml → text.  Per paragraph (<w:p>): concatenate run
+    texts (<w:t>, entity-decoded by ET), <w:tab/> → '\\t', <w:br/>/<w:cr/> →
+    '\\n'; paragraphs join with '\\n' (textract's docx2txt arm uses the same
+    paragraph-per-line shape).  Raises on a non-zip payload."""
+    import io
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        root = ET.fromstring(zf.read("word/document.xml"))
+    paras = []
+    for p in root.iter():
+        if _tag(p) != "p":
+            continue
+        parts = []
+        for node in p.iter():
+            t = _tag(node)
+            if t == "t":
+                parts.append(node.text or "")
+            elif t == "tab":
+                parts.append("\t")
+            elif t in ("br", "cr"):
+                parts.append("\n")
+        paras.append("".join(parts))
+    return "\n".join(paras)
+
+
+def extract_xlsx_text(payload: bytes) -> str:
+    """xl/sharedStrings.xml → one line per shared string (<si>; rich-text
+    runs concatenate).  Cell-level numerics live in the sheet XML, not the
+    string table — skipped, matching textract's string-focused output.
+    A workbook with no sharedStrings part yields ''."""
+    import io
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        if "xl/sharedStrings.xml" not in zf.namelist():
+            return ""
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    lines = []
+    for si in root:
+        if _tag(si) == "si":
+            lines.append("".join(n.text or "" for n in si.iter() if _tag(n) == "t"))
+    return "\n".join(lines)
+
+
+def extract_pptx_text(payload: bytes) -> str:
+    """ppt/slides/slide<N>.xml in slide-number order → text: per text
+    paragraph (<a:p>) concatenate runs (<a:t>), paragraphs and slides join
+    with '\\n'."""
+    import io
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        names = sorted(
+            (n for n in zf.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n).group()),
+        )
+        slides = [ET.fromstring(zf.read(n)) for n in names]
+    out = []
+    for root in slides:
+        for p in root.iter():
+            if _tag(p) == "p":
+                out.append("".join(n.text or "" for n in p.iter() if _tag(n) == "t"))
+    return "\n".join(out)
+
+
+# fixture builders: the round-trip contract (build(text) → extract → text) is
+# what u5_doc_dispatch hash-gates end-to-end; fixed zip timestamps keep the
+# payloads byte-deterministic.
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+
+def _zip_of(parts: dict[str, str]) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, body in parts.items():
+            zf.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), body)
+    return buf.getvalue()
+
+
+def build_minimal_docx(text: str) -> bytes:
+    from xml.sax.saxutils import escape
+
+    body = "".join(
+        f'<w:p><w:r><w:t xml:space="preserve">{escape(p)}</w:t></w:r></w:p>'
+        for p in text.split("\n")
+    )
+    doc = f'<w:document xmlns:w="{_W}"><w:body>{body}</w:body></w:document>'
+    return _zip_of({"word/document.xml": doc})
+
+
+def build_minimal_xlsx(text: str) -> bytes:
+    from xml.sax.saxutils import escape
+
+    sis = "".join(
+        f'<si><t xml:space="preserve">{escape(line)}</t></si>' for line in text.split("\n")
+    )
+    sst = f'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">{sis}</sst>'
+    return _zip_of({"xl/sharedStrings.xml": sst})
+
+
+def build_minimal_pptx(text: str) -> bytes:
+    from xml.sax.saxutils import escape
+
+    paras = "".join(
+        f'<a:p><a:r><a:t>{escape(p)}</a:t></a:r></a:p>' for p in text.split("\n")
+    )
+    slide = (
+        f'<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+        f'xmlns:a="{_A}"><p:txBody>{paras}</p:txBody></p:sld>'
+    )
+    return _zip_of({"ppt/slides/slide1.xml": slide})
+
+
 # --- registry -----------------------------------------------------------------------
 
 
@@ -141,12 +280,28 @@ def _extract_pdf_or_banner(payload: bytes) -> str:
         return "[PDF]" + payload.decode("utf-8", errors="replace")[:40]
 
 
+def _office_or_banner(extract, banner: str):
+    """Same degrade-don't-fail shape as the PDF arm: real extraction for real
+    OOXML zips, a typed banner for corrupt/mislabelled payloads."""
+
+    def fn(payload: bytes) -> str:
+        try:
+            return extract(payload)
+        except Exception:
+            return banner + payload.decode("utf-8", errors="replace")[:40]
+
+    return fn
+
+
 _EXTRACTORS: dict[str, object] = {
     "txt": _extract_txt,
     "csv": _extract_txt,
     "html": _extract_html,
     "htm": _extract_html,
     "pdf": _extract_pdf_or_banner,
+    "docx": _office_or_banner(extract_docx_text, "[DOCX]"),
+    "xlsx": _office_or_banner(extract_xlsx_text, "[XLSX]"),
+    "pptx": _office_or_banner(extract_pptx_text, "[PPTX]"),
 }
 
 
@@ -166,6 +321,27 @@ def extract_document(suffix: str, payload: bytes) -> str:
     utf-8 text — the reference indexes unknown types as plain text."""
     fn = _EXTRACTORS.get((suffix or "").lower(), _extract_txt)
     return fn(payload if payload is not None else b"")
+
+
+def office_payload_udf():
+    """Arrow-batched fixture builder: (suffix, text) → a minimal OOXML zip OF
+    that text for docx/xlsx/pptx rows, b'' otherwise (python UDFs are hoisted
+    out of ``when()`` branches and evaluated on every row, so the non-office
+    arm must not reach a builder).  Used by the u5_doc_dispatch gate: build →
+    dispatch-extract must round-trip the text byte-exactly."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    builders = {"docx": build_minimal_docx, "xlsx": build_minimal_xlsx,
+                "pptx": build_minimal_pptx}
+
+    @pandas_udf(BinaryType())
+    def _udf(suffix: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [builders[s](t) if s in builders else b"" for s, t in zip(suffix, text)]
+        )
+
+    return _udf
 
 
 def dispatch_extract_udf(extractors: dict | None = None):

@@ -71,6 +71,57 @@ def search_terms(
     return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
 
 
+def search_fields_weighted(
+    df: DataFrame,
+    terms: Sequence[str],
+    fields: dict[str, float],
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Multi-field weighted full-text rank — typesense's ``query_by:
+    text_chunk, content_path, title`` semantics (reference
+    typesenseVectorDb.py:229-233: several fields queried at once, a hit in a
+    higher-weighted field outranking a body hit).
+
+    score_i = round(1e4 · Σ_field weight_f · tf_f(matched terms)) — the
+    scaled-int float discipline, so cross-engine ordering is exact.
+
+    Scale shape: ONE scan and ONE explode chain — the per-field token streams
+    are built as an array of (field, weight, tokens) structs and exploded
+    in-row, NOT as a K-way union of the corpus (a union re-scans the input
+    per field and multiplies map-side partitions — the r2 fan-out lesson).
+    The tiny term set broadcasts; the only shuffle is the partial-agg sum per
+    doc; top-k compiles to TakeOrderedAndProject."""
+    terms = sorted({t.lower() for t in terms})
+    spark = df.sparkSession
+    q = spark.createDataFrame([(t,) for t in terms], "token string")
+    fw = F.array(
+        *[
+            F.struct(
+                F.lit(f).alias("field"),
+                F.lit(float(w)).alias("weight"),
+                tokenize(F.col(f)).alias("toks"),
+            )
+            for f, w in sorted(fields.items())
+        ]
+    )
+    postings = (
+        df.select(F.col(id_col).alias("id"), F.explode(fw).alias("fw"))
+        .select("id", "fw.field", "fw.weight", F.explode("fw.toks").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    scored = (
+        postings.join(F.broadcast(q), "token")
+        .groupBy("id")
+        .agg(
+            F.round(F.sum("weight") * 10000).cast("long").alias("score_i"),
+            F.countDistinct("token").cast("int").alias("n_terms"),
+            F.countDistinct("field").cast("int").alias("n_fields"),
+        )
+    )
+    return scored.orderBy(F.col("score_i").desc(), F.col("id")).limit(k)
+
+
 def write_bucketed_postings(
     index: DataFrame, table_name: str, path: str, n_buckets: int = 64
 ) -> None:
@@ -213,3 +264,74 @@ def hybrid_search(
         .join(F.broadcast(found), "result_type")
         .select("result_type", "id", "score_i", "rank", F.col("found").cast("long").alias("found"))
     )
+
+
+# --- web-search query syntax (Q4 postgres parity) ------------------------------------
+
+import re as _re
+
+_WS_TOKEN = _re.compile(r'-?"[^"]*"|\S+')
+
+
+def parse_websearch(query: str) -> list[dict]:
+    """Parse the ``websearch_to_tsquery`` surface the reference's postgres arm
+    exposes (postgresVectorDb.py:479,490-493):
+
+    * bare words AND together;
+    * ``"double quoted"`` matches the words consecutively (a phrase);
+    * ``OR`` joins the items on either side into a disjunction;
+    * a ``-`` prefix (word or phrase) negates the item.
+
+    Returns a CONJUNCTION of groups ``[{"any": [item, ...], "negated": bool}]``
+    — items inside a group OR together; a negated item forms its own
+    single-item group (postgres likewise refuses to OR into a negation, so
+    ``a OR -b`` degrades to ``a AND NOT b``).  Items are normalized to
+    lowercase single-spaced strings; empty items (e.g. ``""``) drop out.
+    """
+    groups: list[dict] = []
+    pending_or = False
+    for raw in _WS_TOKEN.findall(query):
+        if raw.upper() == "OR":
+            pending_or = True
+            continue
+        negated = raw.startswith("-")
+        body = raw[1:] if negated else raw
+        if len(body) >= 2 and body.startswith('"') and body.endswith('"'):
+            body = body[1:-1]
+        item = _re.sub(r"\s+", " ", body.strip().lower())
+        if not item:
+            pending_or = False
+            continue
+        if pending_or and not negated and groups and not groups[-1]["negated"]:
+            groups[-1]["any"].append(item)
+        else:
+            groups.append({"any": [item], "negated": negated})
+        pending_or = False
+    return groups
+
+
+def websearch_match(text_col, query: str):
+    """Compile a websearch query to ONE boolean Column over `text_col`.
+
+    Word and phrase items both evaluate as space-padded substring containment
+    over the whitespace-normalized lowercased text (`` text `` ⊇ `` item ``)
+    — a word is a one-token phrase, so a single normalization serves both,
+    and the whole predicate stays a pure JVM expression (no python, no
+    explode): at 100 TB this is a narrow filter that pushes into the scan's
+    WholeStageCodegen span.  The same normalization is SQL-expressible, so
+    websearch queries are DuckDB-oracle-gateable (see
+    __spark_entry__.websearch_parse_filter)."""
+    from functools import reduce
+
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), F.lit(" ")
+    )
+    conj = None
+    for g in parse_websearch(query):
+        p = reduce(
+            lambda a, b: a | b, [F.instr(padded, f" {item} ") > 0 for item in g["any"]]
+        )
+        if g["negated"]:
+            p = ~p
+        conj = p if conj is None else conj & p
+    return conj if conj is not None else F.lit(True)

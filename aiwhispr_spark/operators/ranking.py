@@ -1,0 +1,68 @@
+"""Distributed global ordering: total-order row_number without the
+single-partition window.
+
+``Window.orderBy(...)`` with no partition spec moves EVERY row to one task
+(the WindowExec "No Partition Defined" warning) — the one plan shape that
+cannot survive a 100× scale-up.  The scale-safe equivalent is the classic
+three-step distributed rank (the same dataflow RDD ``zipWithIndex`` uses,
+kept in DataFrame land so Catalyst/Tungsten run it):
+
+1. ``repartitionByRange`` on the full sort key — one range Exchange, the
+   same Exchange a global ``orderBy`` would pay anyway;
+2. per-partition counts (a ≤``num_partitions``-row collect — bounded driver
+   data, like AQE's own stats collection) → prefix-sum offsets;
+3. ``row_number`` windowed BY RANGE-PARTITION ID + the broadcast offset map.
+
+Partition i's keys all sort ≤ partition j's for i < j (RangePartitioner
+contract), so local rank + offset is the exact global rank.  The window in
+step 3 is partitioned (by ``spark_partition_id()``), so the largest task
+holds one range partition — 1/N of the data — not all of it.
+
+Determinism requires a TOTAL order: callers must include a unique tie-break
+column in ``order_cols`` (ties within a range partition would otherwise rank
+arbitrarily).  Range boundaries are sampled deterministically (seeded per
+input partition), so the counts pass and the rank pass see identical
+boundaries — and under a total order the emitted ranks are boundary-
+independent anyway.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID = "__range_pid"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``rank_col`` = 1-based global row_number under the total order
+    ``order_cols``, computed scale-safely (module docstring).  Project df to
+    the needed columns BEFORE calling — both the range Exchange and the pid
+    hash Exchange carry every column of ``df``."""
+    order_cols = list(order_cols)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(_PID, F.spark_partition_id())
+    # bounded collect: one (pid, count) row per range partition
+    counts = {
+        r[_PID]: r["cnt"]
+        for r in ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: list[Column] = []
+    acc = 0
+    for pid in sorted(counts):
+        offsets += [F.lit(pid), F.lit(acc)]
+        acc += counts[pid]
+    offset_map = F.create_map(*offsets) if offsets else F.create_map()
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    return ranged.withColumn(
+        rank_col,
+        (F.row_number().over(w) + F.coalesce(offset_map[F.col(_PID)], F.lit(0))).cast("int"),
+    ).drop(_PID)

@@ -26,7 +26,7 @@ reference kept in its SQLite status table.
 from __future__ import annotations
 
 import os
-import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -141,7 +141,10 @@ def build_knowledge_graph(
     """Run E1-E7.  Returns dict of DataFrames (and writes parquet tables +
     manifest when `output_dir` is given).  `manifest` (a previous run's
     lineage) activates checkpoint resume via left_anti."""
-    run_id = run_id or f"run{int(time.time())}"
+    # uuid, not a second-granularity timestamp: two runs against the same
+    # output_dir started within the same second must not share a run_id
+    # (shared ids merge their lineage rows and defeat orphan-run cleanup)
+    run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
 
     n_docs = spark.sparkContext.accumulator(0)
     n_chunks = spark.sparkContext.accumulator(0)

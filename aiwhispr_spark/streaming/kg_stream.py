@@ -14,6 +14,29 @@ Architecture split (the standard lambda shape for KG maintenance):
 * cold path (batch, periodic): `recanonicalize_output` — global alias
   re-election + id refresh over everything appended so far.  Linking and
   canonicalization need global state, so they do NOT run per micro-batch.
+
+Exactly-once contract: run_id = ``stream-<batch_id>`` is deterministic
+across a crashed attempt and its replay (same checkpointed batch → same
+batch_id → same input files), so the sink must be IDEMPOTENT per batch —
+a plain append would double the batch's triples on replay, and because the
+replayed rows carry a manifest-valid run_id the compaction's orphan-drop
+semi-join would keep both copies.  The sink therefore brackets each batch
+with two O(1) marker files (``_stream_intents/<run_id>`` before the first
+append, ``_stream_commits/<run_id>`` after the last):
+
+* commit marker present  → the whole batch landed; replay returns at once;
+* intent marker present  → a prior attempt crashed mid-batch; each append
+  job is atomic (FileOutputCommitter publishes all files at job commit or
+  none), so the replay probes triples/manifest for the run_id (a pushed-down
+  point lookup, run_id is constant per file so row-group stats prune the
+  scan) and re-appends only the missing table(s) — the fused kernel is
+  deterministic, so the recomputed rows are byte-equal to the crashed
+  attempt's;
+* neither               → normal first attempt.
+
+Underscore-prefixed marker dirs are invisible to Spark's parquet reader.
+Local-FS markers here; on HDFS/S3 the same two touches go through the
+Hadoop FileSystem API (create-with-overwrite is atomic on both).
 """
 
 from __future__ import annotations
@@ -26,6 +49,64 @@ from pyspark.sql import functions as F
 DOCS_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def _touch(path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w"):
+        pass
+
+
+def _run_landed(spark: SparkSession, table_path: str, run_id: str) -> bool:
+    """True when `table_path` already holds rows of `run_id` (atomic-append
+    probe for crash replay; pushed-down point lookup)."""
+    if not os.path.exists(table_path):
+        return False
+    probe = spark.read.parquet(table_path).filter(F.col("run_id") == run_id).limit(1)
+    return bool(probe.take(1))
+
+
+def make_stream_sink(output_dir: str):
+    """Build the idempotent foreachBatch sink (exposed for direct testing:
+    calling the sink twice with the same batch_id must leave the output
+    byte-identical to calling it once)."""
+    triples_path = os.path.join(output_dir, "triples")
+    manifest_path = os.path.join(output_dir, "manifest")
+    commits_dir = os.path.join(output_dir, "_stream_commits")
+    intents_dir = os.path.join(output_dir, "_stream_intents")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.udfs import docs_to_triples_fused
+        from ..operators.resume import lineage_manifest
+
+        spark = batch_df.sparkSession
+        run_id = f"stream-{batch_id}"
+        commit_marker = os.path.join(commits_dir, run_id)
+        if os.path.exists(commit_marker):
+            return  # replay of a fully-committed batch
+        intent_marker = os.path.join(intents_dir, run_id)
+        partial_replay = os.path.exists(intent_marker)
+        _touch(intent_marker)
+
+        out = docs_to_triples_fused(batch_df).withColumn("run_id", F.lit(run_id)).persist()
+        if not (partial_replay and _run_landed(spark, triples_path, run_id)):
+            out.write.mode("append").parquet(triples_path)
+        if not (partial_replay and _run_landed(spark, manifest_path, run_id)):
+            manifest = lineage_manifest(out, run_id=run_id)
+            no_triple_urls = (
+                batch_df.select("url").distinct()
+                .join(manifest.select("url"), "url", "left_anti")
+                .withColumn("partition_id", F.lit(-1))
+                .withColumn("rows_out", F.lit(0))
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("completed_ts", F.current_timestamp())
+            )
+            manifest.unionByName(no_triple_urls).write.mode("append").parquet(manifest_path)
+        out.unpersist()
+        _touch(commit_marker)
+        os.remove(intent_marker)
+
+    return sink
+
+
 def start_kg_stream(
     spark: SparkSession,
     source_dir: str,
@@ -36,38 +117,17 @@ def start_kg_stream(
 ):
     """Stream doc parquet files from `source_dir` into the KG output layout
     (`triples/` + `manifest/`, run_id = ``stream-<batch_id>``).  Exactly-once
-    per micro-batch via foreachBatch + checkpoint; a crashed batch replays
-    and its orphan rows are dropped by the compaction's manifest semi-join
-    (same crash contract as batch resume)."""
-    from ..functions.udfs import docs_to_triples_fused
-    from ..operators.resume import lineage_manifest
-
+    per micro-batch via foreachBatch + checkpoint + the idempotent marker
+    protocol in `make_stream_sink` (module docstring has the crash matrix)."""
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-
-    triples_path = os.path.join(output_dir, "triples")
-    manifest_path = os.path.join(output_dir, "manifest")
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        run_id = f"stream-{batch_id}"
-        out = docs_to_triples_fused(batch_df).withColumn("run_id", F.lit(run_id)).persist()
-        out.write.mode("append").parquet(triples_path)
-        manifest = lineage_manifest(out, run_id=run_id)
-        no_triple_urls = (
-            batch_df.select("url").distinct()
-            .join(manifest.select("url"), "url", "left_anti")
-            .withColumn("partition_id", F.lit(-1))
-            .withColumn("rows_out", F.lit(0))
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("completed_ts", F.current_timestamp())
-        )
-        manifest.unionByName(no_triple_urls).write.mode("append").parquet(manifest_path)
-        out.unpersist()
-
-    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    writer = (
+        stream.writeStream.foreachBatch(make_stream_sink(output_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -73,14 +73,15 @@ def test_extract_document_dispatch_routes_pdf():
 
 
 def test_register_extractor_plugs_in():
-    register_extractor("docx", lambda b: "DOCX:" + b.decode())
+    # a suffix with no built-in arm, so teardown can simply delete it
+    register_extractor("wpd", lambda b: "WPD:" + b.decode())
     try:
-        assert extract_document("docx", b"zzz") == "DOCX:zzz"
-        assert get_extractor("docx") is not None
+        assert extract_document("wpd", b"zzz") == "WPD:zzz"
+        assert get_extractor("wpd") is not None
     finally:
         import aiwhispr_spark.docproc as dp
 
-        del dp._EXTRACTORS["docx"]
+        del dp._EXTRACTORS["wpd"]
 
 
 def test_dispatch_udf_routes_all_arms(spark):
@@ -96,3 +97,71 @@ def test_dispatch_udf_routes_all_arms(spark):
         ).collect()
     }
     assert out == {"a": "plain text", "b": "hi", "c": "Hello PDFWorld!again"}
+
+
+# --- OOXML arms (round 3: VERDICT r2 #4 — real docx/xlsx/pptx extractors) ----
+
+
+def test_docx_golden_tab_br_runs():
+    from aiwhispr_spark.docproc import _zip_of, extract_docx_text
+
+    doc = (
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        "<w:body>"
+        "<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/><w:t>c</w:t></w:r></w:p>"
+        '<w:p><w:r><w:t xml:space="preserve"> two  spaced </w:t></w:r></w:p>'
+        "</w:body></w:document>"
+    )
+    assert extract_docx_text(_zip_of({"word/document.xml": doc})) == "a\tb\nc\n two  spaced "
+
+
+def test_xlsx_golden_rich_runs_and_missing_sst():
+    from aiwhispr_spark.docproc import _zip_of, extract_xlsx_text
+
+    sst = (
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><r><t>a</t></r><r><t>b</t></r></si><si><t>c &amp; d</t></si></sst>"
+    )
+    assert extract_xlsx_text(_zip_of({"xl/sharedStrings.xml": sst})) == "ab\nc & d"
+    # workbook with no string table (numerics only) → empty text, not a crash
+    assert extract_xlsx_text(_zip_of({"xl/workbook.xml": "<x/>"})) == ""
+
+
+def test_pptx_golden_numeric_slide_order():
+    from aiwhispr_spark.docproc import _zip_of, extract_pptx_text
+
+    def slide(txt):
+        return (
+            '<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+            'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+            f"<p:txBody><a:p><a:r><a:t>{txt}</a:t></a:r></a:p></p:txBody></p:sld>"
+        )
+
+    payload = _zip_of(
+        {"ppt/slides/slide10.xml": slide("ten"), "ppt/slides/slide2.xml": slide("two")}
+    )
+    # numeric order (2 before 10), not lexicographic
+    assert extract_pptx_text(payload) == "two\nten"
+
+
+def test_office_roundtrip_and_banner_fallback():
+    from aiwhispr_spark.docproc import (
+        build_minimal_docx,
+        build_minimal_pptx,
+        build_minimal_xlsx,
+        extract_docx_text,
+        extract_pptx_text,
+        extract_xlsx_text,
+    )
+
+    texts = ["hello world", "multi\nline  with  spaces", "entities <a> & \"q\" 'x'", ""]
+    for t in texts:
+        assert extract_docx_text(build_minimal_docx(t)) == t
+        assert extract_xlsx_text(build_minimal_xlsx(t)) == t
+        assert extract_pptx_text(build_minimal_pptx(t)) == t
+    # corrupt payloads degrade to the typed banner (dispatch stays total)
+    assert extract_document("docx", b"not a zip").startswith("[DOCX]")
+    assert extract_document("xlsx", b"junk").startswith("[XLSX]")
+    assert extract_document("pptx", b"junk").startswith("[PPTX]")
+    # builders are byte-deterministic (fixed zip timestamps)
+    assert build_minimal_docx("x") == build_minimal_docx("x")

@@ -313,3 +313,144 @@ def test_streaming_ingest(spark, tmp_path):
     out2 = spark.read.parquet(sink)
     assert out2.count() == 8
     assert out2.select("content_path").distinct().count() == 8
+
+
+def test_global_row_number_matches_single_window(spark):
+    """Range-partitioned rank (operators/ranking.py) must equal the
+    single-partition-window rank under the same total order — including
+    ties on the leading keys and empty/singleton partitions."""
+    from pyspark.sql.window import Window
+
+    from aiwhispr_spark.operators.ranking import global_row_number
+
+    rows = [(i, i % 3, (i * 7) % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "grp", "val"])
+    order = [F.col("grp"), F.col("val").desc(), F.col("id")]
+    got = {
+        r["id"]: r["rank"]
+        for r in global_row_number(df, order, num_partitions=7).collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy(*order)).cast("int").alias("rank")
+        ).collect()
+    }
+    assert got == want
+    # more partitions than rows: offsets over empty partitions still correct
+    tiny = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    got3 = {
+        r["id"]: r["rank"]
+        for r in global_row_number(tiny, [F.col("id")], num_partitions=8).collect()
+    }
+    assert got3 == {1: 1, 2: 2, 3: 3}
+
+
+def test_percentile_approx_tolerance(spark):
+    """VERDICT r2 #3 gate for the percentile scale path: at production
+    accuracy (1000) the GK sketch's p50/p90 must land within the guaranteed
+    rank error (n/accuracy ranks) of the exact discrete quantile; at max
+    accuracy it must be EXACT (that exactness is what lets
+    chars_percentiles_approx hash-match DuckDB's quantile_disc)."""
+    import numpy as np
+
+    # a permutation (37 coprime to 5000): distinct values, so value→rank via
+    # searchsorted is unambiguous
+    vals = [float((i * 37) % 5000) for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    s = sorted(vals)
+    n = len(s)
+
+    def ranks_of(accuracy):
+        row = df.agg(
+            F.percentile_approx(F.col("x"), F.lit([0.5, 0.9]), F.lit(accuracy)).alias("p")
+        ).first()
+        return [np.searchsorted(s, v) for v in row["p"]]
+
+    exact_ranks = [int(np.ceil(q * n)) - 1 for q in (0.5, 0.9)]
+    # max accuracy ⇒ exact discrete quantile
+    assert ranks_of(2147483647) == exact_ranks
+    # production accuracy ⇒ within the documented rank-error bound
+    tol = n / 1000 + 1
+    for got, want in zip(ranks_of(1000), exact_ranks):
+        assert abs(got - want) <= tol
+
+
+def test_parse_websearch_grammar():
+    from aiwhispr_spark.operators.fulltext import parse_websearch
+
+    assert parse_websearch('"table value" scan OR merge -vector') == [
+        {"any": ["table value"], "negated": False},
+        {"any": ["scan", "merge"], "negated": False},
+        {"any": ["vector"], "negated": True},
+    ]
+    # OR chains fold into one group; negation never joins a disjunction
+    assert parse_websearch("a OR b OR c -d OR e") == [
+        {"any": ["a", "b", "c"], "negated": False},
+        {"any": ["d"], "negated": True},
+        {"any": ["e"], "negated": False},
+    ]
+    # quoted phrases normalize inner whitespace + case; empty items drop
+    assert parse_websearch('-"Foo   BAR" "" x') == [
+        {"any": ["foo bar"], "negated": True},
+        {"any": ["x"], "negated": False},
+    ]
+    assert parse_websearch("") == []
+    assert parse_websearch("OR OR") == []
+
+
+def test_websearch_match_against_python_reference(spark):
+    """Compiled predicate ≡ a direct python evaluator of the same grammar,
+    over texts hitting every branch (phrase, OR, negation, empty query)."""
+    import re as _re
+
+    from aiwhispr_spark.operators.fulltext import parse_websearch, websearch_match
+
+    texts = [
+        (1, "table value scan here"),
+        (2, "table value merge there"),
+        (3, "table value vector merge"),  # knocked out by -vector
+        (4, "scan merge alone"),          # no phrase
+        (5, "value table scan"),          # phrase order matters
+        (6, "TABLE   Value   MERGE"),     # case + whitespace normalize
+        (7, ""),
+    ]
+    df = spark.createDataFrame(texts, ["id", "text"])
+
+    def py_eval(text, query):
+        padded = " " + _re.sub(r"\s+", " ", text.strip().lower()) + " "
+        ok = True
+        for g in parse_websearch(query):
+            hit = any(f" {item} " in padded for item in g["any"])
+            ok = ok and (not hit if g["negated"] else hit)
+        return ok
+
+    for query in [
+        '"table value" scan OR merge -vector',
+        "scan OR vector",
+        '-"table value"',
+        "",
+    ]:
+        got = {r["id"] for r in df.filter(websearch_match(F.col("text"), query)).collect()}
+        want = {i for i, t in texts if py_eval(t, query)}
+        assert got == want, (query, got, want)
+
+
+def test_search_fields_weighted_ranks_title_over_body(spark):
+    from aiwhispr_spark.operators.fulltext import search_fields_weighted
+
+    rows = [
+        (1, "spark spark spark", "other words"),   # 3 body hits = 3.0
+        (2, "nothing here", "spark title"),        # 1 title hit = 4.0
+        (3, "spark once", "spark title"),          # 1 + 4 = 5.0
+        (4, "none", "none"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "title"])
+    got = [
+        (r["id"], r["score_i"], r["n_fields"])
+        for r in search_fields_weighted(
+            df, ["spark"], {"text": 1.0, "title": 4.0}, k=10
+        ).collect()
+    ]
+    # weighted: doc3 (1·1 + 1·4 = 5) > doc2 (4) > doc1 (3); doc4 absent
+    assert got == [(3, 50000, 2), (2, 40000, 1), (1, 30000, 1)]

