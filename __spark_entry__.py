@@ -1379,6 +1379,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triples_synthetic"] = kg_triples
 
+    def kg_session_prov(spark, sf):
+        # session-scoped provenance (VERDICT r2 #8, batch twin): gap-based
+        # crawl sessions per HOST over the simple corpus (13 hosts × ~12
+        # docs, 4043 s between a host's consecutive fetches), joined onto
+        # the E1-E3 triple counts per url.  Timestamps get a deterministic
+        # (page % 7)·600 s jitter: per-host arrival order is preserved
+        # (600·6 < 4043) while consecutive gaps become {3443, 7643} s —
+        # straddling the 4000 s threshold, so BOTH the merge and the split
+        # branch of the sessionizer carry rows.  The streaming twin
+        # (streaming/kg_stream.py::start_kg_stream_sessionized) is pinned
+        # equal to this batch assignment in tests/test_streaming_stateful.py.
+        from aiwhispr_spark.functions.udfs import extract_triples_df
+        from aiwhispr_spark.operators.temporal import assign_crawl_sessions
+        from aiwhispr_spark.plans.kg_pipeline import docs_to_chunks
+
+        docs = spark.read.parquet(_ensure_simple_corpus())
+        page = F.regexp_extract("url", r"p/(\d+)$", 1).cast("int")
+        prepared = docs.select(
+            "url",
+            F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"),
+            (F.unix_timestamp("warc_ts") + (page % 7) * 600).cast("long").alias("ep"),
+        )
+        sess = assign_crawl_sessions(
+            prepared, key_col="host", ts_col="ep", gap_seconds=4000, tiebreak_col="url"
+        )
+        counts = (
+            extract_triples_df(docs_to_chunks(docs))
+            .groupBy("url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triples"))
+        )
+        return sess.join(counts, "url", "left").select(
+            "url",
+            "host",
+            "session_id",
+            F.coalesce("n_triples", F.lit(0)).cast("long").alias("n_triples"),
+        )
+
+    q["kg_session_provenance"] = kg_session_prov
+
     def q7_pca_map(spark, sf):
         # Q7 (6_Semantic_Search.py:420-437): StandardScaler+PCA(3) over result
         # embeddings for the semantic plot.  pyspark.ml implementation;
@@ -2146,6 +2185,33 @@ def oracle_sql() -> dict[str, str]:
     """
     o["multimodal_features"] = _multimodal_sql()
     o["kg_triples_synthetic"] = _kg_e2e_sql()
+    o["kg_session_provenance"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        counts AS (SELECT url, CAST(count(*) AS BIGINT) AS n_triples FROM t GROUP BY url),
+        d AS (
+          SELECT url,
+                 regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+                 CAST(floor(epoch(warc_ts))
+                      + (CAST(regexp_extract(url, 'p/(\\d+)$', 1) AS INT) % 7) * 600
+                   AS BIGINT) AS ep
+          FROM read_parquet('{_ensure_simple_corpus()}')
+        ),
+        g AS (
+          SELECT *, CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 4000
+                         THEN 1 ELSE 0 END AS ns
+          FROM d WINDOW w AS (PARTITION BY host ORDER BY ep, url)
+        ),
+        m AS (
+          SELECT *, sum(ns) OVER (PARTITION BY host ORDER BY ep, url) AS sno FROM g
+        ),
+        s AS (
+          SELECT url, host,
+                 host || '@' || CAST(CAST(min(ep) OVER (PARTITION BY host, sno) AS BIGINT) AS VARCHAR) AS session_id
+          FROM m
+        )
+        SELECT s.url, s.host, s.session_id, coalesce(c.n_triples, 0) AS n_triples
+        FROM s LEFT JOIN counts c ON c.url = s.url
+    """
     o["tpch_q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

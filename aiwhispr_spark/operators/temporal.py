@@ -133,3 +133,50 @@ def asof_join(
     return filled.filter(F.col("_is_right") == 0).select(
         "_left.*", *[F.col("_vals").getField(c).alias(c) for c in value_cols]
     )
+
+
+def assign_crawl_sessions(
+    df: DataFrame,
+    key_col: str = "host",
+    ts_col: str = "ep",
+    gap_seconds: int = 3600,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based session ASSIGNMENT (batch): append ``session_id`` =
+    ``<key>@<session_start>`` to every row, where a session is a maximal run
+    of same-key rows whose consecutive ``ts_col`` gaps are ≤ ``gap_seconds``
+    and session_start is the session's first timestamp.
+
+    This is the batch twin of the streaming doc sessionizer
+    (streaming/kg_stream.py::sessionize_docs_stream): over in-order input the
+    two assign IDENTICAL session ids (test-pinned), which is what lets
+    session-scoped triple provenance be recomputed offline.
+
+    Differs from the closed-session AGGREGATION (events_sessionize /
+    streaming/stateful.py) in that it labels the input rows instead of
+    emitting one row per session.  Scale: two windows over the same (key, ts)
+    partitioning — one shuffle, each task holds one key group.  Pass
+    ``tiebreak_col`` when timestamps can tie within a key."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    lagged = F.lag(ts_col).over(w)
+    new_s = F.when(
+        lagged.isNull() | ((F.col(ts_col) - lagged) > gap_seconds), 1
+    ).otherwise(0)
+    run = F.sum("_new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_sess = Window.partitionBy(key_col, "_session_no")
+    return (
+        df.withColumn("_new_session", new_s)
+        .withColumn("_session_no", run)
+        .withColumn(
+            "session_id",
+            F.concat(
+                F.col(key_col),
+                F.lit("@"),
+                F.min(ts_col).over(w_sess).cast("long").cast("string"),
+            ),
+        )
+        .drop("_new_session", "_session_no")
+    )

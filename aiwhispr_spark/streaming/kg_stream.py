@@ -67,7 +67,12 @@ def _run_landed(spark: SparkSession, table_path: str, run_id: str) -> bool:
 def make_stream_sink(output_dir: str):
     """Build the idempotent foreachBatch sink (exposed for direct testing:
     calling the sink twice with the same batch_id must leave the output
-    byte-identical to calling it once)."""
+    byte-identical to calling it once).
+
+    If the batch carries a ``session_id`` column (the sessionized ingest path,
+    `start_kg_stream_sessionized`), every triple row is tagged with its doc's
+    session id — session-scoped provenance riding the same exactly-once
+    contract."""
     triples_path = os.path.join(output_dir, "triples")
     manifest_path = os.path.join(output_dir, "manifest")
     commits_dir = os.path.join(output_dir, "_stream_commits")
@@ -86,7 +91,13 @@ def make_stream_sink(output_dir: str):
         partial_replay = os.path.exists(intent_marker)
         _touch(intent_marker)
 
-        out = docs_to_triples_fused(batch_df).withColumn("run_id", F.lit(run_id)).persist()
+        out = docs_to_triples_fused(batch_df).withColumn("run_id", F.lit(run_id))
+        if "session_id" in batch_df.columns:
+            # per-batch url→session map is batch-sized (tiny) → broadcast
+            out = out.join(
+                F.broadcast(batch_df.select("url", "session_id").distinct()), "url", "left"
+            )
+        out = out.persist()
         if not (partial_replay and _run_landed(spark, triples_path, run_id)):
             out.write.mode("append").parquet(triples_path)
         if not (partial_replay and _run_landed(spark, manifest_path, run_id)):
@@ -126,6 +137,102 @@ def start_kg_stream(
     )
     writer = (
         stream.writeStream.foreachBatch(make_stream_sink(output_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- sessionized ingest: session-scoped provenance on triples -----------------------
+
+SESSIONIZED_DOC_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "host string, ep long, session_id string"
+)
+_DOC_STATE_SCHEMA = "session_start long, last_ts long"
+
+
+def make_doc_sessionizer(gap_seconds: int):
+    """applyInPandasWithState fn: label each incoming doc with the crawl
+    session open for its host at processing time — ``session_id =
+    <host>@<session_start>``, a new session starting when the gap since the
+    host's previous doc exceeds ``gap_seconds``.  State is the minimal
+    (session_start, last_ts) pair per host and crosses micro-batches, so a
+    session spanning many batches keeps ONE id.  Enrichment, not
+    aggregation: rows pass through (sorted by ep within the batch) with the
+    id appended — the closed-session aggregate remains stateful.py's job.
+
+    Contract with the batch twin (operators/temporal.py::
+    assign_crawl_sessions): over per-host ts-ordered arrivals the two assign
+    identical ids (test-pinned).  An out-of-order CROSS-batch arrival joins
+    the open session (its id stays the session's first-seen ts) — the
+    streaming-only approximation, same trade the stateful sessionizer makes."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            start, last = state.get
+        else:
+            start, last = None, None
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values("ep", kind="mergesort")
+        starts = []
+        for t in (int(x) for x in rows["ep"]):
+            if last is None or t - last > gap_seconds:
+                start = t
+            last = t if last is None else max(last, t)
+            starts.append(start)
+        state.update((start, last))
+        rows = rows.assign(session_id=[f"{key[0]}@{s}" for s in starts])
+        yield rows
+
+    return fn
+
+
+def sessionize_docs_stream(docs: DataFrame, gap_seconds: int) -> DataFrame:
+    """Streaming docs (url, warc_ts, html, text, lang) → same rows + (host,
+    ep, session_id).  One shuffle per micro-batch on host (the state-store
+    partitioning); state is O(active hosts) × two longs."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = docs.withColumn(
+        "host", F.regexp_extract("url", r"https?://([^/]+)", 1)
+    ).withColumn("ep", F.unix_timestamp("warc_ts").cast("long"))
+    return prepared.groupBy("host").applyInPandasWithState(
+        make_doc_sessionizer(gap_seconds),
+        outputStructType=SESSIONIZED_DOC_SCHEMA,
+        stateStructType=_DOC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_kg_stream_sessionized(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 3600,
+    max_files_per_trigger: int = 16,
+    trigger_available_now: bool = True,
+):
+    """The sessionized ingest composition: file stream → per-host stateful
+    session labeling → fused E1-E3 triples CARRYING session_id → the
+    idempotent run-tagged append.  The stateful operator is load-bearing on
+    the ingest path (every triple's provenance includes the crawl session
+    that produced it), and the output contract stays the batch-compatible
+    (triples/ + manifest/) layout plus the session_id column."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    enriched = sessionize_docs_stream(stream, gap_seconds)
+    writer = (
+        enriched.writeStream.foreachBatch(make_stream_sink(output_dir))
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_available_now:

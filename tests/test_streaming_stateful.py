@@ -366,3 +366,75 @@ def test_kg_stream_sink_replay_idempotent(spark, tmp_path, monkeypatch):
     m = spark.read.parquet(out + "/manifest")
     assert m.count() == 2 * n_manifest
     assert m.filter(F.col("run_id") == "stream-8").select("url").distinct().count() == 20
+
+
+def test_sessionized_kg_stream_matches_batch_twin(spark, tmp_path):
+    """VERDICT r2 #8: the stateful sessionizer is load-bearing on the ingest
+    path — streamed triples carry session-scoped provenance IDENTICAL to the
+    batch recomputation (assign_crawl_sessions + fused triples), with
+    sessions crossing micro-batches (a host's later doc in a later batch
+    keeps the session_start opened in an earlier batch's state)."""
+    import glob as globmod
+    import shutil
+
+    from aiwhispr_spark.functions.udfs import docs_to_triples_fused
+    from aiwhispr_spark.operators.temporal import assign_crawl_sessions
+    from aiwhispr_spark.sources.synthetic import write_simple_corpus_parquet
+    from aiwhispr_spark.streaming.kg_stream import start_kg_stream_sessionized
+
+    corpus = str(tmp_path / "corpus.parquet")
+    write_simple_corpus_parquet(corpus, n_docs=60)
+    full = spark.read.parquet(corpus)
+    page = F.regexp_extract("url", r"p/(\d+)$", 1).cast("int")
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def one_file(df, name, mtime):
+        tmp = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = globmod.glob(tmp + "/part-*.parquet")[0]
+        dest = str(src / name)
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    # three arrival batches in warc_ts order: a host's 4-5 docs straddle them
+    one_file(full.filter(page < 20), "a.parquet", 1_000_000)
+    one_file(full.filter((page >= 20) & (page < 40)), "b.parquet", 2_000_000)
+    one_file(full.filter(page >= 40), "c.parquet", 3_000_000)
+
+    out = str(tmp_path / "kg")
+    # per-host fetch spacing is 13·311 = 4043 s → gap_seconds=4043 keeps each
+    # host's docs in ONE session (the ≤-gap merge branch), forcing the id to
+    # survive in state across batches
+    q = start_kg_stream_sessionized(
+        spark, str(src), out, str(tmp_path / "ck"), gap_seconds=4043, max_files_per_trigger=1
+    )
+    q.awaitTermination(240)
+
+    streamed = spark.read.parquet(out + "/triples")
+    sessions = assign_crawl_sessions(
+        full.select(
+            "url",
+            F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"),
+            F.unix_timestamp("warc_ts").cast("long").alias("ep"),
+        ),
+        key_col="host",
+        ts_col="ep",
+        gap_seconds=4043,
+        tiebreak_col="url",
+    )
+    batch_twin = docs_to_triples_fused(full).join(
+        sessions.select("url", "session_id"), "url"
+    )
+    key = ["url", "chunk_no", "subj", "pred", "obj", "session_id"]
+    assert streamed.select(key).exceptAll(batch_twin.select(key)).count() == 0
+    assert batch_twin.select(key).exceptAll(streamed.select(key)).count() == 0
+    # provenance really is session-scoped AND cross-batch: at least one
+    # session's triples came from more than one micro-batch run
+    spanning = (
+        streamed.groupBy("session_id")
+        .agg(F.countDistinct("run_id").alias("n_runs"))
+        .filter(F.col("n_runs") >= 2)
+    )
+    assert spanning.count() > 0
