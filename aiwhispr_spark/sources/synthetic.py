@@ -206,9 +206,11 @@ def write_simple_corpus_parquet(path: str, n_docs: int, n_entities: int = 50) ->
     return path
 
 
-def generate_rows(n_docs: int, n_entities: int = 200):
-    """Yield dict rows of the documents table (html as utf-8 bytes)."""
-    for i in range(n_docs):
+def generate_rows(n_docs: int, n_entities: int = 200, start: int = 0):
+    """Yield dict rows of the documents table (html as utf-8 bytes) for doc
+    indices [start, n_docs).  Generation is deterministic per index, so
+    shard writers can materialize disjoint ranges in parallel."""
+    for i in range(start, n_docs):
         html, lang = make_doc_html(i, n_entities)
         yield {
             "url": f"https://site{i % 97}.example.org/page/{i}",
