@@ -1754,8 +1754,12 @@ def oracle_sql() -> dict[str, str]:
                     WHEN suffix = 'html' THEN regexp_replace({HTML_WRAP_SQL}, '{CLEANR_PATTERN}', '', 'g')
                     WHEN suffix = 'pdf' THEN '[PDF]' || substr(text, 1, 40)
                     -- docx/xlsx/pptx: payload is an OOXML zip OF the text,
-                    -- so a correct extractor round-trips it exactly
-                    ELSE text END AS extracted
+                    -- so a correct extractor round-trips it exactly; the
+                    -- builder strips XML-1.0-INVALID control chars (the only
+                    -- unrepresentable bytes — CR survives via &#13;), so the
+                    -- oracle mirrors the strip for cross-sf robustness
+                    ELSE regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')
+                    END AS extracted
         FROM routed
     """
     o["g1_qa_assembly"] = """
@@ -1869,23 +1873,26 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ),
         fields AS (
-          SELECT doc_id, 1.0 AS w, text  AS val FROM base
-          UNION ALL SELECT doc_id, 3.0, title FROM base
-          UNION ALL SELECT doc_id, 5.0, content_path FROM base
+          -- field tag carried explicitly: n_fields counts distinct FIELDS,
+          -- which only coincides with distinct weights while weights happen
+          -- to be unique (r3 self-review finding)
+          SELECT doc_id, 'text' AS field, 1.0 AS w, text  AS val FROM base
+          UNION ALL SELECT doc_id, 'title', 3.0, title FROM base
+          UNION ALL SELECT doc_id, 'content_path', 5.0, content_path FROM base
         ),
         toks AS (
-          SELECT doc_id, w,
+          SELECT doc_id, field, w,
                  unnest(regexp_split_to_array(lower(trim(val)), '\\s+')) AS token
           FROM fields
         ),
         hits AS (
-          SELECT doc_id, w, token FROM toks
+          SELECT doc_id, field, w, token FROM toks
           WHERE token IN ('batch', 'spark', 'src3/3.txt')
         )
         SELECT doc_id,
                CAST(round(10000 * sum(w)) AS BIGINT) AS score_i,
                CAST(count(DISTINCT token) AS INT) AS n_terms,
-               CAST(count(DISTINCT w) AS INT) AS n_fields
+               CAST(count(DISTINCT field) AS INT) AS n_fields
         FROM hits GROUP BY doc_id
         ORDER BY score_i DESC, doc_id LIMIT 30
     """

@@ -212,6 +212,21 @@ _W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
 _A = "http://schemas.openxmlformats.org/drawingml/2006/main"
 
 
+_XML_INVALID = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def _xml_safe(text: str) -> str:
+    """Embed arbitrary text in XML content with a lossless-as-possible
+    round trip: XML-1.0-INVALID control chars are STRIPPED (they cannot be
+    represented, even as character references), and '\\r' is emitted as
+    ``&#13;`` — parsers normalize a literal CR to LF before parsing, but
+    character references expand after normalization, so the CR survives
+    extraction byte-exactly."""
+    from xml.sax.saxutils import escape
+
+    return escape(_XML_INVALID.sub("", text)).replace("\r", "&#13;")
+
+
 def _zip_of(parts: dict[str, str]) -> bytes:
     import io
     import zipfile
@@ -224,10 +239,8 @@ def _zip_of(parts: dict[str, str]) -> bytes:
 
 
 def build_minimal_docx(text: str) -> bytes:
-    from xml.sax.saxutils import escape
-
     body = "".join(
-        f'<w:p><w:r><w:t xml:space="preserve">{escape(p)}</w:t></w:r></w:p>'
+        f'<w:p><w:r><w:t xml:space="preserve">{_xml_safe(p)}</w:t></w:r></w:p>'
         for p in text.split("\n")
     )
     doc = f'<w:document xmlns:w="{_W}"><w:body>{body}</w:body></w:document>'
@@ -235,20 +248,16 @@ def build_minimal_docx(text: str) -> bytes:
 
 
 def build_minimal_xlsx(text: str) -> bytes:
-    from xml.sax.saxutils import escape
-
     sis = "".join(
-        f'<si><t xml:space="preserve">{escape(line)}</t></si>' for line in text.split("\n")
+        f'<si><t xml:space="preserve">{_xml_safe(line)}</t></si>' for line in text.split("\n")
     )
     sst = f'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">{sis}</sst>'
     return _zip_of({"xl/sharedStrings.xml": sst})
 
 
 def build_minimal_pptx(text: str) -> bytes:
-    from xml.sax.saxutils import escape
-
     paras = "".join(
-        f'<a:p><a:r><a:t>{escape(p)}</a:t></a:r></a:p>' for p in text.split("\n")
+        f'<a:p><a:r><a:t>{_xml_safe(p)}</a:t></a:r></a:p>' for p in text.split("\n")
     )
     slide = (
         f'<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
@@ -337,8 +346,10 @@ def office_payload_udf():
 
     @pandas_udf(BinaryType())
     def _udf(suffix: pd.Series, text: pd.Series) -> pd.Series:
+        # (t or ""): a NULL text row must degrade to an empty document, not
+        # crash the task (the corpus schema allows text=None)
         return pd.Series(
-            [builders[s](t) if s in builders else b"" for s, t in zip(suffix, text)]
+            [builders[s](t or "") if s in builders else b"" for s, t in zip(suffix, text)]
         )
 
     return _udf

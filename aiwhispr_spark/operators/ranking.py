@@ -20,10 +20,20 @@ holds one range partition — 1/N of the data — not all of it.
 
 Determinism requires a TOTAL order: callers must include a unique tie-break
 column in ``order_cols`` (ties within a range partition would otherwise rank
-arbitrarily).  Range boundaries are sampled deterministically (seeded per
-input partition), so the counts pass and the rank pass see identical
-boundaries — and under a total order the emitted ranks are boundary-
-independent anyway.
+arbitrarily).
+
+Boundary determinism: the counts pass and the rank pass are two separate
+plan EXECUTIONS, and ShuffleExchangeExec re-samples range boundaries per
+execution (seeded by the new RDD's id) — unpersisted, the offsets from
+pass 1 would be applied to differently-bounded partitions in pass 2,
+yielding duplicate/skipped ranks (reproduced at >100 rows per input
+partition, where the reservoir sample actually subsamples).  The ranged
+frame is therefore PERSISTED before the counts collect: both jobs read the
+same materialized partitions, and even a cache-evicted partition recomputes
+through the first execution's shuffle dependency, whose partitioner (and
+boundaries) are fixed.  The cached intermediate is the caller-projected
+columns only; call ``spark.catalog.clearCache()`` (or unpersist after fully
+consuming the result) in long-lived sessions.
 """
 
 from __future__ import annotations
@@ -49,7 +59,11 @@ def global_row_number(
     hash Exchange carry every column of ``df``."""
     order_cols = list(order_cols)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(_PID, F.spark_partition_id())
+    # persist REQUIRED for correctness, not speed: pins the sampled range
+    # boundaries across the counts job and the rank job (module docstring)
+    ranged = (
+        df.repartitionByRange(n, *order_cols).withColumn(_PID, F.spark_partition_id()).persist()
+    )
     # bounded collect: one (pid, count) row per range partition
     counts = {
         r[_PID]: r["cnt"]

@@ -93,10 +93,17 @@ def make_stream_sink(output_dir: str):
 
         out = docs_to_triples_fused(batch_df).withColumn("run_id", F.lit(run_id))
         if "session_id" in batch_df.columns:
-            # per-batch url→session map is batch-sized (tiny) → broadcast
-            out = out.join(
-                F.broadcast(batch_df.select("url", "session_id").distinct()), "url", "left"
+            # per-batch url→session map, ONE row per url: a url re-fetched
+            # within the batch across a session boundary has two doc rows
+            # (two session ids), but its triple rows are url-keyed and
+            # indistinguishable per fetch — an ambiguous join would fan each
+            # triple out to every session (row multiplication).  Provenance
+            # resolves to the LATEST fetch's session (max_by ep); tiny map →
+            # broadcast.
+            smap = batch_df.groupBy("url").agg(
+                F.max_by("session_id", "ep").alias("session_id")
             )
+            out = out.join(F.broadcast(smap), "url", "left")
         out = out.persist()
         if not (partial_replay and _run_landed(spark, triples_path, run_id)):
             out.write.mode("append").parquet(triples_path)

@@ -154,11 +154,24 @@ def test_office_roundtrip_and_banner_fallback():
         extract_xlsx_text,
     )
 
-    texts = ["hello world", "multi\nline  with  spaces", "entities <a> & \"q\" 'x'", ""]
+    texts = [
+        "hello world",
+        "multi\nline  with  spaces",
+        "entities <a> & \"q\" 'x'",
+        "",
+        "carriage\rreturn and\ttab",  # CR survives via &#13; (parsers
+        # normalize a LITERAL \r to \n, but char references expand after
+        # normalization)
+    ]
     for t in texts:
         assert extract_docx_text(build_minimal_docx(t)) == t
         assert extract_xlsx_text(build_minimal_xlsx(t)) == t
         assert extract_pptx_text(build_minimal_pptx(t)) == t
+    # XML-1.0-invalid control chars cannot be represented → stripped, the
+    # documented (and oracle-mirrored) degradation
+    assert extract_docx_text(build_minimal_docx("a\x03b")) == "ab"
+    assert extract_xlsx_text(build_minimal_xlsx("a\x00b")) == "ab"
+    assert extract_pptx_text(build_minimal_pptx("a\x1fb")) == "ab"
     # corrupt payloads degrade to the typed banner (dispatch stays total)
     assert extract_document("docx", b"not a zip").startswith("[DOCX]")
     assert extract_document("xlsx", b"junk").startswith("[XLSX]")

@@ -323,20 +323,27 @@ def test_global_row_number_matches_single_window(spark):
 
     from aiwhispr_spark.operators.ranking import global_row_number
 
-    rows = [(i, i % 3, (i * 7) % 5) for i in range(200)]
-    df = spark.createDataFrame(rows, ["id", "grp", "val"])
+    # >100 rows per input partition: RangePartitioner's reservoir sample
+    # actually subsamples, so boundary re-sampling across the counts job and
+    # the rank job WOULD diverge without the operator's persist (the
+    # duplicate-rank bug the r3 self-review reproduced at exactly this size)
+    rows = [(i, i % 3, (i * 7) % 5) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["id", "grp", "val"]).coalesce(4)
     order = [F.col("grp"), F.col("val").desc(), F.col("id")]
-    got = {
-        r["id"]: r["rank"]
-        for r in global_row_number(df, order, num_partitions=7).collect()
-    }
     want = {
         r["id"]: r["rank"]
         for r in df.select(
             "id", F.row_number().over(Window.orderBy(*order)).cast("int").alias("rank")
         ).collect()
     }
-    assert got == want
+    for _ in range(3):
+        got = {
+            r["id"]: r["rank"]
+            for r in global_row_number(df, order, num_partitions=8).collect()
+        }
+        assert got == want
+        assert sorted(got.values()) == list(range(1, 5001))  # no dup/skip
+    df.sparkSession.catalog.clearCache()
     # more partitions than rows: offsets over empty partitions still correct
     tiny = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
     got3 = {

@@ -45,8 +45,11 @@ def _check_invariants(report: dict, n_docs: int) -> None:
     # the corpus plants each entity as exactly 3 surface forms: any larger
     # family is an over-merge (the r2 entity14∪entity140 class of bug)
     assert fams and fams[0]["n_aliases"] <= 3, f"over-merge: {fams[0]}"
-    # under-merge bound: at most one family per planted surface form
-    assert report["n_entities"] <= 3 * 200
+    # under-merge: ~160/200 planted entities survive extraction (measured at
+    # 20k AND 1M); zero merging yields ~3× that, so the bound sits near the
+    # planted count — 3×200 would be vacuously satisfied by a total blocking
+    # failure
+    assert report["n_entities"] <= 1.25 * 200, f"under-merge: {report['n_entities']} families"
 
 
 def test_stress_invariants_small(tmp_path):

@@ -113,7 +113,14 @@ def main() -> None:
     # structural invariants (the corpus plants exactly 3 surfaces per entity)
     max_fam = top[0]["n_aliases"] if top else 0
     assert max_fam <= 3, f"OVER-MERGE: alias family of size {max_fam}: {top[0]}"
-    assert n_entities_out <= 3 * n_entities, "more families than planted surfaces"
+    # under-merge: ~160/200 planted entities survive extraction at every
+    # measured size (20k and 1M), each as ONE 3-surface family.  Zero merging
+    # (the degenerate-banding failure class) yields ~3× that — so the bound
+    # must sit near the planted-entity count, NOT at 3×n_entities (which a
+    # total blocking failure would still satisfy).
+    assert n_entities_out <= 1.25 * n_entities, (
+        f"UNDER-MERGE: {n_entities_out} families vs ~{n_entities} planted entities"
+    )
     spark.stop()
 
 
