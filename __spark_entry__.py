@@ -780,6 +780,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["websearch_parse_filter"] = websearch_filter
 
+    def phrase_positional(spark, sf):
+        # phrase search THE SCALE WAY: positional-posting intersection
+        # (shift each word's postings by its phrase offset, count full-slot
+        # starts) instead of websearch_match's substring scan — the access
+        # path a 100 TB corpus needs (index written once, bucketed by token;
+        # queries touch only their terms' posting lists)
+        from aiwhispr_spark.operators.fulltext import (
+            build_positional_index,
+            search_phrase,
+        )
+
+        d = _t(spark, sf, "documents")
+        idx = build_positional_index(d, "text", "doc_id")
+        return search_phrase(idx, "hash value", k=20).withColumnRenamed("id", "doc_id")
+
+    q["phrase_search_positional"] = phrase_positional
+
     # ---- dedup / similarity (training-data ops) ----
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1587,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chars_percentiles_approx",
         "fulltext_multifield_rank",
         "websearch_parse_filter",
+        "phrase_search_positional",
         "u5_doc_dispatch",
         "kg_session_provenance",
         "pack_sequences_greedy",
@@ -1895,6 +1913,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT field) AS INT) AS n_fields
         FROM hits GROUP BY doc_id
         ORDER BY score_i DESC, doc_id LIMIT 30
+    """
+    o["phrase_search_positional"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token,
+                 generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) - 1 AS pos
+          FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, pos - slot_off AS start
+          FROM toks JOIN (VALUES ('hash', 0), ('value', 1)) s(token, slot_off) USING (token)
+          WHERE token <> ''
+          GROUP BY doc_id, pos - slot_off
+          HAVING count(*) = 2
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM starts GROUP BY doc_id
+        ORDER BY n_occurrences DESC, doc_id LIMIT 20
     """
     o["websearch_parse_filter"] = """
         WITH t AS (

@@ -335,3 +335,65 @@ def websearch_match(text_col, query: str):
             p = ~p
         conj = p if conj is None else conj & p
     return conj if conj is not None else F.lit(True)
+
+
+# --- positional index: phrase search as a dataflow -----------------------------------
+
+
+def build_positional_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(token, id, pos) POSITIONAL posting table (pos = 0-based token offset).
+
+    The scale path for phrase queries: `websearch_match` evaluates phrases as
+    substring containment — a full corpus scan per query, fine as a filter
+    inside another plan but wrong as the primary access path at 100 TB.  A
+    positional index is written once (bucketed by token, like
+    `write_bucketed_postings`) and each phrase query touches only its terms'
+    posting lists."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def search_phrase(
+    index_pos: DataFrame, phrase: str, k: int = 20
+) -> DataFrame:
+    """Exact phrase search over a positional posting table: top-k
+    ``(id, n_occurrences)`` of docs containing the words of ``phrase``
+    consecutively.
+
+    Dataflow (the classic positional-intersection): for the i-th phrase word,
+    take its postings shifted by -i (``pos - i``) — a phrase occurrence is a
+    (id, start) group where ALL n words land on the same shifted position.
+    One broadcast of the n-row term list, one aggregation keyed (id, start),
+    one per-doc count: the corpus text is never rescanned, and the join fans
+    out only the phrase terms' postings.  Repeated words in the phrase are
+    handled by counting per-slot matches (a slot hits iff its (token, offset)
+    pair matches), not distinct tokens."""
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("empty phrase")
+    spark = index_pos.sparkSession
+    slots = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(words)], "token string, offset int"
+    )
+    starts = (
+        index_pos.join(F.broadcast(slots), "token")
+        .select("id", (F.col("pos") - F.col("offset")).alias("start"))
+        .groupBy("id", "start")
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        # every slot present at this start → a phrase occurrence.  Token
+        # positions are unique per doc, so each (slot, start) contributes ≤1.
+        .filter(F.col("n_slots") == len(words))
+    )
+    return (
+        starts.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -461,3 +461,32 @@ def test_search_fields_weighted_ranks_title_over_body(spark):
     ]
     # weighted: doc3 (1·1 + 1·4 = 5) > doc2 (4) > doc1 (3); doc4 absent
     assert got == [(3, 50000, 2), (2, 40000, 1), (1, 30000, 1)]
+
+
+def test_search_phrase_positional(spark):
+    from aiwhispr_spark.operators.fulltext import build_positional_index, search_phrase
+
+    rows = [
+        (1, "the hash value is a hash value thing"),  # 2 occurrences
+        (2, "hash then value apart"),                 # words present, not adjacent
+        (3, "value hash reversed"),                   # wrong order
+        (4, "prefix hash value"),                     # 1 occurrence at the end
+        (5, "data data data"),                        # repeated-word doc
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = build_positional_index(df)
+
+    got = {r["id"]: r["n_occurrences"] for r in search_phrase(idx, "hash value").collect()}
+    assert got == {1: 2, 4: 1}
+
+    # repeated word in the phrase: "data data" occurs at starts 0 and 1
+    got2 = {r["id"]: r["n_occurrences"] for r in search_phrase(idx, "data data").collect()}
+    assert got2 == {5: 2}
+
+    # single-word phrase degenerates to tf
+    got3 = {r["id"]: r["n_occurrences"] for r in search_phrase(idx, "hash").collect()}
+    assert got3 == {1: 2, 2: 1, 3: 1, 4: 1}
+
+    with pytest.raises(ValueError):
+        search_phrase(idx, "   ")
