@@ -107,6 +107,43 @@ def _ensure_simple_corpus() -> str:
     return path
 
 
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """DuckDB twin of operators/graph.py::pagerank over the simple-corpus
+    triple graph: the same synchronous recurrence UNROLLED (one CTE pair per
+    iteration — dangling mass + contribution sum), same double-math formula
+    and association order, so round(1e6·pr) hashes identically."""
+    parts = [
+        f"WITH t AS ({_kg_e2e_sql()}),",
+        "edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
+        "outd AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outd"
+        " FROM edges GROUP BY src),",
+        "pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"pr{k - 1}"
+        parts.append(
+            f"dang{k} AS (SELECT coalesce(sum(p.pr), 0) AS dm FROM {p} p"
+            f" LEFT JOIN outd o ON o.node = p.node WHERE o.node IS NULL),"
+        )
+        parts.append(
+            f"pr{k} AS ("
+            f" SELECT n.node,"
+            f"   (1.0 - {damping}) / (SELECT n FROM nn)"
+            f"   + {damping} * (coalesce(c.contrib, 0)"
+            f"                  + (SELECT dm FROM dang{k}) / (SELECT n FROM nn)) AS pr"
+            f" FROM nodes n LEFT JOIN ("
+            f"   SELECT e.dst AS node, sum(p.pr / o.outd) AS contrib"
+            f"   FROM edges e JOIN {p} p ON p.node = e.src"
+            f"   JOIN outd o ON o.node = e.src"
+            f"   GROUP BY e.dst) c ON c.node = n.node"
+            f"),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT node, CAST(round(1000000 * pr) AS BIGINT) AS pr_i FROM pr{iterations}"
+
+
 def _kg_e2e_sql() -> str:
     """DuckDB twin of the full E1→E2→E3 pipeline over the simple corpus.
 
@@ -796,6 +833,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return search_phrase(idx, "hash value", k=20).withColumnRenamed("id", "doc_id")
 
     q["phrase_search_positional"] = phrase_positional
+
+    def bm25_rank(spark, sf):
+        # BM25 (Lucene idf form) over the inverted index + doc lengths — the
+        # standard relevance ranking the tf-sum queries approximate; double
+        # math is written in the same association order as the DuckDB twin
+        # so round(1e4·score) hashes identically
+        from aiwhispr_spark.operators.fulltext import (
+            build_inverted_index,
+            search_terms_bm25,
+        )
+
+        d = _t(spark, sf, "documents")
+        idx = build_inverted_index(d, "text", "doc_id")
+        from aiwhispr_spark.operators.fulltext import tokenize
+
+        dl = d.select(
+            F.col("doc_id").alias("id"),
+            F.size(F.filter(tokenize(F.col("text")), lambda t: t != "")).cast("double").alias("dl"),
+        )
+        top = search_terms_bm25(idx, dl, ["data", "query", "fast"], k=20)
+        return top.withColumnRenamed("id", "doc_id")
+
+    q["bm25_rank"] = bm25_rank
+
+    def decontaminate(spark, sf):
+        # benchmark decontamination (GPT-3 13-gram rule): benchmark = every
+        # 50th doc; those docs flag 100% contaminated, plus any organic
+        # 13-gram collisions — the per-doc window/hit counts are the gate
+        from aiwhispr_spark.operators.decontam import ngram_decontaminate
+
+        d = _t(spark, sf, "documents")
+        bench = d.filter(F.col("doc_id") % 50 == 0)
+        rep = ngram_decontaminate(d, bench, n=13)
+        return rep.select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "n_hit",
+            F.col("contaminated").cast("int").alias("contaminated"),
+        )
+
+    q["decontaminate_ngrams"] = decontaminate
+
+    def kg_pagerank(spark, sf):
+        # PageRank over the synthetic corpus's triple graph (subj→obj edge
+        # set): 5 synchronous iterations with dangling redistribution —
+        # iterative DataFrame joins with per-step materialization
+        # (operators/graph.py); oracle = the SAME recurrence unrolled in SQL
+        # over the _kg_e2e_sql triple set.  pr scaled ×1e6 (values ~1/N).
+        from aiwhispr_spark.functions.udfs import extract_triples_df
+        from aiwhispr_spark.operators.graph import pagerank
+        from aiwhispr_spark.plans.kg_pipeline import docs_to_chunks
+
+        docs = spark.read.parquet(_ensure_simple_corpus())
+        t = extract_triples_df(docs_to_chunks(docs))
+        edges = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        pr = pagerank(edges, damping=0.85, iterations=5, num_partitions=8)
+        return pr.select(
+            "node", F.round(F.col("pr") * 1000000).cast("long").alias("pr_i")
+        )
+
+    q["kg_pagerank"] = kg_pagerank
 
     # ---- dedup / similarity (training-data ops) ----
     def dedup_exact(spark, sf):
@@ -1605,6 +1703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_multifield_rank",
         "websearch_parse_filter",
         "phrase_search_positional",
+        "bm25_rank",
+        "decontaminate_ngrams",
+        "kg_pagerank",
         "u5_doc_dispatch",
         "kg_session_provenance",
         "pack_sequences_greedy",
@@ -1913,6 +2014,62 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT field) AS INT) AS n_fields
         FROM hits GROUP BY doc_id
         ORDER BY score_i DESC, doc_id LIMIT 30
+    """
+    o["kg_pagerank"] = _pagerank_sql(iterations=5, damping=0.85)
+    o["decontaminate_ngrams"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '') AS arr
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(arr[i : i + 12], ' ') AS gram
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr) - 12)) AS i) g
+          WHERE len(arr) >= 13
+        ),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+        per_doc AS (
+          SELECT g.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          FROM grams g LEFT JOIN bench b ON b.gram = g.gram
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_grams, 0) AS n_grams,
+               coalesce(p.n_hit, 0) AS n_hit,
+               CAST(CASE WHEN coalesce(p.n_hit, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """
+    o["bm25_rank"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+          FROM documents
+        ),
+        postings AS (
+          SELECT doc_id AS id, token, count(*) AS tf
+          FROM toks WHERE token <> '' GROUP BY doc_id, token
+        ),
+        dl AS (
+          SELECT doc_id AS id,
+                 CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                      t -> t <> '')) AS DOUBLE) AS dl
+          FROM documents
+        ),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        hits AS (SELECT * FROM postings WHERE token IN ('data', 'fast', 'query')),
+        dfp AS (SELECT token, count(DISTINCT id) AS df FROM hits GROUP BY token),
+        scored AS (
+          SELECT h.id, h.token,
+                 ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * h.tf / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS contrib
+          FROM hits h JOIN dfp d USING (token) JOIN dl l ON l.id = h.id, stats s
+        )
+        SELECT id AS doc_id,
+               CAST(round(10000 * sum(contrib)) AS BIGINT) AS score_i,
+               CAST(count(DISTINCT token) AS INT) AS n_terms
+        FROM scored GROUP BY id ORDER BY score_i DESC, doc_id LIMIT 20
     """
     o["phrase_search_positional"] = """
         WITH toks AS (

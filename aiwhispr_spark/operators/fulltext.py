@@ -397,3 +397,63 @@ def search_phrase(
         .orderBy(F.col("n_occurrences").desc(), F.col("id"))
         .limit(k)
     )
+
+
+# --- BM25 ranking --------------------------------------------------------------------
+
+
+def search_terms_bm25(
+    index: DataFrame,
+    doc_lengths: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked top-k over a posting table — the ranking the reference's
+    engines delegate to their stores (postgres ts_rank / typesense text
+    match); BM25 (the Lucene/ES default) is the standard recast.
+
+    score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene's non-negative form).
+
+    Inputs: `index` = (token, id, tf) from `build_inverted_index`;
+    `doc_lengths` = (id, dl) token counts per doc (NOT derivable from the
+    filtered postings — BM25 normalizes by full document length).
+
+    Scale shape: postings filter to the broadcast term set FIRST, so df/idf
+    aggregate over term-postings only (tiny); N and avgdl are one scalar agg
+    broadcast as a 1-row cross join; the only corpus-sized shuffle is the
+    per-doc score sum.  Emits score_i = round(1e4·score) — the scaled-int
+    discipline (identical double-math formula on the oracle side)."""
+    terms = sorted({t.lower() for t in terms})
+    spark = index.sparkSession
+    q = spark.createDataFrame([(t,) for t in terms], "token string")
+
+    stats = doc_lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = index.join(F.broadcast(q), "token")
+    df_per_term = hits.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    scored = (
+        hits.join(F.broadcast(df_per_term), "token")
+        .join(doc_lengths, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("id")
+        .agg(
+            F.round(F.sum("contrib") * 10000).cast("long").alias("score_i"),
+            F.countDistinct("token").cast("int").alias("n_terms"),
+        )
+    )
+    return scored.orderBy(F.col("score_i").desc(), F.col("id")).limit(k)

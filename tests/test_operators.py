@@ -490,3 +490,71 @@ def test_search_phrase_positional(spark):
 
     with pytest.raises(ValueError):
         search_phrase(idx, "   ")
+
+
+def test_pagerank_matches_reference_recurrence(spark):
+    from aiwhispr_spark.operators.graph import pagerank
+
+    # a→b, a→c, b→c, d dangling (in-edge only)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(edges, iterations=4).collect()}
+
+    # reference: same synchronous recurrence in plain python
+    nodes = ["a", "b", "c", "d"]
+    out = {"a": ["b", "c"], "b": ["c"], "c": ["d"], "d": []}
+    n, d = len(nodes), 0.85
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(4):
+        dm = sum(pr[v] for v in nodes if not out[v])
+        contrib = {v: 0.0 for v in nodes}
+        for u in nodes:
+            for v in out[u]:
+                contrib[v] += pr[u] / len(out[u])
+        pr = {v: (1 - d) / n + d * (contrib[v] + dm / n) for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(pr[v], rel=1e-12)
+    # mass conservation (dangling redistribution keeps Σpr = 1)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_ngram_decontaminate_flags_planted_overlap(spark):
+    from aiwhispr_spark.operators.decontam import ngram_decontaminate
+
+    bench_text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 tail"
+    rows = [
+        (1, bench_text),                                  # the benchmark doc itself
+        (2, "prefix " + " ".join(f"w{i}" for i in range(1, 14)) + " suffix"),  # shares the 13-gram
+        (3, "w1 w2 w3 totally different after three"),    # <13 shared tokens
+        (4, "short doc"),                                 # <13 tokens → 0 windows
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.filter(F.col("doc_id") == 1)
+    rep = {r["id"]: (r["n_grams"], r["n_hit"], r["contaminated"])
+           for r in ngram_decontaminate(docs, bench, n=13).collect()}
+    assert rep[1] == (2, 2, True)      # 14 tokens → 2 windows, both its own
+    assert rep[2][1] >= 1 and rep[2][2] is True
+    assert rep[3] == (rep[3][0], 0, False)
+    assert rep[4] == (0, 0, False)
+
+
+def test_bm25_idf_outranks_raw_tf(spark):
+    from aiwhispr_spark.operators.fulltext import build_inverted_index, search_terms_bm25
+
+    # 'rare' appears in one doc, 'common' in all: BM25 must rank the rare-term
+    # doc first even though tf-sum would tie or prefer doc 1
+    rows = [
+        (1, "common common common common"),
+        (2, "common rare"),
+        (3, "common filler words here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = build_inverted_index(docs)
+    dl = docs.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("double").alias("dl"),
+    )
+    top = [(r["id"], r["score_i"]) for r in search_terms_bm25(idx, dl, ["common", "rare"]).collect()]
+    assert top[0][0] == 2  # the rare-term doc wins
+    assert all(s > 0 for _, s in top)
