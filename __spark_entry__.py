@@ -895,6 +895,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_pagerank"] = kg_pagerank
 
+    def dedup_incremental(spark, sf):
+        # O(delta) dedup: fold the corpus through two ingest batches against
+        # a digest store (operators/dedup.py::incremental_exact_dedup); the
+        # result must equal a full-corpus min-id dedup (the oracle) because
+        # batch order follows id order — the exact-dedup twin of manifest
+        # resume
+        from aiwhispr_spark.operators.dedup import incremental_exact_dedup
+
+        d = _t(spark, sf, "documents")
+        b1, b2 = d.filter(F.col("doc_id") < 250), d.filter(F.col("doc_id") >= 250)
+        k1, store = incremental_exact_dedup(b1, None)
+        k2, _ = incremental_exact_dedup(b2, store)
+        return k1.select("doc_id").unionByName(k2.select("doc_id"))
+
+    q["dedup_incremental_two_batch"] = dedup_incremental
+
+    def quantize_int8(spark, sf):
+        # int8 symmetric quantization of the embedding store (4× memory cut
+        # — the first rung of vector compression at 10^12 embeddings),
+        # value-gated per component: scale + every quantized dim must match
+        # the oracle's same double math exactly
+        from aiwhispr_spark.operators.similarity import quantize_embeddings_int8
+
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+        qd = quantize_embeddings_int8(emb)
+        return qd.select(
+            "vec_id",
+            F.round((F.col("scale")) * 10000000).cast("long").alias("scale_i"),
+            F.posexplode("qvec").alias("dim", "q"),
+        ).select("vec_id", "scale_i", "dim", F.col("q").cast("int").alias("q"))
+
+    q["embedding_quantize_int8"] = quantize_int8
+
     # ---- dedup / similarity (training-data ops) ----
     def dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1706,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank",
         "decontaminate_ngrams",
         "kg_pagerank",
+        "dedup_incremental_two_batch",
+        "embedding_quantize_int8",
         "u5_doc_dispatch",
         "kg_session_provenance",
         "pack_sequences_greedy",
@@ -2016,6 +2051,26 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY score_i DESC, doc_id LIMIT 30
     """
     o["kg_pagerank"] = _pagerank_sql(iterations=5, damping=0.85)
+    o["dedup_incremental_two_batch"] = """
+        SELECT doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+          FROM documents
+        ) WHERE doc_id = keep_id
+    """
+    o["embedding_quantize_int8"] = """
+        WITH src AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x))) AS am
+          FROM embeddings WHERE vec_id < 200
+        )
+        SELECT vec_id,
+               CAST(round((am / 127.0) * 10000000) AS BIGINT) AS scale_i,
+               CAST(i - 1 AS INT) AS dim,
+               CAST(CASE WHEN am > 0 THEN round(e / (am / 127.0)) ELSE 0 END AS INT) AS q
+        FROM src, LATERAL (
+          SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+        ) u
+    """
     o["decontaminate_ngrams"] = """
         WITH toks AS (
           SELECT doc_id,

@@ -395,3 +395,57 @@ def embedding_near_dup_pairs(
         )
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+# --- incremental (delta-vs-store) dedup ----------------------------------------------
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    digest_store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a DELTA against an accumulated digest store — the shape exact
+    dedup takes at 10^12 docs, where re-scanning the historical corpus per
+    ingest batch is not an option (same O(delta) discipline as the KG
+    pipeline's manifest resume).
+
+    `digest_store` is the persisted (digest, keep_id) table from previous
+    batches (None for the first batch).  Returns ``(keepers, updated_store)``:
+
+    * keepers — the delta rows that survive: NOT a duplicate of any stored
+      digest, and the min-id representative of any intra-delta group;
+    * updated_store — store ∪ the keepers' digests, to persist for the next
+      batch (append only the new rows in practice).
+
+    Invariant (test-pinned): folding a corpus through any batch split yields
+    EXACTLY the keepers of a full-corpus `exact_duplicates` run with min-id
+    election, because the first batch containing a digest elects the global
+    min id for it (ids are ingest-ordered across batches; for unordered ids
+    the election is first-arrival — document which contract you need).
+
+    Scale shape: delta shuffles once on digest (intra-delta election); the
+    store join is digest-keyed (broadcast while the store is small, SMJ on
+    the bucketed store table once it is not); the historical CORPUS is never
+    read."""
+    hashed = new_docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest")
+    )
+    w = Window.partitionBy("digest")
+    intra = (
+        hashed.withColumn("keep_id", F.min("id").over(w))
+        .filter(F.col("id") == F.col("keep_id"))
+        .select("digest", "keep_id")
+    )
+    if digest_store is not None:
+        fresh = intra.join(digest_store.select("digest"), "digest", "left_anti")
+    else:
+        fresh = intra
+    keepers = new_docs.join(
+        fresh.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    )
+    updated_store = (
+        digest_store.unionByName(fresh) if digest_store is not None else fresh
+    )
+    return keepers, updated_store

@@ -120,3 +120,31 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("lid", "rid", "score", "rank")
     )
+
+
+# --- int8 quantization: the embedding-store memory scale path ------------------------
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", scale_col: str = "scale", q_col: str = "qvec"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max(|v_i|)/127``,
+    ``q_i = round(v_i/scale)`` ∈ [-127, 127] — 4× smaller than float32 (16×
+    vs float64), the standard first rung of vector-store compression at
+    10^12-embedding scale (a 64-d float store at 10^9 rows is 256 GB; int8
+    is 64 GB and fits executor-side caches).
+
+    Pure JVM (transform/aggregate over the array — no UDF).  All-zero
+    vectors get scale=0 and an all-zero qvec (guarded division).
+    Reconstruction: ``v_i ≈ q_i·scale``; cosine on (qvec, scale) pairs needs
+    no dequantization beyond the scalar factor — see
+    ``tests/test_operators.py::test_int8_quantization_recall`` for the
+    recall-vs-exact gate."""
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (absmax / F.lit(127.0)).alias(scale_col)
+    q = F.when(
+        absmax > 0,
+        F.transform(v, lambda x: F.round(x / (absmax / F.lit(127.0))).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0))).alias(q_col)
+    return df.withColumns({scale_col: scale, q_col: q})

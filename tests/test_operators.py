@@ -558,3 +558,54 @@ def test_bm25_idf_outranks_raw_tf(spark):
     top = [(r["id"], r["score_i"]) for r in search_terms_bm25(idx, dl, ["common", "rare"]).collect()]
     assert top[0][0] == 2  # the rare-term doc wins
     assert all(s > 0 for _, s in top)
+
+
+def test_incremental_exact_dedup_equals_full_run(spark):
+    from aiwhispr_spark.operators.dedup import exact_duplicates, incremental_exact_dedup
+
+    rows = [
+        (1, "alpha"), (2, "beta"), (3, "alpha"),       # batch 1: 3 dups 1
+        (4, "gamma"), (5, "beta"), (6, "alpha"), (7, "delta"),  # batch 2 dups into 1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    full_keepers = {
+        r["id"] for r in exact_duplicates(docs).collect() if r["id"] == r["keep_id"]
+    }
+
+    b1 = docs.filter(F.col("doc_id") <= 3)
+    b2 = docs.filter(F.col("doc_id") > 3)
+    k1, store = incremental_exact_dedup(b1, None)
+    k2, store2 = incremental_exact_dedup(b2, store)
+    inc_keepers = {r["doc_id"] for r in k1.unionByName(k2).select("doc_id").collect()}
+    assert inc_keepers == full_keepers == {1, 2, 4, 7}
+    # store accumulates one row per distinct digest
+    assert store2.count() == 4
+    # a third batch of pure duplicates adds nothing
+    b3 = spark.createDataFrame([(8, "alpha"), (9, "delta")], ["doc_id", "text"])
+    k3, store3 = incremental_exact_dedup(b3, store2)
+    assert k3.count() == 0 and store3.count() == 4
+
+
+def test_int8_quantization_recall(spark):
+    """Quantized cosine top-k must stay close to exact top-k (int8 symmetric
+    keeps ~2-3 decimal digits per component); all-zero vectors must not
+    divide by zero."""
+    from aiwhispr_spark.operators.similarity import quantize_embeddings_int8
+    from aiwhispr_spark.operators.topk import cosine_topk
+
+    rows = [(i, hash_embed(f"doc {i} shared words {i % 7}")) for i in range(80)]
+    rows.append((99, [0.0] * len(rows[0][1])))  # all-zero guard
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qd = quantize_embeddings_int8(df)
+    z = qd.filter(F.col("vec_id") == 99).first()
+    assert z["scale"] == 0.0 and set(z["qvec"]) == {0}
+
+    # dequantize and compare top-10 vs exact
+    deq = qd.select(
+        "vec_id",
+        F.transform("qvec", lambda q: q.cast("double") * F.col("scale")).alias("embedding"),
+    )
+    qv = hash_embed("doc shared words 3")
+    exact = [r["vec_id"] for r in cosine_topk(df, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in cosine_topk(deq, qv, k=10).collect()]
+    assert len(set(exact) & set(approx)) >= 8
