@@ -2058,15 +2058,21 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE doc_id = keep_id
     """
     o["embedding_quantize_int8"] = """
+        -- CASTs matter: embedding elements are FLOAT and DuckDB's bare 127.0
+        -- is DECIMAL — without forcing DOUBLE the division runs at a
+        -- different precision than Spark's float/double-literal path and
+        -- scale_i flips by one ulp at rounding boundaries (seen at sf0.001)
         WITH src AS (
           SELECT vec_id, embedding,
-                 list_max(list_transform(embedding, x -> abs(x))) AS am
+                 CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS am
           FROM embeddings WHERE vec_id < 200
         )
         SELECT vec_id,
-               CAST(round((am / 127.0) * 10000000) AS BIGINT) AS scale_i,
+               CAST(round((am / CAST(127.0 AS DOUBLE)) * CAST(10000000 AS DOUBLE)) AS BIGINT) AS scale_i,
                CAST(i - 1 AS INT) AS dim,
-               CAST(CASE WHEN am > 0 THEN round(e / (am / 127.0)) ELSE 0 END AS INT) AS q
+               CAST(CASE WHEN am > 0
+                         THEN round(CAST(e AS DOUBLE) / (am / CAST(127.0 AS DOUBLE)))
+                         ELSE 0 END AS INT) AS q
         FROM src, LATERAL (
           SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
         ) u

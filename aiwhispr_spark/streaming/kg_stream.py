@@ -64,7 +64,7 @@ def _run_landed(spark: SparkSession, table_path: str, run_id: str) -> bool:
     return bool(probe.take(1))
 
 
-def make_stream_sink(output_dir: str):
+def make_stream_sink(output_dir: str, dedup: bool = False):
     """Build the idempotent foreachBatch sink (exposed for direct testing:
     calling the sink twice with the same batch_id must leave the output
     byte-identical to calling it once).
@@ -72,9 +72,19 @@ def make_stream_sink(output_dir: str):
     If the batch carries a ``session_id`` column (the sessionized ingest path,
     `start_kg_stream_sessionized`), every triple row is tagged with its doc's
     session id — session-scoped provenance riding the same exactly-once
-    contract."""
+    contract.
+
+    ``dedup=True`` adds crawler-style CONTENT DEDUP at ingest: each batch is
+    cut down to first-seen html digests (intra-batch min-url election + an
+    anti-join against the accumulated ``digests/`` store — the O(delta)
+    discipline of operators/dedup.py::incremental_exact_dedup; the
+    historical corpus is never rescanned).  Duplicate urls still land in the
+    manifest (rows_out = 0), so resume treats them as processed; the digests
+    append rides the same intent/commit marker protocol (run_id-tagged, so a
+    crash replay probes-and-skips like triples/manifest)."""
     triples_path = os.path.join(output_dir, "triples")
     manifest_path = os.path.join(output_dir, "manifest")
+    digests_path = os.path.join(output_dir, "digests")
     commits_dir = os.path.join(output_dir, "_stream_commits")
     intents_dir = os.path.join(output_dir, "_stream_intents")
 
@@ -91,7 +101,28 @@ def make_stream_sink(output_dir: str):
         partial_replay = os.path.exists(intent_marker)
         _touch(intent_marker)
 
-        out = docs_to_triples_fused(batch_df).withColumn("run_id", F.lit(run_id))
+        to_extract = batch_df
+        new_digests = None
+        if dedup:
+            hashed = batch_df.withColumn("_digest", F.md5(F.col("html")))
+            from pyspark.sql.window import Window
+
+            keep = F.min("url").over(Window.partitionBy("_digest"))
+            intra = hashed.withColumn("_keep", keep).filter(F.col("url") == F.col("_keep"))
+            if os.path.exists(digests_path):
+                store = spark.read.parquet(digests_path).select(
+                    F.col("digest").alias("_digest")
+                )
+                fresh = intra.join(store, "_digest", "left_anti")
+            else:
+                fresh = intra
+            fresh = fresh.persist()
+            to_extract = fresh.drop("_digest", "_keep")
+            new_digests = fresh.select(
+                F.col("_digest").alias("digest"), F.col("url").alias("keep_url")
+            ).withColumn("run_id", F.lit(run_id))
+
+        out = docs_to_triples_fused(to_extract).withColumn("run_id", F.lit(run_id))
         if "session_id" in batch_df.columns:
             # per-batch url→session map, ONE row per url: a url re-fetched
             # within the batch across a session boundary has two doc rows
@@ -107,6 +138,10 @@ def make_stream_sink(output_dir: str):
         out = out.persist()
         if not (partial_replay and _run_landed(spark, triples_path, run_id)):
             out.write.mode("append").parquet(triples_path)
+        if new_digests is not None and not (
+            partial_replay and _run_landed(spark, digests_path, run_id)
+        ):
+            new_digests.write.mode("append").parquet(digests_path)
         if not (partial_replay and _run_landed(spark, manifest_path, run_id)):
             manifest = lineage_manifest(out, run_id=run_id)
             no_triple_urls = (
@@ -119,10 +154,37 @@ def make_stream_sink(output_dir: str):
             )
             manifest.unionByName(no_triple_urls).write.mode("append").parquet(manifest_path)
         out.unpersist()
+        if new_digests is not None:
+            fresh.unpersist()
         _touch(commit_marker)
         os.remove(intent_marker)
 
     return sink
+
+
+def start_kg_stream_deduped(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 16,
+    trigger_available_now: bool = True,
+):
+    """Content-deduped ingest: the plain KG stream with ``dedup=True`` —
+    first-seen html digests produce triples, later copies only manifest rows
+    (see make_stream_sink docstring for the store/marker contract)."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(make_stream_sink(output_dir, dedup=True))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def start_kg_stream(

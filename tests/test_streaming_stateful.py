@@ -438,3 +438,66 @@ def test_sessionized_kg_stream_matches_batch_twin(spark, tmp_path):
         .filter(F.col("n_runs") >= 2)
     )
     assert spanning.count() > 0
+
+
+def test_deduped_kg_stream_extracts_first_seen_only(spark, tmp_path):
+    """Content dedup at ingest: a later batch re-delivering the same html
+    under new urls must add NO triples (only manifest rows), the digest
+    store must accumulate one row per distinct content, and a crash replay
+    of the dedup batch must stay idempotent (digests ride the marker
+    protocol)."""
+    import glob as globmod
+    import shutil
+
+    from aiwhispr_spark.sources.synthetic import write_corpus_parquet
+    from aiwhispr_spark.streaming.kg_stream import start_kg_stream_deduped
+
+    corpus = str(tmp_path / "corpus.parquet")
+    write_corpus_parquet(corpus, n_docs=20)
+    full = spark.read.parquet(corpus)
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def one_file(df, name, mtime):
+        tmp = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = globmod.glob(tmp + "/part-*.parquet")[0]
+        dest = str(src / name)
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    # batch a: the 20 originals; batch b: 10 of the same htmls under new urls
+    dupes = full.filter(F.col("url").rlike("/page/[0-9]$")).withColumn(
+        "url", F.concat(F.lit("https://mirror.example.org"), F.expr("substr(url, 9)"))
+    )
+    one_file(full, "a.parquet", 1_000_000)
+    one_file(dupes, "b.parquet", 2_000_000)
+
+    out = str(tmp_path / "kg")
+    q = start_kg_stream_deduped(
+        spark, str(src), out, str(tmp_path / "ck"), max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+
+    triples = spark.read.parquet(out + "/triples")
+    # every triple belongs to an ORIGINAL url — no mirror extraction ran
+    assert triples.filter(F.col("url").contains("mirror")).count() == 0
+    assert triples.filter(F.col("run_id") == "stream-1").count() == 0
+    # manifest covers originals AND mirrors (mirrors as processed, 0 rows)
+    manifest = spark.read.parquet(out + "/manifest")
+    assert manifest.select("url").distinct().count() == 30
+    digests = spark.read.parquet(out + "/digests")
+    assert digests.count() == 20  # one per distinct content
+
+    # crash-replay idempotence for the dedup batch: drop batch 1's commit
+    # marker and re-run the sink directly
+    from aiwhispr_spark.streaming.kg_stream import make_stream_sink
+
+    os.remove(os.path.join(out, "_stream_commits", "stream-1"))
+    with open(os.path.join(out, "_stream_intents", "stream-1"), "w"):
+        pass
+    make_stream_sink(out, dedup=True)(spark.read.parquet(str(src / "b.parquet")), 1)
+    assert spark.read.parquet(out + "/digests").count() == 20
+    assert spark.read.parquet(out + "/manifest").count() == manifest.count()
+    assert spark.read.parquet(out + "/triples").count() == triples.count()
