@@ -72,6 +72,9 @@ def main() -> None:
         except Exception:
             print(f"no manifest at {manifest_path}; full run")
 
+    import time
+
+    t0 = time.time()
     result = build_knowledge_graph(
         spark,
         docs,
@@ -82,8 +85,11 @@ def main() -> None:
         salt_factor=args.salt,
         run_id=args.run_id,
     )
+    seconds = time.time() - t0
     metrics = {k: acc.value for k, acc in result["metrics"].items()}
-    print(f"KG_DONE metrics={metrics} output={args.output}")
+    # pipeline-only wall time (excludes JVM/session startup) — what the
+    # N-vs-4N scaling evidence divides by (scripts/scaling_submit.sh)
+    print(f"KG_DONE metrics={metrics} seconds={seconds:.2f} output={args.output}")
     spark.stop()
 
 
