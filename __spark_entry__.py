@@ -895,6 +895,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_pagerank"] = kg_pagerank
 
+    def _corpus_triples(spark):
+        from aiwhispr_spark.functions.udfs import extract_triples_df
+        from aiwhispr_spark.plans.kg_pipeline import docs_to_chunks
+
+        docs = spark.read.parquet(_ensure_simple_corpus())
+        return extract_triples_df(docs_to_chunks(docs)).select("subj", "pred", "obj")
+
+    def kg_bgp_chain(spark, sf):
+        # KG query layer: SPARQL-style basic graph pattern over the corpus
+        # triple store — acquirers ?y of entities ?x that employ ?p and are
+        # based in ?city.  Gates the pattern→scan compilation and the
+        # shared-variable join order (operators/graph_query.py::bgp_match);
+        # oracle = the same conjunctive self-joins in SQL.
+        from aiwhispr_spark.operators.graph_query import bgp_match
+
+        t = _corpus_triples(spark)
+        out = bgp_match(
+            t,
+            [
+                ("?y", "acquired", "?x"),
+                ("?x", "works_for", "?p"),
+                ("?x", "based_in", "?city"),
+            ],
+        )
+        return out.select("x", "p", "city", "y")
+
+    q["kg_bgp_chain"] = kg_bgp_chain
+
+    def kg_transitive_closure(spark, sf):
+        # KG query layer: 4-hop ownership/acquisition reachability with
+        # MINIMUM hop counts — frontier BFS with per-hop materialization and
+        # visited-set anti-join (operators/graph_query.py::transitive_closure);
+        # oracle = DuckDB recursive CTE + min(hops) GROUP BY.
+        from aiwhispr_spark.operators.graph_query import transitive_closure
+
+        t = _corpus_triples(spark)
+        edges = t.filter(F.col("pred").isin("owns", "acquired")).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        return transitive_closure(edges, max_hops=4)
+
+    q["kg_transitive_closure"] = kg_transitive_closure
+
+    def kg_triangles(spark, sf):
+        # KG query layer: undirected triangle enumeration (a<b<c, each once)
+        # over the entity-entity predicates — direction/multiplicity erased
+        # by the canonical least/greatest edge build, then the ordered
+        # 3-join (operators/graph_query.py::triangle_enumerate).
+        from aiwhispr_spark.operators.graph_query import triangle_enumerate
+
+        t = _corpus_triples(spark)
+        edges = t.filter(
+            F.col("pred").isin("acquired", "owns", "partnered_with")
+        ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        return triangle_enumerate(edges)
+
+    q["kg_triangles"] = kg_triangles
+
+    def kg_entity_types(spark, sf):
+        # KG query layer: rule-based entity typing mixing relational evidence
+        # (predicate positions: based_in/located_in object ⇒ place,
+        # founded_by/works_for object ⇒ person) with surface evidence (corp
+        # suffix ⇒ org, two-capitalized-words ⇒ person), fixed precedence —
+        # one groupBy + CASE, no python (operators/graph_query.py).
+        from aiwhispr_spark.operators.graph_query import type_entities
+
+        return type_entities(_corpus_triples(spark))
+
+    q["kg_entity_types"] = kg_entity_types
+
     def dedup_incremental(spark, sf):
         # O(delta) dedup: fold the corpus through two ingest batches against
         # a digest store (operators/dedup.py::incremental_exact_dedup); the
@@ -1739,6 +1809,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank",
         "decontaminate_ngrams",
         "kg_pagerank",
+        "kg_bgp_chain",
+        "kg_transitive_closure",
+        "kg_triangles",
+        "kg_entity_types",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -2051,6 +2125,59 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY score_i DESC, doc_id LIMIT 30
     """
     o["kg_pagerank"] = _pagerank_sql(iterations=5, damping=0.85)
+    o["kg_bgp_chain"] = f"""
+        WITH t AS ({_kg_e2e_sql()})
+        SELECT DISTINCT w.subj AS x, w.obj AS p, b.obj AS city, a.subj AS y
+        FROM t w
+        JOIN t b ON b.pred = 'based_in' AND b.subj = w.subj
+        JOIN t a ON a.pred = 'acquired' AND a.obj = w.subj
+        WHERE w.pred = 'works_for'
+    """
+    o["kg_transitive_closure"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM t
+                  WHERE pred IN ('owns', 'acquired') AND subj <> obj)
+        SELECT src, dst, hops FROM (
+          WITH RECURSIVE reach AS (
+            SELECT src, dst, 1 AS hops FROM edges
+            UNION
+            SELECT r.src, e.dst, r.hops + 1
+            FROM reach r JOIN edges e ON e.src = r.dst WHERE r.hops < 4
+          )
+          SELECT src, dst, min(hops) AS hops FROM reach GROUP BY src, dst
+        )
+    """
+    o["kg_triangles"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        ee AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+               FROM t WHERE subj <> obj
+                 AND pred IN ('acquired', 'owns', 'partnered_with'))
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM ee e1
+        JOIN ee e2 ON e2.a = e1.b
+        JOIN ee e3 ON e3.a = e1.a AND e3.b = e2.b
+    """
+    o["kg_entity_types"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        mentions AS (
+          SELECT subj AS entity, FALSE AS pl, FALSE AS pe FROM t
+          UNION ALL
+          SELECT obj, pred IN ('based_in', 'located_in'),
+                 pred IN ('founded_by', 'works_for') FROM t
+        ),
+        flags AS (SELECT entity, max(pl) AS is_place, max(pe) AS is_person_rel
+                  FROM mentions GROUP BY entity)
+        SELECT entity,
+          CASE WHEN is_place THEN 'place'
+               WHEN is_person_rel THEN 'person'
+               WHEN regexp_matches(entity,
+                    '\\b(Corp|Corporation|Inc|Ltd|LLC|GmbH|Co|Company)$')
+                 THEN 'org'
+               WHEN regexp_matches(entity, '^[A-Z][a-z]+ [A-Z][a-z]+$')
+                 THEN 'person'
+               ELSE 'other' END AS etype
+        FROM flags
+    """
     o["dedup_incremental_two_batch"] = """
         SELECT doc_id FROM (
           SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id

@@ -1,0 +1,230 @@
+"""KG query layer over the materialized triple store: basic-graph-pattern
+matching, bounded transitive closure, triangle enumeration, entity typing.
+
+These are NEW first-class operators (the reference stops at vector/fulltext
+retrieval over chunks — `python/aiwhisprQueryServices.py` — and has no triple
+store); they are the canonical downstream consumers of the (subj, pred, obj)
+table this engine materializes, i.e. what a user actually runs against a KG.
+
+Spark-first shapes, chosen per operator for the 100 TB triple table:
+
+* **BGP match** — each triple pattern compiles to a filtered/projected scan of
+  the SAME triples DataFrame (constant terms → pushed-down predicates; Catalyst
+  prunes to the 3 columns).  Patterns join most-selective-first (bound-term
+  count); the join keys are the shared variables, so each step is one
+  hash-join keyed on entity ids.  At scale the bound-predicate scans are tiny
+  fractions of the table (predicate pushdown into parquet row groups) and AQE
+  converts the small sides to broadcast at runtime — no size guessing here.
+* **Transitive closure** — frontier BFS: per hop, ONE shuffle (frontier ⋈
+  edges on the hop key) plus an anti-join against the visited set, which also
+  makes the per-pair hop count the MINIMUM by construction.  Each hop is
+  materialized (count) and persisted: iterative plans must cut lineage per
+  step or the DAG doubles per iteration.  Early-stops on an empty frontier.
+  Visited set stays (src, dst) pairs — never widens with payload columns.
+* **Triangles** — canonical undirected edge set (least, greatest) built once,
+  then the standard ordered 3-join (a<b<c enumerates each triangle exactly
+  once).  Join fan-out is bounded by degree^2 of the hub nodes; for a skewed
+  100 TB graph, pre-filter hubs by degree cap or salt (operators/skew.py) —
+  the edge build keys the joins so AQE's skew-join split applies.
+* **Entity typing** — pure relational: one groupBy over the mention position
+  flags (place/person evidence from predicate positions, org/person evidence
+  from the surface form), then a CASE precedence.  No python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Match a basic graph pattern (conjunctive triple patterns, SPARQL-BGP
+    style) against a (subj, pred, obj) DataFrame.
+
+    ``patterns`` terms starting with ``?`` are variables; anything else is a
+    constant.  Returns one column per distinct variable (name without the
+    ``?``), DISTINCT over the variable bindings.
+
+    Join order: patterns with more bound constants first (cheapest scans
+    drive the probe side); ties keep the author's order.  Patterns sharing no
+    variable with the accumulated bindings fall back to a cross join (rare,
+    and semantically required).
+    """
+    if not patterns:
+        raise ValueError("bgp_match needs at least one pattern")
+    cols = (subj_col, pred_col, obj_col)
+
+    def compile_one(pat: tuple[str, str, str]) -> tuple[DataFrame, set[str]]:
+        df = triples
+        variables: dict[str, str] = {}  # var name -> first column bound to it
+        for term, col in zip(pat, cols):
+            if _is_var(term):
+                name = term[1:]
+                if name in variables:
+                    # repeated variable inside one pattern: equality filter
+                    df = df.filter(F.col(col) == F.col(variables[name]))
+                else:
+                    variables[name] = col
+            else:
+                df = df.filter(F.col(col) == F.lit(term))
+        out = df.select([F.col(c).alias(v) for v, c in variables.items()])
+        return out, set(variables)
+
+    # most-bound-first, stable
+    order = sorted(
+        range(len(patterns)),
+        key=lambda i: (-sum(0 if _is_var(t) else 1 for t in patterns[i]), i),
+    )
+    acc: DataFrame | None = None
+    bound: set[str] = set()
+    for i in order:
+        df, vs = compile_one(patterns[i])
+        if acc is None:
+            acc, bound = df, vs
+            continue
+        shared = sorted(bound & vs)
+        if shared:
+            acc = acc.join(df, on=shared, how="inner")
+        else:
+            acc = acc.crossJoin(df)
+        bound |= vs
+    assert acc is not None
+    return acc.distinct()
+
+
+def transitive_closure(
+    edges: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(src, dst, hops) for every pair reachable in ≤ ``max_hops`` directed
+    steps, where ``hops`` is the MINIMUM path length (BFS order + anti-join
+    against the visited set guarantee it).  Self-pairs appear only if a cycle
+    returns to the start within the bound.  Deterministic for a given edge
+    set.  Intermediates are unpersisted before return."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    frontier = e.withColumn("hops", F.lit(1)).persist()
+    frontier.count()  # materialize, cut lineage
+    result = frontier
+    kept: list[DataFrame] = [frontier]
+    for k in range(2, max_hops + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+            .join(result.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("hops", F.lit(k))
+            .persist()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        result = result.unionByName(nxt).persist()
+        result.count()
+        kept.append(nxt)
+        kept.append(result)
+        frontier = nxt
+    out = result.select("src", "dst", "hops")
+    # lineage is materialized; safe to drop the cache handles lazily
+    for df in kept:
+        df.unpersist()
+    e.unpersist()
+    return out
+
+
+def triangle_enumerate(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Every undirected triangle (a, b, c) with a < b < c, each exactly once.
+
+    Direction and multiplicity of the input are erased first (canonical
+    least/greatest + distinct); self-loops dropped."""
+    ee = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = ee.alias("e1")
+    e2 = ee.alias("e2")
+    e3 = ee.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+
+
+# surface-form org suffixes (shared with canonicalization's corp-suffix notion)
+_ORG_SUFFIX_RE = r"\b(Corp|Corporation|Inc|Ltd|LLC|GmbH|Co|Company)$"
+# "Ada Byron"-shaped: exactly two capitalized alpha words, no digits
+_PERSON_NAME_RE = r"^[A-Z][a-z]+ [A-Z][a-z]+$"
+_PLACE_PREDS = ("based_in", "located_in")
+_PERSON_OBJ_PREDS = ("founded_by", "works_for")
+
+
+def type_entities(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Rule-based (entity, etype) over every distinct mention surface in the
+    triple store, combining RELATIONAL evidence (which predicate positions the
+    mention occupies) with SURFACE evidence (corp suffix, person-name shape).
+
+    Precedence (first match wins; mirrors the SQL oracle exactly):
+      1. place  — ever the object of based_in / located_in
+      2. person — ever the object of founded_by / works_for
+      3. org    — surface ends with a corporate suffix
+      4. person — surface is two capitalized alpha words
+      5. other
+    """
+    subj = triples.select(
+        F.col(subj_col).alias("entity"),
+        F.lit(False).alias("pl"),
+        F.lit(False).alias("pe"),
+    )
+    obj = triples.select(
+        F.col(obj_col).alias("entity"),
+        F.col(pred_col).isin(*_PLACE_PREDS).alias("pl"),
+        F.col(pred_col).isin(*_PERSON_OBJ_PREDS).alias("pe"),
+    )
+    flags = (
+        subj.unionByName(obj)
+        .groupBy("entity")
+        .agg(F.max("pl").alias("is_place"), F.max("pe").alias("is_person_rel"))
+    )
+    etype = (
+        F.when(F.col("is_place"), F.lit("place"))
+        .when(F.col("is_person_rel"), F.lit("person"))
+        .when(F.col("entity").rlike(_ORG_SUFFIX_RE), F.lit("org"))
+        .when(F.col("entity").rlike(_PERSON_NAME_RE), F.lit("person"))
+        .otherwise(F.lit("other"))
+    )
+    return flags.select("entity", etype.alias("etype"))

@@ -1,0 +1,176 @@
+"""Unit gates for the KG query layer (operators/graph_query.py): BGP matching,
+bounded transitive closure (min-hops), triangle enumeration, entity typing.
+The sf0.01 value gates (vs DuckDB over the composed E1-E3 oracle) live in
+__spark_entry__.py; these pin the operator semantics on hand-built graphs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aiwhispr_spark.operators.graph_query import (
+    bgp_match,
+    transitive_closure,
+    triangle_enumerate,
+    type_entities,
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_bgp_single_pattern_constant_filter(spark):
+    t = _triples(
+        spark,
+        [("A", "owns", "B"), ("A", "likes", "B"), ("C", "owns", "D")],
+    )
+    out = bgp_match(t, [("?x", "owns", "?y")])
+    assert sorted(map(tuple, out.collect())) == [("A", "B"), ("C", "D")]
+
+
+def test_bgp_join_on_shared_variable(spark):
+    t = _triples(
+        spark,
+        [
+            ("A", "works_for", "P1"),
+            ("A", "based_in", "Berlin"),
+            ("B", "works_for", "P2"),  # no based_in for B
+            ("C", "based_in", "Oslo"),  # no works_for for C
+        ],
+    )
+    out = bgp_match(t, [("?x", "works_for", "?p"), ("?x", "based_in", "?city")])
+    assert set(out.columns) == {"x", "p", "city"}
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r == {"x": "A", "p": "P1", "city": "Berlin"}
+
+
+def test_bgp_three_pattern_chain_and_selectivity_order(spark):
+    t = _triples(
+        spark,
+        [
+            ("A", "works_for", "P1"),
+            ("A", "based_in", "Berlin"),
+            ("Z", "acquired", "A"),
+            ("Z2", "acquired", "A"),
+            ("Z3", "acquired", "C"),
+        ],
+    )
+    pats = [
+        ("?y", "acquired", "?x"),
+        ("?x", "works_for", "?p"),
+        ("?x", "based_in", "Berlin"),  # most bound — should seed the join
+    ]
+    out = bgp_match(t, pats)
+    got = {tuple(sorted(r.asDict().items())) for r in out.collect()}
+    assert got == {
+        (("p", "P1"), ("x", "A"), ("y", "Z")),
+        (("p", "P1"), ("x", "A"), ("y", "Z2")),
+    }
+
+
+def test_bgp_repeated_variable_within_pattern(spark):
+    t = _triples(spark, [("A", "owns", "A"), ("A", "owns", "B")])
+    out = bgp_match(t, [("?x", "owns", "?x")])
+    assert [tuple(r) for r in out.collect()] == [("A",)]
+
+
+def test_bgp_cross_join_when_no_shared_vars(spark):
+    t = _triples(spark, [("A", "owns", "B"), ("P", "works_for", "Q")])
+    out = bgp_match(t, [("?x", "owns", "?y"), ("?u", "works_for", "?v")])
+    assert out.count() == 1  # 1 owns-binding × 1 works_for-binding
+    assert set(out.columns) == {"x", "y", "u", "v"}
+
+
+def test_bgp_empty_patterns_raises(spark):
+    t = _triples(spark, [("A", "owns", "B")])
+    with pytest.raises(ValueError):
+        bgp_match(t, [])
+
+
+def test_closure_min_hops_on_diamond(spark):
+    # A→B→D, A→C→D, A→D direct: hops(A,D) must be 1 (min), not 2
+    e = _edges(spark, [("A", "B"), ("B", "D"), ("A", "C"), ("C", "D"), ("A", "D")])
+    out = {(r.src, r.dst): r.hops for r in transitive_closure(e, max_hops=3).collect()}
+    assert out[("A", "D")] == 1
+    assert out[("A", "B")] == 1 and out[("A", "C")] == 1
+    assert out[("B", "D")] == 1 and out[("C", "D")] == 1
+    assert len(out) == 5
+
+
+def test_closure_chain_depth_and_bound(spark):
+    e = _edges(spark, [("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n4", "n5")])
+    out3 = {(r.src, r.dst): r.hops for r in transitive_closure(e, 3).collect()}
+    assert out3[("n1", "n4")] == 3
+    assert ("n1", "n5") not in out3  # needs 4 hops, bound is 3
+    out4 = {(r.src, r.dst): r.hops for r in transitive_closure(e, 4).collect()}
+    assert out4[("n1", "n5")] == 4
+
+
+def test_closure_cycle_terminates_and_self_pair(spark):
+    e = _edges(spark, [("A", "B"), ("B", "A")])
+    out = {(r.src, r.dst): r.hops for r in transitive_closure(e, 5).collect()}
+    assert out == {("A", "B"): 1, ("B", "A"): 1, ("A", "A"): 2, ("B", "B"): 2}
+
+
+def test_closure_early_stop_beyond_diameter(spark):
+    e = _edges(spark, [("A", "B")])
+    # max_hops far past the diameter: early-stop, result unchanged
+    out = transitive_closure(e, 50).collect()
+    assert [(r.src, r.dst, r.hops) for r in out] == [("A", "B", 1)]
+
+
+def test_triangles_canonical_and_deduped(spark):
+    # triangle A-B-C given with mixed directions + duplicate edges + a dangler
+    e = _edges(
+        spark,
+        [("B", "A"), ("B", "C"), ("A", "C"), ("C", "A"), ("C", "D"), ("A", "A")],
+    )
+    out = [tuple(r) for r in triangle_enumerate(e).collect()]
+    assert out == [("A", "B", "C")]
+
+
+def test_triangles_two_adjacent(spark):
+    e = _edges(
+        spark, [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"), ("B", "D")]
+    )
+    out = sorted(tuple(r) for r in triangle_enumerate(e).collect())
+    assert out == [("A", "B", "C"), ("B", "C", "D")]
+
+
+def test_type_entities_precedence(spark):
+    t = _triples(
+        spark,
+        [
+            # relational place evidence beats the corp suffix on the OBJECT
+            ("E7 Corp", "based_in", "Berlin Corp"),
+            # relational person evidence
+            ("E7 Corp", "founded_by", "Ada Byron"),
+            # surface org
+            ("E7 Corp", "owns", "Acme Inc"),
+            # surface person-shape (never a person-predicate object)
+            ("Grace Hopper", "owns", "Entity_3"),
+        ],
+    )
+    got = {r.entity: r.etype for r in type_entities(t).collect()}
+    assert got == {
+        "E7 Corp": "org",
+        "Berlin Corp": "place",  # rule 1 wins over corp suffix
+        "Ada Byron": "person",
+        "Acme Inc": "org",
+        "Grace Hopper": "person",  # surface shape, rule 4
+        "Entity_3": "other",
+    }
+
+
+def test_type_entities_every_mention_appears_once(spark):
+    t = _triples(
+        spark,
+        [("A", "owns", "B"), ("B", "owns", "A"), ("A", "based_in", "Lima")],
+    )
+    out = type_entities(t)
+    assert out.count() == out.select("entity").distinct().count() == 3
