@@ -107,6 +107,20 @@ def _ensure_simple_corpus() -> str:
     return path
 
 
+def _ensure_simple_corpus_warc() -> str:
+    """Shard the simple corpus into 3 gzipped WARC files (idempotent fixture,
+    same discipline as _ensure_simple_corpus)."""
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.warc import write_warc_from_parquet
+
+    out = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_simple_150_warc")
+    if not os.path.isdir(out) or not os.listdir(out):
+        write_warc_from_parquet(_ensure_simple_corpus(), out, n_files=3)
+    return out
+
+
 def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
     """DuckDB twin of operators/graph.py::pagerank over the simple-corpus
     triple graph: the same synchronous recurrence UNROLLED (one CTE pair per
@@ -965,6 +979,130 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_entity_types"] = kg_entity_types
 
+    def warc_roundtrip(spark, sf):
+        # WARC source (sources/warc.py): the simple corpus sharded into 3
+        # per-record-gzipped Common-Crawl-layout WARC files, read back via
+        # binaryFile → mapInPandas record parsing.  Value gate: every (url,
+        # timestamp, html bytes) must round-trip byte-exactly — the oracle
+        # reads the ORIGINAL parquet, so any parser drift (header parsing,
+        # http-payload split, ts format, gzip membering) hash-mismatches.
+        from aiwhispr_spark.sources.warc import read_warc
+
+        return read_warc(spark, _ensure_simple_corpus_warc()).select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.md5(F.decode("html", "UTF-8")).alias("html_md5"),
+            F.length("html").cast("long").alias("n_bytes"),
+        )
+
+    q["warc_roundtrip_extract"] = warc_roundtrip
+
+    def line_dedup(spark, sf):
+        # CCNet-style corpus-level line dedup (operators/linededup.py): lines
+        # appearing in ≥3 distinct docs (the <html>/<body> wrappers in all
+        # docs, the fish&chips boilerplate paragraph in every 3rd) are
+        # dropped, survivors reassembled in order.  Oracle = same normalize/
+        # count/drop/reassemble in SQL; md5 of the reassembled text gates
+        # byte-exact reassembly.
+        from aiwhispr_spark.operators.linededup import drop_boilerplate_lines
+
+        docs = spark.read.parquet(_ensure_simple_corpus()).select(
+            F.col("url").alias("doc_id"), F.decode("html", "UTF-8").alias("text")
+        )
+        out = drop_boilerplate_lines(docs, min_docs=3)
+        return out.select(
+            "doc_id",
+            F.md5("text_clean").alias("clean_md5"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+        )
+
+    q["line_dedup_boilerplate"] = line_dedup
+
+    def _messy_urls(spark, sf):
+        # deterministic messy-URL fixture derived from doc_id in BOTH engines
+        d = _t(spark, sf, "documents").select("doc_id")
+        sid = (F.col("doc_id") % 7).cast("string")
+        did = F.col("doc_id").cast("string")
+        m4 = F.col("doc_id") % 4
+        suffix = (
+            F.when(m4 == 0, F.lit("/?utm_source=feed&b=2&a=1"))
+            .when(m4 == 1, F.lit("/#frag"))
+            .when(m4 == 2, F.concat(F.lit("?fbclid=x&z=9&y="), (F.col("doc_id") % 5).cast("string")))
+            .otherwise(F.lit(""))
+        )
+        messy = F.concat(
+            F.lit("HTTPS://WWW.Site"), sid, F.lit(".ORG:443/Page/"), did, suffix
+        )
+        return d, messy
+
+    def url_canonicalize(spark, sf):
+        # URL canonicalization (operators/urlnorm.py::canonical_url_expr):
+        # case/port/fragment/tracking-param/trailing-slash rules over messy
+        # URLs built deterministically from doc_id.  The oracle is a CLOSED
+        # FORM (it writes the expected canonical string directly, no regex
+        # re-implementation) — an independent check of the rule set.
+        from aiwhispr_spark.operators.urlnorm import canonical_url_expr
+
+        d, messy = _messy_urls(spark, sf)
+        return d.select(
+            "doc_id",
+            messy.alias("raw_url"),
+            canonical_url_expr(messy).alias("canon_url"),
+        )
+
+    q["url_canonicalize"] = url_canonicalize
+
+    def url_latest_crawl(spark, sf):
+        # Latest-crawl-per-canonical-url dedup (urlnorm.py::
+        # latest_crawl_per_url): 500 docs → 50 canonical pages (doc_id%50),
+        # crawl_ts=doc_id, keeper = the max — one map-side-combinable groupBy,
+        # no window.  Oracle: closed-form GROUP BY page.
+        from aiwhispr_spark.operators.urlnorm import latest_crawl_per_url
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        messy = F.concat(
+            F.lit("https://site.org/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        )
+        df = d.select(
+            "doc_id", messy.alias("url"), F.col("doc_id").cast("long").alias("crawl_ts")
+        )
+        out = latest_crawl_per_url(df, ts_col="crawl_ts")
+        return out.select("canon_url", "doc_id", "crawl_ts")
+
+    q["url_latest_crawl"] = url_latest_crawl
+
+    def semantic_dedup(spark, sf):
+        # SemDeDup-style semantic near-dup pairs (operators/similarity.py::
+        # semantic_dedup_pairs): centroids = vec_id<8, nearest-centroid
+        # assignment (lowest-cid tie-break), intra-cluster pairs at scaled
+        # cosine ≥ 3500.  Oracle re-derives assignment + pairs in SQL from
+        # the same doubles (identical association order ⇒ identical floats).
+        from aiwhispr_spark.operators.similarity import semantic_dedup_pairs
+
+        emb = _t(spark, sf, "embeddings")
+        cents = emb.filter(F.col("vec_id") < 8)
+        out = semantic_dedup_pairs(emb, cents, threshold_i=3500)
+        return out.select(
+            "va", "vb", F.col("cid").cast("long").alias("cid"), "cos_i"
+        )
+
+    q["semantic_dedup_pairs"] = semantic_dedup
+
+    def unigram_lm(spark, sf):
+        # Perplexity-proxy quality score (operators/textstats.py::
+        # unigram_logprob_scores): corpus-self unigram LM, per-token logp
+        # rounded to a scaled BIGINT before summing so the aggregate is
+        # order-independent and hash-gateable.
+        from aiwhispr_spark.operators.textstats import unigram_logprob_scores
+
+        return unigram_logprob_scores(_t(spark, sf, "documents"))
+
+    q["unigram_lm_scores"] = unigram_lm
+
     def dedup_incremental(spark, sf):
         # O(delta) dedup: fold the corpus through two ingest batches against
         # a digest store (operators/dedup.py::incremental_exact_dedup); the
@@ -1813,6 +1951,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transitive_closure",
         "kg_triangles",
         "kg_entity_types",
+        "warc_roundtrip_extract",
+        "line_dedup_boilerplate",
+        "url_canonicalize",
+        "url_latest_crawl",
+        "semantic_dedup_pairs",
+        "unigram_lm_scores",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -2177,6 +2321,96 @@ def oracle_sql() -> dict[str, str]:
                  THEN 'person'
                ELSE 'other' END AS etype
         FROM flags
+    """
+    o["warc_roundtrip_extract"] = f"""
+        SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               md5(decode(html)) AS html_md5,
+               CAST(octet_length(html) AS BIGINT) AS n_bytes
+        FROM read_parquet('{_ensure_simple_corpus()}')
+    """
+    o["line_dedup_boilerplate"] = f"""
+        WITH raw AS (SELECT url AS doc_id, decode(html) AS txt
+                     FROM read_parquet('{_ensure_simple_corpus()}')),
+        lines AS (
+          SELECT doc_id, l AS line, lower(trim(l)) AS norm, ord FROM (
+            SELECT doc_id, unnest(string_split(txt, chr(10))) AS l,
+                   generate_subscripts(string_split(txt, chr(10)), 1) AS ord
+            FROM raw)
+        ),
+        freq AS (SELECT norm FROM lines WHERE norm <> ''
+                 GROUP BY norm HAVING count(DISTINCT doc_id) >= 3),
+        flagged AS (
+          SELECT l.doc_id, l.line, l.ord, (f.norm IS NOT NULL) AS is_dup
+          FROM lines l LEFT JOIN freq f ON l.norm = f.norm
+        )
+        SELECT doc_id,
+               md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+                                       chr(10) ORDER BY ord), '')) AS clean_md5,
+               sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS n_kept,
+               sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dropped
+        FROM flagged GROUP BY doc_id
+    """
+    o["url_canonicalize"] = """
+        SELECT doc_id,
+          'HTTPS://WWW.Site' || (doc_id % 7) || '.ORG:443/Page/' || doc_id ||
+            CASE doc_id % 4
+              WHEN 0 THEN '/?utm_source=feed&b=2&a=1'
+              WHEN 1 THEN '/#frag'
+              WHEN 2 THEN '?fbclid=x&z=9&y=' || (doc_id % 5)
+              ELSE '' END AS raw_url,
+          'https://www.site' || (doc_id % 7) || '.org/Page/' || doc_id ||
+            CASE doc_id % 4
+              WHEN 0 THEN '?a=1&b=2'
+              WHEN 2 THEN '?y=' || (doc_id % 5) || '&z=9'
+              ELSE '' END AS canon_url
+        FROM documents
+    """
+    o["url_latest_crawl"] = """
+        SELECT 'https://site.org/p/' || (doc_id % 50) AS canon_url,
+               max(doc_id) AS doc_id,
+               CAST(max(doc_id) AS BIGINT) AS crawl_ts
+        FROM documents GROUP BY doc_id % 50
+    """
+    o["semantic_dedup_pairs"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        cos AS (
+          SELECT e.vec_id, c.cid,
+                 list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+          FROM e, c),
+        asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, cid) AS rn
+            FROM cos) WHERE rn = 1),
+        p AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb, CAST(a.cid AS BIGINT) AS cid,
+                 CAST(round(10000 * list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v))
+                      * sqrt(list_dot_product(eb.v, eb.v)))) AS BIGINT) AS cos_i
+          FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id)
+        SELECT va, vb, cid, cos_i FROM p WHERE cos_i >= 3500
+    """
+    o["unigram_lm_scores"] = r"""
+        WITH toks AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+            FROM documents) WHERE tok <> ''),
+        total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        vocab AS (
+          SELECT tok,
+                 CAST(round(1000000 * ln(count(*) / (SELECT n FROM total)))
+                      AS BIGINT) AS logp_i
+          FROM toks GROUP BY tok)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(logp_i) AS BIGINT) AS sum_logp_i
+        FROM toks JOIN vocab USING (tok) GROUP BY doc_id
     """
     o["dedup_incremental_two_batch"] = """
         SELECT doc_id FROM (

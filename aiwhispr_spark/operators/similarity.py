@@ -122,6 +122,74 @@ def knn_join(
     )
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold_i: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: assign every vector to
+    its nearest centroid (cosine; ties broken by lowest centroid id), then
+    emit intra-cluster pairs with scaled cosine ≥ ``threshold_i`` (1e4-scaled
+    BIGINT, the repo's cross-engine float discipline).
+
+    Output: (va, vb, cid, cos_i) with va < vb.
+
+    100 TB shape: the centroid table is tiny and BROADCAST — assignment is a
+    narrow map over the corpus (no shuffle).  The all-pairs comparison is
+    confined WITHIN each cluster (the SemDeDup trick: k grows with the corpus
+    so cluster sizes stay bounded and the quadratic term never sees the whole
+    table); the self-join keys on ``cid`` so partitions are cluster-local and
+    AQE's skew split handles hot clusters.  Per-vector norms are computed once
+    before the pair join, not per pair."""
+    vd = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
+    e = emb.select(F.col(id_col).alias("id"), vd.alias("v"), norm.alias("nv"))
+    c = centroids.select(
+        F.col(id_col).alias("cid"), vd.alias("cv"), norm.alias("ncv")
+    )
+
+    def _cos(lv, ln, rv, rn):
+        dot = F.aggregate(
+            F.zip_with(F.col(lv), F.col(rv), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.when(
+            (F.col(ln) > 0) & (F.col(rn) > 0), dot / (F.col(ln) * F.col(rn))
+        ).otherwise(F.lit(0.0))
+
+    # argmax(cs) with lowest-cid tie-break via struct max: (cs, -cid) — a
+    # groupBy (map-side combinable: the broadcast join emits all k candidate
+    # rows of an id inside one task) instead of a window, so the exchange
+    # carries ONE row per vector, not k copies of the 64-double payload.
+    assigned = (
+        e.join(F.broadcast(c))
+        .withColumn("cs", _cos("v", "nv", "cv", "ncv"))
+        .groupBy("id")
+        .agg(
+            (-F.max(F.struct(F.col("cs"), (-F.col("cid")).alias("ncid")))["ncid"])
+            .cast("int")
+            .alias("cid"),
+            F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = _cos("a.v", "a.nv", "b.v", "b.nv")
+    return (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("va"),
+            F.col("b.id").alias("vb"),
+            F.col("a.cid").alias("cid"),
+            F.round(pair_cos * 10000).cast("bigint").alias("cos_i"),
+        )
+        .filter(F.col("cos_i") >= threshold_i)
+    )
+
+
 # --- int8 quantization: the embedding-store memory scale path ------------------------
 
 

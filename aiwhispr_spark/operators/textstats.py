@@ -166,3 +166,51 @@ def fingerprint_expr(col: Column) -> Column:
     → bigint.  Content-derived and engine-portable (md5 exists in Spark,
     DuckDB, Trino) — the distributed stand-in for a rolling hash."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def unigram_logprob_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-proxy quality score: per-document sum of unigram log-probs
+    under the corpus's OWN unigram distribution (the KenLM-style wellformedness
+    signal of CCNet, with the corpus itself as the model — no external LM in
+    the sandbox).  Lower sum/n_tokens ⇒ rarer words ⇒ likelier junk.
+
+    Returns (id_col, n_tokens, sum_logp_i) where ``sum_logp_i`` is the sum of
+    per-token ``round(1e6·ln(cnt/total))`` BIGINTs: rounding each token's
+    log-prob to a scaled int BEFORE summing makes the aggregate exactly
+    order-independent — a float sum would pick up shuffle-order low-bit noise
+    and break cross-engine hash gates (mean = sum_logp_i / 1e6 / n_tokens,
+    derived by the consumer).
+
+    100 TB shape: two shuffles total — the vocab groupBy on token and the
+    token⇄vocab hash join (both key on the token string; the vocab side is
+    count-sized, not corpus-sized) — then the per-doc groupBy combines
+    map-side.  Only the 1-row corpus total is broadcast; the vocab itself is
+    joined, never collected, so an open-vocab web corpus never pressures the
+    driver."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    total = toks.agg(F.count("*").alias("_total"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.round(F.log(F.col("cnt") / F.col("_total")) * 1e6)
+            .cast("bigint")
+            .alias("logp_i"),
+        )
+    )
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("logp_i").alias("sum_logp_i"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

@@ -1,0 +1,81 @@
+"""URL canonicalization + latest-crawl-per-url dedup — the first hygiene pass
+of any Common-Crawl-style pipeline (the same page arrives as `HTTP://WWW.X.COM`,
+`https://www.x.com/`, `…?utm_source=feed`, `…#section` across crawls).
+
+The reference keys everything on raw content paths (`aiwhisprConstants.py`
+suffix maps; no URL normalization exists) — at web scale un-normalized URLs
+silently multiply every per-page operator, so this is first-class here.
+
+All pure JVM expressions (regexp_extract / array ops — no python), mirrored
+token-for-token by the DuckDB oracle in __spark_entry__.py.  Canonical form:
+
+* scheme and host lowercased;
+* default ports stripped (``:80`` for http, ``:443`` for https);
+* fragment dropped;
+* tracking params dropped (``utm_*``, ``fbclid``, ``gclid``, ``ref``),
+  remaining params sorted bytewise, empty query dropped;
+* trailing slashes stripped from the path.
+
+100 TB shape: canonicalization is a narrow map (zero shuffle); the
+latest-crawl dedup is ONE groupBy on the canonical url whose ``max_by``
+partial-aggregates map-side, so the exchange carries one candidate row per
+(canonical url, map partition) — not one per crawl snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|ref)(=|$)"
+
+
+def canonical_url_expr(col: Column) -> Column:
+    """Canonical form of a URL column (see module docstring for the rules)."""
+    scheme = F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
+    nofrag = F.regexp_extract(F.regexp_replace(col, _SCHEME_RE, ""), r"^([^#]*)", 1)
+    hostport = F.lower(F.regexp_extract(nofrag, r"^([^/?]*)", 1))
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    pathq = F.regexp_extract(nofrag, r"^[^/?]*(.*)$", 1)
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = F.when(
+        (port != "") & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    querypart = F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, portpart, path, querypart)
+
+
+def latest_crawl_per_url(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    canon_col: str = "canon_url",
+) -> DataFrame:
+    """One row per canonical URL: the snapshot with the greatest ``ts_col``
+    (ties broken by greatest raw ``url_col`` so the result is deterministic).
+    All original columns survive; ``canon_col`` is added."""
+    canon = df.withColumn(canon_col, canonical_url_expr(F.col(url_col)))
+    others = [c for c in canon.columns if c != canon_col]
+    picked = canon.groupBy(canon_col).agg(
+        F.max(F.struct(F.col(ts_col), F.col(url_col), *[F.col(c) for c in others if c not in (ts_col, url_col)])).alias("_best")
+    )
+    return picked.select(
+        canon_col, *[F.col(f"_best.{c}").alias(c) for c in [ts_col, url_col] + [c for c in others if c not in (ts_col, url_col)]]
+    ).select(*others, canon_col)
