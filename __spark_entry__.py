@@ -121,14 +121,63 @@ def _ensure_simple_corpus_warc() -> str:
     return out
 
 
-def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
-    """DuckDB twin of operators/graph.py::pagerank over the simple-corpus
-    triple graph: the same synchronous recurrence UNROLLED (one CTE pair per
-    iteration — dangling mass + contribution sum), same double-math formula
-    and association order, so round(1e6·pr) hashes identically."""
-    parts = [
-        f"WITH t AS ({_kg_e2e_sql()}),",
-        "edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),",
+def _ensure_link_corpus() -> str:
+    """Materialize the hyperlinked corpus for the link-graph operators
+    (idempotent fixture, same discipline as _ensure_simple_corpus)."""
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.synthetic import write_linked_corpus_parquet
+
+    path = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_linked_240.parquet")
+    if not os.path.exists(path):
+        write_linked_corpus_parquet(path, n_docs=240)
+    return path
+
+
+def _linked_links_sql() -> str:
+    """CLOSED-FORM expected out-links of the linked corpus: every page's three
+    kept targets written directly from doc-index arithmetic (synthetic.py::
+    make_linked_doc_html) — independent of the engine's extract/resolve/
+    canonicalize regexes.  Yields (src_url, dst_url)."""
+    path = _ensure_link_corpus()
+    return f"""
+        WITH ids AS (
+          SELECT CAST(regexp_extract(url, 'a/(\\d+)$', 1) AS BIGINT) AS i
+          FROM read_parquet('{path}')),
+        src AS (
+          SELECT i, 'https://host' || (i % 12) || '.example.org/a/' || i AS src_url
+          FROM ids)
+        SELECT src_url,
+               'https://host' || (((i * 7 + 1) % 240) % 12) || '.example.org/a/'
+                 || ((i * 7 + 1) % 240) AS dst_url FROM src
+        UNION ALL
+        SELECT src_url,
+               'https://host' || (i % 12) || '.example.org/a/'
+                 || ((i * 13 + 5) % 240) AS dst_url FROM src
+        UNION ALL
+        SELECT src_url,
+               'https://ext' || (i % 5) || '.example.net/x/' || (i % 3) AS dst_url
+        FROM src
+    """
+
+
+def _pagerank_sql(
+    iterations: int = 5, damping: float = 0.85, edges_sql: str | None = None
+) -> str:
+    """DuckDB twin of operators/graph.py::pagerank: the same synchronous
+    recurrence UNROLLED (one CTE pair per iteration — dangling mass +
+    contribution sum), same double-math formula and association order, so
+    round(1e6·pr) hashes identically.  ``edges_sql`` (a SELECT yielding
+    src, dst) overrides the default simple-corpus triple-graph edge set."""
+    if edges_sql is None:
+        parts = [
+            f"WITH t AS ({_kg_e2e_sql()}),",
+            "edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),",
+        ]
+    else:
+        parts = [f"WITH edges AS (SELECT DISTINCT src, dst FROM ({edges_sql})),"]
+    parts += [
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
         "outd AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outd"
@@ -1103,6 +1152,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_lm_scores"] = unigram_lm
 
+    def link_extract(spark, sf):
+        # Link extraction (operators/linkgraph.py::extract_links): href pull
+        # from raw HTML, root-relative resolution against the page's own
+        # scheme+host, urlnorm canonicalization, skip rules (mailto/js/
+        # fragment/doc-relative).  Oracle = the CLOSED-FORM expected targets
+        # from doc-index arithmetic — independent of every regex here.
+        from aiwhispr_spark.operators.linkgraph import extract_links
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        return extract_links(docs)
+
+    q["link_extract_canonical"] = link_extract
+
+    def host_graph(spark, sf):
+        # Host-level edge aggregation: page links → (src_host, dst_host,
+        # n_links), intra-host edges dropped — the map-side-combinable
+        # groupBy whose output (hosts, not pages) is what web-scale graph
+        # analytics actually runs on.
+        from aiwhispr_spark.operators.linkgraph import extract_links, host_edges
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        return host_edges(extract_links(docs))
+
+    q["host_graph_edges"] = host_graph
+
+    def host_pr(spark, sf):
+        # PageRank over the cross-host link graph (extraction composed with
+        # operators/graph.py::pagerank, 5 iterations) — host authority
+        # ranking.  Oracle: the same recurrence unrolled over the closed-form
+        # edge set (_pagerank_sql(edges_sql=...)).
+        from aiwhispr_spark.operators.linkgraph import host_pagerank
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        return host_pagerank(docs, damping=0.85, iterations=5, num_partitions=8).select(
+            "node", F.round(F.col("pr") * 1000000).cast("long").alias("pr_i")
+        )
+
+    q["host_pagerank_5"] = host_pr
+
     def dedup_incremental(spark, sf):
         # O(delta) dedup: fold the corpus through two ingest batches against
         # a digest store (operators/dedup.py::incremental_exact_dedup); the
@@ -1957,6 +2045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_latest_crawl",
         "semantic_dedup_pairs",
         "unigram_lm_scores",
+        "link_extract_canonical",
+        "host_graph_edges",
+        "host_pagerank_5",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -2412,6 +2503,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(logp_i) AS BIGINT) AS sum_logp_i
         FROM toks JOIN vocab USING (tok) GROUP BY doc_id
     """
+    o["link_extract_canonical"] = _linked_links_sql()
+    o["host_graph_edges"] = f"""
+        WITH l AS ({_linked_links_sql()}),
+        h AS (
+          SELECT regexp_extract(src_url, '^[a-z]+://([^/:?#]*)', 1) AS src_host,
+                 regexp_extract(dst_url, '^[a-z]+://([^/:?#]*)', 1) AS dst_host
+          FROM l)
+        SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        FROM h WHERE src_host <> dst_host GROUP BY src_host, dst_host
+    """
+    o["host_pagerank_5"] = _pagerank_sql(
+        iterations=5,
+        damping=0.85,
+        edges_sql=f"""
+          WITH l AS ({_linked_links_sql()}),
+          h AS (
+            SELECT regexp_extract(src_url, '^[a-z]+://([^/:?#]*)', 1) AS src_host,
+                   regexp_extract(dst_url, '^[a-z]+://([^/:?#]*)', 1) AS dst_host
+            FROM l)
+          SELECT src_host AS src, dst_host AS dst FROM h WHERE src_host <> dst_host
+        """,
+    )
     o["dedup_incremental_two_batch"] = """
         SELECT doc_id FROM (
           SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id

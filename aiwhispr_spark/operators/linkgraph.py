@@ -1,0 +1,106 @@
+"""Web link graph: href extraction from raw HTML → URL resolution →
+canonicalization (operators/urlnorm.py rules) → host-level edge aggregation,
+feeding operators/graph.py::pagerank for host authority ranking.
+
+The reference treats each document as an isolated blob (no notion of the
+link structure BETWEEN pages); a crawl-scale KG wants the hyperlink graph as
+a first-class edge set — for crawl prioritization, spam/host authority
+priors on the entity linker, and domain-level curation stats.
+
+Scale shape (100 TB of WARC):
+* extraction + resolution + canonicalization are one narrow projection —
+  pure JVM regex/array expressions over the page text, zero shuffle, no
+  python stage;
+* the page→page edge list is never materialized corpus-wide: host edges
+  aggregate (src_host, dst_host) with a map-side-combinable count, so the
+  only exchange carries one row per (host pair, map partition).  Host
+  cardinality is ~10^7-10^8 for the full web — a small table next to the
+  corpus;
+* PageRank then runs on the aggregated host graph (|V| = hosts, not pages),
+  which is the standard trick that makes web-graph authority tractable.
+
+Resolution rules (documented subset of RFC 3986 — the crawl-hygiene cases):
+absolute http(s) links pass through; root-relative ("/path") joins the
+page's own scheme://host; mailto:/javascript:/tel:/data:, bare fragments,
+empty hrefs, and doc-relative paths ("sub/page" — rare in crawl chrome and
+base-href-dependent) are skipped.  Only double-quoted href attributes are
+parsed (the writer side of every major CMS; single-quote support would be
+one more regex alternative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aiwhispr_spark.operators.urlnorm import canonical_url_expr
+
+_HREF_RE = r'<a\s[^>]*href="([^"]*)"'
+_ABS_RE = r"^[Hh][Tt][Tt][Pp][Ss]?://"
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host (no port) of an absolute URL column."""
+    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)", 1))
+
+
+def extract_links(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url) — one row per kept, resolved, canonicalized
+    out-link; duplicate links within a page survive (callers aggregate)."""
+    text = F.decode(F.col(html_col), "UTF-8")
+    base = F.regexp_extract(F.col("src_url"), r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    href = F.col("href")
+    resolved = (
+        F.when(href.rlike(_ABS_RE), href)
+        .when(href.startswith("/"), F.concat(base, href))
+        .otherwise(F.lit(None))
+    )
+    return (
+        docs.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(
+                F.regexp_extract_all(text, F.lit(_HREF_RE), F.lit(1))
+            ).alias("href"),
+        )
+        .withColumn("dst_url", canonical_url_expr(resolved))
+        .filter(F.col("dst_url").isNotNull() & (F.col("dst_url") != ""))
+        .select("src_url", "dst_url")
+    )
+
+
+def host_edges(links: DataFrame, keep_self: bool = False) -> DataFrame:
+    """(src_host, dst_host, n_links) aggregated from a page-level link frame;
+    intra-host edges drop by default (chrome/nav self-links dominate raw
+    counts and carry no cross-host authority)."""
+    e = links.select(
+        host_of(F.col("src_url")).alias("src_host"),
+        host_of(F.col("dst_url")).alias("dst_host"),
+    )
+    if not keep_self:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links")
+    )
+
+
+def host_pagerank(
+    docs: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(node, pr) over the DISTINCT cross-host edge set of a raw HTML corpus
+    — extraction composed with operators/graph.py::pagerank (which dedups
+    edges itself; weights intentionally don't enter the classic recurrence).
+    ``num_partitions`` should track the HOST-graph size (orders of magnitude
+    below the page corpus), not the input's parallelism."""
+    from aiwhispr_spark.operators.graph import pagerank
+
+    edges = host_edges(extract_links(docs)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return pagerank(
+        edges, damping=damping, iterations=iterations, num_partitions=num_partitions
+    )

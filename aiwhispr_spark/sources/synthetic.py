@@ -187,6 +187,61 @@ def make_simple_doc_html(i: int, n_entities: int = 50) -> str:
     return "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
 
 
+def make_linked_doc_html(i: int, n_docs: int = 240, n_hosts: int = 12) -> str:
+    """Deterministic hyperlinked page for the link-graph operators
+    (operators/linkgraph.py).  Every target is a closed-form function of
+    ``i``, so the DuckDB oracle can write each expected canonical out-link
+    directly — an independent check of the extract→resolve→canonicalize
+    chain rather than a re-implementation of it.
+
+    Per page: three REAL out-links —
+    * absolute, with a tracking param (canonicalizer must drop it);
+    * root-relative (resolver must join it to the page's own scheme+host);
+    * external, uppercase host + explicit :443 + trailing slash (all three
+      normalized away);
+    and three NON-links the extractor must skip (mailto:, javascript:,
+    bare-fragment), plus one doc-relative link ("sub/page") that the
+    resolver's documented skip-rule drops."""
+    rng = random.Random(9 * 1_000_003 + i)
+    sent = " ".join(_WORDS[rng.randrange(len(_WORDS))] for _ in range(12)) + "."
+    a1 = (i * 7 + 1) % n_docs
+    a2 = (i * 13 + 5) % n_docs
+    parts = [
+        "<p>" + sent + "</p>",
+        f'<p>See <a href="https://host{a1 % n_hosts}.example.org/a/{a1}'
+        f'?utm_source=syn&ref=feed">page {a1}</a> for details.</p>',
+        f'<p>Also <a class="nav" href="/a/{a2}">local page {a2}</a> here.</p>',
+        f'<p>Source: <a href="https://EXT{i % 5}.example.net:443/x/{i % 3}/">'
+        "external</a>.</p>",
+        '<p><a href="mailto:team@example.org">mail</a> '
+        '<a href="javascript:void(0)">js</a> '
+        '<a href="#top">top</a> '
+        '<a href="sub/page">rel</a></p>',
+    ]
+    return "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+
+
+def write_linked_corpus_parquet(
+    path: str, n_docs: int = 240, n_hosts: int = 12
+) -> str:
+    """Materialize the hyperlinked corpus (same 5-column schema; page i lives
+    at https://host{i%n_hosts}.example.org/a/{i})."""
+    import pyarrow.parquet as pq
+
+    rows = [
+        {
+            "url": f"https://host{i % n_hosts}.example.org/a/{i}",
+            "warc_ts": EPOCH0 + dt.timedelta(seconds=271 * i),
+            "html": make_linked_doc_html(i, n_docs, n_hosts).encode("utf-8"),
+            "text": None,
+            "lang": "en",
+        }
+        for i in range(n_docs)
+    ]
+    pq.write_table(_rows_to_table(rows), path)
+    return path
+
+
 def write_simple_corpus_parquet(path: str, n_docs: int, n_entities: int = 50) -> str:
     """Materialize the oracle-friendly corpus (single parquet file, same
     5-column schema as the main corpus)."""

@@ -1,0 +1,104 @@
+"""Link-graph gates (operators/linkgraph.py). The sf-scale value gates (vs
+closed-form DuckDB oracles over the linked corpus) are
+`link_extract_canonical` / `host_graph_edges` / `host_pagerank_5` in
+__spark_entry__.py; these pin extraction, resolution, skip rules, and host
+aggregation on hand-built pages."""
+
+import pytest
+
+from aiwhispr_spark.operators.linkgraph import (
+    extract_links,
+    host_edges,
+    host_of,
+    host_pagerank,
+)
+
+PAGES = [
+    (
+        "https://www.a.org/idx",
+        "<html><body>"
+        '<a href="https://b.net/x?utm_source=s&q=1">abs</a>'
+        '<a class="nav" href="/deep/page/">rel</a>'
+        '<a href="HTTP://C.COM:80/y#frag">caps</a>'
+        '<a href="mailto:x@y.z">m</a>'
+        '<a href="javascript:void(0)">j</a>'
+        '<a href="#sec">f</a>'
+        '<a href="docrel/part">d</a>'
+        '<a href="">empty</a>'
+        "</body></html>",
+    ),
+    (
+        "https://b.net/home",
+        '<html><body><a href="https://www.a.org/idx">back</a>'
+        '<a href="https://www.a.org/idx">again</a></body></html>',
+    ),
+]
+
+
+def _df(spark):
+    rows = [(u, h.encode("utf-8")) for u, h in PAGES]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_extract_resolve_canonicalize(spark):
+    got = {
+        (r.src_url, r.dst_url)
+        for r in extract_links(_df(spark)).distinct().collect()
+    }
+    assert got == {
+        ("https://www.a.org/idx", "https://b.net/x?q=1"),
+        ("https://www.a.org/idx", "https://www.a.org/deep/page"),
+        ("https://www.a.org/idx", "http://c.com/y"),
+        ("https://b.net/home", "https://www.a.org/idx"),
+    }
+
+
+def test_duplicate_links_survive_extraction(spark):
+    rows = extract_links(_df(spark)).collect()
+    back = [r for r in rows if r.src_url == "https://b.net/home"]
+    assert len(back) == 2  # host_edges is where aggregation happens
+
+
+def test_host_edges_weights_and_self_loop_drop(spark):
+    self_loop = (
+        "https://www.a.org/two",
+        '<html><body><a href="/self">s</a>'
+        '<a href="https://b.net/x">out</a></body></html>',
+    )
+    df = _df(spark).union(
+        _df(spark).sparkSession.createDataFrame(
+            [(self_loop[0], self_loop[1].encode())], "url string, html binary"
+        )
+    )
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_edges(extract_links(df)).collect()
+    }
+    assert got == {
+        ("www.a.org", "b.net"): 2,  # one per page, self-loop dropped
+        ("www.a.org", "c.com"): 1,
+        ("b.net", "www.a.org"): 2,  # duplicate link counted twice
+    }
+    kept = host_edges(extract_links(df), keep_self=True).collect()
+    assert ("www.a.org", "www.a.org") in {(r.src_host, r.dst_host) for r in kept}
+
+
+def test_host_of_strips_port_and_case(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("https://WWW.X.ORG:8443/p?q=1",)], "u string"
+    ).select(host_of(F.col("u")).alias("h"))
+    assert df.first().h == "www.x.org"
+
+
+def test_host_pagerank_mass_and_order(spark):
+    pr = {
+        r.node: r.pr
+        for r in host_pagerank(_df(spark), iterations=3, num_partitions=2).collect()
+    }
+    assert set(pr) == {"www.a.org", "b.net", "c.com"}
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+    # a.org gets b.net's whole vote plus dangling mass; c.com only 1/3 of a's
+    assert pr["www.a.org"] > pr["b.net"] > 0
+    assert pr["b.net"] == pytest.approx(pr["c.com"], rel=1e-9)
