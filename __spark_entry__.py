@@ -1191,6 +1191,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_pagerank_5"] = host_pr
 
+    def pii_redact(spark, sf):
+        # PII redaction (operators/pii.py): email/IPv4/phone masking with
+        # typed tokens.  PII strings are injected into documents.text in
+        # CLOSED FORM from doc_id (both engines build the same augmented
+        # text), then the same ordered regex chain redacts; md5 gates the
+        # full redacted text, counts gate each pattern separately.
+        from aiwhispr_spark.operators.pii import pii_counts_expr, redact_pii_expr
+
+        d = _t(spark, sf, "documents")
+        aug = F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now."),
+        )
+        n_emails, n_ips, n_phones = pii_counts_expr(aug)
+        return d.select(
+            "doc_id",
+            F.md5(redact_pii_expr(aug)).alias("red_md5"),
+            n_emails.alias("n_emails"),
+            n_ips.alias("n_ips"),
+            n_phones.alias("n_phones"),
+        )
+
+    q["pii_redact"] = pii_redact
+
+    def temp_mix(spark, sf):
+        # Temperature-weighted source re-sampling (operators/mixing.py).
+        # The driver corpus's sources are uniform, so a SKEWED source label
+        # is derived in closed form (60/30/10) to exercise boost + cap;
+        # keep-set is md5-deterministic, rates are single-scalar-pow ints.
+        from aiwhispr_spark.operators.mixing import temperature_sample
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 < 6, "big")
+            .when(F.col("doc_id") % 10 < 9, "mid")
+            .otherwise("small")
+            .alias("src_grp"),
+        )
+        out = temperature_sample(
+            d, source_col="src_grp", id_col="doc_id", alpha=0.5, base_frac=0.5
+        )
+        return out.select("doc_id", "src_grp", "rate_i")
+
+    q["temperature_mix_sample"] = temp_mix
+
     def dedup_incremental(spark, sf):
         # O(delta) dedup: fold the corpus through two ingest batches against
         # a digest store (operators/dedup.py::incremental_exact_dedup); the
@@ -2048,6 +2101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract_canonical",
         "host_graph_edges",
         "host_pagerank_5",
+        "pii_redact",
+        "temperature_mix_sample",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -2525,6 +2580,50 @@ def oracle_sql() -> dict[str, str]:
           SELECT src_host AS src, dst_host AS dst FROM h WHERE src_host <> dst_host
         """,
     )
+    from aiwhispr_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    o["pii_redact"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' Contact user' || doc_id || '@example.com from 10.'
+                      || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+                      || ' or call +1-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' now.' AS t
+          FROM documents),
+        r1 AS (SELECT doc_id, t,
+                      regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+               FROM aug),
+        r2 AS (SELECT doc_id, t, t1,
+                      regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+               FROM r1)
+        SELECT doc_id,
+               md5(regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g')) AS red_md5,
+               CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS n_phones
+        FROM r2
+    """
+    o["temperature_mix_sample"] = """
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 < 6 THEN 'big'
+                      WHEN doc_id % 10 < 9 THEN 'mid'
+                      ELSE 'small' END AS src_grp
+          FROM documents),
+        c AS (SELECT src_grp, count(*) AS n_s FROM g GROUP BY src_grp),
+        m AS (SELECT max(n_s) AS n_max FROM c),
+        r AS (
+          SELECT src_grp,
+                 CAST(least(1000000.0,
+                      round(pow(CAST(n_max AS DOUBLE) / n_s, 0.5)
+                            * 0.5 * 1000000.0)) AS BIGINT) AS rate_i
+          FROM c, m)
+        SELECT g.doc_id, g.src_grp, r.rate_i
+        FROM g JOIN r USING (src_grp)
+        WHERE ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000 < r.rate_i
+    """
     o["dedup_incremental_two_batch"] = """
         SELECT doc_id FROM (
           SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
