@@ -162,6 +162,66 @@ def _linked_links_sql() -> str:
     """
 
 
+def _contact_html(j: int) -> str:
+    """Closed-form PII-bearing page ``j`` for the curation fixture (mirrored
+    verbatim by the oracle SQL)."""
+    return (
+        "<html><body>\n<p>Reach ops"
+        f"{j}@example.net or 10.9.0.{j * 3} today.</p>\n</body></html>"
+    )
+
+
+def _ensure_curation_warc() -> str:
+    """WARC fixture for the end-to-end curation gate: the 150 simple docs
+    + 30 exact content mirrors (every 5th doc under a mirror.example.org
+    url, so exact-dedup keeper election does real work) + 15 closed-form
+    contact pages with real PII (so redaction does real work)."""
+    import datetime as dtm
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.warc import write_warc
+    from aiwhispr_spark.sources.synthetic import EPOCH0
+
+    out = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_curation_warc")
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_ensure_simple_corpus(), columns=["url", "warc_ts", "html"])
+    rows = list(
+        zip(
+            tbl.column("url").to_pylist(),
+            tbl.column("warc_ts").to_pylist(),
+            tbl.column("html").to_pylist(),
+        )
+    )
+    extra = [
+        (
+            f"https://mirror.example.org/m/{i}",
+            EPOCH0 + dtm.timedelta(seconds=900_000 + 311 * i),
+            rows[i][2],
+        )
+        for i in range(0, len(rows), 5)
+    ] + [
+        (
+            f"https://contact.example.org/c/{j}",
+            EPOCH0 + dtm.timedelta(seconds=950_000 + 311 * j),
+            _contact_html(j).encode("utf-8"),
+        )
+        for j in range(15)
+    ]
+    allrows = rows + extra
+    os.makedirs(out, exist_ok=True)
+    n_files = 4
+    for k in range(n_files):
+        write_warc(
+            [r for idx, r in enumerate(allrows) if idx % n_files == k],
+            os.path.join(out, f"crawl-{k:05d}.warc.gz"),
+        )
+    return out
+
+
 def _pagerank_sql(
     iterations: int = 5, damping: float = 0.85, edges_sql: str | None = None
 ) -> str:
@@ -1244,6 +1304,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temperature_mix_sample"] = temp_mix
 
+    def warc_curation(spark, sf):
+        # END-TO-END web-curation composition, every stage load-bearing:
+        # WARC parse (30 mirrors + 15 PII pages in the fixture) → T1 clean
+        # (the reference kernel UDF) → corpus-level line dedup (the 50-doc
+        # fish&chips boilerplate drops) → PII redaction (15 real hits) →
+        # exact-dedup keeper election (mirror urls sort below simple*, so
+        # the 30 originals lose; the 15 PII pages redact to IDENTICAL text
+        # and collapse to one keeper — dedup runs downstream of redaction
+        # by design, so 150+30+15 → 151 rows).  Oracle = the same five
+        # stages composed in SQL from the ORIGINAL parquet + closed-form
+        # extra rows.
+        from aiwhispr_spark.functions.udfs import clean_html_udf
+        from aiwhispr_spark.operators.linededup import drop_boilerplate_lines
+        from aiwhispr_spark.operators.pii import redact_pii_expr
+        from aiwhispr_spark.sources.warc import read_warc
+
+        docs = read_warc(spark, _ensure_curation_warc())
+        cleaned = docs.select(
+            F.col("url").alias("doc_id"), clean_html_udf("html").alias("text")
+        )
+        lined = drop_boilerplate_lines(cleaned, min_docs=3)
+        red = lined.select(
+            "doc_id",
+            redact_pii_expr(F.col("text_clean")).alias("text_red"),
+            "n_kept",
+            "n_dropped",
+        ).withColumn("dg", F.md5("text_red"))
+        keepers = red.groupBy("dg").agg(F.min("doc_id").alias("doc_id"))
+        return red.join(keepers, ["dg", "doc_id"]).select(
+            "doc_id",
+            F.col("dg").alias("red_md5"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+        )
+
+    q["warc_curation_pipeline"] = warc_curation
+
     def dedup_incremental(spark, sf):
         # O(delta) dedup: fold the corpus through two ingest batches against
         # a digest store (operators/dedup.py::incremental_exact_dedup); the
@@ -2103,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank_5",
         "pii_redact",
         "temperature_mix_sample",
+        "warc_curation_pipeline",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -2623,6 +2721,57 @@ def oracle_sql() -> dict[str, str]:
         FROM g JOIN r USING (src_grp)
         WHERE ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 15))::BIGINT
               % 1000000 < r.rate_i
+    """
+    o["warc_curation_pipeline"] = f"""
+        WITH base AS (
+          SELECT url, decode(html) AS h,
+                 CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT) AS i
+          FROM read_parquet('{_ensure_simple_corpus()}')),
+        allrows AS (
+          SELECT url AS doc_id, h FROM base
+          UNION ALL
+          SELECT 'https://mirror.example.org/m/' || i, h FROM base WHERE i % 5 = 0
+          UNION ALL
+          SELECT 'https://contact.example.org/c/' || j,
+                 '<html><body>' || chr(10) || '<p>Reach ops' || j
+                   || '@example.net or 10.9.0.' || (j * 3) || ' today.</p>'
+                   || chr(10) || '</body></html>'
+          FROM (SELECT unnest(generate_series(0, 14)) AS j)),
+        cleaned AS (
+          SELECT doc_id, regexp_replace(h, '{CLEANR_PATTERN}', '', 'g') AS txt
+          FROM allrows),
+        lines AS (
+          SELECT doc_id, l AS line, lower(trim(l)) AS norm, ord FROM (
+            SELECT doc_id, unnest(string_split(txt, chr(10))) AS l,
+                   generate_subscripts(string_split(txt, chr(10)), 1) AS ord
+            FROM cleaned)),
+        freq AS (SELECT norm FROM lines WHERE norm <> ''
+                 GROUP BY norm HAVING count(DISTINCT doc_id) >= 3),
+        flagged AS (
+          SELECT l.doc_id, l.line, l.ord, (f.norm IS NOT NULL) AS is_dup
+          FROM lines l LEFT JOIN freq f ON l.norm = f.norm),
+        reasm AS (
+          SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+                                     chr(10) ORDER BY ord), '') AS text_clean,
+                 sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS n_kept,
+                 sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dropped
+          FROM flagged GROUP BY doc_id),
+        red AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(text_clean,
+                   '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{IPV4_RE}', '<IP>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g') AS text_red,
+                 n_kept, n_dropped
+          FROM reasm),
+        keep AS (SELECT md5(text_red) AS dg, min(doc_id) AS keep_id
+                 FROM red GROUP BY md5(text_red))
+        SELECT r.doc_id, md5(r.text_red) AS red_md5,
+               CAST(r.n_kept AS BIGINT) AS n_kept,
+               CAST(r.n_dropped AS BIGINT) AS n_dropped
+        FROM red r JOIN keep k
+          ON md5(r.text_red) = k.dg AND r.doc_id = k.keep_id
     """
     o["dedup_incremental_two_batch"] = """
         SELECT doc_id FROM (
