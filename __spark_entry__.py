@@ -1341,6 +1341,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_curation_pipeline"] = warc_curation
 
+    def anchor_mining(spark, sf):
+        # Anchor-text alias mining (linkgraph.py::extract_anchors +
+        # anchor_aliases): visible link text per canonical target — the
+        # web's free alias evidence for the KG linker.  Oracle writes each
+        # expected (dst, anchor) from doc-index arithmetic; the 16-way
+        # external-anchor aggregation does real counting work.
+        from aiwhispr_spark.operators.linkgraph import anchor_aliases, extract_anchors
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        return anchor_aliases(extract_anchors(docs))
+
+    q["anchor_alias_mining"] = anchor_mining
+
+    def main_content(spark, sf):
+        # Link-density main-content extraction (operators/maincontent.py):
+        # integer cross-multiplied density decision per line, chrome lines
+        # dropped before any tag strip.  The fixture's lines straddle the
+        # 50% threshold (nav line 80%, "local page" line ~56%, "external"
+        # line 47%), so the gate pins the exact decision boundary.
+        from aiwhispr_spark.operators.maincontent import (
+            line_link_density,
+            main_content_expr,
+        )
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        text = F.decode("html", "UTF-8")
+        dens = line_link_density(text)
+        return docs.select(
+            "url",
+            F.md5(main_content_expr(text, max_link_pct=50)).alias("main_md5"),
+            F.size(
+                F.filter(
+                    dens,
+                    lambda s: (s["visible"] > 0)
+                    & (s["anchored"] * 100 <= 50 * s["visible"]),
+                )
+            )
+            .cast("long")
+            .alias("kept_lines"),
+            F.size(dens).cast("long").alias("total_lines"),
+        )
+
+    q["main_content_extract"] = main_content
+
     def dedup_incremental(spark, sf):
         # O(delta) dedup: fold the corpus through two ingest batches against
         # a digest store (operators/dedup.py::incremental_exact_dedup); the
@@ -2201,6 +2245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact",
         "temperature_mix_sample",
         "warc_curation_pipeline",
+        "anchor_alias_mining",
+        "main_content_extract",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -2772,6 +2818,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(r.n_dropped AS BIGINT) AS n_dropped
         FROM red r JOIN keep k
           ON md5(r.text_red) = k.dg AND r.doc_id = k.keep_id
+    """
+    o["anchor_alias_mining"] = f"""
+        WITH ids AS (
+          SELECT CAST(regexp_extract(url, 'a/(\\d+)$', 1) AS BIGINT) AS i
+          FROM read_parquet('{_ensure_link_corpus()}')),
+        a AS (
+          SELECT 'https://host' || (((i * 7 + 1) % 240) % 12) || '.example.org/a/'
+                   || ((i * 7 + 1) % 240) AS dst_url,
+                 'page ' || ((i * 7 + 1) % 240) AS anchor
+          FROM ids
+          UNION ALL
+          SELECT 'https://host' || (i % 12) || '.example.org/a/'
+                   || ((i * 13 + 5) % 240),
+                 'local page ' || ((i * 13 + 5) % 240)
+          FROM ids
+          UNION ALL
+          SELECT 'https://ext' || (i % 5) || '.example.net/x/' || (i % 3),
+                 'external'
+          FROM ids)
+        SELECT dst_url, anchor, CAST(count(*) AS BIGINT) AS n_mentions
+        FROM a GROUP BY dst_url, anchor
+    """
+    o["main_content_extract"] = f"""
+        WITH lines AS (
+          SELECT url, l AS line, ord FROM (
+            SELECT url, unnest(string_split(decode(html), chr(10))) AS l,
+                   generate_subscripts(string_split(decode(html), chr(10)), 1) AS ord
+            FROM read_parquet('{_ensure_link_corpus()}'))),
+        d AS (
+          SELECT url, line, ord,
+                 length(regexp_replace(line, '<[^>]*>', '', 'g')) AS visible,
+                 length(regexp_replace(line, '<[^>]*>', '', 'g'))
+                   - length(regexp_replace(regexp_replace(line,
+                       '<a(\\s[^>]*)?>.*?</a>', '', 'g'), '<[^>]*>', '', 'g'))
+                   AS anchored
+          FROM lines)
+        SELECT url,
+               md5(coalesce(string_agg(
+                 CASE WHEN visible > 0 AND anchored * 100 <= 50 * visible
+                      THEN line END, chr(10) ORDER BY ord), '')) AS main_md5,
+               CAST(sum(CASE WHEN visible > 0 AND anchored * 100 <= 50 * visible
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+               CAST(count(*) AS BIGINT) AS total_lines
+        FROM d GROUP BY url
     """
     o["dedup_incremental_two_batch"] = """
         SELECT doc_id FROM (

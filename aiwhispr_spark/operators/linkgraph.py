@@ -70,6 +70,55 @@ def extract_links(
     )
 
 
+_ANCHOR_RE = r'<a\s[^>]*href="[^"]*"[^>]*>.*?</a>'
+
+
+def extract_anchors(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url, anchor) — like :func:`extract_links` but keeping
+    each link's visible anchor text (inner tags stripped, whitespace
+    trimmed/collapsed, lowercased).  Anchor text is the web's free entity
+    alias evidence: aggregated per target it feeds the KG linker's candidate
+    priors (operators/linking.py) the same way alias surface forms from SVO
+    extraction do."""
+    text = F.decode(F.col(html_col), "UTF-8")
+    base = F.regexp_extract(F.col("src_url"), r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    href = F.regexp_extract(F.col("a"), r'href="([^"]*)"', 1)
+    inner = F.regexp_extract(F.col("a"), r">(.*)</a>$", 1)
+    anchor = F.lower(
+        F.trim(F.regexp_replace(F.regexp_replace(inner, r"<[^>]*>", ""), r"\s+", " "))
+    )
+    resolved = (
+        F.when(href.rlike(_ABS_RE), href)
+        .when(href.startswith("/"), F.concat(base, href))
+        .otherwise(F.lit(None))
+    )
+    return (
+        docs.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(
+                F.regexp_extract_all(text, F.lit(_ANCHOR_RE), F.lit(0))
+            ).alias("a"),
+        )
+        .select(
+            "src_url",
+            canonical_url_expr(resolved).alias("dst_url"),
+            anchor.alias("anchor"),
+        )
+        .filter(F.col("dst_url").isNotNull() & (F.col("dst_url") != ""))
+    )
+
+
+def anchor_aliases(anchors: DataFrame) -> DataFrame:
+    """(dst_url, anchor, n_mentions) — the mined alias table (map-side
+    combinable; at web scale this is THE input to anchor-based entity
+    alias dictionaries)."""
+    return anchors.groupBy("dst_url", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions")
+    )
+
+
 def host_edges(links: DataFrame, keep_self: bool = False) -> DataFrame:
     """(src_host, dst_host, n_links) aggregated from a page-level link frame;
     intra-host edges drop by default (chrome/nav self-links dominate raw
