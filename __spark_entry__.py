@@ -1356,31 +1356,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def main_content(spark, sf):
         # Link-density main-content extraction (operators/maincontent.py):
-        # integer cross-multiplied density decision per line, chrome lines
-        # dropped before any tag strip.  The fixture's lines straddle the
-        # 50% threshold (nav line 80%, "local page" line ~56%, "external"
-        # line 47%), so the gate pins the exact decision boundary.
+        # integer cross-multiplied density decision per closed BLOCK
+        # (newlines normalized first, so multi-line anchors can't hide),
+        # chrome dropped before any tag strip.  The fixture's blocks
+        # straddle the 50% threshold (nav ~75%, "local page" ~54%,
+        # "external" ~44%), so the gate pins the exact decision boundary.
         from aiwhispr_spark.operators.maincontent import (
-            line_link_density,
+            block_link_density,
+            keep_block,
             main_content_expr,
         )
 
         docs = spark.read.parquet(_ensure_link_corpus())
         text = F.decode("html", "UTF-8")
-        dens = line_link_density(text)
+        dens = block_link_density(text)
         return docs.select(
             "url",
             F.md5(main_content_expr(text, max_link_pct=50)).alias("main_md5"),
-            F.size(
-                F.filter(
-                    dens,
-                    lambda s: (s["visible"] > 0)
-                    & (s["anchored"] * 100 <= 50 * s["visible"]),
-                )
-            )
+            F.size(F.filter(dens, lambda s: keep_block(s, 50)))
             .cast("long")
-            .alias("kept_lines"),
-            F.size(dens).cast("long").alias("total_lines"),
+            .alias("kept_blocks"),
+            F.size(dens).cast("long").alias("total_blocks"),
         )
 
     q["main_content_extract"] = main_content
@@ -2840,27 +2836,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT dst_url, anchor, CAST(count(*) AS BIGINT) AS n_mentions
         FROM a GROUP BY dst_url, anchor
     """
+    from aiwhispr_spark.operators.maincontent import (
+        ANCHOR_SPAN_RE,
+        BLOCK_SPLIT_RE,
+        NEWLINE_RE,
+        TAG_RE,
+    )
+
     o["main_content_extract"] = f"""
-        WITH lines AS (
-          SELECT url, l AS line, ord FROM (
-            SELECT url, unnest(string_split(decode(html), chr(10))) AS l,
-                   generate_subscripts(string_split(decode(html), chr(10)), 1) AS ord
-            FROM read_parquet('{_ensure_link_corpus()}'))),
+        WITH blocks AS (
+          SELECT url, b AS block, ord FROM (
+            SELECT url, unnest(x) AS b, generate_subscripts(x, 1) AS ord FROM (
+              SELECT url,
+                     regexp_split_to_array(
+                       regexp_replace(decode(html), '{NEWLINE_RE}', ' ', 'g'),
+                       '{BLOCK_SPLIT_RE}') AS x
+              FROM read_parquet('{_ensure_link_corpus()}')))),
         d AS (
-          SELECT url, line, ord,
-                 length(regexp_replace(line, '<[^>]*>', '', 'g')) AS visible,
-                 length(regexp_replace(line, '<[^>]*>', '', 'g'))
-                   - length(regexp_replace(regexp_replace(line,
-                       '<a(\\s[^>]*)?>.*?</a>', '', 'g'), '<[^>]*>', '', 'g'))
+          SELECT url, block, ord,
+                 length(regexp_replace(block, '{TAG_RE}', '', 'g')) AS visible,
+                 length(trim(regexp_replace(block, '{TAG_RE}', '', 'g'))) AS vis_trim,
+                 length(regexp_replace(block, '{TAG_RE}', '', 'g'))
+                   - length(regexp_replace(regexp_replace(block,
+                       '{ANCHOR_SPAN_RE}', '', 'g'), '{TAG_RE}', '', 'g'))
                    AS anchored
-          FROM lines)
+          FROM blocks)
         SELECT url,
                md5(coalesce(string_agg(
-                 CASE WHEN visible > 0 AND anchored * 100 <= 50 * visible
-                      THEN line END, chr(10) ORDER BY ord), '')) AS main_md5,
-               CAST(sum(CASE WHEN visible > 0 AND anchored * 100 <= 50 * visible
-                             THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
-               CAST(count(*) AS BIGINT) AS total_lines
+                 CASE WHEN vis_trim > 0 AND anchored * 100 <= 50 * visible
+                      THEN block END, chr(10) ORDER BY ord), '')) AS main_md5,
+               CAST(sum(CASE WHEN vis_trim > 0 AND anchored * 100 <= 50 * visible
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
+               CAST(count(*) AS BIGINT) AS total_blocks
         FROM d GROUP BY url
     """
     o["dedup_incremental_two_batch"] = """

@@ -46,7 +46,7 @@ def frequent_lines(
     the 8-byte key is what downstream joins carry."""
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias("line"),
     )
     return (
         lines.select(F.xxhash64(_norm(F.col("line"))).alias("line_key"), "_id")
@@ -70,11 +70,15 @@ def drop_boilerplate_lines(
     * ``n_kept`` / ``n_dropped`` — line counts.
 
     Empty/whitespace-only lines are structural, not boilerplate: they are
-    never counted and never dropped."""
+    never counted and never dropped.  NULL text (an upstream extraction
+    failure) is treated as '' — the document survives with one empty kept
+    line rather than silently vanishing from the corpus."""
     freq = frequent_lines(docs, text_col, id_col, min_docs).select("line_key")
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("ord", "line"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "ord", "line"
+        ),
     ).withColumn(
         "line_key",
         F.when(_norm(F.col("line")) != "", F.xxhash64(_norm(F.col("line")))),

@@ -44,19 +44,26 @@ def host_of(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)", 1))
 
 
+def _resolve(href: Column, src_url: Column) -> Column:
+    """The module's documented resolution/skip contract, shared by link and
+    anchor extraction: absolute http(s) pass through; root-relative joins the
+    page's own scheme://host (skipped when the src url itself has no
+    parseable base — a scheme-less row must not mint ':///path' edges);
+    everything else (mailto:/javascript:/fragments/doc-relative) is NULL."""
+    base = F.regexp_extract(src_url, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    return (
+        F.when(href.rlike(_ABS_RE), href)
+        .when(href.startswith("/") & (base != ""), F.concat(base, href))
+        .otherwise(F.lit(None))
+    )
+
+
 def extract_links(
     docs: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """(src_url, dst_url) — one row per kept, resolved, canonicalized
     out-link; duplicate links within a page survive (callers aggregate)."""
     text = F.decode(F.col(html_col), "UTF-8")
-    base = F.regexp_extract(F.col("src_url"), r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
-    href = F.col("href")
-    resolved = (
-        F.when(href.rlike(_ABS_RE), href)
-        .when(href.startswith("/"), F.concat(base, href))
-        .otherwise(F.lit(None))
-    )
     return (
         docs.select(
             F.col(url_col).alias("src_url"),
@@ -64,13 +71,17 @@ def extract_links(
                 F.regexp_extract_all(text, F.lit(_HREF_RE), F.lit(1))
             ).alias("href"),
         )
-        .withColumn("dst_url", canonical_url_expr(resolved))
+        .withColumn(
+            "dst_url", canonical_url_expr(_resolve(F.col("href"), F.col("src_url")))
+        )
         .filter(F.col("dst_url").isNotNull() & (F.col("dst_url") != ""))
         .select("src_url", "dst_url")
     )
 
 
-_ANCHOR_RE = r'<a\s[^>]*href="[^"]*"[^>]*>.*?</a>'
+# (?s): pretty-printed templates put the anchor text on its own line(s); a
+# non-DOTALL '.*?' would silently skip every multi-line anchor.
+_ANCHOR_RE = r'(?s)<a\s[^>]*href="[^"]*"[^>]*>.*?</a>'
 
 
 def extract_anchors(
@@ -83,17 +94,12 @@ def extract_anchors(
     priors (operators/linking.py) the same way alias surface forms from SVO
     extraction do."""
     text = F.decode(F.col(html_col), "UTF-8")
-    base = F.regexp_extract(F.col("src_url"), r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
     href = F.regexp_extract(F.col("a"), r'href="([^"]*)"', 1)
-    inner = F.regexp_extract(F.col("a"), r">(.*)</a>$", 1)
+    inner = F.regexp_extract(F.col("a"), r"(?s)>(.*)</a>$", 1)
     anchor = F.lower(
         F.trim(F.regexp_replace(F.regexp_replace(inner, r"<[^>]*>", ""), r"\s+", " "))
     )
-    resolved = (
-        F.when(href.rlike(_ABS_RE), href)
-        .when(href.startswith("/"), F.concat(base, href))
-        .otherwise(F.lit(None))
-    )
+    resolved = _resolve(href, F.col("src_url"))
     return (
         docs.select(
             F.col(url_col).alias("src_url"),
@@ -122,11 +128,13 @@ def anchor_aliases(anchors: DataFrame) -> DataFrame:
 def host_edges(links: DataFrame, keep_self: bool = False) -> DataFrame:
     """(src_host, dst_host, n_links) aggregated from a page-level link frame;
     intra-host edges drop by default (chrome/nav self-links dominate raw
-    counts and carry no cross-host authority)."""
+    counts and carry no cross-host authority).  Rows whose src url has no
+    parseable host (scheme-less input) are dropped — a '' node must never
+    enter the host graph."""
     e = links.select(
         host_of(F.col("src_url")).alias("src_host"),
         host_of(F.col("dst_url")).alias("dst_host"),
-    )
+    ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
     if not keep_self:
         e = e.filter(F.col("src_host") != F.col("dst_host"))
     return e.groupBy("src_host", "dst_host").agg(

@@ -28,15 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aiwhispr_spark.operators.textstats import fingerprint_expr
+
 _BUCKETS = 1_000_000
 
 
 def _bucket(id_col: Column) -> Column:
-    # md5 → first 15 hex digits (60 bits, exact in a long) → [0, 1e6)
-    return (
-        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast("long")
-        % _BUCKETS
-    )
+    # the repo's one md5→60-bit fingerprint discipline, folded to [0, 1e6)
+    return fingerprint_expr(id_col.cast("string")) % _BUCKETS
 
 
 def source_rates(

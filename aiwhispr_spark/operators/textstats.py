@@ -193,17 +193,14 @@ def unigram_logprob_scores(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    total = toks.agg(F.count("*").alias("_total"))
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "tok",
-            F.round(F.log(F.col("cnt") / F.col("_total")) * 1e6)
-            .cast("bigint")
-            .alias("logp_i"),
-        )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # corpus total from the VOCAB-sized aggregate, not a third corpus scan
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    vocab = counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt") / F.col("_total")) * 1e6)
+        .cast("bigint")
+        .alias("logp_i"),
     )
     return (
         toks.join(vocab, "tok")

@@ -27,8 +27,8 @@ from __future__ import annotations
 import datetime as dt
 import gzip
 import hashlib
-import io
 import os
+import zlib
 from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,48 +109,84 @@ def write_warc_from_parquet(
     return out_dir
 
 
-def parse_warc_bytes(data: bytes) -> Iterator[tuple[str, dt.datetime, bytes]]:
-    """Yield (url, ts, html) from raw WARC bytes.
+def _gzip_member_chunks(data: bytes) -> Iterator[bytes]:
+    """Decompress a (possibly multi-member) gzip byte string INCREMENTALLY:
+    one member's output at a time, never the whole archive.  With the CC
+    one-member-per-record layout, peak live memory is the compressed input
+    (binaryFile already holds it) plus one record."""
+    chunk_cap = 1 << 20
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        yield d.decompress(data[pos:], chunk_cap)
+        while not d.eof:  # oversized member: drain it in bounded pieces
+            tail = d.unconsumed_tail
+            if not tail:
+                raise ValueError(f"truncated gzip member at byte {pos}")
+            yield d.decompress(tail, chunk_cap)
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError(f"gzip member at byte {pos} consumed no input")
+        pos += consumed
 
-    Handles plain and gzipped input (``gzip.decompress`` consumes concatenated
-    members, so per-record-gzipped CC files decode in one call).  Only
-    ``response`` records with an HTTP payload yield rows; request/metadata/
-    warcinfo records are skipped, as are records missing a target URI.
-    Malformed tails raise — a truncated crawl file should fail the task
-    loudly, not silently drop records."""
-    if data[:2] == _GZIP_MAGIC:
-        data = gzip.decompress(data)
-    pos, n = 0, len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and data[pos : pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n:
-            break
-        head_end = data.find(b"\r\n\r\n", pos)
-        if head_end < 0:
-            raise ValueError(f"truncated WARC header at byte {pos}")
-        head = data[pos:head_end].decode("utf-8", "replace")
-        lines = head.split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            raise ValueError(f"bad WARC version line at byte {pos}: {lines[0]!r}")
-        fields: dict[str, str] = {}
-        for ln in lines[1:]:
-            k, _, v = ln.partition(":")
-            fields[k.strip().lower()] = v.strip()
-        try:
-            length = int(fields["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError(f"WARC record at byte {pos} lacks Content-Length")
-        body = data[head_end + 4 : head_end + 4 + length]
-        if len(body) != length:
-            raise ValueError(f"truncated WARC payload at byte {pos}")
-        pos = head_end + 4 + length
-        if fields.get("warc-type") == "response" and "warc-target-uri" in fields:
-            http_end = body.find(b"\r\n\r\n")
-            html = body[http_end + 4 :] if http_end >= 0 else body
-            ts = dt.datetime.strptime(fields["warc-date"], _WARC_TS_FMT)
-            yield fields["warc-target-uri"], ts, html
+
+def iter_warc_records(
+    chunks: Iterable[bytes],
+) -> Iterator[tuple[str, dt.datetime, bytes]]:
+    """Yield (url, ts, html) from a stream of raw WARC byte chunks, buffering
+    only the record currently being assembled (consumed prefixes are trimmed).
+
+    Only ``response`` records with an HTTP payload yield rows; request/
+    metadata/warcinfo records are skipped, as are records missing a target
+    URI.  Malformed tails raise — a truncated crawl file should fail the
+    task loudly, not silently drop records."""
+    buf = bytearray()
+
+    def _parse_available() -> Iterator[tuple[str, dt.datetime, bytes]]:
+        pos = 0
+        while True:
+            while buf[pos : pos + 2] == b"\r\n":  # inter-record CRLFs
+                pos += 2
+            head_end = buf.find(b"\r\n\r\n", pos)
+            if head_end < 0:
+                break
+            head = bytes(buf[pos:head_end]).decode("utf-8", "replace")
+            lines = head.split("\r\n")
+            if not lines[0].startswith("WARC/"):
+                raise ValueError(f"bad WARC version line: {lines[0]!r}")
+            fields: dict[str, str] = {}
+            for ln in lines[1:]:
+                k, _, v = ln.partition(":")
+                fields[k.strip().lower()] = v.strip()
+            try:
+                length = int(fields["content-length"])
+            except (KeyError, ValueError):
+                raise ValueError("WARC record lacks Content-Length")
+            if len(buf) < head_end + 4 + length:
+                break  # payload not fully buffered yet
+            body = bytes(buf[head_end + 4 : head_end + 4 + length])
+            pos = head_end + 4 + length
+            if fields.get("warc-type") == "response" and "warc-target-uri" in fields:
+                http_end = body.find(b"\r\n\r\n")
+                html = body[http_end + 4 :] if http_end >= 0 else body
+                ts = dt.datetime.strptime(fields["warc-date"], _WARC_TS_FMT)
+                yield fields["warc-target-uri"], ts, html
+        del buf[:pos]
+
+    for chunk in chunks:
+        buf += chunk
+        yield from _parse_available()
+    yield from _parse_available()
+    if buf.strip(b"\r\n"):
+        raise ValueError(f"truncated WARC record in final {len(buf)} buffered bytes")
+
+
+def parse_warc_bytes(data: bytes) -> Iterator[tuple[str, dt.datetime, bytes]]:
+    """Yield (url, ts, html) from one WARC file's raw bytes (plain or
+    gzipped); gzip input decompresses member-by-member, record parsing is
+    incremental — see :func:`iter_warc_records`."""
+    chunks = _gzip_member_chunks(data) if data[:2] == _GZIP_MAGIC else iter((data,))
+    return iter_warc_records(chunks)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -164,19 +200,27 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path).select("content")
+    batch_rows = 1024  # bounds each Arrow batch well under the 2 GiB offset limit
+
+    def _to_pdf(recs: list[tuple[str, dt.datetime, bytes]]) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "url": [r[0] for r in recs],
+                "warc_ts": pd.Series([r[1] for r in recs], dtype="datetime64[us]"),
+                "html": [r[2] for r in recs],
+            }
+        )
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             for content in pdf["content"]:
-                recs = list(parse_warc_bytes(bytes(content)))
-                yield pd.DataFrame(
-                    {
-                        "url": [r[0] for r in recs],
-                        "warc_ts": pd.Series(
-                            [r[1] for r in recs], dtype="datetime64[us]"
-                        ),
-                        "html": [r[2] for r in recs],
-                    }
-                )
+                recs: list[tuple[str, dt.datetime, bytes]] = []
+                for rec in parse_warc_bytes(bytes(content)):
+                    recs.append(rec)
+                    if len(recs) >= batch_rows:
+                        yield _to_pdf(recs)
+                        recs = []
+                if recs:
+                    yield _to_pdf(recs)
 
     return files.mapInPandas(parse, schema=READ_SCHEMA)

@@ -96,3 +96,32 @@ def test_spark_reader_roundtrips_parquet(spark, warc_corpus):
 def test_spark_reader_one_task_per_file(spark, warc_corpus):
     _, warc_dir = warc_corpus
     assert read_warc(spark, warc_dir).rdd.getNumPartitions() == 3
+
+
+def test_incremental_chunked_parsing_matches_whole_buffer():
+    # iter_warc_records must assemble records across arbitrary chunk
+    # boundaries (the streaming contract: only the in-flight record buffers)
+    import datetime as dt
+
+    from aiwhispr_spark.sources.warc import build_record, iter_warc_records
+
+    recs = [
+        (f"https://s.org/{i}", dt.datetime(2023, 1, 1, 0, 0, i), b"x" * (100 + i))
+        for i in range(5)
+    ]
+    raw = b"".join(build_record(*r) for r in recs)
+    for chunk in (1, 7, 64, len(raw)):
+        chunks = [raw[i : i + chunk] for i in range(0, len(raw), chunk)]
+        assert list(iter_warc_records(chunks)) == recs
+
+
+def test_oversized_gzip_member_drains_in_bounded_pieces():
+    import datetime as dt
+    import gzip
+
+    from aiwhispr_spark.sources.warc import build_record, parse_warc_bytes
+
+    # one member > the 1 MiB drain cap forces the unconsumed_tail loop
+    big = build_record("https://s.org/big", dt.datetime(2023, 1, 1), b"y" * (3 << 20))
+    out = list(parse_warc_bytes(gzip.compress(big, mtime=0)))
+    assert len(out) == 1 and len(out[0][2]) == 3 << 20
