@@ -1314,29 +1314,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and collapse to one keeper — dedup runs downstream of redaction
         # by design, so 150+30+15 → 151 rows).  Oracle = the same five
         # stages composed in SQL from the ORIGINAL parquet + closed-form
-        # extra rows.
-        from aiwhispr_spark.functions.udfs import clean_html_udf
-        from aiwhispr_spark.operators.linededup import drop_boilerplate_lines
-        from aiwhispr_spark.operators.pii import redact_pii_expr
+        # extra rows.  Runs through the LIBRARY plan (plans/curation.py) so
+        # the gate covers the user-facing composition, not a private twin.
+        from aiwhispr_spark.plans.curation import curate_corpus
         from aiwhispr_spark.sources.warc import read_warc
 
         docs = read_warc(spark, _ensure_curation_warc())
-        cleaned = docs.select(
-            F.col("url").alias("doc_id"), clean_html_udf("html").alias("text")
-        )
-        lined = drop_boilerplate_lines(cleaned, min_docs=3)
-        red = lined.select(
+        out = curate_corpus(docs, min_line_docs=3)
+        return out.select(
             "doc_id",
-            redact_pii_expr(F.col("text_clean")).alias("text_red"),
-            "n_kept",
-            "n_dropped",
-        ).withColumn("dg", F.md5("text_red"))
-        keepers = red.groupBy("dg").agg(F.min("doc_id").alias("doc_id"))
-        return red.join(keepers, ["dg", "doc_id"]).select(
-            "doc_id",
-            F.col("dg").alias("red_md5"),
-            F.col("n_kept").cast("long").alias("n_kept"),
-            F.col("n_dropped").cast("long").alias("n_dropped"),
+            F.md5("text").alias("red_md5"),
+            F.col("n_lines_kept").alias("n_kept"),
+            F.col("n_lines_dropped").alias("n_dropped"),
         )
 
     q["warc_curation_pipeline"] = warc_curation
