@@ -1343,6 +1343,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anchor_alias_mining"] = anchor_mining
 
+    def crawl_changes(spark, sf):
+        # Re-crawl change detection (urlnorm.py::crawl_change_stats): 40
+        # canonical pages × ~12 snapshots derived in closed form — a third
+        # of pages churn A→B→A (parity content), a third step-change once
+        # at ts 500, a third stay stable — so n_versions vs n_changes
+        # separate revert churn from real versioning.  Ordering inside a
+        # page is the sorted-struct array, no window.
+        from aiwhispr_spark.operators.urlnorm import crawl_change_stats
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        page = F.col("doc_id") % 40
+        ts = (F.col("doc_id") * 37) % 1000
+        ver = (
+            F.when(page % 3 == 0, ts % 2)
+            .when(page % 3 == 1, (ts >= 500).cast("long"))
+            .otherwise(F.lit(0))
+        )
+        messy = F.concat(
+            F.lit("https://site.org/pg/"),
+            page.cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x")).otherwise(
+                F.lit("")
+            ),
+        )
+        df = d.select(
+            messy.alias("url"),
+            ts.cast("long").alias("ts"),
+            F.concat(F.lit("v"), ver.cast("string")).alias("content"),
+        )
+        return crawl_change_stats(df, ts_col="ts", content_col="content")
+
+    q["crawl_change_stats"] = crawl_changes
+
     def main_content(spark, sf):
         # Link-density main-content extraction (operators/maincontent.py):
         # integer cross-multiplied density decision per closed BLOCK
@@ -2232,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_curation_pipeline",
         "anchor_alias_mining",
         "main_content_extract",
+        "crawl_change_stats",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -2803,6 +2838,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(r.n_dropped AS BIGINT) AS n_dropped
         FROM red r JOIN keep k
           ON md5(r.text_red) = k.dg AND r.doc_id = k.keep_id
+    """
+    o["crawl_change_stats"] = """
+        WITH c AS (
+          SELECT 'https://site.org/pg/' || (doc_id % 40) AS canon_url,
+                 (doc_id * 37) % 1000 AS ts,
+                 'https://site.org/pg/' || (doc_id % 40)
+                   || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END
+                   AS raw_url,
+                 md5('v' || (CASE
+                   WHEN (doc_id % 40) % 3 = 0 THEN ((doc_id * 37) % 1000) % 2
+                   WHEN (doc_id % 40) % 3 = 1 THEN
+                     CASE WHEN (doc_id * 37) % 1000 >= 500 THEN 1 ELSE 0 END
+                   ELSE 0 END)) AS dg
+          FROM documents),
+        w AS (
+          SELECT canon_url, ts, dg,
+                 lag(dg) OVER (PARTITION BY canon_url
+                               ORDER BY ts, raw_url, dg) AS pdg
+          FROM c)
+        SELECT canon_url,
+               CAST(count(*) AS BIGINT) AS n_snapshots,
+               CAST(count(DISTINCT dg) AS BIGINT) AS n_versions,
+               CAST(sum(CASE WHEN pdg IS NOT NULL AND dg <> pdg
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM w GROUP BY canon_url
     """
     o["anchor_alias_mining"] = f"""
         WITH ids AS (

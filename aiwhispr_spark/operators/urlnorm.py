@@ -79,3 +79,58 @@ def latest_crawl_per_url(
     return picked.select(
         canon_col, *[F.col(f"_best.{c}").alias(c) for c in [ts_col, url_col] + [c for c in others if c not in (ts_col, url_col)]]
     ).select(*others, canon_col)
+
+
+def crawl_change_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "html",
+) -> DataFrame:
+    """Re-crawl change detection per canonical URL — the signal a crawl
+    scheduler uses to set re-fetch frequency (stable pages refetch rarely;
+    churning pages often).
+
+    Output per canonical url: ``n_snapshots``, ``n_versions`` (distinct
+    content digests), ``n_changes`` (adjacent-snapshot pairs, ordered by
+    ``ts_col`` with ``url_col`` as tie-break, whose digests differ — revert
+    churn A→B→A counts 2 changes but only 2 versions), and ``first_ts`` /
+    ``last_ts``.
+
+    100 TB shape: ONE exchange on the canonical url; per-group work is a
+    sort of that page's snapshot digests (bounded by snapshots-per-page,
+    not corpus size) via sorted-struct array expressions — no window, no
+    python."""
+    canon = df.select(
+        canonical_url_expr(F.col(url_col)).alias("canon_url"),
+        F.col(ts_col).alias("_ts"),
+        F.col(url_col).alias("_u"),
+        F.md5(F.col(content_col)).alias("_dg"),
+    )
+    g = canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_snapshots"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_ts"), F.col("_u"), F.col("_dg")))
+        ).alias("_snaps"),
+        F.min("_ts").alias("first_ts"),
+        F.max("_ts").alias("last_ts"),
+    )
+    digests = F.transform(F.col("_snaps"), lambda s: s["_dg"])
+    changes = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(digests, 1, F.size(digests) - 1),
+                F.slice(digests, 2, F.size(digests) - 1),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    return g.select(
+        "canon_url",
+        "n_snapshots",
+        F.size(F.array_distinct(digests)).cast("long").alias("n_versions"),
+        changes.cast("long").alias("n_changes"),
+        "first_ts",
+        "last_ts",
+    )

@@ -70,3 +70,29 @@ def test_latest_crawl_keeps_max_ts(spark):
         "url",
         "warc_ts",
     ]
+
+
+def test_crawl_change_stats_versions_vs_changes(spark):
+    from aiwhispr_spark.operators.urlnorm import crawl_change_stats
+
+    rows = [
+        # page A churns A->B->A: 2 versions, 2 changes
+        ("https://s.org/a", 1, "x"),
+        ("https://s.org/a/", 2, "y"),
+        ("https://s.org/a?utm_source=f", 3, "x"),
+        # page B stable across 2 snapshots
+        ("https://s.org/b", 1, "z"),
+        ("https://s.org/b", 2, "z"),
+        # page C single snapshot
+        ("https://s.org/c", 9, "w"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts long, content string")
+    got = {
+        r.canon_url: (r.n_snapshots, r.n_versions, r.n_changes, r.first_ts, r.last_ts)
+        for r in crawl_change_stats(df, ts_col="ts", content_col="content").collect()
+    }
+    assert got == {
+        "https://s.org/a": (3, 2, 2, 1, 3),
+        "https://s.org/b": (2, 1, 0, 1, 2),
+        "https://s.org/c": (1, 1, 0, 9, 9),
+    }
