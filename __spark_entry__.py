@@ -1377,6 +1377,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_change_stats"] = crawl_changes
 
+    def domain_blocklist(spark, sf):
+        # Domain-blocklist filter (urlnorm.py::filter_blocked_hosts):
+        # dot-suffix semantics — blocking site3.example.org removes its
+        # subdomains (ads.site3...) too; exact entries hit exactly one
+        # host.  Urls + blocklist built in closed form; oracle is the
+        # keep-predicate written directly on doc_id arithmetic.
+        from aiwhispr_spark.operators.urlnorm import filter_blocked_hosts
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        url = F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("ads.")).otherwise(F.lit("")),
+            F.lit("site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        )
+        df = d.select("doc_id", url.alias("url"))
+        bl = spark.createDataFrame(
+            [("site3.example.org",), ("ads.site5.example.org",)], "domain string"
+        )
+        return filter_blocked_hosts(df, bl).select("doc_id", "url")
+
+    q["domain_blocklist_filter"] = domain_blocklist
+
     def main_content(spark, sf):
         # Link-density main-content extraction (operators/maincontent.py):
         # integer cross-multiplied density decision per closed BLOCK
@@ -2267,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_alias_mining",
         "main_content_extract",
         "crawl_change_stats",
+        "domain_blocklist_filter",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -2838,6 +2864,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(r.n_dropped AS BIGINT) AS n_dropped
         FROM red r JOIN keep k
           ON md5(r.text_red) = k.dg AND r.doc_id = k.keep_id
+    """
+    o["domain_blocklist_filter"] = """
+        SELECT doc_id,
+               'https://' || CASE WHEN doc_id % 4 = 0 THEN 'ads.' ELSE '' END
+                 || 'site' || (doc_id % 7) || '.example.org/p/' || doc_id AS url
+        FROM documents
+        WHERE NOT (doc_id % 7 = 3
+                   OR (doc_id % 4 = 0 AND doc_id % 7 = 5))
     """
     o["crawl_change_stats"] = """
         WITH c AS (

@@ -81,6 +81,48 @@ def latest_crawl_per_url(
     ).select(*others, canon_col)
 
 
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname: 'ads.x.org' → ['ads.x.org', 'x.org',
+    'org'] — the matching unit for domain blocklists (blocking 'x.org' must
+    block every subdomain)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+    )
+
+
+def filter_blocked_hosts(
+    df: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Rows whose url's canonical host matches NO blocklist entry (exact or
+    as a dot-suffix — 'example.org' in the list blocks 'ads.example.org').
+    ``blocklist`` is a 1-column frame of blocked domains.
+
+    The crawl-hygiene twin of the reference's do-not-read path filter (F1,
+    `aiwhisprConstants.py` exclusion lists are path-based); at web scale the
+    unit of exclusion is the domain.
+
+    100 TB shape: blocking is a pure function of the url, so the match runs
+    on a NARROW (url, suffix) projection — the document payload never rides
+    a join.  The suffix⇄blocklist semi-join broadcasts any realistic
+    blocklist; the final anti-join's right side is the (tiny) blocked-url
+    set, which AQE also broadcasts — the corpus itself never shuffles."""
+    from aiwhispr_spark.operators.linkgraph import host_of
+
+    bl = blocklist.select(F.col(blocklist.columns[0]).alias("_blocked"))
+    host = host_of(canonical_url_expr(F.col(url_col)))
+    blocked_urls = (
+        df.select(F.col(url_col).alias("_u"), F.explode(host_suffixes(host)).alias("_suf"))
+        .join(F.broadcast(bl), F.col("_suf") == F.col("_blocked"), "left_semi")
+        .select("_u")
+    )
+    return df.join(
+        blocked_urls, df[url_col] == blocked_urls["_u"], "left_anti"
+    )
+
+
 def crawl_change_stats(
     df: DataFrame,
     url_col: str = "url",

@@ -96,3 +96,30 @@ def test_crawl_change_stats_versions_vs_changes(spark):
         "https://s.org/b": (2, 1, 0, 1, 2),
         "https://s.org/c": (1, 1, 0, 9, 9),
     }
+
+
+def test_host_suffixes_and_blocklist(spark):
+    from pyspark.sql import functions as F
+
+    from aiwhispr_spark.operators.urlnorm import filter_blocked_hosts, host_suffixes
+
+    sufs = (
+        spark.createDataFrame([("ads.x.org",)], "h string")
+        .select(host_suffixes(F.col("h")).alias("s"))
+        .first()
+        .s
+    )
+    assert sufs == ["ads.x.org", "x.org", "org"]
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://ads.x.org/p"),   # blocked via suffix x.org
+            (2, "https://x.org/p"),       # blocked exactly
+            (3, "https://notx.org/p"),    # 'notx.org' != 'x.org' (label-safe)
+            (4, "https://y.net/p"),
+        ],
+        "id long, url string",
+    )
+    bl = spark.createDataFrame([("x.org",)], "domain string")
+    kept = sorted(r.id for r in filter_blocked_hosts(df, bl).collect())
+    assert kept == [3, 4]
