@@ -267,6 +267,92 @@ def _pagerank_sql(
     return f"{body}\nSELECT node, CAST(round(1000000 * pr) AS BIGINT) AS pr_i FROM pr{iterations}"
 
 
+def _hits_sql(iterations: int, edges_sql: str) -> str:
+    """DuckDB twin of operators/graph.py::hits: the same L1-normalized
+    synchronous recurrence UNROLLED (auth-raw → auth-total → auth, then
+    hub-raw → hub-total → hub, per iteration), same double-math association,
+    so round(1e6·x) hashes identically — the _pagerank_sql pattern."""
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
+        "s0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS hub,"
+        " 1.0 / (SELECT n FROM nn) AS auth FROM nodes),",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT n.node, coalesce(x.s, 0) AS auth FROM nodes n"
+            f" LEFT JOIN (SELECT e.dst AS node, sum(p.hub) AS s FROM edges e"
+            f" JOIN {p} p ON p.node = e.src GROUP BY e.dst) x"
+            f" ON x.node = n.node),"
+        )
+        parts.append(f"at{k} AS MATERIALIZED (SELECT sum(auth) AS t FROM ar{k}),")
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT node, auth / (SELECT t FROM at{k}) AS auth"
+            f" FROM ar{k}),"
+        )
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT n.node, coalesce(x.s, 0) AS hub FROM nodes n"
+            f" LEFT JOIN (SELECT e.src AS node, sum(p.auth) AS s FROM edges e"
+            f" JOIN a{k} p ON p.node = e.dst GROUP BY e.src) x"
+            f" ON x.node = n.node),"
+        )
+        parts.append(f"ht{k} AS MATERIALIZED (SELECT sum(hub) AS t FROM hr{k}),")
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT h.node, h.hub / (SELECT t FROM ht{k}) AS hub,"
+            f" a.auth FROM hr{k} h JOIN a{k} a ON a.node = h.node),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\nSELECT node, CAST(round(1000000 * hub) AS BIGINT) AS hub_i,"
+        f" CAST(round(1000000 * auth) AS BIGINT) AS auth_i FROM s{iterations}"
+    )
+
+
+def _kcore_fixture_edges() -> list[tuple[int, int]]:
+    """Shared k-core fixture: clique K6 (0–5, the 2-core survivor), a pendant
+    path 5–6–…–10 (peels exactly one node per round — exercises 5 peel
+    rounds), a 4-cycle 20–23 (survives), an isolated edge 30–31 (both
+    endpoints doomed in the SAME round), and a duplicate + self-loop edge
+    (input hygiene)."""
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(i, i + 1) for i in range(5, 10)]
+    edges += [(20, 21), (21, 22), (22, 23), (23, 20)]
+    edges += [(30, 31), (0, 1), (7, 7)]
+    return edges
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """DuckDB twin of operators/graph.py::kcore over the shared fixture: the
+    peel loop UNROLLED to ``rounds`` rounds (one degree/doom/live CTE triple
+    per round; rounds past the fixed point are no-ops because NOT IN over an
+    empty doom set keeps everything)."""
+    vals = ", ".join(f"({a}, {b})" for a, b in _kcore_fixture_edges())
+    parts = [
+        f"WITH raw(a, b) AS (VALUES {vals}),",
+        "und AS MATERIALIZED (SELECT a, b FROM raw WHERE a <> b"
+        " UNION SELECT b, a FROM raw WHERE a <> b),",
+        "live0 AS MATERIALIZED (SELECT a, b FROM und),",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"live{r - 1}"
+        parts.append(
+            f"deg{r} AS MATERIALIZED (SELECT a, count(*) AS d FROM {p} GROUP BY a),"
+        )
+        parts.append(f"doom{r} AS MATERIALIZED (SELECT a FROM deg{r} WHERE d < {k}),")
+        parts.append(
+            f"live{r} AS MATERIALIZED (SELECT l.a, l.b FROM {p} l"
+            f" WHERE l.a NOT IN (SELECT a FROM doom{r})"
+            f" AND l.b NOT IN (SELECT a FROM doom{r})),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\nSELECT CAST(a AS BIGINT) AS node,"
+        f" CAST(count(*) AS BIGINT) AS degree FROM live{rounds} GROUP BY a"
+    )
+
+
 def _kg_e2e_sql() -> str:
     """DuckDB twin of the full E1→E2→E3 pipeline over the simple corpus.
 
@@ -1402,6 +1488,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_blocklist_filter"] = domain_blocklist
 
+    def quality_classifier(spark, sf):
+        # fastText-style hashed linear keep/drop classifier
+        # (textstats.py::hashed_linear_scores): token → md5 feature-hash
+        # bucket → closed-form weight table → integer score sum; the whole
+        # chain is one transform+aggregate expression (zero shuffle, zero
+        # python).  The oracle re-derives bucket AND weight from the same
+        # md5 arithmetic, so the full model dataflow is value-gated.
+        from aiwhispr_spark.operators.textstats import hashed_linear_scores
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        return hashed_linear_scores(docs)
+
+    q["quality_classifier_hashed"] = quality_classifier
+
+    def robots_filter(spark, sf):
+        # Meta-robots directive compliance (operators/robots.py): noindex /
+        # nofollow flags from the page html.  Five closed-form arms: both
+        # attribute orders, upper/lower case, single quotes, a decoy
+        # (name=description quoting "noindex" — must NOT flag), and no tag.
+        # The oracle is the flag table written directly from doc_id
+        # arithmetic — independent of the regex implementation.
+        from aiwhispr_spark.operators.robots import meta_robots_flags
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        m = F.col("doc_id") % 5
+        snippet = (
+            F.when(m == 0, F.lit('<meta name="robots" content="noindex,nofollow">'))
+            .when(m == 1, F.lit("<META NAME='robots' CONTENT='NOFOLLOW'>"))
+            .when(m == 2, F.lit('<meta content="noindex" name="robots">'))
+            .when(m == 3, F.lit('<meta name="description" content="noindex mention">'))
+            .otherwise(F.lit(""))
+        )
+        html = F.concat(
+            F.lit("<html><head>"),
+            snippet,
+            F.lit("</head><body>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</body></html>"),
+        )
+        df = d.select("doc_id", html.alias("html_text"))
+        return meta_robots_flags(df).select("doc_id", "noindex_i", "nofollow_i")
+
+    q["robots_noindex_filter"] = robots_filter
+
+    def host_hits(spark, sf):
+        # HITS hubs/authorities (operators/graph.py::hits) over the linked
+        # corpus's host graph — same extraction chain as host_pagerank_5,
+        # same unrolled-recurrence oracle discipline (_hits_sql).  The
+        # linked corpus's asymmetric host wiring separates hub scores from
+        # authority scores, so both columns carry signal.
+        from aiwhispr_spark.operators.graph import hits
+        from aiwhispr_spark.operators.linkgraph import extract_links, host_edges
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        edges = host_edges(extract_links(docs)).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        return hits(edges, iterations=5, num_partitions=8).select(
+            "node",
+            F.round(F.col("hub") * 1000000).cast("long").alias("hub_i"),
+            F.round(F.col("auth") * 1000000).cast("long").alias("auth_i"),
+        )
+
+    q["host_hits_5"] = host_hits
+
+    def kcore_peel(spark, sf):
+        # Undirected k-core peeling (operators/graph.py::kcore) over the
+        # shared closed-form fixture (clique + pendant path + cycle +
+        # isolated edge): 5 data-dependent peel rounds before the fixed
+        # point; the oracle unrolls 8 (trailing rounds are no-ops).
+        from aiwhispr_spark.operators.graph import kcore
+
+        edges = spark.createDataFrame(
+            _kcore_fixture_edges(), "src long, dst long"
+        )
+        return kcore(edges, k=2, num_partitions=8)
+
+    q["kcore_peel"] = kcore_peel
+
     def main_content(spark, sf):
         # Link-density main-content extraction (operators/maincontent.py):
         # integer cross-multiplied density decision per closed BLOCK
@@ -2293,6 +2458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content_extract",
         "crawl_change_stats",
         "domain_blocklist_filter",
+        "quality_classifier_hashed",
+        "robots_noindex_filter",
+        "host_hits_5",
+        "kcore_peel",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -2770,6 +2939,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT src_host AS src, dst_host AS dst FROM h WHERE src_host <> dst_host
         """,
     )
+    o["host_hits_5"] = _hits_sql(
+        iterations=5,
+        edges_sql=f"""
+          WITH l AS ({_linked_links_sql()}),
+          h AS (
+            SELECT regexp_extract(src_url, '^[a-z]+://([^/:?#]*)', 1) AS src_host,
+                   regexp_extract(dst_url, '^[a-z]+://([^/:?#]*)', 1) AS dst_host
+            FROM l)
+          SELECT src_host AS src, dst_host AS dst FROM h WHERE src_host <> dst_host
+        """,
+    )
+    o["kcore_peel"] = _kcore_sql(k=2, rounds=8)
     from aiwhispr_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
 
     o["pii_redact"] = f"""
@@ -2872,6 +3053,32 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE NOT (doc_id % 7 = 3
                    OR (doc_id % 4 = 0 AND doc_id % 7 = 5))
+    """
+    o["quality_classifier_hashed"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             tk -> tk <> '') AS toks
+          FROM documents),
+        w AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 coalesce(list_aggregate(list_transform(toks,
+                   tk -> ((('0x' || substr(md5(tk), 1, 8))::BIGINT % 4096)
+                          * 2654435761) % 2001 - 1000), 'sum'), 0) AS score_i
+          FROM t)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(score_i AS BIGINT) AS score_i,
+               CAST(CASE WHEN score_i >= 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS keep_i
+        FROM w
+    """
+    o["robots_noindex_filter"] = """
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 5 IN (0, 2) THEN 1 ELSE 0 END
+                    AS BIGINT) AS noindex_i,
+               CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 1 ELSE 0 END
+                    AS BIGINT) AS nofollow_i
+        FROM documents
     """
     o["crawl_change_stats"] = """
         WITH c AS (

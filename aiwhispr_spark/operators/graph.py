@@ -1,4 +1,4 @@
-"""Graph analytics over the triple store: PageRank.
+"""Graph analytics over the triple store: PageRank, HITS, k-core.
 
 New first-class KG op (the reference stops at indexing; ranking entities by
 link structure is the canonical downstream consumer of the (subj, obj) edge
@@ -95,3 +95,144 @@ def pagerank(
     outd.unpersist()
     nodes.unpersist()
     return pr
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(node, hub, auth) after `iterations` synchronous HITS steps
+    (Kleinberg) on the DISTINCT directed edge set — the classic web-graph
+    twin of PageRank: hubs point at good authorities, authorities are
+    pointed at by good hubs.  For a crawl corpus the authority score ranks
+    fetch-worthy hosts; the hub score ranks link-directory hosts.
+
+    Per step: auth'(v) = Σ_{u→v} hub(u), then L1-normalize; hub'(u) =
+    Σ_{u→v} auth'(v), then L1-normalize.  L1 (not the textbook L2) keeps
+    the normalizer a plain SUM — associativity-stable enough for scaled-int
+    gating, and the induced RANKING is identical (normalization is a global
+    positive scalar either way).
+
+    Same iterative discipline as :func:`pagerank` (src-repartitioned persisted
+    edges; per-step materialization cuts the doubling lineage; normalizer is
+    a broadcast 1-row frame, never a driver collect).  Cost per step:
+    2·(|E| map + |V| reduce)."""
+    spark = edges.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .repartition(n_part, "src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # bounded driver scalar (one count job)
+    scores = nodes.select(
+        "node", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+    ).persist()
+    scores.count()
+
+    def _l1_normalized(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("_tot"))
+        return df.crossJoin(F.broadcast(tot)).select(
+            "node",
+            *[c for c in ("hub", "auth") if c != col],
+            (F.col(col) / F.col("_tot")).alias(col),
+        )
+
+    for _ in range(iterations):
+        auth_raw = (
+            e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = _l1_normalized(
+            scores.select("node", "hub")
+            .join(auth_raw, "node", "left")
+            .select("node", "hub", F.coalesce("auth", F.lit(0.0)).alias("auth")),
+            "auth",
+        )
+        hub_raw = (
+            e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        # localCheckpoint (not persist): each step references the previous
+        # scores ~3× (two joins + two normalizers), so the LOGICAL plan grows
+        # ~3^k without lineage truncation — plan-string construction alone
+        # OOMs the driver by step 5.  On a real cluster swap for a reliable
+        # checkpoint dir if executor loss must be survivable mid-job.
+        new_scores = _l1_normalized(
+            auth.select("node", "auth")
+            .join(hub_raw, "node", "left")
+            .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub"), "auth"),
+            "hub",
+        ).localCheckpoint()
+        scores.unpersist()
+        scores = new_scores
+    e.unpersist()
+    nodes.unpersist()
+    return scores.select("node", "hub", "auth")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(node, degree) of the UNDIRECTED k-core: the maximal subgraph where
+    every node has degree ≥ k, computed by iterative peeling (drop all
+    nodes with degree < k, recompute, repeat to fixed point).  The standard
+    web-graph denoising pass — pendant chains and weakly attached spam
+    constellations peel away; the core is what link analysis should run on.
+
+    Spark-first iterative shape: the live edge set is the loop state
+    (symmetric closure of the distinct input edges, self-loops dropped);
+    each round is one degree-agg + one broadcast-able semi-join of doomed
+    nodes against both endpoints, materialized per round with the doomed
+    count as the driver-side fixed-point test.  Rounds are data-bounded
+    (each peels ≥1 node or stops), and each round's cost shrinks with the
+    surviving edge set — worst case O(rounds·|E|) with map-side combine on
+    the degree agg."""
+    spark = edges.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    directed = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    live = (
+        directed.union(directed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .repartition(n_part, "a")
+        .persist()
+    )
+    live.count()
+    while True:
+        deg = live.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        doomed = deg.filter(F.col("degree") < k).select("a").persist()
+        n_doomed = doomed.count()  # driver fixed-point test (1 scalar/round)
+        if n_doomed == 0:
+            doomed.unpersist()
+            break
+        # localCheckpoint: doomed is referenced by BOTH anti-joins and itself
+        # derives from live, so without lineage truncation the plan tree
+        # triples per round (see hits() for the failure mode).
+        survivors = live.join(F.broadcast(doomed), "a", "left_anti").join(
+            F.broadcast(doomed.select(F.col("a").alias("b"))), "b", "left_anti"
+        ).localCheckpoint()
+        live.unpersist()
+        doomed.unpersist()
+        live = survivors
+    out = live.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return out

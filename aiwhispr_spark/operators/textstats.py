@@ -168,6 +168,62 @@ def fingerprint_expr(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def hashed_linear_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    threshold_i: int = 0,
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier (the standard web-scale
+    keep/drop model shape: CCNet's fastText filter, GPT-3's WebText-vs-Common-
+    Crawl logistic regression).  Each token is feature-hashed into one of
+    ``n_buckets`` buckets; the document score is the sum of the bucket weights;
+    ``keep`` is a threshold on the mean weight.
+
+    The bucket→weight table is the MODEL.  In production it comes from
+    training and is a broadcast array of ``n_buckets`` floats; in this sandbox
+    (no trainable model, no network) the weights are synthesized in closed
+    form from the bucket id — ``w(b) = (b·2654435761 mod 2001) − 1000``, an
+    integer in [−1000, 1000] representing thousandths — so the full
+    hash→bucket→weight→aggregate dataflow is real and cross-engine testable
+    while the weights stay deterministic.  Swap ``weight_of_bucket`` to plug a
+    trained table in.
+
+    Returns (id_col, n_tokens, score_i, keep_i): ``score_i`` the integer
+    weight sum (thousandths), ``keep_i`` 1 iff score_i ≥ threshold_i·n_tokens
+    (integer cross-multiply — no float division anywhere).
+
+    100 TB shape: ZERO shuffles and zero Python — tokenize/hash/weight/sum is
+    one ``transform``+``aggregate`` expression chain per row, entirely inside
+    whole-stage codegen, so the classifier runs at scan speed.  A trained
+    weight table of 2M buckets × 4 bytes is ~8 MB: broadcast, never joined.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+    def weight_of_bucket(b: Column) -> Column:
+        # closed-form stand-in for a trained weight table lookup
+        return (b * F.lit(2654435761)) % F.lit(2001) - F.lit(1000)
+
+    def bucket_of_token(t: Column) -> Column:
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % F.lit(
+            n_buckets
+        )
+
+    weights = F.transform(toks, lambda t: weight_of_bucket(bucket_of_token(t)))
+    score = F.aggregate(weights, F.lit(0).cast("long"), lambda a, x: a + x)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score_i"),
+        (score >= F.lit(threshold_i).cast("long") * F.size(toks).cast("long"))
+        .cast("long")
+        .alias("keep_i"),
+    )
+
+
 def unigram_logprob_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -68,7 +68,14 @@ def test_textstats_are_pure_expressions(spark):
     """lang-id / quality / token counting are expression-only: no python
     stage, no shuffle — a single project over the scan (higher-order array
     functions run JVM-side outside whole-stage codegen, which is fine)."""
-    for name in ("lang_id_heuristic", "token_counts", "quality_features", "doc_fingerprint"):
+    for name in (
+        "lang_id_heuristic",
+        "token_counts",
+        "quality_features",
+        "doc_fingerprint",
+        "quality_classifier_hashed",
+        "robots_noindex_filter",
+    ):
         df = entrymod.queries()[name](spark, SF)
         plan = plan_of(df)
         assert "Python" not in plan, name

@@ -1,0 +1,123 @@
+"""Unit tests for the meta-robots compliance filter (operators/robots.py) and
+the hashed linear quality classifier (textstats.hashed_linear_scores)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from aiwhispr_spark.operators.robots import (
+    filter_indexable,
+    meta_robots_flags,
+    robots_content_expr,
+)
+from aiwhispr_spark.operators.textstats import hashed_linear_scores
+
+
+def _flags(spark, html):
+    df = spark.createDataFrame([(html,)], "html_text string")
+    r = meta_robots_flags(df).first()
+    return r["noindex_i"], r["nofollow_i"]
+
+
+class TestMetaRobots:
+    def test_plain_noindex(self, spark):
+        assert _flags(spark, '<meta name="robots" content="noindex">') == (1, 0)
+
+    def test_comma_list_both(self, spark):
+        assert _flags(
+            spark, '<head><meta name="robots" content="noindex, nofollow"></head>'
+        ) == (1, 1)
+
+    def test_attribute_order_swapped(self, spark):
+        assert _flags(spark, '<meta content="noindex" name="robots">') == (1, 0)
+
+    def test_case_and_single_quotes(self, spark):
+        assert _flags(spark, "<META NAME='ROBOTS' CONTENT='NOFOLLOW'>") == (0, 1)
+
+    def test_none_means_both(self, spark):
+        assert _flags(spark, '<meta name="robots" content="none">') == (1, 1)
+
+    def test_decoy_description_not_a_directive(self, spark):
+        assert _flags(
+            spark, '<meta name="description" content="how noindex works">'
+        ) == (0, 0)
+
+    def test_noindex_substring_not_a_token(self, spark):
+        # "noindexing" must not trip the \b-delimited token match
+        assert _flags(
+            spark, '<meta name="robots" content="noindexing-guide">'
+        ) == (0, 0)
+
+    def test_no_tag(self, spark):
+        assert _flags(spark, "<html><body>hi</body></html>") == (0, 0)
+
+    def test_unquoted_attributes(self, spark):
+        assert _flags(spark, "<meta name=robots content=noindex>") == (1, 0)
+
+    def test_filter_indexable_drops_and_cleans(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, '<meta name="robots" content="noindex">x'),
+                (2, "<p>fine</p>"),
+            ],
+            "doc_id long, html_text string",
+        )
+        out = filter_indexable(df)
+        assert [r["doc_id"] for r in out.collect()] == [2]
+        assert "noindex_i" not in out.columns
+
+    def test_content_value_extraction(self, spark):
+        df = spark.createDataFrame(
+            [('<meta name="robots" content="noarchive,  noindex">',)],
+            "h string",
+        )
+        v = df.select(robots_content_expr(F.col("h")).alias("v")).first()["v"]
+        assert v == "noarchive,  noindex"
+
+
+class TestHashedLinearClassifier:
+    def test_deterministic_and_integer(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox")],
+            "doc_id long, text string",
+        )
+        rows = hashed_linear_scores(df).orderBy("doc_id").collect()
+        assert rows[0]["score_i"] == rows[1]["score_i"]
+        assert rows[0]["n_tokens"] == 4
+        assert isinstance(rows[0]["score_i"], int)
+        assert -1000 * 4 <= rows[0]["score_i"] <= 1000 * 4
+
+    def test_empty_and_whitespace_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in hashed_linear_scores(df).collect()}
+        assert rows[1]["n_tokens"] == 0 and rows[1]["score_i"] == 0
+        assert rows[2]["n_tokens"] == 0 and rows[2]["score_i"] == 0
+        # NULL text propagates NULL (upstream extraction failure stays visible)
+        assert rows[3]["n_tokens"] is None
+
+    def test_keep_flag_threshold_cross_multiply(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        r = hashed_linear_scores(df, threshold_i=10**9).first()
+        assert r["keep_i"] == 0  # impossible threshold drops everything
+        r2 = hashed_linear_scores(df, threshold_i=-(10**9)).first()
+        assert r2["keep_i"] == 1
+
+    def test_score_is_sum_of_token_weights(self, spark):
+        # cross-check the expression chain against a python recomputation
+        import hashlib
+
+        text = "alpha beta gamma alpha"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = hashed_linear_scores(df).first()
+        exp = 0
+        for tok in text.lower().split():
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+            exp += (b * 2654435761) % 2001 - 1000
+        assert r["score_i"] == exp
+
+    def test_zero_shuffle_zero_python_plan(self, spark):
+        df = spark.range(10).selectExpr("id as doc_id", "'x y z' as text")
+        plan = hashed_linear_scores(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
