@@ -310,6 +310,11 @@ def _hits_sql(iterations: int, edges_sql: str) -> str:
     )
 
 
+# appended to every third document by the duplicate_ngram_spans fixture
+# (leading space: concatenates cleanly onto the doc text in both engines)
+_DUP_SPAN_SENTENCE = " shared boilerplate sentence for duplicate span detection here"
+
+
 def _kcore_fixture_edges() -> list[tuple[int, int]]:
     """Shared k-core fixture: clique K6 (0–5, the 2-core survivor), a pendant
     path 5–6–…–10 (peels exactly one node per round — exercises 5 peel
@@ -1567,6 +1572,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kcore_peel"] = kcore_peel
 
+    def bloom_dedup(spark, sf):
+        # Bloom-filter membership prefilter (operators/bloomfilter.py): the
+        # runtime-filter pattern for delta-vs-store dedup.  Delta = every
+        # 10th doc's digest; per store doc the query emits whether the
+        # m=4096/k=3 filter admits it AND whether it is a true member —
+        # the oracle recomputes the same md5-derived bit set, so any false
+        # positive the geometry produces must match exactly too.
+        from aiwhispr_spark.operators.bloomfilter import (
+            bloom_probe_expr,
+            build_bloom_positions,
+        )
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        store = docs.select("doc_id", F.md5("text").alias("dg"))
+        delta = docs.where(F.col("doc_id") % 10 == 0).select(
+            F.md5("text").alias("dg")
+        )
+        positions = build_bloom_positions(delta, "dg")
+        probed = store.withColumn(
+            "bloom_pass_i",
+            bloom_probe_expr(F.col("dg"), positions).cast("long"),
+        )
+        membership = delta.distinct().withColumn("_t", F.lit(1))
+        return probed.join(membership, "dg", "left").select(
+            "doc_id",
+            "bloom_pass_i",
+            F.coalesce("_t", F.lit(0)).cast("long").alias("true_dup_i"),
+        )
+
+    q["bloom_prefilter_dedup"] = bloom_dedup
+
+    def dup_ngram_spans(spark, sf):
+        # Corpus-self duplicate n-gram spans (decontam.py::
+        # duplicate_ngram_spans, the exact-substring-dedup signal): a shared
+        # 9-token sentence is appended to every third doc in closed form, so
+        # those docs carry ≥5 corpus-duplicated 5-gram windows (plus any
+        # organic overlap, which the oracle reproduces from the same text).
+        from aiwhispr_spark.operators.decontam import duplicate_ngram_spans
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.lit(_DUP_SPAN_SENTENCE)
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return duplicate_ngram_spans(docs, n=5).withColumnRenamed("id", "doc_id")
+
+    q["duplicate_ngram_spans"] = dup_ngram_spans
+
+    def bpe_pairs(spark, sf):
+        # First BPE merge iteration over the corpus (textstats.py::
+        # bpe_pair_counts): vocabulary-weighted adjacent character pairs,
+        # deterministic top-20 (count DESC, pair ASC).
+        from aiwhispr_spark.operators.textstats import bpe_pair_counts
+
+        docs = _t(spark, sf, "documents").select("text")
+        return bpe_pair_counts(docs, top_k=20)
+
+    q["bpe_pair_stats"] = bpe_pairs
+
     def main_content(spark, sf):
         # Link-density main-content extraction (operators/maincontent.py):
         # integer cross-multiplied density decision per closed BLOCK
@@ -2462,6 +2530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_noindex_filter",
         "host_hits_5",
         "kcore_peel",
+        "bloom_prefilter_dedup",
+        "duplicate_ngram_spans",
+        "bpe_pair_stats",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -2951,6 +3022,77 @@ def oracle_sql() -> dict[str, str]:
         """,
     )
     o["kcore_peel"] = _kcore_sql(k=2, rounds=8)
+    o["bloom_prefilter_dedup"] = """
+        WITH delta AS MATERIALIZED (
+          SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 10 = 0),
+        pos AS MATERIALIZED (
+          SELECT DISTINCT
+                 ('0x' || substr(md5(dg || ':' || j), 1, 8))::BIGINT % 4096 AS p
+          FROM delta CROSS JOIN (SELECT unnest(['0', '1', '2']) AS j)),
+        store AS (SELECT doc_id, md5(text) AS dg FROM documents)
+        SELECT s.doc_id,
+               CAST(CASE WHEN
+                 EXISTS (SELECT 1 FROM pos WHERE p =
+                   ('0x' || substr(md5(s.dg || ':0'), 1, 8))::BIGINT % 4096)
+                 AND EXISTS (SELECT 1 FROM pos WHERE p =
+                   ('0x' || substr(md5(s.dg || ':1'), 1, 8))::BIGINT % 4096)
+                 AND EXISTS (SELECT 1 FROM pos WHERE p =
+                   ('0x' || substr(md5(s.dg || ':2'), 1, 8))::BIGINT % 4096)
+               THEN 1 ELSE 0 END AS BIGINT) AS bloom_pass_i,
+               CAST(CASE WHEN EXISTS (SELECT 1 FROM delta d WHERE d.dg = s.dg)
+                    THEN 1 ELSE 0 END AS BIGINT) AS true_dup_i
+        FROM store s
+    """
+    o["duplicate_ngram_spans"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 3 = 0
+                              THEN '{_DUP_SPAN_SENTENCE}' ELSE '' END AS text
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '') AS arr
+          FROM d),
+        grams AS MATERIALIZED (
+          SELECT doc_id, array_to_string(arr[i : i + 4], ' ') AS gram
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(arr) - 4)) AS i) g
+          WHERE len(arr) >= 5),
+        dup AS MATERIALIZED (
+          SELECT gram FROM grams GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= 2),
+        per_doc AS (
+          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN u.gram IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup
+          FROM grams g LEFT JOIN dup u ON u.gram = g.gram
+          GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_grams, 0) AS n_grams,
+               coalesce(p.n_dup, 0) AS n_dup,
+               CASE WHEN coalesce(p.n_grams, 0) > 0
+                    THEN CAST(round(10000.0 * p.n_dup / p.n_grams) AS BIGINT)
+                    ELSE 0 END AS dup_frac_i
+        FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """
+    o["bpe_pair_stats"] = r"""
+        WITH wx AS (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   t -> t <> '')) AS w
+          FROM documents),
+        vocab AS (SELECT w, count(*) AS cnt FROM wx GROUP BY w),
+        p AS (
+          SELECT unnest(CASE WHEN length(w) >= 2
+                   THEN list_transform(range(1, length(w)),
+                                       i -> substr(w, CAST(i AS BIGINT), 2))
+                   ELSE [] END) AS pair,
+                 cnt
+          FROM vocab)
+        SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+        FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
+    """
     from aiwhispr_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
 
     o["pii_redact"] = f"""

@@ -75,3 +75,58 @@ def ngram_decontaminate(
             (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-SELF duplicate n-gram report (the signal behind exact-substring
+    dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): for each document, how many of its length-n token windows occur
+    in at least ``min_docs`` DISTINCT documents.
+
+    Returns ``(id, n_grams, n_dup, dup_frac_i)`` with ``dup_frac_i =
+    round(1e4 · n_dup/n_grams)`` (0 for gram-less docs).  Callers drop or
+    trim docs above a duplicated-span threshold.
+
+    100 TB shape: the corpus-wide counting shuffle carries ``(xxhash64(gram),
+    id)`` — 16 bytes/window, the gram TEXT never rides the exchange (the
+    linededup discipline); the duplicated-key set joins back on the 8-byte
+    hash, so AQE broadcasts it when small and shuffle-joins otherwise."""
+    grams = _doc_ngrams(docs, n, text_col, id_col).select(
+        "id", F.xxhash64("gram").alias("gram_key")
+    )
+    dup_keys = (
+        grams.groupBy("gram_key")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram_key")
+    )
+    marked = grams.join(
+        dup_keys.withColumn("_dup", F.lit(1)), "gram_key", "left"
+    )
+    per_doc = marked.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.coalesce("_dup", F.lit(0))).cast("long").alias("n_dup"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    F.lit(10000.0) * F.coalesce("n_dup", F.lit(0)) / F.col("n_grams")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("dup_frac_i"),
+        )
+    )

@@ -267,3 +267,49 @@ def unigram_logprob_scores(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """The first BPE merge iteration's pair statistics at corpus scale:
+    corpus-weighted counts of adjacent CHARACTER pairs within words, the
+    quantity a tokenizer trainer maximizes when picking its next merge
+    (Sennrich et al. 2016).  Returns the ``top_k`` ``(pair, n)`` rows,
+    ordered (n DESC, pair ASC) — the ASC tie-break makes the cut
+    deterministic cross-engine.
+
+    100 TB shape: the corpus collapses to its VOCABULARY first (one shuffle
+    keyed on the word), so the per-character pair explosion runs over
+    distinct words × their counts, not over raw tokens — on web text the
+    vocab is orders of magnitude smaller than the token stream.  The pair
+    aggregation map-side combines into ≤ |alphabet|² keys and the top-k is
+    a TakeOrderedAndProject, never a global sort."""
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # guard: sequence(1, 0) counts DOWN, not empty — 1-char words must yield
+    # an empty pair list explicitly (same trap as decontam._doc_ngrams)
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2"
+                " THEN transform(sequence(1, length(w) - 1),"
+                "                i -> substring(w, i, 2))"
+                " ELSE array() END"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_k)
+    )
