@@ -232,22 +232,22 @@ def _pagerank_sql(
     src, dst) overrides the default simple-corpus triple-graph edge set."""
     if edges_sql is None:
         parts = [
-            f"WITH t AS ({_kg_e2e_sql()}),",
-            "edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),",
+            f"WITH t AS MATERIALIZED ({_kg_e2e_sql()}),",
+            "edges AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM t),",
         ]
     else:
-        parts = [f"WITH edges AS (SELECT DISTINCT src, dst FROM ({edges_sql})),"]
+        parts = [f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),"]
     parts += [
-        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
-        "outd AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outd"
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
+        "outd AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outd"
         " FROM edges GROUP BY src),",
-        "pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),",
+        "pr0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),",
     ]
     for k in range(1, iterations + 1):
         p = f"pr{k - 1}"
         parts.append(
-            f"dang{k} AS (SELECT coalesce(sum(p.pr), 0) AS dm FROM {p} p"
+            f"dang{k} AS MATERIALIZED (SELECT coalesce(sum(p.pr), 0) AS dm FROM {p} p"
             f" LEFT JOIN outd o ON o.node = p.node WHERE o.node IS NULL),"
         )
         parts.append(

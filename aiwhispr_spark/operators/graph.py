@@ -86,9 +86,10 @@ def pagerank(
                     + damping * (F.coalesce("contrib", F.lit(0.0)) + F.col("dm") / n)
                 ).alias("pr"),
             )
-            .persist()
+            .localCheckpoint()  # truncate lineage, not just materialize:
+            # pr is referenced 3× per step (contribs, dangling, join), so the
+            # LOGICAL plan grows ~3^k under persist alone (see hits())
         )
-        new_pr.count()  # materialize: cut the doubling lineage
         pr.unpersist()
         pr = new_pr
     e.unpersist()
