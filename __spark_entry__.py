@@ -310,6 +310,46 @@ def _hits_sql(iterations: int, edges_sql: str) -> str:
     )
 
 
+def _host_edges_sql() -> str:
+    """Closed-form cross-host edge set of the linked corpus (src, dst) —
+    shared by the host_pagerank_5 / host_hits_5 / host_random_walks oracles."""
+    return f"""
+      WITH l AS ({_linked_links_sql()}),
+      h AS (
+        SELECT regexp_extract(src_url, '^[a-z]+://([^/:?#]*)', 1) AS src_host,
+               regexp_extract(dst_url, '^[a-z]+://([^/:?#]*)', 1) AS dst_host
+        FROM l)
+      SELECT src_host AS src, dst_host AS dst FROM h WHERE src_host <> dst_host
+    """
+
+
+def _walks_sql(length: int, edges_sql: str) -> str:
+    """DuckDB twin of operators/graph.py::deterministic_walks: per-node
+    sorted neighbor lists, md5-derandomized step pick, one MATERIALIZED CTE
+    per step (the CTE-inlining discipline), steps emitted via UNION ALL."""
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "nbr AS MATERIALIZED (SELECT src, list_sort(list(dst)) AS nbrs,"
+        " count(*) AS nd FROM edges GROUP BY src),",
+        "s0 AS MATERIALIZED (SELECT node AS start, node AS cur FROM"
+        " (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),",
+    ]
+    for t in range(1, length + 1):
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT s.start,"
+            f" n.nbrs[CAST(('0x' || substr(md5(s.cur || ':{t}'), 1, 8))::BIGINT"
+            f" % n.nd AS INT) + 1] AS cur"
+            f" FROM s{t - 1} s JOIN nbr n ON n.src = s.cur),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    selects = ["SELECT start, CAST(0 AS BIGINT) AS step, cur AS node FROM s0"]
+    for t in range(1, length + 1):
+        selects.append(
+            f"SELECT start, CAST({t} AS BIGINT) AS step, cur AS node FROM s{t}"
+        )
+    return body + "\n" + "\nUNION ALL ".join(selects)
+
+
 # appended to every third document by the duplicate_ngram_spans fixture
 # (leading space: concatenates cleanly onto the doc text in both engines)
 _DUP_SPAN_SENTENCE = " shared boilerplate sentence for duplicate span detection here"
@@ -1635,6 +1675,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_pair_stats"] = bpe_pairs
 
+    def paragraph_dedup(spark, sf):
+        # Dolma-style PARAGRAPH-level corpus dedup — linededup generalized
+        # to sep="\n\n" (the paragraph unit).  Every even doc leads with the
+        # same cookie-notice paragraph (closed form), so it drops; the
+        # per-doc body paragraph survives.  Oracle is the closed-form
+        # expected output (independent of the split/count/reassemble
+        # implementation).
+        from aiwhispr_spark.operators.linededup import drop_boilerplate_lines
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        shared = "Cookie notice please accept our cookies to continue"
+        body = F.concat(
+            F.lit("Body paragraph number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" with distinct content"),
+        )
+        text = F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit(shared + "\n\n")).otherwise(
+                F.lit("")
+            ),
+            body,
+        )
+        docs = d.select("doc_id", text.alias("text"))
+        out = drop_boilerplate_lines(docs, min_docs=2, sep="\n\n")
+        return out.select(
+            "doc_id", F.md5("text_clean").alias("clean_md5"), "n_kept", "n_dropped"
+        )
+
+    q["paragraph_dedup"] = paragraph_dedup
+
+    def transe_score(spark, sf):
+        # TransE triple plausibility (operators/kgscore.py): closed-form
+        # candidate triples from doc_id arithmetic, energy = Σ|s + r − o|
+        # over 16 integer-thousandth components — exact BIGINT math, so the
+        # oracle re-derives every component from the same md5 arithmetic.
+        from aiwhispr_spark.operators.kgscore import transe_scores
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        triples = d.select(
+            F.concat(F.lit("Entity_"), (F.col("doc_id") % 40).cast("string")).alias(
+                "subj"
+            ),
+            F.element_at(
+                F.array(F.lit("founded"), F.lit("acquired"), F.lit("based_in")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("pred"),
+            F.concat(
+                F.lit("Entity_"), ((F.col("doc_id") * 7 + 1) % 40).cast("string")
+            ).alias("obj"),
+        ).distinct()
+        return transe_scores(triples, dim=16)
+
+    q["kg_transe_score"] = transe_score
+
+    def host_walks(spark, sf):
+        # Deterministic random walks (graph.py::deterministic_walks): the
+        # DeepWalk corpus generator over the linked-corpus host graph, md5-
+        # derandomized step choice, walk length 4, one walk per node.
+        from aiwhispr_spark.operators.graph import deterministic_walks
+        from aiwhispr_spark.operators.linkgraph import extract_links, host_edges
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        edges = host_edges(extract_links(docs)).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        return deterministic_walks(edges, length=4, num_partitions=8)
+
+    q["host_random_walks"] = host_walks
+
     def main_content(spark, sf):
         # Link-density main-content extraction (operators/maincontent.py):
         # integer cross-multiplied density decision per closed BLOCK
@@ -2533,6 +2642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter_dedup",
         "duplicate_ngram_spans",
         "bpe_pair_stats",
+        "paragraph_dedup",
+        "kg_transe_score",
+        "host_random_walks",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -2999,28 +3111,9 @@ def oracle_sql() -> dict[str, str]:
         FROM h WHERE src_host <> dst_host GROUP BY src_host, dst_host
     """
     o["host_pagerank_5"] = _pagerank_sql(
-        iterations=5,
-        damping=0.85,
-        edges_sql=f"""
-          WITH l AS ({_linked_links_sql()}),
-          h AS (
-            SELECT regexp_extract(src_url, '^[a-z]+://([^/:?#]*)', 1) AS src_host,
-                   regexp_extract(dst_url, '^[a-z]+://([^/:?#]*)', 1) AS dst_host
-            FROM l)
-          SELECT src_host AS src, dst_host AS dst FROM h WHERE src_host <> dst_host
-        """,
+        iterations=5, damping=0.85, edges_sql=_host_edges_sql()
     )
-    o["host_hits_5"] = _hits_sql(
-        iterations=5,
-        edges_sql=f"""
-          WITH l AS ({_linked_links_sql()}),
-          h AS (
-            SELECT regexp_extract(src_url, '^[a-z]+://([^/:?#]*)', 1) AS src_host,
-                   regexp_extract(dst_url, '^[a-z]+://([^/:?#]*)', 1) AS dst_host
-            FROM l)
-          SELECT src_host AS src, dst_host AS dst FROM h WHERE src_host <> dst_host
-        """,
-    )
+    o["host_hits_5"] = _hits_sql(iterations=5, edges_sql=_host_edges_sql())
     o["kcore_peel"] = _kcore_sql(k=2, rounds=8)
     o["bloom_prefilter_dedup"] = """
         WITH delta AS MATERIALIZED (
@@ -3075,6 +3168,35 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(round(10000.0 * p.n_dup / p.n_grams) AS BIGINT)
                     ELSE 0 END AS dup_frac_i
         FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """
+    o["host_random_walks"] = _walks_sql(4, _host_edges_sql())
+    o["kg_transe_score"] = """
+        WITH t AS (
+          SELECT DISTINCT
+                 'Entity_' || (doc_id % 40) AS subj,
+                 CASE doc_id % 3 WHEN 0 THEN 'founded'
+                                 WHEN 1 THEN 'acquired'
+                                 ELSE 'based_in' END AS pred,
+                 'Entity_' || ((doc_id * 7 + 1) % 40) AS obj
+          FROM documents)
+        SELECT subj, pred, obj,
+               CAST(list_aggregate(list_transform(range(0, 16), i -> abs(
+                   ((('0x' || substr(md5(subj || ':' || i), 1, 8))::BIGINT
+                     % 2001) - 1000)
+                 + ((('0x' || substr(md5('rel:' || pred || ':' || i), 1, 8))::BIGINT
+                     % 2001) - 1000)
+                 - ((('0x' || substr(md5(obj || ':' || i), 1, 8))::BIGINT
+                     % 2001) - 1000))), 'sum') AS BIGINT) AS energy_i
+        FROM t
+    """
+    o["paragraph_dedup"] = """
+        SELECT doc_id,
+               md5('Body paragraph number ' || doc_id
+                   || ' with distinct content') AS clean_md5,
+               CAST(1 AS BIGINT) AS n_kept,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_dropped
+        FROM documents
     """
     o["bpe_pair_stats"] = r"""
         WITH wx AS (

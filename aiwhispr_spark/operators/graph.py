@@ -237,3 +237,88 @@ def kcore(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
     return out
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    length: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(start, step, node) random-walk corpus over the DISTINCT directed edge
+    set — the DeepWalk/node2vec training-corpus generator, with the random
+    step DERANDOMIZED so the walk set is reproducible and cross-engine
+    gateable: at node u on step t the walker moves to
+    ``sorted_neighbors(u)[ md5int32(u ‖ ':' ‖ t) mod outdeg(u) ]``.
+    (Production walkers swap the md5 pick for a seeded PRNG per walk — the
+    dataflow is identical; reproducible-by-construction is a feature for
+    lineage anyway.)  One walk per graph node; step 0 is the start itself;
+    walks terminate early at dangling nodes.
+
+    100 TB shape: the neighbor-list build is one shuffle keyed on src
+    (per-node lists bounded by out-degree — cap/sample top-N neighbors for
+    Zipf-headed web graphs before calling); each step is then a join of the
+    |V|-sized walker state against the neighbor table on the current node,
+    localCheckpointed per step (state is referenced by both the emit and the
+    advance).  Cost: length × (|V| join |V|)."""
+    n_part = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nbrs = (
+        e.groupBy("src")
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs"),
+            F.count(F.lit(1)).cast("long").alias("nd"),
+        )
+        .repartition(n_part, "src")
+        .persist()
+    )
+    starts = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = starts.select(
+        F.col("node").alias("start"), F.col("node").alias("cur")
+    ).localCheckpoint()
+    frames = [
+        state.select(
+            "start", F.lit(0).cast("long").alias("step"), F.col("cur").alias("node")
+        )
+    ]
+    for t in range(1, length + 1):
+        pick = F.element_at(
+            F.col("nbrs"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("cur"), F.lit(f":{t}"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("nd")
+            ).cast("int")
+            + 1,
+        )
+        state = (
+            state.join(nbrs, state["cur"] == nbrs["src"], "inner")
+            .select("start", pick.alias("cur"))
+            .localCheckpoint()
+        )
+        frames.append(
+            state.select(
+                "start",
+                F.lit(t).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    e.unpersist()
+    return out

@@ -40,13 +40,15 @@ def frequent_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    sep: str = "\n",
 ) -> DataFrame:
-    """(line_key, n_docs) for every normalized non-empty line occurring in at
+    """(line_key, n_docs) for every normalized non-empty unit occurring in at
     least ``min_docs`` distinct documents.  ``line_key = xxhash64(norm)`` —
-    the 8-byte key is what downstream joins carry."""
+    the 8-byte key is what downstream joins carry.  ``sep`` picks the dedup
+    unit: "\n" = lines (CCNet), "\n\n" = paragraphs (Dolma)."""
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias("line"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias("line"),
     )
     return (
         lines.select(F.xxhash64(_norm(F.col("line"))).alias("line_key"), "_id")
@@ -62,6 +64,7 @@ def drop_boilerplate_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    sep: str = "\n",
 ) -> DataFrame:
     """Return one row per input document with:
 
@@ -72,11 +75,15 @@ def drop_boilerplate_lines(
     Empty/whitespace-only lines are structural, not boilerplate: they are
     never counted and never dropped.  NULL text (an upstream extraction
     failure) is treated as '' — the document survives with one empty kept
-    line rather than silently vanishing from the corpus."""
-    freq = frequent_lines(docs, text_col, id_col, min_docs).select("line_key")
+    line rather than silently vanishing from the corpus.
+
+    ``sep`` selects the dedup unit ("\\n" lines / "\\n\\n" paragraphs) and is
+    used both as the split pattern (regex — the two supported values are
+    regex-literal) and the rejoin separator."""
+    freq = frequent_lines(docs, text_col, id_col, min_docs, sep).select("line_key")
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep)).alias(
             "ord", "line"
         ),
     ).withColumn(
@@ -96,7 +103,7 @@ def drop_boilerplate_lines(
                 F.transform(
                     F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
                 ),
-                "\n",
+                sep,
             ).alias("text_clean"),
             F.sum(F.when(F.col("is_dup"), 0).otherwise(1)).alias("n_kept"),
             F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dropped"),

@@ -54,3 +54,30 @@ def test_doc_of_only_boilerplate_becomes_empty(spark):
     )
     out = {r.doc_id: r for r in drop_boilerplate_lines(docs, min_docs=3).collect()}
     assert out["d5"].text_clean == "" and out["d5"].n_kept == 0
+
+
+def test_paragraph_unit_sep(spark):
+    """sep='\\n\\n' dedups PARAGRAPHS: a multi-line paragraph counts as one
+    unit (its inner newlines survive reassembly)."""
+    from aiwhispr_spark.operators.linededup import drop_boilerplate_lines
+
+    chrome = "cookie banner line one\nline two of the banner"
+    df = spark.createDataFrame(
+        [
+            (1, chrome + "\n\n" + "unique body A"),
+            (2, chrome + "\n\n" + "unique body B"),
+            (3, "unique body C\n\nwith a second para"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in drop_boilerplate_lines(df, min_docs=2, sep="\n\n").collect()
+    }
+    assert rows[1]["text_clean"] == "unique body A"
+    assert rows[2]["text_clean"] == "unique body B"
+    assert rows[1]["n_dropped"] == 1
+    # line-level dedup would have dropped the banner lines individually;
+    # paragraph-level keeps doc 3 fully intact including its inner structure
+    assert rows[3]["text_clean"] == "unique body C\n\nwith a second para"
+    assert rows[3]["n_dropped"] == 0
