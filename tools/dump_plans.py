@@ -42,6 +42,12 @@ SHOWN = [
     ("semantic_dedup_pairs", "centroid table broadcast (assignment narrow, ONE exchange for the argmax groupBy); pair join keys on cid"),
     ("unigram_lm_scores", "vocab-count subtree appears twice (total + logp) but the exchange REUSES at runtime (verified: 1 ReusedExchange in the executed plan); 1-row corpus total broadcast; per-doc agg partial map-side"),
     ("temperature_mix_sample", "per-source rates broadcast back; keep-filter is a narrow projection; one count shuffle total"),
+    ("quality_classifier_hashed", "tokenize→hash→weight→sum is ONE expression chain: no python stage, no exchange — classifier at scan speed"),
+    ("robots_noindex_filter", "meta-robots regex flags fused in WholeStageCodegen: no python stage, no exchange"),
+    ("bloom_prefilter_dedup", "bloom probe is a narrow expression on the store scan (positions array is a literal); the only join keys on the 32-char digest"),
+    ("duplicate_ngram_spans", "counting shuffle carries (xxhash64 gram_key, id) only — gram TEXT never rides an exchange (linededup discipline)"),
+    ("bpe_pair_stats", "corpus collapses to VOCAB first (one word-keyed exchange); pair agg map-side combines into ≤alphabet² keys; top-k is TakeOrderedAndProject"),
+    ("kg_transe_score", "48 md5 component terms fold into one JVM projection: no python stage; distinct is the only exchange"),
 ]
 
 
