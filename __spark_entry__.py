@@ -310,6 +310,18 @@ def _hits_sql(iterations: int, edges_sql: str) -> str:
     )
 
 
+def _ensure_jsonl_corpus() -> str:
+    """Materialize the JSONL fixture (idempotent, same discipline as
+    _ensure_simple_corpus)."""
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.jsonl import write_jsonl_fixture
+
+    path = os.path.join(tempfile.gettempdir(), "aiwhispr_jsonl_300.jsonl")
+    return write_jsonl_fixture(path)
+
+
 def _host_edges_sql() -> str:
     """Closed-form cross-host edge set of the linked corpus (src, dst) —
     shared by the host_pagerank_5 / host_hits_5 / host_random_walks oracles."""
@@ -1744,6 +1756,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_random_walks"] = host_walks
 
+    def crawl_priority(spark, sf):
+        # Re-crawl scheduling composition (urlnorm.py::crawl_schedule_
+        # priority): authority × churn.  Host PageRank comes from the REAL
+        # extraction chain over the linked corpus; per-page churn from three
+        # closed-form snapshots (every 4th page changes content each crawl,
+        # the rest are stable), so priority_i = pr_i · (n_changes + 1)
+        # separates hot-host-churning pages from everything else.
+        from aiwhispr_spark.operators.graph import pagerank
+        from aiwhispr_spark.operators.linkgraph import extract_links, host_edges
+        from aiwhispr_spark.operators.urlnorm import (
+            crawl_change_stats,
+            crawl_schedule_priority,
+        )
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        base = docs.select(
+            "url",
+            F.regexp_extract("url", r"a/(\d+)$", 1).cast("long").alias("i"),
+        )
+        ts = spark.createDataFrame([(100,), (200,), (300,)], "ts long")
+        snaps = base.crossJoin(ts).select(
+            "url",
+            "ts",
+            F.when(
+                F.col("i") % 4 == 0,
+                F.concat(F.col("url"), F.lit("#"), F.col("ts").cast("string")),
+            )
+            .otherwise(F.col("url"))
+            .alias("content"),
+        )
+        ch = crawl_change_stats(
+            snaps, url_col="url", ts_col="ts", content_col="content"
+        )
+        edges = host_edges(extract_links(docs)).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        pr = pagerank(edges, damping=0.85, iterations=5, num_partitions=8).select(
+            "node", F.round(F.col("pr") * 1000000).cast("long").alias("pr_i")
+        )
+        return crawl_schedule_priority(ch, pr, top_k=30)
+
+    q["crawl_schedule_priority"] = crawl_priority
+
+    def jsonl_roundtrip(spark, sf):
+        # JSONL source (sources/jsonl.py): explicit-schema PERMISSIVE read —
+        # unicode, embedded quotes/newlines, one malformed line that must
+        # land in _corrupt_record (and be skipped here), never kill the job.
+        from aiwhispr_spark.sources.jsonl import read_jsonl
+
+        df = read_jsonl(spark, _ensure_jsonl_corpus())
+        good = df.where(
+            F.col("_corrupt_record").isNull() & F.col("doc_id").isNotNull()
+        )
+        return good.select(
+            "doc_id",
+            "lang",
+            F.length("text").cast("long").alias("n_chars"),
+            F.md5("text").alias("text_md5"),
+        )
+
+    q["jsonl_roundtrip"] = jsonl_roundtrip
+
+    def compression_signal(spark, sf):
+        # zlib compressibility signal (textstats.compression_ratios):
+        # genuinely python (no zlib in any SQL engine → no DuckDB twin, so
+        # this registers rows-only BY DESIGN); the value gate is the pytest
+        # golden against the zlib reference in tests/test_robots_quality.py.
+        from aiwhispr_spark.operators.textstats import compression_ratios
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        return compression_ratios(docs)
+
+    q["compression_ratio_signal"] = compression_signal
+
     def main_content(spark, sf):
         # Link-density main-content extraction (operators/maincontent.py):
         # integer cross-multiplied density decision per closed BLOCK
@@ -2645,6 +2731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup",
         "kg_transe_score",
         "host_random_walks",
+        "crawl_schedule_priority",
+        "jsonl_roundtrip",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -3170,6 +3258,35 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     """
     o["host_random_walks"] = _walks_sql(4, _host_edges_sql())
+    _jsonl_path = _ensure_jsonl_corpus()
+    o["jsonl_roundtrip"] = f"""
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(text) AS text_md5
+        FROM read_json('{_jsonl_path}', format = 'newline_delimited',
+                       columns = {{'doc_id': 'BIGINT', 'lang': 'VARCHAR',
+                                   'text': 'VARCHAR'}},
+                       ignore_errors = true)
+        WHERE doc_id IS NOT NULL
+    """
+    _lk_path = _ensure_link_corpus()
+    o["crawl_schedule_priority"] = f"""
+        WITH pr AS MATERIALIZED (
+          {_pagerank_sql(iterations=5, damping=0.85, edges_sql=_host_edges_sql())}
+        ),
+        ch AS MATERIALIZED (
+          SELECT 'https://host' || (i % 12) || '.example.org/a/' || i AS canon_url,
+                 'host' || (i % 12) || '.example.org' AS host,
+                 CASE WHEN i % 4 = 0 THEN 2 ELSE 0 END AS n_changes
+          FROM (SELECT CAST(regexp_extract(url, 'a/(\\d+)$', 1) AS BIGINT) AS i
+                FROM read_parquet('{_lk_path}'))
+        )
+        SELECT c.canon_url,
+               CAST(p.pr_i * (c.n_changes + 1) AS BIGINT) AS priority_i
+        FROM ch c JOIN pr p ON p.node = c.host
+        ORDER BY priority_i DESC, c.canon_url ASC
+        LIMIT 30
+    """
     o["kg_transe_score"] = """
         WITH t AS (
           SELECT DISTINCT

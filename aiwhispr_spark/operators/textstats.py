@@ -313,3 +313,48 @@ def bpe_pair_counts(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def compression_ratios(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """Gopher/CCNet compressibility quality signal: zlib-compressed size /
+    raw size per document.  Highly compressible ⇒ repetitive/templated text
+    (spam, keyword stuffing); near-incompressible ⇒ often binary junk that
+    leaked past extraction.  Thresholds on both tails are standard filters.
+
+    Returns (id_col, n_bytes, n_compressed, ratio_i) with ``ratio_i =
+    round(1e4 · compressed/raw)`` (0 for empty docs).
+
+    This one is genuinely python (no zlib in any SQL engine — also why the
+    gate is a pytest golden against the zlib reference, not a DuckDB twin):
+    ``mapInPandas`` with Arrow batches, compression runs per batch with zero
+    per-row python overhead beyond the codec itself; the stage is narrow
+    (no shuffle) and composes with the scan."""
+    import pandas as pd  # noqa: F401 — imported for the worker closure
+
+    out_schema = f"{id_col} long, n_bytes long, n_compressed long, ratio_i long"
+
+    def _batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            n_bytes = raw.map(len)
+            n_comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            ratio = [
+                int(round(10000.0 * c / b)) if b > 0 else 0
+                for b, c in zip(n_bytes, n_comp)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "n_compressed": n_comp.astype("int64"),
+                    "ratio_i": ratio,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)

@@ -176,3 +176,36 @@ def crawl_change_stats(
         "first_ts",
         "last_ts",
     )
+
+
+def crawl_schedule_priority(
+    change_stats: DataFrame,
+    host_rank: DataFrame,
+    top_k: int = 30,
+) -> DataFrame:
+    """Re-crawl scheduling: rank pages by ``authority × churn`` — the two
+    signals a crawler budget allocator combines (fetch important pages that
+    actually change; skip stable or unimportant ones).
+
+    ``change_stats`` is :func:`crawl_change_stats` output; ``host_rank`` is a
+    (node, pr_i) frame from operators/graph.py::pagerank over the host graph
+    (scaled-int pr).  priority_i = pr_i(host) · (n_changes + 1), integer
+    math throughout; top_k with canon_url tie-break.
+
+    100 TB shape: the host-rank table is |hosts|-sized (orders of magnitude
+    below pages) — AQE broadcasts it onto the page-level stats; the top-k is
+    TakeOrderedAndProject, never a global sort."""
+    from .linkgraph import host_of
+
+    pages = change_stats.withColumn("host", host_of(F.col("canon_url")))
+    joined = pages.join(
+        host_rank.withColumnRenamed("node", "host"), "host"
+    )
+    return (
+        joined.select(
+            "canon_url",
+            (F.col("pr_i") * (F.col("n_changes") + F.lit(1))).alias("priority_i"),
+        )
+        .orderBy(F.desc("priority_i"), F.asc("canon_url"))
+        .limit(top_k)
+    )

@@ -121,3 +121,50 @@ class TestHashedLinearClassifier:
         plan = hashed_linear_scores(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+class TestCompressionRatios:
+    """Value gate for textstats.compression_ratios — no SQL engine has zlib,
+    so the golden is a direct python recomputation (same contract the
+    queries() entry documents as its rows-only reason)."""
+
+    def test_golden_against_zlib_reference(self, spark):
+        import zlib
+
+        from aiwhispr_spark.operators.textstats import compression_ratios
+
+        texts = [
+            (1, "abc " * 500),            # highly repetitive -> low ratio
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, ""),                       # empty -> ratio_i 0 by contract
+            (4, "café über naïve 東京 " * 40),  # multibyte utf-8
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in compression_ratios(df).collect()}
+        for doc_id, text in texts:
+            raw = text.encode("utf-8")
+            comp = zlib.compress(raw, 6)
+            r = rows[doc_id]
+            assert r["n_bytes"] == len(raw)
+            assert r["n_compressed"] == len(comp)
+            exp = int(round(10000.0 * len(comp) / len(raw))) if raw else 0
+            assert r["ratio_i"] == exp
+        # the repetitive doc must compress far better than natural text
+        assert rows[1]["ratio_i"] < rows[2]["ratio_i"]
+
+    def test_null_text_treated_as_empty(self, spark):
+        from aiwhispr_spark.operators.textstats import compression_ratios
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        r = compression_ratios(df).first()
+        assert (r["n_bytes"], r["n_compressed"], r["ratio_i"])[0] == 0
+        assert r["ratio_i"] == 0
+
+    def test_narrow_plan_no_shuffle(self, spark):
+        from aiwhispr_spark.operators.textstats import compression_ratios
+
+        df = spark.range(10).selectExpr("id as doc_id", "'x y z' as text")
+        plan = (
+            compression_ratios(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # scan -> mapInPandas, no shuffle

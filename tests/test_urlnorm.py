@@ -123,3 +123,51 @@ def test_host_suffixes_and_blocklist(spark):
     bl = spark.createDataFrame([("x.org",)], "domain string")
     kept = sorted(r.id for r in filter_blocked_hosts(df, bl).collect())
     assert kept == [3, 4]
+
+def test_crawl_schedule_priority_authority_times_churn(spark):
+    from aiwhispr_spark.operators.urlnorm import (
+        crawl_change_stats,
+        crawl_schedule_priority,
+    )
+
+    # hot host (pr 900k), cold host (pr 100k); one churning + one stable
+    # page per host -> order must be hot/churn > cold/churn > hot/stable...
+    rows = []
+    for host, churn_page, stable_page in [
+        ("hot.org", "https://hot.org/churn", "https://hot.org/stable"),
+        ("cold.org", "https://cold.org/churn", "https://cold.org/stable"),
+    ]:
+        for ts in (1, 2, 3):
+            rows.append((churn_page, ts, f"v{ts}"))
+            rows.append((stable_page, ts, "same"))
+    snaps = spark.createDataFrame(rows, "url string, ts long, content string")
+    ch = crawl_change_stats(snaps, ts_col="ts", content_col="content")
+    pr = spark.createDataFrame(
+        [("hot.org", 900000), ("cold.org", 100000)], "node string, pr_i long"
+    )
+    got = [
+        (r.canon_url, r.priority_i)
+        for r in crawl_schedule_priority(ch, pr, top_k=10).collect()
+    ]
+    assert got == [
+        ("https://hot.org/churn", 2700000),   # 900k * (2+1)
+        ("https://hot.org/stable", 900000),   # 900k * (0+1)
+        ("https://cold.org/churn", 300000),   # 100k * (2+1)
+        ("https://cold.org/stable", 100000),  # 100k * (0+1)
+    ]
+
+
+def test_crawl_schedule_priority_unranked_host_dropped(spark):
+    from aiwhispr_spark.operators.urlnorm import (
+        crawl_change_stats,
+        crawl_schedule_priority,
+    )
+
+    snaps = spark.createDataFrame(
+        [("https://known.org/a", 1, "x"), ("https://unknown.org/b", 1, "y")],
+        "url string, ts long, content string",
+    )
+    ch = crawl_change_stats(snaps, ts_col="ts", content_col="content")
+    pr = spark.createDataFrame([("known.org", 5)], "node string, pr_i long")
+    got = crawl_schedule_priority(ch, pr).collect()
+    assert [r.canon_url for r in got] == ["https://known.org/a"]
