@@ -322,6 +322,33 @@ def _ensure_jsonl_corpus() -> str:
     return write_jsonl_fixture(path)
 
 
+def _ensure_robots_corpus() -> str:
+    """Materialize the robots.txt compliance fixture (idempotent)."""
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.synthetic import write_robots_corpus
+
+    path = os.path.join(tempfile.gettempdir(), "aiwhispr_robots_fixture")
+    if not os.path.exists(os.path.join(path, "urls.parquet")):
+        write_robots_corpus(path)
+    return path
+
+
+def _ensure_unicode_corpus() -> str:
+    """Materialize the mixed-normalization fixture (idempotent, same
+    discipline as _ensure_simple_corpus)."""
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.synthetic import write_unicode_corpus_parquet
+
+    path = os.path.join(tempfile.gettempdir(), "aiwhispr_unicode_200.parquet")
+    if not os.path.exists(path):
+        write_unicode_corpus_parquet(path, n_docs=200)
+    return path
+
+
 def _host_edges_sql() -> str:
     """Closed-form cross-host edge set of the linked corpus (src, dst) —
     shared by the host_pagerank_5 / host_hits_5 / host_random_walks oracles."""
@@ -1818,6 +1845,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["jsonl_roundtrip"] = jsonl_roundtrip
 
+    def nfc_normalize_q(spark, sf):
+        # Unicode NFC normalization (operators/unicodenorm.py): pandas-UDF
+        # unicodedata.normalize vs DuckDB's utf8proc nfc_normalize — the two
+        # independent UAX#15 implementations must agree byte-for-byte on the
+        # mixed-form fixture (decomposed accents, Hangul jamo, compatibility
+        # chars, plain ascii).
+        from aiwhispr_spark.operators.unicodenorm import normalize_text
+
+        docs = spark.read.parquet(_ensure_unicode_corpus())
+        out = normalize_text(docs, text_col="text", form="NFC", out_col="text_nfc")
+        return out.select(
+            "doc_id",
+            F.md5("text_nfc").alias("nfc_md5"),
+            F.col("changed_i").cast("int").alias("changed_i"),
+            F.length("text_nfc").cast("long").alias("n_chars_nfc"),
+        )
+
+    q["unicode_nfc_normalize"] = nfc_normalize_q
+
+    def robots_txt_q(spark, sf):
+        # robots.txt rule engine (operators/robots.py, RFC 9309 subset):
+        # group parsing (consecutive-UA merge, orphan-rule drop, comments),
+        # most-specific-agent-only selection, longest-prefix match with
+        # allow-wins ties.  Oracle re-derives the whole spec independently
+        # in DuckDB SQL (windows over line numbers, not closed-form).
+        import os
+
+        from aiwhispr_spark.operators.robots import (
+            apply_robots_rules,
+            parse_robots_rules,
+        )
+
+        d = _ensure_robots_corpus()
+        robots = spark.read.parquet(os.path.join(d, "robots.parquet"))
+        urls = spark.read.parquet(os.path.join(d, "urls.parquet"))
+        rules = parse_robots_rules(robots)
+        return apply_robots_rules(urls, rules, agent="AIWhisprBot").select(
+            "url",
+            F.col("allowed_i").cast("int").alias("allowed_i"),
+            "match_prefix",
+        )
+
+    q["robots_txt_fetch_policy"] = robots_txt_q
+
     def compression_signal(spark, sf):
         # zlib compressibility signal (textstats.compression_ratios):
         # genuinely python (no zlib in any SQL engine → no DuckDB twin, so
@@ -2733,6 +2804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_random_walks",
         "crawl_schedule_priority",
         "jsonl_roundtrip",
+        "unicode_nfc_normalize",
+        "robots_txt_fetch_policy",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -3270,6 +3343,106 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id IS NOT NULL
     """
     _lk_path = _ensure_link_corpus()
+    _rb_dir = _ensure_robots_corpus()
+    o["robots_txt_fetch_policy"] = f"""
+        WITH raw AS (
+          SELECT host, string_split(robots_txt, chr(10)) AS ls
+          FROM read_parquet('{_rb_dir}/robots.parquet')
+        ),
+        lines AS (
+          SELECT host, unnest(range(1, len(ls) + 1)) AS i, unnest(ls) AS ln
+          FROM raw
+        ),
+        parsed AS (
+          SELECT host, i,
+                 lower(regexp_extract(ln,
+                   '(?i)^[ \t]*(user-agent|allow|disallow)[ \t]*:', 1)) AS directive,
+                 trim(regexp_replace(regexp_extract(ln,
+                   '(?i)^[ \t]*(?:user-agent|allow|disallow)[ \t]*:(.*)$', 1),
+                   '[ \t]*#.*$', '')) AS value
+          FROM lines
+        ),
+        g1 AS (
+          SELECT *, (directive = 'user-agent') AS is_ua
+          FROM parsed WHERE directive <> ''
+        ),
+        g2 AS (
+          SELECT *, is_ua AND NOT coalesce(
+                   lag(is_ua) OVER (PARTITION BY host ORDER BY i), false)
+                 AS new_group
+          FROM g1
+        ),
+        g AS (
+          SELECT * FROM (
+            SELECT *, sum(CASE WHEN new_group THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host ORDER BY i ROWS UNBOUNDED PRECEDING)
+                   AS gid
+            FROM g2
+          ) WHERE gid > 0
+        ),
+        agents AS (
+          SELECT host, gid,
+                 max(CASE WHEN lower(value) = 'aiwhisprbot' THEN 1 ELSE 0 END)
+                   AS applies_specific,
+                 max(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS applies_star
+          FROM g WHERE is_ua GROUP BY host, gid
+        ),
+        rules AS (
+          SELECT host, gid, directive AS rule, value AS prefix,
+                 length(value) AS plen
+          FROM g
+          WHERE NOT is_ua AND value <> ''
+            AND NOT regexp_matches(value, '[*$]')
+        ),
+        host_has AS (
+          SELECT host, max(applies_specific) AS has_specific
+          FROM agents GROUP BY host
+        ),
+        applicable AS (
+          SELECT r.host, r.rule, r.prefix, r.plen
+          FROM rules r
+          JOIN agents a ON a.host = r.host AND a.gid = r.gid
+          JOIN host_has h ON h.host = r.host
+          WHERE (h.has_specific = 1 AND a.applies_specific = 1)
+             OR (h.has_specific = 0 AND a.applies_star = 1)
+        ),
+        u AS (
+          SELECT url,
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                 CASE WHEN regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) = ''
+                      THEN '/'
+                      ELSE regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1)
+                 END AS path
+          FROM read_parquet('{_rb_dir}/urls.parquet')
+        ),
+        hits AS (
+          SELECT uu.url, a.rule, a.prefix,
+                 row_number() OVER (
+                   PARTITION BY uu.url
+                   ORDER BY a.plen DESC, (a.rule = 'allow') DESC, a.prefix DESC
+                 ) AS rn
+          FROM u uu
+          JOIN applicable a
+            ON a.host = uu.host AND starts_with(uu.path, a.prefix)
+        )
+        SELECT uu.url,
+               CASE WHEN h.url IS NULL THEN 1
+                    WHEN h.rule = 'allow' THEN 1 ELSE 0 END AS allowed_i,
+               h.prefix AS match_prefix
+        FROM u uu
+        LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h ON h.url = uu.url
+    """
+    _uni_path = _ensure_unicode_corpus()
+    o["unicode_nfc_normalize"] = f"""
+        SELECT doc_id,
+               md5(nfc_normalize(text)) AS nfc_md5,
+               CAST(nfc_normalize(text) <> text AS INT) AS changed_i,
+               CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc
+        FROM read_parquet('{_uni_path}')
+    """
     o["crawl_schedule_priority"] = f"""
         WITH pr AS MATERIALIZED (
           {_pagerank_sql(iterations=5, damping=0.85, edges_sql=_host_edges_sql())}

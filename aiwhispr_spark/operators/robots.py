@@ -65,3 +65,153 @@ def filter_indexable(df: DataFrame, html_col: str = "html_text") -> DataFrame:
     return flagged.where(F.col("noindex_i") == 0).drop(
         "noindex_i", "nofollow_i"
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt rule engine (RFC 9309 subset)
+# ---------------------------------------------------------------------------
+# Group structure: consecutive User-agent lines open ONE group; the
+# Allow/Disallow lines that follow belong to every agent named.  Agent
+# selection is most-specific-only: if any group names the crawler's token,
+# the '*' groups are ignored entirely (RFC 9309 §2.2.1).  Matching is
+# longest-prefix over the URL path; on an equal-length Allow/Disallow tie the
+# Allow wins (§2.2.2).  Unsupported (documented, rules dropped): '*'/'$'
+# wildcards and percent-encoding equivalence.  Empty rule values match
+# nothing (an empty Disallow means "no restriction" per the RFC examples).
+#
+# 100 TB shape: robots.txt files are tiny and one-per-host — every window
+# below partitions by host, so state is bounded by a single file's line
+# count; the rules table is |hosts|-sized and AQE broadcasts it onto the
+# page-scale URL frame.  All parsing is JVM regex; zero python.
+
+_DIRECTIVE_RE = r"(?i)^[ \t]*(user-agent|allow|disallow)[ \t]*:"
+_VALUE_RE = r"(?i)^[ \t]*(?:user-agent|allow|disallow)[ \t]*:(.*)$"
+# URL path component: scheme://authority(path-without-query-or-fragment)
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?"
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """robots.txt text per host → (host, gid, agents array, rule, prefix,
+    prefix_len).  One row per Allow/Disallow rule per group; a group with no
+    rules keeps ONE row with NULL rule/prefix — it restricts nothing but
+    still CLAIMS its agents (RFC 9309 §2.2.1: an empty specific-agent group
+    means allow-all for that agent, NOT fall-through to the '*' group)."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias("i", "ln"),
+    )
+    parsed = lines.select(
+        "host",
+        "i",
+        F.lower(F.regexp_extract("ln", _DIRECTIVE_RE, 1)).alias("directive"),
+        # value = text after ':', inline comment stripped, trimmed
+        F.trim(
+            F.regexp_replace(F.regexp_extract("ln", _VALUE_RE, 1), r"[ \t]*#.*$", "")
+        ).alias("value"),
+    ).where(F.col("directive") != "")
+
+    w = Window.partitionBy("host").orderBy("i")
+    grouped = parsed.withColumn(
+        "is_ua", F.col("directive") == "user-agent"
+    ).withColumn(
+        "new_group",
+        F.col("is_ua")
+        & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+    ).withColumn(
+        "gid",
+        F.sum(F.col("new_group").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).where(F.col("gid") > 0)  # rules before any User-agent line are ignored
+
+    agents = (
+        grouped.where("is_ua")
+        .groupBy("host", "gid")
+        .agg(F.collect_set(F.lower(F.col("value"))).alias("agents"))
+    )
+    rules = (
+        grouped.where(
+            (~F.col("is_ua"))
+            & (F.col("value") != "")
+            & ~F.col("value").rlike(r"[*$]")  # wildcard rules unsupported
+        )
+        .select(
+            "host",
+            "gid",
+            F.col("directive").alias("rule"),
+            F.col("value").alias("prefix"),
+            F.length("value").alias("prefix_len"),
+        )
+    )
+    return agents.join(rules, ["host", "gid"], "left")
+
+
+def apply_robots_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-URL fetch verdict under ``agent``: adds ``allowed_i`` (1/0) and
+    ``match_prefix`` (the winning rule's path prefix, NULL when no rule
+    matched).  Hosts with no applicable rules allow everything."""
+    agent_l = agent.lower()
+    with_host = urls.withColumn(
+        "__host",
+        F.lower(F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+    ).withColumn(
+        "__path",
+        F.when(
+            F.regexp_extract(F.col(url_col), _PATH_RE, 1) == "", F.lit("/")
+        ).otherwise(F.regexp_extract(F.col(url_col), _PATH_RE, 1)),
+    )
+
+    # most-specific-only agent selection, computed over the tiny rules table
+    sel = rules.withColumn(
+        "applies_specific", F.array_contains("agents", agent_l)
+    ).withColumn("applies_star", F.array_contains("agents", "*"))
+    host_has = sel.groupBy("host").agg(
+        F.max(F.col("applies_specific").cast("int")).alias("has_specific")
+    )
+    applicable = (
+        sel.join(host_has, "host")
+        .where(
+            (F.col("has_specific") == 1) & F.col("applies_specific")
+            | (F.col("has_specific") == 0) & F.col("applies_star")
+        )
+        .where(F.col("rule").isNotNull())  # empty-group markers restrict nothing
+        .select("host", "rule", "prefix", "prefix_len")
+    )
+
+    hit = with_host.join(
+        applicable,
+        (with_host["__host"] == applicable["host"])
+        & with_host["__path"].startswith(applicable["prefix"]),
+        "left",
+    )
+    best = hit.groupBy(url_col).agg(
+        F.max(
+            F.when(
+                F.col("prefix").isNotNull(),
+                F.struct(
+                    F.col("prefix_len").alias("l"),
+                    (F.col("rule") == "allow").alias("is_allow"),
+                    F.col("prefix").alias("p"),
+                ),
+            )
+        ).alias("b")
+    )
+    out = urls.join(best, url_col, "left").select(
+        urls["*"],
+        F.when(F.col("b").isNull(), F.lit(1))
+        .otherwise(F.col("b.is_allow").cast("int"))
+        .alias("allowed_i"),
+        F.col("b.p").alias("match_prefix"),
+    )
+    return out

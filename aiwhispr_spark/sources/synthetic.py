@@ -318,3 +318,104 @@ def write_corpus_parquet(
             break
         pq.write_table(_rows_to_table(part), os.path.join(path, f"part-{i:05d}.parquet"))
     return path
+
+
+def write_unicode_corpus_parquet(path: str, n_docs: int = 200) -> str:
+    """Deterministic mixed-normalization corpus for the unicodenorm gate:
+    (doc_id BIGINT, text VARCHAR).  Every doc mixes forms from doc-index
+    arithmetic — i%5==0 decomposed accents (e + U+0301), i%5==1 precomposed
+    (NFC fixed point), i%5==2 Hangul jamo (compose under NFC), i%5==3
+    compatibility chars (ligature/fullwidth — NFC fixed point, NFKC not),
+    i%5==4 plain ASCII."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def make_text(i: int) -> str:
+        k = i % 5
+        if k == 0:  # decomposed: base letter + combining acute U+0301
+            return f"doc {i} cafe\u0301 re\u0301sume\u0301 over {i * 3}"
+        if k == 1:  # precomposed U+00E9 (NFC fixed point)
+            return f"doc {i} caf\u00e9 r\u00e9sum\u00e9 over {i * 3}"
+        if k == 2:  # Hangul jamo U+1112 U+1161 U+11AB -> one syllable in NFC
+            return f"doc {i} \u1112\u1161\u11ab\uad6d words"
+        if k == 3:  # compatibility chars (NFC fixed point; NFKC would change)
+            return f"doc {i} \ufb01ne \uff21\uff22\uff23 half\u00bd"
+        return f"doc {i} plain ascii body {i * 7}"
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array([make_text(i) for i in range(n_docs)], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+    return path
+
+
+def write_robots_corpus(dir_path: str, n_hosts: int = 12, n_urls_per_host: int = 8) -> str:
+    """Deterministic robots.txt compliance fixture: ``robots.parquet``
+    (host, robots_txt) + ``urls.parquet`` (url).  Host arms from index
+    arithmetic — i%4==0 allow-overrides-disallow + comments + empty rule;
+    i%4==1 specific-agent group shadowing '*'; i%4==2 merged consecutive-UA
+    group with an equal-length Allow/Disallow tie; i%4==3 trailing EMPTY
+    specific group at EOF (RFC 9309: claims the agent, allows all)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+
+    def robots_for(i: int) -> str:
+        k = i % 4
+        if k == 0:
+            return (
+                "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+                "# full-line comment\nDisallow:\nDisallow: /wild*card\n"
+            )
+        if k == 1:
+            return (
+                "User-agent: aiwhisprbot\nDisallow: /bot/\n\n"
+                "User-agent: *\nDisallow: /all/\n"
+            )
+        if k == 2:
+            return (
+                "User-agent: *\nUser-agent: aiwhisprbot\n"
+                "Disallow: /shared/\nAllow: /shared/\nDISALLOW: /upper/ # inline\n"
+            )
+        return "User-agent: *\nDisallow: /\nUser-agent: aiwhisprbot\n"
+
+    hosts = [f"h{i}.example.org" for i in range(n_hosts)]
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "robots_txt": pa.array(
+                    [robots_for(i) for i in range(n_hosts)], pa.string()
+                ),
+            }
+        ),
+        os.path.join(dir_path, "robots.parquet"),
+    )
+
+    paths = [
+        "/private/secret",
+        "/private/okpage",
+        "/pub",
+        "/bot/x",
+        "/all/y",
+        "/shared/z",
+        "/upper/q",
+        "/",
+    ]
+    urls = [
+        f"https://h{i}.example.org{paths[j % len(paths)]}"
+        + ("" if paths[j % len(paths)] == "/" else str(j))
+        for i in range(n_hosts)
+        for j in range(n_urls_per_host)
+    ]
+    pq.write_table(
+        pa.table({"url": pa.array(sorted(set(urls)), pa.string())}),
+        os.path.join(dir_path, "urls.parquet"),
+    )
+    return dir_path

@@ -168,3 +168,116 @@ class TestCompressionRatios:
             compression_ratios(df)._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan  # scan -> mapInPandas, no shuffle
+
+
+class TestRobotsTxtEngine:
+    """RFC 9309 subset: group parsing + most-specific-agent selection +
+    longest-prefix matching (operators/robots.py).  The driver gate
+    (`robots_txt_fetch_policy`) re-derives the whole spec in DuckDB SQL;
+    these pin the tricky single cases."""
+
+    def _apply(self, spark, robots_rows, url_rows, agent="aiwhisprbot"):
+        from aiwhispr_spark.operators.robots import (
+            apply_robots_rules,
+            parse_robots_rules,
+        )
+
+        robots = spark.createDataFrame(
+            robots_rows, "host string, robots_txt string"
+        )
+        urls = spark.createDataFrame([(u,) for u in url_rows], "url string")
+        rules = parse_robots_rules(robots)
+        return {
+            r["url"]: (r["allowed_i"], r["match_prefix"])
+            for r in apply_robots_rules(urls, rules, agent=agent).collect()
+        }
+
+    def test_longest_prefix_allow_override(self, spark):
+        got = self._apply(
+            spark,
+            [("a.org", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n")],
+            [
+                "https://a.org/private/secret",
+                "https://a.org/private/okpage",
+                "https://a.org/pub",
+            ],
+        )
+        assert got["https://a.org/private/secret"] == (0, "/private/")
+        assert got["https://a.org/private/okpage"] == (1, "/private/ok")
+        assert got["https://a.org/pub"] == (1, None)
+
+    def test_equal_length_tie_allow_wins(self, spark):
+        got = self._apply(
+            spark,
+            [("a.org", "User-agent: *\nDisallow: /s/\nAllow: /s/\n")],
+            ["https://a.org/s/x"],
+        )
+        assert got["https://a.org/s/x"][0] == 1
+
+    def test_specific_agent_shadows_star(self, spark):
+        txt = "User-agent: aiwhisprbot\nDisallow: /bot/\n\nUser-agent: *\nDisallow: /all/\n"
+        got = self._apply(
+            spark,
+            [("b.org", txt)],
+            ["https://b.org/bot/x", "https://b.org/all/y"],
+        )
+        # star group's /all/ rule is IGNORED for the named agent
+        assert got["https://b.org/bot/x"] == (0, "/bot/")
+        assert got["https://b.org/all/y"] == (1, None)
+        other = self._apply(
+            spark, [("b.org", txt)], ["https://b.org/all/y"], agent="otherbot"
+        )
+        assert other["https://b.org/all/y"] == (0, "/all/")
+
+    def test_consecutive_ua_lines_share_rules(self, spark):
+        got = self._apply(
+            spark,
+            [("c.org", "User-agent: *\nUser-agent: aiwhisprbot\nDisallow: /sh/\n")],
+            ["https://c.org/sh/d"],
+        )
+        assert got["https://c.org/sh/d"][0] == 0
+
+    def test_trailing_empty_specific_group_allows_all(self, spark):
+        # RFC 9309: the EOF group claims the agent even with zero rules
+        txt = "User-agent: *\nDisallow: /\nUser-agent: aiwhisprbot\n"
+        got = self._apply(spark, [("d.org", txt)], ["https://d.org/any"])
+        assert got["https://d.org/any"] == (1, None)
+        star = self._apply(
+            spark, [("d.org", txt)], ["https://d.org/any"], agent="stranger"
+        )
+        assert star["https://d.org/any"] == (0, "/")
+
+    def test_orphan_rules_comments_empty_and_wildcards_dropped(self, spark):
+        txt = (
+            "Disallow: /orphan/\n#only a comment\nUser-agent: *\n"
+            "Disallow:\nDisallow: /wi*ld\nDisallow: /x/ # inline comment\n"
+        )
+        got = self._apply(
+            spark,
+            [("e.org", txt)],
+            [
+                "https://e.org/orphan/p",
+                "https://e.org/wi-ld",
+                "https://e.org/x/q",
+            ],
+        )
+        assert got["https://e.org/orphan/p"] == (1, None)
+        assert got["https://e.org/wi-ld"] == (1, None)
+        assert got["https://e.org/x/q"] == (0, "/x/")
+
+    def test_no_robots_host_allows_everything(self, spark):
+        got = self._apply(
+            spark,
+            [("a.org", "User-agent: *\nDisallow: /\n")],
+            ["https://unknown.org/p"],
+        )
+        assert got["https://unknown.org/p"] == (1, None)
+
+    def test_root_url_and_query_fragment_stripped(self, spark):
+        got = self._apply(
+            spark,
+            [("a.org", "User-agent: *\nDisallow: /p/\n")],
+            ["https://a.org", "https://a.org/p/page?x=1#frag"],
+        )
+        assert got["https://a.org"] == (1, None)   # path '' -> '/'
+        assert got["https://a.org/p/page?x=1#frag"][0] == 0
