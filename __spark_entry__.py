@@ -335,6 +335,19 @@ def _ensure_robots_corpus() -> str:
     return path
 
 
+def _ensure_sitemap_corpus() -> str:
+    """Materialize the sitemap-discovery fixture (idempotent)."""
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.synthetic import write_sitemap_corpus
+
+    path = os.path.join(tempfile.gettempdir(), "aiwhispr_sitemap_fixture")
+    if not os.path.exists(os.path.join(path, "crawlstate.parquet")):
+        write_sitemap_corpus(path)
+    return path
+
+
 def _ensure_unicode_corpus() -> str:
     """Materialize the mixed-normalization fixture (idempotent, same
     discipline as _ensure_simple_corpus)."""
@@ -1889,6 +1902,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_txt_fetch_policy"] = robots_txt_q
 
+    def sitemap_frontier_q(spark, sf):
+        # Sitemap discovery (sources/sitemap.py): <url> blocks via ONE JVM
+        # regexp_extract_all, loc/lastmod per block, frontier diff against
+        # crawl state (new/stale/fresh/unknown) — ISO dates stay strings.
+        import os
+
+        from aiwhispr_spark.sources.sitemap import (
+            parse_sitemap_entries,
+            sitemap_frontier,
+        )
+
+        d = _ensure_sitemap_corpus()
+        sitemaps = spark.read.parquet(os.path.join(d, "sitemaps.parquet"))
+        state = spark.read.parquet(os.path.join(d, "crawlstate.parquet"))
+        return sitemap_frontier(parse_sitemap_entries(sitemaps), state)
+
+    q["sitemap_frontier_diff"] = sitemap_frontier_q
+
+    def dsir_weights(spark, sf):
+        # DSIR data selection (textstats.dsir_importance_weights): hashed-
+        # unigram importance weights of every raw doc against a target
+        # subset (doc_id%5==0 stands in for the curated corpus).  The
+        # per-bucket log-ratio chain is a FIXED left-associated double
+        # sequence, int-rounded before the per-doc sum.
+        from aiwhispr_spark.operators.textstats import dsir_importance_weights
+
+        docs = _t(spark, sf, "documents")
+        target = docs.where(F.col("doc_id") % 5 == 0)
+        return dsir_importance_weights(docs, target)
+
+    q["dsir_importance_weights"] = dsir_weights
+
     def compression_signal(spark, sf):
         # zlib compressibility signal (textstats.compression_ratios):
         # genuinely python (no zlib in any SQL engine → no DuckDB twin, so
@@ -2806,6 +2851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip",
         "unicode_nfc_normalize",
         "robots_txt_fetch_policy",
+        "sitemap_frontier_diff",
+        "dsir_importance_weights",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -3343,6 +3390,74 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id IS NOT NULL
     """
     _lk_path = _ensure_link_corpus()
+    o["dsir_importance_weights"] = r"""
+        WITH rt AS (
+          SELECT doc_id, tok,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bucket
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+                FROM documents)
+          WHERE tok <> ''),
+        tt AS (
+          SELECT tok,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bucket
+          FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+                FROM documents WHERE doc_id % 5 = 0)
+          WHERE tok <> ''),
+        rc AS (SELECT bucket, count(*) AS cnt_r FROM rt GROUP BY bucket),
+        tc AS (SELECT bucket, count(*) AS cnt_t FROM tt GROUP BY bucket),
+        rtot AS (SELECT sum(cnt_r) AS total_r FROM rc),
+        ttot AS (SELECT sum(cnt_t) AS total_t FROM tc),
+        bk AS (
+          SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+                 coalesce(cnt_r, 0) AS cnt_r,
+                 coalesce(cnt_t, 0) AS cnt_t
+          FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket),
+        lr AS (
+          SELECT bucket,
+                 CAST(round(1000000 * (
+                       ln(cnt_t + 1.0)
+                     - ln((SELECT total_t FROM ttot) + 4096.0)
+                     - ln(cnt_r + 1.0)
+                     + ln((SELECT total_r FROM rtot) + 4096.0)))
+                   AS BIGINT) AS lr_i
+          FROM bk)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(lr_i) AS BIGINT) AS weight_i
+        FROM rt JOIN lr USING (bucket) GROUP BY doc_id
+    """
+    _sm_dir = _ensure_sitemap_corpus()
+    o["sitemap_frontier_diff"] = f"""
+        WITH blocks AS (
+          SELECT host,
+                 unnest(regexp_extract_all(sitemap_xml,
+                   '(?s)<url\\s*>.*?</url\\s*>')) AS block
+          FROM read_parquet('{_sm_dir}/sitemaps.parquet')
+        ),
+        entries AS (
+          SELECT host,
+                 regexp_extract(block,
+                   '(?s)<loc\\s*>\\s*([^<]*?)\\s*</loc\\s*>', 1) AS loc,
+                 nullif(regexp_extract(block,
+                   '(?s)<lastmod\\s*>\\s*(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1), '')
+                   AS lastmod_day
+          FROM blocks
+        ),
+        good AS (SELECT * FROM entries WHERE loc <> '')
+        SELECT g.host,
+               g.loc AS url,
+               g.lastmod_day,
+               s.last_crawl_day,
+               CASE
+                 WHEN s.url IS NULL THEN 'new'
+                 WHEN g.lastmod_day IS NULL THEN 'unknown'
+                 WHEN g.lastmod_day > s.last_crawl_day THEN 'stale'
+                 ELSE 'fresh'
+               END AS status
+        FROM good g
+        LEFT JOIN read_parquet('{_sm_dir}/crawlstate.parquet') s
+          ON s.url = g.loc
+    """
     _rb_dir = _ensure_robots_corpus()
     o["robots_txt_fetch_policy"] = f"""
         WITH raw AS (

@@ -358,3 +358,86 @@ def compression_ratios(
             )
 
     return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)
+
+
+def dsir_importance_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every raw-corpus document by how
+    target-like its hashed-unigram distribution is, ``w(doc) = Σ_tokens
+    log(p_target(b)/p_raw(b))`` over feature-hash buckets ``b`` — the
+    standard recipe for selecting web text that resembles a curated corpus.
+    Resample/top-k by weight downstream (compose with
+    ``packing.stratified_sample`` or a plain orderBy-limit).
+
+    Buckets use the same md5 feature hash as :func:`hashed_linear_scores`
+    (cross-engine reproducible); both distributions are Laplace-smoothed
+    ``(cnt+1)/(total+B)``.  The per-bucket log-ratio is computed as
+    ``ln(cnt_t+1) − ln(total_t+B) − ln(cnt_r+1) + ln(total_r+B)`` — a fixed
+    left-associated chain of doubles (bit-identical across engines, and no
+    BIGINT product that would overflow at web-scale token totals) — then
+    rounded to ``lr_i = round(1e6·lr)`` BEFORE the per-document sum, making
+    the aggregate exactly order-independent (the unigram_logprob_scores
+    discipline).
+
+    Returns (id_col, n_tokens, weight_i) for every raw doc with ≥1 token.
+
+    100 TB shape: the bucket table is ≤ ``n_buckets`` rows regardless of
+    corpus size — it broadcasts onto the token stream; two token-keyed
+    aggregations (raw + target) and one per-doc groupBy are the only
+    shuffles, each map-side combined.  The target corpus is typically
+    orders of magnitude smaller than raw; nothing here collects to the
+    driver."""
+
+    def _bucket(t):
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % F.lit(
+            n_buckets
+        )
+
+    def _toks(df, keep_id: bool):
+        cols = [F.col(id_col).alias("_id")] if keep_id else []
+        t = df.select(
+            *cols,
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        ).filter(F.col("tok") != "")
+        return t.withColumn("bucket", _bucket(F.col("tok")))
+
+    raw_toks = _toks(raw_docs, keep_id=True)
+    tgt_toks = _toks(target_docs, keep_id=False)
+
+    raw_cnt = raw_toks.groupBy("bucket").agg(F.count("*").alias("cnt_r"))
+    tgt_cnt = tgt_toks.groupBy("bucket").agg(F.count("*").alias("cnt_t"))
+    raw_total = raw_cnt.agg(F.sum("cnt_r").alias("total_r"))
+    tgt_total = tgt_cnt.agg(F.sum("cnt_t").alias("total_t"))
+
+    buckets = (
+        raw_cnt.join(tgt_cnt, "bucket", "full_outer")
+        .na.fill({"cnt_r": 0, "cnt_t": 0})
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+    )
+    b = F.lit(float(n_buckets))
+    lr = (
+        F.log(F.col("cnt_t") + F.lit(1.0))
+        - F.log(F.col("total_t") + b)
+        - F.log(F.col("cnt_r") + F.lit(1.0))
+        + F.log(F.col("total_r") + b)
+    )
+    lr_table = buckets.select(
+        "bucket", F.round(lr * 1e6).cast("bigint").alias("lr_i")
+    )
+
+    return (
+        raw_toks.join(F.broadcast(lr_table), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lr_i").alias("weight_i"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

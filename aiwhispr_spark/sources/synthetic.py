@@ -419,3 +419,66 @@ def write_robots_corpus(dir_path: str, n_hosts: int = 12, n_urls_per_host: int =
         os.path.join(dir_path, "urls.parquet"),
     )
     return dir_path
+
+
+def write_sitemap_corpus(dir_path: str, n_hosts: int = 8, n_urls: int = 10) -> str:
+    """Deterministic sitemap-discovery fixture: ``sitemaps.parquet``
+    (host, sitemap_xml) + ``crawlstate.parquet`` (url, last_crawl_day).
+    Entry arithmetic: url j of host i has lastmod 2024-01-(1+(i*3+j)%28)
+    unless j%3==2 (no lastmod); j%7==5 ships a full W3C datetime (the ISO
+    day prefix must be extracted); one block per host has no <loc> (must be
+    dropped).  Crawl state covers j%2==0 at 2024-01-15."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+
+    def sitemap_for(i: int) -> str:
+        parts = ['<?xml version="1.0"?>\n<urlset>\n']
+        for j in range(n_urls):
+            url = f"https://s{i}.example.org/page/{j}"
+            day = f"2024-01-{1 + (i * 3 + j) % 28:02d}"
+            parts.append("  <url>\n")
+            parts.append(f"    <loc> {url} </loc>\n")
+            if j % 7 == 5:
+                parts.append(f"    <lastmod>{day}T10:30:00+00:00</lastmod>\n")
+            elif j % 3 != 2:
+                parts.append(f"    <lastmod>\n      {day}\n    </lastmod>\n")
+            parts.append("  </url>\n")
+        parts.append("  <url>\n    <lastmod>2024-01-02</lastmod>\n  </url>\n")
+        parts.append("</urlset>\n")
+        return "".join(parts)
+
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(
+                    [f"s{i}.example.org" for i in range(n_hosts)], pa.string()
+                ),
+                "sitemap_xml": pa.array(
+                    [sitemap_for(i) for i in range(n_hosts)], pa.string()
+                ),
+            }
+        ),
+        os.path.join(dir_path, "sitemaps.parquet"),
+    )
+    crawled = [
+        f"https://s{i}.example.org/page/{j}"
+        for i in range(n_hosts)
+        for j in range(n_urls)
+        if j % 2 == 0
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(crawled, pa.string()),
+                "last_crawl_day": pa.array(
+                    ["2024-01-15"] * len(crawled), pa.string()
+                ),
+            }
+        ),
+        os.path.join(dir_path, "crawlstate.parquet"),
+    )
+    return dir_path
