@@ -335,6 +335,19 @@ def _ensure_robots_corpus() -> str:
     return path
 
 
+def _ensure_cdx_fixture() -> str:
+    """Materialize the CDX index shard fixture (idempotent)."""
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.synthetic import write_cdx_fixture
+
+    path = os.path.join(tempfile.gettempdir(), "aiwhispr_cdx_240.cdx")
+    if not os.path.exists(path):
+        write_cdx_fixture(path)
+    return path
+
+
 def _ensure_sitemap_corpus() -> str:
     """Materialize the sitemap-discovery fixture (idempotent)."""
     import os
@@ -1934,6 +1947,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_importance_weights"] = dsir_weights
 
+    def cdx_fetch(spark, sf):
+        # CDX index source (sources/cdx.py): line split + explicit-schema
+        # from_json, 200/html filter, one capture per content digest
+        # (earliest ts), byte-range fetch list; surt_match_i cross-checks
+        # the engine's SURT builder against the line's key (oracle builds
+        # its own SURT in SQL — two independent impls of the same rule).
+        from aiwhispr_spark.sources.cdx import fetch_list, read_cdx, surt_key_expr
+
+        cdx = read_cdx(spark, _ensure_cdx_fixture())
+        out = fetch_list(cdx)
+        return out.select(
+            "digest",
+            "ts",
+            "surt",
+            "url",
+            "filename",
+            "offset_l",
+            "length_l",
+            (F.col("surt") == surt_key_expr(F.col("url")))
+            .cast("int")
+            .alias("surt_match_i"),
+        )
+
+    q["cdx_fetch_list"] = cdx_fetch
+
     def compression_signal(spark, sf):
         # zlib compressibility signal (textstats.compression_ratios):
         # genuinely python (no zlib in any SQL engine → no DuckDB twin, so
@@ -2853,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_txt_fetch_policy",
         "sitemap_frontier_diff",
         "dsir_importance_weights",
+        "cdx_fetch_list",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -3390,6 +3429,60 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id IS NOT NULL
     """
     _lk_path = _ensure_link_corpus()
+    _cdx_path = _ensure_cdx_fixture()
+    o["cdx_fetch_list"] = f"""
+        WITH p AS (
+          SELECT regexp_extract(line, '^(\\S+) (\\d{{14}}) (\\{{.*\\}})$', 1)
+                   AS surt,
+                 regexp_extract(line, '^(\\S+) (\\d{{14}}) (\\{{.*\\}})$', 2)
+                   AS ts,
+                 nullif(regexp_extract(line,
+                   '^(\\S+) (\\d{{14}}) (\\{{.*\\}})$', 3), '') AS j
+          FROM read_csv('{_cdx_path}', columns = {{'line': 'VARCHAR'}},
+                        delim = chr(1), quote = '', header = false)
+        ),
+        t AS (
+          SELECT surt, ts,
+                 json_extract_string(j, '$.url') AS url,
+                 json_extract_string(j, '$.mime') AS mime,
+                 json_extract_string(j, '$.status') AS status,
+                 json_extract_string(j, '$.digest') AS digest,
+                 CAST(json_extract_string(j, '$.length') AS BIGINT) AS length_l,
+                 CAST(json_extract_string(j, '$.offset') AS BIGINT) AS offset_l,
+                 json_extract_string(j, '$.filename') AS filename
+          FROM p
+          WHERE surt <> '' AND j IS NOT NULL AND json_valid(j)
+            AND json_extract_string(j, '$.url') IS NOT NULL
+        ),
+        f AS (
+          SELECT * FROM t WHERE status = '200' AND mime = 'text/html'
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY digest
+                   ORDER BY ts, url, surt, filename, offset_l, length_l
+                 ) AS rn
+          FROM f
+        ),
+        best AS (SELECT * FROM r WHERE rn = 1),
+        surted AS (
+          SELECT *,
+            lower(regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS u_host,
+            CASE WHEN regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) = ''
+                 THEN '/'
+                 ELSE lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1))
+            END AS u_path
+          FROM best
+        )
+        SELECT digest, ts, surt, url, filename, offset_l, length_l,
+               CAST(surt = array_to_string(
+                      list_reverse(string_split(u_host, '.')), ',')
+                    || ')' || u_path AS INT) AS surt_match_i
+        FROM surted
+    """
     o["dsir_importance_weights"] = r"""
         WITH rt AS (
           SELECT doc_id, tok,

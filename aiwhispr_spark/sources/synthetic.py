@@ -482,3 +482,38 @@ def write_sitemap_corpus(dir_path: str, n_hosts: int = 8, n_urls: int = 10) -> s
         os.path.join(dir_path, "crawlstate.parquet"),
     )
     return dir_path
+
+
+def write_cdx_fixture(path: str, n_records: int = 240) -> str:
+    """Deterministic CDX-JSON index shard: record i captures
+    https://{www. if i%6==0}h{i%9}.example.org/P{i//3} (uppercase path — SURT
+    must lower it) at a unique 14-digit timestamp; every 3 consecutive
+    records share a content digest (dedup arm); i%7==3 is a 404, i%5==4 a
+    PDF; plus one malformed line and one bad-JSON line."""
+    import hashlib
+    import json
+
+    def surt_of(host: str, p: str) -> str:
+        return ",".join(reversed(host.split("."))) + ")" + p.lower()
+
+    lines = []
+    for i in range(n_records):
+        host = ("www." if i % 6 == 0 else "") + f"h{i % 9}.example.org"
+        p = f"/Page/{i // 3}"
+        url = f"https://{host}{p}"
+        ts = f"20240101{i // 3600:02d}{(i // 60) % 60:02d}{i % 60:02d}"
+        rec = {
+            "url": url,
+            "mime": "application/pdf" if i % 5 == 4 else "text/html",
+            "status": "404" if i % 7 == 3 else "200",
+            "digest": "sha1:" + hashlib.md5(str(i // 3).encode()).hexdigest()[:16],
+            "length": str(1000 + i * 13),
+            "offset": str(i * 2048),
+            "filename": f"crawl/seg{i % 4}.warc.gz",
+        }
+        lines.append(f"{surt_of(host, p)} {ts} {json.dumps(rec)}")
+    lines.append("malformed line with no json")
+    lines.append('com,broken)/x 20240101000000 {"url": not-json}')
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
