@@ -335,6 +335,19 @@ def _ensure_robots_corpus() -> str:
     return path
 
 
+def _ensure_wav_corpus() -> str:
+    """Materialize the PCM WAV clip fixture (idempotent)."""
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.synthetic import write_wav_corpus_parquet
+
+    path = os.path.join(tempfile.gettempdir(), "aiwhispr_wav_60.parquet")
+    if not os.path.exists(path):
+        write_wav_corpus_parquet(path)
+    return path
+
+
 def _ensure_cdx_fixture() -> str:
     """Materialize the CDX index shard fixture (idempotent)."""
     import os
@@ -1972,6 +1985,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdx_fetch_list"] = cdx_fetch
 
+    def minhash_incremental(spark, sf):
+        # Incremental MinHash (dedup.incremental_minhash_pairs): batch 1
+        # (originals) is indexed into (band_store, sig_store); batch 2 (the
+        # perturbed copies) arrives as the delta and must find its near-dups
+        # WITHOUT re-shingling batch 1 — verification is signature
+        # agreement (n_match of 16 md5 minhashes), so the index alone
+        # suffices.  Oracle recomputes full-corpus banding and filters to
+        # delta-involving pairs (b >= 10000 ⟺ involves batch 2).
+        from aiwhispr_spark.operators.dedup import (
+            incremental_minhash_pairs,
+            minhash_index,
+        )
+
+        d0 = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") < 300)
+            .select("doc_id", "text")
+        )
+        aug = d0.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(MINHASH_TAIL)).alias("text"),
+        )
+        bands1, sigs1 = minhash_index(d0, "text", "doc_id", hash_family="md5")
+        pairs, _, _ = incremental_minhash_pairs(
+            aug, bands1, sigs1, "text", "doc_id", hash_family="md5", min_matches=8
+        )
+        return pairs.select("a", "b", F.col("n_match_i").cast("int").alias("n_match_i"))
+
+    q["minhash_incremental_delta"] = minhash_incremental
+
+    def wav_features_q(spark, sf):
+        # REAL WAV (RIFF/PCM-16) decode (multimodal.wav_audio_features):
+        # numpy-only chunk walker, exact-integer stats (sum of squares,
+        # strict sign-change crossings).  The fixture is square waves, so
+        # the oracle states every output CLOSED-FORM from the clip index —
+        # fully independent of the decoder.  The corrupt record surfaces as
+        # NULL stats (pinned in tests/test_wav_audio.py); the hash gate
+        # filters it because NULL ints render None-vs-NaN across engines.
+        from aiwhispr_spark.operators.multimodal import wav_audio_features
+
+        clips = spark.read.parquet(_ensure_wav_corpus())
+        return wav_audio_features(clips).where(
+            F.col("sample_rate_i").isNotNull()
+        )
+
+    q["wav_audio_features"] = wav_features_q
+
     def compression_signal(spark, sf):
         # zlib compressibility signal (textstats.compression_ratios):
         # genuinely python (no zlib in any SQL engine → no DuckDB twin, so
@@ -2892,6 +2952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier_diff",
         "dsir_importance_weights",
         "cdx_fetch_list",
+        "minhash_incremental_delta",
+        "wav_audio_features",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -3429,6 +3491,54 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id IS NOT NULL
     """
     _lk_path = _ensure_link_corpus()
+    _wav_path = _ensure_wav_corpus()
+    o["wav_audio_features"] = f"""
+        WITH ids AS (
+          SELECT media_id,
+                 CASE WHEN regexp_matches(media_id, '^wav\\d+$')
+                      THEN CAST(regexp_extract(media_id, '^wav(\\d+)$', 1)
+                                AS BIGINT)
+                 END AS i
+          FROM read_parquet('{_wav_path}')
+        ),
+        d AS (
+          SELECT media_id, i,
+                 2 + i % 5 AS h, 20 + i % 7 AS blocks,
+                 500 + 25 * i AS a, 8000 * (1 + i % 3) AS rate
+          FROM ids
+        )
+        SELECT media_id,
+               CAST(rate AS INT) AS sample_rate_i,
+               CAST(1 + i % 2 AS INT) AS n_channels_i,
+               CAST(h * blocks AS BIGINT) AS n_frames_l,
+               CAST(h * blocks * a * a AS BIGINT) AS sum_sq_l,
+               CAST(blocks - 1 AS BIGINT) AS n_zero_cross_l,
+               CAST((h * blocks * 1000) // rate AS INT) AS duration_ms_i
+        FROM d WHERE i IS NOT NULL
+    """
+    _incr_sig_list = ", ".join(f"mh{i}" for i in range(16))
+    o["minhash_incremental_delta"] = (
+        "WITH "
+        + _minhash_cte()
+        + f""",
+        sigl AS (SELECT id, list_value({_incr_sig_list}) AS sl FROM sig),
+        candi AS (
+          SELECT DISTINCT l.id AS a, r.id AS b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bhash = r.bhash AND l.id < r.id
+        ),
+        m AS (
+          SELECT c.a, c.b,
+                 len(list_filter(generate_series(1, 16),
+                                 i -> la.sl[i] = lb.sl[i])) AS nm
+          FROM candi c
+          JOIN sigl la ON la.id = c.a
+          JOIN sigl lb ON lb.id = c.b
+        )
+        SELECT a, b, CAST(nm AS INT) AS n_match_i
+        FROM m WHERE nm >= 8 AND b >= 10000
+    """
+    )
     _cdx_path = _ensure_cdx_fixture()
     o["cdx_fetch_list"] = f"""
         WITH p AS (

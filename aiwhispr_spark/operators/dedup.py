@@ -449,3 +449,121 @@ def incremental_exact_dedup(
         digest_store.unionByName(fresh) if digest_store is not None else fresh
     )
     return keepers, updated_store
+
+
+def minhash_index(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    hash_family: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable LSH index of a corpus batch: ``(band_store,
+    sig_store)`` with ``band_store = (id, band, bhash)`` and ``sig_store =
+    (id, sig array<long>)``.  Two normalized tables on purpose — band rows
+    are bands× per doc while the signature is stored once; at 10^12 docs the
+    band store is the thing you bucket by (band, bhash) on disk.
+
+    ``hash_family``: ``xxhash64`` (scale path, one JVM hash per probe) or
+    ``md5`` (oracle path — every signature and band key reproducible in
+    DuckDB, the :func:`minhash_lsh_pairs_md5` twin discipline)."""
+    if hash_family == "xxhash64":
+        seeded, bhash_of = _seeded_xxhash, lambda cols: F.xxhash64(*cols)
+    elif hash_family == "md5":
+        seeded = lambda i: (lambda s: _md5_hash60(s, i))  # noqa: E731
+        bhash_of = lambda cols: F.md5(  # noqa: E731
+            F.concat_ws("|", *[c.cast("string") for c in cols])
+        )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _token_ngrams(F.col(content_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    n_hashes = bands * rows_per_band
+    sig_cols = minhash_signature(F.col("sh"), n_hashes, seeded)
+    sig = base.select("id", *sig_cols)
+    band_keys = F.array(
+        *[
+            bhash_of([F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    band_store = sig.select("id", F.posexplode(band_keys).alias("band", "bhash"))
+    sig_store = sig.select(
+        "id", F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig")
+    )
+    return band_store, sig_store
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    band_store: DataFrame | None,
+    sig_store: DataFrame | None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    min_matches: int = 8,
+    hash_family: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Near-dup detection for a DELTA against an accumulated LSH index — the
+    shape MinHash dedup takes at crawl scale, where each day's batch must
+    not re-shingle the historical corpus (the near-dup twin of
+    :func:`incremental_exact_dedup`).
+
+    Returns ``(new_pairs, band_store', sig_store')``.  ``new_pairs`` =
+    ``(a, b, n_match_i)`` with a < b, every pair involving ≥1 delta doc
+    (delta×store band hits ∪ delta×delta), verified by SIGNATURE AGREEMENT:
+    ``n_match_i`` = number of equal minhash components (estimated Jaccard =
+    n_match/n_hashes) ≥ ``min_matches``.  Signature verification — not raw
+    shingle Jaccard — is deliberate: the index stores fixed-width signatures,
+    never the historical corpus text, so verification needs no re-read of
+    old documents (the property that makes the operator incremental at all).
+
+    Scale shape: the delta's band rows join the (band, bhash)-bucketed store
+    — candidate-sized output, fixed-width keys on the exchange; signatures
+    re-join candidate-sized by id.  Store growth is append-only."""
+    delta_bands, delta_sigs = minhash_index(
+        new_docs, content_col, id_col, shingle_n, bands, rows_per_band, hash_family
+    )
+    if band_store is None:
+        all_bands, all_sigs = delta_bands, delta_sigs
+    else:
+        all_bands = band_store.unionByName(delta_bands)
+        all_sigs = sig_store.unionByName(delta_sigs)
+
+    delta_ids = delta_sigs.select("id")
+    cand = (
+        delta_bands.alias("l")
+        .join(
+            all_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        .select(
+            F.least("l.id", "r.id").alias("a"),
+            F.greatest("l.id", "r.id").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    verified = (
+        cand.join(all_sigs.select(F.col("id").alias("a"), F.col("sig").alias("sa")), "a")
+        .join(all_sigs.select(F.col("id").alias("b"), F.col("sig").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.aggregate(
+                F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).alias("n_match_i"),
+        )
+        .filter(F.col("n_match_i") >= min_matches)
+    )
+    return verified, all_bands, all_sigs

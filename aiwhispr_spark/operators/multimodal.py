@@ -212,3 +212,130 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8)
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return df.select("media_id", "payload").mapInPandas(gen, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/PCM) audio — REAL decoder, numpy-only (the audio twin of the
+# netpbm image arm: no audio library in the sandbox, but canonical PCM WAV
+# is a trivially parseable container, so the decode is genuine, not a stub)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a RIFF/WAVE container with 16-bit integer PCM samples.
+
+    Returns ``(sample_rate, n_channels, samples)`` with samples shaped
+    (n_frames, n_channels) int16.  Walks the chunk list properly (fmt may be
+    followed by LIST/fact before data; chunks are word-aligned).  Raises
+    ValueError on non-RIFF input or non-PCM-16 encodings — callers route
+    other codecs through ``register_decoder`` plug-ins."""
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported encoding fmt={audio_format} bits={bits}")
+    samples = np.frombuffer(
+        data[: (len(data) // (2 * n_channels)) * 2 * n_channels], dtype="<i2"
+    ).reshape(-1, n_channels)
+    return sample_rate, n_channels, samples
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal canonical PCM-16 WAV writer (fixture/round-trip use).
+    ``samples`` is (n_frames, n_channels) int16."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_ch = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_ch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def wav_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-clip audio statistics from REAL WAV decode: ``(id, sample_rate_i,
+    n_channels_i, n_frames_l, sum_sq_l, n_zero_cross_l, duration_ms_i)``.
+
+    All outputs are exact integers — ``sum_sq_l`` (Σ sample² over channel 0)
+    instead of float RMS, zero crossings as a strict sign-change count — so
+    the oracle can state them closed-form (derive rms = sqrt(sum_sq/n)
+    downstream).  Undecodable payloads yield NULL stats (visible, not
+    dropped — the ingest-error metric).
+
+    100 TB shape: one ``mapInPandas`` stage (Arrow batches amortize numpy
+    setup), narrow, binary column read once; metadata-only consumers prune
+    the payload column at the parquet scan."""
+    out_schema = (
+        f"{id_col} string, sample_rate_i int, n_channels_i int,"
+        " n_frames_l long, sum_sq_l long, n_zero_cross_l long,"
+        " duration_ms_i int"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, n_ch, samples = decode_wav(bytes(payload))
+                    ch0 = samples[:, 0].astype(np.int64)
+                    sum_sq = int((ch0 * ch0).sum())
+                    sgn = np.sign(ch0)
+                    nz = sgn[sgn != 0]
+                    crossings = int((nz[1:] != nz[:-1]).sum()) if nz.size else 0
+                    rows.append(
+                        (
+                            mid,
+                            rate,
+                            n_ch,
+                            int(samples.shape[0]),
+                            sum_sq,
+                            crossings,
+                            int(samples.shape[0] * 1000 // rate) if rate else None,
+                        )
+                    )
+                except (ValueError, IndexError):
+                    rows.append((mid, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "sample_rate_i",
+                    "n_channels_i",
+                    "n_frames_l",
+                    "sum_sq_l",
+                    "n_zero_cross_l",
+                    "duration_ms_i",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, out_schema)

@@ -517,3 +517,47 @@ def write_cdx_fixture(path: str, n_records: int = 240) -> str:
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
     return path
+
+
+def write_wav_corpus_parquet(path: str, n_clips: int = 60) -> str:
+    """Deterministic PCM WAV corpus for the audio-feature gate: clip i is a
+    square wave with half-period h=2+i%5 frames, B=20+i%7 blocks (so
+    n_frames=h·B, zero crossings exactly B−1), amplitude a=500+25·i (sum of
+    squares exactly n·a²), rate 8000·(1+i%3), 1+i%2 channels.  Clip 7 gets a
+    LIST chunk (odd-sized, word-aligned) spliced before data to exercise
+    chunk walking; one extra record is deliberately corrupt."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiwhispr_spark.operators.multimodal import encode_wav
+
+    ids, payloads = [], []
+    for i in range(n_clips):
+        h, blocks = 2 + i % 5, 20 + i % 7
+        n, a = h * blocks, 500 + 25 * i
+        rate = 8000 * (1 + i % 3)
+        ch0 = np.where((np.arange(n) // h) % 2 == 0, a, -a).astype(np.int16)
+        if i % 2 == 1:
+            samples = np.stack([ch0, (ch0 // 2).astype(np.int16)], axis=1)
+        else:
+            samples = ch0[:, None]
+        wav = encode_wav(samples, rate)
+        if i == 7:  # splice an odd-sized LIST chunk between header and fmt
+            extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+            wav = wav[:12] + extra + wav[12:]
+            wav = wav[:4] + (len(wav) - 8).to_bytes(4, "little") + wav[8:]
+        ids.append(f"wav{i}")
+        payloads.append(wav)
+    ids.append("bad0")
+    payloads.append(b"not a wav at all")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        path,
+    )
+    return path

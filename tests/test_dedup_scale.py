@@ -100,3 +100,75 @@ def test_canonicalize_blocking_shuffle_excludes_shingles(spark):
         if "Generate explode" in line:
             assert "shingles#" not in line, line
     assert pairs.count() > 0  # sanity: the skinny path still finds families
+
+
+def _mini_corpus(spark):
+    rows = []
+    for i in range(12):
+        body = f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i}"
+        rows.append((i, body))
+    # near-dup family: 100/101 share most shingles
+    rows.append((100, "same words over and over repeated exactly here today"))
+    rows.append((101, "same words over and over repeated exactly here now"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_minhash_matches_full_run(spark):
+    """Folding the corpus through 2 batches yields exactly the full-corpus
+    pair set: batch1-internal pairs (from batch1's own incremental call) ∪
+    delta-involving pairs (batch2's call)."""
+    from aiwhispr_spark.operators.dedup import incremental_minhash_pairs
+
+    docs = _mini_corpus(spark)
+    b1 = docs.filter(F.col("doc_id") < 100)
+    b2 = docs.filter(F.col("doc_id") >= 100)
+
+    full, _, _ = incremental_minhash_pairs(docs, None, None, min_matches=6)
+    p1, bands1, sigs1 = incremental_minhash_pairs(b1, None, None, min_matches=6)
+    p2, bands2, sigs2 = incremental_minhash_pairs(
+        b2, bands1, sigs1, min_matches=6
+    )
+
+    def pset(df):
+        return {(r["a"], r["b"], r["n_match_i"]) for r in df.collect()}
+
+    assert pset(p1) | pset(p2) == pset(full)
+    assert pset(p2)  # the near-dup family actually landed in the delta call
+    # store growth is append-only union of both batches
+    assert bands2.count() == docs.count() * 8  # 8 bands per doc
+    assert sigs2.count() == docs.count()
+
+
+def test_incremental_minhash_signature_agreement_counts(spark):
+    """n_match_i is the exact count of equal minhash components (python
+    recomputation via the signature expressions themselves)."""
+    from aiwhispr_spark.operators.dedup import incremental_minhash_pairs, minhash_index
+
+    docs = _mini_corpus(spark).filter(F.col("doc_id").isin(100, 101))
+    pairs, _, sigs = incremental_minhash_pairs(docs, None, None, min_matches=0)
+    sig_map = {r["id"]: r["sig"] for r in sigs.collect()}
+    got = {(r["a"], r["b"]): r["n_match_i"] for r in pairs.collect()}
+    if (100, 101) in got:
+        exp = sum(1 for x, y in zip(sig_map[100], sig_map[101]) if x == y)
+        assert got[(100, 101)] == exp
+
+
+def test_incremental_minhash_band_store_shuffle_is_skinny(spark):
+    """The delta-vs-store join must move (id, band, bhash) rows only —
+    shingle arrays and signatures stay out of the band exchange."""
+    from aiwhispr_spark.operators.dedup import incremental_minhash_pairs
+
+    docs = _mini_corpus(spark)
+    b1 = docs.filter(F.col("doc_id") < 100)
+    b2 = docs.filter(F.col("doc_id") >= 100)
+    _, bands1, sigs1 = incremental_minhash_pairs(b1, None, None)
+    pairs, _, _ = incremental_minhash_pairs(b2, bands1, sigs1)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the candidate join subtree must not carry the shingle or sig arrays
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        # (?<![a-z]) so 'bhash#NNN' does not false-match 'sh#'
+        assert not re.search(r"(?<![a-z])sh#", keys), keys
+        assert not re.search(r"(?<![a-z])sig#", keys), keys

@@ -48,6 +48,10 @@ SHOWN = [
     ("duplicate_ngram_spans", "counting shuffle carries (xxhash64 gram_key, id) only — gram TEXT never rides an exchange (linededup discipline)"),
     ("bpe_pair_stats", "corpus collapses to VOCAB first (one word-keyed exchange); pair agg map-side combines into ≤alphabet² keys; top-k is TakeOrderedAndProject"),
     ("kg_transe_score", "48 md5 component terms fold into one JVM projection: no python stage; distinct is the only exchange"),
+    ("robots_txt_fetch_policy", "per-host windows over tiny robots files; |hosts|-sized rules table broadcast onto page-scale URLs (BroadcastHashJoin)"),
+    ("cdx_fetch_list", "line regex + from_json stay narrow JVM (no python); digest dedupe is the ONLY exchange, struct-min map-side combined"),
+    ("dsir_importance_weights", "≤4096-row bucket log-ratio table broadcast onto the token stream; token-keyed aggs partial map-side; no corpus re-scan"),
+    ("minhash_incremental_delta", "delta bands join the band store on fixed-width (band, bhash) keys; signatures re-join candidate-sized; historical text never read"),
 ]
 
 
