@@ -335,6 +335,19 @@ def _ensure_robots_corpus() -> str:
     return path
 
 
+def _ensure_charset_corpus() -> str:
+    """Materialize the mixed-encoding bytes fixture (idempotent)."""
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.synthetic import write_charset_corpus_parquet
+
+    path = os.path.join(tempfile.gettempdir(), "aiwhispr_charset_120.parquet")
+    if not os.path.exists(path):
+        write_charset_corpus_parquet(path)
+    return path
+
+
 def _ensure_wav_corpus() -> str:
     """Materialize the PCM WAV clip fixture (idempotent)."""
     import os
@@ -2032,6 +2045,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wav_audio_features"] = wav_features_q
 
+    def charset_decode_q(spark, sf):
+        # Charset sniff + decode (operators/charset.py): BOM / meta-charset
+        # detection is pure JVM; python codecs transcode cp1252/utf-16
+        # payloads in one mapInPandas.  Oracle rebuilds every decoded string
+        # CLOSED-FORM from the doc index (accents via chr() on both sides)
+        # — byte drift anywhere in detect/strip/decode breaks the md5.
+        from aiwhispr_spark.operators.charset import decode_payloads
+
+        docs = spark.read.parquet(_ensure_charset_corpus())
+        out = decode_payloads(docs)
+        return out.select(
+            "doc_id",
+            "charset",
+            "bom_i",
+            F.md5("text").alias("text_md5"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+
+    q["charset_detect_decode"] = charset_decode_q
+
     def compression_signal(spark, sf):
         # zlib compressibility signal (textstats.compression_ratios):
         # genuinely python (no zlib in any SQL engine → no DuckDB twin, so
@@ -2954,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_fetch_list",
         "minhash_incremental_delta",
         "wav_audio_features",
+        "charset_detect_decode",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -3491,6 +3525,39 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id IS NOT NULL
     """
     _lk_path = _ensure_link_corpus()
+    _cs_path = _ensure_charset_corpus()
+    o["charset_detect_decode"] = f"""
+        WITH ids AS (
+          SELECT doc_id FROM read_parquet('{_cs_path}')
+        ),
+        b AS (
+          SELECT doc_id, doc_id % 4 AS k,
+                 'charset doc ' || doc_id || ' na' || chr(239) || 've caf'
+                   || chr(233) || ' r' || chr(233) || 'sum' || chr(233)
+                   || ' ' || (doc_id * 3) AS body
+          FROM ids
+        ),
+        t AS (
+          SELECT doc_id, k,
+                 CASE k
+                   WHEN 0 THEN '<meta charset="utf-8"><p>' || body
+                   WHEN 1 THEN '<p>' || body
+                   WHEN 2 THEN '<meta http-equiv="Content-Type"'
+                     || ' content="text/html; charset=windows-1252"><p>'
+                     || body
+                   ELSE '<p>' || body
+                 END AS text
+          FROM b
+        )
+        SELECT doc_id,
+               CASE k WHEN 2 THEN 'windows-1252'
+                      WHEN 3 THEN 'utf-16le'
+                      ELSE 'utf-8' END AS charset,
+               CAST(CASE WHEN k IN (1, 3) THEN 1 ELSE 0 END AS INT) AS bom_i,
+               md5(text) AS text_md5,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM t
+    """
     _wav_path = _ensure_wav_corpus()
     o["wav_audio_features"] = f"""
         WITH ids AS (

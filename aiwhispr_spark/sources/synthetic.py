@@ -561,3 +561,43 @@ def write_wav_corpus_parquet(path: str, n_clips: int = 60) -> str:
         path,
     )
     return path
+
+
+def write_charset_corpus_parquet(path: str, n_docs: int = 120) -> str:
+    """Deterministic mixed-encoding web-bytes fixture: doc i carries
+    body = 'charset doc {i} na<ï>ve caf<é> r<é>sum<é> {3i}' (accents via
+    chr() so source encoding can't drift) in arm i%4 — 0 meta-declared
+    utf-8, 1 utf-8 BOM, 2 meta-declared windows-1252 (cp1252 bytes),
+    3 utf-16le with BOM."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    i_e, e_a = chr(239), chr(233)  # ï, é
+
+    ids, payloads = [], []
+    for i in range(n_docs):
+        body = f"charset doc {i} na{i_e}ve caf{e_a} r{e_a}sum{e_a} {i * 3}"
+        k = i % 4
+        if k == 0:
+            payload = (f'<meta charset="utf-8"><p>{body}').encode("utf-8")
+        elif k == 1:
+            payload = b"\xef\xbb\xbf" + f"<p>{body}".encode("utf-8")
+        elif k == 2:
+            payload = (
+                '<meta http-equiv="Content-Type" content="text/html;'
+                f' charset=windows-1252"><p>{body}'
+            ).encode("cp1252")
+        else:
+            payload = f"<p>{body}".encode("utf-16")  # LE BOM prepended
+        ids.append(i)
+        payloads.append(payload)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        path,
+    )
+    return path
