@@ -2065,6 +2065,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["charset_detect_decode"] = charset_decode_q
 
+    def hll_distinct_gate(spark, sf):
+        # HLL++ sketch gate (the ivf_all_probe_equals_exact /
+        # chars_percentiles_approx pattern): per-language approx distinct
+        # token count vs the exact count, value-gated on the sketch staying
+        # inside its configured rsd.  The oracle can't reproduce Spark's
+        # HLL estimate, so the gated columns are the EXACT count plus
+        # within_tol_i — if the sketch ever drifts past 3×rsd=6%, Spark
+        # emits 0 where the oracle says 1 and the hash gate fails.  At
+        # 100 TB the sketch is the only viable plan: fixed ~1.5 KB state
+        # per group vs an exact distinct's token-cardinality shuffle.
+        docs = _t(spark, sf, "documents")
+        toks = docs.select(
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        ).filter(F.col("tok") != "")
+        per_lang = toks.groupBy("lang").agg(
+            F.countDistinct("tok").alias("exact_l"),
+            F.approx_count_distinct("tok", 0.02).alias("approx_l"),
+        )
+        return per_lang.select(
+            "lang",
+            F.col("exact_l").cast("long").alias("exact_distinct_l"),
+            (
+                F.abs(F.col("approx_l") - F.col("exact_l"))
+                <= F.col("exact_l") * 0.06
+            )
+            .cast("int")
+            .alias("within_tol_i"),
+        )
+
+    q["hll_distinct_tokens"] = hll_distinct_gate
+
     def compression_signal(spark, sf):
         # zlib compressibility signal (textstats.compression_ratios):
         # genuinely python (no zlib in any SQL engine → no DuckDB twin, so
@@ -2988,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental_delta",
         "wav_audio_features",
         "charset_detect_decode",
+        "hll_distinct_tokens",
         "dedup_incremental_two_batch",
         "embedding_quantize_int8",
         "u5_doc_dispatch",
@@ -3525,6 +3558,17 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id IS NOT NULL
     """
     _lk_path = _ensure_link_corpus()
+    o["hll_distinct_tokens"] = r"""
+        WITH toks AS (
+          SELECT lang, tok FROM (
+            SELECT lang,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+            FROM documents) WHERE tok <> '')
+        SELECT lang,
+               CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct_l,
+               CAST(1 AS INT) AS within_tol_i
+        FROM toks GROUP BY lang
+    """
     _cs_path = _ensure_charset_corpus()
     o["charset_detect_decode"] = f"""
         WITH ids AS (
