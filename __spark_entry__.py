@@ -1640,20 +1640,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def robots_filter(spark, sf):
         # Meta-robots directive compliance (operators/robots.py): noindex /
-        # nofollow flags from the page html.  Five closed-form arms: both
+        # nofollow flags from the page html.  Six closed-form arms: both
         # attribute orders, upper/lower case, single quotes, a decoy
-        # (name=description quoting "noindex" — must NOT flag), and no tag.
+        # (name=description quoting "noindex" — must NOT flag), no tag, and
+        # TWO robots tags whose directives must union (nofollow in the
+        # first, noindex in the second — first-tag-only readers miss it).
         # The oracle is the flag table written directly from doc_id
         # arithmetic — independent of the regex implementation.
         from aiwhispr_spark.operators.robots import meta_robots_flags
 
         d = _t(spark, sf, "documents").select("doc_id")
-        m = F.col("doc_id") % 5
+        m = F.col("doc_id") % 6
         snippet = (
             F.when(m == 0, F.lit('<meta name="robots" content="noindex,nofollow">'))
             .when(m == 1, F.lit("<META NAME='robots' CONTENT='NOFOLLOW'>"))
             .when(m == 2, F.lit('<meta content="noindex" name="robots">'))
             .when(m == 3, F.lit('<meta name="description" content="noindex mention">'))
+            .when(
+                m == 5,
+                F.lit(
+                    '<meta name="robots" content="nofollow">'
+                    '<meta name="robots" content="noindex">'
+                ),
+            )
             .otherwise(F.lit(""))
         )
         html = F.concat(
@@ -3838,7 +3847,7 @@ def oracle_sql() -> dict[str, str]:
         u AS (
           SELECT url,
                  lower(regexp_extract(url,
-                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
                  CASE WHEN regexp_extract(url,
                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) = ''
                       THEN '/'
@@ -4057,9 +4066,9 @@ def oracle_sql() -> dict[str, str]:
     """
     o["robots_noindex_filter"] = """
         SELECT doc_id,
-               CAST(CASE WHEN doc_id % 5 IN (0, 2) THEN 1 ELSE 0 END
+               CAST(CASE WHEN doc_id % 6 IN (0, 2, 5) THEN 1 ELSE 0 END
                     AS BIGINT) AS noindex_i,
-               CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 1 ELSE 0 END
+               CAST(CASE WHEN doc_id % 6 IN (0, 1, 5) THEN 1 ELSE 0 END
                     AS BIGINT) AS nofollow_i
         FROM documents
     """

@@ -78,6 +78,9 @@ def decode_payloads(
         import codecs
 
         def _decode(payload, charset, bom):
+            if payload is None:
+                # fetch failure upstream — keep the row visible with NULL text
+                return None
             b = bytes(payload)
             try:
                 if charset in ("utf-16le", "utf-16be"):

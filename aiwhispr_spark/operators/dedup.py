@@ -528,16 +528,24 @@ def incremental_minhash_pairs(
     Scale shape: the delta's band rows join the (band, bhash)-bucketed store
     — candidate-sized output, fixed-width keys on the exchange; signatures
     re-join candidate-sized by id.  Store growth is append-only."""
+    if (band_store is None) != (sig_store is None):
+        raise ValueError("band_store and sig_store must both be None or both set")
     delta_bands, delta_sigs = minhash_index(
         new_docs, content_col, id_col, shingle_n, bands, rows_per_band, hash_family
     )
     if band_store is None:
         all_bands, all_sigs = delta_bands, delta_sigs
     else:
+        # Replay guard: a re-submitted id (crash replay, re-crawl of an
+        # unchanged page) must not append duplicate index rows — every later
+        # delta would then emit each of its pairs twice via the fanned-out
+        # signature join.  Already-indexed ids drop out of the delta entirely.
+        known = sig_store.select("id")
+        delta_sigs = delta_sigs.join(known, "id", "left_anti")
+        delta_bands = delta_bands.join(known, "id", "left_anti")
         all_bands = band_store.unionByName(delta_bands)
         all_sigs = sig_store.unionByName(delta_sigs)
 
-    delta_ids = delta_sigs.select("id")
     cand = (
         delta_bands.alias("l")
         .join(

@@ -60,6 +60,10 @@ def pagerank(
         .persist()
     )
     n = nodes.count()  # bounded driver scalar (one count job)
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("pr")).limit(0)
     outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outd")).persist()
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n)).persist()
@@ -136,6 +140,12 @@ def hits(
         .persist()
     )
     n = nodes.count()  # bounded driver scalar (one count job)
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        ).limit(0)
     scores = nodes.select(
         "node", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
     ).persist()
@@ -233,9 +243,15 @@ def kcore(
         live.unpersist()
         doomed.unpersist()
         live = survivors
-    out = live.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
+    # |core-V|-sized; localCheckpoint so `live`'s cached blocks can be
+    # released before returning (otherwise every call leaks a |E|-sized
+    # persisted frame into the block manager).
+    out = (
+        live.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint()
     )
+    live.unpersist()
     return out
 
 
@@ -320,5 +336,8 @@ def deterministic_walks(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    # every frame reads an eagerly-materialized localCheckpoint, so neither
+    # cached input is needed to evaluate `out`
     e.unpersist()
+    nbrs.unpersist()
     return out

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from aiwhispr_spark.operators.urlnorm import canonical_url_expr
+from aiwhispr_spark.operators.urlnorm import canonical_url_expr, url_host_expr
 
 _HREF_RE = r'<a\s[^>]*href="([^"]*)"'
 _ABS_RE = r"^[Hh][Tt][Tt][Pp][Ss]?://"
@@ -41,7 +41,7 @@ _ABS_RE = r"^[Hh][Tt][Tt][Pp][Ss]?://"
 
 def host_of(url: Column) -> Column:
     """Lowercased host (no port) of an absolute URL column."""
-    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)", 1))
+    return url_host_expr(url)
 
 
 def _resolve(href: Column, src_url: Column) -> Column:

@@ -323,7 +323,10 @@ def wav_audio_features(
                             int(samples.shape[0] * 1000 // rate) if rate else None,
                         )
                     )
-                except (ValueError, IndexError):
+                except (ValueError, IndexError, TypeError, ZeroDivisionError):
+                    # NULL payloads (fetch failures), zero-channel fmt chunks,
+                    # truncated headers — all degrade to the NULL-stats row
+                    # rather than failing the task.
                     rows.append((mid, None, None, None, None, None, None))
             yield pd.DataFrame(
                 rows,

@@ -36,24 +36,31 @@ META_ROBOTS_TAG = r"(?is)<meta\b[^>]*\bname\s*=\s*[\"']?robots\b[^>]*>"
 CONTENT_VALUE = r"(?is)\bcontent\s*=\s*[\"']?([^\"'>]*)"
 
 
-def robots_content_expr(html: Column) -> Column:
-    """The content value of the page's meta-robots tag ('' if absent)."""
-    tag = F.regexp_extract(html, META_ROBOTS_TAG, 0)
-    return F.regexp_extract(tag, CONTENT_VALUE, 1)
+def robots_contents_expr(html: Column) -> Column:
+    """Content values of ALL meta-robots tags on the page (array, possibly
+    empty).  Multiple robots metas are legal and their directives UNION —
+    reading only the first tag would drop an author's noindex stated in a
+    second tag."""
+    tags = F.regexp_extract_all(html, F.lit(META_ROBOTS_TAG), F.lit(0))
+    return F.transform(tags, lambda t: F.regexp_extract(t, CONTENT_VALUE, 1))
 
 
 def meta_robots_flags(
     df: DataFrame, html_col: str = "html_text"
 ) -> DataFrame:
     """Add ``noindex_i`` / ``nofollow_i`` BIGINT flags derived from the page's
-    meta-robots directive (0 when no directive is present)."""
-    cval = robots_content_expr(F.col(html_col))
-    noindex = cval.rlike(r"(?i)\bnoindex\b") | (
-        F.lower(F.trim(cval)) == "none"
-    )
-    nofollow = cval.rlike(r"(?i)\bnofollow\b") | (
-        F.lower(F.trim(cval)) == "none"
-    )
+    meta-robots directives (0 when none present; directives from multiple
+    robots tags union)."""
+    cvals = robots_contents_expr(F.col(html_col))
+
+    def _any(pattern: str) -> Column:
+        return F.exists(
+            cvals,
+            lambda c: c.rlike(pattern) | (F.lower(F.trim(c)) == "none"),
+        )
+
+    noindex = _any(r"(?i)\bnoindex\b")
+    nofollow = _any(r"(?i)\bnofollow\b")
     return df.withColumn("noindex_i", noindex.cast("long")).withColumn(
         "nofollow_i", nofollow.cast("long")
     )
@@ -86,8 +93,6 @@ def filter_indexable(df: DataFrame, html_col: str = "html_text") -> DataFrame:
 
 _DIRECTIVE_RE = r"(?i)^[ \t]*(user-agent|allow|disallow)[ \t]*:"
 _VALUE_RE = r"(?i)^[ \t]*(?:user-agent|allow|disallow)[ \t]*:(.*)$"
-# URL path component: scheme://authority(path-without-query-or-fragment)
-_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?"
 
 
 def parse_robots_rules(
@@ -161,16 +166,12 @@ def apply_robots_rules(
     """Per-URL fetch verdict under ``agent``: adds ``allowed_i`` (1/0) and
     ``match_prefix`` (the winning rule's path prefix, NULL when no rule
     matched).  Hosts with no applicable rules allow everything."""
+    from aiwhispr_spark.operators.urlnorm import url_host_expr, url_path_expr
+
     agent_l = agent.lower()
     with_host = urls.withColumn(
-        "__host",
-        F.lower(F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
-    ).withColumn(
-        "__path",
-        F.when(
-            F.regexp_extract(F.col(url_col), _PATH_RE, 1) == "", F.lit("/")
-        ).otherwise(F.regexp_extract(F.col(url_col), _PATH_RE, 1)),
-    )
+        "__host", url_host_expr(F.col(url_col))
+    ).withColumn("__path", url_path_expr(F.col(url_col)))
 
     # most-specific-only agent selection, computed over the tiny rules table
     sel = rules.withColumn(

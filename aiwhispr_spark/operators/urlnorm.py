@@ -30,6 +30,25 @@ from pyspark.sql import functions as F
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|ref)(=|$)"
 
+# Shared authority/path extraction — the ONE place URL splitting lives
+# (linkgraph.host_of, sources/cdx SURT keys and robots.txt matching all
+# build on these; keep any fix here so the operators cannot drift).
+URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]+)"
+URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+(/[^?#]*)?"
+
+
+def url_host_expr(col: Column) -> Column:
+    """Lowercased host (no port) of an absolute URL column ('' when the URL
+    has no parseable authority)."""
+    return F.lower(F.regexp_extract(col, URL_HOST_RE, 1))
+
+
+def url_path_expr(col: Column) -> Column:
+    """Path component (query/fragment stripped, case preserved, '/' when the
+    URL has no path)."""
+    raw = F.regexp_extract(col, URL_PATH_RE, 1)
+    return F.when(raw == "", F.lit("/")).otherwise(raw)
+
 
 def canonical_url_expr(col: Column) -> Column:
     """Canonical form of a URL column (see module docstring for the rules)."""

@@ -32,16 +32,14 @@ CDX_JSON_SCHEMA = (
     "url string, mime string, status string, digest string,"
     " length string, offset string, filename string"
 )
-_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
-_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?"
-
-
 def surt_key_expr(url: Column) -> Column:
     """Simplified SURT key of a URL: reversed host labels + ')' + lower
-    path ('/' when absent)."""
-    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
-    raw_path = F.regexp_extract(url, _PATH_RE, 1)
-    path = F.when(raw_path == "", F.lit("/")).otherwise(F.lower(raw_path))
+    path ('/' when absent).  Host/path splitting is the shared
+    urlnorm contract (url_host_expr / url_path_expr)."""
+    from aiwhispr_spark.operators.urlnorm import url_host_expr, url_path_expr
+
+    host = url_host_expr(url)
+    path = F.lower(url_path_expr(url))
     return F.concat(
         F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(")"), path
     )

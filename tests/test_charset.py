@@ -69,3 +69,13 @@ def test_invalid_declared_bytes_fall_back(spark):
     # declared utf-8 but bytes are invalid utf-8 -> replace, not crash
     r = _decode_one(spark, b'<meta charset="utf-8">ok\xff\xfe')
     assert "ok" in r["text"]
+
+
+def test_null_payload_yields_null_text_not_crash(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(BODY.encode())), (2, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_payloads(df).collect()}
+    assert rows[1]["text"] == BODY
+    assert rows[2]["text"] is None

@@ -11,6 +11,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from aiwhispr_spark.operators.dedup import (
@@ -172,3 +173,37 @@ def test_incremental_minhash_band_store_shuffle_is_skinny(spark):
         # (?<![a-z]) so 'bhash#NNN' does not false-match 'sh#'
         assert not re.search(r"(?<![a-z])sh#", keys), keys
         assert not re.search(r"(?<![a-z])sig#", keys), keys
+
+
+def test_incremental_minhash_replay_is_idempotent(spark):
+    """Re-submitting an already-indexed doc_id (crash replay / unchanged
+    re-crawl) must not duplicate store rows or fan pair output out."""
+    from aiwhispr_spark.operators.dedup import incremental_minhash_pairs
+
+    docs = _mini_corpus(spark)
+    b1 = docs.filter(F.col("doc_id") < 100)
+    b2 = docs.filter(F.col("doc_id") >= 100)
+    p1, bands1, sigs1 = incremental_minhash_pairs(b1, None, None, min_matches=6)
+    p2, bands2, sigs2 = incremental_minhash_pairs(b2, bands1, sigs1, min_matches=6)
+    # replay batch2 wholesale against the post-batch2 store
+    p3, bands3, sigs3 = incremental_minhash_pairs(b2, bands2, sigs2, min_matches=6)
+    assert p3.count() == 0
+    assert sigs3.count() == sigs2.count() == docs.count()
+    assert bands3.count() == bands2.count() == docs.count() * 8
+    # and a future delta still emits each pair exactly once
+    extra = spark.createDataFrame(
+        [(102, "same words over and over repeated exactly here soon")],
+        "doc_id long, text string",
+    )
+    p4, _, _ = incremental_minhash_pairs(extra, bands3, sigs3, min_matches=6)
+    pairs = [(r["a"], r["b"]) for r in p4.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_incremental_minhash_mismatched_stores_rejected(spark):
+    from aiwhispr_spark.operators.dedup import incremental_minhash_pairs
+
+    docs = _mini_corpus(spark)
+    _, bands1, _ = incremental_minhash_pairs(docs, None, None)
+    with pytest.raises(ValueError):
+        incremental_minhash_pairs(docs, bands1, None)

@@ -7,7 +7,7 @@ import pytest
 from aiwhispr_spark.operators.robots import (
     filter_indexable,
     meta_robots_flags,
-    robots_content_expr,
+    robots_contents_expr,
 )
 from aiwhispr_spark.operators.textstats import hashed_linear_scores
 
@@ -70,8 +70,16 @@ class TestMetaRobots:
             [('<meta name="robots" content="noarchive,  noindex">',)],
             "h string",
         )
-        v = df.select(robots_content_expr(F.col("h")).alias("v")).first()["v"]
-        assert v == "noarchive,  noindex"
+        v = df.select(robots_contents_expr(F.col("h")).alias("v")).first()["v"]
+        assert v == ["noarchive,  noindex"]
+
+    def test_two_tags_union_directives(self, spark):
+        # second robots meta must not be shadowed by the first
+        assert _flags(
+            spark,
+            '<meta name="robots" content="nofollow">'
+            '<meta name="robots" content="noindex">',
+        ) == (1, 1)
 
 
 class TestHashedLinearClassifier:

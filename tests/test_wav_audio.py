@@ -69,3 +69,19 @@ def test_features_exact_and_corrupt_row_surfaces_null(spark):
     assert g["duration_ms_i"] == n * 1000 // 8000
     b = got["bad"]  # corrupt rows surface as NULL stats, never vanish
     assert b["sample_rate_i"] is None and b["sum_sq_l"] is None
+
+
+def test_null_and_zero_channel_payloads_yield_null_stats(spark):
+    # n_channels=0 in the fmt chunk divides by zero inside decode; a NULL
+    # payload TypeErrors on bytes(None) — both must degrade to the NULL row.
+    good = encode_wav(_square(100, 5, 1000), 8000)
+    zero_ch = bytearray(good)
+    zero_ch[22:24] = (0).to_bytes(2, "little")  # fmt.n_channels = 0
+    df = spark.createDataFrame(
+        [("ok", bytearray(good)), ("zch", bytes(zero_ch)), ("nul", None)],
+        "media_id string, payload binary",
+    )
+    got = {r["media_id"]: r for r in wav_audio_features(df).collect()}
+    assert got["ok"]["n_frames_l"] == 100
+    assert got["zch"]["n_frames_l"] is None
+    assert got["nul"]["n_frames_l"] is None
