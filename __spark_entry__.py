@@ -631,6 +631,65 @@ def _t5_sql() -> str:
     """
 
 
+def _kmeans_sql(k: int = 8, iterations: int = 2, dim: int = 64, scale: int = 1000) -> str:
+    """DuckDB twin of operators/clustering.py::kmeans_lloyd — the identical
+    INTEGER-EXACT Lloyd rounds unrolled as chained CTEs (quantized grid,
+    exact integer squared-L2, lowest-id init, round-half-up centroid means,
+    empty clusters keep the previous centroid)."""
+    d1 = dim + 1
+
+    def assign(a: str, c: str) -> str:
+        return f"""{a} AS (
+          SELECT id, cid, dist FROM (
+            SELECT d.id, d.cid, d.dist,
+                   row_number() OVER (PARTITION BY d.id
+                                      ORDER BY d.dist, d.cid) AS rn
+            FROM (
+              SELECT p.id, c.cid,
+                     CAST(list_sum(list_transform(range(1, {d1}),
+                       i -> (p.qv[i] - c.c[i]) * (p.qv[i] - c.c[i])))
+                       AS BIGINT) AS dist
+              FROM pts p CROSS JOIN {c} c
+            ) d
+          ) WHERE rn = 1
+        )"""
+
+    def update(a: str, c_old: str, c_new: str) -> str:
+        return f"""{c_new} AS (
+          SELECT co.cid, coalesce(nc.c, co.c) AS c
+          FROM {c_old} co LEFT JOIN (
+            SELECT cid, list(cv ORDER BY i) AS c FROM (
+              SELECT a.cid, g.i,
+                     CAST(floor(CAST(sum(p.qv[g.i]) AS DOUBLE) / count(*) + 0.5)
+                          AS BIGINT) AS cv
+              FROM {a} a JOIN pts p USING (id)
+              CROSS JOIN (SELECT unnest(range(1, {d1})) AS i) g
+              GROUP BY a.cid, g.i
+            ) GROUP BY cid
+          ) nc USING (cid)
+        )"""
+
+    ctes = [
+        f"""pts AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS qv
+          FROM embeddings
+        )""",
+        f"""c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, qv AS c
+          FROM (SELECT id, qv FROM pts ORDER BY id LIMIT {k})
+        )""",
+    ]
+    for t in range(iterations):
+        ctes.append(assign(f"a{t}", f"c{t}"))
+        ctes.append(update(f"a{t}", f"c{t}", f"c{t + 1}"))
+    ctes.append(assign(f"a{iterations}", f"c{iterations}"))
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id AS vec_id, cid, dist AS dist_l FROM a{iterations}"
+    )
+
+
 def _e3_sql() -> str:
     """DuckDB twin of the E3 pattern kernel over the inline SVO construction.
     Patterns are taken from triples._PATTERNS verbatim (RE2-compatible: no
@@ -2958,6 +3017,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = multimodal
 
+    def kmeans_clusters(spark, sf):
+        # Integer-exact Lloyd k-means over the embeddings table
+        # (operators/clustering.py): quantized BIGINT grid, exact integer
+        # squared-L2, deterministic lowest-id init, 2 update rounds + final
+        # assign.  The oracle unrolls the identical integer iterations in
+        # DuckDB list SQL — assignment AND distance hash-gate exactly.
+        from aiwhispr_spark.operators.clustering import kmeans_lloyd
+
+        emb = _t(spark, sf, "embeddings")
+        out = kmeans_lloyd(emb, vec_col="embedding", id_col="vec_id", k=8, iterations=2)
+        return out.select(F.col("id").alias("vec_id"), "cid", "dist_l")
+
+    q["kmeans_domain_clusters"] = kmeans_clusters
+
+    def ntriples_q(spark, sf):
+        # RDF N-Triples export (operators/rdf.py) composed over the REAL E3
+        # triple kernel output; objects get per-doc hostile suffixes (quote,
+        # backslash, newline+tab) so every escape arm is load-bearing.  The
+        # oracle wraps the e3 SQL twin with the same replace chain.
+        from aiwhispr_spark.functions.udfs import extract_triples_df
+        from aiwhispr_spark.operators.rdf import ntriples_lines
+
+        d = _t(spark, sf, "documents")
+        text = F.concat(
+            F.lit("Entity_"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(" acquired E"), (F.col("doc_id") % 11).cast("string"),
+            F.lit(" Corp. Entity_"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(" is based in Berlin. Ada Byron works for Entity_"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(". plain tail words."),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit(1).cast("int").alias("chunk_no"),
+            text.alias("text_chunk"),
+        )
+        triples = extract_triples_df(chunks)
+        doc_id = F.substring(F.col("url"), 2, 18).cast("long")
+        suffix = (
+            F.when(doc_id % 4 == 0, F.lit(' say "hi"'))
+            .when(doc_id % 4 == 1, F.lit(" back\\slash"))
+            .when(doc_id % 4 == 2, F.lit(" line1\nline2\ttab"))
+            .otherwise(F.lit(""))
+        )
+        hostile = triples.withColumn("obj", F.concat(F.col("obj"), suffix))
+        return ntriples_lines(hostile).select("url", "subj", "line")
+
+    q["ntriples_export"] = ntriples_q
+
+    def kg_negatives(spark, sf):
+        # Filtered corrupted-object negative sampling for KG-embedding
+        # training (operators/kgscore.py::negative_samples) over the e3
+        # triple set: md5-indexed entity vocabulary via the scale-safe
+        # global_row_number, no-op corruptions and accidental positives
+        # dropped.  DuckDB mirrors the md5 arithmetic + NOT EXISTS filter.
+        from aiwhispr_spark.functions.udfs import extract_triples_df
+        from aiwhispr_spark.operators.kgscore import negative_samples
+
+        d = _t(spark, sf, "documents")
+        text = F.concat(
+            F.lit("Entity_"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(" acquired E"), (F.col("doc_id") % 11).cast("string"),
+            F.lit(" Corp. Entity_"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(" is based in Berlin. Ada Byron works for Entity_"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(". plain tail words."),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit(1).cast("int").alias("chunk_no"),
+            text.alias("text_chunk"),
+        )
+        triples = extract_triples_df(chunks)
+        return negative_samples(triples, per_triple=2)
+
+    q["kg_negative_samples"] = kg_negatives
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
@@ -2979,6 +3115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_active_custkeys",
         "events_sessions_detail",
         "multimodal_features",
+        "kmeans_domain_clusters",
+        "ntriples_export",
+        "kg_negative_samples",
         "ivf_all_probe_equals_exact",
         "global_sort_rank",
         "chars_percentiles",
@@ -4071,6 +4210,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN doc_id % 6 IN (0, 1, 5) THEN 1 ELSE 0 END
                     AS BIGINT) AS nofollow_i
         FROM documents
+    """
+    o["kmeans_domain_clusters"] = _kmeans_sql(k=8, iterations=2)
+    o["ntriples_export"] = f"""
+        WITH t AS ({_e3_sql()}),
+        h AS (
+          SELECT url, subj, pred,
+                 obj || CASE CAST(substr(url, 2) AS BIGINT) % 4
+                          WHEN 0 THEN ' say "hi"'
+                          WHEN 1 THEN ' back\\slash'
+                          WHEN 2 THEN ' line1' || chr(10) || 'line2' || chr(9) || 'tab'
+                          ELSE '' END AS obj
+          FROM t
+        )
+        SELECT url, subj,
+               '<urn:kg:e:' || replace(subj, ' ', '%20') || '> <urn:kg:p:' ||
+               replace(pred, ' ', '%20') || '> "' ||
+               replace(replace(replace(replace(replace(obj,
+                 '\\', '\\\\'),
+                 '"', '\\"'),
+                 chr(10), '\\n'),
+                 chr(13), '\\r'),
+                 chr(9), '\\t')
+               || '" .' AS line
+        FROM h
+    """
+    o["kg_negative_samples"] = f"""
+        WITH t AS ({_e3_sql()}),
+        base AS (SELECT DISTINCT subj, pred, obj FROM t),
+        ents AS (
+          SELECT entity,
+                 CAST(row_number() OVER (ORDER BY entity) - 1 AS BIGINT) AS idx
+          FROM (SELECT DISTINCT subj AS entity FROM base)
+        ),
+        n AS (SELECT count(*) AS n_ents FROM ents),
+        cand AS (
+          SELECT b.subj, b.pred, b.obj, i.neg_i,
+                 ('0x' || substr(md5(b.subj || '|' || b.pred || '|' || b.obj
+                    || '|' || CAST(i.neg_i AS VARCHAR)), 1, 8))::BIGINT
+                   % n.n_ents AS idx
+          FROM base b
+          CROSS JOIN (SELECT unnest([1, 2]) AS neg_i) i
+          CROSS JOIN n
+        ),
+        negs AS (
+          SELECT c.subj, c.pred, c.obj, CAST(c.neg_i AS INT) AS neg_i,
+                 e.entity AS neg_obj
+          FROM cand c JOIN ents e USING (idx)
+          WHERE e.entity <> c.obj
+        )
+        SELECT n1.subj, n1.pred, n1.obj, n1.neg_i, n1.neg_obj
+        FROM negs n1
+        WHERE NOT EXISTS (
+          SELECT 1 FROM base b2
+          WHERE b2.subj = n1.subj AND b2.pred = n1.pred AND b2.obj = n1.neg_obj
+        )
     """
     o["crawl_change_stats"] = """
         WITH c AS (

@@ -75,3 +75,87 @@ def transe_scores(
             F.col(subj_col), F.col(pred_col), F.col(obj_col), dim
         ).alias("energy_i"),
     )
+
+
+def negative_samples(
+    triples: DataFrame,
+    per_triple: int = 2,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Deterministic corrupted-object negatives for KG-embedding training
+    (the TransE/DistMult contrastive pair generator): for each DISTINCT
+    (subj, pred, obj) triple and sample index i ∈ [1, per_triple], the
+    negative object is the entity at position
+    ``md5int32(subj ‖ '|' ‖ pred ‖ '|' ‖ obj ‖ '|' ‖ i) mod |entities|`` of
+    the subj-sorted entity vocabulary.  Accidental positives — a corrupted
+    triple that happens to be a true triple — are dropped (the standard
+    filtered-negatives protocol), as are no-op corruptions (neg == obj).
+
+    Derandomized by the same md5 discipline as deterministic_walks: the
+    sample set is reproducible, lineage-friendly, and cross-engine gateable.
+
+    100 TB shape: the entity vocabulary is indexed by the scale-safe
+    global_row_number (range exchange + offsets — no single-partition
+    window); negatives join the vocabulary on the md5 index (broadcast when
+    the vocabulary is small, hash join keyed on a uniform index otherwise —
+    no skew by construction), and the filtered-positives check is one
+    left_anti join on (subj, pred, obj)."""
+    from aiwhispr_spark.operators.ranking import global_row_number
+
+    base = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    ents = global_row_number(
+        base.select(F.col("subj").alias("entity")).distinct(),
+        [F.col("entity")],
+        rank_col="rk",
+    ).select((F.col("rk") - 1).alias("idx"), "entity")
+    n_ents = ents.groupBy().agg(F.count(F.lit(1)).alias("n_ents"))
+
+    idxs = base.crossJoin(F.broadcast(n_ents)).select(
+        "subj",
+        "pred",
+        "obj",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(per_triple)),
+                lambda i: F.struct(
+                    i.cast("int").alias("neg_i"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        "|",
+                                        F.col("subj"),
+                                        F.col("pred"),
+                                        F.col("obj"),
+                                        i.cast("string"),
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % F.col("n_ents")
+                    ).alias("idx"),
+                ),
+            )
+        ).alias("s"),
+    ).select("subj", "pred", "obj", F.col("s.neg_i").alias("neg_i"), F.col("s.idx").alias("idx"))
+
+    negs = (
+        idxs.join(F.broadcast(ents), "idx")
+        .select("subj", "pred", "obj", "neg_i", F.col("entity").alias("neg_obj"))
+        .where(F.col("neg_obj") != F.col("obj"))
+    )
+    true_objs = base.select("subj", "pred", F.col("obj").alias("neg_obj"))
+    return negs.join(true_objs, ["subj", "pred", "neg_obj"], "left_anti").select(
+        "subj", "pred", "obj", "neg_i", "neg_obj"
+    )

@@ -1,0 +1,64 @@
+"""RDF N-Triples serialization of the materialized triple store — the
+interchange format every downstream graph stack (SPARQL stores, RDF tooling,
+LOD pipelines) ingests directly.
+
+The reference materializes chunks/vectors into vector DBs only
+(`python/vectordb/*VectorDb.py`); a KG-construction engine must also EXPORT
+its (subj, pred, obj) tables in the standard serialization, so this is
+first-class here.
+
+Semantics (RDF 1.1 N-Triples, the subset our string-literal triples need):
+
+* subject/predicate become IRIs under a caller-supplied base
+  (``<urn:kg:e:...>`` / ``<urn:kg:p:...>``), with spaces %-encoded — the only
+  non-IRI-safe byte our canonical entity surface forms contain;
+* objects serialize as plain string literals with the canonical escapes:
+  ``\\`` ``\"`` ``\n`` ``\r`` ``\t`` (backslash FIRST — escaping is
+  order-sensitive);
+* one line per triple: ``<s> <p> "o" .``.
+
+100 TB shape: a pure narrow JVM expression chain (five literal ``replace``
+calls + concat) over the triples table — zero shuffle, zero python, writes
+stream straight to text files partition-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _iri(base: str, term: Column) -> Column:
+    return F.concat(F.lit("<" + base), F.replace(term, F.lit(" "), F.lit("%20")), F.lit(">"))
+
+
+def escape_literal_expr(col: Column) -> Column:
+    """N-Triples string-literal escaping (backslash first, then quote and
+    the control characters)."""
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    return out
+
+
+def ntriples_lines(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    entity_base: str = "urn:kg:e:",
+    pred_base: str = "urn:kg:p:",
+    out_col: str = "line",
+) -> DataFrame:
+    """Append ``out_col`` = the N-Triples serialization of each triple row."""
+    line = F.concat(
+        _iri(entity_base, F.col(subj_col)),
+        F.lit(" "),
+        _iri(pred_base, F.col(pred_col)),
+        F.lit(' "'),
+        escape_literal_expr(F.col(obj_col)),
+        F.lit('" .'),
+    )
+    return triples.withColumn(out_col, line)
