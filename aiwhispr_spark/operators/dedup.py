@@ -528,6 +528,44 @@ def incremental_minhash_pairs(
     Scale shape: the delta's band rows join the (band, bhash)-bucketed store
     — candidate-sized output, fixed-width keys on the exchange; signatures
     re-join candidate-sized by id.  Store growth is append-only."""
+    pairs, delta_bands, delta_sigs = incremental_minhash_step(
+        new_docs,
+        band_store,
+        sig_store,
+        content_col,
+        id_col,
+        shingle_n,
+        bands,
+        rows_per_band,
+        min_matches,
+        hash_family,
+    )
+    if band_store is None:
+        return pairs, delta_bands, delta_sigs
+    return (
+        pairs,
+        band_store.unionByName(delta_bands),
+        sig_store.unionByName(delta_sigs),
+    )
+
+
+def incremental_minhash_step(
+    new_docs: DataFrame,
+    band_store: DataFrame | None,
+    sig_store: DataFrame | None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    min_matches: int = 8,
+    hash_family: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One delta step of :func:`incremental_minhash_pairs`, returning the
+    DELTA index rows instead of the unioned store — the shape an append-only
+    persisted store needs (the streaming near-dup sink writes exactly these
+    rows run-tagged; re-reading + rewriting the whole store per batch would
+    be O(corpus) per micro-batch)."""
     if (band_store is None) != (sig_store is None):
         raise ValueError("band_store and sig_store must both be None or both set")
     delta_bands, delta_sigs = minhash_index(
@@ -574,4 +612,4 @@ def incremental_minhash_pairs(
         )
         .filter(F.col("n_match_i") >= min_matches)
     )
-    return verified, all_bands, all_sigs
+    return verified, delta_bands, delta_sigs

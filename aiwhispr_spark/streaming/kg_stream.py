@@ -64,7 +64,7 @@ def _run_landed(spark: SparkSession, table_path: str, run_id: str) -> bool:
     return bool(probe.take(1))
 
 
-def make_stream_sink(output_dir: str, dedup: bool = False):
+def make_stream_sink(output_dir: str, dedup: bool = False, near_dedup: bool = False):
     """Build the idempotent foreachBatch sink (exposed for direct testing:
     calling the sink twice with the same batch_id must leave the output
     byte-identical to calling it once).
@@ -81,10 +81,27 @@ def make_stream_sink(output_dir: str, dedup: bool = False):
     historical corpus is never rescanned).  Duplicate urls still land in the
     manifest (rows_out = 0), so resume treats them as processed; the digests
     append rides the same intent/commit marker protocol (run_id-tagged, so a
-    crash replay probes-and-skips like triples/manifest)."""
+    crash replay probes-and-skips like triples/manifest).
+
+    ``near_dedup=True`` adds streaming NEAR-dup DETECTION: each batch runs one
+    `incremental_minhash_step` against the accumulated LSH index
+    (``lsh_bands/`` + ``lsh_sigs/``, run_id-tagged append-only parquet) and
+    appends the verified pairs to ``near_pairs/``.  Detection only — electing
+    keepers needs global alias state, so acting on the pairs belongs to the
+    cold compaction path, same split as linking/canonicalization.  Crash
+    safety: the store reads EXCLUDE the current run_id, so a partial replay
+    recomputes the byte-identical delta regardless of which appends landed,
+    and the step's own replay guard (ids already in the store drop out of the
+    delta) makes a re-delivered batch a no-op for both index rows and pairs.
+    Fingerprints are taken over the EXTRACTED text (E1); docs with no html or
+    an empty extraction cannot be fingerprinted and are excluded from the
+    index, never from triples/manifest."""
     triples_path = os.path.join(output_dir, "triples")
     manifest_path = os.path.join(output_dir, "manifest")
     digests_path = os.path.join(output_dir, "digests")
+    lsh_bands_path = os.path.join(output_dir, "lsh_bands")
+    lsh_sigs_path = os.path.join(output_dir, "lsh_sigs")
+    near_pairs_path = os.path.join(output_dir, "near_pairs")
     commits_dir = os.path.join(output_dir, "_stream_commits")
     intents_dir = os.path.join(output_dir, "_stream_intents")
 
@@ -153,6 +170,50 @@ def make_stream_sink(output_dir: str, dedup: bool = False):
                 .withColumn("completed_ts", F.current_timestamp())
             )
             manifest.unionByName(no_triple_urls).write.mode("append").parquet(manifest_path)
+        if near_dedup:
+            from ..operators.dedup import incremental_minhash_step
+            from ..plans.kg_pipeline import extract_text
+
+            store_b = store_s = None
+            if os.path.exists(lsh_sigs_path):
+                # bands are appended BEFORE sigs, so sigs existing implies
+                # bands exist; excluding this run_id makes the delta (and
+                # therefore the pairs) identical across a partial replay
+                store_s = (
+                    spark.read.parquet(lsh_sigs_path)
+                    .filter(F.col("run_id") != run_id)
+                    .select("id", "sig")
+                )
+                store_b = (
+                    spark.read.parquet(lsh_bands_path)
+                    .filter(F.col("run_id") != run_id)
+                    .select("id", "band", "bhash")
+                )
+            # fingerprint the EXTRACTED text (E1), the same surface the batch
+            # near-dup operators see — the raw `text` column is unpopulated
+            # until extraction, and markup noise would dominate html shingles
+            fingerprintable = extract_text(
+                batch_df.filter(F.col("html").isNotNull())
+            ).filter(F.length("text") > 0)
+            pairs, d_bands, d_sigs = incremental_minhash_step(
+                fingerprintable.select("url", "text"),
+                store_b,
+                store_s,
+                content_col="text",
+                id_col="url",
+            )
+            if not (partial_replay and _run_landed(spark, lsh_bands_path, run_id)):
+                d_bands.withColumn("run_id", F.lit(run_id)).write.mode(
+                    "append"
+                ).parquet(lsh_bands_path)
+            if not (partial_replay and _run_landed(spark, lsh_sigs_path, run_id)):
+                d_sigs.withColumn("run_id", F.lit(run_id)).write.mode(
+                    "append"
+                ).parquet(lsh_sigs_path)
+            if not (partial_replay and _run_landed(spark, near_pairs_path, run_id)):
+                pairs.withColumn("run_id", F.lit(run_id)).write.mode(
+                    "append"
+                ).parquet(near_pairs_path)
         out.unpersist()
         if new_digests is not None:
             fresh.unpersist()
@@ -160,6 +221,33 @@ def make_stream_sink(output_dir: str, dedup: bool = False):
         os.remove(intent_marker)
 
     return sink
+
+
+def start_kg_stream_neardup(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 16,
+    trigger_available_now: bool = True,
+):
+    """KG stream with streaming near-dup detection: triples/manifest as
+    usual, plus an append-only MinHash-LSH index (``lsh_bands/`` +
+    ``lsh_sigs/``) and verified near-dup pairs (``near_pairs/``) maintained
+    per micro-batch (see make_stream_sink docstring for the store/replay
+    contract)."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(make_stream_sink(output_dir, near_dedup=True))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def start_kg_stream_deduped(

@@ -501,3 +501,71 @@ def test_deduped_kg_stream_extracts_first_seen_only(spark, tmp_path):
     assert spark.read.parquet(out + "/digests").count() == 20
     assert spark.read.parquet(out + "/manifest").count() == manifest.count()
     assert spark.read.parquet(out + "/triples").count() == triples.count()
+
+
+def test_neardup_kg_stream_pairs_match_batch_and_survive_replay(spark, tmp_path):
+    """Streaming near-dup detection (make_stream_sink near_dedup=True): the
+    accumulated near_pairs set equals the batch incremental two-step over the
+    same extracted text, the LSH index holds exactly one sig row per
+    fingerprintable url, and a crash replay of a batch adds no index rows and
+    no duplicate pairs."""
+    from aiwhispr_spark.operators.dedup import incremental_minhash_pairs
+    from aiwhispr_spark.plans.kg_pipeline import extract_text
+    from aiwhispr_spark.sources.synthetic import write_corpus_parquet
+    from aiwhispr_spark.streaming.kg_stream import make_stream_sink
+
+    corpus = str(tmp_path / "corpus.parquet")
+    write_corpus_parquet(corpus, n_docs=24)
+    docs = spark.read.parquet(corpus).orderBy("url")
+    rows = docs.collect()
+    half = len(rows) // 2
+    # batch2 carries two mirrors of batch1 pages: one byte-identical html
+    # copy (J=1, must always band-collide) and the second likewise (the
+    # near-dup threshold itself is pinned in test_dedup_scale)
+    dups = [
+        r.asDict() | {"url": r["url"] + "#mirror"} for r in rows[:2] if r["html"]
+    ]
+    assert len(dups) == 2
+    b1 = spark.createDataFrame(rows[:half], docs.schema)
+    b2 = spark.createDataFrame(rows[half:] + [type(rows[0])(**d) for d in dups], docs.schema)
+
+    out = str(tmp_path / "kg")
+    sink = make_stream_sink(out, near_dedup=True)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    def pset(df):
+        return {(r["a"], r["b"], r["n_match_i"]) for r in df.collect()}
+
+    def fingerprintable(b):
+        return (
+            extract_text(b.filter(F.col("html").isNotNull()))
+            .filter(F.length("text") > 0)
+            .select(F.col("url").alias("doc_id"), "text")
+        )
+
+    streamed = pset(spark.read.parquet(out + "/near_pairs"))
+    nn1, nn2 = fingerprintable(b1), fingerprintable(b2)
+    p1, bands1, sigs1 = incremental_minhash_pairs(nn1, None, None)
+    p2, _, _ = incremental_minhash_pairs(nn2, bands1, sigs1)
+    assert streamed == pset(p1) | pset(p2)
+    # the planted mirrors must actually be detected, at full agreement
+    mirror_hits = {(a, b, n) for a, b, n in streamed if b.endswith("#mirror")}
+    assert len(mirror_hits) >= 2
+    assert all(n == 16 for _, _, n in mirror_hits)
+
+    sigs = spark.read.parquet(out + "/lsh_sigs")
+    n_sigs, n_pairs = sigs.count(), len(streamed)
+    assert n_sigs == nn1.count() + nn2.count()
+    assert sigs.select("id").distinct().count() == n_sigs
+
+    # full replay (commit marker short-circuit)
+    sink(b2, 1)
+    # partial replay (crashed before commit marker)
+    os.remove(os.path.join(out, "_stream_commits", "stream-1"))
+    with open(os.path.join(out, "_stream_intents", "stream-1"), "w"):
+        pass
+    sink(b2, 1)
+    assert spark.read.parquet(out + "/lsh_sigs").count() == n_sigs
+    assert pset(spark.read.parquet(out + "/near_pairs")) == streamed
+    assert spark.read.parquet(out + "/near_pairs").count() == n_pairs
