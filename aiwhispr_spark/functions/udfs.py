@@ -296,6 +296,21 @@ def alias_shingles_udf(name: pd.Series) -> pd.Series:
 # --- JVM-side expression builders (stay in codegen) ----------------------------------
 
 
+def bound(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a lambda
+    variable: ``bound(e, lambda t: body(t))``.
+
+    This guards against the higher-order-function re-evaluation trap: a
+    captured non-lambda expression inside a transform/filter/aggregate BODY
+    is re-evaluated on every element (and in every sibling aggregate), so
+    e.g. referencing ``split(text)`` inside a per-token lambda re-runs the
+    split per token — O(tokens²) per document (measured: 24 multi-KB docs
+    took 200+ s to shingle; bound, milliseconds).  Implementation: wrap the
+    expression in a one-element array and transform over it, so Catalyst
+    binds it to a lambda variable materialized once per row."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def cosine_expr(vec_col: str | Column, query: list[float]) -> Column:
     """Exact cosine similarity between an array<float> column and a constant
     query vector, entirely JVM-side (zip_with + aggregate) — the engine's Q1

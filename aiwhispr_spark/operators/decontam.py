@@ -25,20 +25,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .fulltext import tokenize
+from ..functions.udfs import bound
 
 
 def _doc_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, gram) — every length-n token window, space-joined.  Docs shorter
     than n tokens contribute no rows (guarded: Spark's sequence(1, k) with
     k < 1 would count DOWN, not produce empty)."""
-    toks = F.filter(tokenize(F.col(text_col)), lambda t: t != "")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # bound: slice(toks, ·) in the lambda body would re-tokenize the full
+    # document per window (see functions.udfs.bound)
+    grams = bound(
+        F.filter(tokenize(F.col(text_col)), lambda t: t != ""),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
 
 

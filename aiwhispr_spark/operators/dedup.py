@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .canonicalize import connected_components
-from ..functions.udfs import cosine_cols_expr
+from ..functions.udfs import bound, cosine_cols_expr
 
 
 def exact_duplicates(
@@ -45,31 +45,25 @@ def exact_duplicates(
 def _token_ngrams(col: Column, n: int) -> Column:
     """Token n-grams of a whitespace-tokenized string, JVM-side.
 
-    The split() result MUST be bound to a lambda variable (the one-element
-    outer transform) before the per-element inner transform references it:
-    a captured non-lambda expression inside a higher-order-function body is
-    re-evaluated on every element, so the naive form re-runs split() per
-    token — O(tokens²) per document (measured: 24 multi-KB docs took 200+ s
-    to shingle; this form takes milliseconds)."""
+    The split() result MUST be bound to a lambda variable (``bound``) before
+    the per-element inner transform references it, or split() re-runs per
+    token — O(tokens²) per document (see ``functions.udfs.bound``)."""
     toks = F.split(F.trim(col), r"\s+")
     if n == 1:
         return F.array_distinct(toks)
-    return F.element_at(
-        F.transform(
-            F.array(toks),
-            lambda t: F.array_distinct(
-                F.filter(
-                    F.transform(
-                        t,
-                        lambda _, i: F.when(
-                            i + n <= F.size(t), F.array_join(F.slice(t, i + 1, n), " ")
-                        ),
+    return bound(
+        toks,
+        lambda t: F.array_distinct(
+            F.filter(
+                F.transform(
+                    t,
+                    lambda _, i: F.when(
+                        i + n <= F.size(t), F.array_join(F.slice(t, i + 1, n), " ")
                     ),
-                    lambda x: x.isNotNull(),
-                )
-            ),
+                ),
+                lambda x: x.isNotNull(),
+            )
         ),
-        1,
     )
 
 
@@ -252,11 +246,19 @@ def simhash64(col: Column) -> Column:
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    val = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        vote = F.aggregate(tok_hash, F.lit(0), vote_fn(i))
-        val = val + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return val
+    def fold_bits(th: Column) -> Column:
+        val = F.lit(0).cast("long")
+        for i in range(SIMHASH_BITS):
+            vote = F.aggregate(th, F.lit(0), vote_fn(i))
+            val = val + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return val
+
+    # tok_hash MUST be bound once: each of the 60 per-bit aggregates
+    # re-evaluates its argument, so the unbound form re-ran md5 over every
+    # token 60× (see functions.udfs.bound)
+    return bound(tok_hash, fold_bits)
 
 
 def simhash_pairs(

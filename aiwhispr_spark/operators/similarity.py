@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.udfs import cosine_cols_expr, cosine_expr
+from ..functions.udfs import bound, cosine_cols_expr, cosine_expr
 
 
 def assign_centroids(
@@ -211,8 +211,13 @@ def quantize_embeddings_int8(
     v = F.col(vec_col)
     absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = (absmax / F.lit(127.0)).alias(scale_col)
-    q = F.when(
-        absmax > 0,
-        F.transform(v, lambda x: F.round(x / (absmax / F.lit(127.0))).cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0))).alias(q_col)
+    # absmax must be bound, not captured: inside the per-element lambda it
+    # would re-scan the whole vector per element — O(d²) per row
+    q = bound(
+        absmax,
+        lambda m: F.when(
+            m > 0,
+            F.transform(v, lambda x: F.round(x / (m / F.lit(127.0))).cast("int")),
+        ).otherwise(F.transform(v, lambda x: F.lit(0))),
+    ).alias(q_col)
     return df.withColumns({scale_col: scale, q_col: q})

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.udfs import bound
+
 # tiny per-language stopword evidence sets (ASCII-safe subsets of the kernel
 # lists in kernels.py so SQL engines agree byte-for-byte)
 LANG_STOPWORDS = {
@@ -102,23 +104,30 @@ def dup_line_frac_expr(col: Column, sep: str = "\n") -> Column:
     separator (regex-escaped before the split)."""
     import re as _re
 
-    lines = F.filter(F.split(col, _re.escape(sep)), lambda x: x != "")
-    dup_chars = F.aggregate(
-        F.transform(
-            lines,
-            lambda x: F.when(
-                F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
-            ).otherwise(F.lit(0)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    total_chars = F.aggregate(
-        F.transform(lines, lambda x: F.length(x)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return F.when(total_chars > 0, dup_chars / total_chars).otherwise(F.lit(0.0))
+    lines_expr = F.filter(F.split(col, _re.escape(sep)), lambda x: x != "")
+
+    # `lines` must be a bound lambda variable: captured in the inner filter
+    # body it would re-run the split per line — O(lines × doc_chars) on top
+    # of the intended O(L²) count (see functions.udfs.bound)
+    def frac(lines: Column) -> Column:
+        dup_chars = F.aggregate(
+            F.transform(
+                lines,
+                lambda x: F.when(
+                    F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        total_chars = F.aggregate(
+            F.transform(lines, lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return F.when(total_chars > 0, dup_chars / total_chars).otherwise(F.lit(0.0))
+
+    return bound(lines_expr, frac)
 
 
 def top_bigram_frac_expr(col: Column, max_tokens: int = 200) -> Column:
@@ -127,38 +136,50 @@ def top_bigram_frac_expr(col: Column, max_tokens: int = 200) -> Column:
     saturates long before that; keeps the O(B²) per-doc count bounded).
     Scale note: this is the map-side per-document form — corpus-wide n-gram
     stats go through explode + groupBy, not this expression."""
-    toks = F.slice(F.split(F.lower(F.trim(col)), r"\s+"), 1, max_tokens)
-    n = F.size(toks)
+    toks_expr = F.slice(F.split(F.lower(F.trim(col)), r"\s+"), 1, max_tokens)
+    # bound: element_at(toks, ·) inside the lambda body would re-split the
+    # FULL document per bigram (the slice caps the array, not the split)
     bigrams = F.array_sort(
-        F.filter(
-            F.transform(
-                toks,
-                lambda _, i: F.when(
-                    i + 2 <= n,
-                    F.concat(F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)),
+        bound(
+            toks_expr,
+            lambda toks: F.filter(
+                F.transform(
+                    toks,
+                    lambda _, i: F.when(
+                        i + 2 <= F.size(toks),
+                        F.concat(
+                            F.element_at(toks, i + 1),
+                            F.lit(" "),
+                            F.element_at(toks, i + 2),
+                        ),
+                    ),
                 ),
+                lambda x: x.isNotNull(),
             ),
-            lambda x: x.isNotNull(),
         )
     )
     # most-frequent count = longest equal run of the SORTED bigram list:
     # O(B log B) instead of the naive O(B²) all-pairs count (measured 60×
     # faster at 200 tokens/doc).  Fold state: (prev, current run, best run).
-    run_state = F.aggregate(
-        bigrams,
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda st, x: F.struct(
-            x.alias("prev"),
-            F.when(x == st["prev"], st["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                st["best"], F.when(x == st["prev"], st["run"] + 1).otherwise(F.lit(1))
-            ).alias("best"),
-        ),
-    )
-    top = run_state["best"]
-    return F.when(F.size(bigrams) > 0, top / F.size(bigrams)).otherwise(F.lit(0.0))
+    # bigrams is also bound — it is referenced by the fold AND two sizes.
+    def frac(bg: Column) -> Column:
+        run_state = F.aggregate(
+            bg,
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda st, x: F.struct(
+                x.alias("prev"),
+                F.when(x == st["prev"], st["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    st["best"], F.when(x == st["prev"], st["run"] + 1).otherwise(F.lit(1))
+                ).alias("best"),
+            ),
+        )
+        top = run_state["best"]
+        return F.when(F.size(bg) > 0, top / F.size(bg)).otherwise(F.lit(0.0))
+
+    return bound(bigrams, frac)
 
 
 def fingerprint_expr(col: Column) -> Column:
