@@ -3094,6 +3094,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_negative_samples"] = kg_negatives
 
+    def _entity_edges(spark):
+        # shared entity-entity edge view for the graph-analytics queries:
+        # the same predicate subset as kg_triangles
+        return (
+            _corpus_triples(spark)
+            .filter(F.col("pred").isin("acquired", "owns", "partnered_with"))
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        )
+
+    def kg_link_prediction(spark, sf):
+        # KG completion: common-neighbor link prediction over the entity
+        # graph (graph_query.py::link_prediction_scores) — non-adjacent
+        # pairs ranked by the integer-exact Resource Allocation index
+        # (Adamic-Adar's float twin stays informational).  Candidates come
+        # from the wedge join, never a pair cross-product; oracle = the same
+        # wedge/deg/anti-join SQL with '//' integer division.
+        from aiwhispr_spark.operators.graph_query import link_prediction_scores
+
+        out = link_prediction_scores(_entity_edges(spark))
+        return out.select("a", "b", "n_common", "ra_score_i")
+
+    q["kg_link_prediction"] = kg_link_prediction
+
+    def kg_lpa_communities(spark, sf):
+        # Community detection: 3 rounds of deterministic SYNCHRONOUS label
+        # propagation (most-frequent neighbor label, min-label ties) —
+        # distinct from connected components (cc_label_propagation gates
+        # reachability; this gates the vote dynamics).  Oracle = the same 3
+        # rounds unrolled as chained CTEs with row_number votes.
+        from aiwhispr_spark.operators.graph_query import label_propagation_communities
+
+        return label_propagation_communities(_entity_edges(spark), rounds=3)
+
+    q["kg_lpa_communities"] = kg_lpa_communities
+
+    def kg_triple_extent(spark, sf):
+        # Temporal KG provenance: fact lifespan across the crawl — per
+        # distinct (subj, pred, obj) its first/last observation timestamp,
+        # observation count, and distinct source pages
+        # (temporal.py::triple_temporal_extent).  The simple corpus repeats
+        # each fact in 3 docs (entities cycle mod 50 over 150 docs), so
+        # extents are non-trivial; ts is the closed-form 311·i crawl clock.
+        from aiwhispr_spark.functions.udfs import extract_triples_df
+        from aiwhispr_spark.operators.temporal import triple_temporal_extent
+        from aiwhispr_spark.plans.kg_pipeline import docs_to_chunks
+
+        docs = spark.read.parquet(_ensure_simple_corpus())
+        t = extract_triples_df(docs_to_chunks(docs))
+        obs = t.withColumn(
+            "ts", F.regexp_extract(F.col("url"), r"p/(\d+)$", 1).cast("long") * 311
+        )
+        return triple_temporal_extent(obs)
+
+    q["kg_triple_extent"] = kg_triple_extent
+
+    def anchor_commonness_prior(spark, sf):
+        # Entity-linking prior: P(target | anchor surface) as exact integer
+        # shares of each anchor's mention total (linkgraph.py::
+        # anchor_commonness) — the web-scale anchor dictionary that feeds
+        # the disambiguation baseline below.
+        from aiwhispr_spark.operators.linkgraph import (
+            anchor_aliases,
+            anchor_commonness,
+            extract_anchors,
+        )
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        return anchor_commonness(anchor_aliases(extract_anchors(docs)))
+
+    q["anchor_commonness_prior"] = anchor_commonness_prior
+
+    def mention_disambiguation(spark, sf):
+        # Argmax-commonness mention disambiguation (linkgraph.py::
+        # disambiguate_by_prior): each anchor resolves to its most-linked
+        # target, ties to the smallest url — the deterministic baseline
+        # every contextual linker is measured against.  The 'external'
+        # anchor has 15 candidate targets, so the argmax is load-bearing.
+        from aiwhispr_spark.operators.linkgraph import (
+            anchor_aliases,
+            anchor_commonness,
+            disambiguate_by_prior,
+            extract_anchors,
+        )
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        return disambiguate_by_prior(
+            anchor_commonness(anchor_aliases(extract_anchors(docs)))
+        )
+
+    q["mention_disambiguation"] = mention_disambiguation
+
+    def dedup_quality_keepers(spark, sf):
+        # Quality-aware keeper election (dedup.py::elect_keepers_by_quality):
+        # the same minhash-md5 group pipeline as dedup_apply_keepers, but the
+        # keeper is the HIGHEST-QUALITY member (score = text length, ties →
+        # min id) — the tail-augmented mirrors are LONGER than their
+        # originals, so this provably elects different keepers than min-id.
+        from aiwhispr_spark.operators.dedup import (
+            elect_keepers_by_quality,
+            minhash_lsh_pairs_md5,
+        )
+
+        d0 = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+            "doc_id", "text"
+        )
+        aug = d0.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(MINHASH_TAIL)).alias("text"),
+        )
+        alld = d0.unionByName(aug)
+        pairs = minhash_lsh_pairs_md5(alld, "text", "doc_id")
+        ids = alld.select(F.col("doc_id").alias("id"))
+        scores = alld.select(
+            F.col("doc_id").alias("id"), F.length("text").cast("long").alias("score_i")
+        )
+        return elect_keepers_by_quality(ids, pairs, scores)
+
+    q["dedup_quality_keepers"] = dedup_quality_keepers
+
+    def bpe_train_merges(spark, sf):
+        # Full BPE tokenizer training, 5 merge rounds (textstats.py::
+        # bpe_train): corpus → weighted vocab → per-round corpus-weighted
+        # pair argmax (ONE collected row per round — merge tables are driver
+        # state in every real trainer) + greedy left-to-right merge fold.
+        # Extends bpe_pair_stats (which gates round 1's statistics) to the
+        # actual training loop; oracle = 5 rounds unrolled as chained CTEs
+        # with DuckDB list_reduce reproducing the same greedy fold.
+        from aiwhispr_spark.operators.textstats import bpe_train
+
+        return bpe_train(_t(spark, sf, "documents"), n_merges=5)
+
+    q["bpe_train_merges"] = bpe_train_merges
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
@@ -3118,6 +3251,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_domain_clusters",
         "ntriples_export",
         "kg_negative_samples",
+        "kg_link_prediction",
+        "kg_lpa_communities",
+        "kg_triple_extent",
+        "anchor_commonness_prior",
+        "mention_disambiguation",
+        "dedup_quality_keepers",
+        "bpe_train_merges",
         "ivf_all_probe_equals_exact",
         "global_sort_rank",
         "chars_percentiles",
@@ -4875,4 +5015,164 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM g GROUP BY user_id
     """
+    # shared entity-entity undirected edge CTE for the graph-analytics twins
+    # (same predicate subset as kg_triangles)
+    _gq_edges = f"""
+        t AS ({_kg_e2e_sql()}),
+        ee AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+               FROM t WHERE subj <> obj
+                 AND pred IN ('acquired', 'owns', 'partnered_with')),
+        nbrs AS (SELECT a AS node, b AS nbr FROM ee UNION ALL SELECT b, a FROM ee)
+    """
+    o["kg_link_prediction"] = f"""
+        WITH {_gq_edges},
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nbrs GROUP BY node),
+        zn AS (SELECT n.node AS z, n.nbr AS u, d.deg
+               FROM nbrs n JOIN deg d ON d.node = n.node),
+        wedges AS (SELECT l.u AS a, r.u AS b, l.deg AS zdeg
+                   FROM zn l JOIN zn r ON r.z = l.z AND l.u < r.u),
+        scored AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+                          CAST(sum(1000000 // zdeg) AS BIGINT) AS ra_score_i
+                   FROM wedges GROUP BY a, b)
+        SELECT s.a, s.b, s.n_common, s.ra_score_i FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM ee WHERE ee.a = s.a AND ee.b = s.b)
+    """
+    _lpa_round = """
+        {out} AS (
+          SELECT node, label FROM (
+            SELECT n.node, l.label, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY n.node
+                                      ORDER BY count(*) DESC, l.label) AS rk
+            FROM nbrs n JOIN {prev} l ON l.node = n.nbr
+            GROUP BY n.node, l.label
+          ) WHERE rk = 1)
+    """
+    o["kg_lpa_communities"] = (
+        f"WITH {_gq_edges}, l0 AS (SELECT DISTINCT node, node AS label FROM nbrs),"
+        + ",".join(
+            _lpa_round.format(out=f"l{i}", prev=f"l{i - 1}") for i in (1, 2, 3)
+        )
+        + "SELECT node, label FROM l3"
+    )
+    o["kg_triple_extent"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        obs AS (SELECT subj, pred, obj, url,
+                       CAST(regexp_extract(url, 'p/(\\d+)$', 1) AS BIGINT) * 311 AS ts
+                FROM t)
+        SELECT subj, pred, obj,
+               CAST(min(ts) AS BIGINT) AS first_seen,
+               CAST(max(ts) AS BIGINT) AS last_seen,
+               CAST(count(*) AS BIGINT) AS n_observations,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_sources,
+               CAST(max(ts) - min(ts) AS BIGINT) AS extent
+        FROM obs GROUP BY subj, pred, obj
+    """
+    # anchor alias CTE (same closed form as anchor_alias_mining's oracle)
+    _anchor_cte = f"""
+        ids AS (
+          SELECT CAST(regexp_extract(url, 'a/(\\d+)$', 1) AS BIGINT) AS i
+          FROM read_parquet('{_ensure_link_corpus()}')),
+        a AS (
+          SELECT 'https://host' || (((i * 7 + 1) % 240) % 12) || '.example.org/a/'
+                   || ((i * 7 + 1) % 240) AS dst_url,
+                 'page ' || ((i * 7 + 1) % 240) AS anchor
+          FROM ids
+          UNION ALL
+          SELECT 'https://host' || (i % 12) || '.example.org/a/'
+                   || ((i * 13 + 5) % 240),
+                 'local page ' || ((i * 13 + 5) % 240)
+          FROM ids
+          UNION ALL
+          SELECT 'https://ext' || (i % 5) || '.example.net/x/' || (i % 3),
+                 'external'
+          FROM ids),
+        aliases AS (SELECT dst_url, anchor, CAST(count(*) AS BIGINT) AS n_mentions
+                    FROM a GROUP BY dst_url, anchor),
+        tot AS (SELECT anchor, CAST(sum(n_mentions) AS BIGINT) AS n_total
+                FROM aliases GROUP BY anchor),
+        common AS (
+          SELECT al.anchor, al.dst_url, al.n_mentions, tot.n_total,
+                 CAST((1000000 * al.n_mentions) // tot.n_total AS BIGINT) AS prior_i
+          FROM aliases al JOIN tot ON tot.anchor = al.anchor)
+    """
+    o["anchor_commonness_prior"] = f"""
+        WITH {_anchor_cte}
+        SELECT anchor, dst_url, n_mentions, n_total, prior_i FROM common
+    """
+    o["mention_disambiguation"] = f"""
+        WITH {_anchor_cte}
+        SELECT anchor, dst_url, n_mentions, n_total, prior_i FROM (
+          SELECT *, row_number() OVER (PARTITION BY anchor
+                                       ORDER BY n_mentions DESC, dst_url) AS rk
+          FROM common
+        ) WHERE rk = 1
+    """
+    # BPE training twin: n rounds unrolled; each round re-derives the best
+    # pair from ITS OWN state (never reads the Spark choice) and merges via
+    # the same greedy left-to-right fold (list_reduce over a chr(30)-joined
+    # accumulator; chr(31) encodes the pair key for the shared tie-break)
+    _bpe_rounds = 5
+    _bpe_parts = [
+        r"""
+        wx AS (SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                 t -> t <> '')) AS w
+               FROM documents),
+        vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wx GROUP BY w),
+        state0 AS (SELECT cnt,
+                     list_transform(range(1, length(w) + 1),
+                                    i -> substr(w, CAST(i AS INT), 1)) AS syms
+                   FROM vocab)"""
+    ]
+    for _k in range(1, _bpe_rounds + 1):
+        _bpe_parts.append(f"""
+        pairs{_k} AS (
+          SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+            SELECT unnest(list_transform(range(1, len(syms)),
+                     i -> syms[CAST(i AS INT)] || chr(31) || syms[CAST(i AS INT) + 1])) AS pair,
+                   cnt
+            FROM state{_k - 1})
+          GROUP BY pair),
+        best{_k} AS (
+          SELECT string_split(pair, chr(31))[1] AS x,
+                 string_split(pair, chr(31))[2] AS y,
+                 string_split(pair, chr(31))[1] || string_split(pair, chr(31))[2] AS m,
+                 n
+          FROM pairs{_k} ORDER BY n DESC, pair LIMIT 1),
+        state{_k} AS (
+          SELECT cnt, string_split(list_reduce(syms, (acc, s) -> CASE
+                   WHEN (acc = b.x OR ends_with(acc, chr(30) || b.x)) AND s = b.y
+                   THEN substr(acc, 1, length(acc) - length(b.x)) || b.m
+                   ELSE acc || chr(30) || s END), chr(30)) AS syms
+          FROM state{_k - 1}, best{_k} b)""")
+    o["bpe_train_merges"] = (
+        "WITH "
+        + ",".join(_bpe_parts)
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({_k} AS INT) AS step, x, y, m AS merged, n FROM best{_k}"
+            for _k in range(1, _bpe_rounds + 1)
+        )
+    )
+    o["dedup_quality_keepers"] = (
+        "WITH RECURSIVE "
+        + _minhash_cte()
+        + """,
+        edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        enodes AS (SELECT DISTINCT u AS node FROM edges),
+        reach(node, root) AS (
+          SELECT node, node FROM enodes
+          UNION
+          SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+        ),
+        comp AS (SELECT node, min(root) AS grp FROM reach GROUP BY node),
+        qbase AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS score_i FROM alld),
+        withg AS (SELECT b.id, b.score_i, coalesce(c.grp, b.id) AS grp
+                  FROM qbase b LEFT JOIN comp c ON c.node = b.id),
+        keep AS (SELECT grp, id AS keep_id FROM (
+          SELECT grp, id, row_number() OVER (PARTITION BY grp
+                   ORDER BY score_i DESC NULLS LAST, id) AS rk FROM withg
+        ) WHERE rk = 1)
+        SELECT w.id, k.keep_id, w.score_i FROM withg w JOIN keep k ON k.grp = w.grp
+    """
+    )
     return o

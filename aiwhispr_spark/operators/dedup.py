@@ -628,3 +628,46 @@ def incremental_minhash_step(
         .filter(F.col("n_match_i") >= min_matches)
     )
     return verified, delta_bands, delta_sigs
+
+
+def elect_keepers_by_quality(
+    ids: DataFrame,
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score_i",
+) -> DataFrame:
+    """Quality-aware keeper election: given the corpus id set, near-dup PAIR
+    edges (a, b), and a per-id quality score, elect each dup group's keeper
+    as the HIGHEST-scoring member (ties → smallest id) instead of the min-id
+    default — what a real curation pipeline does (keep the best-rendered
+    mirror, not the lexicographically first url).
+
+    Returns (id, keep_id, score_i) for EVERY input id (singletons keep
+    themselves).  Scale shape: connected components over the pair edges
+    (size-adaptive, operators/canonicalize.py), one exchange keyed on the
+    component for the argmax window — groups are near-dup families, so the
+    window partitions are tiny by the over-merge invariant."""
+    from .canonicalize import connected_components
+    from pyspark.sql.window import Window
+
+    base = ids.select(F.col(id_col).alias("id")).join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("score_i")),
+        "id",
+        "left",
+    )
+    comp = connected_components(pairs.select("a", "b")).select(
+        F.col("alias").alias("id"), F.col("component").alias("grp")
+    )
+    withg = base.join(comp, "id", "left").withColumn(
+        "grp", F.coalesce(F.col("grp"), F.col("id"))
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc_nulls_last("score_i"), F.asc("id")
+    )
+    keep = (
+        withg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("grp"), F.col("id").alias("keep_id"))
+    )
+    return withg.join(keep, "grp").select("id", "keep_id", "score_i")

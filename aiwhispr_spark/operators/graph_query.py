@@ -228,3 +228,122 @@ def type_entities(
         .otherwise(F.lit("other"))
     )
     return flags.select("entity", etype.alias("etype"))
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected entity graph:
+    for every NON-adjacent pair (a < b) sharing at least one neighbor,
+
+      n_common   = |Γ(a) ∩ Γ(b)|
+      ra_score_i = Σ_z floor(scale / deg(z))      (Resource Allocation index)
+      aa_score   = Σ_z 1 / ln(deg(z))             (Adamic-Adar, informational)
+
+    The RA sum is INTEGER-EXACT (each term floors before summing), so it is
+    reproducible bit-for-bit in any engine regardless of float summation
+    order — the same scaled-int discipline as the rest of the gates; AA is
+    the classic float twin, monotone-comparable but not hash-gateable.
+    Wedge z needs deg(z) ≥ 2, so neither divisor is ever 0 (ln(1) cannot
+    appear).
+
+    Scale shape: candidates come from the WEDGE join (neighbor lists
+    self-joined on the common neighbor z), never a pair cross-product — the
+    exchange is keyed on z and its fan-out is Σ deg(z)², the same bound as
+    triangle counting; skewed hubs take the degree-cap/salting treatment
+    (operators/skew.py).  Existing edges drop with one anti-join."""
+    ee = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbrs = ee.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        ee.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # wedge: z's neighbor list joined to itself → (u < w) share neighbor z
+    zn = nbrs.select(F.col("node").alias("z"), F.col("nbr").alias("u")).join(
+        deg.withColumnRenamed("node", "z"), "z"
+    )
+    wedges = (
+        zn.alias("l")
+        .join(zn.alias("r"), (F.col("l.z") == F.col("r.z")) & (F.col("l.u") < F.col("r.u")))
+        .select(
+            F.col("l.u").alias("a"),
+            F.col("r.u").alias("b"),
+            F.col("l.deg").alias("zdeg"),
+        )
+    )
+    # `div` = true integer division (float '/'+floor can misround at exact
+    # quotients; DuckDB twin uses '//')
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum(F.expr(f"{int(scale)} div zdeg")).cast("long").alias("ra_score_i"),
+        F.sum(F.lit(1.0) / F.log(F.col("zdeg"))).alias("aa_score"),
+    )
+    return scored.join(ee, ["a", "b"], "left_anti")
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation (community detection, NOT
+    the connected-components variant in operators/canonicalize.py): every
+    node starts with its own id as label; each round every node adopts the
+    most frequent label among its NEIGHBORS, ties broken by the smaller
+    label; isolated behavior is undefined here because every node in an edge
+    list has ≥1 neighbor.  Fixed round count + deterministic tie-break make
+    the output engine-reproducible (a DuckDB twin unrolls the same rounds as
+    chained CTEs) — the usual async/random-order LPA is not.
+
+    Scale shape per round: one exchange keyed on node for the neighbor-label
+    count, one row_number window per node (partitioned — never global).
+    State is (node, label) only; the neighbor list is re-derived from the
+    edge frame each round rather than carried as an array payload."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    ee = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbrs = ee.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        ee.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).persist()
+    labels = nbrs.select("node").distinct().withColumn("label", F.col("node"))
+    from pyspark.sql.window import Window
+
+    prev = None
+    for _ in range(rounds):
+        counted = (
+            nbrs.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        labels = (
+            counted.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+            .persist()
+        )
+        labels.count()  # cut lineage per round (iterative-plan discipline)
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
+    nbrs.unpersist()
+    return labels

@@ -161,3 +161,49 @@ def host_pagerank(
     return pagerank(
         edges, damping=damping, iterations=iterations, num_partitions=num_partitions
     )
+
+
+def anchor_commonness(
+    aliases: DataFrame, scale: int = 1_000_000
+) -> DataFrame:
+    """Commonness prior P(entity | anchor) from the mined alias table
+    ((dst_url, anchor, n_mentions) — :func:`anchor_aliases`): for each
+    anchor surface, each candidate target's share of that anchor's total
+    mentions, as the integer ``prior_i = floor(scale·n/(total))`` (exact
+    integer division — cross-engine reproducible, no float sum).
+
+    This is the classic anchor-dictionary baseline for entity linking
+    (Wikipedia "commonness"): at web scale the alias table IS the model.
+    One groupBy for the per-anchor totals, broadcast back by anchor — the
+    per-anchor candidate list is tiny even when the table has 10^9 rows."""
+    totals = aliases.groupBy("anchor").agg(
+        F.sum("n_mentions").cast("long").alias("n_total")
+    )
+    return aliases.join(totals, "anchor").select(
+        "anchor",
+        "dst_url",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        "n_total",
+        # `div` = true integer division (float '/'+floor can misround at
+        # exact quotients; DuckDB twin uses '//')
+        F.expr(f"CAST(({int(scale)} * n_mentions) div n_total AS BIGINT)").alias(
+            "prior_i"
+        ),
+    )
+
+
+def disambiguate_by_prior(commonness: DataFrame) -> DataFrame:
+    """Argmax-commonness mention disambiguation: each anchor surface resolves
+    to its most-linked target (ties → lexicographically smallest dst_url) —
+    the deterministic baseline every contextual linker is measured against.
+    One partitioned row_number window keyed on the anchor (never global)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("n_mentions"), F.asc("dst_url")
+    )
+    return (
+        commonness.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("anchor", "dst_url", "n_mentions", "n_total", "prior_i")
+    )

@@ -180,3 +180,34 @@ def assign_crawl_sessions(
         )
         .drop("_new_session", "_session_no")
     )
+
+
+def triple_temporal_extent(
+    observed: DataFrame,
+    ts_col: str = "ts",
+    src_col: str = "url",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Fact lifespan over a re-crawled corpus: per distinct (subj, pred, obj),
+    when it was FIRST asserted, when LAST, how many crawl snapshots carried
+    it, and how many distinct source pages — the temporal-KG provenance a
+    downstream consumer needs to distinguish a stable fact (long extent, many
+    sources) from a transient one (single snapshot).
+
+    100 TB shape: ONE map-side-combinable aggregation keyed on the triple —
+    no window, no sort; min/max/count/count-distinct all partial-aggregate
+    before the exchange, so the shuffle carries one row per distinct triple
+    per map partition, never the observation stream."""
+    return observed.groupBy(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).agg(
+        F.min(ts_col).cast("long").alias("first_seen"),
+        F.max(ts_col).cast("long").alias("last_seen"),
+        F.count(F.lit(1)).cast("long").alias("n_observations"),
+        F.countDistinct(src_col).cast("long").alias("n_sources"),
+        (F.max(ts_col) - F.min(ts_col)).cast("long").alias("extent"),
+    )

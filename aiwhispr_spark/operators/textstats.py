@@ -462,3 +462,94 @@ def dsir_importance_weights(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full BPE merge training (Sennrich et al. 2016), ``n_merges`` rounds:
+    the corpus collapses to its weighted VOCABULARY once, every word becomes
+    its character-symbol sequence, then each round (a) counts adjacent
+    symbol pairs corpus-weighted, (b) picks the most frequent (ties → the
+    lexicographically smaller pair), and (c) greedily left-to-right merges
+    that pair inside every word.  Returns the merge table
+    ``(step, x, y, merged, n)`` — the artifact a tokenizer ships.
+
+    The per-round argmax is ONE collected row (the merge table is driver
+    state in every real BPE trainer — bounded by n_merges, not data).  The
+    merge itself is a JVM-side aggregate fold whose accumulator carries the
+    rebuilt symbol array; the fold is equivalent to the textbook greedy
+    left-to-right pass (a just-created symbol never re-matches as the LEFT
+    of the same pair because it is the concat, not the left part).
+
+    100 TB shape: all per-round work is vocab-sized (words × their symbol
+    arrays), map-side combinable into ≤ |pairs| keys; the corpus is scanned
+    exactly once, at vocabulary collapse.  State persists per round with a
+    count() lineage cut (iterative-plan discipline)."""
+    from ..functions.udfs import bound
+
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    state = vocab.select(
+        "cnt",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "syms"
+        ),
+    ).persist()
+    state.count()
+    sep = "\x1f"  # unit separator: cannot appear in whitespace-split tokens
+    merges = []
+    prev = state
+    for step in range(1, n_merges + 1):
+        pair_arr = bound(
+            F.col("syms"),
+            lambda s: F.zip_with(
+                F.slice(s, 1, F.size(s) - 1),
+                F.slice(s, 2, F.size(s) - 1),
+                lambda a, b: F.concat(a, F.lit(sep), b),
+            ),
+        )
+        best = (
+            prev.select(F.explode(pair_arr).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        x, y = best[0]["pair"].split(sep)
+        n = best[0]["n"]
+        merges.append((step, x, y, x + y, n))
+        merged = bound(
+            F.col("syms"),
+            lambda s: F.aggregate(
+                F.slice(s, 2, F.size(s) - 1),
+                F.slice(s, 1, 1),
+                lambda acc, cur: F.when(
+                    (F.element_at(acc, -1) == F.lit(x)) & (cur == F.lit(y)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(x + y))
+                    ),
+                ).otherwise(F.concat(acc, F.array(cur))),
+            ),
+        )
+        nxt = prev.select("cnt", merged.alias("syms")).persist()
+        nxt.count()
+        prev.unpersist()
+        prev = nxt
+    prev.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, x string, y string, merged string, n long"
+    )

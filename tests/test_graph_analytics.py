@@ -1,0 +1,227 @@
+"""Unit pins for the KG analytics tranche: common-neighbor link prediction,
+deterministic synchronous label propagation, triple temporal extent, anchor
+commonness / disambiguation, quality-aware keeper election.  Each also has a
+DuckDB oracle gate in __spark_entry__ (kg_link_prediction, kg_lpa_communities,
+kg_triple_extent, anchor_commonness_prior, mention_disambiguation,
+dedup_quality_keepers); these tests pin the hand-checkable semantics."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from aiwhispr_spark.operators.graph_query import (
+    label_propagation_communities,
+    link_prediction_scores,
+)
+from aiwhispr_spark.operators.linkgraph import (
+    anchor_commonness,
+    disambiguate_by_prior,
+)
+from aiwhispr_spark.operators.temporal import triple_temporal_extent
+
+
+def test_link_prediction_square(spark):
+    # 4-cycle a-b-c-d-a: the two diagonals are the only non-adjacent pairs;
+    # each shares BOTH off-diagonal nodes (deg 2 each) → n_common=2,
+    # ra = 2·(10^6 // 2) = 10^6
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], "src string, dst string"
+    )
+    rows = {
+        (r["a"], r["b"]): (r["n_common"], r["ra_score_i"])
+        for r in link_prediction_scores(edges).collect()
+    }
+    assert rows == {("a", "c"): (2, 1_000_000), ("b", "d"): (2, 1_000_000)}
+
+
+def test_link_prediction_excludes_existing_and_needs_common(spark):
+    # path a-b-c plus isolated edge x-y: only (a, c) qualifies (via b, deg 2);
+    # (a, x) etc. share no neighbor; (a, b) is an edge
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    out = link_prediction_scores(edges).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"], r["n_common"], r["ra_score_i"]) == ("a", "c", 1, 500_000)
+    # AA is the float twin: 1/ln(2)
+    import math
+
+    assert abs(r["aa_score"] - 1.0 / math.log(2)) < 1e-12
+
+
+def _brute_lpa(edges, rounds):
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for v in nbrs:
+            cnt = Counter(labels[u] for u in nbrs[v])
+            best = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == best)
+        labels = nxt
+    return labels
+
+
+def test_lpa_matches_brute_force(spark):
+    # two triangles bridged by one edge — the classic two-community shape
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("p", "q"), ("q", "r"), ("p", "r"),
+        ("c", "p"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for rounds in (1, 2, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation_communities(df, rounds=rounds).collect()
+        }
+        assert got == _brute_lpa(edges, rounds), f"rounds={rounds}"
+
+
+def test_lpa_is_direction_and_dup_insensitive(spark):
+    fwd = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    rev = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("b", "a")], "src string, dst string"
+    )
+    g1 = sorted(map(tuple, label_propagation_communities(fwd, rounds=2).collect()))
+    g2 = sorted(map(tuple, label_propagation_communities(rev, rounds=2).collect()))
+    assert g1 == g2
+
+
+def test_triple_temporal_extent(spark):
+    obs = spark.createDataFrame(
+        [
+            ("u1", 100, "E1", "owns", "E2"),
+            ("u2", 300, "E1", "owns", "E2"),
+            ("u2", 300, "E1", "owns", "E2"),  # same page restates the fact
+            ("u3", 50, "E9", "based_in", "Berlin"),
+        ],
+        "url string, ts long, subj string, pred string, obj string",
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"]): (
+            r["first_seen"],
+            r["last_seen"],
+            r["n_observations"],
+            r["n_sources"],
+            r["extent"],
+        )
+        for r in triple_temporal_extent(obs).collect()
+    }
+    assert got == {
+        ("E1", "owns", "E2"): (100, 300, 3, 2, 200),
+        ("E9", "based_in", "Berlin"): (50, 50, 1, 1, 0),
+    }
+
+
+def test_anchor_commonness_and_disambiguation(spark):
+    aliases = spark.createDataFrame(
+        [
+            ("acme", "https://a.org", 3),
+            ("acme", "https://b.org", 1),
+            ("tied", "https://z.org", 2),
+            ("tied", "https://y.org", 2),
+        ],
+        "anchor string, dst_url string, n_mentions long",
+    )
+    common = anchor_commonness(aliases)
+    pri = {(r["anchor"], r["dst_url"]): r["prior_i"] for r in common.collect()}
+    assert pri[("acme", "https://a.org")] == 750_000
+    assert pri[("acme", "https://b.org")] == 250_000
+    assert pri[("tied", "https://y.org")] == 500_000
+    top = {r["anchor"]: r["dst_url"] for r in disambiguate_by_prior(common).collect()}
+    # argmax by count; ties break to the lexicographically smaller url
+    assert top == {"acme": "https://a.org", "tied": "https://y.org"}
+
+
+def test_elect_keepers_by_quality(spark):
+    from aiwhispr_spark.operators.dedup import elect_keepers_by_quality
+
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 7)], "id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5)], "id long, score_i long"
+    )
+    got = {r["id"]: r["keep_id"] for r in elect_keepers_by_quality(ids, pairs, scores).collect()}
+    # group {1,2,3}: best score 99 tied between 2 and 3 → min id 2 wins;
+    # singleton 7 keeps itself
+    assert got == {1: 2, 2: 2, 3: 2, 7: 7}
+
+
+def test_elect_keepers_null_scores_lose(spark):
+    from aiwhispr_spark.operators.dedup import elect_keepers_by_quality
+
+    ids = spark.createDataFrame([(1,), (2,)], "id long")
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    scores = spark.createDataFrame([(2, 1)], "id long, score_i long")
+    got = {r["id"]: r["keep_id"] for r in elect_keepers_by_quality(ids, pairs, scores).collect()}
+    assert got == {1: 2, 2: 2}
+
+
+def _brute_bpe(word_counts, n_merges):
+    """Textbook Sennrich BPE: argmax pair (count desc, pair-key asc), greedy
+    left-to-right merge."""
+    state = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = Counter()
+        for syms, c in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        best = max(counts.values())
+        x, y = min(p for p, c in counts.items() if c == best)
+        merges.append((step, x, y, x + y, best))
+        nxt = {}
+        for syms, c in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        state = nxt
+    return merges
+
+
+def test_bpe_train_matches_textbook(spark):
+    from aiwhispr_spark.operators.textstats import bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "aaa aaa banana",  # overlap cases: (a,a) on 'aaa', repeats in 'banana'
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    words = Counter(w for t in texts for w in t.lower().split())
+    expected = _brute_bpe(words, 6)
+    got = [
+        (r["step"], r["x"], r["y"], r["merged"], r["n"])
+        for r in bpe_train(docs, n_merges=6).orderBy("step").collect()
+    ]
+    assert got == expected
+    # the canonical example's first merges involve the 'es'/'est' family
+    assert got[0][4] >= 9
+
+
+def test_bpe_greedy_overlap(spark):
+    from aiwhispr_spark.operators.textstats import bpe_train
+
+    # 'aaaa': greedy L2R (a,a) merge gives [aa, aa]; second round merges
+    # (aa, aa) — pins that a just-created symbol never re-matches as the
+    # LEFT of the same pair within one pass
+    docs = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    got = [
+        (r["step"], r["x"], r["y"], r["merged"], r["n"])
+        for r in bpe_train(docs, n_merges=2).orderBy("step").collect()
+    ]
+    assert got == [(1, "a", "a", "aa", 9), (2, "aa", "aa", "aaaa", 3)]
