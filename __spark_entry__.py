@@ -3227,6 +3227,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_train_merges"] = bpe_train_merges
 
+    def passage_windows_overlap(spark, sf):
+        # RAG-retrieval chunking: fixed 16-token windows advancing by 12
+        # (packing.py::passage_windows) — overlapping passages from one
+        # split + sequence/slice expansion, pure JVM, no python stage.
+        # Complements the byte-compat C1 chunker with the sliding form
+        # retrieval corpora actually index.
+        from aiwhispr_spark.operators.packing import passage_windows
+
+        return passage_windows(
+            _t(spark, sf, "documents"), window=16, stride=12
+        )
+
+    q["passage_windows_overlap"] = passage_windows_overlap
+
+    def frontier_politeness_budget(spark, sf):
+        # Crawl-scheduler politeness cap (robots.py::politeness_budget):
+        # per-host top-3 of the prioritized frontier — host-partitioned
+        # row_number, never a global window.  Frontier derived closed-form
+        # so DuckDB reproduces it exactly.
+        from aiwhispr_spark.operators.robots import politeness_budget
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        frontier = d.select(
+            F.concat(
+                F.lit("https://"),
+                host,
+                F.lit(".example.org/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            host.alias("host"),
+            ((F.col("doc_id") * 37) % 101).cast("long").alias("priority_i"),
+        )
+        return politeness_budget(frontier, k=3)
+
+    q["frontier_politeness_budget"] = frontier_politeness_budget
+
+    def kg_entity_cards(spark, sf):
+        # The KG product surface: one card per entity — mention counts by
+        # position, distinct source pages, first/last crawl observation,
+        # and the rule-based type (graph_query.py::type_entities) — the
+        # composition a KG consumer reads before anything else.  Two
+        # map-side-combinable aggregates + one entity-keyed join.
+        from aiwhispr_spark.functions.udfs import extract_triples_df
+        from aiwhispr_spark.operators.graph_query import type_entities
+        from aiwhispr_spark.plans.kg_pipeline import docs_to_chunks
+
+        docs = spark.read.parquet(_ensure_simple_corpus())
+        t = extract_triples_df(docs_to_chunks(docs)).withColumn(
+            "ts", F.regexp_extract(F.col("url"), r"p/(\d+)$", 1).cast("long") * 311
+        )
+        mentions = t.select(
+            F.col("subj").alias("entity"),
+            "url",
+            "ts",
+            F.lit(1).alias("as_subj"),
+            F.lit(0).alias("as_obj"),
+        ).unionByName(
+            t.select(
+                F.col("obj").alias("entity"),
+                "url",
+                "ts",
+                F.lit(0).alias("as_subj"),
+                F.lit(1).alias("as_obj"),
+            )
+        )
+        stats = mentions.groupBy("entity").agg(
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.sum("as_subj").cast("long").alias("n_as_subj"),
+            F.sum("as_obj").cast("long").alias("n_as_obj"),
+            F.countDistinct("url").cast("long").alias("n_pages"),
+            F.min("ts").cast("long").alias("first_seen"),
+            F.max("ts").cast("long").alias("last_seen"),
+        )
+        return stats.join(type_entities(t.select("subj", "pred", "obj")), "entity")
+
+    q["kg_entity_cards"] = kg_entity_cards
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
@@ -3258,6 +3336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_disambiguation",
         "dedup_quality_keepers",
         "bpe_train_merges",
+        "kg_entity_cards",
+        "passage_windows_overlap",
+        "frontier_politeness_budget",
         "ivf_all_probe_equals_exact",
         "global_sort_rank",
         "chars_percentiles",
@@ -5153,6 +5234,73 @@ def oracle_sql() -> dict[str, str]:
             for _k in range(1, _bpe_rounds + 1)
         )
     )
+    o["passage_windows_overlap"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t <> '') AS t
+          FROM documents WHERE length(trim(text)) > 0),
+        starts AS (
+          SELECT doc_id, t,
+                 unnest(range(1, greatest(len(t) - 16 + 1, 1) + 1, 12)) AS start
+          FROM toks)
+        SELECT doc_id,
+               CAST((start - 1) // 12 + 1 AS INT) AS passage_no,
+               CAST(start AS BIGINT) AS start_token,
+               array_to_string(list_slice(t, start, start + 15), ' ') AS passage,
+               CAST(least(16, len(t) - start + 1) AS BIGINT) AS n_tokens
+        FROM starts
+    """
+    o["frontier_politeness_budget"] = """
+        WITH frontier AS (
+          SELECT 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+                 'h' || (doc_id % 7) AS host,
+                 CAST((doc_id * 37) % 101 AS BIGINT) AS priority_i
+          FROM documents)
+        SELECT url, host, priority_i, CAST(rk AS INT) AS fetch_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY host
+                     ORDER BY priority_i DESC, url) AS rk
+          FROM frontier
+        ) WHERE rk <= 3
+    """
+    o["kg_entity_cards"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        tt AS (SELECT *, CAST(regexp_extract(url, 'p/(\\d+)$', 1) AS BIGINT) * 311 AS ts
+               FROM t),
+        mentions AS (
+          SELECT subj AS entity, url, ts, 1 AS as_subj, 0 AS as_obj FROM tt
+          UNION ALL
+          SELECT obj, url, ts, 0, 1 FROM tt
+        ),
+        stats AS (
+          SELECT entity,
+                 CAST(count(*) AS BIGINT) AS n_mentions,
+                 CAST(sum(as_subj) AS BIGINT) AS n_as_subj,
+                 CAST(sum(as_obj) AS BIGINT) AS n_as_obj,
+                 CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+                 CAST(min(ts) AS BIGINT) AS first_seen,
+                 CAST(max(ts) AS BIGINT) AS last_seen
+          FROM mentions GROUP BY entity),
+        fl AS (
+          SELECT entity, max(pl) AS is_place, max(pe) AS is_person_rel FROM (
+            SELECT subj AS entity, FALSE AS pl, FALSE AS pe FROM t
+            UNION ALL
+            SELECT obj, pred IN ('based_in', 'located_in'),
+                   pred IN ('founded_by', 'works_for') FROM t
+          ) GROUP BY entity),
+        types AS (
+          SELECT entity,
+            CASE WHEN is_place THEN 'place'
+                 WHEN is_person_rel THEN 'person'
+                 WHEN regexp_matches(entity,
+                      '\\b(Corp|Corporation|Inc|Ltd|LLC|GmbH|Co|Company)$')
+                   THEN 'org'
+                 WHEN regexp_matches(entity, '^[A-Z][a-z]+ [A-Z][a-z]+$')
+                   THEN 'person'
+                 ELSE 'other' END AS etype
+          FROM fl)
+        SELECT s.*, types.etype FROM stats s JOIN types USING (entity)
+    """
     o["dedup_quality_keepers"] = (
         "WITH RECURSIVE "
         + _minhash_cte()

@@ -49,42 +49,36 @@ def _with_shingles(aliases: DataFrame, alias_col: str) -> DataFrame:
     )
 
 
-def candidate_pairs(
-    aliases: DataFrame,
-    alias_col: str = "alias",
-    bands: int = DEFAULT_BANDS,
-    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
-    jaccard_threshold: float = DEFAULT_JACCARD,
-) -> DataFrame:
-    """LSH-blocked, Jaccard-verified alias pairs (a < b)."""
-    # persist: the banding union re-reads `base` per band, and the blocking
-    # channels re-read it twice more — without a persist the upstream alias
-    # derivation (often a whole linker run) re-executes per branch
+def _prepared_base(aliases: DataFrame, alias_col: str) -> DataFrame:
+    """Shingled/normalized alias base, persisted and RIGHT-SIZED: inheriting
+    spark.sql.shuffle.partitions would fan a few-hundred-alias frame into
+    bands×partitions map tasks (observed 640), each paying the ~250 ms
+    python-worker floor.  count() doubles as the persist trigger."""
     base = _with_shingles(aliases, alias_col).persist()
-    # size partitioning to the data BEFORE the (bands+2)-way union below:
-    # inheriting spark.sql.shuffle.partitions would fan a few-hundred-alias
-    # frame into bands×partitions map tasks (observed 640), each paying the
-    # ~250 ms python-worker floor.  count() doubles as the persist trigger.
     n_aliases = base.count()
     cap = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
-    base = base.coalesce(max(2, min(cap, n_aliases // 20_000 + 1)))
+    return base.coalesce(max(2, min(cap, n_aliases // 20_000 + 1)))
 
-    # minhash signature: for seed i, min over shingles of xxhash64(shingle, i).
-    # Seeds bind via minhash_signature's closure factory — a 2-arg transform
-    # lambda would silently receive the ELEMENT INDEX as its second argument
-    # (CLAUDE.md arity note), collapsing every hash function into one.
+
+def _blocking_keyed(
+    base: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(alias, bkey) blocking rows — multi-pass (SparkER-style): LSH band
+    buckets ∪ exact normalized key ∪ numeric stem ("entity7" ~ "e7").  Each
+    channel emits skinny rows; norm/shingle attributes re-join only on the
+    candidate-sized pair set, so the blocking shuffle never carries shingle
+    arrays (×bands, the 100 TB scale-killer).  LSH keys come from ONE array
+    expansion, not a bands-way union (a K-branch union multiplies map-side
+    partitions by K).
+
+    Minhash seeds bind via minhash_signature's closure factory — a 2-arg
+    transform lambda would silently receive the ELEMENT INDEX as its second
+    argument (CLAUDE.md arity note), collapsing every hash function into
+    one."""
     from .dedup import minhash_signature
 
     n_hashes = bands * rows_per_band
     signed = base.select("alias", *minhash_signature(F.col("shingles"), n_hashes))
-
-    # multi-pass blocking (SparkER-style): LSH band buckets ∪ exact normalized
-    # key ∪ numeric stem ("entity7" ~ "e7").  Each channel emits skinny
-    # (alias, block_key) rows — the norm/shingle attributes are re-joined only
-    # on the candidate-sized pair set below, so the blocking shuffle never
-    # carries shingle arrays (×bands, the 100 TB scale-killer).  LSH keys come
-    # from ONE posexplode-style array expansion, not a bands-way union (a
-    # K-branch union multiplies map-side partitions by K).
     lsh_keys = F.array(
         *[
             F.concat(
@@ -97,23 +91,27 @@ def candidate_pairs(
         ]
     )
     stem = F.regexp_extract(F.col("norm"), r"^(?:entity|e)([0-9]+)$", 1)
-    keyed = (
+    return (
         signed.select("alias", F.explode(lsh_keys).alias("bkey"))
         .unionByName(base.select("alias", F.concat(F.lit("norm:"), F.col("norm")).alias("bkey")))
         .unionByName(
             base.filter(stem != "").select("alias", F.concat(F.lit("stem:"), stem).alias("bkey"))
         )
     )
-    cand = (
-        keyed.alias("l")
-        .join(
-            keyed.alias("r"),
-            (F.col("l.bkey") == F.col("r.bkey")) & (F.col("l.alias") < F.col("r.alias")),
-        )
-        .select(F.col("l.alias").alias("a"), F.col("r.alias").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
-    attrs = base.select("alias", "norm", "shingles")
+
+
+def _verify_pairs(
+    cand: DataFrame, attrs: DataFrame, jaccard_threshold: float
+) -> DataFrame:
+    """Keep candidate pairs that are true matches: equal normalized forms,
+    shared numeric stem, or shingle Jaccard ≥ threshold — with the numeric-
+    identifier VETO: aliases that both carry a numeric stem but with
+    DIFFERENT numbers are distinct entities no matter how much their
+    character shingles overlap — "entity14" vs "entity140" share 6/7
+    shingles (J=0.857 ≥ any practical threshold) purely because one id is a
+    prefix of the other.  (Round-1's broken seed binding hid this: the
+    degenerate one-hash LSH never surfaced these pairs, so the threshold
+    alone appeared sufficient.)"""
     pairs = (
         cand.join(
             attrs.select(
@@ -128,18 +126,10 @@ def candidate_pairs(
             "b",
         )
     )
-
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     num_stem = lambda c: F.regexp_extract(c, r"^(?:entity|e)([0-9]+)$", 1)  # noqa: E731
     stem_a, stem_b = num_stem(F.col("norm_a")), num_stem(F.col("norm_b"))
     same_stem = (stem_a != "") & (stem_a == stem_b)
-    # numeric-identifier VETO: aliases that both carry a numeric stem but with
-    # DIFFERENT numbers are distinct entities no matter how much their
-    # character shingles overlap — "entity14" vs "entity140" share 6/7
-    # shingles (J=0.857 ≥ any practical threshold) purely because one id is a
-    # prefix of the other.  (Round-1's broken seed binding hid this: the
-    # degenerate one-hash LSH never surfaced these pairs, so the threshold
-    # alone appeared sufficient.)
     diff_stem = (stem_a != "") & (stem_b != "") & (stem_a != stem_b)
     verified = pairs.filter(
         (F.col("norm_a") == F.col("norm_b"))
@@ -147,6 +137,33 @@ def candidate_pairs(
         | ((jaccard >= jaccard_threshold) & ~diff_stem)
     )
     return verified.select("a", "b")
+
+
+def candidate_pairs(
+    aliases: DataFrame,
+    alias_col: str = "alias",
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    jaccard_threshold: float = DEFAULT_JACCARD,
+) -> DataFrame:
+    """LSH-blocked, Jaccard-verified alias pairs (a < b)."""
+    # persist inside _prepared_base: the banding union re-reads `base` per
+    # band, and the blocking channels re-read it twice more — without it the
+    # upstream alias derivation (often a whole linker run) re-executes per
+    # branch
+    base = _prepared_base(aliases, alias_col)
+    keyed = _blocking_keyed(base, bands, rows_per_band)
+    cand = (
+        keyed.alias("l")
+        .join(
+            keyed.alias("r"),
+            (F.col("l.bkey") == F.col("r.bkey")) & (F.col("l.alias") < F.col("r.alias")),
+        )
+        .select(F.col("l.alias").alias("a"), F.col("r.alias").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    attrs = base.select("alias", "norm", "shingles")
+    return _verify_pairs(cand, attrs, jaccard_threshold)
 
 
 DRIVER_CC_THRESHOLD = 1_000_000  # edges; ~50 MB of pairs — trivial for union-find
@@ -283,3 +300,103 @@ def canonicalize_aliases(
         distinct_aliases.join(comp, "alias", "left")
         .select("alias", F.coalesce("component", "alias").alias("entity_id"))
     )
+
+
+def incremental_canonicalize(
+    new_aliases: DataFrame,
+    canon_store: DataFrame,
+    alias_col: str = "alias",
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    jaccard_threshold: float = DEFAULT_JACCARD,
+) -> DataFrame:
+    """Delta entity resolution: assign entity ids to NEW alias surfaces
+    against an existing canonical store WITHOUT recanonicalizing the corpus —
+    the production shape of E6 at 100 TB (full re-runs are compaction's job,
+    same batch/compaction split as resume and streaming near-dup).
+
+    ``canon_store`` is the existing (alias, entity_id) table.  Returns the
+    DELTA rows only — (alias, entity_id) for aliases not already in the
+    store — the append-shape a persisted store needs.
+
+    Assignment:
+      * delta aliases are blocked+verified against the STORE aliases (the
+        same LSH ∪ norm ∪ stem channels and Jaccard/stem-veto verification
+        as the batch path) and against EACH OTHER;
+      * a delta-delta component that matches any store alias ADOPTS the
+        smallest matched entity_id; an unmatched component mints its
+        smallest member as the new entity_id (the batch election rule).
+
+    Contract: the delta NEVER merges two existing store entities — a delta
+    alias bridging entities A and B adopts min(A, B) for itself and leaves
+    the store untouched; the true merge is deferred to the cold
+    recanonicalize compaction (test-pinned).  This keeps the incremental
+    step append-only and idempotent.
+
+    Scale shape: delta-vs-store candidates come from the (bkey)-equi-join of
+    the delta's skinny blocking rows against the store's — at 10^12 aliases
+    the store's (alias, bkey) rows are the PERSISTED index (bucket by bkey
+    on disk; this function recomputes them from the alias column for
+    self-containment); shingle attributes re-join candidate-sized.  The
+    delta-delta closure runs on the delta only."""
+    store = canon_store.select(
+        F.col("alias").alias("alias"), F.col("entity_id").alias("entity_id")
+    )
+    delta_raw = (
+        new_aliases.select(F.col(alias_col).alias("alias"))
+        .filter(F.col("alias").isNotNull())
+        .distinct()
+        .join(store.select("alias"), "alias", "left_anti")
+    )
+    base_d = _prepared_base(delta_raw, "alias")
+    base_s = _prepared_base(store.select("alias"), "alias")
+    keyed_d = _blocking_keyed(base_d, bands, rows_per_band)
+    keyed_s = _blocking_keyed(base_s, bands, rows_per_band)
+
+    # delta-vs-delta pairs (a < b) — the batch shape over the delta only
+    cand_dd = (
+        keyed_d.alias("l")
+        .join(
+            keyed_d.alias("r"),
+            (F.col("l.bkey") == F.col("r.bkey")) & (F.col("l.alias") < F.col("r.alias")),
+        )
+        .select(F.col("l.alias").alias("a"), F.col("r.alias").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    attrs_d = base_d.select("alias", "norm", "shingles")
+    verified_dd = _verify_pairs(cand_dd, attrs_d, jaccard_threshold)
+
+    # delta-vs-store pairs: asymmetric — a is always the delta alias
+    cand_ds = (
+        keyed_d.alias("l")
+        .join(keyed_s.alias("r"), F.col("l.bkey") == F.col("r.bkey"))
+        .select(F.col("l.alias").alias("a"), F.col("r.alias").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    attrs_all = attrs_d.unionByName(base_s.select("alias", "norm", "shingles"))
+    verified_ds = _verify_pairs(cand_ds, attrs_all, jaccard_threshold)
+
+    # per-delta-alias adopted entity: min entity_id over matched store rows
+    adopted = (
+        verified_ds.join(store.withColumnRenamed("alias", "b"), "b")
+        .groupBy(F.col("a").alias("alias"))
+        .agg(F.min("entity_id").alias("adopt"))
+    )
+    comp = connected_components(verified_dd).select(
+        F.col("alias"), F.col("component").alias("grp")
+    )
+    withg = (
+        base_d.select("alias")
+        .join(comp, "alias", "left")
+        .withColumn("grp", F.coalesce(F.col("grp"), F.col("alias")))
+        .join(adopted, "alias", "left")
+    )
+    # group-level adoption: smallest adopted entity across the component;
+    # otherwise the component label (= its smallest member, the batch rule)
+    grp_ent = withg.groupBy("grp").agg(F.min("adopt").alias("grp_adopt"))
+    out = withg.join(grp_ent, "grp").select(
+        "alias", F.coalesce("grp_adopt", "grp").alias("entity_id")
+    )
+    base_d.unpersist()
+    base_s.unpersist()
+    return out

@@ -77,3 +77,67 @@ def pack_greedy(
         return pdf
 
     return prepared.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+
+
+def passage_windows(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window passages (the RAG-retrieval chunk shape:
+    fixed ``window`` tokens advancing by ``stride``, so consecutive passages
+    overlap by window − stride).  Complements the byte-compat C1 chunker
+    (reference parity) with the sliding form retrieval corpora actually
+    index.
+
+    Passage starts: 1, 1+stride, … while start ≤ max(1, n − window + 1) —
+    a doc of ≤ window tokens yields exactly one passage; every token lands
+    in ≥ 1 passage and the final passage is never shorter than
+    window − stride unless the doc itself is.
+
+    100 TB shape: pure JVM per row — ONE split + a sequence/slice expansion
+    inside codegen, no python, no shuffle until whatever the consumer does
+    (tokens are bound to a lambda variable once; see functions.udfs.bound).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    from pyspark.sql import functions as F
+
+    from ..functions.udfs import bound
+
+    toks_expr = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    passages = bound(
+        toks_expr,
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(toks) - window + 1, F.lit(1)),
+                F.lit(stride),
+            ),
+            lambda start: F.struct(
+                start.alias("start"),
+                F.array_join(F.slice(toks, start, window), " ").alias("passage"),
+                F.least(
+                    F.lit(window), F.size(toks) - start + 1
+                ).alias("n_tokens"),
+            ),
+        ),
+    )
+    return (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(passages).alias("passage_no", "p"),
+        )
+        .select(
+            id_col,
+            (F.col("passage_no") + 1).cast("int").alias("passage_no"),
+            F.col("p.start").cast("long").alias("start_token"),
+            F.col("p.passage").alias("passage"),
+            F.col("p.n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

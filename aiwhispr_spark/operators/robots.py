@@ -216,3 +216,30 @@ def apply_robots_rules(
         F.col("b.p").alias("match_prefix"),
     )
     return out
+
+
+def politeness_budget(
+    frontier: DataFrame,
+    k: int = 3,
+    host_col: str = "host",
+    priority_col: str = "priority_i",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host fetch budget: keep each host's top-``k`` frontier URLs by
+    (priority DESC, url ASC) — the politeness cap every crawl scheduler
+    applies after prioritization (a host may dominate the priority ranking,
+    but a polite crawler still fetches at most k of its pages per cycle).
+
+    One row_number window PARTITIONED BY HOST (never global) — at web scale
+    hosts are the natural high-cardinality key, so partitions stay small;
+    a pathological mega-host is exactly the case the cap bounds."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(priority_col), F.asc(url_col)
+    )
+    return (
+        frontier.withColumn("fetch_rank", F.row_number().over(w))
+        .filter(F.col("fetch_rank") <= k)
+        .withColumn("fetch_rank", F.col("fetch_rank").cast("int"))
+    )
