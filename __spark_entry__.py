@@ -3305,6 +3305,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_entity_cards"] = kg_entity_cards
 
+    def _conflict_observations(spark, sf):
+        # closed-form conflicting fact observations: 40 subjects × ~12
+        # assertions each; every 5th doc asserts a WRONG object (off-by-100)
+        # so majority vote and latest-wins genuinely disagree sometimes
+        d = _t(spark, sf, "documents").select("doc_id")
+        subj = F.concat(F.lit("E"), (F.col("doc_id") % 40).cast("string"))
+        wrong = F.col("doc_id") % 5 == 0
+        obj = F.concat(
+            F.lit("P"),
+            F.when(wrong, (F.col("doc_id") % 40) + 100)
+            .otherwise(F.col("doc_id") % 40)
+            .cast("string"),
+        )
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 11).cast("string"))
+        return d.select(
+            subj.alias("subj"),
+            F.lit("ceo").alias("pred"),
+            obj.alias("obj"),
+            host.alias("host"),
+            ((F.col("doc_id") * 17) % 500).cast("long").alias("ts"),
+            F.concat(F.lit("https://"), host, F.lit("/d/"), F.col("doc_id").cast("string")).alias("url"),
+        )
+
+    def kg_fact_resolution(spark, sf):
+        # Functional-predicate conflict resolution (temporal.py::
+        # resolve_functional_facts): latest-observation-wins with obj-asc
+        # ties + the conflict audit (n_distinct_obj, contested flag) — what
+        # a KG builder runs over re-crawled assertions before materializing
+        # one value per (subj, pred).
+        from aiwhispr_spark.operators.temporal import resolve_functional_facts
+
+        return resolve_functional_facts(_conflict_observations(spark, sf))
+
+    q["kg_fact_resolution"] = kg_fact_resolution
+
+    def kg_source_reliability(spark, sf):
+        # Truth discovery (temporal.py::source_reliability): majority vote
+        # per fact, then per-host agreement share as an exact integer ratio
+        # — the first round of TruthFinder-style source weighting.
+        from aiwhispr_spark.operators.temporal import source_reliability
+
+        return source_reliability(_conflict_observations(spark, sf))
+
+    q["kg_source_reliability"] = kg_source_reliability
+
+    def deepwalk_skipgram_pairs(spark, sf):
+        # DeepWalk training pairs (graph.py::skipgram_pairs): window-2
+        # co-occurrence counts from the derandomized walk corpus over the
+        # linked-corpus host graph — the step between host_random_walks and
+        # an embedding trainer.  One walk-keyed self-join, fan-out bounded
+        # by length×2·window.
+        from aiwhispr_spark.operators.graph import deterministic_walks, skipgram_pairs
+        from aiwhispr_spark.operators.linkgraph import extract_links, host_edges
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        edges = host_edges(extract_links(docs)).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        return skipgram_pairs(
+            deterministic_walks(edges, length=4, num_partitions=8), window=2
+        )
+
+    q["deepwalk_skipgram_pairs"] = deepwalk_skipgram_pairs
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
@@ -3339,6 +3403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cards",
         "passage_windows_overlap",
         "frontier_politeness_budget",
+        "kg_fact_resolution",
+        "kg_source_reliability",
+        "deepwalk_skipgram_pairs",
         "ivf_all_probe_equals_exact",
         "global_sort_rank",
         "chars_percentiles",
@@ -5300,6 +5367,59 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'other' END AS etype
           FROM fl)
         SELECT s.*, types.etype FROM stats s JOIN types USING (entity)
+    """
+    _conflict_cte = """
+        obs AS (
+          SELECT 'E' || (doc_id % 40) AS subj,
+                 'ceo' AS pred,
+                 'P' || (CASE WHEN doc_id % 5 = 0 THEN (doc_id % 40) + 100
+                              ELSE doc_id % 40 END) AS obj,
+                 'h' || (doc_id % 11) AS host,
+                 CAST((doc_id * 17) % 500 AS BIGINT) AS ts
+          FROM documents)
+    """
+    o["kg_fact_resolution"] = f"""
+        WITH {_conflict_cte},
+        stats AS (SELECT subj, pred,
+                         CAST(count(DISTINCT obj) AS BIGINT) AS n_distinct_obj,
+                         CAST(count(*) AS BIGINT) AS n_observations
+                  FROM obs GROUP BY subj, pred),
+        latest AS (SELECT subj, pred, obj AS resolved_obj FROM (
+          SELECT subj, pred, obj,
+                 row_number() OVER (PARTITION BY subj, pred
+                                    ORDER BY ts DESC, obj) AS rk
+          FROM obs) WHERE rk = 1)
+        SELECT s.subj, s.pred, l.resolved_obj, s.n_distinct_obj,
+               s.n_observations,
+               CAST(CASE WHEN s.n_distinct_obj > 1 THEN 1 ELSE 0 END AS BIGINT)
+                 AS conflicted_i
+        FROM stats s JOIN latest l USING (subj, pred)
+    """
+    o["kg_source_reliability"] = f"""
+        WITH {_conflict_cte},
+        votes AS (SELECT subj, pred, obj, count(*) AS n
+                  FROM obs GROUP BY subj, pred, obj),
+        majority AS (SELECT subj, pred, obj AS maj_obj FROM (
+          SELECT subj, pred, obj,
+                 row_number() OVER (PARTITION BY subj, pred
+                                    ORDER BY n DESC, obj) AS rk
+          FROM votes) WHERE rk = 1)
+        SELECT o.host,
+               CAST(count(*) AS BIGINT) AS n_assertions,
+               CAST(sum(CASE WHEN o.obj = m.maj_obj THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_majority,
+               CAST((1000000 * sum(CASE WHEN o.obj = m.maj_obj THEN 1 ELSE 0 END))
+                 // count(*) AS BIGINT) AS reliability_i
+        FROM obs o JOIN majority m USING (subj, pred)
+        GROUP BY o.host
+    """
+    o["deepwalk_skipgram_pairs"] = f"""
+        WITH w AS MATERIALIZED ({_walks_sql(4, _host_edges_sql())})
+        SELECT l.node AS center, r.node AS context,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM w l JOIN w r
+          ON l.start = r.start AND abs(l.step - r.step) BETWEEN 1 AND 2
+        GROUP BY l.node, r.node
     """
     o["dedup_quality_keepers"] = (
         "WITH RECURSIVE "

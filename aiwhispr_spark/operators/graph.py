@@ -341,3 +341,40 @@ def deterministic_walks(
     e.unpersist()
     nbrs.unpersist()
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    walk_col: str = "start",
+    step_col: str = "step",
+    node_col: str = "node",
+) -> DataFrame:
+    """(center, context, n_pairs) skip-gram training pairs from a walk corpus
+    (the DeepWalk step between :func:`deterministic_walks` and an embedding
+    trainer): every ordered pair of nodes within ``window`` steps of each
+    other inside the same walk, corpus-counted.
+
+    Scale shape: ONE self-join keyed on the walk id — per-walk fan-out is
+    bounded by length×2·window (walks are short by construction), and the
+    count aggregate map-side combines into the co-occurrence vocabulary,
+    which is what the trainer consumes.  No windows, no python."""
+    l = walks.select(
+        F.col(walk_col).alias("wid"),
+        F.col(step_col).alias("si"),
+        F.col(node_col).alias("center"),
+    )
+    r = walks.select(
+        F.col(walk_col).alias("wid"),
+        F.col(step_col).alias("sj"),
+        F.col(node_col).alias("context"),
+    )
+    return (
+        l.join(r, "wid")
+        .filter(
+            (F.abs(F.col("si") - F.col("sj")) >= 1)
+            & (F.abs(F.col("si") - F.col("sj")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -211,3 +211,98 @@ def triple_temporal_extent(
         F.countDistinct(src_col).cast("long").alias("n_sources"),
         (F.max(ts_col) - F.min(ts_col)).cast("long").alias("extent"),
     )
+
+
+def resolve_functional_facts(
+    observed: DataFrame,
+    ts_col: str = "ts",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Conflict resolution for FUNCTIONAL predicates (one true object per
+    (subj, pred) — ceo_of, based_in, birth_date): latest observation wins
+    (ties → lexicographically smallest object), with the conflict audit a
+    KG consumer needs: how many distinct objects were ever asserted and
+    whether the winner was contested.
+
+    One (subj, pred)-keyed aggregation + one row_number window on the same
+    key (partitioned, never global) — the window's partitions are a fact's
+    observation list, bounded by re-crawl frequency."""
+    from pyspark.sql.window import Window
+
+    base = observed.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+        F.col(ts_col).alias("ts"),
+    )
+    stats = base.groupBy("subj", "pred").agg(
+        F.countDistinct("obj").cast("long").alias("n_distinct_obj"),
+        F.count(F.lit(1)).cast("long").alias("n_observations"),
+    )
+    w = Window.partitionBy("subj", "pred").orderBy(F.desc("ts"), F.asc("obj"))
+    latest = (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("subj", "pred", F.col("obj").alias("resolved_obj"))
+    )
+    return stats.join(latest, ["subj", "pred"]).select(
+        "subj",
+        "pred",
+        "resolved_obj",
+        "n_distinct_obj",
+        "n_observations",
+        (F.col("n_distinct_obj") > 1).cast("long").alias("conflicted_i"),
+    )
+
+
+def source_reliability(
+    observed: DataFrame,
+    host_col: str = "host",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Truth-discovery source scoring (majority-vote round of classic
+    TruthFinder/Dawid-Skene iterations): per fact (subj, pred) the majority
+    object (count DESC, obj ASC ties), then per source host the share of
+    its assertions agreeing with the majority — ``reliability_i`` as an
+    exact integer ratio (`div`, cross-engine reproducible).
+
+    Scale shape: two fact-keyed aggregates (counts, then argmax via a
+    fact-partitioned window over the DISTINCT (fact, obj) counts — not the
+    observation stream) + one broadcast-sized join back; the host rollup
+    map-side combines into |hosts| rows."""
+    from pyspark.sql.window import Window
+
+    base = observed.select(
+        F.col(host_col).alias("host"),
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    )
+    votes = base.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("subj", "pred").orderBy(F.desc("n"), F.asc("obj"))
+    majority = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("subj", "pred", F.col("obj").alias("maj_obj"))
+    )
+    judged = base.join(majority, ["subj", "pred"]).withColumn(
+        "agree", (F.col("obj") == F.col("maj_obj")).cast("long")
+    )
+    return (
+        judged.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assertions"),
+            F.sum("agree").cast("long").alias("n_majority"),
+        )
+        .withColumn(
+            "reliability_i",
+            F.expr(f"CAST(({int(scale)} * n_majority) div n_assertions AS BIGINT)"),
+        )
+    )

@@ -225,3 +225,85 @@ def test_bpe_greedy_overlap(spark):
         for r in bpe_train(docs, n_merges=2).orderBy("step").collect()
     ]
     assert got == [(1, "a", "a", "aa", 9), (2, "aa", "aa", "aaaa", 3)]
+
+
+def test_resolve_functional_facts(spark):
+    from aiwhispr_spark.operators.temporal import resolve_functional_facts
+
+    obs = spark.createDataFrame(
+        [
+            ("E1", "ceo", "Alice", 100),
+            ("E1", "ceo", "Bob", 300),    # latest wins
+            ("E1", "ceo", "Alice", 200),
+            ("E2", "ceo", "Zed", 50),     # uncontested
+            ("E3", "ceo", "B", 10),       # ts tie → obj asc
+            ("E3", "ceo", "A", 10),
+        ],
+        "subj string, pred string, obj string, ts long",
+    )
+    got = {
+        r["subj"]: (
+            r["resolved_obj"], r["n_distinct_obj"], r["n_observations"], r["conflicted_i"]
+        )
+        for r in resolve_functional_facts(obs).collect()
+    }
+    assert got == {
+        "E1": ("Bob", 2, 3, 1),
+        "E2": ("Zed", 1, 1, 0),
+        "E3": ("A", 2, 2, 1),
+    }
+
+
+def test_source_reliability(spark):
+    from aiwhispr_spark.operators.temporal import source_reliability
+
+    obs = spark.createDataFrame(
+        [
+            # fact (E1, ceo): majority says Alice (2 vs 1)
+            ("good.org", "E1", "ceo", "Alice"),
+            ("good.org", "E2", "ceo", "Zed"),
+            ("ok.org", "E1", "ceo", "Alice"),
+            ("bad.org", "E1", "ceo", "Eve"),
+            ("bad.org", "E2", "ceo", "Zed"),
+        ],
+        "host string, subj string, pred string, obj string",
+    )
+    got = {
+        r["host"]: (r["n_assertions"], r["n_majority"], r["reliability_i"])
+        for r in source_reliability(obs).collect()
+    }
+    assert got == {
+        "good.org": (2, 2, 1_000_000),
+        "ok.org": (1, 1, 1_000_000),
+        "bad.org": (2, 1, 500_000),
+    }
+
+
+def test_skipgram_pairs_window(spark):
+    from aiwhispr_spark.operators.graph import skipgram_pairs
+
+    # one walk a→b→c→d: window 2 pairs per center, both directions
+    walks = spark.createDataFrame(
+        [("a", 0, "a"), ("a", 1, "b"), ("a", 2, "c"), ("a", 3, "d")],
+        "start string, step long, node string",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    expected_pairs = {
+        ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("b", "d"),
+        ("c", "a"), ("c", "b"), ("c", "d"), ("d", "b"), ("d", "c"),
+    }
+    assert set(got) == expected_pairs
+    assert all(v == 1 for v in got.values())
+    # revisited nodes accumulate counts: a→b→a walk
+    walks2 = spark.createDataFrame(
+        [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "a")],
+        "start string, step long, node string",
+    )
+    got2 = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks2, window=2).collect()
+    }
+    assert got2[("a", "b")] == 2 and got2[("a", "a")] == 2
