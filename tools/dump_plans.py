@@ -52,6 +52,14 @@ SHOWN = [
     ("cdx_fetch_list", "line regex + from_json stay narrow JVM (no python); digest dedupe is the ONLY exchange, struct-min map-side combined"),
     ("dsir_importance_weights", "≤4096-row bucket log-ratio table broadcast onto the token stream; token-keyed aggs partial map-side; no corpus re-scan"),
     ("minhash_incremental_delta", "delta bands join the band store on fixed-width (band, bhash) keys; signatures re-join candidate-sized; historical text never read"),
+    ("kg_link_prediction", "wedge join keyed on the shared neighbor z (fan-out Σdeg², the triangle bound); exchanges carry (z, u, deg) rows only; existing-edge removal is one anti-join"),
+    ("kg_triple_extent", "ONE map-side-combinable aggregate keyed on the triple (partial min/max/count before the exchange); no window, no sort"),
+    ("mention_disambiguation", "anchor-keyed totals join + anchor-PARTITIONED row_number (never a global window)"),
+    ("kg_fact_resolution", "fact-keyed aggregate + fact-partitioned window; observation stream shuffles once"),
+    ("kg_source_reliability", "majority argmax runs over DISTINCT (fact, obj) counts, not the observation stream; host rollup map-side combines into |hosts| rows"),
+    ("passage_windows_overlap", "one split + sequence/slice expansion inside codegen (tokens bound once): no python stage, no exchange"),
+    ("frontier_politeness_budget", "host-partitioned row_number over the frontier — never a global window"),
+    ("deepwalk_skipgram_pairs", "walk-keyed self-join (per-walk fan-out ≤ length×2w); co-occurrence aggregate map-side combines into the pair vocabulary"),
 ]
 
 
