@@ -553,3 +553,76 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, x string, y string, merged string, n long"
     )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Context-aware perplexity proxy: per-document sum of add-one-smoothed
+    BIGRAM log-probs under the corpus's own bigram distribution —
+    ``p(b|a) = (c(ab)+1) / (c(a·)+V)`` with ``c(a·)`` the left-context total
+    and ``V`` the unigram vocabulary size.  The unigram twin
+    (:func:`unigram_logprob_scores`) scores word rarity; this one scores
+    word ORDER — shuffled text keeps its unigram score but craters here,
+    which is exactly the word-salad signal CCNet's KenLM filter carries.
+
+    Same integer discipline as the unigram scorer: each bigram TYPE's
+    log-prob rounds to ``round(1e6·ln(p))`` once, per-doc sums are BIGINT —
+    order-independent, cross-engine hash-gateable.  Docs with < 2 tokens
+    score (0, 0).
+
+    100 TB shape: the corpus collapses to its BIGRAM vocabulary (one
+    shuffle keyed on the bigram); left-context totals aggregate from that
+    vocab table, not the corpus; V and nothing else is a 1-row broadcast;
+    the doc⇄model join keys on the bigram string."""
+    from ..functions.udfs import bound
+
+    toks_expr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    bigram_arr = bound(
+        toks_expr,
+        lambda t: F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    )
+    base = docs.select(F.col(id_col).alias("_id"), bigram_arr.alias("bg"))
+    big = base.select("_id", F.explode("bg").alias("bigram"))
+    counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("cab"))
+    left_tot = counts.select(
+        F.split(F.col("bigram"), " ").getItem(0).alias("a"), "cab"
+    ).groupBy("a").agg(F.sum("cab").alias("ca"))
+    vsize = (
+        docs.select(F.explode(toks_expr).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    model = (
+        counts.withColumn("a", F.split(F.col("bigram"), " ").getItem(0))
+        .join(left_tot, "a")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "bigram",
+            F.round(F.log((F.col("cab") + 1) / (F.col("ca") + F.col("v"))) * 1e6)
+            .cast("bigint")
+            .alias("logp_i"),
+        )
+    )
+    scored = (
+        big.join(model, "bigram")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("logp_i").alias("sum_logp_i"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(scored, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_logp_i", F.lit(0)).cast("long").alias("sum_logp_i"),
+        )
+    )

@@ -137,10 +137,21 @@ def build_knowledge_graph(
     target_partitions: int = 32,
     salt_factor: int = 16,
     run_id: str | None = None,
+    alias_strategy: str = "reelect",
 ) -> dict:
     """Run E1-E7.  Returns dict of DataFrames (and writes parquet tables +
     manifest when `output_dir` is given).  `manifest` (a previous run's
-    lineage) activates checkpoint resume via left_anti."""
+    lineage) activates checkpoint resume via left_anti.
+
+    ``alias_strategy`` governs the resume path's alias table maintenance:
+    ``"reelect"`` (default) re-runs canonicalization over the UNION of old
+    and new alias surfaces — families that straddle runs merge immediately,
+    at O(all aliases) compute per resume; ``"incremental"`` assigns only the
+    DELTA surfaces against the stored table (canonicalize.
+    incremental_canonicalize) and APPENDS them — O(delta) compute and write,
+    but two pre-existing entities bridged by a delta alias stay separate
+    until the next ``recanonicalize_output`` compaction (the same
+    detect-now/repair-cold split as streaming near-dup)."""
     # uuid, not a second-granularity timestamp: two runs against the same
     # output_dir started within the same second must not share a run_id
     # (shared ids merge their lineage rows and defeat orphan-run cleanup)
@@ -282,23 +293,46 @@ def build_knowledge_graph(
             # silently dropping previously-merged alias families.  (On
             # HDFS/S3 the same check is FileSystem.exists / a caught
             # PATH_NOT_FOUND AnalysisException.)
-            if os.path.exists(aliases_path):
-                old_surfaces = spark.read.parquet(aliases_path).select("alias")
+            if alias_strategy not in ("reelect", "incremental"):
+                raise ValueError(f"unknown alias_strategy {alias_strategy!r}")
+            if alias_strategy == "incremental" and os.path.exists(aliases_path):
+                # O(delta): assign only the new surfaces against the stored
+                # table and APPEND them — the on-disk table already holds the
+                # rest of the union.  Store-entity merges defer to compaction
+                # (see docstring).
+                from ..operators.canonicalize import incremental_canonicalize
+
+                store = spark.read.parquet(aliases_path).select(
+                    "alias", "entity_id"
+                )
+                delta_assign = incremental_canonicalize(aliases, store).persist()
+                delta_assign.write.mode("append").parquet(aliases_path)
+                delta_assign.unpersist()
+                alias_map_out = spark.read.parquet(aliases_path)
+                entities_out = alias_map_out.groupBy("entity_id").agg(
+                    F.sort_array(F.collect_set("alias")).alias("aliases")
+                )
+                # entities reads the (already-appended) aliases table, not
+                # itself — plain overwrite-via-tmp keeps the staging rule
+                _overwrite_via_tmp(spark, entities_out, entities_path)
             else:
-                old_surfaces = None
-            surfaces = (
-                aliases.unionByName(old_surfaces).distinct()
-                if old_surfaces is not None
-                else aliases
-            )
-            alias_map_out = canonicalize_aliases(surfaces).persist()
-            entities_out = alias_map_out.groupBy("entity_id").agg(
-                F.sort_array(F.collect_set("alias")).alias("aliases")
-            )
-            # overwrite via staged tmp: sources of this write include the
-            # table being replaced
-            _overwrite_via_tmp(spark, alias_map_out, aliases_path)
-            _overwrite_via_tmp(spark, entities_out, entities_path)
+                if os.path.exists(aliases_path):
+                    old_surfaces = spark.read.parquet(aliases_path).select("alias")
+                else:
+                    old_surfaces = None
+                surfaces = (
+                    aliases.unionByName(old_surfaces).distinct()
+                    if old_surfaces is not None
+                    else aliases
+                )
+                alias_map_out = canonicalize_aliases(surfaces).persist()
+                entities_out = alias_map_out.groupBy("entity_id").agg(
+                    F.sort_array(F.collect_set("alias")).alias("aliases")
+                )
+                # overwrite via staged tmp: sources of this write include the
+                # table being replaced
+                _overwrite_via_tmp(spark, alias_map_out, aliases_path)
+                _overwrite_via_tmp(spark, entities_out, entities_path)
         else:
             out_triples.write.mode("overwrite").parquet(triples_path)
             entities.write.mode("overwrite").parquet(entities_path)

@@ -184,3 +184,65 @@ def test_e7_writes_and_resume(spark, docs_df, tmp_path):
     amap = {r["alias"]: r["entity_id"] for r in spark.read.parquet(out2 + "/aliases").collect()}
     for r in refreshed.select("subj", "subj_id").distinct().collect():
         assert r["subj_id"] == amap.get(r["subj"], r["subj"])
+
+
+def test_resume_incremental_alias_strategy(spark, tmp_path):
+    """alias_strategy='incremental': the resume run assigns ONLY the delta
+    surfaces against the stored alias table and appends — old assignments
+    are byte-unchanged, every surface is assigned exactly once, delta
+    surfaces of known families adopt the stored entity id, and the family
+    partition structure matches the reelect twin (no cross-run bridges in
+    this corpus)."""
+    from aiwhispr_spark.sources.synthetic import write_simple_corpus_parquet
+
+    p = str(tmp_path / "docs.parquet")
+    write_simple_corpus_parquet(p, n_docs=60, n_entities=20)
+    docs = spark.read.parquet(p)
+    idx = F.regexp_extract(F.col("url"), r"p/(\d+)$", 1).cast("long")
+    first, full = docs.filter(idx < 30), docs
+
+    out = str(tmp_path / "kg_inc")
+    r1 = build_knowledge_graph(spark, first, output_dir=out, run_id="r1")
+    aliases1 = {
+        (r["alias"], r["entity_id"])
+        for r in spark.read.parquet(out + "/aliases").collect()
+    }
+    manifest = spark.read.parquet(r1["manifest_path"])
+    build_knowledge_graph(
+        spark, full, output_dir=out, manifest=manifest, run_id="r2",
+        alias_strategy="incremental",
+    )
+    aliases2 = {
+        (r["alias"], r["entity_id"])
+        for r in spark.read.parquet(out + "/aliases").collect()
+    }
+    # append-only: old rows survive untouched; one assignment per surface
+    assert aliases1 <= aliases2
+    surfaces = [a for a, _ in aliases2]
+    assert len(set(surfaces)) == len(surfaces)
+    # delta surfaces that extend stored families adopt the STORED ids
+    stored_ids = {e for _, e in aliases1}
+    adopted = {e for (a, e) in aliases2 - aliases1 if e in stored_ids}
+    assert adopted, "entities recur across runs, so adoptions must happen"
+    # entities table is exactly the rollup of the aliases table
+    ent_pairs = {
+        (a, r["entity_id"])
+        for r in spark.read.parquet(out + "/entities").collect()
+        for a in r["aliases"]
+    }
+    assert ent_pairs == aliases2
+
+    # partition-structure equivalence with the reelect twin
+    out2 = str(tmp_path / "kg_re")
+    r1b = build_knowledge_graph(spark, first, output_dir=out2, run_id="r1")
+    build_knowledge_graph(
+        spark, full, output_dir=out2,
+        manifest=spark.read.parquet(r1b["manifest_path"]), run_id="r2",
+    )
+    def parts(path):
+        by_ent = {}
+        for r in spark.read.parquet(path).collect():
+            by_ent.setdefault(r["entity_id"], set()).add(r["alias"])
+        return {frozenset(v) for v in by_ent.values()}
+
+    assert parts(out + "/aliases") == parts(out2 + "/aliases")
