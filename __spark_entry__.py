@@ -5275,7 +5275,8 @@ def oracle_sql() -> dict[str, str]:
     _bpe_parts = [
         r"""
         wx AS (SELECT unnest(list_filter(
-                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                 regexp_split_to_array(
+                   lower(regexp_replace(text, '[\x00-\x1f]', ' ', 'g')), '\s+'),
                  t -> t <> '')) AS w
                FROM documents),
         vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wx GROUP BY w),

@@ -397,6 +397,10 @@ def incremental_canonicalize(
     out = withg.join(grp_ent, "grp").select(
         "alias", F.coalesce("grp_adopt", "grp").alias("entity_id")
     )
+    # materialize BEFORE dropping the base caches: the caller's first action
+    # runs after we return, and an unpersisted lazy plan would re-execute
+    # the store scan and delta derivation once per blocking/verify branch
+    out = out.localCheckpoint()
     base_d.unpersist()
     base_s.unpersist()
     return out

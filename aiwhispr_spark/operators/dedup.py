@@ -648,9 +648,6 @@ def elect_keepers_by_quality(
     (size-adaptive, operators/canonicalize.py), one exchange keyed on the
     component for the argmax window — groups are near-dup families, so the
     window partitions are tiny by the over-merge invariant."""
-    from .canonicalize import connected_components
-    from pyspark.sql.window import Window
-
     base = ids.select(F.col(id_col).alias("id")).join(
         scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("score_i")),
         "id",

@@ -345,5 +345,9 @@ def label_propagation_communities(
         if prev is not None:
             prev.unpersist()
         prev = labels
+    # self-contained copy so the final round's cache (and nbrs) can be
+    # released instead of leaking one persisted frame per call
+    out = labels.localCheckpoint()
+    labels.unpersist()
     nbrs.unpersist()
-    return labels
+    return out

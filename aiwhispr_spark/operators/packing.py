@@ -103,6 +103,11 @@ def passage_windows(
     """
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
+    if stride > window:
+        # the 'every token lands in >= 1 passage' contract breaks silently
+        # otherwise: tokens between window and stride in each block would
+        # vanish from the retrieval index
+        raise ValueError("stride must be <= window (gapless coverage contract)")
     from pyspark.sql import functions as F
 
     from ..functions.udfs import bound

@@ -493,7 +493,14 @@ def bpe_train(
     words = docs.select(
         F.explode(
             F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
+                # C0 controls become spaces BEFORE the split: Java's \s is
+                # only [ \t\n\x0B\f\r], so raw \x1e/\x1f would survive as
+                # token chars and corrupt the control-char pair/separator
+                # encoding below (web text routinely carries C0 bytes)
+                F.split(
+                    F.lower(F.regexp_replace(F.col(text_col), "[\\x00-\\x1f]", " ")),
+                    r"\s+",
+                ),
                 lambda t: t != F.lit(""),
             )
         ).alias("w")
@@ -506,7 +513,7 @@ def bpe_train(
         ),
     ).persist()
     state.count()
-    sep = "\x1f"  # unit separator: cannot appear in whitespace-split tokens
+    sep = "\x1f"  # unit separator: C0 controls were scrubbed from tokens above
     merges = []
     prev = state
     for step in range(1, n_merges + 1):
@@ -580,13 +587,19 @@ def bigram_logprob_scores(
     toks_expr = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
+    # guard: slice(t, 1, size-1) gets length -1 on a zero-token doc and
+    # Spark ABORTS (INVALID_PARAMETER_VALUE.LENGTH) — empty/whitespace-only
+    # docs must yield an empty bigram list, like the oracle's CASE len>=2
     bigram_arr = bound(
         toks_expr,
-        lambda t: F.zip_with(
-            F.slice(t, 1, F.size(t) - 1),
-            F.slice(t, 2, F.size(t) - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
     base = docs.select(F.col(id_col).alias("_id"), bigram_arr.alias("bg"))
     big = base.select("_id", F.explode("bg").alias("bigram"))

@@ -155,6 +155,10 @@ def build_knowledge_graph(
     # uuid, not a second-granularity timestamp: two runs against the same
     # output_dir started within the same second must not share a run_id
     # (shared ids merge their lineage rows and defeat orphan-run cleanup)
+    if alias_strategy not in ("reelect", "incremental"):
+        # validate up front — a typo'd strategy must not run the whole
+        # initial O(corpus) build before failing on the first resume
+        raise ValueError(f"unknown alias_strategy {alias_strategy!r}")
     run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
 
     n_docs = spark.sparkContext.accumulator(0)
@@ -293,8 +297,6 @@ def build_knowledge_graph(
             # silently dropping previously-merged alias families.  (On
             # HDFS/S3 the same check is FileSystem.exists / a caught
             # PATH_NOT_FOUND AnalysisException.)
-            if alias_strategy not in ("reelect", "incremental"):
-                raise ValueError(f"unknown alias_strategy {alias_strategy!r}")
             if alias_strategy == "incremental" and os.path.exists(aliases_path):
                 # O(delta): assign only the new surfaces against the stored
                 # table and APPEND them — the on-disk table already holds the

@@ -307,3 +307,43 @@ def test_skipgram_pairs_window(spark):
         for r in skipgram_pairs(walks2, window=2).collect()
     }
     assert got2[("a", "b")] == 2 and got2[("a", "a")] == 2
+
+
+def test_bigram_lm_handles_empty_and_short_docs(spark):
+    from aiwhispr_spark.operators.textstats import bigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [("a", "alpha beta alpha beta"), ("b", ""), ("c", "   "), ("d", "solo")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_logp_i"])
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    # zero-token and one-token docs score (0, 0) instead of crashing the job
+    assert got["b"] == (0, 0) and got["c"] == (0, 0) and got["d"] == (0, 0)
+    assert got["a"][0] == 3 and got["a"][1] < 0
+
+
+def test_bpe_train_scrubs_control_chars(spark):
+    from aiwhispr_spark.operators.textstats import bpe_train
+
+    # \x1f is NOT Java-regex whitespace: unscrubbed it would survive as a
+    # token char and corrupt the pair-key encoding (driver unpack crash)
+    docs = spark.createDataFrame(
+        [("ab\x1fab ab\x1eab abab abab",)], "text string"
+    )
+    got = [
+        (r["x"], r["y"], r["merged"]) for r in bpe_train(docs, n_merges=1).collect()
+    ]
+    assert got == [("a", "b", "ab")]
+
+
+def test_passage_windows_rejects_gapped_stride(spark):
+    import pytest
+
+    from aiwhispr_spark.operators.packing import passage_windows
+
+    docs = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="stride"):
+        passage_windows(docs, window=4, stride=5)
