@@ -885,6 +885,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- queries --------------------------------------------------------------------------
 
 
+def _winnow_sql(k: int = 8, w: int = 4) -> str:
+    """DuckDB twin of operators/fingerprint.py::winnow_fingerprints: the same
+    normalize -> 60-bit md5-prefix k-gram hashes -> per-window min with
+    RIGHTMOST tie-break, yielding CTE ``fps(doc_id, fp, pos)``.  Validated
+    against an independent python reference implementation of the paper."""
+    return f"""
+        s AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+              FROM documents),
+        g AS (SELECT doc_id, t, length(t) - {k - 1} AS n FROM s),
+        h AS (
+          SELECT doc_id, n,
+                 list_transform(generate_series(1, n),
+                    i -> ('0x' || substr(md5(substr(t, i, {k})), 1, 15))::BIGINT) AS hs
+          FROM g WHERE n - {w - 1} >= 1
+        ),
+        w AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, n - {w - 1}), j ->
+                   struct_pack(fp := list_min(hs[j:j+{w - 1}]),
+                               pos := list_max(list_transform(generate_series(j, j+{w - 1}),
+                                      p -> CASE WHEN hs[p] = list_min(hs[j:j+{w - 1}])
+                                           THEN p END))))) AS sel
+          FROM h
+        ),
+        fps AS (SELECT DISTINCT doc_id, sel.fp AS fp, CAST(sel.pos AS INT) AS pos FROM w)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -3380,6 +3408,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bigram_lm_scores"] = bigram_lm_scores
 
+    def winnow_summary(spark, sf):
+        # Winnowing fingerprints (operators/fingerprint.py — MOSS, SIGMOD'03):
+        # passage-level local fingerprinting, the dedup rung between exact
+        # (whole-doc hash) and MinHash (whole-doc set similarity).  Pure JVM
+        # expression chain (bound() lambda-materialized, no HOF re-eval),
+        # zero shuffle before the per-doc aggregate.  Gate = per-doc count +
+        # md5 of the sorted fp:pos set, so one selection-rule divergence
+        # (e.g. leftmost instead of rightmost tie-break) flips the hash.
+        from aiwhispr_spark.operators.fingerprint import (
+            fingerprint_summary,
+            winnow_fingerprints,
+        )
+
+        fps = winnow_fingerprints(_t(spark, sf, "documents"), k=8, w=4)
+        return fingerprint_summary(fps)
+
+    q["winnow_fingerprint_summary"] = winnow_summary
+
+    def winnow_pairs(spark, sf):
+        # Shared-fingerprint pair mining with the boilerplate cut (max_df):
+        # the 100 TB path — (doc_id, fp) rows grouped by fingerprint, hot
+        # fingerprints dropped BEFORE the self-join so one viral boilerplate
+        # string can't quadratically explode a reducer.  The df<=50 cut and
+        # shared>=20 floor are both replicated in the oracle.
+        from aiwhispr_spark.operators.fingerprint import (
+            shared_fingerprint_pairs,
+            winnow_fingerprints,
+        )
+
+        fps = winnow_fingerprints(_t(spark, sf, "documents"), k=8, w=4)
+        return shared_fingerprint_pairs(fps, min_shared=20, max_df=50).select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            "shared",
+        )
+
+    q["winnow_shared_pairs"] = winnow_pairs
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
@@ -3392,6 +3458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5",
         "minhash_groups_md5",
         "dedup_apply_keepers",
+        "winnow_fingerprint_summary",
+        "winnow_shared_pairs",
         "simhash_fingerprint",
         "simhash_near_dup_pairs",
         "cc_label_propagation",
@@ -5489,6 +5557,30 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY score_i DESC NULLS LAST, id) AS rk FROM withg
         ) WHERE rk = 1)
         SELECT w.id, k.keep_id, w.score_i FROM withg w JOIN keep k ON k.grp = w.grp
+    """
+    )
+    o["winnow_fingerprint_summary"] = (
+        "WITH "
+        + _winnow_sql(k=8, w=4)
+        + """,
+        keyed AS (SELECT doc_id,
+                         lpad(CAST(fp AS VARCHAR), 19, '0') || ':' ||
+                         lpad(CAST(pos AS VARCHAR), 6, '0') AS kk
+                  FROM fps)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+               md5(string_agg(kk, ',' ORDER BY kk)) AS fp_md5
+        FROM keyed GROUP BY doc_id
+    """
+    )
+    o["winnow_shared_pairs"] = (
+        "WITH "
+        + _winnow_sql(k=8, w=4)
+        + """,
+        d AS (SELECT DISTINCT doc_id AS id, fp FROM fps),
+        rare AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 50)
+        SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        FROM d a JOIN rare r ON r.fp = a.fp JOIN d b ON b.fp = a.fp AND a.id < b.id
+        GROUP BY a.id, b.id HAVING count(*) >= 20
     """
     )
     return o
