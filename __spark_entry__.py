@@ -913,6 +913,30 @@ def _winnow_sql(k: int = 8, w: int = 4) -> str:
     """
 
 
+def _kept_tokens_sql() -> str:
+    """DuckDB twin of operators/keywords.py::kept_tokens_expr — content-word
+    token list per document ([a-z]{3,}, non-stopword)."""
+    return (
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        "x -> regexp_matches(x, '^[a-z]{3,}$') "
+        f"AND NOT list_contains({_stop_array_sql('en')}, x))"
+    )
+
+
+def _cooc_edges_sql() -> str:
+    """DuckDB twin of keywords.py::cooccurrence_edges: consecutive
+    content-word pairs, a<>b, both directions (dedup is _pagerank_sql's)."""
+    return f"""
+        WITH tk AS (SELECT {_kept_tokens_sql()} AS t FROM documents),
+        pr AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                     i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+               FROM tk WHERE len(t) >= 2)
+        SELECT p.a AS src, p.b AS dst FROM pr WHERE p.a <> p.b
+        UNION ALL
+        SELECT p.b AS src, p.a AS dst FROM pr WHERE p.a <> p.b
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -3446,6 +3470,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winnow_shared_pairs"] = winnow_pairs
 
+    def cms_hitters(spark, sf):
+        # Count-min sketch heavy hitters (operators/sketches.py): fixed
+        # 4x256-counter state, md5-seeded buckets, so the WHOLE sketch is
+        # deterministic and the oracle rebuilds it exactly — counters,
+        # estimates, and the one-sided overcount (over_l = est - true >= 0).
+        # Fan-out multiplies distinct tokens (pre-counted), not the stream;
+        # the estimate join broadcasts the 1 KiB counter table.
+        from aiwhispr_spark.operators.sketches import cms_heavy_hitters
+
+        toks = (
+            _t(spark, sf, "documents")
+            .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+            .filter(F.col("tok") != "")
+        )
+        return cms_heavy_hitters(toks, depth=4, width=256, k=20)
+
+    q["cms_heavy_hitters"] = cms_hitters
+
+    def textrank_kw(spark, sf):
+        # TextRank keywords (operators/keywords.py): PageRank over the
+        # content-word co-occurrence graph — vocabulary induction for the KG.
+        # Edge construction is distinct-deduped BEFORE the iteration, so the
+        # recurrence runs over vocabulary edges, not corpus tokens; the
+        # oracle re-derives edges in SQL and reuses the unrolled
+        # _pagerank_sql recurrence (same double-math association order).
+        from aiwhispr_spark.operators.keywords import textrank_keywords
+
+        return textrank_keywords(_t(spark, sf, "documents"), k=20, iterations=5)
+
+    q["textrank_keywords"] = textrank_kw
+
+    def pmi_colloc(spark, sf):
+        # PMI collocations (operators/keywords.py): multi-word surface-form
+        # mining.  ONE ln over one double division of exact BIGINT products
+        # (cab*N*N / (B*ca*cb)) — the LM-scorer integer-first discipline —
+        # so the 1e4-scaled score hashes identically in DuckDB.
+        from aiwhispr_spark.operators.keywords import pmi_collocations
+
+        return pmi_collocations(_t(spark, sf, "documents"), min_count=5, k=20)
+
+    q["pmi_collocations"] = pmi_colloc
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
@@ -3460,6 +3526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply_keepers",
         "winnow_fingerprint_summary",
         "winnow_shared_pairs",
+        "cms_heavy_hitters",
+        "textrank_keywords",
+        "pmi_collocations",
         "simhash_fingerprint",
         "simhash_near_dup_pairs",
         "cc_label_propagation",
@@ -5572,6 +5641,60 @@ def oracle_sql() -> dict[str, str]:
         FROM keyed GROUP BY doc_id
     """
     )
+    o["cms_heavy_hitters"] = """
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+          FROM documents
+        ),
+        cnts AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok),
+        fan AS (SELECT tok, cnt, unnest([0, 1, 2, 3]) AS r FROM cnts),
+        counters AS (
+          SELECT r,
+                 ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 256
+                   AS bucket,
+                 CAST(sum(cnt) AS BIGINT) AS c
+          FROM fan GROUP BY 1, 2
+        ),
+        est AS (
+          SELECT f.tok, min(k.c) AS est
+          FROM fan f JOIN counters k
+            ON k.r = f.r
+           AND k.bucket = ('0x' || substr(md5(CAST(f.r AS VARCHAR) || ':' || f.tok), 1, 8))::BIGINT % 256
+          GROUP BY f.tok
+        )
+        SELECT e.tok, CAST(e.est AS BIGINT) AS est_l,
+               CAST(c.cnt AS BIGINT) AS true_l,
+               CAST(e.est - c.cnt AS BIGINT) AS over_l
+        FROM est e JOIN cnts c ON c.tok = e.tok
+        ORDER BY est_l DESC, e.tok LIMIT 20
+    """
+    o["textrank_keywords"] = f"""
+        SELECT node AS word, pr_i
+        FROM ({_pagerank_sql(iterations=5, damping=0.85, edges_sql=_cooc_edges_sql())})
+        ORDER BY pr_i DESC, word LIMIT 20
+    """
+    o["pmi_collocations"] = f"""
+        WITH tk AS (SELECT {_kept_tokens_sql()} AS t FROM documents),
+        uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
+        nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        pairs AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                       i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+                  FROM tk WHERE len(t) >= 2),
+        big AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS cab
+                FROM pairs GROUP BY 1, 2),
+        bt AS (SELECT CAST(sum(cab) AS BIGINT) AS bt FROM big)
+        SELECT g.a || ' ' || g.b AS bigram,
+               g.cab AS pair_l,
+               CAST(round(10000 * ln(
+                 CAST(g.cab * nt.n * nt.n AS DOUBLE)
+                 / CAST(bt.bt * ua.c * ub.c AS DOUBLE))) AS BIGINT) AS pmi_i
+        FROM big g
+        JOIN uni ua ON ua.tok = g.a
+        JOIN uni ub ON ub.tok = g.b, nt, bt
+        WHERE g.cab >= 5
+        ORDER BY pmi_i DESC, bigram LIMIT 20
+    """
     o["winnow_shared_pairs"] = (
         "WITH "
         + _winnow_sql(k=8, w=4)

@@ -1,0 +1,135 @@
+"""Corpus keyword/collocation mining: TextRank (Mihalcea/Tarau '04 —
+PageRank over the word co-occurrence graph) and PMI collocations
+(Church/Hanks '90).  Both feed KG vocabulary induction: TextRank surfaces
+salient relation/entity words, PMI surfaces multi-word surface forms worth
+adding to the gazetteer.
+
+Scale design: token filtering and adjacency-pair construction are pure
+per-row JVM array expressions (bound()-materialized, no HOF re-eval); the
+co-occurrence edge list is distinct-deduped BEFORE PageRank so the iteration
+cost is O(vocabulary edges), not O(corpus).  PageRank itself reuses
+operators/graph.py::pagerank (per-iteration localCheckpoint, right-sized
+partitions).  PMI counts shuffle (token, cnt) / (bigram, cnt) pairs only —
+never document text — and the scalar totals (N, B) ride along as literal
+aggregates, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import bound
+from .textstats import LANG_STOPWORDS
+
+
+def kept_tokens_expr(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Lowercased whitespace tokens filtered to content words: pure [a-z],
+    length >= 3, not a stopword — the standard TextRank/PMI candidate cut."""
+    stops = F.array(*[F.lit(w) for w in (stopwords or LANG_STOPWORDS["en"])])
+
+    def keep(x: Column) -> Column:
+        return x.rlike("^[a-z]{3,}$") & ~F.array_contains(stops, x)
+
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), keep)
+
+
+def _adjacent_pairs(tokens: Column) -> Column:
+    """struct<a,b> array of consecutive token pairs (the window-2
+    co-occurrence of the TextRank paper), NULL when fewer than 2 tokens."""
+
+    def pairs_from(t: Column) -> Column:
+        def pair_at(i: Column) -> Column:
+            return F.struct(
+                F.element_at(t, i).alias("a"), F.element_at(t, i + 1).alias("b")
+            )
+
+        # guard: sequence(1, n-1) would run DESCENDING for n < 2
+        return F.when(
+            F.size(t) >= 2, F.transform(F.sequence(F.lit(1), F.size(t) - 1), pair_at)
+        )
+
+    return bound(tokens, pairs_from)
+
+
+def cooccurrence_edges(
+    df: DataFrame, text_col: str = "text", stopwords: list[str] | None = None
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges (emitted in both directions)
+    between consecutive content words."""
+    pairs = df.select(
+        F.explode(_adjacent_pairs(kept_tokens_expr(F.col(text_col), stopwords))).alias("p")
+    ).filter(F.col("p.a") != F.col("p.b"))
+    fwd = pairs.select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    rev = pairs.select(F.col("p.b").alias("src"), F.col("p.a").alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    iterations: int = 5,
+    damping: float = 0.85,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Top-k corpus keywords by PageRank over the co-occurrence graph,
+    integer-scaled (pr_i = round(1e6 * pr)), ties broken on the word."""
+    from .graph import pagerank
+
+    edges = cooccurrence_edges(df, text_col, stopwords)
+    pr = pagerank(edges, damping=damping, iterations=iterations, num_partitions=8)
+    out = pr.select(
+        F.col("node").alias("word"),
+        F.round(F.col("pr") * 1000000).cast("long").alias("pr_i"),
+    )
+    return out.orderBy(F.desc("pr_i"), "word").limit(k)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Top-k adjacent-pair collocations by pointwise mutual information.
+
+    PMI = ln(p(ab) / (p(a)p(b))) with p(ab) = c_ab/B, p(a) = c_a/N, computed
+    as ONE ln over one double division of exact BIGINT products — the same
+    integer-first discipline as the LM scorers, so DuckDB reproduces the
+    rounding exactly.  Unigram counts are taken over the same filtered token
+    stream the bigrams come from."""
+    toks = df.select(
+        F.explode(kept_tokens_expr(F.col(text_col), stopwords)).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_total = uni.agg(F.sum("c").cast("long").alias("n")).select("n")
+
+    pairs = df.select(
+        F.explode(_adjacent_pairs(kept_tokens_expr(F.col(text_col), stopwords))).alias("p")
+    )
+    big = (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+    )
+    b_total = big.agg(F.sum("cab").cast("long").alias("bt")).select("bt")
+
+    scored = (
+        big.filter(F.col("cab") >= min_count)
+        .join(uni.select(F.col("tok").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(b_total))
+    )
+    num = F.col("cab") * F.col("n") * F.col("n")
+    den = F.col("bt") * F.col("ca") * F.col("cb")
+    pmi_i = F.round(F.lit(10000) * F.log(num.cast("double") / den.cast("double"))).cast(
+        "long"
+    )
+    out = scored.select(
+        F.concat_ws(" ", "a", "b").alias("bigram"),
+        F.col("cab").alias("pair_l"),
+        pmi_i.alias("pmi_i"),
+    )
+    return out.orderBy(F.desc("pmi_i"), "bigram").limit(k)

@@ -1,0 +1,98 @@
+"""Count-min sketch (Cormode/Muthukrishnan '05) token-frequency estimation —
+the fixed-memory rung of the sketch family next to HLL distinct counts
+(hll_distinct_tokens) and the t-digest percentile twin
+(chars_percentiles_approx).
+
+Scale design: the sketch state is depth x width counters (4 x 256 = 1 KiB of
+longs here; a production 4 x 2^20 is still ~32 MiB) regardless of input
+size, built with one map-side-combinable aggregation.  Token occurrences are
+pre-counted per token BEFORE fanning out over the depth rows, so the shuffle
+carries (token, cnt) once, not depth copies of the raw stream.  Estimates
+broadcast the counter table (it is tiny by construction) against any
+candidate set — no second pass over the corpus.
+
+Determinism: bucket hashes are md5-prefix ints (('0x'||substr(md5,1,8)) in
+DuckDB ≡ conv(substring(md5,1,8),16,10) in Spark), so the whole sketch —
+counters AND estimates — is exactly reproducible in SQL and hash-gateable,
+unlike the opaque datasketches binaries.  CMS guarantees est >= true; the
+gate emits over_i = est - true so a negative value (impossible unless the
+hash families diverge) or a changed collision pattern flips the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(row: Column, tok: Column, width: int) -> Column:
+    """Row-seeded bucket: 32-bit md5-prefix of 'r:token' mod width."""
+    h = F.conv(F.substring(F.md5(F.concat(row.cast("string"), F.lit(":"), tok)), 1, 8), 16, 10)
+    return (h.cast("long") % width).cast("int")
+
+
+def cms_counters(
+    tokens: DataFrame, token_col: str = "tok", depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build the sketch: (r, bucket, c) counter rows from a token stream.
+
+    Occurrences are pre-aggregated per token, then fanned out over the depth
+    rows — the fan-out multiplies DISTINCT tokens, not the stream.
+    """
+    cnts = tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("cnt"))
+    rows = cnts.select(
+        F.col(token_col),
+        "cnt",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    return (
+        rows.groupBy("r", _bucket(F.col("r"), F.col(token_col), width).alias("bucket"))
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    candidates: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for each candidate token: min over depth rows.
+
+    The counter table is broadcast (fixed size by construction); the join is
+    therefore shuffle-free on the candidate side.
+    """
+    rows = candidates.select(token_col).distinct().select(
+        F.col(token_col),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    rows = rows.withColumn("bucket", _bucket(F.col("r"), F.col(token_col), width))
+    return (
+        rows.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy(token_col)
+        .agg(F.min("c").cast("long").alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    tokens: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 256,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k tokens by CMS estimate, with the true count and the overcount
+    (est - true >= 0 always, by the CMS one-sided error guarantee).
+
+    Ties break on the token string so the top-k cut is deterministic."""
+    counters = cms_counters(tokens, token_col, depth, width)
+    true_cnt = tokens.groupBy(token_col).agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    est = cms_estimate(counters, true_cnt, token_col, depth, width)
+    out = est.join(true_cnt, token_col).select(
+        token_col,
+        F.col("est").alias("est_l"),
+        F.col("true_cnt").alias("true_l"),
+        (F.col("est") - F.col("true_cnt")).cast("long").alias("over_l"),
+    )
+    return out.orderBy(F.desc("est_l"), token_col).limit(k)
