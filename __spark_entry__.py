@@ -913,6 +913,26 @@ def _winnow_sql(k: int = 8, w: int = 4) -> str:
     """
 
 
+# controlled vocabulary for the gazetteer tagger — bigram surfaces overlap
+# the unigram ones on purpose ('hash' inside 'table hash', 'customer' inside
+# 'customer join') so the longest-match coverage cut is load-bearing
+_GAZETTEER = [
+    ("table hash", "STRUCT"),
+    ("merge group", "OP"),
+    ("customer join", "OP"),
+    ("big order", "BIZ"),
+    ("hash", "ALGO"),
+    ("spark", "SYS"),
+    ("customer", "BIZ"),
+    ("vector", "DS"),
+    ("order", "BIZ"),
+]
+
+
+def _gazetteer_values_sql() -> str:
+    return ", ".join(f"('{s}', '{t}')" for s, t in _GAZETTEER)
+
+
 def _kept_tokens_sql() -> str:
     """DuckDB twin of operators/keywords.py::kept_tokens_expr — content-word
     token list per document ([a-z]{3,}, non-stopword)."""
@@ -3512,6 +3532,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pmi_collocations"] = pmi_colloc
 
+    def gazetteer_tags(spark, sf):
+        # Dictionary (gazetteer) entity tagging (operators/gazetteer.py):
+        # lexicon-driven NER with LONGEST-MATCH-WINS — a bigram match
+        # consumes both token positions so the inner unigram ('hash' inside
+        # 'table hash') must NOT also fire; the coverage anti-join is the
+        # gate's point.  Gazetteer broadcast both ways; the coverage cut is
+        # a co-partitioned shuffle anti-join (data-sized, never broadcast).
+        from aiwhispr_spark.operators.gazetteer import (
+            gazetteer_doc_summary,
+            tag_gazetteer,
+        )
+
+        gaz = spark.createDataFrame(_GAZETTEER, "surface string, etype string")
+        m = tag_gazetteer(_t(spark, sf, "documents"), gaz)
+        return gazetteer_doc_summary(m)
+
+    q["gazetteer_entity_tags"] = gazetteer_tags
+
+    def extractive_sum(spark, sf):
+        # Extractive passage summarization (operators/summarize.py, Luhn
+        # family): top-2 ten-token passages per doc by mean content-word tf,
+        # earlier-passage tie-break.  Every shuffle keys on doc_id (tf,
+        # score, final window) — no global sort, survives 100x scale-up.
+        from aiwhispr_spark.operators.summarize import extractive_summary
+
+        return extractive_summary(_t(spark, sf, "documents"), size=10, top=2)
+
+    q["extractive_summary_top2"] = extractive_sum
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
@@ -3529,6 +3578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters",
         "textrank_keywords",
         "pmi_collocations",
+        "gazetteer_entity_tags",
+        "extractive_summary_top2",
         "simhash_fingerprint",
         "simhash_near_dup_pairs",
         "cc_label_propagation",
@@ -5667,6 +5718,69 @@ def oracle_sql() -> dict[str, str]:
                CAST(e.est - c.cnt AS BIGINT) AS over_l
         FROM est e JOIN cnts c ON c.tok = e.tok
         ORDER BY est_l DESC, e.tok LIMIT 20
+    """
+    o["gazetteer_entity_tags"] = f"""
+        WITH gaz(surface, etype) AS (VALUES {_gazetteer_values_sql()}),
+        g AS (SELECT surface, etype, len(string_split(surface, ' ')) AS nw FROM gaz),
+        tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+               FROM documents WHERE length(trim(text)) > 0),
+        toks AS (SELECT doc_id,
+                        unnest(list_transform(generate_series(1, len(t)),
+                               i -> struct_pack(pos := i, tok := t[i]))) AS s
+                 FROM tk),
+        bigs AS (SELECT doc_id,
+                        unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> struct_pack(pos := i, bg := t[i] || ' ' || t[i + 1]))) AS s
+                 FROM tk WHERE len(t) >= 2),
+        big_hits AS (
+          SELECT b.doc_id, CAST(b.s.pos AS INT) AS pos, g.surface, g.etype
+          FROM bigs b JOIN g ON g.nw = 2 AND g.surface = b.s.bg),
+        covered AS (
+          SELECT DISTINCT doc_id, unnest([pos, pos + 1]) AS pos FROM big_hits),
+        uni_hits AS (
+          SELECT u.doc_id, CAST(u.s.pos AS INT) AS pos, g.surface, g.etype
+          FROM toks u JOIN g ON g.nw = 1 AND g.surface = u.s.tok),
+        kept_uni AS (
+          SELECT u.* FROM uni_hits u
+          WHERE NOT EXISTS (SELECT 1 FROM covered c
+                            WHERE c.doc_id = u.doc_id AND c.pos = u.pos)),
+        allm AS (SELECT * FROM big_hits UNION ALL SELECT * FROM kept_uni)
+        SELECT doc_id, surface, etype,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(min(pos) AS INT) AS first_pos
+        FROM allm GROUP BY doc_id, surface, etype
+    """
+    o["extractive_summary_top2"] = f"""
+        WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                    FROM documents WHERE length(trim(text)) > 0),
+        ch AS (SELECT doc_id,
+                      unnest(list_transform(
+                        generate_series(1, CAST(ceil(len(t) / 10.0) AS INT)),
+                        i -> struct_pack(idx := i,
+                                         words := t[(i - 1) * 10 + 1 : (i - 1) * 10 + 10]))) AS c
+               FROM tk),
+        chunks AS (SELECT doc_id, CAST(c.idx AS INT) AS chunk_idx, c.words AS words FROM ch),
+        words AS (SELECT doc_id, chunk_idx, unnest(words) AS w FROM chunks),
+        content AS (SELECT * FROM words
+                    WHERE regexp_matches(w, '^[a-z]{{3,}}$')
+                      AND NOT list_contains({_stop_array_sql("en")}, w)),
+        tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+               FROM content GROUP BY 1, 2),
+        num AS (SELECT c.doc_id, c.chunk_idx, CAST(sum(t.tf) AS BIGINT) AS num
+                FROM content c JOIN tf t ON t.doc_id = c.doc_id AND t.w = c.w
+                GROUP BY 1, 2),
+        base AS (SELECT doc_id, chunk_idx, CAST(len(words) AS INT) AS n_tok,
+                        md5(array_to_string(words, ' ')) AS passage_md5
+                 FROM chunks),
+        scored AS (SELECT b.doc_id, b.chunk_idx,
+                          CAST(round(10000 * coalesce(n.num, 0)::DOUBLE / b.n_tok) AS BIGINT)
+                            AS score_i,
+                          b.n_tok, b.passage_md5
+                   FROM base b LEFT JOIN num n USING (doc_id, chunk_idx))
+        SELECT doc_id, chunk_idx, score_i, n_tok, passage_md5
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score_i DESC, chunk_idx) AS rk FROM scored)
+        WHERE rk <= 2
     """
     o["textrank_keywords"] = f"""
         SELECT node AS word, pr_i
