@@ -322,6 +322,18 @@ def _ensure_jsonl_corpus() -> str:
     return write_jsonl_fixture(path)
 
 
+def _ensure_csv_corpus() -> str:
+    """Materialize the CSV fixture (idempotent, same discipline as
+    _ensure_jsonl_corpus)."""
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.csvsrc import write_csv_fixture
+
+    path = os.path.join(tempfile.gettempdir(), "aiwhispr_csv_300.csv")
+    return write_csv_fixture(path)
+
+
 def _ensure_robots_corpus() -> str:
     """Materialize the robots.txt compliance fixture (idempotent)."""
     import os
@@ -931,6 +943,33 @@ _GAZETTEER = [
 
 def _gazetteer_values_sql() -> str:
     return ", ".join(f"('{s}', '{t}')" for s, t in _GAZETTEER)
+
+
+def _bellman_sql(iterations: int, edges_sql: str) -> str:
+    """DuckDB twin of operators/graph.py::bounded_shortest_paths: the same
+    synchronous Bellman-Ford relaxation UNROLLED (one carry-over + relax +
+    min-agg CTE per round), md5-derived integer weights, seed = min node."""
+    parts = [
+        "WITH edges AS MATERIALIZED (",
+        "  SELECT src, dst, min(w) AS w FROM (",
+        "    SELECT src, dst,",
+        "           1 + ('0x' || substr(md5(src || '>' || dst), 1, 2))::BIGINT % 5 AS w",
+        f"    FROM ({edges_sql})) GROUP BY src, dst),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "seed AS MATERIALIZED (SELECT src AS s FROM edges GROUP BY src"
+    " ORDER BY count(*) DESC, src LIMIT 1),",
+        "d0 AS (SELECT (SELECT s FROM seed) AS node, CAST(0 AS BIGINT) AS cost),",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"d{k - 1}"
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT node, min(cost) AS cost FROM ("
+            f" SELECT node, cost FROM {p}"
+            f" UNION ALL SELECT e.dst, d.cost + e.w FROM {p} d"
+            f" JOIN edges e ON e.src = d.node) GROUP BY node),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT node, CAST(cost AS BIGINT) AS cost_l FROM d{iterations}"
 
 
 def _kept_tokens_sql() -> str:
@@ -3561,6 +3600,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extractive_summary_top2"] = extractive_sum
 
+    def host_shortest_paths(spark, sf):
+        # Bounded weighted shortest paths (graph.py::bounded_shortest_paths,
+        # Bellman-Ford 6 synchronous rounds) from the lexicographically
+        # smallest host over the link graph, with deterministic md5-derived
+        # integer weights (1..5) so min-agg is exact in both engines.  The
+        # seed (the max-out-degree host, name tie-break — a sink seed would
+        # make the gate vacuous) is a bounded 1-row collect: it IS the query
+        # parameter in real use.  Oracle unrolls the same relaxation.
+        from aiwhispr_spark.operators.graph import bounded_shortest_paths
+        from aiwhispr_spark.operators.linkgraph import extract_links, host_edges
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        e = host_edges(extract_links(docs)).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        w = (
+            F.conv(F.substring(F.md5(F.concat("src", F.lit(">"), "dst")), 1, 2), 16, 10)
+            .cast("long")
+            % 5
+            + 1
+        )
+        ew = e.withColumn("w", w)
+        src0 = (
+            ew.groupBy("src", "dst")
+            .agg(F.min("w"))  # match the oracle: degree over DEDUPED edges
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("outd"))
+            .orderBy(F.desc("outd"), "src")
+            .first()["src"]
+        )
+        out = bounded_shortest_paths(ew, src0, iterations=6)
+        return out.select("node", F.col("cost").alias("cost_l"))
+
+    q["host_shortest_paths_6"] = host_shortest_paths
+
+    def csv_roundtrip(spark, sf):
+        # CSV source (sources/csvsrc.py): explicit-schema RFC 4180 read —
+        # embedded commas, doubled quotes, a newline inside a quoted field
+        # (multiLine; NON-SPLITTABLE, flagged in the module docstring), one
+        # bad-BIGINT row that must land in _corrupt_record and be skipped
+        # here, never kill the job.  The jsonl_roundtrip twin for CSV.
+        from aiwhispr_spark.sources.csvsrc import read_csv
+
+        df = read_csv(spark, _ensure_csv_corpus())
+        good = df.where(
+            F.col("_corrupt_record").isNull() & F.col("doc_id").isNotNull()
+        )
+        return good.select(
+            "doc_id",
+            "lang",
+            F.length("text").cast("long").alias("n_chars"),
+            F.md5("text").alias("text_md5"),
+        )
+
+    q["csv_roundtrip"] = csv_roundtrip
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
@@ -3580,6 +3675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations",
         "gazetteer_entity_tags",
         "extractive_summary_top2",
+        "host_shortest_paths_6",
+        "csv_roundtrip",
         "simhash_fingerprint",
         "simhash_near_dup_pairs",
         "cc_label_propagation",
@@ -4182,6 +4279,17 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     """
     o["host_random_walks"] = _walks_sql(4, _host_edges_sql())
+    _csv_path = _ensure_csv_corpus()
+    o["csv_roundtrip"] = f"""
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(text) AS text_md5
+        FROM read_csv('{_csv_path}', header = true,
+                      columns = {{'doc_id': 'BIGINT', 'lang': 'VARCHAR',
+                                  'text': 'VARCHAR'}},
+                      ignore_errors = true)
+        WHERE doc_id IS NOT NULL
+    """
     _jsonl_path = _ensure_jsonl_corpus()
     o["jsonl_roundtrip"] = f"""
         SELECT doc_id, lang,
@@ -5782,6 +5890,7 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY score_i DESC, chunk_idx) AS rk FROM scored)
         WHERE rk <= 2
     """
+    o["host_shortest_paths_6"] = _bellman_sql(iterations=6, edges_sql=_host_edges_sql())
     o["textrank_keywords"] = f"""
         SELECT node AS word, pr_i
         FROM ({_pagerank_sql(iterations=5, damping=0.85, edges_sql=_cooc_edges_sql())})

@@ -378,3 +378,56 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def bounded_shortest_paths(
+    edges: DataFrame,
+    source,
+    iterations: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """(node, cost) — minimum path cost from ``source`` reachable within
+    ``iterations`` hops: synchronous Bellman-Ford relaxation.
+
+    Spark-first iterative shape (same discipline as pagerank/hits above):
+    edges deduped to min weight per (src, dst), repartitioned by src and
+    persisted once; each round is one relax join + one min-agg, and the
+    frontier frame is localCheckpoint-ed because it is referenced twice per
+    round (carry-over + relaxation) — lineage would double per iteration
+    otherwise.  Weights are INTEGER (exact min-agg, no float ordering
+    ambiguity); nodes beyond the hop bound simply don't appear, which is the
+    semantics a 100 TB graph needs anyway (unbounded closure is the
+    transitive_closure operator's job).
+    """
+    spark = edges.sparkSession
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition(n_part, "src")
+        .persist()
+    )
+    dist = spark.range(1).select(
+        F.lit(source).alias("node"), F.lit(0).cast("long").alias("cost")
+    )
+    for _ in range(iterations):
+        relaxed = (
+            dist.withColumnRenamed("node", "src")
+            .join(e, "src")
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").cast("long").alias("cost"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return dist
