@@ -135,6 +135,65 @@ def _ensure_link_corpus() -> str:
     return path
 
 
+def _ensure_structured_corpus() -> str:
+    """Materialize the structured-markup corpus (JSON-LD / meta / infobox)
+    for operators/structured.py (idempotent fixture, same discipline as
+    _ensure_simple_corpus)."""
+    import os
+    import tempfile
+
+    from aiwhispr_spark.sources.synthetic import write_structured_corpus_parquet
+
+    path = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_structured_180.parquet")
+    if not os.path.exists(path):
+        write_structured_corpus_parquet(path, n_docs=180)
+    return path
+
+
+def _structured_facts_sql() -> str:
+    """Shared CTE prefix for the structured-corpus oracles: every closed-form
+    fact of page ``i`` (synthetic.py::make_structured_doc_html) written
+    directly from doc-index arithmetic — independent of the engine's
+    script-block regexes, from_json schema, and meta/table parsing."""
+    path = _ensure_structured_corpus()
+    return f"""
+        WITH ids AS (
+          SELECT CAST(regexp_extract(url, 'item/(\\d+)$', 1) AS BIGINT) AS i
+          FROM read_parquet('{path}')),
+        f AS (
+          SELECT i,
+                 'https://sd' || (i % 8) || '.example.org/item/' || i AS src_url,
+                 i % 37 AS a, (5 * i + 2) % 23 AS b, (3 * i + 1) % 11 AS c,
+                 (9 * i + 4) % 7 AS d, 1970 + i % 30 AS yr,
+                 (7 * i) % 9000 + 10 AS emp,
+                 CASE i % 3 WHEN 0 THEN 'organization'
+                            WHEN 1 THEN 'article' ELSE 'profile' END AS og_type
+          FROM ids),
+        ld AS (
+          SELECT src_url, 'Entity' || a AS subj, 'rdf:type' AS pred,
+                 'organization' AS obj FROM f
+          UNION ALL SELECT src_url, 'Entity' || a, 'schema:url',
+                 'https://entity' || a || '.example.com' FROM f
+          UNION ALL SELECT src_url, 'Entity' || a, 'schema:founder',
+                 'Person' || b FROM f
+          UNION ALL SELECT src_url, 'Entity' || a, 'schema:foundingDate',
+                 yr || '-01-01' FROM f
+          UNION ALL SELECT src_url, 'Entity' || a, 'schema:numberOfEmployees',
+                 CAST(emp AS VARCHAR) FROM f
+          UNION ALL SELECT src_url, 'Person' || b, 'rdf:type', 'person'
+                 FROM f WHERE i % 4 = 3
+          UNION ALL SELECT src_url, 'Person' || b, 'schema:worksFor',
+                 'Entity' || a FROM f WHERE i % 4 = 3),
+        box AS (
+          SELECT src_url, 'Entity' || a AS subj, 'infobox:headquarters' AS pred,
+                 'City' || c AS obj FROM f
+          UNION ALL SELECT src_url, 'Entity' || a, 'infobox:industry',
+                 'Industry' || d FROM f
+          UNION ALL SELECT src_url, 'Entity' || a, 'infobox:founded',
+                 CAST(yr AS VARCHAR) FROM f)
+    """
+
+
 def _linked_links_sql() -> str:
     """CLOSED-FORM expected out-links of the linked corpus: every page's three
     kept targets written directly from doc-index arithmetic (synthetic.py::
@@ -1480,6 +1539,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_entity_types"] = kg_entity_types
 
+    def kg_pred_profile(spark, sf):
+        # Schema/ontology induction (graph_query.py::predicate_profile): the
+        # observed domain/range signature of every predicate — triples joined
+        # twice against the induced (entity, etype) table, one map-side-
+        # combinable aggregate on the ~|preds|·|types|² key space.
+        from aiwhispr_spark.operators.graph_query import predicate_profile
+
+        return predicate_profile(_corpus_triples(spark))
+
+    q["kg_predicate_profile"] = kg_pred_profile
+
     def warc_roundtrip(spark, sf):
         # WARC source (sources/warc.py): the simple corpus sharded into 3
         # per-record-gzipped Common-Crawl-layout WARC files, read back via
@@ -1998,6 +2068,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return transe_scores(triples, dim=16)
 
     q["kg_transe_score"] = transe_score
+
+    def transe_eval_q(spark, sf):
+        # Filtered link-prediction eval (kgscore.py::transe_eval): rank each
+        # positive against its 8 filtered corrupted-object negatives, exact
+        # integer reciprocal-rank sums + Hits@1/3 per predicate.  Same
+        # closed-form triple base as kg_transe_score, so the oracle composes
+        # the negative-sampling SQL with the energy arithmetic end-to-end.
+        from aiwhispr_spark.operators.kgscore import transe_eval
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        triples = d.select(
+            F.concat(F.lit("Entity_"), (F.col("doc_id") % 40).cast("string")).alias(
+                "subj"
+            ),
+            F.element_at(
+                F.array(F.lit("founded"), F.lit("acquired"), F.lit("based_in")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("pred"),
+            F.concat(
+                F.lit("Entity_"), ((F.col("doc_id") * 7 + 1) % 40).cast("string")
+            ).alias("obj"),
+        )
+        return transe_eval(triples, per_triple=8, dim=16)
+
+    q["kg_transe_eval"] = transe_eval_q
 
     def host_walks(spark, sf):
         # Deterministic random walks (graph.py::deterministic_walks): the
@@ -3657,6 +3752,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["csv_roundtrip"] = csv_roundtrip
 
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
+    def jsonld(spark, sf):
+        # schema.org JSON-LD mined into KG triples (operators/structured.py:
+        # JVM regex block pull → from_json → array/struct emission; @graph and
+        # bare-root authoring styles, either quote style, decoy text/javascript
+        # blocks ignored).  Oracle = the CLOSED-FORM expected triples from
+        # doc-index arithmetic — independent of the whole parsing chain.
+        from aiwhispr_spark.operators.structured import jsonld_triples
+
+        return jsonld_triples(spark.read.parquet(_ensure_structured_corpus()))
+
+    q["jsonld_triples"] = jsonld
+
+    def og_cards(spark, sf):
+        # OpenGraph / meta-tag cards: property/name + content in either
+        # attribute order and either quote style; <title> inner text cleaned.
+        from aiwhispr_spark.operators.structured import meta_cards
+
+        return meta_cards(spark.read.parquet(_ensure_structured_corpus()))
+
+    q["meta_og_cards"] = og_cards
+
+    def infobox(spark, sf):
+        # Wiki-style infobox mining: class-scoped table pull (classless decoy
+        # tables skipped), th/td pairs, inner <a> tags stripped, page's
+        # og:title principal entity as subject (carried through the explode —
+        # no self-join).
+        from aiwhispr_spark.operators.structured import infobox_triples
+
+        return infobox_triples(spark.read.parquet(_ensure_structured_corpus()))
+
+    q["infobox_triples"] = infobox
+
+    def structured_stats(spark, sf):
+        # The merged structured-KG view: JSON-LD ∪ infobox triples
+        # (provenance-tagged) → one map-side-combinable per-entity aggregate.
+        # The exchange carries entity-cardinality aggregate rows only.
+        from aiwhispr_spark.operators.structured import structured_entity_stats
+
+        return structured_entity_stats(
+            spark.read.parquet(_ensure_structured_corpus())
+        )
+
+    q["structured_entity_stats"] = structured_stats
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -3665,6 +3804,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         "flagship_semantic_search",
         "kg_triples_synthetic",
+        "jsonld_triples",
+        "infobox_triples",
+        "structured_entity_stats",
+        "meta_og_cards",
         "minhash_pairs_md5",
         "minhash_groups_md5",
         "dedup_apply_keepers",
@@ -3689,6 +3832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_domain_clusters",
         "ntriples_export",
         "kg_negative_samples",
+        "kg_transe_eval",
+        "kg_predicate_profile",
         "kg_link_prediction",
         "kg_lpa_communities",
         "kg_triple_extent",
@@ -4098,8 +4243,9 @@ def oracle_sql() -> dict[str, str]:
         JOIN ee e2 ON e2.a = e1.b
         JOIN ee e3 ON e3.a = e1.a AND e3.b = e2.b
     """
-    o["kg_entity_types"] = f"""
-        WITH t AS ({_kg_e2e_sql()}),
+    # shared typing CTE chain (expects a preceding `t AS (...)` triples CTE):
+    # mirrors graph_query.type_entities' precedence exactly.
+    _types_cte = """
         mentions AS (
           SELECT subj AS entity, FALSE AS pl, FALSE AS pe FROM t
           UNION ALL
@@ -4107,17 +4253,35 @@ def oracle_sql() -> dict[str, str]:
                  pred IN ('founded_by', 'works_for') FROM t
         ),
         flags AS (SELECT entity, max(pl) AS is_place, max(pe) AS is_person_rel
-                  FROM mentions GROUP BY entity)
-        SELECT entity,
-          CASE WHEN is_place THEN 'place'
-               WHEN is_person_rel THEN 'person'
-               WHEN regexp_matches(entity,
-                    '\\b(Corp|Corporation|Inc|Ltd|LLC|GmbH|Co|Company)$')
-                 THEN 'org'
-               WHEN regexp_matches(entity, '^[A-Z][a-z]+ [A-Z][a-z]+$')
-                 THEN 'person'
-               ELSE 'other' END AS etype
-        FROM flags
+                  FROM mentions GROUP BY entity),
+        ty AS (
+          SELECT entity,
+            CASE WHEN is_place THEN 'place'
+                 WHEN is_person_rel THEN 'person'
+                 WHEN regexp_matches(entity,
+                      '\\b(Corp|Corporation|Inc|Ltd|LLC|GmbH|Co|Company)$')
+                   THEN 'org'
+                 WHEN regexp_matches(entity, '^[A-Z][a-z]+ [A-Z][a-z]+$')
+                   THEN 'person'
+                 ELSE 'other' END AS etype
+          FROM flags)
+    """
+    o["kg_entity_types"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        {_types_cte}
+        SELECT entity, etype FROM ty
+    """
+    o["kg_predicate_profile"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        {_types_cte}
+        SELECT pred, ts.etype AS subj_type, tob.etype AS obj_type,
+               CAST(count(*) AS BIGINT) AS n_triples,
+               CAST(count(DISTINCT t.subj) AS BIGINT) AS n_subj,
+               CAST(count(DISTINCT t.obj) AS BIGINT) AS n_obj
+        FROM t
+        JOIN ty ts ON t.subj = ts.entity
+        JOIN ty tob ON t.obj = tob.entity
+        GROUP BY pred, ts.etype, tob.etype
     """
     o["warc_roundtrip_extract"] = f"""
         SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -4209,6 +4373,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(logp_i) AS BIGINT) AS sum_logp_i
         FROM toks JOIN vocab USING (tok) GROUP BY doc_id
     """
+    o["jsonld_triples"] = (
+        _structured_facts_sql() + "SELECT src_url, subj, pred, obj FROM ld"
+    )
+    o["meta_og_cards"] = _structured_facts_sql() + """
+        SELECT src_url AS url,
+               'Entity' || a || ' overview' AS title,
+               'Entity' || a AS og_title,
+               og_type,
+               'Profile of Entity' || a || ' number ' || i || '.' AS description
+        FROM f
+    """
+    o["infobox_triples"] = (
+        _structured_facts_sql() + "SELECT src_url, subj, pred, obj FROM box"
+    )
+    o["structured_entity_stats"] = _structured_facts_sql() + """
+        , u AS (
+          SELECT src_url, subj, 'jsonld' AS src FROM ld
+          UNION ALL SELECT src_url, subj, 'infobox' AS src FROM box)
+        SELECT subj, COUNT(*) AS n_facts,
+               COUNT(DISTINCT src_url) AS n_pages,
+               COUNT(DISTINCT src) AS n_sources
+        FROM u GROUP BY subj
+    """
+
     o["link_extract_canonical"] = _linked_links_sql()
     o["host_graph_edges"] = f"""
         WITH l AS ({_linked_links_sql()}),
@@ -4831,6 +5019,68 @@ def oracle_sql() -> dict[str, str]:
                || '" .' AS line
         FROM h
     """
+    def _e_sql(s: str, p: str, obj: str) -> str:
+        # TransE energy Σ_i |e(s)_i + r(p)_i − e(o)_i| re-derived from the
+        # same md5 integer-thousandths arithmetic as operators/kgscore.py.
+        return (
+            "CAST(list_aggregate(list_transform(range(0, 16), i -> abs("
+            f"((('0x' || substr(md5({s} || ':' || i), 1, 8))::BIGINT % 2001) - 1000)"
+            f" + ((('0x' || substr(md5('rel:' || {p} || ':' || i), 1, 8))::BIGINT"
+            " % 2001) - 1000)"
+            f" - ((('0x' || substr(md5({obj} || ':' || i), 1, 8))::BIGINT % 2001)"
+            " - 1000))), 'sum') AS BIGINT)"
+        )
+
+    _epos = _e_sql("subj", "pred", "obj")
+    _eneg = _e_sql("subj", "pred", "neg_obj")
+    o["kg_transe_eval"] = f"""
+        WITH base AS (
+          SELECT DISTINCT
+                 'Entity_' || (doc_id % 40) AS subj,
+                 CASE doc_id % 3 WHEN 0 THEN 'founded'
+                                 WHEN 1 THEN 'acquired'
+                                 ELSE 'based_in' END AS pred,
+                 'Entity_' || ((doc_id * 7 + 1) % 40) AS obj
+          FROM documents),
+        ents AS (
+          SELECT entity,
+                 CAST(row_number() OVER (ORDER BY entity) - 1 AS BIGINT) AS idx
+          FROM (SELECT DISTINCT subj AS entity FROM base)),
+        n AS (SELECT count(*) AS n_ents FROM ents),
+        cand AS (
+          SELECT b.subj, b.pred, b.obj,
+                 ('0x' || substr(md5(b.subj || '|' || b.pred || '|' || b.obj
+                    || '|' || CAST(i.neg_i AS VARCHAR)), 1, 8))::BIGINT
+                   % n.n_ents AS idx
+          FROM base b
+          CROSS JOIN (SELECT unnest(range(1, 9)) AS neg_i) i
+          CROSS JOIN n),
+        negs AS (
+          SELECT c.subj, c.pred, c.obj, e.entity AS neg_obj
+          FROM cand c JOIN ents e USING (idx)
+          WHERE e.entity <> c.obj
+            AND NOT EXISTS (
+              SELECT 1 FROM base b2
+              WHERE b2.subj = c.subj AND b2.pred = c.pred
+                AND b2.obj = e.entity)),
+        stronger AS (
+          SELECT subj, pred, obj,
+                 SUM(CASE WHEN {_eneg} < {_epos}
+                          OR ({_eneg} = {_epos} AND neg_obj < obj)
+                     THEN 1 ELSE 0 END) AS n_stronger
+          FROM negs GROUP BY subj, pred, obj),
+        ranked AS (
+          SELECT b.pred, 1 + COALESCE(s.n_stronger, 0) AS rnk
+          FROM base b LEFT JOIN stronger s USING (subj, pred, obj))
+        SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+               CAST(SUM(1000000 // rnk) AS BIGINT) AS mrr_sum_i,
+               CAST(SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hits1_n,
+               CAST(SUM(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hits3_n
+        FROM ranked GROUP BY pred
+    """
+
     o["kg_negative_samples"] = f"""
         WITH t AS ({_e3_sql()}),
         base AS (SELECT DISTINCT subj, pred, obj FROM t),

@@ -230,6 +230,47 @@ def type_entities(
     return flags.select("entity", etype.alias("etype"))
 
 
+def predicate_profile(
+    triples: DataFrame,
+    types: DataFrame | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Schema/ontology induction over the triple store:
+    (pred, subj_type, obj_type, n_triples, n_subj, n_obj) — the observed
+    domain/range signature of every predicate, the table a KG curator reads
+    to find extraction noise (a `based_in` edge whose object types as
+    `person` is a wrong triple, not a new ontology fact).
+
+    ``types`` defaults to :func:`type_entities` over the same store; pass a
+    curated (entity, etype) table to profile against a fixed ontology.
+
+    100 TB shape: the type table is entity-cardinality (orders smaller than
+    the triple stream) — broadcast when small, else two hash joins keyed on
+    the uniform entity id; the final aggregate is map-side combinable on a
+    ~|preds|·|types|² key space."""
+    if types is None:
+        types = type_entities(triples, subj_col, pred_col, obj_col)
+    t = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    )
+    st = types.select(F.col("entity").alias("subj"), F.col("etype").alias("subj_type"))
+    ot = types.select(F.col("entity").alias("obj"), F.col("etype").alias("obj_type"))
+    return (
+        t.join(st, "subj")
+        .join(ot, "obj")
+        .groupBy("pred", "subj_type", "obj_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.countDistinct("subj").cast("long").alias("n_subj"),
+            F.countDistinct("obj").cast("long").alias("n_obj"),
+        )
+    )
+
+
 def link_prediction_scores(
     edges: DataFrame,
     src_col: str = "src",

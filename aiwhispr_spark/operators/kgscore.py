@@ -77,6 +77,68 @@ def transe_scores(
     )
 
 
+def transe_eval(
+    triples: DataFrame,
+    per_triple: int = 8,
+    dim: int = 16,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Filtered link-prediction evaluation (the standard TransE protocol,
+    Bordes et al. 2013 §4): for every DISTINCT positive triple, rank its
+    energy against its filtered corrupted-object negatives
+    (:func:`negative_samples`), then aggregate per predicate:
+
+    (pred, n_triples, mrr_sum_i, hits1_n, hits3_n)
+
+    * rank = 1 + #{negatives strictly stronger} — ties broken
+      deterministically by ``neg_obj < obj`` (string order), so the rank is
+      exact and cross-engine reproducible;
+    * mrr_sum_i = Σ (1000000 div rank) — per-triple INTEGER reciprocal
+      (floor), summed as BIGINT: no float accumulation order to diverge;
+    * a positive whose negatives were all filtered away still counts
+      (rank 1 via the left join), keeping n_triples = |distinct triples|.
+
+    100 TB shape: energies are pure JVM expressions (closed-form embedding;
+    trained tables swap in as broadcast joins in embedding_of's contract);
+    one shuffle groups the ≤per_triple negative rows per triple, the
+    per-pred aggregate is map-side combinable on a ~|relations| key space."""
+    base = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    negs = negative_samples(base, per_triple=per_triple)
+    pos_e = transe_energy_expr(F.col("subj"), F.col("pred"), F.col("obj"), dim)
+    neg_e = transe_energy_expr(F.col("subj"), F.col("pred"), F.col("neg_obj"), dim)
+    stronger = (
+        negs.select(
+            "subj",
+            "pred",
+            "obj",
+            (
+                (neg_e < pos_e)
+                | ((neg_e == pos_e) & (F.col("neg_obj") < F.col("obj")))
+            )
+            .cast("long")
+            .alias("s"),
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(F.sum("s").alias("n_stronger"))
+    )
+    ranked = base.join(stronger, ["subj", "pred", "obj"], "left").select(
+        "pred",
+        (F.lit(1) + F.coalesce(F.col("n_stronger"), F.lit(0))).alias("rank"),
+    )
+    return ranked.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.sum(F.expr("1000000 div rank")).cast("long").alias("mrr_sum_i"),
+        F.sum((F.col("rank") <= 1).cast("long")).alias("hits1_n"),
+        F.sum((F.col("rank") <= 3).cast("long")).alias("hits3_n"),
+    )
+
+
 def negative_samples(
     triples: DataFrame,
     per_triple: int = 2,

@@ -1,0 +1,228 @@
+"""Structured-data extraction: JSON-LD script blocks, OpenGraph/meta tags,
+and wiki-style infobox tables mined into KG triples.
+
+The reference mines only unstructured sentence text (SVO patterns over the
+cleaned body — `python/textprocessor` in prasaar/aiwhispr); real web pages
+also carry machine-readable facts the page AUTHOR asserted: schema.org
+JSON-LD (`<script type="application/ld+json">`), OpenGraph meta tags, and
+infobox tables.  Production web KGs are built primarily from this markup,
+so a crawl-scale KG engine needs it as a first-class triple source that
+unions with the SVO path (same (subj, pred, obj) contract,
+provenance-tagged).
+
+Scale shape (100 TB of WARC):
+* every extractor here is ONE narrow projection over the page scan — JVM
+  regex pulls the blocks, `from_json` (Jackson, whole-stage codegen'd)
+  parses them, array/struct expressions emit the triples.  Zero shuffle,
+  zero python stage, fused with the scan by Catalyst;
+* per-page fan-out is bounded (a handful of nodes per JSON-LD block, a
+  handful of infobox rows), so the explode cannot amplify a partition;
+* the downstream union with SVO triples needs no reconciliation shuffle of
+  its own — both sides already share the triple schema and flow into the
+  same canonicalization stage.
+
+Parsing contract (documented subset, mirrored by the unit tests):
+* JSON-LD: `application/ld+json` scripts only (any quote style, extra
+  attributes allowed); a root `@graph` array OR a bare root node; the
+  schema.org fields name/url/founder.name/foundingDate/numberOfEmployees/
+  worksFor; `rdf:type` is the lowercased `@type`.  Malformed JSON parses
+  to NULL and the page simply contributes no triples (from_json PERMISSIVE).
+* meta: property/name and content attributes in either order, either
+  quote style; first match per page wins.
+* infobox: `<table class="...infobox...">` only; each `<tr>` contributes
+  its first `<th>`/`<td>` pair; inner tags strip; whitespace collapses;
+  the page's og:title (principal entity) is the subject when present,
+  else the page url.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+_LD_BLOCK_RE = (
+    r'(?s)<script[^>]*type=["\']application/ld\+json["\'][^>]*>(.*?)</script>'
+)
+
+_NODE_FIELDS = [
+    StructField("@type", StringType()),
+    StructField("name", StringType()),
+    StructField("url", StringType()),
+    StructField("foundingDate", StringType()),
+    StructField("numberOfEmployees", LongType()),
+    StructField("founder", StructType([StructField("name", StringType())])),
+    StructField("worksFor", StringType()),
+]
+_NODE_TYPE = StructType(_NODE_FIELDS)
+_ROOT_TYPE = StructType(_NODE_FIELDS + [StructField("@graph", ArrayType(_NODE_TYPE))])
+
+
+def _meta_content(text: Column, attr: str, key: str) -> Column:
+    """content= of the first meta tag whose ``attr`` equals ``key`` —
+    attribute order and quote style both free ('' when absent)."""
+    fwd = rf'<meta[^>]*{attr}=["\']{key}["\'][^>]*content=["\']([^"\']*)["\']'
+    rev = rf'<meta[^>]*content=["\']([^"\']*)["\'][^>]*{attr}=["\']{key}["\']'
+    a = F.regexp_extract(text, fwd, 1)
+    b = F.regexp_extract(text, rev, 1)
+    return F.when(a != "", a).otherwise(b)
+
+
+def _clean_inner(col: Column) -> Column:
+    """Strip inner tags, collapse whitespace, trim — the visible cell text."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(col, r"<[^>]*>", ""), r"\s+", " ")
+    )
+
+
+def extract_jsonld_blocks(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, block) — one row per application/ld+json script body."""
+    text = F.decode(F.col(html_col), "UTF-8")
+    return docs.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(F.regexp_extract_all(text, F.lit(_LD_BLOCK_RE), F.lit(1))).alias(
+            "block"
+        ),
+    )
+
+
+def jsonld_triples(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, subj, pred, obj) from schema.org JSON-LD blocks.
+
+    @graph arrays and bare root nodes both normalize to a node list before
+    the per-node triple emission, so the two authoring styles are one code
+    path.  All JVM: regex → from_json → array/struct expressions."""
+    blocks = extract_jsonld_blocks(docs, url_col, html_col)
+    parsed = blocks.select(
+        "src_url", F.from_json("block", _ROOT_TYPE).alias("root")
+    )
+    root_node = F.struct(
+        *[F.col("root").getField(f.name).alias(f.name) for f in _NODE_FIELDS]
+    )
+    nodes = parsed.select(
+        "src_url",
+        F.explode(
+            F.when(F.col("root.@graph").isNotNull(), F.col("root.@graph")).otherwise(
+                F.array(root_node)
+            )
+        ).alias("node"),
+    )
+    n = F.col("node")
+    facts = F.array(
+        F.struct(F.lit("rdf:type").alias("pred"), F.lower(n["@type"]).alias("obj")),
+        F.struct(F.lit("schema:url").alias("pred"), n["url"].alias("obj")),
+        F.struct(
+            F.lit("schema:founder").alias("pred"), n["founder"]["name"].alias("obj")
+        ),
+        F.struct(
+            F.lit("schema:foundingDate").alias("pred"), n["foundingDate"].alias("obj")
+        ),
+        F.struct(
+            F.lit("schema:numberOfEmployees").alias("pred"),
+            n["numberOfEmployees"].cast("string").alias("obj"),
+        ),
+        F.struct(F.lit("schema:worksFor").alias("pred"), n["worksFor"].alias("obj")),
+    )
+    return (
+        nodes.select(
+            "src_url",
+            n["name"].alias("subj"),
+            F.explode(facts).alias("fact"),
+        )
+        .select("src_url", "subj", F.col("fact.pred").alias("pred"), F.col("fact.obj").alias("obj"))
+        .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+    )
+
+
+def meta_cards(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, title, og_title, og_type, description) — one card per page
+    (NULL field when the tag is absent).  Pure narrow projection."""
+    text = F.decode(F.col(html_col), "UTF-8")
+    title = _clean_inner(F.regexp_extract(text, r"(?s)<title[^>]*>(.*?)</title>", 1))
+    return docs.select(
+        F.col(url_col).alias("url"),
+        F.when(title != "", title).alias("title"),
+        F.nullif(_meta_content(text, "property", "og:title"), F.lit("")).alias(
+            "og_title"
+        ),
+        F.nullif(_meta_content(text, "property", "og:type"), F.lit("")).alias(
+            "og_type"
+        ),
+        F.nullif(_meta_content(text, "name", "description"), F.lit("")).alias(
+            "description"
+        ),
+    )
+
+
+_INFOBOX_RE = r'(?s)<table[^>]*class=["\'][^"\']*infobox[^"\']*["\'][^>]*>(.*?)</table>'
+_TR_RE = r"(?s)<tr[^>]*>.*?</tr>"
+
+
+def infobox_triples(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, subj, pred, obj) from infobox tables: pred =
+    'infobox:' + lowercased/underscored header, obj = cleaned cell text;
+    subj = the page's og:title principal entity (url fallback) — carried
+    through the explode as a scalar, so NO self-join is needed."""
+    text = F.decode(F.col(html_col), "UTF-8")
+    subj = F.coalesce(
+        F.nullif(_meta_content(text, "property", "og:title"), F.lit("")),
+        F.col(url_col),
+    )
+    tables = docs.select(
+        F.col(url_col).alias("src_url"),
+        subj.alias("subj"),
+        F.explode(F.regexp_extract_all(text, F.lit(_INFOBOX_RE), F.lit(1))).alias(
+            "tbl"
+        ),
+    )
+    rows = tables.select(
+        "src_url",
+        "subj",
+        F.explode(F.regexp_extract_all("tbl", F.lit(_TR_RE), F.lit(0))).alias("tr"),
+    )
+    key = _clean_inner(F.regexp_extract("tr", r"(?s)<th[^>]*>(.*?)</th>", 1))
+    val = _clean_inner(F.regexp_extract("tr", r"(?s)<td[^>]*>(.*?)</td>", 1))
+    return (
+        rows.select(
+            "src_url",
+            "subj",
+            F.concat(
+                F.lit("infobox:"), F.regexp_replace(F.lower(key), r"\s+", "_")
+            ).alias("pred"),
+            val.alias("obj"),
+        )
+        .filter((F.col("pred") != "infobox:") & (F.col("obj") != ""))
+    )
+
+
+def structured_entity_stats(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(subj, n_facts, n_pages, n_sources) — the merged structured-KG view:
+    JSON-LD and infobox triples union (provenance-tagged) into one
+    map-side-combinable aggregate per entity.  The union is two projections
+    of the SAME page scan; the only exchange carries (subj, …) aggregate
+    rows — entity cardinality, not page cardinality."""
+    ld = jsonld_triples(docs, url_col, html_col).withColumn(
+        "src", F.lit("jsonld")
+    )
+    box = infobox_triples(docs, url_col, html_col).withColumn(
+        "src", F.lit("infobox")
+    )
+    return (
+        ld.unionByName(box)
+        .groupBy("subj")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_facts"),
+            F.countDistinct("src_url").cast("long").alias("n_pages"),
+            F.countDistinct("src").cast("long").alias("n_sources"),
+        )
+    )

@@ -261,6 +261,131 @@ def write_simple_corpus_parquet(path: str, n_docs: int, n_entities: int = 50) ->
     return path
 
 
+def make_structured_doc_html(i: int) -> str:
+    """Deterministic page carrying STRUCTURED markup — JSON-LD, OpenGraph /
+    meta tags, and a wiki-style infobox table — for the structured-data
+    extractors (operators/structured.py).  Every emitted fact is a
+    closed-form function of ``i``, so the DuckDB oracle writes the expected
+    triples/cards directly from doc-index arithmetic (the
+    make_linked_doc_html discipline): an independent check of the whole
+    script-block / meta / table extraction chain, not a re-implementation.
+
+    Closed-form facts of page ``i`` (org = Entity{i%37}):
+    * title            "Entity{a} overview"; og:title "Entity{a}"
+    * og:type          organization / article / profile by i%3
+    * description      "Profile of Entity{a} number {i}."
+    * JSON-LD          Organization{name, url=https://entity{a}.example.com,
+                       founder=Person{(5i+2)%23}, foundingDate=(1970+i%30)-01-01,
+                       numberOfEmployees=(7i)%9000+10}; every 4th doc (i%4==3)
+                       wraps it in an @graph with a second Person node
+                       {name=Person{b}, worksFor=Entity{a}}
+    * infobox          Headquarters=City{(3i+1)%11}, Industry=Industry{(9i+4)%7},
+                       Founded=1970+i%30
+
+    Hostile arms the extractors must survive:
+    * i%2==1: meta tags single-quoted; JSON-LD pretty-printed across lines
+    * i%4==1: og:type attribute order swapped (content before property)
+    * i%5==2: infobox value wrapped in an <a> tag (inner tags must strip),
+      th carries a scope attribute
+    * every doc: a text/javascript script with a JSON-looking object, and
+      (i%6==0) a classless decoy table — both must be ignored."""
+    a = i % 37
+    b = (5 * i + 2) % 23
+    c = (3 * i + 1) % 11
+    d = (9 * i + 4) % 7
+    year = 1970 + i % 30
+    emp = (7 * i) % 9000 + 10
+    og_type = ("organization", "article", "profile")[i % 3]
+
+    if i % 2 == 1:
+        meta = [
+            f"<meta property='og:title' content='Entity{a}' />",
+            (
+                f"<meta content='{og_type}' property='og:type' />"
+                if i % 4 == 1
+                else f"<meta property='og:type' content='{og_type}' />"
+            ),
+            f"<meta name='description' content='Profile of Entity{a} number {i}.' />",
+        ]
+    else:
+        meta = [
+            f'<meta property="og:title" content="Entity{a}"/>',
+            (
+                f'<meta content="{og_type}" property="og:type"/>'
+                if i % 4 == 1
+                else f'<meta property="og:type" content="{og_type}"/>'
+            ),
+            f'<meta name="description" content="Profile of Entity{a} number {i}."/>',
+        ]
+
+    org = (
+        '{"@type": "Organization", "name": "Entity%d", '
+        '"url": "https://entity%d.example.com", '
+        '"founder": {"@type": "Person", "name": "Person%d"}, '
+        '"foundingDate": "%d-01-01", "numberOfEmployees": %d}'
+    ) % (a, a, b, year, emp)
+    if i % 4 == 3:
+        person = (
+            '{"@type": "Person", "name": "Person%d", "worksFor": "Entity%d"}'
+        ) % (b, a)
+        ld = '{"@context": "https://schema.org", "@graph": [%s, %s]}' % (org, person)
+    else:
+        ld = '{"@context": "https://schema.org", ' + org[1:]
+    if i % 2 == 1:
+        ld = ld.replace(", ", ",\n  ")
+    jsonld = f'<script type="application/ld+json">\n{ld}\n</script>'
+    decoy_js = '<script type="text/javascript">var x = {"name": "nope"};</script>'
+
+    hq_td = (
+        f'<td><a href="/wiki/City{c}">City{c}</a></td>'
+        if i % 5 == 2
+        else f"<td>City{c}</td>"
+    )
+    th_open = '<th scope="row">' if i % 5 == 2 else "<th>"
+    infobox = (
+        '<table class="infobox">\n'
+        f"<tr>{th_open}Headquarters</th>{hq_td}</tr>\n"
+        f"<tr>{th_open}Industry</th><td>Industry{d}</td></tr>\n"
+        f"<tr>{th_open}Founded</th><td>{year}</td></tr>\n"
+        "</table>"
+    )
+    decoy_table = (
+        "<table>\n<tr><th>Nope</th><td>skip me</td></tr>\n</table>"
+        if i % 6 == 0
+        else ""
+    )
+
+    rng = random.Random(31 * 1_000_003 + i)
+    sent = " ".join(_WORDS[rng.randrange(len(_WORDS))] for _ in range(14)) + "."
+    return (
+        "<html><head>\n"
+        f"<title>Entity{a} overview</title>\n" + "\n".join(meta) + "\n"
+        f"{jsonld}\n{decoy_js}\n"
+        "</head><body>\n"
+        f"<p>{sent}</p>\n{infobox}\n{decoy_table}\n"
+        "</body></html>"
+    )
+
+
+def write_structured_corpus_parquet(path: str, n_docs: int = 180) -> str:
+    """Materialize the structured-markup corpus (same 5-column schema; page i
+    lives at https://sd{i%8}.example.org/item/{i})."""
+    import pyarrow.parquet as pq
+
+    rows = [
+        {
+            "url": f"https://sd{i % 8}.example.org/item/{i}",
+            "warc_ts": EPOCH0 + dt.timedelta(seconds=193 * i),
+            "html": make_structured_doc_html(i).encode("utf-8"),
+            "text": None,
+            "lang": "en",
+        }
+        for i in range(n_docs)
+    ]
+    pq.write_table(_rows_to_table(rows), path)
+    return path
+
+
 def generate_rows(n_docs: int, n_entities: int = 200, start: int = 0):
     """Yield dict rows of the documents table (html as utf-8 bytes) for doc
     indices [start, n_docs).  Generation is deterministic per index, so

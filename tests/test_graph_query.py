@@ -174,3 +174,45 @@ def test_type_entities_every_mention_appears_once(spark):
     )
     out = type_entities(t)
     assert out.count() == out.select("entity").distinct().count() == 3
+
+
+def test_predicate_profile_signatures_and_counts(spark):
+    from aiwhispr_spark.operators.graph_query import predicate_profile
+
+    triples = spark.createDataFrame(
+        [
+            ("Acme Corp", "based_in", "Berlin"),
+            ("Acme Corp", "based_in", "Paris"),
+            ("Zeta Corp", "based_in", "Berlin"),
+            ("Acme Corp", "founded_by", "Ada Byron"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.pred, r.subj_type, r.obj_type): (r.n_triples, r.n_subj, r.n_obj)
+        for r in predicate_profile(triples).collect()
+    }
+    # Berlin/Paris type as place (based_in objects), Ada Byron as person
+    # (founded_by object), both Corps as org (surface suffix).
+    assert got == {
+        ("based_in", "org", "place"): (3, 2, 2),
+        ("founded_by", "org", "person"): (1, 1, 1),
+    }
+
+
+def test_predicate_profile_accepts_curated_type_table(spark):
+    from aiwhispr_spark.operators.graph_query import predicate_profile
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string"
+    )
+    types = spark.createDataFrame(
+        [("a", "T1"), ("b", "T2")], "entity string, etype string"
+    )
+    [row] = predicate_profile(triples, types=types).collect()
+    assert (row.pred, row.subj_type, row.obj_type, row.n_triples) == (
+        "p",
+        "T1",
+        "T2",
+        1,
+    )

@@ -97,3 +97,70 @@ def test_walks_deterministic_across_runs(spark):
     r1 = sorted(map(tuple, deterministic_walks(df, length=4).collect()))
     r2 = sorted(map(tuple, deterministic_walks(df, length=4).collect()))
     assert r1 == r2
+
+
+def _py_transe_eval(triples: list[tuple[str, str, str]], per_triple: int = 8):
+    """Python mirror of kgscore.transe_eval (filtered protocol, deterministic
+    tie-break) for the cross-check."""
+    base = sorted(set(triples))
+    ents = sorted({s for s, _, _ in base})
+    true = set(base)
+    per_pred: dict[str, list[int]] = {}
+    for s, p, o in base:
+        negs = []
+        for i in range(1, per_triple + 1):
+            idx = int(
+                hashlib.md5(f"{s}|{p}|{o}|{i}".encode()).hexdigest()[:8], 16
+            ) % len(ents)
+            ne = ents[idx]
+            if ne != o and (s, p, ne) not in true:
+                negs.append(ne)
+        e_pos = _energy(s, p, o)
+        stronger = sum(
+            1
+            for ne in negs
+            if _energy(s, p, ne) < e_pos or (_energy(s, p, ne) == e_pos and ne < o)
+        )
+        per_pred.setdefault(p, []).append(1 + stronger)
+    return {
+        p: (
+            len(ranks),
+            sum(1_000_000 // r for r in ranks),
+            sum(1 for r in ranks if r <= 1),
+            sum(1 for r in ranks if r <= 3),
+        )
+        for p, ranks in per_pred.items()
+    }
+
+
+def test_transe_eval_matches_python_reference(spark):
+    from aiwhispr_spark.operators.kgscore import transe_eval
+
+    triples = [
+        (f"E{i % 7}", ["founded", "acquired"][i % 2], f"E{(i * 3 + 1) % 7}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    got = {
+        r["pred"]: (r["n_triples"], r["mrr_sum_i"], r["hits1_n"], r["hits3_n"])
+        for r in transe_eval(df, per_triple=8).collect()
+    }
+    assert got == _py_transe_eval(triples, per_triple=8)
+
+
+def test_transe_eval_counts_triples_with_all_negatives_filtered(spark):
+    """A single-entity KG: every corruption is a no-op or an accidental
+    positive, so zero negatives survive — the positive must still count
+    with rank 1 (left-join path), not vanish."""
+    from aiwhispr_spark.operators.kgscore import transe_eval
+
+    df = spark.createDataFrame(
+        [("A", "p", "A")], "subj string, pred string, obj string"
+    )
+    [row] = transe_eval(df, per_triple=4).collect()
+    assert (row["pred"], row["n_triples"], row["mrr_sum_i"], row["hits1_n"]) == (
+        "p",
+        1,
+        1_000_000,
+        1,
+    )

@@ -1,0 +1,143 @@
+"""Structured-data extraction (operators/structured.py): hostile-arm unit
+pins + plan shape.  The hash-value gates live in __spark_entry__
+(jsonld_triples / meta_og_cards / infobox_triples / structured_entity_stats
+vs closed-form DuckDB oracles); these tests pin the parsing contract on
+hand-built pages so a regex regression fails with a readable diff."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aiwhispr_spark.operators.structured import (
+    infobox_triples,
+    jsonld_triples,
+    meta_cards,
+    structured_entity_stats,
+)
+
+
+def _docs(spark, pages: dict[str, str]):
+    rows = [(u, h.encode("utf-8")) for u, h in sorted(pages.items())]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_jsonld_decoy_script_and_malformed_json_ignored(spark):
+    docs = _docs(
+        spark,
+        {
+            "https://a/1": (
+                '<script type="text/javascript">var x = {"name": "nope"};</script>'
+                '<script type="application/ld+json">'
+                '{"@type": "Organization", "name": "Acme"}</script>'
+            ),
+            # malformed JSON → from_json NULL → zero triples, no error
+            "https://a/2": '<script type="application/ld+json">{oops</script>',
+        },
+    )
+    rows = jsonld_triples(docs).collect()
+    assert {(r.src_url, r.subj, r.pred, r.obj) for r in rows} == {
+        ("https://a/1", "Acme", "rdf:type", "organization")
+    }
+
+
+def test_jsonld_graph_and_single_quote_attr(spark):
+    docs = _docs(
+        spark,
+        {
+            "https://g/1": (
+                "<script type='application/ld+json'>\n"
+                '{"@graph": [\n'
+                '  {"@type": "Organization", "name": "Org", "url": "https://o.example"},\n'
+                '  {"@type": "Person", "name": "Pat", "worksFor": "Org"}\n'
+                "]}\n</script>"
+            )
+        },
+    )
+    got = {(r.subj, r.pred, r.obj) for r in jsonld_triples(docs).collect()}
+    assert got == {
+        ("Org", "rdf:type", "organization"),
+        ("Org", "schema:url", "https://o.example"),
+        ("Pat", "rdf:type", "person"),
+        ("Pat", "schema:worksFor", "Org"),
+    }
+
+
+def test_meta_cards_attr_order_and_quote_styles(spark):
+    docs = _docs(
+        spark,
+        {
+            "https://m/1": (
+                "<title> Spaced   Title </title>"
+                "<meta content='Swapped' property='og:type' />"
+                '<meta property="og:title" content="T1"/>'
+            ),
+            "https://m/2": "<p>no head markup at all</p>",
+        },
+    )
+    rows = {r.url: r for r in meta_cards(docs).collect()}
+    r1 = rows["https://m/1"]
+    assert (r1.title, r1.og_title, r1.og_type, r1.description) == (
+        "Spaced Title",
+        "T1",
+        "Swapped",
+        None,
+    )
+    r2 = rows["https://m/2"]
+    assert (r2.title, r2.og_title, r2.og_type, r2.description) == (
+        None,
+        None,
+        None,
+        None,
+    )
+
+
+def test_infobox_scoping_tag_strip_and_url_fallback_subject(spark):
+    docs = _docs(
+        spark,
+        {
+            "https://i/1": (
+                '<meta property="og:title" content="Ent"/>'
+                "<table><tr><th>Nope</th><td>decoy</td></tr></table>"
+                '<table class="x infobox y">'
+                '<tr><th scope="row">Head  Quarters</th>'
+                '<td><a href="/wiki/C">The <b>City</b></a></td></tr>'
+                "<tr><th>Empty</th><td>  </td></tr>"
+                "</table>"
+            ),
+            # no og:title → subject falls back to the page url
+            "https://i/2": (
+                '<table class="infobox"><tr><th>K</th><td>V</td></tr></table>'
+            ),
+        },
+    )
+    got = {(r.src_url, r.subj, r.pred, r.obj) for r in infobox_triples(docs).collect()}
+    assert got == {
+        ("https://i/1", "Ent", "infobox:head_quarters", "The City"),
+        ("https://i/2", "https://i/2", "infobox:k", "V"),
+    }
+
+
+def test_structured_stats_merges_both_sources(spark):
+    docs = _docs(
+        spark,
+        {
+            "https://s/1": (
+                '<meta property="og:title" content="Acme"/>'
+                '<script type="application/ld+json">'
+                '{"@type": "Organization", "name": "Acme"}</script>'
+                '<table class="infobox"><tr><th>HQ</th><td>Berlin</td></tr></table>'
+            )
+        },
+    )
+    [row] = structured_entity_stats(docs).collect()
+    assert (row.subj, row.n_facts, row.n_pages, row.n_sources) == ("Acme", 2, 1, 2)
+
+
+def test_structured_extractors_are_pure_jvm_narrow_plans(spark):
+    """All three extractors must stay expression-only (no python stage) and
+    shuffle-free — at 100 TB they are map work fused with the WARC scan."""
+    docs = _docs(spark, {"https://p/1": "<p>x</p>"})
+    for df in (jsonld_triples(docs), meta_cards(docs), infobox_triples(docs)):
+        plan = df._jdf.queryExecution().executedPlan().treeString()
+        assert "Python" not in plan and "Exchange" not in plan
