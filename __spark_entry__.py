@@ -3433,6 +3433,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_train_merges"] = bpe_train_merges
 
+    def bpe_encode_corpus(spark, sf):
+        # The encode half of the BPE tokenizer (textstats.py::bpe_encode):
+        # train 5 merges on the corpus, then tokenize the corpus under that
+        # table — vocabulary-first (the fold chain runs once per DISTINCT
+        # word, never per occurrence).  The oracle re-derives the 5 trained
+        # merges AND replays the fold per vocab word in DuckDB list SQL.
+        from aiwhispr_spark.operators.textstats import bpe_encode, bpe_train
+
+        d = _t(spark, sf, "documents")
+        merges = [
+            (r["x"], r["y"])
+            for r in bpe_train(d, n_merges=5).orderBy("step").collect()
+        ]
+        return bpe_encode(d, merges)
+
+    q["bpe_encode_corpus"] = bpe_encode_corpus
+
     def passage_windows_overlap(spark, sf):
         # RAG-retrieval chunking: fixed 16-token windows advancing by 12
         # (packing.py::passage_windows) — overlapping passages from one
@@ -3841,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_disambiguation",
         "dedup_quality_keepers",
         "bpe_train_merges",
+        "bpe_encode_corpus",
         "kg_entity_cards",
         "passage_windows_overlap",
         "frontier_politeness_budget",
@@ -5820,13 +5838,13 @@ def oracle_sql() -> dict[str, str]:
     _bpe_rounds = 5
     _bpe_parts = [
         r"""
-        wx AS (SELECT unnest(list_filter(
+        wx AS (SELECT doc_id, unnest(list_filter(
                  regexp_split_to_array(
                    lower(regexp_replace(text, '[\x00-\x1f]', ' ', 'g')), '\s+'),
                  t -> t <> '')) AS w
                FROM documents),
         vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM wx GROUP BY w),
-        state0 AS (SELECT cnt,
+        state0 AS (SELECT w, cnt,
                      list_transform(range(1, length(w) + 1),
                                     i -> substr(w, CAST(i AS INT), 1)) AS syms
                    FROM vocab)"""
@@ -5847,7 +5865,7 @@ def oracle_sql() -> dict[str, str]:
                  n
           FROM pairs{_k} ORDER BY n DESC, pair LIMIT 1),
         state{_k} AS (
-          SELECT cnt, string_split(list_reduce(syms, (acc, s) -> CASE
+          SELECT w, cnt, string_split(list_reduce(syms, (acc, s) -> CASE
                    WHEN (acc = b.x OR ends_with(acc, chr(30) || b.x)) AND s = b.y
                    THEN substr(acc, 1, length(acc) - length(b.x)) || b.m
                    ELSE acc || chr(30) || s END), chr(30)) AS syms
@@ -5859,6 +5877,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST({_k} AS INT) AS step, x, y, m AS merged, n FROM best{_k}"
             for _k in range(1, _bpe_rounds + 1)
         )
+    )
+    o["bpe_encode_corpus"] = (
+        "WITH "
+        + ",".join(_bpe_parts)
+        + f""",
+        dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n_w
+               FROM wx GROUP BY doc_id, w)
+        SELECT dw.doc_id, t.token, CAST(sum(dw.n_w) AS BIGINT) AS n
+        FROM dw
+        JOIN (SELECT w, unnest(syms) AS token FROM state{_bpe_rounds}) t USING (w)
+        GROUP BY dw.doc_id, t.token
+    """
     )
     o["passage_windows_overlap"] = r"""
         WITH toks AS (

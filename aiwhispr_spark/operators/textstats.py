@@ -464,6 +464,38 @@ def dsir_importance_weights(
     )
 
 
+def _bpe_word_array(text_col: str) -> Column:
+    """Lowercased whitespace tokens with C0 controls scrubbed first (Java's
+    \\s misses \\x1e/\\x1f, which the pair/separator encoding reserves)."""
+    return F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col(text_col), "[\\x00-\\x1f]", " ")),
+            r"\s+",
+        ),
+        lambda t: t != F.lit(""),
+    )
+
+
+def _bpe_merge_fold(syms: Column, x: str, y: str) -> Column:
+    """One greedy left-to-right merge pass of pair (x, y) over a symbol
+    array, as a JVM aggregate fold (equivalent to the textbook pass: a
+    just-created symbol never re-matches as the LEFT of the same pair
+    because it is the concat, not the left part)."""
+    from ..functions.udfs import bound
+
+    return bound(
+        syms,
+        lambda s: F.aggregate(
+            F.slice(s, 2, F.size(s) - 1),
+            F.slice(s, 1, 1),
+            lambda acc, cur: F.when(
+                (F.element_at(acc, -1) == F.lit(x)) & (cur == F.lit(y)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(x + y))),
+            ).otherwise(F.concat(acc, F.array(cur))),
+        ),
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 5,
@@ -490,21 +522,7 @@ def bpe_train(
     count() lineage cut (iterative-plan discipline)."""
     from ..functions.udfs import bound
 
-    words = docs.select(
-        F.explode(
-            F.filter(
-                # C0 controls become spaces BEFORE the split: Java's \s is
-                # only [ \t\n\x0B\f\r], so raw \x1e/\x1f would survive as
-                # token chars and corrupt the control-char pair/separator
-                # encoding below (web text routinely carries C0 bytes)
-                F.split(
-                    F.lower(F.regexp_replace(F.col(text_col), "[\\x00-\\x1f]", " ")),
-                    r"\s+",
-                ),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("w")
-    )
+    words = docs.select(F.explode(_bpe_word_array(text_col)).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     state = vocab.select(
         "cnt",
@@ -538,19 +556,7 @@ def bpe_train(
         x, y = best[0]["pair"].split(sep)
         n = best[0]["n"]
         merges.append((step, x, y, x + y, n))
-        merged = bound(
-            F.col("syms"),
-            lambda s: F.aggregate(
-                F.slice(s, 2, F.size(s) - 1),
-                F.slice(s, 1, 1),
-                lambda acc, cur: F.when(
-                    (F.element_at(acc, -1) == F.lit(x)) & (cur == F.lit(y)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(x + y))
-                    ),
-                ).otherwise(F.concat(acc, F.array(cur))),
-            ),
-        )
+        merged = _bpe_merge_fold(F.col("syms"), x, y)
         nxt = prev.select("cnt", merged.alias("syms")).persist()
         nxt.count()
         prev.unpersist()
@@ -559,6 +565,48 @@ def bpe_train(
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "step int, x string, y string, merged string, n long"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus under a TRAINED merge table: (doc_id, token, n)
+    — the encode half of the BPE tokenizer (:func:`bpe_train` is the train
+    half; its collected (x, y) rows, in step order, are this argument —
+    merge tables are driver state in every shipped tokenizer).
+
+    The corpus is tokenized VOCABULARY-first: DISTINCT words run the merge
+    fold chain once, then per-doc word counts join the word→tokens table —
+    the fold never executes per occurrence, so cost scales with |vocab|,
+    not corpus size.
+
+    100 TB shape: one map-side-combinable shuffle collapses (doc, word)
+    counts; the fold chain is pure JVM expression work over vocab-sized
+    rows; the token join is co-keyed on the word (broadcast when the vocab
+    is small); the final per-doc aggregate is map-side combinable."""
+    doc_words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_bpe_word_array(text_col)).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    syms: Column = F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    )
+    for x, y in merges:
+        syms = _bpe_merge_fold(syms, x, y)
+    vocab_tokens = doc_words.select("w").distinct().select("w", syms.alias("toks"))
+    return (
+        doc_words.join(vocab_tokens, "w")
+        .select("doc_id", F.explode("toks").alias("token"), "n_w")
+        .groupBy("doc_id", "token")
+        .agg(F.sum("n_w").cast("long").alias("n"))
     )
 
 

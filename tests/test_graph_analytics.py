@@ -347,3 +347,54 @@ def test_passage_windows_rejects_gapped_stride(spark):
     docs = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
     with pytest.raises(ValueError, match="stride"):
         passage_windows(docs, window=4, stride=5)
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    """Encode under a hand-built merge table: 'ab' then 'ab'+'c' — 'abc'
+    collapses fully, 'cab' keeps its leading 'c' (greedy L2R, overlap-safe),
+    and counts weight by occurrence."""
+    from aiwhispr_spark.operators.textstats import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "abc cab abc"), (2, "ab")], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.token): r.n
+        for r in bpe_encode(docs, [("a", "b"), ("ab", "c")]).collect()
+    }
+    assert got == {
+        (1, "abc"): 2,
+        (1, "c"): 1,
+        (1, "ab"): 1,
+        (2, "ab"): 1,
+    }
+
+
+def test_bpe_encode_empty_merge_table_is_char_split(spark):
+    from aiwhispr_spark.operators.textstats import bpe_encode
+
+    docs = spark.createDataFrame([(1, "aa b")], "doc_id long, text string")
+    got = {(r.doc_id, r.token): r.n for r in bpe_encode(docs, []).collect()}
+    assert got == {(1, "a"): 2, (1, "b"): 1}
+
+
+def test_bpe_encode_roundtrips_train(spark):
+    """Encoding the training corpus under its own trained merges must
+    reproduce bpe_train's final symbol statistics (join-back identity)."""
+    from aiwhispr_spark.operators.textstats import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * (i + 1)) for i in range(3)],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["x"], r["y"]) for r in bpe_train(docs, n_merges=4).orderBy("step").collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    # every trained merged symbol that survives in some word appears as a
+    # token; total token mass equals the corpus-wide char count of words
+    # minus one char per applied merge occurrence — spot-check via doc 0
+    toks = {r.token: r.n for r in enc.filter("doc_id = 0").collect()}
+    assert sum(len(t) * n for t, n in toks.items()) == len(
+        "thecatsatonthemat"
+    )
