@@ -1497,6 +1497,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_bgp_chain"] = kg_bgp_chain
 
+    def kg_bgp_optional(spark, sf):
+        # SPARQL OPTIONAL (graph_query.py::bgp_match_optional): acquisitions
+        # (?y acquired ?x) keep their bindings even when the acquired entity
+        # has no known location or founder — each optional group left-joins
+        # on the shared ?x, NULLs survive.  Oracle = the same LEFT JOIN
+        # chain in SQL.
+        from aiwhispr_spark.operators.graph_query import bgp_match_optional
+
+        t = _corpus_triples(spark)
+        out = bgp_match_optional(
+            t,
+            [("?y", "acquired", "?x")],
+            [
+                [("?x", "based_in", "?city")],
+                [("?x", "founded_by", "?f")],
+            ],
+        )
+        return out.select("x", "y", "city", "f")
+
+    q["kg_bgp_optional"] = kg_bgp_optional
+
+    def kg_property_path(spark, sf):
+        # SPARQL property-path subset (graph_query.py::property_path):
+        # ^founded_by/(owns|acquired)+/based_in — founders to the locations
+        # of companies their company transitively owns/acquired.  One query
+        # exercises inverse, alternation, bounded +, and sequence; oracle =
+        # predicate-filtered joins around the recursive-CTE closure.
+        from aiwhispr_spark.operators.graph_query import property_path
+
+        t = _corpus_triples(spark)
+        return property_path(t, "^founded_by/(owns|acquired)+/based_in", max_hops=4)
+
+    q["kg_property_path"] = kg_property_path
+
     def kg_transitive_closure(spark, sf):
         # KG query layer: 4-hop ownership/acquisition reachability with
         # MINIMUM hop counts — frontier BFS with per-hop materialization and
@@ -3851,6 +3885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples",
         "kg_transe_eval",
         "kg_predicate_profile",
+        "kg_bgp_optional",
+        "kg_property_path",
         "kg_link_prediction",
         "kg_lpa_communities",
         "kg_triple_extent",
@@ -4236,6 +4272,37 @@ def oracle_sql() -> dict[str, str]:
         JOIN t b ON b.pred = 'based_in' AND b.subj = w.subj
         JOIN t a ON a.pred = 'acquired' AND a.obj = w.subj
         WHERE w.pred = 'works_for'
+    """
+    o["kg_bgp_optional"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        req AS (SELECT DISTINCT obj AS x, subj AS y FROM t
+                WHERE pred = 'acquired'),
+        o1 AS (SELECT DISTINCT subj AS x, obj AS city FROM t
+               WHERE pred = 'based_in'),
+        o2 AS (SELECT DISTINCT subj AS x, obj AS f FROM t
+               WHERE pred = 'founded_by')
+        SELECT r.x, r.y, o1.city, o2.f
+        FROM req r LEFT JOIN o1 USING (x) LEFT JOIN o2 USING (x)
+    """
+    o["kg_property_path"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        s1 AS (SELECT DISTINCT obj AS src, subj AS dst FROM t
+               WHERE pred = 'founded_by'),
+        edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM t
+                  WHERE pred IN ('owns', 'acquired') AND subj <> obj),
+        cl AS (
+          SELECT DISTINCT src, dst FROM (
+            WITH RECURSIVE reach AS (
+              SELECT src, dst, 1 AS hops FROM edges
+              UNION
+              SELECT r.src, e.dst, r.hops + 1
+              FROM reach r JOIN edges e ON e.src = r.dst WHERE r.hops < 4
+            )
+            SELECT src, dst FROM reach)),
+        s2 AS (SELECT DISTINCT l.src, r.dst FROM s1 l
+               JOIN cl r ON r.src = l.dst)
+        SELECT DISTINCT s2.src, b.obj AS dst
+        FROM s2 JOIN t b ON b.pred = 'based_in' AND b.subj = s2.dst
     """
     o["kg_transitive_closure"] = f"""
         WITH t AS ({_kg_e2e_sql()}),

@@ -102,6 +102,96 @@ def bgp_match(
     return acc.distinct()
 
 
+def bgp_match_optional(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    optionals: list[list[tuple[str, str, str]]],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """SPARQL OPTIONAL semantics over :func:`bgp_match`: the required
+    ``patterns`` bind as usual, then each optional group left-joins on its
+    shared variables — bindings without an optional match survive with NULL
+    optional columns (exactly SPARQL's OPTIONAL, evaluated left-to-right).
+
+    100 TB shape: same as bgp_match (bound-constant scans, AQE broadcast),
+    plus one left hash-join per optional group keyed on the shared entity
+    variables."""
+    base = bgp_match(triples, patterns, subj_col, pred_col, obj_col)
+    for group in optionals:
+        opt = bgp_match(triples, group, subj_col, pred_col, obj_col)
+        shared = sorted(set(base.columns) & set(opt.columns))
+        if not shared:
+            raise ValueError(
+                "optional group shares no variable with the required pattern"
+            )
+        base = base.join(opt, on=shared, how="left")
+    return base
+
+
+def property_path(
+    triples: DataFrame,
+    path: str,
+    max_hops: int = 4,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """SPARQL property-path evaluation (documented subset) over the triple
+    store: ``path`` is ``/``-separated steps, each step one of
+
+    * ``pred``            — follow the predicate forward
+    * ``pred1|pred2``     — alternation (either predicate)
+    * ``^pred``           — inverse (object → subject)
+    * ``pred+`` (or ``(p1|p2)+``) — one-or-more, bounded by ``max_hops``
+      (the scale-honest form of SPARQL's unbounded ``+``; self-pairs drop,
+      matching :func:`transitive_closure`)
+
+    Returns DISTINCT (src, dst) pairs connected by the whole path.
+
+    100 TB shape: each step is a predicate-pushed scan of the triple table
+    joined on the entity id (AQE broadcasts small steps); ``+`` steps reuse
+    the frontier-BFS closure with per-hop lineage cuts."""
+    steps = [s for s in path.split("/") if s]
+    if not steps:
+        raise ValueError("property_path needs at least one step")
+    cur: DataFrame | None = None
+    for step in steps:
+        plus = step.endswith("+")
+        name = step[:-1] if plus else step
+        if name.startswith("(") and name.endswith(")"):
+            name = name[1:-1]
+        inv = name.startswith("^")
+        if inv:
+            name = name[1:]
+        alts = [a for a in name.split("|") if a]
+        if not alts:
+            raise ValueError(f"empty step in property path: {step!r}")
+        base = triples.filter(F.col(pred_col).isin(alts))
+        if inv:
+            e = base.select(
+                F.col(obj_col).alias("src"), F.col(subj_col).alias("dst")
+            )
+        else:
+            e = base.select(
+                F.col(subj_col).alias("src"), F.col(obj_col).alias("dst")
+            )
+        if plus:
+            e = transitive_closure(e, max_hops).select("src", "dst")
+        if cur is None:
+            cur = e.distinct()
+        else:
+            cur = (
+                cur.alias("l")
+                .join(e.alias("r"), F.col("l.dst") == F.col("r.src"))
+                .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+                .distinct()
+            )
+    assert cur is not None
+    return cur
+
+
 def transitive_closure(
     edges: DataFrame,
     max_hops: int,

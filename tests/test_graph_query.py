@@ -216,3 +216,69 @@ def test_predicate_profile_accepts_curated_type_table(spark):
         "T2",
         1,
     )
+
+
+def test_bgp_optional_keeps_unmatched_with_nulls(spark):
+    from aiwhispr_spark.operators.graph_query import bgp_match_optional
+
+    t = spark.createDataFrame(
+        [
+            ("A", "acquired", "B"),
+            ("A", "acquired", "C"),
+            ("B", "based_in", "Berlin"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = bgp_match_optional(
+        t, [("?y", "acquired", "?x")], [[("?x", "based_in", "?city")]]
+    )
+    got = {(r.y, r.x, r.city) for r in out.collect()}
+    assert got == {("A", "B", "Berlin"), ("A", "C", None)}
+
+
+def test_bgp_optional_requires_shared_variable(spark):
+    from aiwhispr_spark.operators.graph_query import bgp_match_optional
+
+    t = spark.createDataFrame(
+        [("A", "p", "B")], "subj string, pred string, obj string"
+    )
+    with pytest.raises(ValueError):
+        bgp_match_optional(t, [("?x", "p", "?y")], [[("?a", "q", "?b")]])
+
+
+def test_property_path_sequence_alternation_inverse_plus(spark):
+    from aiwhispr_spark.operators.graph_query import property_path
+
+    t = spark.createDataFrame(
+        [
+            ("CorpA", "founded_by", "Ada"),   # ^founded_by: Ada -> CorpA
+            ("CorpA", "owns", "CorpB"),
+            ("CorpB", "acquired", "CorpC"),   # (owns|acquired)+: A->B, A->C, B->C
+            ("CorpB", "based_in", "Berlin"),
+            ("CorpC", "based_in", "Cork"),
+            ("CorpA", "based_in", "Aix"),     # src itself: NOT reachable via +
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = property_path(t, "^founded_by/(owns|acquired)+/based_in")
+    got = {(r.src, r.dst) for r in out.collect()}
+    assert got == {("Ada", "Berlin"), ("Ada", "Cork")}
+
+
+def test_property_path_single_forward_step_is_the_edge_set(spark):
+    from aiwhispr_spark.operators.graph_query import property_path
+
+    t = spark.createDataFrame(
+        [("A", "p", "B"), ("A", "p", "B"), ("A", "q", "C")],
+        "subj string, pred string, obj string",
+    )
+    assert {(r.src, r.dst) for r in property_path(t, "p").collect()} == {("A", "B")}
+
+
+def test_property_path_plus_bounded_by_max_hops(spark):
+    from aiwhispr_spark.operators.graph_query import property_path
+
+    chain = [(f"n{i}", "p", f"n{i+1}") for i in range(5)]
+    t = spark.createDataFrame(chain, "subj string, pred string, obj string")
+    got = {(r.src, r.dst) for r in property_path(t, "p+", max_hops=2).collect()}
+    assert ("n0", "n2") in got and ("n0", "n3") not in got
