@@ -3803,6 +3803,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["csv_roundtrip"] = csv_roundtrip
 
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
+    def rss_atom(spark, sf):
+        # RSS 2.0 + Atom feed parsing (sources/feeds.py): entry blocks via
+        # one JVM regexp_extract_all, CDATA title unwrap, RFC-822 →
+        # ISO day conversion, Atom rel="self" links skipped, linkless
+        # entries dropped.  Oracle = closed-form expected rows from (h, j)
+        # range arithmetic — independent of every regex here.
+        import os
+        import tempfile
+
+        from aiwhispr_spark.sources.feeds import parse_feed_entries
+        from aiwhispr_spark.sources.synthetic import write_feed_corpus_parquet
+
+        path = os.path.join(tempfile.gettempdir(), "aiwhispr_feed_fixture.parquet")
+        if not os.path.exists(path):
+            write_feed_corpus_parquet(path, n_hosts=10)
+        return parse_feed_entries(spark.read.parquet(path))
+
+    q["rss_atom_entries"] = rss_atom
+
     def jsonld(spark, sf):
         # schema.org JSON-LD mined into KG triples (operators/structured.py:
         # JVM regex block pull → from_json → array/struct emission; @graph and
@@ -3947,6 +3966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc_normalize",
         "robots_txt_fetch_policy",
         "sitemap_frontier_diff",
+        "rss_atom_entries",
         "dsir_importance_weights",
         "cdx_fetch_list",
         "minhash_incremental_delta",
@@ -4457,6 +4477,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum(logp_i) AS BIGINT) AS sum_logp_i
         FROM toks JOIN vocab USING (tok) GROUP BY doc_id
+    """
+    o["rss_atom_entries"] = """
+        WITH hosts AS (SELECT unnest(range(0, 10)) AS h),
+        e AS (SELECT h, unnest(range(0, 4 + h % 3)) AS j FROM hosts)
+        SELECT 'feed' || h || '.example.org' AS host,
+               'https://feed' || h || '.example.org/post/' || (h * 10 + j)
+                 AS link,
+               CASE WHEN j % 3 = 2 THEN 'Post ' || (h * 10 + j) || ' & more'
+                    ELSE 'Post ' || (h * 10 + j) END AS title,
+               '2026-' || lpad(CAST(1 + (h + j) % 12 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST(1 + (h * 7 + j) % 28 AS VARCHAR), 2, '0')
+                 AS pub_day,
+               CASE WHEN h % 2 = 1 THEN 'atom' ELSE 'rss' END AS feed_type
+        FROM e
     """
     o["jsonld_triples"] = (
         _structured_facts_sql() + "SELECT src_url, subj, pred, obj FROM ld"

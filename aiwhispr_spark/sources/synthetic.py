@@ -609,6 +609,99 @@ def write_sitemap_corpus(dir_path: str, n_hosts: int = 8, n_urls: int = 10) -> s
     return dir_path
 
 
+def write_feed_corpus_parquet(path: str, n_hosts: int = 10) -> str:
+    """(host, feed_xml) fixture for sources/feeds.py: even hosts serve RSS
+    2.0, odd hosts Atom.  Every advertised entry is a closed-form function
+    of (h, j) so the DuckDB oracle writes the expected rows from range()
+    arithmetic:
+
+    * host        feed{h}.example.org; 4 + h%3 linked entries (j = 0..)
+    * link        https://feed{h}.example.org/post/{h*10+j}
+    * title       'Post {h*10+j}', CDATA-wrapped with ' & more' when j%3==2
+    * pub_day     2026-{1+(h+j)%12:02d}-{1+(h*7+j)%28:02d}
+                  (RSS: RFC-822 pubDate text; Atom: <updated> ISO)
+
+    Hostile arms: one linkless entry per feed (dropped); Atom entries carry
+    a rel="self" link BEFORE the alternate one (must be skipped) and the
+    feed has a top-level rel="self" link outside any entry; RSS items carry
+    <description> noise and single-digit RFC-822 days."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for h in range(n_hosts):
+        host = f"feed{h}.example.org"
+        entries = []
+        for j in range(4 + h % 3):
+            pid = h * 10 + j
+            title = f"Post {pid} & more" if j % 3 == 2 else f"Post {pid}"
+            title_xml = (
+                f"<![CDATA[{title}]]>" if j % 3 == 2 else title
+            )
+            mm = 1 + (h + j) % 12
+            dd = 1 + (h * 7 + j) % 28
+            link = f"https://{host}/post/{pid}"
+            if h % 2 == 1:
+                entries.append(
+                    "<entry>\n"
+                    f'  <link rel="self" href="https://{host}/entry/{pid}/self"/>\n'
+                    f'  <link href="{link}"/>\n'
+                    f"  <title>{title_xml}</title>\n"
+                    f"  <updated>2026-{mm:02d}-{dd:02d}T10:30:00Z</updated>\n"
+                    "</entry>"
+                )
+            else:
+                entries.append(
+                    "<item>\n"
+                    f"  <title>{title_xml}</title>\n"
+                    f"  <link>{link}</link>\n"
+                    f"  <description>noise {pid}</description>\n"
+                    f"  <pubDate>Mon, {dd} {_RFC_MONTHS[mm - 1]} 2026 "
+                    "10:30:00 GMT</pubDate>\n"
+                    "</item>"
+                )
+        if h % 2 == 1:
+            entries.append(
+                "<entry>\n  <title>linkless</title>\n"
+                "  <updated>2026-01-01T00:00:00Z</updated>\n</entry>"
+            )
+            xml = (
+                '<?xml version="1.0"?>\n<feed xmlns="http://www.w3.org/2005/Atom">\n'
+                f"<title>{host}</title>\n"
+                f'<link rel="self" href="https://{host}/feed.xml"/>\n'
+                + "\n".join(entries)
+                + "\n</feed>"
+            )
+        else:
+            entries.append(
+                "<item>\n  <title>linkless</title>\n"
+                "  <description>no link here</description>\n</item>"
+            )
+            xml = (
+                '<?xml version="1.0"?>\n<rss version="2.0"><channel>\n'
+                f"<title>{host}</title>\n"
+                + "\n".join(entries)
+                + "\n</channel></rss>"
+            )
+        rows.append({"host": host, "feed_xml": xml})
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array([r["host"] for r in rows], pa.string()),
+                "feed_xml": pa.array([r["feed_xml"] for r in rows], pa.string()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+_RFC_MONTHS = [
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+]
+
+
 def write_cdx_fixture(path: str, n_records: int = 240) -> str:
     """Deterministic CDX-JSON index shard: record i captures
     https://{www. if i%6==0}h{i%9}.example.org/P{i//3} (uppercase path — SURT
