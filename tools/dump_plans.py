@@ -60,6 +60,11 @@ SHOWN = [
     ("passage_windows_overlap", "one split + sequence/slice expansion inside codegen (tokens bound once): no python stage, no exchange"),
     ("frontier_politeness_budget", "host-partitioned row_number over the frontier — never a global window"),
     ("deepwalk_skipgram_pairs", "walk-keyed self-join (per-walk fan-out ≤ length×2w); co-occurrence aggregate map-side combines into the pair vocabulary"),
+    ("jsonld_triples", "script-block regex + from_json + struct emission are ONE narrow JVM projection: no python stage, no exchange"),
+    ("structured_entity_stats", "JSON-LD ∪ infobox are two projections of the SAME page scan; the per-entity aggregate is the only exchange (map-side combined)"),
+    ("kg_transe_eval", "energies are pure-JVM md5 folds; one exchange groups the ≤8 negatives per triple, per-pred agg map-side combines into |relations| keys"),
+    ("bpe_encode_corpus", "merge folds run once per DISTINCT word (vocab exchange); the token join keys on the word; per-doc agg map-side combines"),
+    ("rss_atom_entries", "entry blocks + field extraction are pure JVM regex/array expressions: no python stage, no exchange"),
 ]
 
 
