@@ -1476,6 +1476,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(_ensure_simple_corpus())
         return extract_triples_df(docs_to_chunks(docs)).select("subj", "pred", "obj")
 
+    def kg_fact_rank(spark, sf):
+        # Entity summarization (kgsummary.py::fact_informativeness): each
+        # entity's top-3 facts by (pred, obj) IDF over subjects — one ln of
+        # one exact-integer division (pmi discipline), subject-partitioned
+        # window, deterministic tie-breaks.
+        from aiwhispr_spark.operators.kgsummary import fact_informativeness
+
+        return fact_informativeness(_corpus_triples(spark), top_k=3)
+
+    q["kg_fact_rank"] = kg_fact_rank
+
+    def kg_related_entities(spark, sf):
+        # Related-entity panel (kgsummary.py::entity_comention_pmi):
+        # page-level co-mention PMI over exact BIGINT page counts; the pair
+        # join is url-keyed over the DISTINCT (url, entity) mention table.
+        from aiwhispr_spark.functions.udfs import extract_triples_df
+        from aiwhispr_spark.operators.kgsummary import entity_comention_pmi
+        from aiwhispr_spark.plans.kg_pipeline import docs_to_chunks
+
+        docs = spark.read.parquet(_ensure_simple_corpus())
+        t = extract_triples_df(docs_to_chunks(docs)).select(
+            "url", "subj", "pred", "obj"
+        )
+        return entity_comention_pmi(t, min_pages=2)
+
+    q["kg_related_entities"] = kg_related_entities
+
     def kg_bgp_chain(spark, sf):
         # KG query layer: SPARQL-style basic graph pattern over the corpus
         # triple store — acquirers ?y of entities ?x that employ ?p and are
@@ -3905,6 +3932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe_eval",
         "kg_predicate_profile",
         "kg_bgp_optional",
+        "kg_fact_rank",
+        "kg_related_entities",
         "kg_property_path",
         "kg_link_prediction",
         "kg_lpa_communities",
@@ -4292,6 +4321,44 @@ def oracle_sql() -> dict[str, str]:
         JOIN t b ON b.pred = 'based_in' AND b.subj = w.subj
         JOIN t a ON a.pred = 'acquired' AND a.obj = w.subj
         WHERE w.pred = 'works_for'
+    """
+    o["kg_fact_rank"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        facts AS (SELECT DISTINCT subj, pred, obj FROM t),
+        dfs AS (SELECT pred, obj, CAST(count(DISTINCT subj) AS BIGINT) AS df
+                FROM facts GROUP BY pred, obj),
+        n AS (SELECT count(DISTINCT subj) AS n_subj_total FROM facts),
+        scored AS (
+          SELECT f.subj, f.pred, f.obj,
+                 CAST(round(1e6 * ln(CAST(n.n_subj_total AS DOUBLE) / df))
+                   AS BIGINT) AS idf_i
+          FROM facts f JOIN dfs USING (pred, obj) CROSS JOIN n)
+        SELECT subj, pred, obj, idf_i, CAST(rk AS INT) AS fact_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY subj
+                     ORDER BY idf_i DESC, pred, obj) AS rk
+          FROM scored) WHERE rk <= 3
+    """
+    o["kg_related_entities"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        m AS (SELECT DISTINCT url, entity FROM (
+                SELECT url, subj AS entity FROM t
+                UNION ALL SELECT url, obj FROM t)),
+        n AS (SELECT count(DISTINCT url) AS n_pages FROM m),
+        ent AS (SELECT entity, CAST(count(*) AS BIGINT) AS c
+                FROM m GROUP BY entity),
+        pairs AS (
+          SELECT l.entity AS a, r.entity AS b,
+                 CAST(count(*) AS BIGINT) AS n_pages_pair
+          FROM m l JOIN m r ON l.url = r.url AND l.entity < r.entity
+          GROUP BY a, b HAVING count(*) >= 2)
+        SELECT p.a, p.b, p.n_pages_pair,
+               CAST(round(1e6 * ln(
+                 CAST(p.n_pages_pair * n.n_pages AS DOUBLE) / (ea.c * eb.c)))
+                 AS BIGINT) AS pmi_i
+        FROM pairs p
+        JOIN ent ea ON ea.entity = p.a
+        JOIN ent eb ON eb.entity = p.b
+        CROSS JOIN n
     """
     o["kg_bgp_optional"] = f"""
         WITH t AS ({_kg_e2e_sql()}),
