@@ -2065,6 +2065,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["duplicate_ngram_spans"] = dup_ngram_spans
 
+    def span_removal(spark, sf):
+        # APPLY exact-substring dedup (decontam.py::remove_duplicate_spans):
+        # same planted corpus as duplicate_ngram_spans, but the duplicated
+        # windows are CUT and the survivors re-joined — byte-exact cleaned
+        # text gated against an independent NOT-EXISTS range cut in DuckDB.
+        from aiwhispr_spark.operators.decontam import remove_duplicate_spans
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.lit(_DUP_SPAN_SENTENCE)
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return remove_duplicate_spans(docs, n=5).withColumnRenamed("id", "doc_id")
+
+    q["dedup_span_removal"] = span_removal
+
     def bpe_pairs(spark, sf):
         # First BPE merge iteration over the corpus (textstats.py::
         # bpe_pair_counts): vocabulary-weighted adjacent character pairs,
@@ -3986,6 +4006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel",
         "bloom_prefilter_dedup",
         "duplicate_ngram_spans",
+        "dedup_span_removal",
         "bpe_pair_stats",
         "paragraph_dedup",
         "kg_transe_score",
@@ -4618,6 +4639,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN EXISTS (SELECT 1 FROM delta d WHERE d.dg = s.dg)
                     THEN 1 ELSE 0 END AS BIGINT) AS true_dup_i
         FROM store s
+    """
+    o["dedup_span_removal"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 3 = 0
+                              THEN '{_DUP_SPAN_SENTENCE}' ELSE '' END AS text
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '') AS arr
+          FROM d),
+        grams AS MATERIALIZED (
+          SELECT doc_id, i, array_to_string(arr[i : i + 4], ' ') AS gram
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(arr) - 4)) AS i) g
+          WHERE len(arr) >= 5),
+        dup AS MATERIALIZED (
+          SELECT gram FROM grams GROUP BY gram
+          HAVING count(DISTINCT doc_id) >= 2),
+        starts AS (SELECT g.doc_id, g.i FROM grams g JOIN dup USING (gram)),
+        pos AS (
+          SELECT t.doc_id, p.pos, t.arr[p.pos] AS tok
+          FROM toks t,
+               LATERAL (SELECT unnest(generate_series(1, len(t.arr))) AS pos) p
+          WHERE len(t.arr) >= 1),
+        kept AS (
+          SELECT o.doc_id, o.pos, o.tok FROM pos o
+          WHERE NOT EXISTS (
+            SELECT 1 FROM starts s
+            WHERE s.doc_id = o.doc_id AND o.pos BETWEEN s.i AND s.i + 4)),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY pos) AS cleaned
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(t.arr) AS BIGINT) AS n_tokens,
+               CAST(len(t.arr) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+               coalesce(a.cleaned, '') AS cleaned_text
+        FROM toks t LEFT JOIN agg a USING (doc_id)
     """
     o["duplicate_ngram_spans"] = f"""
         WITH d AS (

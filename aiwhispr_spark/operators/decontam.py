@@ -82,6 +82,98 @@ def ngram_decontaminate(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """APPLY exact-substring dedup (the cut half of Lee et al. 2022, policy:
+    every occurrence of a corpus-duplicated window is removed — the
+    conservative curation arm; keep-one-copy election composes with
+    `dedup.elect_keepers_by_quality` instead): tokens covered by any
+    length-``n`` window occurring in ≥ ``min_docs`` DISTINCT documents are
+    cut and the survivors re-joined.
+
+    Returns ``(id, n_tokens, n_removed, cleaned_text)`` (empty string when
+    everything was duplicated or the doc had no tokens; NULL text behaves
+    as empty — the linededup lesson).
+
+    100 TB shape: the counting shuffle carries ``(xxhash64(gram), id)`` and
+    the duplicated-start sets come back as ``(id, pos)`` pairs collected to
+    one SMALL array per affected doc — token TEXT never rides an exchange,
+    and the actual cut is a pure-JVM filter over the doc's own token array
+    (no per-token shuffle, no reassembly groupBy over tokens)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    tok_arr = F.filter(tokenize(text), lambda t: t != "")
+    gram_structs = bound(
+        tok_arr,
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))).alias(
+                        "gram_key"
+                    ),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,gram_key:bigint>>")),
+    )
+    grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(gram_structs).alias("g")
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.gram_key").alias("gram_key"))
+    dup_keys = (
+        grams.groupBy("gram_key")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram_key")
+    )
+    starts = (
+        grams.join(dup_keys, "gram_key")
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    staged = (
+        docs.select(F.col(id_col).alias("id"), text.alias("_txt"))
+        .join(starts, "id", "left")
+        .select(
+            "id",
+            F.filter(tokenize(F.col("_txt")), lambda t: t != "").alias("toks"),
+            F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias(
+                "starts"
+            ),
+        )
+    )
+    kept = bound(
+        F.col("toks"),
+        lambda toks: F.when(
+            F.size(toks) >= 1,
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks)),
+                    lambda i: F.when(
+                        ~F.exists(
+                            F.col("starts"),
+                            lambda s: (i >= s) & (i <= s + (n - 1)),
+                        ),
+                        F.element_at(toks, i),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return staged.select(
+        "id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
 def duplicate_ngram_spans(
     docs: DataFrame,
     n: int = 5,

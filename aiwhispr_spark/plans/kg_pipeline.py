@@ -71,6 +71,36 @@ def _overwrite_via_tmp(spark: SparkSession, df: DataFrame, path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def write_bucketed_triples(
+    triples: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int = 64,
+) -> None:
+    """Persist the (subj, pred, obj) store BUCKETED (and sorted) by subj —
+    the triple-store twin of fulltext.write_bucketed_postings: after this
+    one-time write, every subject-keyed operation (per-entity fact
+    aggregation for entity cards, the BGP self-join on a shared subject
+    variable, the fact-resolution window's shuffle) reads pre-clustered
+    buckets and needs NO exchange of the triple stream (plan-asserted in
+    tests/test_plans.py).  At 10^12 triples this is the difference between
+    re-shuffling the store per query and never shuffling it.
+
+    Locally this registers in the in-memory session catalog with an
+    external path; on a cluster the same write targets a Hive/Iceberg
+    catalog (Iceberg: ``bucket(n_buckets, subj)`` partition transform).
+    Subject skew (head entities) is the bucketing hazard — the E7 writer's
+    salting applies BEFORE this layout when a single subject outgrows a
+    bucket."""
+    (
+        triples.write.mode("overwrite")
+        .bucketBy(n_buckets, "subj")
+        .sortBy("subj")
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+
+
 def recanonicalize_output(
     spark: SparkSession,
     output_dir: str,

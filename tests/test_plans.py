@@ -201,3 +201,32 @@ def test_global_sort_rank_has_no_single_partition_window(spark):
     # the range Exchange is the sort's necessary shuffle; a hash Exchange on
     # the pid redistributes for the window — both bounded-width
     assert "rangepartitioning" in plan.lower()
+
+
+def test_bucketed_triples_subject_ops_need_no_exchange(spark, tmp_path):
+    """The persisted triple store is bucketed by subj: subject-keyed
+    aggregation (entity cards) and the subject-keyed BGP self-join both
+    read the bucket layout and shuffle nothing."""
+    from aiwhispr_spark.plans.kg_pipeline import write_bucketed_triples
+
+    t = spark.createDataFrame(
+        [(f"E{i % 17}", ["based_in", "acquired"][i % 2], f"O{i}") for i in range(80)],
+        "subj string, pred string, obj string",
+    )
+    write_bucketed_triples(t, "triples_plan_t", str(tmp_path / "triples"), n_buckets=4)
+    try:
+        store = spark.table("triples_plan_t")
+        agg = store.groupBy("subj").count()
+        assert "Exchange" not in plan_of(agg)
+        assert agg.count() == 17
+        # BGP shared-subject self-join: both sides pre-clustered on subj.
+        # hint("merge") pins the SMJ (at gate scale AQE would broadcast the
+        # tiny side; at 10^12 triples a predicate-filtered side is not
+        # broadcastable and bucket-SMJ-without-exchange IS the plan).
+        self_join = store.filter("pred = 'based_in'").join(
+            store.filter("pred = 'acquired'").hint("merge"), "subj"
+        )
+        assert "Exchange" not in plan_of(self_join)
+        assert self_join.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS triples_plan_t")
