@@ -3850,6 +3850,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["csv_roundtrip"] = csv_roundtrip
 
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
+    def script_profile_q(spark, sf):
+        # Unicode-script profiling (textstats.py::script_profile): per-doc
+        # Latin/Cyrillic/Greek/Arabic/CJK character counts + precedence
+        # argmax, pure-JVM regexp_count over a fixture whose run lengths are
+        # closed-form in doc_id — the oracle asserts counts from arithmetic
+        # alone (chr()-both-sides discipline), independent of the ranges.
+        import os
+        import tempfile
+
+        from aiwhispr_spark.operators.textstats import script_profile
+        from aiwhispr_spark.sources.synthetic import write_script_corpus_parquet
+
+        path = os.path.join(tempfile.gettempdir(), "aiwhispr_script_fixture.parquet")
+        if not os.path.exists(path):
+            write_script_corpus_parquet(path, n_docs=120)
+        return script_profile(spark.read.parquet(path))
+
+    q["script_profile"] = script_profile_q
+
     def rss_atom(spark, sf):
         # RSS 2.0 + Atom feed parsing (sources/feeds.py): entry blocks via
         # one JVM regexp_extract_all, CDATA title unwrap, RFC-822 →
@@ -4017,6 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_txt_fetch_policy",
         "sitemap_frontier_diff",
         "rss_atom_entries",
+        "script_profile",
         "dsir_importance_weights",
         "cdx_fetch_list",
         "minhash_incremental_delta",
@@ -4565,6 +4585,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum(logp_i) AS BIGINT) AS sum_logp_i
         FROM toks JOIN vocab USING (tok) GROUP BY doc_id
+    """
+    o["script_profile"] = """
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(4 * (2 + doc_id % 4) AS BIGINT) AS n_latin,
+                 CAST((3 * doc_id) % 7 AS BIGINT) AS n_cyrillic,
+                 CAST((7 * doc_id) % 4 AS BIGINT) AS n_greek,
+                 CAST(doc_id % 5 AS BIGINT) AS n_arabic,
+                 CAST((5 * doc_id) % 6 AS BIGINT) AS n_cjk
+          FROM range(0, 120) r(doc_id))
+        SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+               CASE
+                 WHEN n_latin > 0 AND n_latin >= greatest(n_cyrillic, n_greek,
+                      n_arabic, n_cjk) THEN 'latin'
+                 WHEN n_cyrillic > 0 AND n_cyrillic >= greatest(n_latin,
+                      n_greek, n_arabic, n_cjk) THEN 'cyrillic'
+                 WHEN n_greek > 0 AND n_greek >= greatest(n_latin, n_cyrillic,
+                      n_arabic, n_cjk) THEN 'greek'
+                 WHEN n_arabic > 0 AND n_arabic >= greatest(n_latin,
+                      n_cyrillic, n_greek, n_cjk) THEN 'arabic'
+                 WHEN n_cjk > 0 AND n_cjk >= greatest(n_latin, n_cyrillic,
+                      n_greek, n_arabic) THEN 'cjk'
+                 ELSE 'none' END AS main_script
+        FROM c
     """
     o["rss_atom_entries"] = """
         WITH hosts AS (SELECT unnest(range(0, 10)) AS h),

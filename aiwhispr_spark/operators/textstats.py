@@ -610,6 +610,48 @@ def bpe_encode(
     )
 
 
+_SCRIPT_RANGES = [
+    ("latin", r"[A-Za-zÀ-ɏ]"),
+    ("cyrillic", r"[Ѐ-ӿ]"),
+    ("greek", r"[Ͱ-Ͽ]"),
+    ("arabic", r"[؀-ۿ]"),
+    ("cjk", r"[぀-ヿ一-鿿가-힯]"),
+]
+
+
+def script_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode-script profile: (doc_id, n_latin, n_cyrillic,
+    n_greek, n_arabic, n_cjk, main_script) — the writing-system signal a
+    multilingual curation pipeline routes on (which lang-ID model to run,
+    which tokenizer, which quality thresholds).  ``main_script`` is the
+    argmax with a fixed precedence tie-break (the _SCRIPT_RANGES order;
+    'none' when every count is zero).
+
+    Ranges are the curation-relevant basic blocks (Latin incl. the two
+    supplement blocks, Cyrillic, Greek, Arabic, CJK incl. kana + hangul) —
+    not full Unicode script property classes (Java and RE2 disagree on
+    those; explicit ranges behave identically everywhere).
+
+    100 TB shape: pure JVM ``regexp_count`` expressions fused with the
+    scan — no python stage, no exchange (plan-asserted)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(rx)).cast("long").alias(f"n_{name}")
+        for name, rx in _SCRIPT_RANGES
+    ]
+    out = docs.select(F.col(id_col).alias("doc_id"), *counts)
+    main = F.lit("none")
+    # build the precedence chain back-to-front: earlier scripts win ties
+    for name, _ in reversed(_SCRIPT_RANGES):
+        ge_all = F.col(f"n_{name}") > 0
+        for o, _ in _SCRIPT_RANGES:
+            if o != name:
+                ge_all = ge_all & (F.col(f"n_{name}") >= F.col(f"n_{o}"))
+        main = F.when(ge_all, F.lit(name)).otherwise(main)
+    return out.withColumn("main_script", main)
+
+
 def bigram_logprob_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

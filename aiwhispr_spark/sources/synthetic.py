@@ -609,6 +609,42 @@ def write_sitemap_corpus(dir_path: str, n_hosts: int = 8, n_urls: int = 10) -> s
     return dir_path
 
 
+def write_script_corpus_parquet(path: str, n_docs: int = 120) -> str:
+    """(doc_id, text) fixture for textstats.script_profile: each doc mixes
+    Latin words with Cyrillic / Greek / Arabic / CJK runs whose LENGTHS are
+    closed-form in i, so the DuckDB oracle asserts the per-script counts
+    from arithmetic alone (chr()-both-sides discipline, see
+    charset_detect_decode):
+
+    * n_latin    = 4·(2 + i%4)   ("word" ×(2+i%4))
+    * n_cyrillic = (3i)%7        (chr(0x0410 + i%32) repeated)
+    * n_greek    = (7i)%4        (chr(0x03B1 + i%24))
+    * n_arabic   = i%5           (chr(0x0627 + i%10))
+    * n_cjk      = (5i)%6        (chr(0x4E00 + i%100))
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for i in range(n_docs):
+        parts = ["word"] * (2 + i % 4)
+        parts.append(chr(0x0410 + i % 32) * ((3 * i) % 7))
+        parts.append(chr(0x03B1 + i % 24) * ((7 * i) % 4))
+        parts.append(chr(0x0627 + i % 10) * (i % 5))
+        parts.append(chr(0x4E00 + i % 100) * ((5 * i) % 6))
+        rows.append({"doc_id": i, "text": " ".join(p for p in parts if p)})
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def write_feed_corpus_parquet(path: str, n_hosts: int = 10) -> str:
     """(host, feed_xml) fixture for sources/feeds.py: even hosts serve RSS
     2.0, odd hosts Atom.  Every advertised entry is a closed-form function
