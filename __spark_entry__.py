@@ -3850,6 +3850,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["csv_roundtrip"] = csv_roundtrip
 
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
+    def host_outlinks(spark, sf):
+        # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
+        # volume, destination diversity, self-link count — the link-farm
+        # signal.  Oracle aggregates the CLOSED-FORM link set.
+        from aiwhispr_spark.operators.linkgraph import (
+            extract_links,
+            host_outlink_profile,
+        )
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        return host_outlink_profile(extract_links(docs))
+
+    q["host_outlink_profile"] = host_outlinks
+
+    def media_sniff(spark, sf):
+        # Magic-byte media-type sniffing (multimodal.py::sniff_media_type):
+        # 10 payload arms built closed-form from doc_id (incl. the RIFF
+        # container subdivision WAVE vs other and a junk arm) — the U4/U5
+        # dispatch front.  Oracle = expected type from doc_id arithmetic.
+        from aiwhispr_spark.operators.multimodal import sniff_media_type
+
+        arms = {
+            0: "503520",        # P5 netpbm_pgm
+            1: "503620",        # P6 netpbm_ppm
+            2: "52494646AABBCCDD57415645",  # RIFF....WAVE
+            3: "52494646000000004156492020",  # RIFF....AVI  -> riff_other
+            4: "255044462D312E34",  # %PDF-1.4
+            5: "504B030414000000",  # zip local header
+            6: "1F8B0800",      # gzip
+            7: "89504E470D0A1A0A",  # png
+            8: "FFD8FFE000104A46",  # jpeg/JFIF
+            9: "0011223344",    # junk -> unknown
+        }
+        hex_expr = F.lit(arms[9])
+        for k in range(9):
+            hex_expr = F.when(F.col("doc_id") % 10 == k, F.lit(arms[k])).otherwise(
+                hex_expr
+            )
+        d = _t(spark, sf, "documents").select(
+            "doc_id", F.unhex(hex_expr).alias("payload")
+        )
+        return sniff_media_type(d).select("doc_id", "media_type")
+
+    q["media_type_sniff"] = media_sniff
+
     def script_profile_q(spark, sf):
         # Unicode-script profiling (textstats.py::script_profile): per-doc
         # Latin/Cyrillic/Greek/Arabic/CJK character counts + precedence
@@ -4037,6 +4082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier_diff",
         "rss_atom_entries",
         "script_profile",
+        "media_type_sniff",
+        "host_outlink_profile",
         "dsir_importance_weights",
         "cdx_fetch_list",
         "minhash_incremental_delta",
@@ -4585,6 +4632,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum(logp_i) AS BIGINT) AS sum_logp_i
         FROM toks JOIN vocab USING (tok) GROUP BY doc_id
+    """
+    o["host_outlink_profile"] = f"""
+        WITH l AS ({_linked_links_sql()}),
+        h AS (
+          SELECT regexp_extract(src_url, '^[a-z]+://([^/:?#]*)', 1) AS src_host,
+                 regexp_extract(dst_url, '^[a-z]+://([^/:?#]*)', 1) AS dst_host
+          FROM l)
+        SELECT src_host,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT dst_host) AS BIGINT) AS n_dst_hosts,
+               CAST(sum(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_self,
+               CAST(round(10000.0 * count(DISTINCT dst_host) / count(*))
+                 AS BIGINT) AS diversity_i
+        FROM h GROUP BY src_host
+    """
+    o["media_type_sniff"] = """
+        SELECT doc_id,
+               CASE doc_id % 10
+                 WHEN 0 THEN 'netpbm_pgm'
+                 WHEN 1 THEN 'netpbm_ppm'
+                 WHEN 2 THEN 'riff_wav'
+                 WHEN 3 THEN 'riff_other'
+                 WHEN 4 THEN 'pdf'
+                 WHEN 5 THEN 'zip'
+                 WHEN 6 THEN 'gzip'
+                 WHEN 7 THEN 'png'
+                 WHEN 8 THEN 'jpeg'
+                 ELSE 'unknown' END AS media_type
+        FROM documents
     """
     o["script_profile"] = """
         WITH c AS (

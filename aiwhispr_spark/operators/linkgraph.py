@@ -142,6 +142,34 @@ def host_edges(links: DataFrame, keep_self: bool = False) -> DataFrame:
     )
 
 
+def host_outlink_profile(links: DataFrame) -> DataFrame:
+    """(src_host, n_links, n_dst_hosts, n_self, diversity_i) — per-host
+    outlink hygiene from the page-level link frame: total out-links,
+    distinct destination hosts, self-links, and scaled link diversity
+    ``round(1e4 · n_dst_hosts / n_links)``.  Low diversity at high volume
+    is the classic link-farm / SEO-spam signature; the host-authority
+    prior (host_pagerank) and crawl scheduler both consume it.
+
+    100 TB shape: one map-side-combinable aggregate keyed on src_host
+    (host cardinality output); the integer ratio rounds once per host."""
+    hosts = links.select(
+        host_of(F.col("src_url")).alias("src_host"),
+        host_of(F.col("dst_url")).alias("dst_host"),
+    )
+    return hosts.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("dst_host").cast("long").alias("n_dst_hosts"),
+        F.sum((F.col("dst_host") == F.col("src_host")).cast("long"))
+        .cast("long")
+        .alias("n_self"),
+        F.round(
+            F.lit(10000.0) * F.countDistinct("dst_host") / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("diversity_i"),
+    )
+
+
 def host_pagerank(
     docs: DataFrame,
     damping: float = 0.85,

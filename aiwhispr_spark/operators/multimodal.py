@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -342,3 +343,43 @@ def wav_audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_batches, out_schema)
+
+
+_MAGIC_PREFIXES = [
+    # (media_type, uppercase hex prefix of the payload's first bytes)
+    ("netpbm_pgm", "5035"),          # 'P5'
+    ("netpbm_ppm", "5036"),          # 'P6'
+    ("riff_wav", "52494646"),        # 'RIFF' (container; WAVE checked below)
+    ("pdf", "25504446"),             # '%PDF'
+    ("zip", "504B0304"),             # PK\x03\x04 (incl. docx/xlsx/pptx)
+    ("gzip", "1F8B"),
+    ("png", "89504E47"),
+    ("jpeg", "FFD8FF"),
+]
+
+
+def sniff_media_type(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Append ``media_type`` classified from the payload's MAGIC BYTES —
+    the dispatch front of the U4/U5 registries (route to netpbm/WAV/PDF/
+    OOXML arms without trusting file suffixes, which crawled URLs lie
+    about).  Pure JVM: one hex() of the first 8 bytes + a prefix CASE
+    chain, fused with the scan — no python stage, no exchange.  RIFF
+    payloads subdivide by the format tag at offset 8 ('WAVE' → riff_wav,
+    else riff_other); everything unrecognized is 'unknown' (visible, never
+    dropped).  First match wins, longest-prefix entries listed first
+    within a shared leading byte."""
+    head = F.upper(F.hex(F.substring(F.col(payload_col), 1, 12)))
+    expr = F.lit("unknown")
+    for media_type, prefix in reversed(_MAGIC_PREFIXES):
+        cond = head.startswith(prefix)
+        if media_type == "riff_wav":
+            # bytes 9-12 are the RIFF format tag; 'WAVE' = 57415645
+            cond_wav = cond & (F.substring(head, 17, 8) == "57415645")
+            expr = F.when(
+                cond & ~(F.substring(head, 17, 8) == "57415645"),
+                F.lit("riff_other"),
+            ).otherwise(expr)
+            expr = F.when(cond_wav, F.lit("riff_wav")).otherwise(expr)
+        else:
+            expr = F.when(cond, F.lit(media_type)).otherwise(expr)
+    return df.withColumn("media_type", expr)

@@ -102,3 +102,22 @@ def test_host_pagerank_mass_and_order(spark):
     # a.org gets b.net's whole vote plus dangling mass; c.com only 1/3 of a's
     assert pr["www.a.org"] > pr["b.net"] > 0
     assert pr["b.net"] == pytest.approx(pr["c.com"], rel=1e-9)
+
+
+def test_host_outlink_profile_diversity_and_self(spark):
+    from aiwhispr_spark.operators.linkgraph import host_outlink_profile
+
+    links = spark.createDataFrame(
+        [
+            ("https://a.org/1", "https://b.org/x"),
+            ("https://a.org/1", "https://b.org/y"),   # same dst host again
+            ("https://a.org/2", "https://a.org/self"),
+            ("https://c.org/1", "https://d.org/x"),
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {r.src_host: r for r in host_outlink_profile(links).collect()}
+    a = got["a.org"]
+    assert (a.n_links, a.n_dst_hosts, a.n_self) == (3, 2, 1)
+    assert a.diversity_i == round(10000 * 2 / 3)
+    assert got["c.org"].diversity_i == 10000

@@ -87,3 +87,42 @@ def test_real_decode_through_spark_pipeline(spark):
         assert rows[mid]["n_bytes"] == len(payload)
     # the P5 and P2 encodings of the same image must featurize identically
     assert np.allclose(rows["g5"]["feature"], rows["g2"]["feature"], atol=1e-6)
+
+
+def test_sniff_media_type_magic_bytes(spark):
+    from aiwhispr_spark.operators.multimodal import sniff_media_type
+
+    rows = [
+        ("pgm", b"P5 2 2 255 ...."),
+        ("wav", b"RIFF\x24\x00\x00\x00WAVEfmt "),
+        ("avi", b"RIFF\x24\x00\x00\x00AVI LIST"),
+        ("pdf", b"%PDF-1.7 rest"),
+        ("zip", b"PK\x03\x04\x14\x00"),
+        ("gz", b"\x1f\x8b\x08\x00"),
+        ("png", b"\x89PNG\r\n\x1a\n"),
+        ("jpg", b"\xff\xd8\xff\xe0\x00\x10JFIF"),
+        ("junk", b"\x00\x11\x22"),
+        ("short", b"P"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r.media_id: r.media_type for r in sniff_media_type(df).collect()}
+    assert got == {
+        "pgm": "netpbm_pgm",
+        "wav": "riff_wav",
+        "avi": "riff_other",
+        "pdf": "pdf",
+        "zip": "zip",
+        "gz": "gzip",
+        "png": "png",
+        "jpg": "jpeg",
+        "junk": "unknown",
+        "short": "unknown",
+    }
+
+
+def test_sniff_media_type_is_pure_jvm(spark):
+    from aiwhispr_spark.operators.multimodal import sniff_media_type
+
+    df = spark.createDataFrame([("a", b"x")], "media_id string, payload binary")
+    plan = sniff_media_type(df)._jdf.queryExecution().executedPlan().treeString()
+    assert "Python" not in plan and "Exchange" not in plan
