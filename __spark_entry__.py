@@ -3989,6 +3989,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infobox_triples",
         "structured_entity_stats",
         "meta_og_cards",
+        "dedup_span_removal",
+        "rss_atom_entries",
+        "script_profile",
+        "media_type_sniff",
+        "host_outlink_profile",
         "minhash_pairs_md5",
         "minhash_groups_md5",
         "dedup_apply_keepers",
@@ -4000,14 +4005,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer_entity_tags",
         "extractive_summary_top2",
         "host_shortest_paths_6",
-        "csv_roundtrip",
         "simhash_fingerprint",
         "simhash_near_dup_pairs",
         "cc_label_propagation",
         "e3_triples_inline_svo",
         "clean_corpus_filter_chain",
-        "lineage_cube",
-        "setops_active_custkeys",
         "events_sessions_detail",
         "multimodal_features",
         "kmeans_domain_clusters",
@@ -4028,12 +4030,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges",
         "bpe_encode_corpus",
         "kg_entity_cards",
-        "passage_windows_overlap",
-        "frontier_politeness_budget",
         "kg_fact_resolution",
         "kg_source_reliability",
         "deepwalk_skipgram_pairs",
         "bigram_lm_scores",
+        "csv_roundtrip",
+        "passage_windows_overlap",
+        "frontier_politeness_budget",
+        "setops_active_custkeys",
+        "lineage_cube",
         "ivf_all_probe_equals_exact",
         "global_sort_rank",
         "chars_percentiles",
@@ -4070,7 +4075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel",
         "bloom_prefilter_dedup",
         "duplicate_ngram_spans",
-        "dedup_span_removal",
         "bpe_pair_stats",
         "paragraph_dedup",
         "kg_transe_score",
@@ -4080,10 +4084,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc_normalize",
         "robots_txt_fetch_policy",
         "sitemap_frontier_diff",
-        "rss_atom_entries",
-        "script_profile",
-        "media_type_sniff",
-        "host_outlink_profile",
         "dsir_importance_weights",
         "cdx_fetch_list",
         "minhash_incremental_delta",
