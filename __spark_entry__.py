@@ -1476,6 +1476,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(_ensure_simple_corpus())
         return extract_triples_df(docs_to_chunks(docs)).select("subj", "pred", "obj")
 
+    def kg_coref(spark, sf):
+        # Pronoun-coreference resolution with negation guard (operators/
+        # coref.py): 5-sentence docs built closed-form from doc_id — s1's
+        # "It" resolves across s0, s4's "She" resolves PAST the negated s2
+        # to s3's anchor; the never-based_in sentence must NOT emit.
+        # Oracle = the expected two triples per doc from arithmetic alone.
+        from aiwhispr_spark.operators.coref import pronoun_resolved_triples
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        a = (F.col("doc_id") % 37).cast("string")
+        b = (F.col("doc_id") % 11).cast("string")
+        c = ((F.col("doc_id") * 3) % 13).cast("string")
+        p = (F.col("doc_id") % 7).cast("string")
+        dd = ((F.col("doc_id") * 5) % 9).cast("string")
+        text = F.concat(
+            F.lit("Entity_"), a, F.lit(" acquired E"), b, F.lit(" Corp. "),
+            F.lit("It is based in City"), c, F.lit(". "),
+            F.lit("It was never based in Badtown. "),
+            F.lit("Person"), p, F.lit(" works for Entity_"), a, F.lit(". "),
+            F.lit("She acquired Asset"), dd, F.lit("."),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            text.alias("text_chunk"),
+        )
+        return pronoun_resolved_triples(chunks)
+
+    q["kg_pronoun_coref"] = kg_coref
+
     def kg_fact_rank(spark, sf):
         # Entity summarization (kgsummary.py::fact_informativeness): each
         # entity's top-3 facts by (pred, obj) IDF over subjects — one ln of
@@ -4016,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_export",
         "kg_negative_samples",
         "kg_transe_eval",
+        "kg_pronoun_coref",
         "kg_predicate_profile",
         "kg_bgp_optional",
         "kg_fact_rank",
@@ -4409,6 +4439,19 @@ def oracle_sql() -> dict[str, str]:
         JOIN t b ON b.pred = 'based_in' AND b.subj = w.subj
         JOIN t a ON a.pred = 'acquired' AND a.obj = w.subj
         WHERE w.pred = 'works_for'
+    """
+    o["kg_pronoun_coref"] = """
+        SELECT 'u' || doc_id AS url, 1 AS sent_no,
+               'Entity_' || (doc_id % 37) AS subj,
+               'based_in' AS pred,
+               'City' || ((doc_id * 3) % 13) AS obj
+        FROM documents
+        UNION ALL
+        SELECT 'u' || doc_id, 4,
+               'Person' || (doc_id % 7),
+               'acquired',
+               'Asset' || ((doc_id * 5) % 9)
+        FROM documents
     """
     o["kg_fact_rank"] = f"""
         WITH t AS ({_kg_e2e_sql()}),
