@@ -1476,6 +1476,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(_ensure_simple_corpus())
         return extract_triples_df(docs_to_chunks(docs)).select("subj", "pred", "obj")
 
+    def kg_diff(spark, sf):
+        # KG snapshot diffing (temporal.py::kg_snapshot_diff): old/new
+        # triple sets built closed-form over 40 entities — a%5==0 moves HQ
+        # (functional change, paired), a%7==0 loses its owns edge (removed),
+        # a%3==0 gains a ceo fact (added).  Oracle EMITS the expected delta
+        # directly from the arithmetic (no diff re-implementation).
+        from aiwhispr_spark.operators.temporal import kg_snapshot_diff
+
+        ents = (
+            _t(spark, sf, "documents")
+            .select((F.col("doc_id") % 40).alias("a"))
+            .distinct()
+        )
+        e = F.concat(F.lit("E"), F.col("a").cast("string"))
+        city_old = F.concat(F.lit("City"), ((F.col("a") * 3) % 13).cast("string"))
+        city_new = F.concat(
+            F.lit("City"),
+            F.when(F.col("a") % 5 == 0, (F.col("a") * 3) % 13 + 1)
+            .otherwise((F.col("a") * 3) % 13)
+            .cast("string"),
+        )
+        sub = F.concat(F.lit("Sub"), ((F.col("a") * 5) % 11).cast("string"))
+        ceo = F.concat(F.lit("Person"), ((F.col("a") * 2) % 7).cast("string"))
+        old = ents.select(
+            e.alias("subj"), F.lit("based_in").alias("pred"), city_old.alias("obj")
+        ).unionByName(
+            ents.select(e.alias("subj"), F.lit("owns").alias("pred"), sub.alias("obj"))
+        )
+        new = (
+            ents.select(
+                e.alias("subj"),
+                F.lit("based_in").alias("pred"),
+                city_new.alias("obj"),
+            )
+            .unionByName(
+                ents.where(F.col("a") % 7 != 0).select(
+                    e.alias("subj"), F.lit("owns").alias("pred"), sub.alias("obj")
+                )
+            )
+            .unionByName(
+                ents.where(F.col("a") % 3 == 0).select(
+                    e.alias("subj"), F.lit("ceo").alias("pred"), ceo.alias("obj")
+                )
+            )
+        )
+        return kg_snapshot_diff(old, new)
+
+    q["kg_snapshot_diff"] = kg_diff
+
     def kg_coref(spark, sf):
         # Pronoun-coreference resolution with negation guard (operators/
         # coref.py): 5-sentence docs built closed-form from doc_id — s1's
@@ -4046,6 +4095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples",
         "kg_transe_eval",
         "kg_pronoun_coref",
+        "kg_snapshot_diff",
         "kg_predicate_profile",
         "kg_bgp_optional",
         "kg_fact_rank",
@@ -4439,6 +4489,20 @@ def oracle_sql() -> dict[str, str]:
         JOIN t b ON b.pred = 'based_in' AND b.subj = w.subj
         JOIN t a ON a.pred = 'acquired' AND a.obj = w.subj
         WHERE w.pred = 'works_for'
+    """
+    o["kg_snapshot_diff"] = """
+        WITH a AS (SELECT DISTINCT doc_id % 40 AS a FROM documents)
+        SELECT 'E' || a AS subj, 'based_in' AS pred,
+               'City' || ((a * 3) % 13) AS obj_old,
+               'City' || ((a * 3) % 13 + 1) AS obj_new,
+               'changed' AS change
+        FROM a WHERE a % 5 = 0
+        UNION ALL
+        SELECT 'E' || a, 'owns', 'Sub' || ((a * 5) % 11), NULL, 'removed'
+        FROM a WHERE a % 7 = 0
+        UNION ALL
+        SELECT 'E' || a, 'ceo', NULL, 'Person' || ((a * 2) % 7), 'added'
+        FROM a WHERE a % 3 = 0
     """
     o["kg_pronoun_coref"] = """
         SELECT 'u' || doc_id AS url, 1 AS sent_no,

@@ -213,6 +213,65 @@ def triple_temporal_extent(
     )
 
 
+def kg_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Fact-level change report between two KG snapshots (crawl N vs crawl
+    N+1): ``(subj, pred, obj_old, obj_new, change)`` with change ∈
+
+    * ``changed`` — a (subj, pred) whose old snapshot lost EXACTLY ONE
+      object and gained exactly one (the functional-fact update: HQ moved,
+      CEO replaced).  Multi-valued churn is NOT paired up arbitrarily — it
+      reports as independent removed/added rows;
+    * ``removed`` / ``added`` — triples present in only one snapshot.
+
+    Unchanged triples are excluded (the report is the delta, which is what
+    KG versioning stores).  Deterministic: pairing only happens in the
+    exactly-one-each case.
+
+    100 TB shape: two anti-joins plus one equi-join, all keyed on
+    (subj, pred[, obj]) — co-partitioned under one hash layout (the
+    subject-bucketed store makes them exchange-free); counts for the
+    exactly-one guard are map-side combinable."""
+    cols = ["subj", "pred", "obj"]
+    o = old.select(*cols).distinct()
+    n = new.select(*cols).distinct()
+    removed = o.join(n, cols, "left_anti")
+    added = n.join(o, cols, "left_anti")
+
+    def _singletons(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("subj", "pred")
+            .agg(F.count(F.lit(1)).alias("_c"), F.max("obj").alias("obj"))
+            .where(F.col("_c") == 1)
+            .drop("_c")
+        )
+
+    changed = (
+        _singletons(removed)
+        .withColumnRenamed("obj", "obj_old")
+        .join(
+            _singletons(added).withColumnRenamed("obj", "obj_new"),
+            ["subj", "pred"],
+        )
+        .select("subj", "pred", "obj_old", "obj_new", F.lit("changed").alias("change"))
+    )
+    ckeys = changed.select("subj", "pred")
+    pure_removed = removed.join(ckeys, ["subj", "pred"], "left_anti").select(
+        "subj",
+        "pred",
+        F.col("obj").alias("obj_old"),
+        F.lit(None).cast("string").alias("obj_new"),
+        F.lit("removed").alias("change"),
+    )
+    pure_added = added.join(ckeys, ["subj", "pred"], "left_anti").select(
+        "subj",
+        "pred",
+        F.lit(None).cast("string").alias("obj_old"),
+        F.col("obj").alias("obj_new"),
+        F.lit("added").alias("change"),
+    )
+    return changed.unionByName(pure_removed).unionByName(pure_added)
+
+
 def resolve_functional_facts(
     observed: DataFrame,
     ts_col: str = "ts",

@@ -1,0 +1,48 @@
+
+
+def test_kg_snapshot_diff_changed_added_removed(spark):
+    from aiwhispr_spark.operators.temporal import kg_snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            ("A", "based_in", "Berlin"),
+            ("A", "owns", "S1"),
+            ("B", "based_in", "Paris"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("A", "based_in", "Munich"),   # changed
+            ("B", "based_in", "Paris"),    # unchanged -> absent
+            ("B", "ceo", "Ada"),           # added
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.subj, r.pred, r.obj_old, r.obj_new, r.change)
+           for r in kg_snapshot_diff(old, new).collect()}
+    assert got == {
+        ("A", "based_in", "Berlin", "Munich", "changed"),
+        ("A", "owns", "S1", None, "removed"),
+        ("B", "ceo", None, "Ada", "added"),
+    }
+
+
+def test_kg_snapshot_diff_multivalued_churn_not_paired(spark):
+    from aiwhispr_spark.operators.temporal import kg_snapshot_diff
+
+    old = spark.createDataFrame(
+        [("A", "owns", "S1"), ("A", "owns", "S2")],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [("A", "owns", "S3")], "subj string, pred string, obj string"
+    )
+    got = {(r.obj_old, r.obj_new, r.change)
+           for r in kg_snapshot_diff(old, new).collect()}
+    # two removals + one addition: no arbitrary pairing into 'changed'
+    assert got == {
+        ("S1", None, "removed"),
+        ("S2", None, "removed"),
+        (None, "S3", "added"),
+    }
