@@ -1476,6 +1476,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(_ensure_simple_corpus())
         return extract_triples_df(docs_to_chunks(docs)).select("subj", "pred", "obj")
 
+    def kg_dated(spark, sf):
+        # Temporally-qualified fact extraction (temporal.py::
+        # extract_dated_facts): two dated sentences per closed-form doc —
+        # "acquired ... in YYYY" and "has been based in ... since YYYY".
+        # Oracle emits the expected qualified triples from arithmetic.
+        from aiwhispr_spark.operators.temporal import extract_dated_facts
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        a = (F.col("doc_id") % 37).cast("string")
+        b = (F.col("doc_id") % 11).cast("string")
+        c = ((F.col("doc_id") * 3) % 13).cast("string")
+        y1 = (1980 + F.col("doc_id") % 40).cast("string")
+        y2 = (1990 + F.col("doc_id") % 30).cast("string")
+        text = F.concat(
+            F.lit("Entity_"), a, F.lit(" acquired E"), b, F.lit(" Corp in "),
+            y1, F.lit(". "),
+            F.lit("Entity_"), a, F.lit(" has been based in City"), c,
+            F.lit(" since "), y2, F.lit("."),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            text.alias("text_chunk"),
+        )
+        return extract_dated_facts(chunks)
+
+    q["kg_dated_facts"] = kg_dated
+
     def kg_diff(spark, sf):
         # KG snapshot diffing (temporal.py::kg_snapshot_diff): old/new
         # triple sets built closed-form over 40 entities — a%5==0 moves HQ
@@ -4096,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe_eval",
         "kg_pronoun_coref",
         "kg_snapshot_diff",
+        "kg_dated_facts",
         "kg_predicate_profile",
         "kg_bgp_optional",
         "kg_fact_rank",
@@ -4489,6 +4517,23 @@ def oracle_sql() -> dict[str, str]:
         JOIN t b ON b.pred = 'based_in' AND b.subj = w.subj
         JOIN t a ON a.pred = 'acquired' AND a.obj = w.subj
         WHERE w.pred = 'works_for'
+    """
+    o["kg_dated_facts"] = """
+        SELECT 'u' || doc_id AS url,
+               'Entity_' || (doc_id % 37) AS subj,
+               'acquired' AS pred,
+               'E' || (doc_id % 11) || ' Corp' AS obj,
+               'in' AS qualifier,
+               CAST(1980 + doc_id % 40 AS INT) AS year
+        FROM documents
+        UNION ALL
+        SELECT 'u' || doc_id,
+               'Entity_' || (doc_id % 37),
+               'based_in',
+               'City' || ((doc_id * 3) % 13),
+               'since',
+               CAST(1990 + doc_id % 30 AS INT)
+        FROM documents
     """
     o["kg_snapshot_diff"] = """
         WITH a AS (SELECT DISTINCT doc_id % 40 AS a FROM documents)

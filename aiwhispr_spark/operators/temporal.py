@@ -213,6 +213,59 @@ def triple_temporal_extent(
     )
 
 
+_DATED_ACQ_RE = (
+    r"^([A-Z][A-Za-z0-9_ ]*?) acquired ([A-Za-z0-9_ ]+?) "
+    r"(in|since|until) ((?:1[89]|20)\d\d)\.$"
+)
+_DATED_BASED_RE = (
+    r"^([A-Z][A-Za-z0-9_ ]*?) (?:is|was|has been) based in ([A-Za-z0-9_ ]+?) "
+    r"(in|since|until) ((?:1[89]|20)\d\d)\.$"
+)
+
+
+def extract_dated_facts(
+    chunks: DataFrame,
+    text_col: str = "text_chunk",
+    id_col: str = "url",
+) -> DataFrame:
+    """Temporally-QUALIFIED triple extraction (Wikidata qualifier style):
+    sentences of the form "<Subj> acquired <Obj> in 1994." / "<Subj> has
+    been based in <Obj> since 2003." yield
+    ``(url, subj, pred, obj, qualifier, year)`` — the input to
+    point-in-time KG queries and to `triple_temporal_extent` when the TEXT
+    (not the crawl clock) asserts the date.  Documented subset: the two
+    verb frames, qualifier ∈ {in, since, until}, 4-digit years 18xx-20xx,
+    sentence-final.
+
+    100 TB shape: sentence explode + two regexes, one narrow JVM
+    projection — no python stage, no exchange."""
+    sents = chunks.select(
+        F.col(id_col).alias("url"),
+        F.explode(F.split(F.col(text_col), r"(?<=[.!?])\s+")).alias("sent"),
+    )
+
+    def _arm(rx: str, pred: str):
+        return F.when(
+            F.regexp_extract("sent", rx, 4) != "",
+            F.struct(
+                F.regexp_extract("sent", rx, 1).alias("subj"),
+                F.lit(pred).alias("pred"),
+                F.regexp_extract("sent", rx, 2).alias("obj"),
+                F.regexp_extract("sent", rx, 3).alias("qualifier"),
+                F.regexp_extract("sent", rx, 4).cast("int").alias("year"),
+            ),
+        )
+
+    fact = F.coalesce(
+        _arm(_DATED_ACQ_RE, "acquired"), _arm(_DATED_BASED_RE, "based_in")
+    )
+    return (
+        sents.select("url", fact.alias("f"))
+        .where(F.col("f").isNotNull())
+        .select("url", "f.subj", "f.pred", "f.obj", "f.qualifier", "f.year")
+    )
+
+
 def kg_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Fact-level change report between two KG snapshots (crawl N vs crawl
     N+1): ``(subj, pred, obj_old, obj_new, change)`` with change ∈

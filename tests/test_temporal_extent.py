@@ -46,3 +46,35 @@ def test_kg_snapshot_diff_multivalued_churn_not_paired(spark):
         ("S2", None, "removed"),
         (None, "S3", "added"),
     }
+
+
+def test_extract_dated_facts_frames_and_year_bounds(spark):
+    from aiwhispr_spark.operators.temporal import extract_dated_facts
+
+    chunks = spark.createDataFrame(
+        [
+            ("u1", "Acme Corp acquired Beta Ltd in 1994. "
+                   "Acme Corp has been based in Berlin since 2003. "
+                   "Acme Corp was based in Munich until 1999. "
+                   "Acme Corp acquired Gamma in 999. "       # 3-digit: no
+                   "Acme Corp acquired Delta in 2150."),     # out of range
+        ],
+        "url string, text_chunk string",
+    )
+    got = {(r.subj, r.pred, r.obj, r.qualifier, r.year)
+           for r in extract_dated_facts(chunks).collect()}
+    assert got == {
+        ("Acme Corp", "acquired", "Beta Ltd", "in", 1994),
+        ("Acme Corp", "based_in", "Berlin", "since", 2003),
+        ("Acme Corp", "based_in", "Munich", "until", 1999),
+    }
+
+
+def test_extract_dated_facts_undated_sentences_skip(spark):
+    from aiwhispr_spark.operators.temporal import extract_dated_facts
+
+    chunks = spark.createDataFrame(
+        [("u1", "Acme Corp acquired Beta Ltd. Plain words here.")],
+        "url string, text_chunk string",
+    )
+    assert extract_dated_facts(chunks).count() == 0
