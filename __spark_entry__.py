@@ -1503,6 +1503,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_dated_facts"] = kg_dated
 
+    def kg_as_of(spark, sf):
+        # Point-in-time KG view (temporal.py::facts_valid_at over the same
+        # dated corpus): facts valid in 2000 — 'in y' needs y == 2000,
+        # 'since y' needs y <= 2000.  Oracle applies the same predicate to
+        # its closed-form rows.
+        from aiwhispr_spark.operators.temporal import facts_valid_at
+
+        return facts_valid_at(kg_dated(spark, sf), 2000)
+
+    q["kg_facts_as_of_2000"] = kg_as_of
+
     def kg_diff(spark, sf):
         # KG snapshot diffing (temporal.py::kg_snapshot_diff): old/new
         # triple sets built closed-form over 40 entities — a%5==0 moves HQ
@@ -4124,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pronoun_coref",
         "kg_snapshot_diff",
         "kg_dated_facts",
+        "kg_facts_as_of_2000",
         "kg_predicate_profile",
         "kg_bgp_optional",
         "kg_fact_rank",
@@ -4534,6 +4546,23 @@ def oracle_sql() -> dict[str, str]:
                'since',
                CAST(1990 + doc_id % 30 AS INT)
         FROM documents
+    """
+    o["kg_facts_as_of_2000"] = """
+        SELECT 'u' || doc_id AS url,
+               'Entity_' || (doc_id % 37) AS subj,
+               'acquired' AS pred,
+               'E' || (doc_id % 11) || ' Corp' AS obj,
+               'in' AS qualifier,
+               CAST(1980 + doc_id % 40 AS INT) AS year
+        FROM documents WHERE 1980 + doc_id % 40 = 2000
+        UNION ALL
+        SELECT 'u' || doc_id,
+               'Entity_' || (doc_id % 37),
+               'based_in',
+               'City' || ((doc_id * 3) % 13),
+               'since',
+               CAST(1990 + doc_id % 30 AS INT)
+        FROM documents WHERE 1990 + doc_id % 30 <= 2000
     """
     o["kg_snapshot_diff"] = """
         WITH a AS (SELECT DISTINCT doc_id % 40 AS a FROM documents)

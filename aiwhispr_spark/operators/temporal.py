@@ -266,6 +266,20 @@ def extract_dated_facts(
     )
 
 
+def facts_valid_at(dated: DataFrame, year: int) -> DataFrame:
+    """Point-in-time filter over :func:`extract_dated_facts` output: keep the
+    facts asserted valid at ``year`` — ``in y`` ⇒ y == year, ``since y`` ⇒
+    y <= year, ``until y`` ⇒ y >= year.  A narrow filter (pushes into the
+    scan of a year-partitioned qualified-triple table at scale)."""
+    q = F.col("qualifier")
+    y = F.col("year")
+    return dated.where(
+        ((q == "in") & (y == year))
+        | ((q == "since") & (y <= year))
+        | ((q == "until") & (y >= year))
+    )
+
+
 def kg_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Fact-level change report between two KG snapshots (crawl N vs crawl
     N+1): ``(subj, pred, obj_old, obj_new, change)`` with change ∈

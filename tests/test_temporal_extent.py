@@ -78,3 +78,22 @@ def test_extract_dated_facts_undated_sentences_skip(spark):
         "url string, text_chunk string",
     )
     assert extract_dated_facts(chunks).count() == 0
+
+
+def test_facts_valid_at_qualifier_semantics(spark):
+    from aiwhispr_spark.operators.temporal import facts_valid_at
+
+    dated = spark.createDataFrame(
+        [
+            ("u", "A", "acquired", "B", "in", 2000),
+            ("u", "A", "acquired", "C", "in", 1999),
+            ("u", "A", "based_in", "X", "since", 1995),
+            ("u", "A", "based_in", "Y", "since", 2001),
+            ("u", "A", "based_in", "Z", "until", 2000),
+            ("u", "A", "based_in", "W", "until", 1999),
+        ],
+        "url string, subj string, pred string, obj string, qualifier string,"
+        " year int",
+    )
+    got = {(r.obj, r.qualifier) for r in facts_valid_at(dated, 2000).collect()}
+    assert got == {("B", "in"), ("X", "since"), ("Z", "until")}
