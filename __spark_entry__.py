@@ -144,7 +144,10 @@ def _ensure_structured_corpus() -> str:
 
     from aiwhispr_spark.sources.synthetic import write_structured_corpus_parquet
 
-    path = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_structured_180.parquet")
+    # suffix bumps when make_structured_doc_html's closed form changes, so a
+    # stale cached fixture can never disagree with the oracles ("b" = the
+    # data-table addition)
+    path = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_structured_180b.parquet")
     if not os.path.exists(path):
         write_structured_corpus_parquet(path, n_docs=180)
     return path
@@ -4081,6 +4084,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["infobox_triples"] = infobox
 
+    def data_table(spark, sf):
+        # Header-keyed data tables (the row-oriented complement of the
+        # infobox arm): header row of th cells keys the predicates; ragged
+        # cells, empty cells, inner tags, and the th/td decoy table are all
+        # exercised by the fixture (synthetic.py::make_structured_doc_html).
+        from aiwhispr_spark.operators.structured import data_table_triples
+
+        return data_table_triples(spark.read.parquet(_ensure_structured_corpus()))
+
+    q["data_table_triples"] = data_table
+
     def structured_stats(spark, sf):
         # The merged structured-KG view: JSON-LD ∪ infobox triples
         # (provenance-tagged) → one map-side-combinable per-entity aggregate.
@@ -4103,6 +4117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_synthetic",
         "jsonld_triples",
         "infobox_triples",
+        "data_table_triples",
         "structured_entity_stats",
         "meta_og_cards",
         "dedup_span_removal",
@@ -4896,6 +4911,19 @@ def oracle_sql() -> dict[str, str]:
     o["infobox_triples"] = (
         _structured_facts_sql() + "SELECT src_url, subj, pred, obj FROM box"
     )
+    o["data_table_triples"] = _structured_facts_sql() + """
+        SELECT src_url, 'Widget' || ((2 * i + 1) % 19) AS subj,
+               'table:region' AS pred, 'Region' || (i % 5) AS obj FROM f
+        UNION ALL
+        SELECT src_url, 'Widget' || ((2 * i + 1) % 19), 'table:units_sold',
+               CAST((11 * i) % 900 + 5 AS VARCHAR) FROM f
+        UNION ALL
+        SELECT src_url, 'Gadget' || ((4 * i + 3) % 19), 'table:region',
+               'Region' || ((i + 2) % 5) FROM f WHERE i % 7 <> 1
+        UNION ALL
+        SELECT src_url, 'Gadget' || ((4 * i + 3) % 19), 'table:units_sold',
+               CAST((13 * i) % 900 + 7 AS VARCHAR) FROM f
+    """
     o["structured_entity_stats"] = _structured_facts_sql() + """
         , u AS (
           SELECT src_url, subj, 'jsonld' AS src FROM ld

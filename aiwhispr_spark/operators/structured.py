@@ -203,6 +203,80 @@ def infobox_triples(
     )
 
 
+_TABLE_RE = r"(?s)<table[^>]*>(.*?)</table>"
+_TR_CAP_RE = r"(?s)<tr[^>]*>(.*?)</tr>"
+_CELL_RE = r"(?s)<t[hd][^>]*>(.*?)</t[hd]>"
+
+
+def data_table_triples(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, subj, pred, obj) from header-keyed HTML data tables — the
+    row-oriented complement of :func:`infobox_triples` (which is
+    column-oriented th/td per row).  A table qualifies when its FIRST row is
+    a header row of ≥2 ``<th>`` cells; every later row then contributes
+    subj = first cell, and for each further cell j: pred = ``table:`` +
+    lowercased/underscored header[j], obj = cleaned cell text.
+
+    Semantics mirrored by the DuckDB oracle and the unit tests:
+    * ragged rows — a cell beyond the header width has no predicate and is
+      dropped (``element_at`` past the header array is NULL);
+    * empty cells (after inner-tag strip) emit nothing;
+    * the header is carried through the row explode as an array scalar, so
+      there is NO self-join: the whole extractor is one narrow projection
+      (zero shuffle, fused with the page scan by Catalyst).
+    """
+    text = F.decode(F.col(html_col), "UTF-8")
+    tables = docs.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(F.regexp_extract_all(text, F.lit(_TABLE_RE), F.lit(1))).alias(
+            "tbl"
+        ),
+    )
+    rows_arr = F.regexp_extract_all("tbl", F.lit(_TR_CAP_RE), F.lit(1))
+    first_row = F.element_at(rows_arr, 1)
+    header = F.transform(
+        F.regexp_extract_all(first_row, F.lit(r"(?s)<th[^>]*>(.*?)</th>"), F.lit(1)),
+        lambda c: F.regexp_replace(F.lower(_clean_inner(c)), r"\s+", "_"),
+    )
+    body = F.when(
+        F.size(rows_arr) > 1, F.slice(rows_arr, 2, F.size(rows_arr) - 1)
+    ).otherwise(F.array().cast("array<string>"))
+    rows = tables.select(
+        "src_url",
+        header.alias("header"),
+        F.explode(body).alias("tr"),
+    ).filter(F.size("header") >= 2)
+    cells = F.transform(
+        F.regexp_extract_all("tr", F.lit(_CELL_RE), F.lit(1)),
+        lambda c: _clean_inner(c),
+    )
+    with_cells = rows.select(
+        "src_url",
+        "header",
+        F.element_at(cells, 1).alias("subj"),
+        F.posexplode(
+            F.when(F.size(cells) > 1, F.slice(cells, 2, F.size(cells) - 1)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("j0", "obj"),
+    )
+    # try_element_at: a ragged cell indexes past the header array, which is
+    # NULL (dropped) rather than an ANSI out-of-bounds error
+    pred = F.try_element_at(F.col("header"), F.col("j0") + 2)
+    return with_cells.select(
+        "src_url",
+        "subj",
+        F.concat(F.lit("table:"), pred).alias("pred"),
+        "obj",
+    ).filter(
+        pred.isNotNull()
+        & (pred != "")
+        & (F.col("subj") != "")
+        & (F.col("obj") != "")
+    )
+
+
 def structured_entity_stats(
     docs: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

@@ -288,7 +288,17 @@ def make_structured_doc_html(i: int) -> str:
     * i%5==2: infobox value wrapped in an <a> tag (inner tags must strip),
       th carries a scope attribute
     * every doc: a text/javascript script with a JSON-looking object, and
-      (i%6==0) a classless decoy table — both must be ignored."""
+      (i%6==0) a classless decoy table — both must be ignored.
+
+    Header-keyed DATA table (operators/structured.py::data_table_triples),
+    closed-form with p1=(2i+1)%19, r1=i%5, u1=(11i)%900+5, p2=(4i+3)%19,
+    r2=(i+2)%5, u2=(13i)%900+7:
+    * row 1: (Widget{p1}, table:region, Region{r1}),
+             (Widget{p1}, table:units_sold, u1)
+    * row 2: (Gadget{p2}, table:region, Region{r2}) — EMPTY cell when
+      i%7==1 (emits nothing); (Gadget{p2}, table:units_sold, u2); plus a
+      ragged fourth cell with no header (always dropped)
+    * row-2 subject wrapped in <i> tags (inner tags must strip)."""
     a = i % 37
     b = (5 * i + 2) % 23
     c = (3 * i + 1) % 11
@@ -355,6 +365,17 @@ def make_structured_doc_html(i: int) -> str:
         else ""
     )
 
+    p1, r1, u1 = (2 * i + 1) % 19, i % 5, (11 * i) % 900 + 5
+    p2, r2, u2 = (4 * i + 3) % 19, (i + 2) % 5, (13 * i) % 900 + 7
+    r2_td = "<td></td>" if i % 7 == 1 else f"<td>Region{r2}</td>"
+    data_table = (
+        '<table id="products">\n'
+        "<tr><th>Product</th><th>Region</th><th>Units Sold</th></tr>\n"
+        f"<tr><td>Widget{p1}</td><td>Region{r1}</td><td>{u1}</td></tr>\n"
+        f"<tr><td><i>Gadget{p2}</i></td>{r2_td}<td>{u2}</td><td>ragged</td></tr>\n"
+        "</table>"
+    )
+
     rng = random.Random(31 * 1_000_003 + i)
     sent = " ".join(_WORDS[rng.randrange(len(_WORDS))] for _ in range(14)) + "."
     return (
@@ -362,7 +383,7 @@ def make_structured_doc_html(i: int) -> str:
         f"<title>Entity{a} overview</title>\n" + "\n".join(meta) + "\n"
         f"{jsonld}\n{decoy_js}\n"
         "</head><body>\n"
-        f"<p>{sent}</p>\n{infobox}\n{decoy_table}\n"
+        f"<p>{sent}</p>\n{infobox}\n{decoy_table}\n{data_table}\n"
         "</body></html>"
     )
 

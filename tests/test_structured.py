@@ -141,3 +141,45 @@ def test_structured_extractors_are_pure_jvm_narrow_plans(spark):
     for df in (jsonld_triples(docs), meta_cards(docs), infobox_triples(docs)):
         plan = df._jdf.queryExecution().executedPlan().treeString()
         assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_data_table_header_keyed_rows(spark):
+    from aiwhispr_spark.operators.structured import data_table_triples
+
+    docs = _docs(
+        spark,
+        {
+            # header row of th cells; body rows: ragged extra cell dropped,
+            # empty cell dropped, inner tags stripped from cell text
+            "https://t/1": (
+                "<p>intro</p><table border=1>"
+                "<tr><th>Company</th><th>HQ City</th><th>Founded</th></tr>"
+                "<tr><td><b>Acme</b> Corp</td><td>Berlin</td><td>1999</td></tr>"
+                "<tr><td>Globex</td><td></td><td>2001</td><td>ragged</td></tr>"
+                "</table>"
+            ),
+            # first row is NOT a th header → table contributes nothing
+            "https://t/2": (
+                "<table><tr><td>a</td><td>b</td></tr>"
+                "<tr><td>c</td><td>d</td></tr></table>"
+            ),
+            # single-column header (<2 th) → not a data table
+            "https://t/3": (
+                "<table><tr><th>Only</th></tr><tr><td>x</td></tr></table>"
+            ),
+        },
+    )
+    rows = data_table_triples(docs).collect()
+    assert {(r.src_url, r.subj, r.pred, r.obj) for r in rows} == {
+        ("https://t/1", "Acme Corp", "table:hq_city", "Berlin"),
+        ("https://t/1", "Acme Corp", "table:founded", "1999"),
+        ("https://t/1", "Globex", "table:founded", "2001"),
+    }
+
+
+def test_data_table_no_shuffle_plan(spark):
+    from aiwhispr_spark.operators.structured import data_table_triples
+
+    docs = _docs(spark, {"https://t/1": "<table></table>"})
+    plan = data_table_triples(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
