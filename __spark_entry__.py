@@ -1517,6 +1517,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_facts_as_of_2000"] = kg_as_of
 
+    def quote_attr(spark, sf):
+        # Quotation attribution (quotes.py::extract_quotes): one leading-arm
+        # and one trailing-arm quote per closed-form doc, plus a pronoun
+        # speaker ("It said, ...") the guard must drop.  Oracle emits the
+        # two expected rows per doc from arithmetic.
+        from aiwhispr_spark.operators.quotes import extract_quotes
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        p1 = (F.col("doc_id") % 23).cast("string")
+        p2 = ((F.col("doc_id") + 5) % 23).cast("string")
+        m = (F.col("doc_id") % 7).cast("string")
+        pct = (F.col("doc_id") % 50).cast("string")
+        city = ((F.col("doc_id") * 3) % 13).cast("string")
+        text = F.concat(
+            F.lit("Person"), p1, F.lit(' said, "Metric '), m,
+            F.lit(" improved by "), pct, F.lit(' percent." '),
+            F.lit('"We expanded to City'), city, F.lit('," said Person'), p2,
+            F.lit('. It said, "never attribute me."'),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            text.alias("text_chunk"),
+        )
+        return extract_quotes(chunks)
+
+    q["quote_attribution"] = quote_attr
+
     def kg_diff(spark, sf):
         # KG snapshot diffing (temporal.py::kg_snapshot_diff): old/new
         # triple sets built closed-form over 40 entities — a%5==0 moves HQ
@@ -4151,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff",
         "kg_dated_facts",
         "kg_facts_as_of_2000",
+        "quote_attribution",
         "kg_predicate_profile",
         "kg_bgp_optional",
         "kg_fact_rank",
@@ -4578,6 +4606,20 @@ def oracle_sql() -> dict[str, str]:
                'since',
                CAST(1990 + doc_id % 30 AS INT)
         FROM documents WHERE 1990 + doc_id % 30 <= 2000
+    """
+    o["quote_attribution"] = """
+        SELECT 'u' || doc_id AS url,
+               'Person' || (doc_id % 23) AS speaker,
+               'Metric ' || (doc_id % 7) || ' improved by ' || (doc_id % 50)
+                 || ' percent.' AS quote,
+               'leading' AS arm
+        FROM documents
+        UNION ALL
+        SELECT 'u' || doc_id,
+               'Person' || ((doc_id + 5) % 23),
+               'We expanded to City' || ((doc_id * 3) % 13),
+               'trailing'
+        FROM documents
     """
     o["kg_snapshot_diff"] = """
         WITH a AS (SELECT DISTINCT doc_id % 40 AS a FROM documents)
