@@ -1544,6 +1544,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quote_attribution"] = quote_attr
 
+    def acro_alias(spark, sf):
+        # Acronym-alias mining (canonicalize.py::mine_acronym_aliases):
+        # every closed-form doc defines one valid acronym (20 distinct
+        # pairs corpus-wide), one initials-mismatch decoy, and a leading
+        # "The" the last-k-token rule must self-trim.
+        from aiwhispr_spark.operators.canonicalize import mine_acronym_aliases
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        w1 = F.element_at(
+            F.array(*[F.lit(x) for x in ("Global", "United", "National", "Federal")]),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        )
+        w2 = F.element_at(
+            F.array(
+                *[F.lit(x) for x in ("Widget", "Health", "Trade", "Data", "Energy")]
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        )
+        acr = F.concat(
+            F.substring(w1, 1, 1), F.substring(w2, 1, 1), F.lit("O")
+        )
+        text = F.concat(
+            F.lit("The "), w1, F.lit(" "), w2, F.lit(" Organization ("), acr,
+            F.lit(") convened. Broken Name Zone (BNQ) is noise."),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            text.alias("text_chunk"),
+        )
+        return mine_acronym_aliases(chunks)
+
+    q["acronym_alias_pairs"] = acro_alias
+
     def kg_diff(spark, sf):
         # KG snapshot diffing (temporal.py::kg_snapshot_diff): old/new
         # triple sets built closed-form over 40 entities — a%5==0 moves HQ
@@ -4179,6 +4212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dated_facts",
         "kg_facts_as_of_2000",
         "quote_attribution",
+        "acronym_alias_pairs",
         "kg_predicate_profile",
         "kg_bgp_optional",
         "kg_fact_rank",
@@ -4620,6 +4654,18 @@ def oracle_sql() -> dict[str, str]:
                'We expanded to City' || ((doc_id * 3) % 13),
                'trailing'
         FROM documents
+    """
+    o["acronym_alias_pairs"] = """
+        WITH f AS (
+          SELECT list_extract(['Global','United','National','Federal'],
+                              CAST(doc_id % 4 + 1 AS INT)) AS w1,
+                 list_extract(['Widget','Health','Trade','Data','Energy'],
+                              CAST(doc_id % 5 + 1 AS INT)) AS w2
+          FROM documents)
+        SELECT w1 || ' ' || w2 || ' Organization' AS long_form,
+               substr(w1, 1, 1) || substr(w2, 1, 1) || 'O' AS acronym,
+               COUNT(*) AS n_mentions
+        FROM f GROUP BY 1, 2
     """
     o["kg_snapshot_diff"] = """
         WITH a AS (SELECT DISTINCT doc_id % 40 AS a FROM documents)

@@ -404,3 +404,59 @@ def incremental_canonicalize(
     base_d.unpersist()
     base_s.unpersist()
     return out
+
+
+_ACRO_RE = r"((?:[A-Z][A-Za-z0-9]* )+)\(([A-Z]{2,6})\)"
+
+
+def mine_acronym_aliases(
+    chunks: DataFrame,
+    text_col: str = "text_chunk",
+) -> DataFrame:
+    """(long_form, acronym, n_mentions) — parenthetical-definition alias
+    pairs ("World Health Organization (WHO)"), the Schwartz-Hearst pattern
+    reduced to its high-precision core.  Feeds the E6 canonicalization
+    stage as an extra alias-pair source (an acronym and its expansion are
+    by construction the same entity).
+
+    Contract (unit-pinned, oracle-mirrored):
+    * candidate = a run of capitalized tokens immediately followed by a
+      parenthesized 2-6 letter uppercase acronym;
+    * the long form is the LAST len(acronym) tokens of the run (leading
+      sentence words like "The" self-trim), and each token's initial must
+      match the acronym position-for-position — mismatches and too-short
+      runs emit nothing (no fuzzy back-off);
+    * n_mentions counts occurrences corpus-wide.
+
+    100 TB shape: regex + array expressions are one narrow JVM projection;
+    the only exchange carries (long_form, acronym) aggregate rows — alias
+    cardinality, not mention cardinality (map-side combine)."""
+    text = F.col(text_col)
+    longs = F.regexp_extract_all(text, F.lit(_ACRO_RE), F.lit(1))
+    acrs = F.regexp_extract_all(text, F.lit(_ACRO_RE), F.lit(2))
+    pairs = F.zip_with(
+        longs,
+        acrs,
+        lambda l, a: F.struct(
+            F.split(F.trim(l), " ").alias("words"), a.alias("acr")
+        ),
+    )
+    m = chunks.select(F.explode(pairs).alias("m")).select(
+        F.col("m.words").alias("words"), F.col("m.acr").alias("acr")
+    )
+    k = F.length("acr")
+    tail = F.slice(F.col("words"), F.size("words") - k + 1, k)
+    initials = F.array_join(
+        F.transform(tail, lambda w: F.substring(w, 1, 1)), ""
+    )
+    return (
+        m.where(F.size("words") >= k)
+        .select(
+            F.array_join(tail, " ").alias("long_form"),
+            F.col("acr").alias("acronym"),
+            initials.alias("initials"),
+        )
+        .where(F.col("initials") == F.col("acronym"))
+        .groupBy("long_form", "acronym")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
