@@ -1577,6 +1577,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["acronym_alias_pairs"] = acro_alias
 
+    def quantity(spark, sf):
+        # Quantity-literal normalization (literals.py::
+        # extract_quantity_facts): every closed-form doc asserts a $x.y
+        # billion revenue, an "n,500 people" headcount (comma separator),
+        # and a p.5% margin — all three land on exact scaled integers.
+        from aiwhispr_spark.operators.literals import extract_quantity_facts
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        a = (F.col("doc_id") % 37).cast("string")
+        x = (F.col("doc_id") % 9 + 1).cast("string")
+        y = (F.col("doc_id") % 10).cast("string")
+        n = (F.col("doc_id") % 90 + 1).cast("string")
+        p = (F.col("doc_id") % 40).cast("string")
+        text = F.concat(
+            F.lit("Entity_"), a, F.lit(" reported revenue of $"), x,
+            F.lit("."), y, F.lit(" billion. "),
+            F.lit("Entity_"), a, F.lit(" employs "), n, F.lit(",500 people. "),
+            F.lit("Entity_"), a, F.lit(" margin was "), p, F.lit(".5%."),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            text.alias("text_chunk"),
+        )
+        return extract_quantity_facts(chunks)
+
+    q["quantity_facts"] = quantity
+
     def kg_diff(spark, sf):
         # KG snapshot diffing (temporal.py::kg_snapshot_diff): old/new
         # triple sets built closed-form over 40 entities — a%5==0 moves HQ
@@ -4213,6 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_facts_as_of_2000",
         "quote_attribution",
         "acronym_alias_pairs",
+        "quantity_facts",
         "kg_predicate_profile",
         "kg_bgp_optional",
         "kg_fact_rank",
@@ -4666,6 +4694,24 @@ def oracle_sql() -> dict[str, str]:
                substr(w1, 1, 1) || substr(w2, 1, 1) || 'O' AS acronym,
                COUNT(*) AS n_mentions
         FROM f GROUP BY 1, 2
+    """
+    o["quantity_facts"] = """
+        SELECT 'u' || doc_id AS url,
+               'Entity_' || (doc_id % 37) AS subj,
+               'revenue' AS pred,
+               CAST(((doc_id % 9 + 1) * 10 + doc_id % 10)
+                    * 1000000000000 AS BIGINT) AS value_i,
+               'usd' AS unit
+        FROM documents
+        UNION ALL
+        SELECT 'u' || doc_id, 'Entity_' || (doc_id % 37), 'employees',
+               CAST(((doc_id % 90 + 1) * 1000 + 500) * 10000 AS BIGINT),
+               'count'
+        FROM documents
+        UNION ALL
+        SELECT 'u' || doc_id, 'Entity_' || (doc_id % 37), 'margin',
+               CAST(((doc_id % 40) * 10 + 5) * 1000 AS BIGINT), 'pct'
+        FROM documents
     """
     o["kg_snapshot_diff"] = """
         WITH a AS (SELECT DISTINCT doc_id % 40 AS a FROM documents)

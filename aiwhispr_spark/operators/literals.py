@@ -1,0 +1,97 @@
+"""Quantity-literal normalization: numeric facts mined from prose with the
+surface form ("$3.5 billion", "12,000 people", "7.5%") normalized to an
+EXACT scaled integer + unit — the literal-canonicalization stage every web
+KG needs before numeric facts are comparable or aggregable.
+
+The reference's extraction tier (`python/textprocessor` in
+prasaar/aiwhispr) emits objects as raw strings; "$3.5 billion" and
+"$3,500 million" would be two different facts.  Production KGs normalize
+quantities at extraction time.  Floats would drift between engines, so the
+normalized value is ``value_i = quantity × 10^4`` computed in DECIMAL
+arithmetic end-to-end (the repo-wide scaled-BIGINT gate discipline).
+
+Contract (unit-pinned, oracle-mirrored):
+* revenue arm:   ``<Subj> reported revenue of $<n> thousand|million|billion``
+  → pred=revenue, unit=usd;
+* headcount arm: ``<Subj> employs <n> people`` → pred=employees, unit=count
+  (comma group separators stripped);
+* margin arm:    ``<Subj> margin was <n>%`` → pred=margin, unit=pct;
+* <n> is digits with optional commas and one optional decimal point; a
+  sentence matching no arm emits nothing.
+
+100 TB shape: three regex projections over the SAME chunk scan concat into
+one array before the explode — a single narrow JVM stage, zero shuffle,
+zero python, decimal math inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SUBJ = r"([A-Z][A-Za-z0-9_]*)"
+_NUM = r"([0-9][0-9,]*(?:\.[0-9]+)?)"
+_REVENUE_RE = rf"{_SUBJ} reported revenue of \${_NUM} (thousand|million|billion)"
+_EMPLOYS_RE = rf"{_SUBJ} employs {_NUM} people"
+_MARGIN_RE = rf"{_SUBJ} margin was {_NUM}%"
+
+_SCALE = {"thousand": 1_000, "million": 1_000_000, "billion": 1_000_000_000}
+
+
+def _value_i(num: Column, scale: Column) -> Column:
+    """quantity × 10^4 as BIGINT, exact: comma-stripped DECIMAL(38,6) ×
+    integer scale × 10^4 — no float ever enters the plan."""
+    dec = F.regexp_replace(num, ",", "").cast("decimal(38,6)")
+    return (dec * scale.cast("decimal(20,0)") * F.lit(10_000)).cast("bigint")
+
+
+def extract_quantity_facts(
+    chunks: DataFrame,
+    text_col: str = "text_chunk",
+    id_col: str = "url",
+) -> DataFrame:
+    """(url, subj, pred, value_i, unit) — one row per normalized quantity
+    fact (see module contract); value_i = quantity × 10^4, exact."""
+    text = F.col(text_col)
+
+    def _arm(pattern: str, pred: str, unit: str, scale_grp: int | None):
+        subs = F.regexp_extract_all(text, F.lit(pattern), F.lit(1))
+        nums = F.regexp_extract_all(text, F.lit(pattern), F.lit(2))
+        if scale_grp is None:
+            scales = F.transform(nums, lambda _: F.lit("one"))
+        else:
+            scales = F.regexp_extract_all(text, F.lit(pattern), F.lit(scale_grp))
+        zipped = F.arrays_zip(
+            subs.alias("subj"), nums.alias("num"), scales.alias("scale")
+        )
+        return F.transform(
+            zipped,
+            lambda s: F.struct(
+                s["subj"].alias("subj"),
+                s["num"].alias("num"),
+                s["scale"].alias("scale"),
+                F.lit(pred).alias("pred"),
+                F.lit(unit).alias("unit"),
+            ),
+        )
+
+    arms = F.concat(
+        _arm(_REVENUE_RE, "revenue", "usd", 3),
+        _arm(_EMPLOYS_RE, "employees", "count", None),
+        _arm(_MARGIN_RE, "margin", "pct", None),
+    )
+    scale_num = (
+        F.when(F.col("m.scale") == "thousand", F.lit(_SCALE["thousand"]))
+        .when(F.col("m.scale") == "million", F.lit(_SCALE["million"]))
+        .when(F.col("m.scale") == "billion", F.lit(_SCALE["billion"]))
+        .otherwise(F.lit(1))
+    )
+    return chunks.select(
+        F.col(id_col).alias("url"), F.explode(arms).alias("m")
+    ).select(
+        "url",
+        F.col("m.subj").alias("subj"),
+        F.col("m.pred").alias("pred"),
+        _value_i(F.col("m.num"), scale_num).alias("value_i"),
+        F.col("m.unit").alias("unit"),
+    )
