@@ -1604,6 +1604,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quantity_facts"] = quantity
 
+    def breadcrumbs(spark, sf):
+        # Breadcrumb taxonomy mining (structured.py::breadcrumb_taxonomy):
+        # each closed-form page carries a 3-crumb trail (anchor, anchor,
+        # span) plus a non-breadcrumb decoy nav that must be ignored.
+        from aiwhispr_spark.operators.structured import breadcrumb_taxonomy
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        a = (F.col("doc_id") % 6).cast("string")
+        b = (F.col("doc_id") % 4).cast("string")
+        c = (F.col("doc_id") % 30).cast("string")
+        html = F.concat(
+            F.lit('<nav class="menu"><a href="/x">Decoy</a>'
+                  '<a href="/y">Other</a></nav>'),
+            F.lit('<nav class="breadcrumb"><a href="/c">Cat'), a,
+            F.lit('</a> &gt; <a href="/s">Sub'), a, F.lit("_"), b,
+            F.lit("</a> &gt; <span>Item"), c, F.lit("</span></nav>"),
+        )
+        docs = d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        return breadcrumb_taxonomy(docs)
+
+    q["breadcrumb_taxonomy"] = breadcrumbs
+
     def kg_diff(spark, sf):
         # KG snapshot diffing (temporal.py::kg_snapshot_diff): old/new
         # triple sets built closed-form over 40 entities — a%5==0 moves HQ
@@ -4241,6 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_attribution",
         "acronym_alias_pairs",
         "quantity_facts",
+        "breadcrumb_taxonomy",
         "kg_predicate_profile",
         "kg_bgp_optional",
         "kg_fact_rank",
@@ -4712,6 +4738,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'u' || doc_id, 'Entity_' || (doc_id % 37), 'margin',
                CAST(((doc_id % 40) * 10 + 5) * 1000 AS BIGINT), 'pct'
         FROM documents
+    """
+    o["breadcrumb_taxonomy"] = """
+        WITH f AS (
+          SELECT doc_id % 6 AS a, doc_id % 4 AS b, doc_id % 30 AS c
+          FROM documents),
+        e AS (
+          SELECT 'Sub' || a || '_' || b AS child, 'Cat' || a AS parent FROM f
+          UNION ALL
+          SELECT 'Item' || c, 'Sub' || a || '_' || b FROM f)
+        SELECT child, parent, COUNT(*) AS n_pages FROM e GROUP BY 1, 2
     """
     o["kg_snapshot_diff"] = """
         WITH a AS (SELECT DISTINCT doc_id % 40 AS a FROM documents)

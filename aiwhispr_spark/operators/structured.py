@@ -277,6 +277,57 @@ def data_table_triples(
     )
 
 
+_BC_RE = r'(?s)<nav[^>]*class=["\'][^"\']*breadcrumb[^"\']*["\'][^>]*>(.*?)</nav>'
+
+
+def breadcrumb_taxonomy(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(child, parent, n_pages) — SKOS-broader taxonomy edges mined from
+    breadcrumb trails, the cheapest category-hierarchy signal on the web
+    (every CMS emits one; Wikipedia's category tree is the canonical KG
+    use).  Each breadcrumb ``A > B > C`` asserts the consecutive-pair edges
+    (B broader A) and (C broader B); n_pages counts asserting pages.
+
+    Contract (unit-pinned, oracle-mirrored):
+    * only ``<nav class="...breadcrumb...">`` blocks qualify (first per
+      page); other navs are ignored;
+    * crumbs are the nav's ``<a>`` labels in order, plus one trailing
+      ``<span>`` label when present (the conventional current-page crumb);
+    * labels strip inner tags / collapse whitespace; empty labels drop;
+    * a single-crumb trail asserts nothing.
+
+    100 TB shape: regex + array expressions are one narrow JVM projection;
+    the only exchange carries (child, parent) aggregate rows — taxonomy
+    cardinality, not page cardinality (map-side combine)."""
+    text = F.decode(F.col(html_col), "UTF-8")
+    nav = F.regexp_extract(text, _BC_RE, 1)
+    anchors = F.transform(
+        F.regexp_extract_all(nav, F.lit(r"(?s)<a[^>]*>(.*?)</a>"), F.lit(1)),
+        lambda c: _clean_inner(c),
+    )
+    span = _clean_inner(F.regexp_extract(nav, r"(?s)<span[^>]*>(.*?)</span>", 1))
+    crumbs = F.filter(
+        F.concat(anchors, F.array(span)), lambda c: c != ""
+    )
+    pairs = F.when(
+        F.size(crumbs) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(crumbs)),
+            lambda i: F.struct(
+                F.element_at(crumbs, i).alias("child"),
+                F.element_at(crumbs, i - 1).alias("parent"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<child:string,parent:string>>"))
+    return (
+        docs.select(F.explode(pairs).alias("e"))
+        .select(F.col("e.child").alias("child"), F.col("e.parent").alias("parent"))
+        .groupBy("child", "parent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+    )
+
+
 def structured_entity_stats(
     docs: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

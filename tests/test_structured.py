@@ -183,3 +183,35 @@ def test_data_table_no_shuffle_plan(spark):
     docs = _docs(spark, {"https://t/1": "<table></table>"})
     plan = data_table_triples(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_breadcrumb_taxonomy_edges(spark):
+    from aiwhispr_spark.operators.structured import breadcrumb_taxonomy
+
+    docs = _docs(
+        spark,
+        {
+            # anchors + trailing span crumb; inner tag strips
+            "https://b/1": (
+                '<nav class="site breadcrumb top">'
+                '<a href="/c">Home</a> &gt; <a href="/c/e"><b>Electronics</b></a>'
+                " &gt; <span>Cameras</span></nav>"
+            ),
+            # same trail again on another page → n_pages=2 on its edges
+            "https://b/2": (
+                "<nav class='breadcrumb'>"
+                "<a href='/c'>Home</a> > <a href='/c/e'>Electronics</a>"
+                " > <span>Cameras</span></nav>"
+            ),
+            # non-breadcrumb nav ignored; single-crumb trail asserts nothing
+            "https://b/3": (
+                '<nav class="menu"><a href="/x">X</a><a href="/y">Y</a></nav>'
+                '<nav class="breadcrumb"><a href="/c">Home</a></nav>'
+            ),
+        },
+    )
+    rows = breadcrumb_taxonomy(docs).collect()
+    assert {(r.child, r.parent, r.n_pages) for r in rows} == {
+        ("Electronics", "Home", 2),
+        ("Cameras", "Electronics", 2),
+    }
