@@ -1629,6 +1629,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["breadcrumb_taxonomy"] = breadcrumbs
 
+    def geo_pairs(spark, sf):
+        # Geo proximity join (geo.py::grid_nearby_pairs): 50 clusters of 10
+        # points each (3000 µ° apart, ±199 µ° jitter) with radius 150 —
+        # the grid blocking must find exactly the brute-force pair set
+        # (jitter spread exceeds the radius, so the verify filter bites;
+        # clusters straddle negative coordinates).
+        from aiwhispr_spark.operators.geo import grid_nearby_pairs
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        lat = (F.col("doc_id") % 10) * 3000 - 15000 + (F.col("doc_id") * 7) % 200
+        lon = (
+            F.expr("(doc_id div 10) % 5") * 3000 - 7500
+            + (F.col("doc_id") * 13) % 200
+        )
+        pts = d.select(
+            F.col("doc_id").alias("id"),
+            lat.cast("long").alias("lat_u"),
+            lon.cast("long").alias("lon_u"),
+        )
+        return grid_nearby_pairs(pts, 150)
+
+    q["geo_nearby_pairs"] = geo_pairs
+
     def kg_diff(spark, sf):
         # KG snapshot diffing (temporal.py::kg_snapshot_diff): old/new
         # triple sets built closed-form over 40 entities — a%5==0 moves HQ
@@ -4267,6 +4290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acronym_alias_pairs",
         "quantity_facts",
         "breadcrumb_taxonomy",
+        "geo_nearby_pairs",
         "kg_predicate_profile",
         "kg_bgp_optional",
         "kg_fact_rank",
@@ -4748,6 +4772,21 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'Item' || c, 'Sub' || a || '_' || b FROM f)
         SELECT child, parent, COUNT(*) AS n_pages FROM e GROUP BY 1, 2
+    """
+    o["geo_nearby_pairs"] = """
+        WITH p AS (
+          SELECT doc_id AS id,
+                 CAST((doc_id % 10) * 3000 - 15000
+                      + (doc_id * 7) % 200 AS BIGINT) AS lat_u,
+                 CAST(((doc_id // 10) % 5) * 3000 - 7500
+                      + (doc_id * 13) % 200 AS BIGINT) AS lon_u
+          FROM documents)
+        SELECT a.id AS id_a, b.id AS id_b,
+               (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+                 + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS dist2
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+                + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= 22500
     """
     o["kg_snapshot_diff"] = """
         WITH a AS (SELECT DISTINCT doc_id % 40 AS a FROM documents)
