@@ -92,16 +92,33 @@ def _simhash_sql(where: str) -> str:
     """
 
 
+def _fixture_path(basename: str, *modules) -> str:
+    """Temp-dir cache path whose name embeds an md5 of the generator
+    MODULES' source: any edit to the closed form (or anything else in the
+    module) changes the path, so a stale cached fixture can never disagree
+    with updated oracles — the versioning is automatic instead of the old
+    manual suffix-bump discipline."""
+    import hashlib
+    import inspect
+    import os
+    import tempfile
+
+    src = "".join(inspect.getsource(m) for m in modules)
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    root, ext = os.path.splitext(basename)
+    return os.path.join(tempfile.gettempdir(), f"{root}_{tag}{ext}")
+
+
 def _ensure_simple_corpus() -> str:
     """Materialize the oracle-friendly KG corpus (idempotent; called from both
     the Spark query and the oracle-SQL builder so file existence never depends
     on the driver's execution order)."""
     import os
-    import tempfile
 
+    from aiwhispr_spark.sources import synthetic
     from aiwhispr_spark.sources.synthetic import write_simple_corpus_parquet
 
-    path = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_simple_150.parquet")
+    path = _fixture_path("aiwhispr_kg_simple_150.parquet", synthetic)
     if not os.path.exists(path):
         write_simple_corpus_parquet(path, n_docs=150)
     return path
@@ -111,11 +128,11 @@ def _ensure_simple_corpus_warc() -> str:
     """Shard the simple corpus into 3 gzipped WARC files (idempotent fixture,
     same discipline as _ensure_simple_corpus)."""
     import os
-    import tempfile
 
+    from aiwhispr_spark.sources import synthetic, warc
     from aiwhispr_spark.sources.warc import write_warc_from_parquet
 
-    out = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_simple_150_warc")
+    out = _fixture_path("aiwhispr_kg_simple_150_warc", synthetic, warc)
     if not os.path.isdir(out) or not os.listdir(out):
         write_warc_from_parquet(_ensure_simple_corpus(), out, n_files=3)
     return out
@@ -125,11 +142,11 @@ def _ensure_link_corpus() -> str:
     """Materialize the hyperlinked corpus for the link-graph operators
     (idempotent fixture, same discipline as _ensure_simple_corpus)."""
     import os
-    import tempfile
 
+    from aiwhispr_spark.sources import synthetic
     from aiwhispr_spark.sources.synthetic import write_linked_corpus_parquet
 
-    path = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_linked_240.parquet")
+    path = _fixture_path("aiwhispr_kg_linked_240.parquet", synthetic)
     if not os.path.exists(path):
         write_linked_corpus_parquet(path, n_docs=240)
     return path
@@ -140,14 +157,11 @@ def _ensure_structured_corpus() -> str:
     for operators/structured.py (idempotent fixture, same discipline as
     _ensure_simple_corpus)."""
     import os
-    import tempfile
 
+    from aiwhispr_spark.sources import synthetic
     from aiwhispr_spark.sources.synthetic import write_structured_corpus_parquet
 
-    # suffix bumps when make_structured_doc_html's closed form changes, so a
-    # stale cached fixture can never disagree with the oracles ("b" = the
-    # data-table addition)
-    path = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_structured_180b.parquet")
+    path = _fixture_path("aiwhispr_kg_structured_180.parquet", synthetic)
     if not os.path.exists(path):
         write_structured_corpus_parquet(path, n_docs=180)
     return path
@@ -245,7 +259,12 @@ def _ensure_curation_warc() -> str:
     from aiwhispr_spark.sources.warc import write_warc
     from aiwhispr_spark.sources.synthetic import EPOCH0
 
-    out = os.path.join(tempfile.gettempdir(), "aiwhispr_kg_curation_warc")
+    from aiwhispr_spark.sources import synthetic as _syn_mod
+    from aiwhispr_spark.sources import warc as _warc_mod
+
+    out = _fixture_path(
+        "aiwhispr_kg_curation_warc", _syn_mod, _warc_mod, _ensure_curation_warc
+    )
     if os.path.isdir(out) and os.listdir(out):
         return out
     import pyarrow.parquet as pq
@@ -378,9 +397,10 @@ def _ensure_jsonl_corpus() -> str:
     import os
     import tempfile
 
+    from aiwhispr_spark.sources import jsonl
     from aiwhispr_spark.sources.jsonl import write_jsonl_fixture
 
-    path = os.path.join(tempfile.gettempdir(), "aiwhispr_jsonl_300.jsonl")
+    path = _fixture_path("aiwhispr_jsonl_300.jsonl", jsonl)
     return write_jsonl_fixture(path)
 
 
@@ -390,9 +410,10 @@ def _ensure_csv_corpus() -> str:
     import os
     import tempfile
 
+    from aiwhispr_spark.sources import csvsrc
     from aiwhispr_spark.sources.csvsrc import write_csv_fixture
 
-    path = os.path.join(tempfile.gettempdir(), "aiwhispr_csv_300.csv")
+    path = _fixture_path("aiwhispr_csv_300.csv", csvsrc)
     return write_csv_fixture(path)
 
 
@@ -401,9 +422,10 @@ def _ensure_robots_corpus() -> str:
     import os
     import tempfile
 
+    from aiwhispr_spark.sources import synthetic
     from aiwhispr_spark.sources.synthetic import write_robots_corpus
 
-    path = os.path.join(tempfile.gettempdir(), "aiwhispr_robots_fixture")
+    path = _fixture_path("aiwhispr_robots_fixture", synthetic)
     if not os.path.exists(os.path.join(path, "urls.parquet")):
         write_robots_corpus(path)
     return path
@@ -414,9 +436,10 @@ def _ensure_charset_corpus() -> str:
     import os
     import tempfile
 
+    from aiwhispr_spark.sources import synthetic
     from aiwhispr_spark.sources.synthetic import write_charset_corpus_parquet
 
-    path = os.path.join(tempfile.gettempdir(), "aiwhispr_charset_120.parquet")
+    path = _fixture_path("aiwhispr_charset_120.parquet", synthetic)
     if not os.path.exists(path):
         write_charset_corpus_parquet(path)
     return path
@@ -427,9 +450,10 @@ def _ensure_wav_corpus() -> str:
     import os
     import tempfile
 
+    from aiwhispr_spark.sources import synthetic
     from aiwhispr_spark.sources.synthetic import write_wav_corpus_parquet
 
-    path = os.path.join(tempfile.gettempdir(), "aiwhispr_wav_60.parquet")
+    path = _fixture_path("aiwhispr_wav_60.parquet", synthetic)
     if not os.path.exists(path):
         write_wav_corpus_parquet(path)
     return path
@@ -440,9 +464,10 @@ def _ensure_cdx_fixture() -> str:
     import os
     import tempfile
 
+    from aiwhispr_spark.sources import synthetic
     from aiwhispr_spark.sources.synthetic import write_cdx_fixture
 
-    path = os.path.join(tempfile.gettempdir(), "aiwhispr_cdx_240.cdx")
+    path = _fixture_path("aiwhispr_cdx_240.cdx", synthetic)
     if not os.path.exists(path):
         write_cdx_fixture(path)
     return path
@@ -453,9 +478,10 @@ def _ensure_sitemap_corpus() -> str:
     import os
     import tempfile
 
+    from aiwhispr_spark.sources import synthetic
     from aiwhispr_spark.sources.synthetic import write_sitemap_corpus
 
-    path = os.path.join(tempfile.gettempdir(), "aiwhispr_sitemap_fixture")
+    path = _fixture_path("aiwhispr_sitemap_fixture", synthetic)
     if not os.path.exists(os.path.join(path, "crawlstate.parquet")):
         write_sitemap_corpus(path)
     return path
@@ -467,9 +493,10 @@ def _ensure_unicode_corpus() -> str:
     import os
     import tempfile
 
+    from aiwhispr_spark.sources import synthetic
     from aiwhispr_spark.sources.synthetic import write_unicode_corpus_parquet
 
-    path = os.path.join(tempfile.gettempdir(), "aiwhispr_unicode_200.parquet")
+    path = _fixture_path("aiwhispr_unicode_200.parquet", synthetic)
     if not os.path.exists(path):
         write_unicode_corpus_parquet(path, n_docs=200)
     return path
@@ -4049,12 +4076,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def host_shortest_paths(spark, sf):
         # Bounded weighted shortest paths (graph.py::bounded_shortest_paths,
-        # Bellman-Ford 6 synchronous rounds) from the lexicographically
-        # smallest host over the link graph, with deterministic md5-derived
-        # integer weights (1..5) so min-agg is exact in both engines.  The
-        # seed (the max-out-degree host, name tie-break — a sink seed would
-        # make the gate vacuous) is a bounded 1-row collect: it IS the query
-        # parameter in real use.  Oracle unrolls the same relaxation.
+        # Bellman-Ford 6 synchronous rounds) over the link graph, with
+        # deterministic md5-derived integer weights (1..5) so min-agg is
+        # exact in both engines.  The seed (the max-out-degree host, name
+        # tie-break — a sink seed would make the gate vacuous) is a bounded
+        # 1-row collect: it IS the query parameter in real use.  Oracle
+        # unrolls the same relaxation from the same seed expression.
         from aiwhispr_spark.operators.graph import bounded_shortest_paths
         from aiwhispr_spark.operators.linkgraph import extract_links, host_edges
 
@@ -4159,9 +4186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import tempfile
 
         from aiwhispr_spark.operators.textstats import script_profile
+        from aiwhispr_spark.sources import synthetic
         from aiwhispr_spark.sources.synthetic import write_script_corpus_parquet
 
-        path = os.path.join(tempfile.gettempdir(), "aiwhispr_script_fixture.parquet")
+        path = _fixture_path("aiwhispr_script_fixture.parquet", synthetic)
         if not os.path.exists(path):
             write_script_corpus_parquet(path, n_docs=120)
         return script_profile(spark.read.parquet(path))
@@ -4177,10 +4205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import os
         import tempfile
 
+        from aiwhispr_spark.sources import feeds, synthetic
         from aiwhispr_spark.sources.feeds import parse_feed_entries
         from aiwhispr_spark.sources.synthetic import write_feed_corpus_parquet
 
-        path = os.path.join(tempfile.gettempdir(), "aiwhispr_feed_fixture.parquet")
+        path = _fixture_path("aiwhispr_feed_fixture.parquet", feeds, synthetic)
         if not os.path.exists(path):
             write_feed_corpus_parquet(path, n_hosts=10)
         return parse_feed_entries(spark.read.parquet(path))
@@ -4257,13 +4286,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_og_cards",
         "dedup_span_removal",
         "rss_atom_entries",
-        "script_profile",
-        "media_type_sniff",
         "host_outlink_profile",
         "minhash_pairs_md5",
         "minhash_groups_md5",
         "dedup_apply_keepers",
-        "winnow_fingerprint_summary",
         "winnow_shared_pairs",
         "cms_heavy_hitters",
         "textrank_keywords",
@@ -4271,7 +4297,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer_entity_tags",
         "extractive_summary_top2",
         "host_shortest_paths_6",
-        "simhash_fingerprint",
         "simhash_near_dup_pairs",
         "cc_label_propagation",
         "e3_triples_inline_svo",
@@ -4279,37 +4304,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_detail",
         "multimodal_features",
         "kmeans_domain_clusters",
-        "ntriples_export",
-        "kg_negative_samples",
         "kg_transe_eval",
         "kg_pronoun_coref",
         "kg_snapshot_diff",
         "kg_dated_facts",
-        "kg_facts_as_of_2000",
         "quote_attribution",
         "acronym_alias_pairs",
         "quantity_facts",
         "breadcrumb_taxonomy",
         "geo_nearby_pairs",
+        "warc_curation_pipeline",
+        "semantic_dedup_pairs",
+        "unigram_lm_scores",
+        "host_pagerank_5",
+        "main_content_extract",
+        "bpe_train_merges",
+        "mention_disambiguation",
+        "kg_fact_resolution",
         "kg_predicate_profile",
         "kg_bgp_optional",
         "kg_fact_rank",
-        "kg_related_entities",
         "kg_property_path",
         "kg_link_prediction",
         "kg_lpa_communities",
         "kg_triple_extent",
         "anchor_commonness_prior",
-        "mention_disambiguation",
         "dedup_quality_keepers",
-        "bpe_train_merges",
         "bpe_encode_corpus",
         "kg_entity_cards",
-        "kg_fact_resolution",
         "kg_source_reliability",
         "deepwalk_skipgram_pairs",
         "bigram_lm_scores",
         "csv_roundtrip",
+        "kg_facts_as_of_2000",
+        "simhash_fingerprint",
+        "media_type_sniff",
+        "winnow_fingerprint_summary",
+        "kg_negative_samples",
+        "ntriples_export",
+        "kg_related_entities",
+        "script_profile",
         "passage_windows_overlap",
         "frontier_politeness_budget",
         "setops_active_custkeys",
@@ -4332,16 +4366,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_boilerplate",
         "url_canonicalize",
         "url_latest_crawl",
-        "semantic_dedup_pairs",
-        "unigram_lm_scores",
         "link_extract_canonical",
         "host_graph_edges",
-        "host_pagerank_5",
         "pii_redact",
         "temperature_mix_sample",
-        "warc_curation_pipeline",
         "anchor_alias_mining",
-        "main_content_extract",
         "crawl_change_stats",
         "domain_blocklist_filter",
         "quality_classifier_hashed",

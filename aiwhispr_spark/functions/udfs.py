@@ -296,6 +296,17 @@ def alias_shingles_udf(name: pd.Series) -> pd.Series:
 # --- JVM-side expression builders (stay in codegen) ----------------------------------
 
 
+def ws_tokens_expr(text: Column) -> Column:
+    """Whitespace tokens of the trimmed, lowercased text; empty/blank input
+    yields an EMPTY array (a bare split('') would yield ['']).  The one
+    tokenizer the token-position operators (gazetteer, summarize) share —
+    change it here, not in per-module copies."""
+    t = F.trim(F.lower(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
 def bound(expr: Column, fn) -> Column:
     """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a lambda
     variable: ``bound(e, lambda t: body(t))``.

@@ -19,19 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import bound
-
-
-def _toks(text: Column) -> Column:
-    t = F.trim(F.lower(text))
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+from ..functions.udfs import bound, ws_tokens_expr
 
 
 def token_stream(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, pos, tok) — 1-based token positions."""
-    out = df.select(F.col(id_col), F.posexplode(_toks(F.col(text_col))).alias("p0", "tok"))
+    out = df.select(F.col(id_col), F.posexplode(ws_tokens_expr(F.col(text_col))).alias("p0", "tok"))
     return out.select(id_col, (F.col("p0") + 1).cast("int").alias("pos"), "tok")
 
 
@@ -47,7 +40,7 @@ def bigram_stream(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         )
 
     out = df.select(
-        F.col(id_col), F.posexplode(bound(_toks(F.col(text_col)), pairs_from)).alias("p0", "bigram")
+        F.col(id_col), F.posexplode(bound(ws_tokens_expr(F.col(text_col)), pairs_from)).alias("p0", "bigram")
     )
     return out.select(id_col, (F.col("p0") + 1).cast("int").alias("pos"), "bigram")
 

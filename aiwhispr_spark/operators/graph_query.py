@@ -110,18 +110,33 @@ def bgp_match_optional(
     pred_col: str = "pred",
     obj_col: str = "obj",
 ) -> DataFrame:
-    """SPARQL OPTIONAL semantics over :func:`bgp_match`: the required
-    ``patterns`` bind as usual, then each optional group left-joins on its
-    shared variables — bindings without an optional match survive with NULL
-    optional columns (exactly SPARQL's OPTIONAL, evaluated left-to-right).
+    """SPARQL OPTIONAL semantics over :func:`bgp_match` — documented subset:
+    the required ``patterns`` bind as usual, then each optional group
+    left-joins on the variables it shares with the REQUIRED bindings; rows
+    without an optional match survive with NULL optional columns.
+
+    Each optional group must share ≥1 variable with the required patterns
+    and must NOT share variables with a previous optional group: SPARQL's
+    left-to-right compatible-mapping semantics treat an unbound variable as
+    compatible with anything, while a Spark NULL join key never matches —
+    chained optionals keyed on optional-bound variables would silently
+    diverge, so they raise instead.
 
     100 TB shape: same as bgp_match (bound-constant scans, AQE broadcast),
     plus one left hash-join per optional group keyed on the shared entity
     variables."""
     base = bgp_match(triples, patterns, subj_col, pred_col, obj_col)
+    required_vars = set(base.columns)
     for group in optionals:
         opt = bgp_match(triples, group, subj_col, pred_col, obj_col)
-        shared = sorted(set(base.columns) & set(opt.columns))
+        opt_only = (set(base.columns) - required_vars) & set(opt.columns)
+        if opt_only:
+            raise ValueError(
+                "optional group re-binds variables of a previous optional "
+                f"({sorted(opt_only)}) — outside the documented subset "
+                "(NULL join keys diverge from SPARQL compatible mappings)"
+            )
+        shared = sorted(required_vars & set(opt.columns))
         if not shared:
             raise ValueError(
                 "optional group shares no variable with the required pattern"
@@ -144,9 +159,9 @@ def property_path(
     * ``pred``            — follow the predicate forward
     * ``pred1|pred2``     — alternation (either predicate)
     * ``^pred``           — inverse (object → subject)
-    * ``pred+`` (or ``(p1|p2)+``) — one-or-more, bounded by ``max_hops``
-      (the scale-honest form of SPARQL's unbounded ``+``; self-pairs drop,
-      matching :func:`transitive_closure`)
+    * ``pred+`` (or ``(p1|p2)+``, ``^(p1|p2)+``) — one-or-more, bounded by
+      ``max_hops`` (the scale-honest form of SPARQL's unbounded ``+``;
+      cycle-induced self-pairs are KEPT, matching :func:`transitive_closure`)
 
     Returns DISTINCT (src, dst) pairs connected by the whole path.
 
@@ -160,14 +175,17 @@ def property_path(
     for step in steps:
         plus = step.endswith("+")
         name = step[:-1] if plus else step
-        if name.startswith("(") and name.endswith(")"):
-            name = name[1:-1]
+        # '^' strips BEFORE the paren strip so '^(p1|p2)' parses; inverse of
+        # a closure equals closure of the inverse, so the order is sound for
+        # '^(p1|p2)+' too.
         inv = name.startswith("^")
         if inv:
             name = name[1:]
+        if name.startswith("(") and name.endswith(")"):
+            name = name[1:-1]
         alts = [a for a in name.split("|") if a]
-        if not alts:
-            raise ValueError(f"empty step in property path: {step!r}")
+        if not alts or any(set("()^+|") & set(a) for a in alts):
+            raise ValueError(f"unsupported step in property path: {step!r}")
         base = triples.filter(F.col(pred_col).isin(alts))
         if inv:
             e = base.select(

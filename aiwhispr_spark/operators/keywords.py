@@ -23,15 +23,20 @@ from ..functions.udfs import bound
 from .textstats import LANG_STOPWORDS
 
 
-def kept_tokens_expr(text: Column, stopwords: list[str] | None = None) -> Column:
-    """Lowercased whitespace tokens filtered to content words: pure [a-z],
-    length >= 3, not a stopword — the standard TextRank/PMI candidate cut."""
+def is_content_word(x: Column, stopwords: list[str] | None = None) -> Column:
+    """The content-word predicate every keyword/summary operator shares:
+    pure [a-z], length >= 3, not a stopword."""
     stops = F.array(*[F.lit(w) for w in (stopwords or LANG_STOPWORDS["en"])])
+    return x.rlike("^[a-z]{3,}$") & ~F.array_contains(stops, x)
 
-    def keep(x: Column) -> Column:
-        return x.rlike("^[a-z]{3,}$") & ~F.array_contains(stops, x)
 
-    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), keep)
+def kept_tokens_expr(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Lowercased whitespace tokens filtered to content words
+    (:func:`is_content_word`) — the standard TextRank/PMI candidate cut."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"),
+        lambda x: is_content_word(x, stopwords),
+    )
 
 
 def _adjacent_pairs(tokens: Column) -> Column:

@@ -39,10 +39,14 @@ _SCALE = {"thousand": 1_000, "million": 1_000_000, "billion": 1_000_000_000}
 
 
 def _value_i(num: Column, scale: Column) -> Column:
-    """quantity × 10^4 as BIGINT, exact: comma-stripped DECIMAL(38,6) ×
-    integer scale × 10^4 — no float ever enters the plan."""
-    dec = F.regexp_replace(num, ",", "").cast("decimal(38,6)")
-    return (dec * scale.cast("decimal(20,0)") * F.lit(10_000)).cast("bigint")
+    """quantity × 10^4 as BIGINT: comma-stripped DECIMAL(38,10) × integer
+    scale × 10^4, rounded HALF_UP at the integer boundary — no float ever
+    enters the plan.  Exact for ≤10 fractional digits (beyond that the
+    parse cast rounds, same HALF_UP); a bare bigint cast would FLOOR
+    sub-10^-4 fractions ('7.00005%' → 70000 instead of 70001)."""
+    dec = F.regexp_replace(num, ",", "").cast("decimal(38,10)")
+    prod = dec * scale.cast("decimal(20,0)") * F.lit(10_000)
+    return F.round(prod, 0).cast("bigint")
 
 
 def extract_quantity_facts(

@@ -31,15 +31,37 @@ def _bucket(row: Column, tok: Column, width: int) -> Column:
     return (h.cast("long") % width).cast("int")
 
 
+def token_counts(tokens: DataFrame, token_col: str = "tok") -> DataFrame:
+    """(token, cnt) exact occurrence counts — the one corpus aggregation the
+    sketch family shares (build it once, feed counters AND true counts).
+
+    NULL tokens drop up front: a downstream equi-join on the token would
+    push the same isnotnull filter into ITS subtree only, making the two
+    aggregate subplans canonically different and defeating Catalyst's
+    exchange reuse — with the filter here, every consumer shares ONE
+    shuffle of the token stream."""
+    return (
+        tokens.filter(F.col(token_col).isNotNull())
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 def cms_counters(
-    tokens: DataFrame, token_col: str = "tok", depth: int = 4, width: int = 256
+    tokens: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    width: int = 256,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Build the sketch: (r, bucket, c) counter rows from a token stream.
 
     Occurrences are pre-aggregated per token, then fanned out over the depth
-    rows — the fan-out multiplies DISTINCT tokens, not the stream.
+    rows — the fan-out multiplies DISTINCT tokens, not the stream.  Pass a
+    pre-built :func:`token_counts` frame via ``counts`` to share that
+    aggregation with other consumers (cms_heavy_hitters does).
     """
-    cnts = tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("cnt"))
+    cnts = token_counts(tokens, token_col) if counts is None else counts
     rows = cnts.select(
         F.col(token_col),
         "cnt",
@@ -57,13 +79,21 @@ def cms_estimate(
     token_col: str = "tok",
     depth: int = 4,
     width: int = 256,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Point-query the sketch for each candidate token: min over depth rows.
 
     The counter table is broadcast (fixed size by construction); the join is
-    therefore shuffle-free on the candidate side.
+    therefore shuffle-free on the candidate side.  Pass
+    ``assume_distinct=True`` when the candidate frame is already one row per
+    token (e.g. an aggregate output) — the redundant distinct would otherwise
+    re-shuffle the candidates AND break exchange reuse with the frame that
+    produced them.
     """
-    rows = candidates.select(token_col).distinct().select(
+    cand = candidates.select(token_col)
+    if not assume_distinct:
+        cand = cand.distinct()
+    rows = cand.select(
         F.col(token_col),
         F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
     )
@@ -85,14 +115,35 @@ def cms_heavy_hitters(
     """Top-k tokens by CMS estimate, with the true count and the overcount
     (est - true >= 0 always, by the CMS one-sided error guarantee).
 
-    Ties break on the token string so the top-k cut is deterministic."""
-    counters = cms_counters(tokens, token_col, depth, width)
-    true_cnt = tokens.groupBy(token_col).agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
-    est = cms_estimate(counters, true_cnt, token_col, depth, width)
-    out = est.join(true_cnt, token_col).select(
-        token_col,
-        F.col("est").alias("est_l"),
-        F.col("true_cnt").alias("true_l"),
-        (F.col("est") - F.col("true_cnt")).cast("long").alias("over_l"),
+    Ties break on the token string so the top-k cut is deterministic.
+
+    The corpus is scanned and aggregated ONCE: the same token_counts frame
+    feeds the sketch build and the estimate probe, and the probe CARRIES the
+    true count through the explode (instead of re-deriving it through
+    cms_estimate + join, which column pruning would rewrite into an extra
+    distinct scan of the stream) — so Catalyst reuses the one count exchange
+    (ReusedExchange, plan-asserted in tests) and everything downstream works
+    on |distinct tokens|-sized frames."""
+    cnts = token_counts(tokens, token_col)
+    counters = cms_counters(tokens, token_col, depth, width, counts=cnts)
+    rows = cnts.select(
+        F.col(token_col),
+        "cnt",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    rows = rows.withColumn("bucket", _bucket(F.col("r"), F.col(token_col), width))
+    out = (
+        rows.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy(token_col)
+        .agg(
+            F.min("c").cast("long").alias("est_l"),
+            F.min("cnt").cast("long").alias("true_l"),
+        )
+        .select(
+            token_col,
+            "est_l",
+            "true_l",
+            (F.col("est_l") - F.col("true_l")).cast("long").alias("over_l"),
+        )
     )
     return out.orderBy(F.desc("est_l"), token_col).limit(k)

@@ -16,14 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.udfs import bound
-
-
-def _toks(text: Column) -> Column:
-    t = F.trim(F.lower(text))
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+from ..functions.udfs import bound, ws_tokens_expr
+from .keywords import is_content_word
 
 
 def passage_chunks(
@@ -42,7 +36,7 @@ def passage_chunks(
 
     out = df.select(
         F.col(id_col),
-        F.posexplode(bound(_toks(F.col(text_col)), chunks_from)).alias("p0", "words"),
+        F.posexplode(bound(ws_tokens_expr(F.col(text_col)), chunks_from)).alias("p0", "words"),
     )
     return out.select(id_col, (F.col("p0") + 1).cast("int").alias("chunk_idx"), "words")
 
@@ -64,9 +58,7 @@ def extractive_summary(
     chunks = passage_chunks(df, id_col, text_col, size)
     words = chunks.select(id_col, "chunk_idx", F.explode("words").alias("w"))
 
-    is_content = F.col("w").rlike("^[a-z]{3,}$") & ~F.array_contains(
-        F.array(*[F.lit(s) for s in (stopwords or _default_stops())]), F.col("w")
-    )
+    is_content = is_content_word(F.col("w"), stopwords)
     content = words.filter(is_content)
     tf = content.groupBy(id_col, "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     num = (
@@ -98,8 +90,3 @@ def extractive_summary(
         .drop("rk")
     )
 
-
-def _default_stops() -> list[str]:
-    from .textstats import LANG_STOPWORDS
-
-    return LANG_STOPWORDS["en"]

@@ -753,10 +753,9 @@ def write_feed_corpus_parquet(path: str, n_hosts: int = 10) -> str:
     return path
 
 
-_RFC_MONTHS = [
-    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
-    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
-]
+# the RFC-822 month table IS the parser's (fixture and parser must agree by
+# contract — one copy, sources/feeds.py)
+from .feeds import _MONTHS as _RFC_MONTHS  # noqa: E402
 
 
 def write_cdx_fixture(path: str, n_records: int = 240) -> str:

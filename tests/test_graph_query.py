@@ -282,3 +282,67 @@ def test_property_path_plus_bounded_by_max_hops(spark):
     t = spark.createDataFrame(chain, "subj string, pred string, obj string")
     got = {(r.src, r.dst) for r in property_path(t, "p+", max_hops=2).collect()}
     assert ("n0", "n2") in got and ("n0", "n3") not in got
+
+
+def test_property_path_inverse_of_group(spark):
+    # regression: '^(p1|p2)' used to fail the paren strip (the '^' check ran
+    # second), leaving alts ['(p1', 'p2)'] that silently matched nothing
+    from aiwhispr_spark.operators.graph_query import property_path
+
+    t = spark.createDataFrame(
+        [
+            ("CorpA", "owns", "CorpB"),
+            ("CorpC", "acquired", "CorpB"),
+            ("CorpA", "based_in", "Aix"),
+            ("CorpC", "based_in", "Cork"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.src, r.dst)
+        for r in property_path(t, "^(owns|acquired)/based_in").collect()
+    }
+    assert got == {("CorpB", "Aix"), ("CorpB", "Cork")}
+    closure = {
+        (r.src, r.dst) for r in property_path(t, "^(owns|acquired)+").collect()
+    }
+    assert closure == {("CorpB", "CorpA"), ("CorpB", "CorpC")}
+
+
+def test_property_path_malformed_step_raises(spark):
+    import pytest
+
+    from aiwhispr_spark.operators.graph_query import property_path
+
+    t = spark.createDataFrame(
+        [("A", "p", "B")], "subj string, pred string, obj string"
+    )
+    for bad in ("(owns", "ow^ns", "(a|b))"):
+        with pytest.raises(ValueError):
+            property_path(t, bad)
+
+
+def test_bgp_optional_chained_on_optional_var_raises(spark):
+    # SPARQL compatible-mapping vs Spark NULL-key divergence: re-binding a
+    # previous optional's variable is outside the documented subset
+    import pytest
+
+    from aiwhispr_spark.operators.graph_query import bgp_match_optional
+
+    t = _triples(
+        spark,
+        [
+            ("Y", "acquired", "X"),
+            ("X", "based_in", "C1"),
+            ("C1", "in_country", "K"),
+        ],
+    )
+    with pytest.raises(ValueError, match="previous optional"):
+        bgp_match_optional(
+            t,
+            [("?y", "acquired", "?x")],
+            [
+                [("?x", "based_in", "?city")],
+                [("?city", "in_country", "?c")],
+            ],
+        )

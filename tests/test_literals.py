@@ -58,3 +58,11 @@ def test_quantity_no_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_sub_scale_fraction_rounds_half_up_not_floor(spark):
+    # regression: a bare bigint cast FLOORED the 10^-4 boundary
+    # ('7.00005%' -> 70000); the contract is HALF_UP rounding
+    chunks = _chunks(spark, [("u1", "Acme margin was 7.00005%.")])
+    rows = extract_quantity_facts(chunks).collect()
+    assert [(r.pred, r.value_i) for r in rows] == [("margin", 70001)]

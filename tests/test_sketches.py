@@ -59,3 +59,19 @@ def test_forced_collisions_overcount(spark):
 def test_topk_deterministic_tiebreak(spark):
     out = cms_heavy_hitters(_tokens(spark), k=3).collect()
     assert [r.tok for r in out] == ["alpha", "beta", "gamma"]
+
+
+def test_heavy_hitters_single_corpus_aggregate(spark):
+    # the sketch build and the true counts must share ONE token aggregation
+    # (ReusedExchange in the plan), not scan/shuffle the stream twice
+    from aiwhispr_spark.operators.sketches import cms_heavy_hitters
+
+    toks = spark.createDataFrame(
+        [(t,) for t in ["a", "b", "a", "c", "a", "b"]], "tok string"
+    )
+    out = cms_heavy_hitters(toks, k=3)
+    got = {(r.tok, r.true_l) for r in out.collect()}
+    assert got == {("a", 3), ("b", 2), ("c", 1)}
+    # AQE finalizes reuse only after execution — inspect the plan post-collect
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
