@@ -1679,6 +1679,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_nearby_pairs"] = geo_pairs
 
+    def redirects_q(spark, sf):
+        # Redirect-chain resolution (redirects.py::resolve_redirects,
+        # pointer halving — log2 rounds, never per-hop walks): closed-form
+        # redirect map over documents: doc_id%7 in (1,2,3) chain one hop
+        # down (u_i -> u_{i-1}, terminal at %7==0); %7==5/6 form 2-cycles.
+        # Oracle computes finals/hops/cycle flags from the same arithmetic
+        # (the %7==5 boundary partner existence via LEFT JOIN, so it stays
+        # correct if the doc-id range ever changes).
+        from aiwhispr_spark.operators.redirects import resolve_redirects
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        m = F.col("doc_id") % 7
+
+        def u(col):
+            return F.concat(F.lit("u"), col.cast("string"))
+
+        chain = d.filter(m.isin(1, 2, 3)).select(
+            u(F.col("doc_id")).alias("src"), u(F.col("doc_id") - 1).alias("dst")
+        )
+        cyc5 = d.filter(m == 5).select(
+            u(F.col("doc_id")).alias("src"), u(F.col("doc_id") + 1).alias("dst")
+        )
+        cyc6 = d.filter(m == 6).select(
+            u(F.col("doc_id")).alias("src"), u(F.col("doc_id") - 1).alias("dst")
+        )
+        edges = chain.unionByName(cyc5).unionByName(cyc6)
+        # fixture chains are <= 3 hops; max_chain=8 -> 3 halving rounds
+        # (the bound is a query parameter, same as max_hops in the closures)
+        return resolve_redirects(edges, max_chain=8)
+
+    q["redirect_resolution"] = redirects_q
+
     def kg_diff(spark, sf):
         # KG snapshot diffing (temporal.py::kg_snapshot_diff): old/new
         # triple sets built closed-form over 40 entities — a%5==0 moves HQ
@@ -4286,7 +4318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_og_cards",
         "dedup_span_removal",
         "rss_atom_entries",
-        "host_outlink_profile",
         "minhash_pairs_md5",
         "minhash_groups_md5",
         "dedup_apply_keepers",
@@ -4313,6 +4344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_facts",
         "breadcrumb_taxonomy",
         "geo_nearby_pairs",
+        "redirect_resolution",
         "warc_curation_pipeline",
         "semantic_dedup_pairs",
         "unigram_lm_scores",
@@ -4336,6 +4368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deepwalk_skipgram_pairs",
         "bigram_lm_scores",
         "csv_roundtrip",
+        "host_outlink_profile",
         "kg_facts_as_of_2000",
         "simhash_fingerprint",
         "media_type_sniff",
@@ -4801,6 +4834,22 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'Item' || c, 'Sub' || a || '_' || b FROM f)
         SELECT child, parent, COUNT(*) AS n_pages FROM e GROUP BY 1, 2
+    """
+    o["redirect_resolution"] = """
+        WITH d AS (SELECT doc_id AS i, doc_id % 7 AS m FROM documents)
+        SELECT 'u' || i AS src, 'u' || (i - m) AS final,
+               CAST(m AS BIGINT) AS hops_i, CAST(0 AS INT) AS cyc_i
+        FROM d WHERE m IN (1, 2, 3)
+        UNION ALL
+        SELECT 'u' || d.i,
+               CASE WHEN p.i IS NULL THEN 'u' || (d.i + 1) ELSE 'u' || d.i END,
+               CAST(CASE WHEN p.i IS NULL THEN 1 ELSE -1 END AS BIGINT),
+               CAST(CASE WHEN p.i IS NULL THEN 0 ELSE 1 END AS INT)
+        FROM d LEFT JOIN d p ON p.i = d.i + 1
+        WHERE d.m = 5
+        UNION ALL
+        SELECT 'u' || i, 'u' || i, CAST(-1 AS BIGINT), CAST(1 AS INT)
+        FROM d WHERE m = 6
     """
     o["geo_nearby_pairs"] = """
         WITH p AS (
