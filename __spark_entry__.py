@@ -1711,6 +1711,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["redirect_resolution"] = redirects_q
 
+    def hearst_q(spark, sf):
+        # Hearst hypernym mining (hearst.py::extract_hearst_hypernyms):
+        # closed-form prose per doc exercises the Oxford 3-list (even ids),
+        # the two-item 'and' list (odd ids), a multi-word 'and other'
+        # mention, and a lowercase decoy that must not match.  Oracle =
+        # the expected rows from doc-id arithmetic — independent of every
+        # regex in the operator.
+        from aiwhispr_spark.operators.hearst import extract_hearst_hypernyms
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        sent_a = F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit("Tools such as Acme"), (i % 7).cast("string"),
+                F.lit(", Beta"), (i % 5).cast("string"),
+                F.lit(", and Gamma"), (i % 3).cast("string"),
+                F.lit(" ship."),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("Tools such as Acme"), (i % 7).cast("string"),
+                F.lit(" and Beta"), (i % 5).cast("string"),
+                F.lit(" ship."),
+            )
+        )
+        text = F.concat(
+            sent_a,
+            F.lit(" New Corp"), (i % 4).cast("string"),
+            F.lit(" and other vendors lead. They ship such as promised."),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("url"),
+            text.alias("text_chunk"),
+        )
+        return extract_hearst_hypernyms(chunks)
+
+    q["hearst_hypernyms"] = hearst_q
+
+    def salience_q(spark, sf):
+        # Entity salience (salience.py::entity_salience) composed over the
+        # REAL gazetteer tagger output on the documents text — frequency ×
+        # damped earliness as an exact integer, per-doc rank window.
+        # Oracle extends the gazetteer rollup SQL with the same formula.
+        from aiwhispr_spark.operators.gazetteer import tag_gazetteer
+        from aiwhispr_spark.operators.salience import entity_salience
+
+        gaz = spark.createDataFrame(_GAZETTEER, "surface string, etype string")
+        m = tag_gazetteer(_t(spark, sf, "documents"), gaz)
+        return entity_salience(m)
+
+    q["entity_salience"] = salience_q
+
+    def hreflang_q(spark, sf):
+        # hreflang alternate clusters (hreflang.py::hreflang_clusters):
+        # closed-form translation triples per doc-id group — every page
+        # declares de/en/fr alternates with a DIFFERENT attribute order per
+        # member (the any-order contract), plus stylesheet decoys; the last
+        # group may be partial so the target-only-member path is exercised.
+        # Oracle = groups x langs from doc-id arithmetic.
+        from aiwhispr_spark.operators.hreflang import hreflang_clusters
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        g = F.expr("doc_id div 3").cast("string")
+        m = i % 3
+        base = F.concat(F.lit("https://ex.org/g"), g, F.lit("/"))
+        lang = F.when(m == 0, "de").when(m == 1, "en").otherwise("fr")
+        tag_de = F.concat(
+            F.lit('<link rel="alternate" hreflang="de" href="'), base, F.lit('de">')
+        )
+        tag_en = F.concat(
+            F.lit('<link href="'), base, F.lit('en" rel="alternate" hreflang="en">')
+        )
+        tag_fr = F.concat(
+            F.lit('<link hreflang="fr" href="'), base, F.lit('fr" rel="alternate">')
+        )
+        html = F.concat(
+            F.lit("<html><head>"), tag_de, tag_en, tag_fr,
+            F.lit('<link rel="stylesheet" href="s.css"></head></html>'),
+        )
+        pages = d.select(F.concat(base, lang).alias("url"), html.alias("html"))
+        return hreflang_clusters(pages)
+
+    q["hreflang_clusters"] = hreflang_q
+
     def kg_diff(spark, sf):
         # KG snapshot diffing (temporal.py::kg_snapshot_diff): old/new
         # triple sets built closed-form over 40 entities — a%5==0 moves HQ
@@ -4314,12 +4400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_triples",
         "infobox_triples",
         "data_table_triples",
-        "structured_entity_stats",
         "meta_og_cards",
-        "dedup_span_removal",
         "rss_atom_entries",
         "minhash_pairs_md5",
-        "minhash_groups_md5",
         "dedup_apply_keepers",
         "winnow_shared_pairs",
         "cms_heavy_hitters",
@@ -4345,6 +4428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breadcrumb_taxonomy",
         "geo_nearby_pairs",
         "redirect_resolution",
+        "hearst_hypernyms",
+        "entity_salience",
+        "hreflang_clusters",
         "warc_curation_pipeline",
         "semantic_dedup_pairs",
         "unigram_lm_scores",
@@ -4368,6 +4454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deepwalk_skipgram_pairs",
         "bigram_lm_scores",
         "csv_roundtrip",
+        "structured_entity_stats",
+        "minhash_groups_md5",
+        "dedup_span_removal",
         "host_outlink_profile",
         "kg_facts_as_of_2000",
         "simhash_fingerprint",
@@ -4834,6 +4923,27 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'Item' || c, 'Sub' || a || '_' || b FROM f)
         SELECT child, parent, COUNT(*) AS n_pages FROM e GROUP BY 1, 2
+    """
+    o["hreflang_clusters"] = """
+        WITH g AS (SELECT DISTINCT doc_id // 3 AS g FROM documents),
+        l(lang) AS (VALUES ('de'), ('en'), ('fr'))
+        SELECT 'https://ex.org/g' || g || '/de' AS cluster,
+               'https://ex.org/g' || g || '/' || lang AS url,
+               lang
+        FROM g CROSS JOIN l
+    """
+    o["hearst_hypernyms"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents)
+        SELECT 'u' || i AS url, 'Acme' || (i % 7) AS subj, 'is_a' AS pred,
+               'tools' AS obj, 'such_as' AS pattern FROM d
+        UNION ALL
+        SELECT 'u' || i, 'Beta' || (i % 5), 'is_a', 'tools', 'such_as' FROM d
+        UNION ALL
+        SELECT 'u' || i, 'Gamma' || (i % 3), 'is_a', 'tools', 'such_as'
+        FROM d WHERE i % 2 = 0
+        UNION ALL
+        SELECT 'u' || i, 'New Corp' || (i % 4), 'is_a', 'vendors', 'and_other'
+        FROM d
     """
     o["redirect_resolution"] = """
         WITH d AS (SELECT doc_id AS i, doc_id % 7 AS m FROM documents)
@@ -6953,7 +7063,8 @@ def oracle_sql() -> dict[str, str]:
         FROM est e JOIN cnts c ON c.tok = e.tok
         ORDER BY est_l DESC, e.tok LIMIT 20
     """
-    o["gazetteer_entity_tags"] = f"""
+    # shared by gazetteer_entity_tags and entity_salience (which composes it)
+    gaz_rolled = f"""
         WITH gaz(surface, etype) AS (VALUES {_gazetteer_values_sql()}),
         g AS (SELECT surface, etype, len(string_split(surface, ' ')) AS nw FROM gaz),
         tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
@@ -6978,11 +7089,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT u.* FROM uni_hits u
           WHERE NOT EXISTS (SELECT 1 FROM covered c
                             WHERE c.doc_id = u.doc_id AND c.pos = u.pos)),
-        allm AS (SELECT * FROM big_hits UNION ALL SELECT * FROM kept_uni)
-        SELECT doc_id, surface, etype,
-               CAST(count(*) AS BIGINT) AS n_hits,
-               CAST(min(pos) AS INT) AS first_pos
-        FROM allm GROUP BY doc_id, surface, etype
+        allm AS (SELECT * FROM big_hits UNION ALL SELECT * FROM kept_uni),
+        rolled AS (
+          SELECT doc_id, surface, etype,
+                 CAST(count(*) AS BIGINT) AS n_hits,
+                 CAST(min(pos) AS INT) AS first_pos
+          FROM allm GROUP BY doc_id, surface, etype)
+    """
+    o["gazetteer_entity_tags"] = (
+        gaz_rolled + "SELECT doc_id, surface, etype, n_hits, first_pos FROM rolled"
+    )
+    o["entity_salience"] = gaz_rolled + """
+        , sal AS (
+          SELECT *, CAST(n_hits * 1000000 // (first_pos + 9) AS BIGINT) AS salience_i
+          FROM rolled)
+        SELECT *, CAST(row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY salience_i DESC, surface) AS INT) AS rk
+        FROM sal
     """
     o["extractive_summary_top2"] = f"""
         WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t

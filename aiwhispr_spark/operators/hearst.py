@@ -1,0 +1,75 @@
+"""Hearst-pattern hypernym mining (Hearst, COLING '92): ``is_a`` triples
+from lexico-syntactic patterns over prose — the taxonomy-from-text stage
+that complements the breadcrumb taxonomy (structured navigation) and the
+SVO "X is a Y" arm (aiwhispr_spark/triples.py, which needs BOTH sides
+capitalized; Hearst classes are common nouns).
+
+Documented pattern subset (oracle-mirrored):
+* ``<class> such as <M1>, <M2>, and <M3>`` — every listed mention is_a
+  class (list = 1+ mentions, comma-separated, optional ``and``/``or``
+  final conjunction with or without the Oxford comma);
+* ``<M1>, <M2> and other <class>`` — same list shape, class follows.
+
+A mention is a capitalized token run (the triples.py shape); the class is
+the single word immediately before ``such as`` / after ``and other``,
+lowercased in the output.  Multi-word mentions survive the list split
+because the split keys on the comma/conjunction tokens, never on spaces.
+
+100 TB shape: two regex projections over the SAME chunk scan concat into
+one array before the explode — a single narrow JVM stage, zero shuffle,
+zero python (the quantity-literal discipline, operators/literals.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# the triples.py mention shape (capitalized run, numeric continuations)
+_M = r"(?:[A-Z][A-Za-z0-9_]*)(?: (?:[A-Z][A-Za-z0-9_]*|[0-9]+))*"
+_LIST = rf"({_M}(?:, {_M})*(?:,? (?:and|or) {_M})?)"
+_SUCH_AS_RE = rf"([A-Za-z]+) such as {_LIST}"
+_AND_OTHER_RE = rf"{_LIST} and other ([A-Za-z]+)"
+# list separators: ', ' and the final ',? and/or ' conjunction
+_SPLIT_RE = r",?\s(?:and|or)\s|,\s"
+
+
+def extract_hearst_hypernyms(
+    chunks: DataFrame,
+    text_col: str = "text_chunk",
+    id_col: str = "url",
+) -> DataFrame:
+    """(url, subj, pred, obj, pattern) — one row per (instance, class) pair
+    mined by the documented Hearst patterns; pred is always ``is_a``,
+    obj is the lowercased class, pattern in {such_as, and_other}."""
+    text = F.col(text_col)
+
+    def _arm(pattern: str, cls_grp: int, list_grp: int, tag: str) -> Column:
+        classes = F.regexp_extract_all(text, F.lit(pattern), F.lit(cls_grp))
+        lists = F.regexp_extract_all(text, F.lit(pattern), F.lit(list_grp))
+        zipped = F.arrays_zip(classes.alias("cls"), lists.alias("blob"))
+        return F.transform(
+            zipped,
+            lambda s: F.struct(
+                s["cls"].alias("cls"),
+                F.split(s["blob"], _SPLIT_RE).alias("insts"),
+                F.lit(tag).alias("pattern"),
+            ),
+        )
+
+    arms = F.concat(
+        _arm(_SUCH_AS_RE, 1, 2, "such_as"),
+        _arm(_AND_OTHER_RE, 2, 1, "and_other"),
+    )
+    return (
+        chunks.select(F.col(id_col).alias("url"), F.explode(arms).alias("m"))
+        .select("url", F.col("m.cls").alias("cls"), F.col("m.pattern").alias("pattern"),
+                F.explode("m.insts").alias("subj"))
+        .select(
+            "url",
+            "subj",
+            F.lit("is_a").alias("pred"),
+            F.lower(F.col("cls")).alias("obj"),
+            "pattern",
+        )
+    )
