@@ -1797,6 +1797,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hreflang_clusters"] = hreflang_q
 
+    def microdata_q(spark, sf):
+        # schema.org microdata mining (structured.py::microdata_triples):
+        # closed-form pages carry a Person scope (text + content-attr
+        # values), an Organization scope, and a nameless Thing scope that
+        # must emit nothing.  Oracle = expected rows from doc-id arithmetic
+        # — independent of the scope/property regexes.
+        from aiwhispr_spark.operators.structured import microdata_triples
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+
+        def s(x):
+            return x.cast("string")
+
+        html = F.concat(
+            F.lit('<html><body><div itemscope itemtype="https://schema.org/Person">'
+                  '<span itemprop="name">Person'),
+            s(i % 11),
+            F.lit('</span><span itemprop="jobTitle">Engineer'),
+            s(i % 3),
+            F.lit('</span><meta itemprop="birthDate" content="19'),
+            s(F.lit(50) + i % 40),
+            F.lit('-01-01"></div>'
+                  '<div itemscope itemtype="https://schema.org/Organization">'
+                  '<span itemprop="name">Org'),
+            s(i % 13),
+            F.lit('</span><span itemprop="location">City'),
+            s(i % 5),
+            F.lit('</span></div>'
+                  '<div itemscope itemtype="https://schema.org/Thing">'
+                  '<span itemprop="label">NoName</span></div></body></html>'),
+        )
+        docs = d.select(
+            F.concat(F.lit("u"), s(i)).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        return microdata_triples(docs)
+
+    q["microdata_triples"] = microdata_q
+
+    def paraphrase_q(spark, sf):
+        # Predicate paraphrases (paraphrase.py::predicate_paraphrases):
+        # closed-form relations over 20 entity pairs — 'bought' mirrors
+        # 'acquired' on residues < 15, 'partnered_with' on residues >= 10,
+        # 'owns' points at a disjoint object space (must pair with nothing).
+        # Repeats of every triple across doc_ids pin the distinct collapse.
+        from aiwhispr_spark.operators.paraphrase import predicate_paraphrases
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        r = (F.col("doc_id") % 20).cast("string")
+        subj = F.concat(F.lit("E"), r)
+        obj = F.concat(F.lit("E"), ((F.col("doc_id") + 7) % 20).cast("string"))
+        acq = d.select(subj.alias("subj"), F.lit("acquired").alias("pred"), obj.alias("obj"))
+        bought = d.filter(F.col("doc_id") % 20 < 15).select(
+            subj.alias("subj"), F.lit("bought").alias("pred"), obj.alias("obj")
+        )
+        part = d.filter(F.col("doc_id") % 20 >= 10).select(
+            subj.alias("subj"), F.lit("partnered_with").alias("pred"), obj.alias("obj")
+        )
+        owns = d.select(
+            subj.alias("subj"), F.lit("owns").alias("pred"),
+            F.concat(F.lit("F"), r).alias("obj"),
+        )
+        t = acq.unionByName(bought).unionByName(part).unionByName(owns)
+        return predicate_paraphrases(t)
+
+    q["kg_predicate_paraphrases"] = paraphrase_q
+
     def kg_diff(spark, sf):
         # KG snapshot diffing (temporal.py::kg_snapshot_diff): old/new
         # triple sets built closed-form over 40 entities — a%5==0 moves HQ
@@ -4398,6 +4466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_semantic_search",
         "kg_triples_synthetic",
         "jsonld_triples",
+        "microdata_triples",
+        "kg_predicate_paraphrases",
         "infobox_triples",
         "data_table_triples",
         "meta_og_cards",
@@ -4407,7 +4477,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_shared_pairs",
         "cms_heavy_hitters",
         "textrank_keywords",
-        "pmi_collocations",
         "gazetteer_entity_tags",
         "extractive_summary_top2",
         "host_shortest_paths_6",
@@ -4443,7 +4512,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional",
         "kg_fact_rank",
         "kg_property_path",
-        "kg_link_prediction",
         "kg_lpa_communities",
         "kg_triple_extent",
         "anchor_commonness_prior",
@@ -4454,6 +4522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deepwalk_skipgram_pairs",
         "bigram_lm_scores",
         "csv_roundtrip",
+        "kg_link_prediction",
+        "pmi_collocations",
         "structured_entity_stats",
         "minhash_groups_md5",
         "dedup_span_removal",
@@ -4923,6 +4993,39 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'Item' || c, 'Sub' || a || '_' || b FROM f)
         SELECT child, parent, COUNT(*) AS n_pages FROM e GROUP BY 1, 2
+    """
+    o["kg_predicate_paraphrases"] = """
+        WITH r AS (SELECT DISTINCT doc_id % 20 AS rr FROM documents),
+        p AS (
+          SELECT 'acquired' AS pred, 'E' || rr AS k FROM r
+          UNION ALL SELECT 'bought', 'E' || rr FROM r WHERE rr < 15
+          UNION ALL SELECT 'partnered_with', 'E' || rr FROM r WHERE rr >= 10
+          UNION ALL SELECT 'owns', 'F' || rr FROM r
+        ),
+        sizes AS (SELECT pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+        common AS (
+          SELECT a.pred AS pred_a, b.pred AS pred_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM p a JOIN p b ON a.k = b.k AND a.pred < b.pred
+          GROUP BY 1, 2)
+        SELECT c.pred_a, c.pred_b, c.n_common, sa.n AS n_a, sb.n AS n_b,
+               CAST(c.n_common * 10000 // (sa.n + sb.n - c.n_common) AS BIGINT)
+                 AS jaccard_i
+        FROM common c
+        JOIN sizes sa ON sa.pred = c.pred_a
+        JOIN sizes sb ON sb.pred = c.pred_b
+    """
+    o["microdata_triples"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents)
+        SELECT 'u' || i AS src_url, 'Person' || (i % 11) AS subj,
+               'jobTitle' AS pred, 'Engineer' || (i % 3) AS obj,
+               'Person' AS itype FROM d
+        UNION ALL
+        SELECT 'u' || i, 'Person' || (i % 11), 'birthDate',
+               '19' || (50 + i % 40) || '-01-01', 'Person' FROM d
+        UNION ALL
+        SELECT 'u' || i, 'Org' || (i % 13), 'location',
+               'City' || (i % 5), 'Organization' FROM d
     """
     o["hreflang_clusters"] = """
         WITH g AS (SELECT DISTINCT doc_id // 3 AS g FROM documents),

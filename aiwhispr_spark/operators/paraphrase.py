@@ -1,0 +1,71 @@
+"""Predicate-paraphrase detection: find relation pairs that hold between
+the same (subject, object) pairs — DIRT-style (Lin & Pantel '01) relation
+clustering reduced to exact set overlap.  An OpenIE-built KG (this
+engine's E3 stage) mints one predicate per surface pattern; ``acquired``
+and ``bought`` describing the same argument pairs are one relation to a
+downstream consumer, and this table is what a curator reads to merge them
+(the predicate-level twin of alias canonicalization, operators/
+canonicalize.py).
+
+Output per predicate pair (pred_a < pred_b, ``n_common >= min_common``):
+
+    n_common   = |pairs(a) ∩ pairs(b)|   (distinct (subj, obj) pairs)
+    n_a, n_b   = |pairs(a)|, |pairs(b)|
+    jaccard_i  = n_common * 10000 div (n_a + n_b - n_common)   (exact int)
+
+100 TB shape: candidates come from the ARGUMENT-PAIR self-join — the
+exchange keys on (subj, obj) and its fan-out is Σ preds-per-pair², the
+co-mention discipline (operators/kgsummary.py) — never a predicate cross
+product; sizes join back on the |preds|-scale aggregate (broadcast under
+AQE).  Everything is distinct/count aggregates, map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def predicate_paraphrases(
+    triples: DataFrame,
+    min_common: int = 1,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """(pred_a, pred_b, n_common, n_a, n_b, jaccard_i) — see module
+    contract."""
+    pairs = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    sizes = pairs.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    common = (
+        pairs.alias("a")
+        .join(
+            pairs.alias("b"),
+            (F.col("a.subj") == F.col("b.subj"))
+            & (F.col("a.obj") == F.col("b.obj"))
+            & (F.col("a.pred") < F.col("b.pred")),
+        )
+        .groupBy(
+            F.col("a.pred").alias("pred_a"), F.col("b.pred").alias("pred_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= int(min_common))
+    )
+    return (
+        common.join(sizes.select(F.col("pred").alias("pred_a"), F.col("n").alias("n_a")), "pred_a")
+        .join(sizes.select(F.col("pred").alias("pred_b"), F.col("n").alias("n_b")), "pred_b")
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("n_common * 10000 div (n_a + n_b - n_common)")
+            .cast("long")
+            .alias("jaccard_i"),
+        )
+    )
