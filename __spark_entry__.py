@@ -1764,15 +1764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_salience"] = salience_q
 
-    def hreflang_q(spark, sf):
-        # hreflang alternate clusters (hreflang.py::hreflang_clusters):
-        # closed-form translation triples per doc-id group — every page
-        # declares de/en/fr alternates with a DIFFERENT attribute order per
-        # member (the any-order contract), plus stylesheet decoys; the last
-        # group may be partial so the target-only-member path is exercised.
-        # Oracle = groups x langs from doc-id arithmetic.
-        from aiwhispr_spark.operators.hreflang import hreflang_clusters
-
+    def _hreflang_pages(spark, sf):
+        # shared closed-form translation families: page per doc_id with
+        # group g = doc_id div 3, lang by doc_id % 3 (de/en/fr); every page
+        # declares all three alternates with a DIFFERENT attribute order
+        # per tag (the any-order contract) plus a stylesheet decoy.  The
+        # last group may be partial (target-only-member path).
         d = _t(spark, sf, "documents").select("doc_id")
         i = F.col("doc_id")
         g = F.expr("doc_id div 3").cast("string")
@@ -1792,10 +1789,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("<html><head>"), tag_de, tag_en, tag_fr,
             F.lit('<link rel="stylesheet" href="s.css"></head></html>'),
         )
-        pages = d.select(F.concat(base, lang).alias("url"), html.alias("html"))
-        return hreflang_clusters(pages)
+        return d.select(
+            F.concat(base, lang).alias("url"),
+            html.alias("html"),
+            lang.alias("lang"),
+            g.alias("g"),
+        )
+
+    def hreflang_q(spark, sf):
+        # hreflang alternate clusters (hreflang.py::hreflang_clusters) over
+        # the shared closed-form families.  Oracle = groups x langs from
+        # doc-id arithmetic.
+        from aiwhispr_spark.operators.hreflang import hreflang_clusters
+
+        return hreflang_clusters(_hreflang_pages(spark, sf).select("url", "html"))
 
     q["hreflang_clusters"] = hreflang_q
+
+    def crosslingual_q(spark, sf):
+        # Cross-lingual alias mining (crosslingual.py::cross_lingual_aliases)
+        # composed over the REAL hreflang clustering: per page, one
+        # language-INVARIANT fact (founded -> Y<g>, the anchor) and one
+        # language-VARIANT fact (hq -> C_<lang><g>, must contribute
+        # nothing).  Expected pairs = lang pairs PRESENT per group (the
+        # partial last group exercises the 2-lang case); target-only
+        # cluster members have no triples and stay silent.
+        from aiwhispr_spark.operators.crosslingual import cross_lingual_aliases
+        from aiwhispr_spark.operators.hreflang import hreflang_clusters
+
+        pages = _hreflang_pages(spark, sf)
+        members = hreflang_clusters(pages.select("url", "html"))
+        subj = F.concat(F.lit("Name_"), F.col("lang"), F.lit("_"), F.col("g"))
+        inv = pages.select(
+            "url", subj.alias("subj"), F.lit("founded").alias("pred"),
+            F.concat(F.lit("Y"), F.col("g")).alias("obj"),
+        )
+        var = pages.select(
+            "url", subj.alias("subj"), F.lit("hq").alias("pred"),
+            F.concat(F.lit("C_"), F.col("lang"), F.col("g")).alias("obj"),
+        )
+        return cross_lingual_aliases(members, inv.unionByName(var))
+
+    q["crosslingual_aliases"] = crosslingual_q
 
     def microdata_q(spark, sf):
         # schema.org microdata mining (structured.py::microdata_triples):
@@ -4492,7 +4527,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff",
         "kg_dated_facts",
         "quote_attribution",
-        "acronym_alias_pairs",
         "quantity_facts",
         "breadcrumb_taxonomy",
         "geo_nearby_pairs",
@@ -4500,6 +4534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hearst_hypernyms",
         "entity_salience",
         "hreflang_clusters",
+        "crosslingual_aliases",
         "warc_curation_pipeline",
         "semantic_dedup_pairs",
         "unigram_lm_scores",
@@ -4522,6 +4557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deepwalk_skipgram_pairs",
         "bigram_lm_scores",
         "csv_roundtrip",
+        "acronym_alias_pairs",
         "kg_link_prediction",
         "pmi_collocations",
         "structured_entity_stats",
@@ -4993,6 +5029,18 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'Item' || c, 'Sub' || a || '_' || b FROM f)
         SELECT child, parent, COUNT(*) AS n_pages FROM e GROUP BY 1, 2
+    """
+    o["crosslingual_aliases"] = """
+        WITH gs AS (SELECT doc_id // 3 AS g,
+                           CASE doc_id % 3 WHEN 0 THEN 'de'
+                                           WHEN 1 THEN 'en'
+                                           ELSE 'fr' END AS lang
+                    FROM documents)
+        SELECT 'https://ex.org/g' || a.g || '/de' AS cluster,
+               a.lang AS lang_a, 'Name_' || a.lang || '_' || a.g AS subj_a,
+               b.lang AS lang_b, 'Name_' || b.lang || '_' || b.g AS subj_b,
+               CAST(1 AS BIGINT) AS n_shared
+        FROM gs a JOIN gs b ON a.g = b.g AND a.lang < b.lang
     """
     o["kg_predicate_paraphrases"] = """
         WITH r AS (SELECT DISTINCT doc_id % 20 AS rr FROM documents),
