@@ -65,6 +65,15 @@ SHOWN = [
     ("kg_transe_eval", "energies are pure-JVM md5 folds; one exchange groups the ≤8 negatives per triple, per-pred agg map-side combines into |relations| keys"),
     ("bpe_encode_corpus", "merge folds run once per DISTINCT word (vocab exchange); the token join keys on the word; per-doc agg map-side combines"),
     ("rss_atom_entries", "entry blocks + field extraction are pure JVM regex/array expressions: no python stage, no exchange"),
+    ("quantity_facts", "three regex projections concat into one array before the explode; decimal math in codegen: no python stage, no exchange"),
+    ("geo_nearby_pairs", "cell-blocked self-join: exchanges carry (id, lat, lon, cell) rows only (9x points, never a cross product); verify is a JVM filter"),
+    ("redirect_resolution", "pointer halving: log2(max_chain) self-join rounds on fixed-width (node, ptr, dist) state — never per-hop walks"),
+    ("hearst_hypernyms", "two regex projections concat into one array before the explode: no python stage, no shuffle"),
+    ("entity_salience", "mention rollup keyed on (doc, surface) + doc-PARTITIONED rank window (never global)"),
+    ("hreflang_clusters", "per-attribute regex over extracted link tags stays narrow; components run on the |alternate-links|-sized edge set, not the corpus"),
+    ("microdata_triples", "scope/property regex + array transforms are ONE narrow JVM projection: no python stage, no exchange"),
+    ("kg_predicate_paraphrases", "candidates from the (subj, obj)-keyed self-join (wedge fan-out); sizes join |preds|-scale — never a predicate cross product"),
+    ("crosslingual_aliases", "url-keyed members join, then a (cluster, pred, obj)-keyed self-join; language-variant objects never match so the fan-out stays per-fact"),
 ]
 
 
