@@ -1750,6 +1750,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hearst_hypernyms"] = hearst_q
 
+    def horn_rules_q(spark, sf):
+        # AMIE-style horn-rule mining (rulemine.py::mine_horn_rules) over a
+        # closed-form KG: works_for ∘ located_in supports TWO planted heads
+        # with different agreement rates (lives_in: k%4 disagrees and k%5==4
+        # people have NO fact, so PCA > standard confidence; based_in: k%3
+        # disagrees, complete ⇒ PCA = standard), plus a capital_of layer
+        # whose wedges have zero support and must not emit.  Oracle =
+        # the same facts rebuilt in SQL + an independent re-derivation of
+        # the mining joins (support/conf/hc/PCA).
+        from aiwhispr_spark.operators.rulemine import mine_horn_rules
+
+        d = _t(spark, sf, "documents").select(
+            (F.col("doc_id") % 40).alias("k"),
+            (F.col("doc_id") % 8).alias("j"),
+            (F.col("doc_id") % 5).alias("t"),
+        )
+
+        def s(pre, c):
+            return F.concat(F.lit(pre), c.cast("string"))
+
+        k, j, t = F.col("k"), F.col("j"), F.col("t")
+        works = d.select(
+            s("P", k).alias("subj"), F.lit("works_for").alias("pred"),
+            s("C", k % 8).alias("obj"),
+        )
+        located = d.select(
+            s("C", j).alias("subj"), F.lit("located_in").alias("pred"),
+            s("T", j % 5).alias("obj"),
+        )
+        capital = d.select(
+            s("T", t).alias("subj"), F.lit("capital_of").alias("pred"),
+            s("X", t % 2).alias("obj"),
+        )
+        lives = d.where(k % 5 != 4).select(
+            s("P", k).alias("subj"), F.lit("lives_in").alias("pred"),
+            s("T", F.when(k % 4 != 0, (k % 8) % 5).otherwise(((k % 8) + 1) % 5)).alias("obj"),
+        )
+        based = d.select(
+            s("P", k).alias("subj"), F.lit("based_in").alias("pred"),
+            s("T", F.when(k % 3 != 0, (k % 8) % 5).otherwise(((k % 8) + 2) % 5)).alias("obj"),
+        )
+        triples = (
+            works.unionByName(located).unionByName(capital)
+            .unionByName(lives).unionByName(based)
+        )
+        return mine_horn_rules(triples, min_support=2)
+
+    q["kg_horn_rules"] = horn_rules_q
+
     def salience_q(spark, sf):
         # Entity salience (salience.py::entity_salience) composed over the
         # REAL gazetteer tagger output on the documents text — frequency ×
@@ -4503,6 +4552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_triples",
         "microdata_triples",
         "kg_predicate_paraphrases",
+        "kg_horn_rules",
         "infobox_triples",
         "data_table_triples",
         "meta_og_cards",
@@ -5082,6 +5132,61 @@ def oracle_sql() -> dict[str, str]:
                'https://ex.org/g' || g || '/' || lang AS url,
                lang
         FROM g CROSS JOIN l
+    """
+    o["kg_horn_rules"] = """
+        WITH raw AS (
+          SELECT doc_id % 40 AS k, doc_id % 8 AS j, doc_id % 5 AS t
+          FROM documents
+        ),
+        facts AS (
+          SELECT DISTINCT * FROM (
+            SELECT 'P' || k AS s, 'works_for' AS p, 'C' || (k % 8) AS o FROM raw
+            UNION ALL
+            SELECT 'C' || j, 'located_in', 'T' || (j % 5) FROM raw
+            UNION ALL
+            SELECT 'T' || t, 'capital_of', 'X' || (t % 2) FROM raw
+            UNION ALL
+            SELECT 'P' || k, 'lives_in',
+                   'T' || (CASE WHEN k % 4 <> 0 THEN (k % 8) % 5
+                                ELSE ((k % 8) + 1) % 5 END)
+            FROM raw WHERE k % 5 <> 4
+            UNION ALL
+            SELECT 'P' || k, 'based_in',
+                   'T' || (CASE WHEN k % 3 <> 0 THEN (k % 8) % 5
+                                ELSE ((k % 8) + 2) % 5 END)
+            FROM raw
+          )
+        ),
+        body AS (
+          SELECT DISTINCT l.p AS body1, r.p AS body2, l.s AS x, r.o AS y
+          FROM facts l JOIN facts r ON l.o = r.s
+        ),
+        nb AS (SELECT body1, body2, COUNT(*) AS n_body FROM body GROUP BY 1, 2),
+        sup AS (
+          SELECT b.body1, b.body2, h.p AS head, COUNT(*) AS support
+          FROM body b JOIN facts h ON h.s = b.x AND h.o = b.y
+          GROUP BY 1, 2, 3
+        ),
+        nh AS (SELECT p AS head, COUNT(*) AS n_head FROM facts GROUP BY 1),
+        pca AS (
+          SELECT body1, body2, head, COUNT(*) AS n_pca FROM (
+            SELECT DISTINCT b.body1, b.body2, hs.p AS head, b.x, b.y
+            FROM body b JOIN (SELECT DISTINCT s, p FROM facts) hs ON hs.s = b.x
+          ) GROUP BY 1, 2, 3
+        )
+        SELECT s.body1, s.body2, s.head,
+               CAST(s.support AS BIGINT) AS support,
+               CAST(nb.n_body AS BIGINT) AS n_body,
+               CAST(nh.n_head AS BIGINT) AS n_head,
+               CAST(pca.n_pca AS BIGINT) AS n_pca,
+               CAST(s.support * 10000 // nb.n_body AS BIGINT) AS conf_i,
+               CAST(s.support * 10000 // nh.n_head AS BIGINT) AS hc_i,
+               CAST(s.support * 10000 // pca.n_pca AS BIGINT) AS pca_conf_i
+        FROM sup s
+        JOIN nb USING (body1, body2)
+        JOIN nh USING (head)
+        JOIN pca USING (body1, body2, head)
+        WHERE s.support >= 2
     """
     o["hearst_hypernyms"] = """
         WITH d AS (SELECT doc_id AS i FROM documents)
