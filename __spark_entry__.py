@@ -1799,6 +1799,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_horn_rules"] = horn_rules_q
 
+    def type_violations_q(spark, sf):
+        # Ontology violation detection (ontology.py::
+        # type_constraint_violations): works_for points at a place for
+        # k%7==0 (minority vs the (person, org) dominant), lives_at has a
+        # 10-10 signature TIE broken on type name (person < unknown), and
+        # located_in is fully consistent (must emit nothing).  Z entities
+        # are absent from the types table (unknown arm).  Oracle rebuilds
+        # facts+types closed-form and re-derives election + violations.
+        from aiwhispr_spark.operators.ontology import type_constraint_violations
+
+        d = _t(spark, sf, "documents").select(
+            (F.col("doc_id") % 30).alias("k")
+        ).distinct()
+
+        def s(pre, c):
+            return F.concat(F.lit(pre), c.cast("string"))
+
+        k = F.col("k")
+        works = d.select(
+            s("P", k).alias("subj"), F.lit("works_for").alias("pred"),
+            F.when(k % 7 == 0, s("T", k % 4)).otherwise(s("C", k % 6)).alias("obj"),
+        )
+        located = d.select(
+            s("C", k % 6).alias("subj"), F.lit("located_in").alias("pred"),
+            s("T", (k % 6) % 4).alias("obj"),
+        )
+        lives_z = d.where(k % 3 == 0).select(
+            s("Z", k).alias("subj"), F.lit("lives_at").alias("pred"),
+            s("T", k % 4).alias("obj"),
+        )
+        lives_p = d.where(k % 3 == 1).select(
+            s("P", k).alias("subj"), F.lit("lives_at").alias("pred"),
+            s("T", k % 4).alias("obj"),
+        )
+        facts = works.unionByName(located).unionByName(lives_z).unionByName(lives_p)
+        types = (
+            d.select(s("P", k).alias("entity"), F.lit("person").alias("etype"))
+            .unionByName(d.select(s("C", k % 6).alias("entity"), F.lit("org").alias("etype")))
+            .unionByName(d.select(s("T", k % 4).alias("entity"), F.lit("place").alias("etype")))
+            .distinct()
+        )
+        return type_constraint_violations(facts, types)
+
+    q["kg_type_violations"] = type_violations_q
+
+    def pagination_q(spark, sf):
+        # Pagination stitching (pagination.py): even page-groups are 5-page
+        # rel=next chains (attr order alternates per page), odd groups are
+        # singletons; every page carries a rel=prev decoy.  Oracle = the
+        # series rebuilt closed-form from group arithmetic.
+        from aiwhispr_spark.operators.pagination import (
+            reassemble_series,
+            stitch_pagination,
+        )
+
+        d = _t(spark, sf, "documents").select(
+            (F.col("doc_id") % 50).alias("m")
+        ).distinct()
+        m = F.col("m")
+        nxt = F.concat(F.lit("u"), (m + 1).cast("string"))
+        next_tag = F.when(
+            m % 2 == 0,
+            F.concat(F.lit('<link rel="next" href="'), nxt, F.lit('">')),
+        ).otherwise(F.concat(F.lit('<link href="'), nxt, F.lit('" rel="next">')))
+        html = F.concat(
+            F.lit('<link rel="prev" href="decoy">'),
+            # even 5-group  <=>  m % 10 < 5 (pure modular, no division cast)
+            F.when((m % 10 < 5) & (m % 5 < 4), next_tag).otherwise(F.lit("")),
+        )
+        pages = d.select(
+            F.concat(F.lit("u"), m.cast("string")).alias("url"),
+            html.alias("html"),
+            F.concat(F.lit("T"), m.cast("string")).alias("text"),
+        )
+        return reassemble_series(stitch_pagination(pages, max_chain=8))
+
+    q["pagination_series"] = pagination_q
+
+    def canonical_clusters_q(spark, sf):
+        # rel=canonical election (canonicallink.py): 10 three-page clusters
+        # with an in-corpus head keeper, 10 singleton clusters pointing at
+        # UNCRAWLED targets (min-member keeper), attr order alternating,
+        # rel=alternate decoys everywhere.  Oracle = closed-form rows.
+        from aiwhispr_spark.operators.canonicallink import canonical_clusters
+
+        d = _t(spark, sf, "documents").select(
+            (F.col("doc_id") % 40).alias("m")
+        ).distinct()
+        m = F.col("m")
+        head = F.concat(F.lit("u"), (m - m % 4).cast("string"))
+        ext = F.concat(F.lit("x"), m.cast("string"))
+        target = F.when(m % 4 == 3, ext).otherwise(head)
+        canon_tag = F.when(
+            m % 2 == 0,
+            F.concat(F.lit('<link rel="canonical" href="'), target, F.lit('">')),
+        ).otherwise(
+            F.concat(F.lit('<link href="'), target, F.lit('" rel="canonical">'))
+        )
+        html = F.concat(
+            F.lit('<link rel="alternate" href="decoy">'),
+            F.when(m % 4 != 0, canon_tag).otherwise(F.lit("")),
+        )
+        pages = d.select(
+            F.concat(F.lit("u"), m.cast("string")).alias("url"),
+            html.alias("html"),
+        )
+        return canonical_clusters(pages)
+
+    q["canonical_clusters"] = canonical_clusters_q
+
     def salience_q(spark, sf):
         # Entity salience (salience.py::entity_salience) composed over the
         # REAL gazetteer tagger output on the documents text — frequency ×
@@ -4553,6 +4663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microdata_triples",
         "kg_predicate_paraphrases",
         "kg_horn_rules",
+        "kg_type_violations",
         "infobox_triples",
         "data_table_triples",
         "meta_og_cards",
@@ -4581,6 +4692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breadcrumb_taxonomy",
         "geo_nearby_pairs",
         "redirect_resolution",
+        "pagination_series",
+        "canonical_clusters",
         "hearst_hypernyms",
         "entity_salience",
         "hreflang_clusters",
@@ -5132,6 +5245,81 @@ def oracle_sql() -> dict[str, str]:
                'https://ex.org/g' || g || '/' || lang AS url,
                lang
         FROM g CROSS JOIN l
+    """
+    o["pagination_series"] = """
+        WITH m AS (SELECT DISTINCT doc_id % 50 AS m FROM documents),
+        g AS (SELECT DISTINCT m // 5 AS g FROM m WHERE m % 10 < 5)
+        SELECT 'u' || (g * 5) AS series, CAST(5 AS BIGINT) AS n_pages,
+               'u' || (g*5) || ',u' || (g*5+1) || ',u' || (g*5+2)
+                 || ',u' || (g*5+3) || ',u' || (g*5+4) AS page_urls,
+               'T' || (g*5) || chr(10) || 'T' || (g*5+1) || chr(10)
+                 || 'T' || (g*5+2) || chr(10) || 'T' || (g*5+3)
+                 || chr(10) || 'T' || (g*5+4) AS full_text
+        FROM g
+        UNION ALL
+        SELECT 'u' || m, CAST(1 AS BIGINT), 'u' || m, 'T' || m
+        FROM m WHERE m % 10 >= 5
+    """
+    o["canonical_clusters"] = """
+        WITH m AS (SELECT DISTINCT doc_id % 40 AS m FROM documents)
+        SELECT 'u' || m AS canonical, 'u' || m AS keeper,
+               CAST(3 AS BIGINT) AS n_members, CAST(1 AS INT) AS in_corpus_i
+        FROM m WHERE m % 4 = 0
+        UNION ALL
+        SELECT 'x' || m, 'u' || m, CAST(1 AS BIGINT), CAST(0 AS INT)
+        FROM m WHERE m % 4 = 3
+    """
+    o["kg_type_violations"] = """
+        WITH raw AS (SELECT DISTINCT doc_id % 30 AS k FROM documents),
+        facts AS (
+          SELECT DISTINCT * FROM (
+            SELECT 'P' || k AS subj, 'works_for' AS pred,
+                   CASE WHEN k % 7 = 0 THEN 'T' || (k % 4)
+                        ELSE 'C' || (k % 6) END AS obj
+            FROM raw
+            UNION ALL
+            SELECT 'C' || (k % 6), 'located_in', 'T' || ((k % 6) % 4) FROM raw
+            UNION ALL
+            SELECT 'Z' || k, 'lives_at', 'T' || (k % 4) FROM raw WHERE k % 3 = 0
+            UNION ALL
+            SELECT 'P' || k, 'lives_at', 'T' || (k % 4) FROM raw WHERE k % 3 = 1
+          )
+        ),
+        types AS (
+          SELECT DISTINCT * FROM (
+            SELECT 'P' || k AS entity, 'person' AS etype FROM raw
+            UNION ALL SELECT 'C' || (k % 6), 'org' FROM raw
+            UNION ALL SELECT 'T' || (k % 4), 'place' FROM raw
+          )
+        ),
+        typed AS (
+          SELECT f.subj, f.pred, f.obj,
+                 COALESCE(ts.etype, 'unknown') AS subj_type,
+                 COALESCE(tob.etype, 'unknown') AS obj_type
+          FROM facts f
+          LEFT JOIN types ts ON ts.entity = f.subj
+          LEFT JOIN types tob ON tob.entity = f.obj
+        ),
+        sig AS (
+          SELECT pred, subj_type, obj_type, COUNT(*) AS n_sig
+          FROM typed GROUP BY 1, 2, 3
+        ),
+        expected AS (
+          SELECT pred, subj_type AS exp_subj_type, obj_type AS exp_obj_type,
+                 n_sig AS exp_n
+          FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY pred
+                  ORDER BY n_sig DESC, subj_type ASC, obj_type ASC) AS rk
+                FROM sig)
+          WHERE rk = 1
+        ),
+        np AS (SELECT pred, COUNT(*) AS n_pred FROM typed GROUP BY 1)
+        SELECT t.subj, t.pred, t.obj, t.subj_type, t.obj_type,
+               e.exp_subj_type, e.exp_obj_type,
+               CAST(e.exp_n AS BIGINT) AS exp_n,
+               CAST(np.n_pred AS BIGINT) AS n_pred
+        FROM typed t JOIN expected e USING (pred) JOIN np USING (pred)
+        WHERE t.subj_type <> e.exp_subj_type OR t.obj_type <> e.exp_obj_type
     """
     o["kg_horn_rules"] = """
         WITH raw AS (
