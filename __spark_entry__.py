@@ -4510,6 +4510,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["csv_roundtrip"] = csv_roundtrip
 
+    def url_templates_q(spark, sf):
+        # URL-template induction + crawler-trap detection (urlnorm.py::
+        # mine_url_templates): four closed-form routes per host — a
+        # parametric item route whose per-host expansion count crosses the
+        # trap threshold, a static page (many fetches, ONE path — never a
+        # trap), a dated calendar route ({mixed}, 4 expansions/host) and a
+        # digest route ({hex} via md5, 7 expansions/host).  Oracle = the
+        # expected (host, template) rollup from doc-id arithmetic,
+        # independent of every regex in the operator.
+        from aiwhispr_spark.operators.urlnorm import mine_url_templates
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        h = F.concat(
+            F.lit("https://h"), (i % 3).cast("string"), F.lit(".example.org")
+        )
+        u1 = d.select(F.concat(h, F.lit("/item/"), i.cast("string")).alias("url"))
+        u2 = d.select(F.concat(h, F.lit("/about")).alias("url"))
+        u3 = d.select(
+            F.concat(h, F.lit("/cal/2020-"), (i % 12).cast("string")).alias("url")
+        )
+        u4 = d.select(
+            F.concat(h, F.lit("/blob/"), F.md5((i % 7).cast("string"))).alias("url")
+        )
+        urls = u1.unionByName(u2).unionByName(u3).unionByName(u4)
+        return mine_url_templates(urls, trap_min_paths=50)
+
+    q["url_template_mining"] = url_templates_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -4662,6 +4691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_triples",
         "microdata_triples",
         "kg_predicate_paraphrases",
+        "url_template_mining",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -7623,4 +7653,32 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY a.id, b.id HAVING count(*) >= 20
     """
     )
+    o["url_template_mining"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents),
+        g AS (SELECT i % 3 AS hh, i FROM d)
+        SELECT 'h' || hh || '.example.org' AS host, '/item/{n}' AS template,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT i) AS BIGINT) AS n_paths,
+               CAST(CASE WHEN count(DISTINCT i) >= 50 THEN 1 ELSE 0 END AS INTEGER)
+                 AS is_trap_i
+        FROM g GROUP BY hh
+        UNION ALL
+        SELECT 'h' || hh || '.example.org', '/about',
+               CAST(count(*) AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS INTEGER)
+        FROM g GROUP BY hh
+        UNION ALL
+        SELECT 'h' || hh || '.example.org', '/cal/{mixed}',
+               CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT i % 12) AS BIGINT),
+               CAST(CASE WHEN count(DISTINCT i % 12) >= 50 THEN 1 ELSE 0 END
+                    AS INTEGER)
+        FROM g GROUP BY hh
+        UNION ALL
+        SELECT 'h' || hh || '.example.org', '/blob/{hex}',
+               CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT i % 7) AS BIGINT),
+               CAST(CASE WHEN count(DISTINCT i % 7) >= 50 THEN 1 ELSE 0 END
+                    AS INTEGER)
+        FROM g GROUP BY hh
+    """
     return o

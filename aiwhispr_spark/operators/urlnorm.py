@@ -228,3 +228,74 @@ def crawl_schedule_priority(
         .orderBy(F.desc("priority_i"), F.asc("canon_url"))
         .limit(top_k)
     )
+
+
+def path_template_expr(path: Column) -> Column:
+    """URL-path TEMPLATE: each ``/``-segment is replaced by a placeholder
+    when it is id-like, so ``/item/4711`` and ``/item/9`` collapse to the
+    same ``/item/{n}`` key.  Documented segment subset (first match wins):
+
+    * digits only                  → ``{n}``
+    * hex only, length ≥ 8         → ``{hex}`` (content digests, uuids
+      without dashes; checked after digits so ``12345678`` stays ``{n}``)
+    * contains a digit             → ``{mixed}`` (dates, slugs-with-ids)
+    * otherwise                    → the segment lowercased
+
+    Pure JVM split/transform/join (Java≡RE2-common character classes only),
+    mirrored token-for-token by the DuckDB oracle.
+    """
+    segs = F.split(path, "/")
+    templ = F.transform(
+        segs,
+        lambda s: F.when(s.rlike(r"^[0-9]+$"), F.lit("{n}"))
+        .when(s.rlike(r"^[0-9a-fA-F]{8,}$"), F.lit("{hex}"))
+        .when(s.rlike(r"[0-9]"), F.lit("{mixed}"))
+        .otherwise(F.lower(s)),
+    )
+    return F.array_join(templ, "/")
+
+
+def mine_url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    trap_min_paths: int = 100,
+) -> DataFrame:
+    """URL-template induction + crawler-trap detection: group a frontier (or
+    crawl log) by ``(host, path template)`` and flag parametric templates
+    that expand into pathologically many distinct paths — the calendar /
+    session-id / faceted-search trap signature every production crawler
+    guards against (infinite URL spaces under one route).  The reference
+    reads local files and never meets this; it is first-class crawl hygiene
+    at web scale.
+
+    Output per (host, template): ``n_urls`` (rows seen), ``n_paths``
+    (distinct concrete paths), ``is_trap_i`` = 1 when the template contains
+    a placeholder AND ``n_paths >= trap_min_paths`` (a static page re-crawled
+    a million times is not a trap; a route with a million expansions is).
+
+    100 TB shape: host/template are pure narrow expressions over the url;
+    the single groupBy is map-side combinable on a key space of routes
+    (orders of magnitude below URLs), and the payload is the url's md5 (for
+    the distinct-path count), never the page. Zero python, one exchange.
+    """
+    keyed = df.select(
+        url_host_expr(F.col(url_col)).alias("host"),
+        path_template_expr(url_path_expr(F.col(url_col))).alias("template"),
+        url_path_expr(F.col(url_col)).alias("_path"),
+    )
+    out = keyed.groupBy("host", "template").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("_path").cast("long").alias("n_paths"),
+    )
+    return out.select(
+        "host",
+        "template",
+        "n_urls",
+        "n_paths",
+        (
+            F.col("template").contains("{")
+            & (F.col("n_paths") >= F.lit(trap_min_paths))
+        )
+        .cast("int")
+        .alias("is_trap_i"),
+    )
