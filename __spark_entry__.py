@@ -4539,6 +4539,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_template_mining"] = url_templates_q
 
+    def readability_q(spark, sf):
+        # Flesch readability signals (textstats.py::readability_scores):
+        # documents.text is plain words, so a closed-form punctuation tail
+        # (1 + doc_id%3 sentences) gives the sentence counter real variance;
+        # the word/syllable counts exercise the full corpus vocabulary.
+        # Oracle = the byte-same counting rules + integer-div score formulas
+        # in DuckDB.
+        from aiwhispr_spark.operators.textstats import readability_scores
+
+        d = _t(spark, sf, "documents")
+        text = F.concat(
+            F.col("text"),
+            F.lit("."),
+            F.expr("repeat(' More words here!', cast(doc_id % 3 as int))"),
+        )
+        return readability_scores(d.select("doc_id", text.alias("text")))
+
+    q["readability_scores"] = readability_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -4692,6 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microdata_triples",
         "kg_predicate_paraphrases",
         "url_template_mining",
+        "readability_scores",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -7680,5 +7700,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN count(DISTINCT i % 7) >= 50 THEN 1 ELSE 0 END
                     AS INTEGER)
         FROM g GROUP BY hh
+    """
+    o["readability_scores"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || '.' || repeat(' More words here!',
+                                       CAST(doc_id % 3 AS INTEGER)) AS t
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(t), '\s+'),
+                             w -> w <> '') AS ws,
+                 greatest(1, len(regexp_extract_all(t, '[.!?]+'))) AS ns
+          FROM d
+        ),
+        s AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(ns AS BIGINT) AS n_sentences,
+                 CAST(coalesce(list_sum(list_transform(ws,
+                        w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+                      0) AS BIGINT) AS n_syllables
+          FROM c
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CASE WHEN n_words > 0 THEN CAST(
+                 390000 * n_words // n_sentences
+                 + 11800000 * n_syllables // n_words - 15590000 AS BIGINT)
+               END AS fk_grade_i,
+               CASE WHEN n_words > 0 THEN CAST(
+                 206835000 - 1015000 * n_words // n_sentences
+                 - 84600000 * n_syllables // n_words AS BIGINT)
+               END AS fre_i
+        FROM s
     """
     return o

@@ -729,3 +729,73 @@ def bigram_logprob_scores(
             F.coalesce("sum_logp_i", F.lit(0)).cast("long").alias("sum_logp_i"),
         )
     )
+
+
+def readability_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch readability signals per document — the classic grade-level /
+    reading-ease pair used as an LLM-corpus quality facet (too-hard legalese
+    and too-trivial listicles both get mixed away; complements the
+    length/stopword features in :func:`quality_features`).
+
+    Documented counting subset (both engines run the byte-same rules):
+
+    * words      = whitespace-delimited non-empty tokens;
+    * sentences  = runs of ``[.!?]+``, floored at 1;
+    * syllables  = per word, ``max(1, number of [aeiouy]+ vowel groups)`` of
+      the lowercased token — the standard dictionary-free approximation
+      (silent-e / diphthong corrections are out of scope and documented so).
+
+    Integer discipline: both scores are scaled-1e6 BIGINTs computed with
+    integer ``div`` only — fk_grade_i = 0.39·(w/s) + 11.8·(syll/w) − 15.59,
+    fre_i = 206.835 − 1.015·(w/s) − 84.6·(syll/w) — so Spark and DuckDB agree
+    bit-for-bit (no float ratios).  Wordless docs emit NULL scores.
+
+    100 TB shape: one narrow pure-JVM expression stage over the text column —
+    zero shuffle, zero python, fused into whole-stage codegen with the scan.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    n_sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), F.lit(0))).cast(
+            "long"
+        ),
+    )
+    n_syll = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), F.lit(0))),
+        ).cast("long"),
+    )
+    base = docs.select(
+        F.col(id_col).alias(id_col),
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        F.coalesce(n_syll, F.lit(0)).cast("long").alias("n_syllables"),
+    )
+    w = F.col("n_words")
+    fk = (
+        F.expr("390000 * n_words div n_sentences")
+        + F.expr("11800000 * n_syllables div n_words")
+        - F.lit(15590000)
+    )
+    fre = (
+        F.lit(206835000)
+        - F.expr("1015000 * n_words div n_sentences")
+        - F.expr("84600000 * n_syllables div n_words")
+    )
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(w > 0, fk).cast("long").alias("fk_grade_i"),
+        F.when(w > 0, fre).cast("long").alias("fre_i"),
+    )
