@@ -4558,6 +4558,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["readability_scores"] = readability_q
 
+    def ccnet_buckets_q(spark, sf):
+        # CCNet head/middle/tail bucketing (mixing.py::perplexity_buckets)
+        # composed over the REAL corpus-self unigram LM: mean_nll_i negates
+        # BEFORE the integer division (Spark `div` truncates toward zero,
+        # DuckDB `//` floors — identical only on non-negatives), thresholds
+        # are the exact discrete terciles per language (percentile_approx at
+        # max accuracy ≡ DuckDB quantile_disc).
+        from aiwhispr_spark.operators.mixing import perplexity_buckets
+        from aiwhispr_spark.operators.textstats import unigram_logprob_scores
+
+        d = _t(spark, sf, "documents")
+        lm = unigram_logprob_scores(d)
+        scored = lm.join(d.select("doc_id", "lang"), "doc_id").select(
+            "doc_id",
+            "lang",
+            F.expr("(-sum_logp_i) div n_tokens").alias("mean_nll_i"),
+        )
+        return perplexity_buckets(scored)
+
+    q["ccnet_perplexity_buckets"] = ccnet_buckets_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -4712,6 +4733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_paraphrases",
         "url_template_mining",
         "readability_scores",
+        "ccnet_perplexity_buckets",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -5704,8 +5726,10 @@ def oracle_sql() -> dict[str, str]:
           JOIN e eb ON eb.vec_id = b.vec_id)
         SELECT va, vb, cid, cos_i FROM p WHERE cos_i >= 3500
     """
-    o["unigram_lm_scores"] = r"""
-        WITH toks AS (
+    # unigram corpus-self LM CTE chain, shared by the score gate and the
+    # CCNet bucket gate (keep the twins from drifting)
+    _unigram_lm_cte = r"""
+        toks AS (
           SELECT doc_id, tok FROM (
             SELECT doc_id,
                    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
@@ -5715,11 +5739,35 @@ def oracle_sql() -> dict[str, str]:
           SELECT tok,
                  CAST(round(1000000 * ln(count(*) / (SELECT n FROM total)))
                       AS BIGINT) AS logp_i
-          FROM toks GROUP BY tok)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(sum(logp_i) AS BIGINT) AS sum_logp_i
-        FROM toks JOIN vocab USING (tok) GROUP BY doc_id
+          FROM toks GROUP BY tok),
+        lm AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(logp_i) AS BIGINT) AS sum_logp_i
+          FROM toks JOIN vocab USING (tok) GROUP BY doc_id)
     """
+    o["unigram_lm_scores"] = (
+        "WITH " + _unigram_lm_cte + "SELECT doc_id, n_tokens, sum_logp_i FROM lm"
+    )
+    o["ccnet_perplexity_buckets"] = (
+        "WITH "
+        + _unigram_lm_cte
+        + """,
+        scored AS (
+          SELECT l.doc_id, d.lang,
+                 CAST((-sum_logp_i) // n_tokens AS BIGINT) AS mean_nll_i
+          FROM lm l JOIN documents d USING (doc_id)),
+        th AS (
+          SELECT lang,
+                 CAST(quantile_disc(mean_nll_i, 1.0/3.0) AS BIGINT) AS t_lo_i,
+                 CAST(quantile_disc(mean_nll_i, 2.0/3.0) AS BIGINT) AS t_hi_i
+          FROM scored GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.mean_nll_i, th.t_lo_i, th.t_hi_i,
+               CASE WHEN mean_nll_i <= t_lo_i THEN 'head'
+                    WHEN mean_nll_i <= t_hi_i THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s JOIN th USING (lang)
+    """
+    )
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),
         h AS (

@@ -72,3 +72,53 @@ def temperature_sample(
     return docs.join(
         F.broadcast(rates.select(source_col, "rate_i")), source_col
     ).filter(_bucket(F.col(id_col)) < F.col("rate_i"))
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    nll_col: str = "mean_nll_i",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): within
+    each language, split documents into terciles of the LM quality score —
+    the canonical web-corpus partition (train on head+middle, drop or
+    down-weight tail).  ``nll_col`` is a per-document scaled-int mean
+    negative-log-likelihood (LOWER = more fluent = head); pair with
+    textstats.unigram_logprob_scores via ``mean_nll_i = -sum_logp_i div
+    n_tokens`` — negate FIRST so the integer division runs on non-negative
+    values (truncation == floor, the cross-engine `div` trap).
+
+    Bucket rule (deterministic, engine-reproducible): per language, t_lo /
+    t_hi are the discrete 1/3 and 2/3 quantiles (percentile_approx at max
+    accuracy — EXACT, equals DuckDB quantile_disc); head = nll <= t_lo,
+    middle = t_lo < nll <= t_hi, tail = nll > t_hi.  Ties share a bucket by
+    value, so no row-order dependence exists.
+
+    100 TB shape: ONE map-side-combinable aggregate down to |languages|
+    threshold rows, broadcast back, then a narrow CASE projection — the
+    corpus never shuffles (the naive per-language ntile window would drag
+    every row through a per-language sort).
+    """
+    pa = F.percentile_approx(
+        F.col(nll_col), F.lit([1.0 / 3.0, 2.0 / 3.0]), F.lit(2147483647)
+    )
+    thresholds = scored.groupBy(F.col(lang_col).alias("_lang")).agg(
+        F.element_at(pa, 1).cast("long").alias("_t_lo"),
+        F.element_at(pa, 2).cast("long").alias("_t_hi"),
+    )
+    joined = scored.join(
+        F.broadcast(thresholds), scored[lang_col] == thresholds["_lang"]
+    )
+    nll = F.col(nll_col)
+    return joined.select(
+        id_col,
+        lang_col,
+        nll_col,
+        F.col("_t_lo").alias("t_lo_i"),
+        F.col("_t_hi").alias("t_hi_i"),
+        F.when(nll <= F.col("_t_lo"), F.lit("head"))
+        .when(nll <= F.col("_t_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
