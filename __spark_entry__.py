@@ -4579,6 +4579,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ccnet_perplexity_buckets"] = ccnet_buckets_q
 
+    def kg_extraction_eval(spark, sf):
+        # Extraction-quality evaluation (evaluation.py::extraction_prf):
+        # the REAL E3 kernel's mined set vs a closed-form gold standard with
+        # planted deviations — gold omits 1/4 of the acquired facts (mined
+        # fp), adds Phantom acquisitions (fn inside a mined predicate) and a
+        # founded_by layer the fixture text never states (gold-only
+        # predicate: NULL precision, recall 0).  Oracle = the e3 regex twin
+        # INTERSECT the same gold arithmetic.
+        from aiwhispr_spark.functions.udfs import extract_triples_df
+        from aiwhispr_spark.operators.evaluation import extraction_prf
+
+        d = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+        text = F.concat(
+            F.lit("Entity_"), (i % 37).cast("string"),
+            F.lit(" acquired E"), (i % 11).cast("string"),
+            F.lit(" Corp. Entity_"), (i % 37).cast("string"),
+            F.lit(" is based in Berlin. Ada Byron works for Entity_"),
+            (i % 5).cast("string"),
+            F.lit(". plain tail words."),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("url"),
+            F.lit(1).cast("int").alias("chunk_no"),
+            text.alias("text_chunk"),
+        )
+        mined = extract_triples_df(chunks).select("subj", "pred", "obj")
+
+        def s(pre, c):
+            return F.concat(F.lit(pre), c.cast("string"))
+
+        ent = s("Entity_", i % 37)
+        gold = (
+            d.where(i % 4 != 0)
+            .select(
+                ent.alias("subj"),
+                F.lit("acquired").alias("pred"),
+                F.concat(F.lit("E"), (i % 11).cast("string"), F.lit(" Corp")).alias("obj"),
+            )
+            .unionByName(
+                d.where(i % 6 == 0).select(
+                    ent.alias("subj"),
+                    F.lit("acquired").alias("pred"),
+                    F.lit("Phantom Corp").alias("obj"),
+                )
+            )
+            .unionByName(
+                d.select(
+                    ent.alias("subj"),
+                    F.lit("based_in").alias("pred"),
+                    F.lit("Berlin").alias("obj"),
+                )
+            )
+            .unionByName(
+                d.select(
+                    F.lit("Ada Byron").alias("subj"),
+                    F.lit("works_for").alias("pred"),
+                    s("Entity_", i % 5).alias("obj"),
+                )
+            )
+            .unionByName(
+                d.select(
+                    ent.alias("subj"),
+                    F.lit("founded_by").alias("pred"),
+                    s("Founder_", i % 7).alias("obj"),
+                )
+            )
+        )
+        out = extraction_prf(mined, gold)
+        # undefined ratios are NULL in the operator; the gate pins them to a
+        # -1 sentinel because the driver compare stringifies NULL BIGINTs
+        # differently per engine ('None' vs pandas 'nan')
+        return out.select(
+            "pred",
+            "n_pred",
+            "n_gold",
+            "tp",
+            F.coalesce("precision_i", F.lit(-1)).cast("long").alias("precision_i"),
+            F.coalesce("recall_i", F.lit(-1)).cast("long").alias("recall_i"),
+            F.coalesce("f1_i", F.lit(-1)).cast("long").alias("f1_i"),
+        )
+
+    q["kg_extraction_eval"] = kg_extraction_eval
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -4734,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
+        "kg_extraction_eval",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -5766,6 +5851,52 @@ def oracle_sql() -> dict[str, str]:
                     WHEN mean_nll_i <= t_hi_i THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM scored s JOIN th USING (lang)
+    """
+    )
+    o["kg_extraction_eval"] = (
+        "WITH mined AS (SELECT DISTINCT subj, pred, obj FROM ("
+        + _e3_sql()
+        + """)),
+        dd AS (SELECT doc_id AS i FROM documents),
+        gold AS (
+          SELECT DISTINCT 'Entity_' || (i % 37) AS subj, 'acquired' AS pred,
+                 'E' || (i % 11) || ' Corp' AS obj
+          FROM dd WHERE i % 4 <> 0
+          UNION
+          SELECT DISTINCT 'Entity_' || (i % 37), 'acquired', 'Phantom Corp'
+          FROM dd WHERE i % 6 = 0
+          UNION
+          SELECT DISTINCT 'Entity_' || (i % 37), 'based_in', 'Berlin' FROM dd
+          UNION
+          SELECT DISTINCT 'Ada Byron', 'works_for', 'Entity_' || (i % 5) FROM dd
+          UNION
+          SELECT DISTINCT 'Entity_' || (i % 37), 'founded_by',
+                 'Founder_' || (i % 7)
+          FROM dd
+        ),
+        tp AS (SELECT pred, CAST(count(*) AS BIGINT) AS tp
+               FROM (SELECT * FROM mined INTERSECT SELECT * FROM gold)
+               GROUP BY pred),
+        np AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_pred
+               FROM mined GROUP BY pred),
+        ng AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_gold
+               FROM gold GROUP BY pred),
+        m AS (SELECT coalesce(np.pred, ng.pred) AS pred,
+                     coalesce(np.n_pred, 0) AS n_pred,
+                     coalesce(ng.n_gold, 0) AS n_gold
+              FROM np FULL JOIN ng ON ng.pred = np.pred)
+        SELECT m.pred, m.n_pred, m.n_gold,
+               CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+               CAST(CASE WHEN m.n_pred > 0
+                    THEN 1000000 * coalesce(tp.tp, 0) // m.n_pred
+                    ELSE -1 END AS BIGINT) AS precision_i,
+               CAST(CASE WHEN m.n_gold > 0
+                    THEN 1000000 * coalesce(tp.tp, 0) // m.n_gold
+                    ELSE -1 END AS BIGINT) AS recall_i,
+               CAST(CASE WHEN m.n_pred + m.n_gold > 0
+                    THEN 2000000 * coalesce(tp.tp, 0) // (m.n_pred + m.n_gold)
+                    ELSE -1 END AS BIGINT) AS f1_i
+        FROM m LEFT JOIN tp ON tp.pred = m.pred
     """
     )
     o["host_outlink_profile"] = f"""

@@ -1,0 +1,79 @@
+"""Extraction-quality evaluation — per-predicate precision/recall/F1 of a
+mined triple set against a gold standard.
+
+Every KG-construction pipeline is graded this way before its output is
+trusted (OpenIE/T-REx benchmark protocol); the reference stops at indexing
+and has no evaluation surface, so this belongs to the KG-analytics tier the
+engine adds.  Consumes any (subj, pred, obj) frames — the E3 extractor's
+output, a linker's output after canonicalization, or a third-party dump.
+
+Integer discipline: with sets compared as DISTINCT triples, precision =
+tp/n_pred, recall = tp/n_gold and F1 = 2·tp/(n_pred+n_gold) are ratios of
+exact BIGINT counts — emitted as scaled-1e6 integers via ``div`` (the F1
+identity 2PR/(P+R) = 2tp/(n_pred+n_gold) holds exactly on counts, so no
+float intermediate exists at all).  Sides with zero support emit NULL for
+the undefined ratio (no silent 0-for-NULL conflation).
+
+100 TB shape: both inputs collapse to DISTINCT triples (one exchange each,
+keyed on the triple — the same key the tp semi-join then reuses, so AQE
+plans no extra shuffle), and the three per-predicate aggregates map-side
+combine onto a ~|relations| key space.  Nothing is collected; the output is
+|predicates| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000
+
+
+def extraction_prf(
+    predicted: DataFrame,
+    gold: DataFrame,
+    by: str = "pred",
+    keys: tuple[str, str, str] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """Per-``by`` precision/recall/F1 of ``predicted`` vs ``gold``.
+
+    Output: (by, n_pred, n_gold, tp, precision_i, recall_i, f1_i) — one row
+    per predicate seen on EITHER side (a gold-only predicate scores recall 0
+    and NULL precision; a predicted-only predicate the reverse).
+    """
+    ks = list(keys)
+    p = predicted.select(*ks).distinct()
+    g = gold.select(*ks).distinct()
+    tp = (
+        p.join(g, ks, "left_semi")
+        .groupBy(by)
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    )
+    n_pred = p.groupBy(by).agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    n_gold = g.groupBy(by).agg(F.count(F.lit(1)).cast("long").alias("n_gold"))
+    m = (
+        n_pred.join(n_gold, by, "full")
+        .join(tp, by, "left")
+        .select(
+            by,
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("n_gold", F.lit(0)).cast("long").alias("n_gold"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    return m.select(
+        by,
+        "n_pred",
+        "n_gold",
+        "tp",
+        F.when(
+            F.col("n_pred") > 0, F.expr(f"{_SCALE} * tp div n_pred")
+        ).cast("long").alias("precision_i"),
+        F.when(
+            F.col("n_gold") > 0, F.expr(f"{_SCALE} * tp div n_gold")
+        ).cast("long").alias("recall_i"),
+        F.when(
+            (F.col("n_pred") + F.col("n_gold")) > 0,
+            F.expr(f"2 * {_SCALE} * tp div (n_pred + n_gold)"),
+        ).cast("long").alias("f1_i"),
+    )
