@@ -4663,6 +4663,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_extraction_eval"] = kg_extraction_eval
 
+    def kg_attribute_merge(spark, sf):
+        # Collective ER over the KG (canonicalize.py::
+        # attribute_merge_candidates): Dup_k/Alt_k twins share 3
+        # discriminative facts (merge candidates), k%3==0 twins share only 1
+        # (dropped by min_shared=2), and EVERY subject shares the
+        # (based_in, Berlin) stop-fact whose df=60 > max_df=20 — excluded
+        # from evidence entirely, so Berlin-only pairs emit nothing and the
+        # wedge join never sees the quadratic key.  Even-k Dup carries an
+        # extra owns fact (jaccard 750000 vs 1000000).  Oracle = the
+        # expected pair rows from k-arithmetic, dataflow-independent.
+        from aiwhispr_spark.operators.canonicalize import (
+            attribute_merge_candidates,
+        )
+
+        d = _t(spark, sf, "documents").select((F.col("doc_id") % 30).alias("k"))
+        k = F.col("k")
+
+        def s(pre, c):
+            return F.concat(F.lit(pre), c.cast("string"))
+
+        def tri(frame, subj, pred, obj):
+            return frame.select(
+                subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj")
+            )
+
+        dup, alt = s("Dup", k), s("Alt", k)
+        core3 = lambda who, frame: (  # noqa: E731
+            tri(frame, who, "works_for", s("C", k % 7))
+            .unionByName(tri(frame, who, "located_in", s("T", k % 5)))
+            .unionByName(tri(frame, who, "founded_in", s("Y", k)))
+        )
+        rows = (
+            core3(dup, d)
+            .unionByName(tri(d.where(k % 2 == 0), dup, "owns", s("P", k)))
+            .unionByName(tri(d, dup, "based_in", F.lit("Berlin")))
+            .unionByName(core3(alt, d.where(k % 3 != 0)))
+            .unionByName(tri(d.where(k % 3 == 0), alt, "works_for", s("C", k % 7)))
+            .unionByName(tri(d.where(k % 3 == 0), alt, "located_in", s("X", k)))
+            .unionByName(tri(d, alt, "based_in", F.lit("Berlin")))
+        )
+        return attribute_merge_candidates(rows, min_shared=2, max_df=20)
+
+    q["kg_attribute_merge"] = kg_attribute_merge
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -4819,6 +4863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores",
         "ccnet_perplexity_buckets",
         "kg_extraction_eval",
+        "kg_attribute_merge",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -5899,6 +5944,18 @@ def oracle_sql() -> dict[str, str]:
         FROM m LEFT JOIN tp ON tp.pred = m.pred
     """
     )
+    o["kg_attribute_merge"] = """
+        WITH ks AS (SELECT DISTINCT doc_id % 30 AS k FROM documents
+                    WHERE (doc_id % 30) % 3 <> 0)
+        SELECT 'Alt' || k AS a, 'Dup' || k AS b,
+               CAST(3 AS BIGINT) AS n_shared,
+               CAST(3 AS BIGINT) AS n_facts_a,
+               CAST(CASE WHEN k % 2 = 0 THEN 4 ELSE 3 END AS BIGINT)
+                 AS n_facts_b,
+               CAST(CASE WHEN k % 2 = 0 THEN 750000 ELSE 1000000 END AS BIGINT)
+                 AS jaccard_i
+        FROM ks
+    """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),
         h AS (

@@ -460,3 +460,76 @@ def mine_acronym_aliases(
         .groupBy("long_form", "acronym")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
+
+
+def attribute_merge_candidates(
+    triples: DataFrame,
+    min_shared: int = 2,
+    max_df: int = 1000,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Collective entity resolution over the KG itself: candidate pairs of
+    subjects that share ≥ ``min_shared`` DISTINCT (pred, obj) facts — the
+    attribute-evidence complement to the surface-form clustering above (two
+    spellings the alias blocker never relates still merge when they work for
+    the same employer, sit in the same city and were founded the same year;
+    Bhattacharya & Getoor's collective-ER signal re-expressed relationally).
+    Emits CANDIDATES with evidence counts; keeper election / merge policy
+    stays downstream, same split as the blocking→verify stages above.
+
+    Skew/noise guard: facts whose (pred, obj) document frequency exceeds
+    ``max_df`` are excluded from matching ENTIRELY (blocking key and counts
+    both) — a fact shared by half the KG ("based_in Berlin") is the
+    stop-word of ER evidence and is also exactly the key whose self-join
+    fans out quadratically.  All reported counts/sizes are over these
+    discriminative facts only (documented contract).
+
+    Output: (a, b, n_shared, n_facts_a, n_facts_b, jaccard_i) with a < b and
+    ``jaccard_i = 1e6·|∩| div |∪|`` over the discriminative fact sets.
+
+    100 TB shape: one distinct on the triple, one map-side-combinable df
+    count keyed on (pred, obj), then the pair self-join carries (subj, pred,
+    obj) only with per-key fan-out bounded by max_df² — the cap is the skew
+    salting here, chosen not measured.  Sizes re-join on the subject key;
+    nothing collects.
+    """
+    facts = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    dfc = (
+        facts.groupBy("pred", "obj")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("pred", "obj")
+    )
+    eligible = facts.join(dfc, ["pred", "obj"], "left_semi")
+    sizes = eligible.groupBy("subj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts")
+    )
+    left = eligible.select(F.col("subj").alias("a"), "pred", "obj")
+    right = eligible.select(F.col("subj").alias("b"), "pred", "obj")
+    pairs = (
+        left.join(right, ["pred", "obj"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.select(F.col("subj").alias("a"), F.col("n_facts").alias("n_facts_a")), "a")
+        .join(sizes.select(F.col("subj").alias("b"), F.col("n_facts").alias("n_facts_b")), "b")
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            "n_facts_a",
+            "n_facts_b",
+            F.expr("1000000 * n_shared div (n_facts_a + n_facts_b - n_shared)")
+            .cast("long")
+            .alias("jaccard_i"),
+        )
+    )
