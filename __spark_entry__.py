@@ -4707,6 +4707,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_attribute_merge"] = kg_attribute_merge
 
+    def list_triples_q(spark, sf):
+        # Heading-labeled HTML list mining (structured.py::list_triples):
+        # per doc — a labeled <ul> (tagged item exercising inner-strip, an
+        # empty item that must drop), a labeled <ol> across a newline, an
+        # UNLABELED list and a heading separated from its list by a <p>
+        # (both must emit nothing).  Oracle = the expected rows from doc-id
+        # arithmetic, independent of every regex in the operator.
+        from aiwhispr_spark.operators.structured import list_triples
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        html = F.concat(
+            F.lit('<html><head><meta property="og:title" content="Page '),
+            (i % 20).cast("string"),
+            F.lit('"/></head><body><h2>Products</h2><ul><li>Alpha '),
+            (i % 4).cast("string"),
+            F.lit("</li><li>Beta <b>"),
+            (i % 3).cast("string"),
+            F.lit("</b></li><li></li></ul><h3>Team Members</h3>\n<ol><li>Member "),
+            (i % 5).cast("string"),
+            F.lit(
+                "</li></ol><ul><li>unlabeled</li></ul>"
+                "<h2>Empty</h2><p>x</p><ul><li>far</li></ul></body></html>"
+            ),
+        )
+        docs = d.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        return list_triples(docs)
+
+    q["html_list_triples"] = list_triples_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -4864,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets",
         "kg_extraction_eval",
         "kg_attribute_merge",
+        "html_list_triples",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -5955,6 +5989,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN k % 2 = 0 THEN 750000 ELSE 1000000 END AS BIGINT)
                  AS jaccard_i
         FROM ks
+    """
+    o["html_list_triples"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents)
+        SELECT 'u' || i AS src_url, 'Page ' || (i % 20) AS subj,
+               'list:products' AS pred, 'Alpha ' || (i % 4) AS obj,
+               CAST(1 AS INTEGER) AS pos
+        FROM d
+        UNION ALL
+        SELECT 'u' || i, 'Page ' || (i % 20), 'list:products',
+               'Beta ' || (i % 3), CAST(2 AS INTEGER)
+        FROM d
+        UNION ALL
+        SELECT 'u' || i, 'Page ' || (i % 20), 'list:team_members',
+               'Member ' || (i % 5), CAST(1 AS INTEGER)
+        FROM d
     """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),
