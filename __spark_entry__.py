@@ -4740,6 +4740,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["html_list_triples"] = list_triples_q
 
+    def mention_bursts_q(spark, sf):
+        # Trending-entity burst detection (temporal.py::mention_bursts):
+        # three timeline shapes — sparse baselines (gap days make a single
+        # active history day look 7× the trailing average: burst by design),
+        # one DENSE entity whose full history yields a burst/non-burst mix,
+        # and novelty entities with no history at all (t=0 arm).  Oracle =
+        # the same groupBy + RANGE-frame window in DuckDB (the integer-day
+        # RANGE frame skipping absent days identically is the cross-engine
+        # risk this gate exists for).
+        from aiwhispr_spark.operators.temporal import mention_bursts
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        m = (
+            d.select(
+                F.concat(F.lit("E"), (i % 7).cast("string")).alias("entity"),
+                (3 * (i % 5)).alias("day"),
+            )
+            .unionByName(
+                d.select(F.lit("Dense").alias("entity"), (i % 15).alias("day"))
+            )
+            .unionByName(
+                d.where(i % 50 == 0).select(
+                    F.concat(F.lit("New"), (i % 100).cast("string")).alias(
+                        "entity"
+                    ),
+                    F.lit(5).cast("long").alias("day"),
+                )
+            )
+        )
+        return mention_bursts(m, window_days=7, factor_pm=3000, min_count=3)
+
+    q["mention_bursts"] = mention_bursts_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -4898,6 +4932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extraction_eval",
         "kg_attribute_merge",
         "html_list_triples",
+        "mention_bursts",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -6004,6 +6039,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'u' || i, 'Page ' || (i % 20), 'list:team_members',
                'Member ' || (i % 5), CAST(1 AS INTEGER)
         FROM d
+    """
+    o["mention_bursts"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents),
+        m AS (
+          SELECT 'E' || (i % 7) AS entity, 3 * (i % 5) AS day FROM d
+          UNION ALL SELECT 'Dense', i % 15 FROM d
+          UNION ALL SELECT 'New' || (i % 100), CAST(5 AS BIGINT)
+          FROM d WHERE i % 50 = 0
+        ),
+        daily AS (SELECT entity, day, CAST(count(*) AS BIGINT) AS n_mentions
+                  FROM m GROUP BY entity, day),
+        t AS (SELECT entity, day, n_mentions,
+                     CAST(coalesce(sum(n_mentions) OVER (
+                       PARTITION BY entity ORDER BY day
+                       RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS trailing_sum
+              FROM daily)
+        SELECT entity, day, n_mentions, trailing_sum,
+               CAST(CASE WHEN n_mentions >= 3 AND (trailing_sum = 0
+                          OR n_mentions * 7 * 1000 >= 3000 * trailing_sum)
+                    THEN 1 ELSE 0 END AS INTEGER) AS is_burst_i
+        FROM t
     """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),

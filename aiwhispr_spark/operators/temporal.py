@@ -432,3 +432,55 @@ def source_reliability(
             F.expr(f"CAST(({int(scale)} * n_majority) div n_assertions AS BIGINT)"),
         )
     )
+
+
+def mention_bursts(
+    mentions: DataFrame,
+    window_days: int = 7,
+    factor_pm: int = 3000,
+    min_count: int = 3,
+    entity_col: str = "entity",
+    day_col: str = "day",
+) -> DataFrame:
+    """Trending-entity detection over the mention timeline (Kleinberg-style
+    burst flagging, the thresholded one-level variant): a (entity, day) is a
+    burst when the day's mention count is at least ``factor_pm/1000`` times
+    the entity's trailing ``window_days``-day DAILY AVERAGE — or when the
+    entity is brand new (no trailing history at all) and still clears
+    ``min_count``.  The KG product surface behind "what is suddenly being
+    talked about": emerging entities, news spikes, vandalism floods.
+
+    Integer discipline: the ratio test is cross-multiplied —
+    ``n·window_days·1000 ≥ factor_pm·trailing_sum`` — so no float division
+    exists; gaps in the timeline count as zero history because the trailing
+    frame is a RANGE frame over the integer day (both engines skip absent
+    days identically).
+
+    100 TB shape: ONE map-side-combinable groupBy to (entity, day) counts
+    (days-per-entity-sized, orders below mentions), then a PARTITIONED
+    window per entity ordered by day — bounded by an entity's distinct days,
+    never global.  No python, no collect.
+    """
+    daily = mentions.groupBy(
+        F.col(entity_col).alias("entity"), F.col(day_col).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
+    w = (
+        Window.partitionBy("entity")
+        .orderBy(F.col("day").cast("long"))
+        .rangeBetween(-window_days, -1)
+    )
+    trailing = F.coalesce(F.sum("n_mentions").over(w), F.lit(0)).cast("long")
+    out = daily.select(
+        "entity", "day", "n_mentions", trailing.alias("trailing_sum")
+    )
+    n, t = F.col("n_mentions"), F.col("trailing_sum")
+    is_burst = (n >= min_count) & (
+        (t == 0) | (n * window_days * 1000 >= F.lit(factor_pm) * t)
+    )
+    return out.select(
+        "entity",
+        "day",
+        "n_mentions",
+        "trailing_sum",
+        is_burst.cast("int").alias("is_burst_i"),
+    )
