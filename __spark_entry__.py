@@ -4774,6 +4774,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mention_bursts"] = mention_bursts_q
 
+    def literal_dtypes_q(spark, sf):
+        # Predicate range-datatype induction (ontology.py::
+        # infer_literal_datatypes): six closed-form predicates — founded_in
+        # mixes years with a 10% 'circa …' text tail, employees mixes
+        # integers with a 1-in-7 decimal tail, launched/homepage/ceo/note
+        # are pure date/url/proper-name/text.  Oracle = expected dtype rows
+        # from doc-id arithmetic (regex-independent) + the same
+        # share/dominance election.
+        from aiwhispr_spark.operators.ontology import infer_literal_datatypes
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        subj = F.concat(F.lit("S"), i.cast("string"))
+
+        def tri(pred, obj, frame=d):
+            return frame.select(
+                subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj")
+            )
+
+        year = (1900 + (i % 100)).cast("string")
+        rows = (
+            tri("founded_in", F.when(i % 10 == 0, F.concat(F.lit("circa "), year)).otherwise(year))
+            .unionByName(
+                tri(
+                    "employees",
+                    F.when(
+                        i % 7 == 0,
+                        F.concat((i % 20).cast("string"), F.lit(".5")),
+                    ).otherwise(i.cast("string")),
+                )
+            )
+            .unionByName(
+                tri(
+                    "launched",
+                    F.concat(
+                        F.lit("2020-"),
+                        F.lpad(((i % 12) + 1).cast("string"), 2, "0"),
+                        F.lit("-"),
+                        F.lpad(((i % 28) + 1).cast("string"), 2, "0"),
+                    ),
+                )
+            )
+            .unionByName(
+                tri("homepage", F.concat(F.lit("https://h"), (i % 9).cast("string"), F.lit(".org")))
+            )
+            .unionByName(
+                tri("ceo", F.concat(F.lit("Ada Byron "), (i % 5).cast("string")))
+            )
+            .unionByName(tri("note", F.lit("plain lowercase words")))
+        )
+        return infer_literal_datatypes(rows)
+
+    q["kg_literal_datatypes"] = literal_dtypes_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -4933,6 +4987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_attribute_merge",
         "html_list_triples",
         "mention_bursts",
+        "kg_literal_datatypes",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -6061,6 +6116,33 @@ def oracle_sql() -> dict[str, str]:
                           OR n_mentions * 7 * 1000 >= 3000 * trailing_sum)
                     THEN 1 ELSE 0 END AS INTEGER) AS is_burst_i
         FROM t
+    """
+    o["kg_literal_datatypes"] = """
+        WITH dd AS (SELECT doc_id AS i FROM documents),
+        shaped AS (
+          SELECT 'founded_in' AS pred,
+                 CASE WHEN i % 10 = 0 THEN 'text' ELSE 'year' END AS dtype
+          FROM dd
+          UNION ALL
+          SELECT 'employees',
+                 CASE WHEN i % 7 = 0 THEN 'decimal' ELSE 'integer' END
+          FROM dd
+          UNION ALL SELECT 'launched', 'date' FROM dd
+          UNION ALL SELECT 'homepage', 'url' FROM dd
+          UNION ALL SELECT 'ceo', 'proper_name' FROM dd
+          UNION ALL SELECT 'note', 'text' FROM dd
+        ),
+        prof AS (SELECT pred, dtype, CAST(count(*) AS BIGINT) AS n_values
+                 FROM shaped GROUP BY pred, dtype),
+        tot AS (SELECT pred, CAST(sum(n_values) AS BIGINT) AS n_total
+                FROM prof GROUP BY pred)
+        SELECT p.pred, p.dtype, p.n_values, t.n_total,
+               CAST(1000 * p.n_values // t.n_total AS BIGINT) AS share_pm,
+               CAST(CASE WHEN row_number() OVER (
+                      PARTITION BY p.pred
+                      ORDER BY p.n_values DESC, p.dtype ASC) = 1
+                    THEN 1 ELSE 0 END AS INTEGER) AS is_dominant_i
+        FROM prof p JOIN tot t USING (pred)
     """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),

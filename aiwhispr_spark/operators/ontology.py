@@ -27,7 +27,7 @@ exchange-free on the subject side).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -90,4 +90,73 @@ def type_constraint_violations(
             "subj", "pred", "obj", "subj_type", "obj_type",
             "exp_subj_type", "exp_obj_type", "exp_n", "n_pred",
         )
+    )
+
+
+# literal-shape classification rules, FIRST MATCH WINS (oracle-mirrored;
+# Java≡RE2-common subset — no lookaround/backrefs)
+_DTYPE_RULES: list[tuple[str, str]] = [
+    ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("year", r"^(1[89][0-9]{2}|20[0-9]{2})$"),
+    ("integer", r"^-?[0-9]+$"),
+    ("decimal", r"^-?[0-9]+\.[0-9]+$"),
+    ("url", r"^https?://"),
+    ("proper_name", r"^[A-Z][A-Za-z0-9_]*( [A-Z0-9][A-Za-z0-9_]*)*$"),
+]
+
+
+def literal_dtype_expr(obj: Column) -> Column:
+    """Shape-classify one literal value (documented rule table above;
+    anything unmatched is free ``text``)."""
+    expr = F.lit("text")
+    for name, rx in reversed(_DTYPE_RULES):
+        expr = F.when(obj.rlike(rx), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def infer_literal_datatypes(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Predicate RANGE-datatype induction over literal shapes — the other
+    half of ontology induction next to :func:`type_constraint_violations`
+    (that one types ENTITY arguments via an external table; this one types
+    the VALUE SHAPE of every object string, so mined predicates get an
+    xsd-style datatype: ``founded_in → year``, ``employees → integer``,
+    ``homepage → url``).  Consumers cast/validate against the dominant
+    dtype and quarantine the non-conforming tail.
+
+    Output: one row per (pred, dtype) — ``(pred, dtype, n_values, n_total,
+    share_pm, is_dominant_i)`` with share_pm = 1000·n div total (integer),
+    dominance elected by (count desc, dtype asc) — deterministic ties.
+    Counts are over DISTINCT facts, so a mirrored page never inflates a
+    predicate's profile.
+
+    100 TB shape: distinct on the triple, narrow JVM regex classification,
+    ONE map-side-combinable groupBy onto a |preds × 7| key space; the rank
+    window partitions by pred over ≤7 rows each — never global.
+    """
+    facts = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    prof = facts.groupBy(
+        "pred", literal_dtype_expr(F.col("obj")).alias("dtype")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_values"))
+    w_tot = Window.partitionBy("pred")
+    w_rk = Window.partitionBy("pred").orderBy(
+        F.col("n_values").desc(), F.col("dtype").asc()
+    )
+    return prof.select(
+        "pred",
+        "dtype",
+        "n_values",
+        F.sum("n_values").over(w_tot).cast("long").alias("n_total"),
+        F.expr(
+            "1000 * n_values div sum(n_values) OVER (PARTITION BY pred)"
+        ).cast("long").alias("share_pm"),
+        (F.row_number().over(w_rk) == 1).cast("int").alias("is_dominant_i"),
     )
