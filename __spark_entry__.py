@@ -4828,6 +4828,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_literal_datatypes"] = literal_dtypes_q
 
+    def appositive_q(spark, sf):
+        # Appositive is_a mining (hearst.py::extract_appositive_isa): a
+        # multi-word phrase (head noun elected), a one-word 'an' phrase,
+        # plus two decoys — a sentence-final appositive missing its closing
+        # comma and a capitalized-word phrase (coordination, not
+        # apposition) — that must emit nothing.  Oracle = expected rows from
+        # doc-id arithmetic, regex-independent.
+        from aiwhispr_spark.operators.hearst import extract_appositive_isa
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        text = F.concat(
+            F.lit("Acme"), (i % 7).cast("string"),
+            F.lit(" Corp, a family-run software vendor, leads. Beta"),
+            (i % 5).cast("string"),
+            F.lit(", an engine, ships. Gamma"),
+            (i % 3).cast("string"),
+            F.lit(", a trailing case. Delta"),
+            (i % 2).cast("string"),
+            F.lit(", a Thing, said."),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("url"),
+            text.alias("text_chunk"),
+        )
+        return extract_appositive_isa(chunks)
+
+    q["appositive_isa"] = appositive_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -4988,6 +5017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_list_triples",
         "mention_bursts",
         "kg_literal_datatypes",
+        "appositive_isa",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -6143,6 +6173,18 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY p.n_values DESC, p.dtype ASC) = 1
                     THEN 1 ELSE 0 END AS INTEGER) AS is_dominant_i
         FROM prof p JOIN tot t USING (pred)
+    """
+    o["appositive_isa"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents)
+        SELECT 'u' || i AS url, 'Acme' || (i % 7) || ' Corp' AS subj,
+               'is_a' AS pred, 'vendor' AS obj,
+               'family-run software vendor' AS phrase,
+               'appositive' AS pattern
+        FROM d
+        UNION ALL
+        SELECT 'u' || i, 'Beta' || (i % 5), 'is_a', 'engine', 'engine',
+               'appositive'
+        FROM d
     """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),

@@ -73,3 +73,47 @@ def extract_hearst_hypernyms(
             "pattern",
         )
     )
+
+
+# appositive phrase: ", a|an <lowercase words>," right after a mention —
+# "Acme Corp, a Berlin-based vendor, said …"
+_APPOS_RE = rf"({_M}), an? ((?:[a-z][a-z\-]* )*[a-z][a-z\-]*),"
+
+
+def extract_appositive_isa(
+    chunks: DataFrame,
+    text_col: str = "text_chunk",
+    id_col: str = "url",
+) -> DataFrame:
+    """(url, subj, pred, obj, pattern) — ``is_a`` facts from APPOSITIVE
+    noun phrases ("Acme Corp, a Berlin-based vendor, …"), the third
+    prose taxonomy source next to the Hearst list patterns above and the
+    capitalized-both-sides SVO arm (triples.py).  obj is the phrase's HEAD
+    NOUN (last token — English appositives are head-final: 'Berlin-based
+    vendor' is_a-classifies as 'vendor'); the full phrase is kept in
+    ``phrase`` for consumers that want the modifiers.
+
+    Documented subset (oracle-mirrored): the phrase is lowercase/hyphen
+    words between ", a|an " and the CLOSING comma — an appositive without
+    its closing comma (sentence-final) is out of scope, as are phrases
+    containing capitalized words (those are usually coordination, not
+    apposition).
+
+    100 TB shape: same discipline as the Hearst arms — one narrow JVM regex
+    projection over the chunk scan, zero shuffle, zero python.
+    """
+    text = F.col(text_col)
+    subs = F.regexp_extract_all(text, F.lit(_APPOS_RE), F.lit(1))
+    phrases = F.regexp_extract_all(text, F.lit(_APPOS_RE), F.lit(2))
+    zipped = F.arrays_zip(subs.alias("subj"), phrases.alias("phrase"))
+    return (
+        chunks.select(F.col(id_col).alias("url"), F.explode(zipped).alias("m"))
+        .select(
+            "url",
+            F.col("m.subj").alias("subj"),
+            F.lit("is_a").alias("pred"),
+            F.element_at(F.split(F.col("m.phrase"), " "), -1).alias("obj"),
+            F.col("m.phrase").alias("phrase"),
+            F.lit("appositive").alias("pattern"),
+        )
+    )
