@@ -4857,6 +4857,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["appositive_isa"] = appositive_q
 
+    def homograph_q(spark, sf):
+        # IDN-homograph detection (unicodenorm.py::homograph_pairs): every
+        # ascii name, a Cyrillic-а clone on k%4==0 and a Cyrillic-е clone on
+        # k%8==0 (three-member families yield the non-spoof Cyrillic-
+        # Cyrillic pair too), plus twin-less 'beta' names that must emit
+        # nothing.  Oracle = expected pairs from k-arithmetic with the
+        # Cyrillic literals inline — skeleton-map independent.
+        from aiwhispr_spark.operators.unicodenorm import homograph_pairs
+
+        d = _t(spark, sf, "documents").select((F.col("doc_id") % 40).alias("k"))
+        k = F.col("k")
+        kc = k.cast("string")
+        names = (
+            d.select(F.concat(F.lit("acme"), kc).alias("name"))
+            .unionByName(
+                d.where(k % 4 == 0).select(
+                    F.concat(F.lit("аcme"), kc).alias("name")
+                )
+            )
+            .unionByName(
+                d.where(k % 8 == 0).select(
+                    F.concat(F.lit("acmе"), kc).alias("name")
+                )
+            )
+            .unionByName(
+                d.select(F.concat(F.lit("beta"), (k % 10).cast("string")).alias("name"))
+            )
+        )
+        return homograph_pairs(names)
+
+    q["homograph_spoof_pairs"] = homograph_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5018,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_bursts",
         "kg_literal_datatypes",
         "appositive_isa",
+        "homograph_spoof_pairs",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -6185,6 +6218,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'u' || i, 'Beta' || (i % 5), 'is_a', 'engine', 'engine',
                'appositive'
         FROM d
+    """
+    o["homograph_spoof_pairs"] = """
+        WITH ks AS (SELECT DISTINCT doc_id % 40 AS k FROM documents)
+        SELECT 'acme' || k AS a, 'аcme' || k AS b, 'acme' || k AS skeleton,
+               CAST(1 AS INTEGER) AS a_ascii_i, CAST(0 AS INTEGER) AS b_ascii_i,
+               CAST(1 AS INTEGER) AS is_spoof_i
+        FROM ks WHERE k % 4 = 0
+        UNION ALL
+        SELECT 'acme' || k, 'acmе' || k, 'acme' || k, 1, 0, 1
+        FROM ks WHERE k % 8 = 0
+        UNION ALL
+        SELECT 'acmе' || k, 'аcme' || k, 'acme' || k, 0, 0, 0
+        FROM ks WHERE k % 8 = 0
     """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),

@@ -18,7 +18,7 @@ engine addition under SURVEY §2.8 (training-data pipeline tier).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -62,3 +62,74 @@ def normalize_text(
         ),
     )
     return with_flag.withColumn(out, F.col(tmp)).drop(tmp)
+
+
+# UTS #39-style confusable map, documented reduced subset: the Cyrillic and
+# Greek letters that render identically to Latin in common fonts (the
+# IDN-homograph / wiki-vandalism alphabet).  Kept as two parallel strings
+# for translate() — ONE source of truth, mirrored verbatim by the oracle.
+CONFUSABLE_FROM = (
+    "аеорсухіѕјԛԝ"  # Cyrillic lowercase
+    "АВЕКМНОРСТУХЅІЈ"  # Cyrillic uppercase
+    "ον"  # Greek lowercase
+    "ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"  # Greek uppercase
+)
+CONFUSABLE_TO = "aeopcyxisjqw" "ABEKMHOPCTYXSIJ" "ov" "ABEZHIKMNOPTYX"
+
+
+def confusable_skeleton_expr(col: Column) -> Column:
+    """Spoof-detection skeleton: lookalike letters folded to their Latin
+    targets, then lowercased (translate BEFORE lower so uppercase Cyrillic
+    maps through its Latin capital).  Input is assumed NFC — compose with
+    :func:`normalize_text` upstream; the skeleton itself stays a pure JVM
+    expression so both engines run it byte-identically."""
+    return F.lower(F.translate(col, CONFUSABLE_FROM, CONFUSABLE_TO))
+
+
+def homograph_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+) -> DataFrame:
+    """IDN-homograph / lookalike-alias detection: DISTINCT names that
+    collapse to the SAME confusable skeleton while differing as raw strings
+    — the security-hygiene pass a web-scale entity store runs before
+    trusting surface forms ("аcme.example" with a Cyrillic а must not merge
+    silently with — or impersonate — "acme.example").
+
+    Output: (a, b, skeleton, a_ascii_i, b_ascii_i, is_spoof_i) with a < b
+    (byte order, identical in both engines); ``is_spoof_i`` = 1 when
+    exactly one side is pure ASCII — the classic impersonation shape.
+    Same-script non-ASCII pairs still emit (reviewable), flagged 0.
+
+    100 TB shape: one distinct on the name, one skeleton groupBy key, and a
+    skeleton-keyed self-join whose fan-out is the homograph family size —
+    bounded by the alphabet being abused, not the corpus.  Zero python.
+    """
+    ascii_i = F.col("name").rlike(r"^[\x00-\x7f]*$").cast("int")
+    keyed = names.select(F.col(name_col).alias("name")).distinct().select(
+        "name",
+        confusable_skeleton_expr(F.col("name")).alias("skeleton"),
+        ascii_i.alias("ascii_i"),
+    )
+    l = keyed.select(
+        F.col("name").alias("a"),
+        "skeleton",
+        F.col("ascii_i").alias("a_ascii_i"),
+    )
+    r = keyed.select(
+        F.col("name").alias("b"),
+        "skeleton",
+        F.col("ascii_i").alias("b_ascii_i"),
+    )
+    return (
+        l.join(r, "skeleton")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            "skeleton",
+            "a_ascii_i",
+            "b_ascii_i",
+            (F.col("a_ascii_i") != F.col("b_ascii_i")).cast("int").alias("is_spoof_i"),
+        )
+    )
