@@ -4889,6 +4889,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["homograph_spoof_pairs"] = homograph_q
 
+    def _host_edge_frame(spark):
+        from aiwhispr_spark.operators.linkgraph import extract_links, host_edges
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        return host_edges(extract_links(docs)).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+
+    def cocitation_q(spark, sf):
+        # Co-citation similarity (linkgraph.py::cocitation_pairs) over the
+        # linked corpus's host graph — the "related sites" wedge join with
+        # the hub-fanout cap.  Oracle = the same wedge/deg/jaccard SQL over
+        # the closed-form host edge set (_host_edges_sql).
+        from aiwhispr_spark.operators.linkgraph import cocitation_pairs
+
+        return cocitation_pairs(_host_edge_frame(spark))
+
+    q["host_cocitation_pairs"] = cocitation_q
+
+    def coupling_q(spark, sf):
+        # Bibliographic coupling (linkgraph.py::coupling_pairs) — the
+        # transpose wedge (sources citing the same destinations).
+        from aiwhispr_spark.operators.linkgraph import coupling_pairs
+
+        return coupling_pairs(_host_edge_frame(spark))
+
+    q["host_coupling_pairs"] = coupling_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5051,6 +5079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_literal_datatypes",
         "appositive_isa",
         "homograph_spoof_pairs",
+        "host_cocitation_pairs",
+        "host_coupling_pairs",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -6232,6 +6262,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'acmе' || k, 'аcme' || k, 'acme' || k, 0, 0, 0
         FROM ks WHERE k % 8 = 0
     """
+
+    def _overlap_sql(key: str, item: str) -> str:
+        # DuckDB twin of linkgraph._overlap_pairs over the closed-form host
+        # edge set; key/item select co-citation vs coupling
+        return f"""
+        WITH e0 AS ({_host_edges_sql()}),
+        ed AS (SELECT DISTINCT {key} AS key, {item} AS item FROM e0),
+        small AS (SELECT key FROM (SELECT key, count(*) AS c FROM ed GROUP BY key)
+                  WHERE c <= 1000),
+        d AS (SELECT ed.key, ed.item FROM ed JOIN small USING (key)),
+        deg AS (SELECT item, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY item),
+        p AS (SELECT l.item AS a, r.item AS b, CAST(count(*) AS BIGINT) AS n_common
+              FROM d l JOIN d r ON r.key = l.key AND l.item < r.item
+              GROUP BY 1, 2)
+        SELECT p.a, p.b, p.n_common, da.deg AS deg_a, db.deg AS deg_b,
+               CAST(1000000 * p.n_common // (da.deg + db.deg - p.n_common)
+                    AS BIGINT) AS jaccard_i
+        FROM p JOIN deg da ON da.item = p.a JOIN deg db ON db.item = p.b
+        """
+
+    o["host_cocitation_pairs"] = _overlap_sql("src", "dst")
+    o["host_coupling_pairs"] = _overlap_sql("dst", "src")
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),
         h AS (
