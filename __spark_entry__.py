@@ -4917,6 +4917,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_coupling_pairs"] = coupling_q
 
+    def scc_q(spark, sf):
+        # Bounded-diameter SCC (graph_query.py::strongly_connected_
+        # components): a 4-ring (one component, min-node id), three 2-cycles,
+        # an acyclic chain and a node pointing INTO the ring — the last two
+        # must come out as singletons, not members.  Oracle = the expected
+        # (node, scc_id, size) rows from residue arithmetic.
+        from aiwhispr_spark.operators.graph_query import (
+            strongly_connected_components,
+        )
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+
+        def s(pre, c):
+            return F.concat(F.lit(pre), c.cast("string"))
+
+        def e(a, b):
+            return d.select(a.alias("src"), b.alias("dst"))
+
+        edges = (
+            e(s("R", i % 4), s("R", (i + 1) % 4))
+            .unionByName(e(s("A", i % 3), s("B", i % 3)))
+            .unionByName(e(s("B", i % 3), s("A", i % 3)))
+            .unionByName(e(F.lit("C0"), F.lit("C1")))
+            .unionByName(e(F.lit("C1"), F.lit("C2")))
+            .unionByName(e(F.lit("X"), F.lit("R0")))
+        )
+        return strongly_connected_components(edges, max_hops=4)
+
+    q["kg_scc_bounded"] = scc_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5081,6 +5112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "homograph_spoof_pairs",
         "host_cocitation_pairs",
         "host_coupling_pairs",
+        "kg_scc_bounded",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -6284,6 +6316,19 @@ def oracle_sql() -> dict[str, str]:
 
     o["host_cocitation_pairs"] = _overlap_sql("src", "dst")
     o["host_coupling_pairs"] = _overlap_sql("dst", "src")
+    o["kg_scc_bounded"] = """
+        WITH r4 AS (SELECT DISTINCT doc_id % 4 AS j FROM documents),
+        m3 AS (SELECT DISTINCT doc_id % 3 AS m FROM documents)
+        SELECT 'R' || j AS node, 'R0' AS scc_id, CAST(4 AS BIGINT) AS scc_size
+        FROM r4
+        UNION ALL
+        SELECT 'A' || m, 'A' || m, CAST(2 AS BIGINT) FROM m3
+        UNION ALL
+        SELECT 'B' || m, 'A' || m, CAST(2 AS BIGINT) FROM m3
+        UNION ALL
+        SELECT node, node, CAST(1 AS BIGINT)
+        FROM (VALUES ('C0'), ('C1'), ('C2'), ('X')) v(node)
+    """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),
         h AS (

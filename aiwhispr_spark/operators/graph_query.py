@@ -500,3 +500,59 @@ def label_propagation_communities(
     labels.unpersist()
     nbrs.unpersist()
     return out
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-diameter SCC: nodes a, b share a component iff each reaches
+    the other within ``max_hops`` directed steps — mutual membership in the
+    :func:`transitive_closure` (redirect rings, mirror farms and template
+    link loops all have tiny diameters; the bound is a query parameter with
+    the same contract as the closure's).  Component id = the component's
+    MINIMUM node, so output is deterministic: (node, scc_id, scc_size) for
+    EVERY node of the edge list (non-cyclic nodes are singleton components
+    of themselves — reported, not dropped: "not in a loop" is the common
+    healthy answer).
+
+    Correctness note: mutual reachability is transitive on ITS OWN pairs
+    (if a↔b and b↔c then a↔c via paths ≤ 2·max_hops — within the bound only
+    when the component's diameter is; hence the documented bound contract),
+    so min-over-mutual-neighbors is a valid component id without an extra
+    CC pass: every member of an in-bound SCC mutually reaches the min node
+    directly.
+
+    100 TB shape: one bounded BFS closure (per-hop exchanges keyed on the
+    frontier dst), ONE self-join of the closure against its transpose on the
+    (src, dst) key, and a map-side-combinable min/count aggregate keyed on
+    node.  No python, no collect.
+    """
+    reach = transitive_closure(edges, max_hops, src_col, dst_col).select(
+        "src", "dst"
+    )
+    mutual = reach.join(
+        reach.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    )
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    # every node is mutual with itself; union the self-pair so singletons
+    # and component minima fall out of one aggregate
+    member = (
+        mutual.select(F.col("src").alias("node"), F.col("dst").alias("peer"))
+        .unionByName(nodes.select("node", F.col("node").alias("peer")))
+        # a cycle node's closure already holds its (a, a) self-pair — the
+        # union would double-count it without this distinct
+        .distinct()
+    )
+    return member.groupBy("node").agg(
+        F.min("peer").alias("scc_id"),
+        F.count(F.lit(1)).cast("long").alias("scc_size"),
+    )
