@@ -4948,6 +4948,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_scc_bounded"] = scc_q
 
+    def timeline_q(spark, sf):
+        # Entity biography assembly (temporal.py::entity_timeline) composed
+        # over the REAL dated-fact extractor on the kg_dated_facts fixture
+        # text.  Oracle rebuilds the qualified facts arithmetically, then
+        # string_aggs with the same (year, pred, obj, qualifier) total order.
+        from aiwhispr_spark.operators.temporal import (
+            entity_timeline,
+            extract_dated_facts,
+        )
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        a = (F.col("doc_id") % 37).cast("string")
+        b = (F.col("doc_id") % 11).cast("string")
+        c = ((F.col("doc_id") * 3) % 13).cast("string")
+        y1 = (1980 + F.col("doc_id") % 40).cast("string")
+        y2 = (1990 + F.col("doc_id") % 30).cast("string")
+        text = F.concat(
+            F.lit("Entity_"), a, F.lit(" acquired E"), b, F.lit(" Corp in "),
+            y1, F.lit(". "),
+            F.lit("Entity_"), a, F.lit(" has been based in City"), c,
+            F.lit(" since "), y2, F.lit("."),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            text.alias("text_chunk"),
+        )
+        return entity_timeline(extract_dated_facts(chunks))
+
+    q["kg_entity_timeline"] = timeline_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5113,6 +5143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cocitation_pairs",
         "host_coupling_pairs",
         "kg_scc_bounded",
+        "kg_entity_timeline",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -6328,6 +6359,25 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT node, node, CAST(1 AS BIGINT)
         FROM (VALUES ('C0'), ('C1'), ('C2'), ('X')) v(node)
+    """
+    o["kg_entity_timeline"] = """
+        WITH facts AS (
+          SELECT DISTINCT 'Entity_' || (doc_id % 37) AS subj,
+                 'acquired' AS pred, 'E' || (doc_id % 11) || ' Corp' AS obj,
+                 'in' AS qualifier, CAST(1980 + doc_id % 40 AS INT) AS year
+          FROM documents
+          UNION
+          SELECT DISTINCT 'Entity_' || (doc_id % 37), 'based_in',
+                 'City' || ((doc_id * 3) % 13), 'since',
+                 CAST(1990 + doc_id % 30 AS INT)
+          FROM documents
+        )
+        SELECT subj, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(min(year) AS INT) AS first_year,
+               CAST(max(year) AS INT) AS last_year,
+               string_agg(year || ' ' || qualifier || ' ' || pred || ' ' || obj,
+                          ' | ' ORDER BY year, pred, obj, qualifier) AS timeline
+        FROM facts GROUP BY subj
     """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),

@@ -484,3 +484,50 @@ def mention_bursts(
         "trailing_sum",
         is_burst.cast("int").alias("is_burst_i"),
     )
+
+
+def entity_timeline(
+    dated: DataFrame,
+    subj_col: str = "subj",
+) -> DataFrame:
+    """KG biography assembly — one row per entity with its dated facts in
+    chronological order: ``(subj, n_events, first_year, last_year,
+    timeline)`` where timeline renders each DISTINCT qualified fact as
+    ``"<year> <qualifier> <pred> <obj>"`` joined by ``" | "``, ordered by
+    (year, pred, obj, qualifier) — a total order, so the string is
+    engine-reproducible.  The entity-card product surface behind "show me
+    the history of X"; consumes :func:`extract_dated_facts` output (or any
+    frame with pred/obj/qualifier/year).
+
+    100 TB shape: distinct on the qualified fact, then ONE subject-keyed
+    groupBy whose payload is that entity's facts (bounded by biography
+    length, not corpus size) — sorted-struct array expressions, no window,
+    no python; co-partitions with every other subj-keyed KG op.
+    """
+    facts = dated.select(
+        F.col(subj_col).alias("subj"), "pred", "obj", "qualifier", "year"
+    ).distinct()
+    g = facts.groupBy("subj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("year").cast("int").alias("first_year"),
+        F.max("year").cast("int").alias("last_year"),
+        F.array_sort(
+            F.collect_list(F.struct("year", "pred", "obj", "qualifier"))
+        ).alias("_ev"),
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.col("_ev"),
+            lambda e: F.concat_ws(
+                " ",
+                e["year"].cast("string"),
+                e["qualifier"],
+                e["pred"],
+                e["obj"],
+            ),
+        ),
+        " | ",
+    )
+    return g.select(
+        "subj", "n_events", "first_year", "last_year", rendered.alias("timeline")
+    )
