@@ -4978,6 +4978,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_entity_timeline"] = timeline_q
 
+    def soft404_q(spark, sf):
+        # Soft-404 detection (maincontent.py::soft404_signals): an error
+        # shell (marker + short → flagged), a LONG article that merely
+        # mentions a 404 (marker but not flagged), and clean pages.  Oracle
+        # = the same title/strip/marker transforms in DuckDB over the
+        # byte-same constructed html (global+dotall regexp_replace flags are
+        # the cross-engine risk this gate pins).
+        from aiwhispr_spark.operators.maincontent import soft404_signals
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        filler = F.expr("repeat(' filler words here', 40)")
+        html = F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit("<html><title>404 Error - Page Not Found</title><body><p>"
+                      "The page you requested does not exist.</p></body></html>")
+            ),
+        ).when(
+            i % 5 == 1,
+            F.concat(
+                F.lit("<html><title>History of the 404 error</title><body><p>"),
+                filler,
+                F.lit(" page not found lore continues.</p></body></html>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("<html><title>Doc "),
+                (i % 9).cast("string"),
+                F.lit("</title><body><p>regular content "),
+                (i % 7).cast("string"),
+                F.lit("</p></body></html>"),
+            )
+        )
+        docs = d.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        return soft404_signals(docs)
+
+    q["soft404_detect"] = soft404_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5144,6 +5186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_coupling_pairs",
         "kg_scc_bounded",
         "kg_entity_timeline",
+        "soft404_detect",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -6378,6 +6421,47 @@ def oracle_sql() -> dict[str, str]:
                string_agg(year || ' ' || qualifier || ' ' || pred || ' ' || obj,
                           ' | ' ORDER BY year, pred, obj, qualifier) AS timeline
         FROM facts GROUP BY subj
+    """
+    o["soft404_detect"] = """
+        WITH d AS (
+          SELECT doc_id AS i,
+                 CASE
+                   WHEN doc_id % 5 = 0 THEN
+                     '<html><title>404 Error - Page Not Found</title><body><p>'
+                     || 'The page you requested does not exist.</p></body></html>'
+                   WHEN doc_id % 5 = 1 THEN
+                     '<html><title>History of the 404 error</title><body><p>'
+                     || repeat(' filler words here', 40)
+                     || ' page not found lore continues.</p></body></html>'
+                   ELSE
+                     '<html><title>Doc ' || (doc_id % 9)
+                     || '</title><body><p>regular content ' || (doc_id % 7)
+                     || '</p></body></html>'
+                 END AS html
+          FROM documents
+        ),
+        x AS (
+          SELECT i,
+                 trim(regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1))
+                   AS title,
+                 trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'gs'),
+                                     '\\s+', ' ', 'g')) AS visible
+          FROM d
+        ),
+        sig AS (
+          SELECT i, title, CAST(length(visible) AS BIGINT) AS n_chars,
+                 (regexp_matches(lower(title),
+                    'page not found|404 error|error 404|does not exist|no longer available|page you requested')
+                  OR regexp_matches(lower(visible),
+                    'page not found|404 error|error 404|does not exist|no longer available|page you requested'))
+                   AS hm
+          FROM x
+        )
+        SELECT 'u' || i AS url, title, n_chars,
+               CAST(CASE WHEN hm THEN 1 ELSE 0 END AS INTEGER) AS has_marker_i,
+               CAST(CASE WHEN hm AND n_chars < 500 THEN 1 ELSE 0 END AS INTEGER)
+                 AS is_soft404_i
+        FROM sig
     """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),

@@ -77,3 +77,56 @@ def main_content_expr(html_text: Column, max_link_pct: int = 50) -> Column:
         block_link_density(html_text), lambda s: keep_block(s, max_link_pct)
     )
     return F.array_join(F.transform(kept, lambda s: s["block"]), "\n")
+
+
+# soft-404 marker phrases, documented subset (lowercase match targets; the
+# oracle mirrors the same alternation verbatim)
+_SOFT404_RE = (
+    r"(page not found|404 error|error 404|does not exist"
+    r"|no longer available|page you requested)"
+)
+
+
+def soft404_signals(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_len: int = 500,
+) -> DataFrame:
+    """Soft-404 detection: pages that return HTTP 200 but are really error
+    shells — the crawl artifact that poisons both the corpus (thousands of
+    identical "not found" documents) and the link graph (dead targets that
+    look alive).  A page flags when BOTH hold:
+
+    * its ``<title>`` or visible text contains a marker phrase
+      (documented alternation above, case-insensitive), and
+    * its visible text is short (< ``max_len`` chars) — real articles that
+      merely MENTION a 404 stay in the corpus.
+
+    Output: (url, title, n_chars, has_marker_i, is_soft404_i) — the signals
+    stay visible so a curation plan can threshold differently.
+
+    100 TB shape: title pull + crude tag strip + one rlike, all narrow JVM
+    expressions fused with the page scan; the filter composes with the
+    curation chain the same way robots_noindex does.
+    """
+    text = F.decode(F.col(html_col), "UTF-8")
+    title = F.trim(
+        F.regexp_extract(text, r"(?s)<title[^>]*>(.*?)</title>", 1)
+    )
+    visible = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(text, r"(?s)<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    has_marker = F.lower(title).rlike(_SOFT404_RE) | F.lower(visible).rlike(
+        _SOFT404_RE
+    )
+    n_chars = F.length(visible).cast("long")
+    return docs.select(
+        F.col(url_col).alias("url"),
+        title.alias("title"),
+        n_chars.alias("n_chars"),
+        has_marker.cast("int").alias("has_marker_i"),
+        (has_marker & (n_chars < max_len)).cast("int").alias("is_soft404_i"),
+    )
