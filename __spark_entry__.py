@@ -5020,6 +5020,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["soft404_detect"] = soft404_q
 
+    def attribution_q(spark, sf):
+        # Indirect source attribution (quotes.py::extract_attributions):
+        # one well-formed frame per doc, a pronoun source that must drop,
+        # and a following sentence the claim must not swallow.  Oracle =
+        # expected rows from doc-id arithmetic.
+        from aiwhispr_spark.operators.quotes import extract_attributions
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        text = F.concat(
+            F.lit("According to Analyst"), (i % 9).cast("string"),
+            F.lit(", revenue grew "), (i % 30).cast("string"),
+            F.lit(" percent. This trailing sentence stays out. "
+                  "According to They, nothing holds."),
+        )
+        chunks = d.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("url"),
+            text.alias("text_chunk"),
+        )
+        return extract_attributions(chunks)
+
+    q["according_to_claims"] = attribution_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5187,6 +5210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scc_bounded",
         "kg_entity_timeline",
         "soft404_detect",
+        "according_to_claims",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -6462,6 +6486,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN hm AND n_chars < 500 THEN 1 ELSE 0 END AS INTEGER)
                  AS is_soft404_i
         FROM sig
+    """
+    o["according_to_claims"] = """
+        SELECT 'u' || doc_id AS url,
+               'Analyst' || (doc_id % 9) AS source,
+               'revenue grew ' || (doc_id % 30) || ' percent' AS claim
+        FROM documents
     """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),

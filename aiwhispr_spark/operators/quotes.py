@@ -68,3 +68,39 @@ def extract_quotes(
         )
         .where(~F.col("speaker").isin(*_PRONOUNS))
     )
+
+
+_ACCORDING_RE = rf"According to ({_SPEAKER}), ([^.!?]{{1,300}})[.!?]"
+
+
+def extract_attributions(
+    chunks: DataFrame,
+    text_col: str = "text_chunk",
+    id_col: str = "url",
+) -> DataFrame:
+    """(url, source, claim) — indirect source attribution: "According to
+    <Source>, <claim>." sentences, the unquoted counterpart of
+    :func:`extract_quotes` (claims a KG should store WITH their asserting
+    source, feeding temporal.source_reliability's per-source trust).
+
+    Documented subset: sentence-initial frame, source is a capitalized
+    mention run, claim runs to the first sentence ender (so it can never
+    swallow a following sentence); pronoun sources are dropped like the
+    quote arms.
+
+    100 TB shape: one regexp_extract_all pair zipped by index — the quotes
+    discipline, zero shuffle, zero python.
+    """
+    text = F.col(text_col)
+    sources = F.regexp_extract_all(text, F.lit(_ACCORDING_RE), F.lit(1))
+    claims = F.regexp_extract_all(text, F.lit(_ACCORDING_RE), F.lit(2))
+    pairs = F.zip_with(
+        sources,
+        claims,
+        lambda s, c: F.struct(s.alias("source"), c.alias("claim")),
+    )
+    return (
+        chunks.select(F.col(id_col).alias("url"), F.explode(pairs).alias("m"))
+        .select("url", F.col("m.source").alias("source"), F.col("m.claim").alias("claim"))
+        .where(~F.col("source").isin(*_PRONOUNS))
+    )
