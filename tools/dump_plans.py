@@ -74,6 +74,21 @@ SHOWN = [
     ("microdata_triples", "scope/property regex + array transforms are ONE narrow JVM projection: no python stage, no exchange"),
     ("kg_predicate_paraphrases", "candidates from the (subj, obj)-keyed self-join (wedge fan-out); sizes join |preds|-scale — never a predicate cross product"),
     ("crosslingual_aliases", "url-keyed members join, then a (cluster, pred, obj)-keyed self-join; language-variant objects never match so the fan-out stays per-fact"),
+    ("url_template_mining", "host/template classification is narrow JVM; the (host, template) aggregate is the ONLY exchange (map-side combined, route-sized keys)"),
+    ("readability_scores", "word/sentence/syllable counts + both scores are ONE pure-JVM expression stage: no python stage, no exchange"),
+    ("ccnet_perplexity_buckets", "per-language tercile thresholds (|langs| rows) broadcast back; bucket CASE is a narrow projection — no per-language sort window"),
+    ("kg_extraction_eval", "distinct + tp semi-join share the triple key; per-predicate aggregates map-side combine into |relations| keys"),
+    ("kg_attribute_merge", "stop-facts (df > max_df) dropped BEFORE the (pred, obj)-keyed wedge join — fan-out bounded by max_df²; sizes re-join subject-keyed"),
+    ("html_list_triples", "two same-pattern regexp_extract_all zipped by index: ONE narrow JVM projection, no python stage, no exchange"),
+    ("mention_bursts", "ONE map-side-combinable (entity, day) aggregate + entity-PARTITIONED RANGE window — never a global window"),
+    ("kg_literal_datatypes", "narrow JVM regex classification + ONE groupBy onto |preds × 7| keys; per-pred windows over ≤7 rows each"),
+    ("appositive_isa", "one regex projection over the chunk scan: no python stage, no shuffle"),
+    ("homograph_spoof_pairs", "skeleton translate is narrow; the self-join keys on the skeleton with homograph-family-sized fan-out"),
+    ("host_cocitation_pairs", "hub sources dropped BEFORE the src-keyed wedge join; degrees re-join item-keyed; aggregates map-side combine"),
+    ("kg_scc_bounded", "bounded BFS closure + ONE transpose semi-join on (src, dst); min/count aggregate map-side combines per node"),
+    ("kg_entity_timeline", "distinct facts + ONE subj-keyed groupBy with sorted-struct arrays — no window, payload bounded by biography length"),
+    ("soft404_detect", "title pull + tag strip + marker rlike fused in WholeStageCodegen: no python stage, no exchange"),
+    ("according_to_claims", "one zipped regexp_extract_all pair: no python stage, no exchange"),
 ]
 
 
