@@ -5043,6 +5043,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["according_to_claims"] = attribution_q
 
+    def authority_q(spark, sf):
+        # Authority-weighted entity mentions (salience.py::
+        # authority_weighted_mentions): mentions derived closed-form from
+        # the linked corpus's url indices, weighted by the REAL host-
+        # pagerank chain; an unranked-host arm (i%5==0) must count toward
+        # n_mentions/n_hosts while adding 0 authority.  Oracle = the same
+        # pagerank recurrence unrolled + the mention arithmetic.
+        from aiwhispr_spark.operators.linkgraph import host_pagerank
+        from aiwhispr_spark.operators.salience import (
+            authority_weighted_mentions,
+        )
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        pr = host_pagerank(
+            docs, damping=0.85, iterations=5, num_partitions=8
+        ).select("node", F.round(F.col("pr") * 1000000).cast("long").alias("pr_i"))
+        idx = F.regexp_extract("url", r"a/(\d+)$", 1).cast("long")
+        ent = F.concat(F.lit("Ent"), (idx % 9).cast("string"))
+        m1 = docs.select("url", ent.alias("entity"))
+        m2 = docs.where(idx % 2 == 0).select("url", ent.alias("entity"))
+        m3 = docs.where(idx % 5 == 0).select(
+            F.lit("https://unranked.example.net/x").alias("url"),
+            F.lit("Ent0").alias("entity"),
+        )
+        mentions = m1.unionByName(m2).unionByName(m3)
+        return authority_weighted_mentions(mentions, pr)
+
+    q["entity_authority"] = authority_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5211,6 +5240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_timeline",
         "soft404_detect",
         "according_to_claims",
+        "entity_authority",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -6492,6 +6522,28 @@ def oracle_sql() -> dict[str, str]:
                'Analyst' || (doc_id % 9) AS source,
                'revenue grew ' || (doc_id % 30) || ' percent' AS claim
         FROM documents
+    """
+    o["entity_authority"] = f"""
+        WITH ids AS (
+          SELECT CAST(regexp_extract(url, 'a/(\\d+)$', 1) AS BIGINT) AS i, url
+          FROM read_parquet('{_ensure_link_corpus()}')),
+        m AS (
+          SELECT 'Ent' || (i % 9) AS entity,
+                 regexp_extract(url, '^[a-z]+://([^/:?#]*)', 1) AS host
+          FROM ids
+          UNION ALL
+          SELECT 'Ent' || (i % 9),
+                 regexp_extract(url, '^[a-z]+://([^/:?#]*)', 1)
+          FROM ids WHERE i % 2 = 0
+          UNION ALL
+          SELECT 'Ent0', 'unranked.example.net' FROM ids WHERE i % 5 = 0
+        ),
+        pr AS (SELECT * FROM ({_pagerank_sql(edges_sql=_host_edges_sql())}))
+        SELECT m.entity, CAST(count(*) AS BIGINT) AS n_mentions,
+               CAST(count(DISTINCT m.host) AS BIGINT) AS n_hosts,
+               CAST(sum(coalesce(pr.pr_i, 0)) AS BIGINT) AS authority_i
+        FROM m LEFT JOIN pr ON pr.node = m.host
+        GROUP BY m.entity
     """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),

@@ -45,3 +45,43 @@ def entity_salience(
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("salience_i"), F.asc("surface"))
     return sal.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def authority_weighted_mentions(
+    mentions: DataFrame,
+    host_rank: DataFrame,
+    url_col: str = "url",
+    entity_col: str = "entity",
+) -> DataFrame:
+    """Corpus-level entity authority: each mention contributes its source
+    HOST's PageRank, so an entity named once by a hub outranks one spammed
+    across link-farm pages — the anti-spam complement to raw mention counts
+    (entity_salience above is per-document; this is per-corpus).
+
+    ``host_rank`` is a (node, pr_i) frame from operators/graph.py::pagerank
+    over the host graph.  Output per entity: ``n_mentions``, ``n_hosts``
+    (distinct mentioning hosts), ``authority_i`` = Σ pr_i(host) over mention
+    rows (BIGINT sum of scaled ints — exact).  Mentions on unranked hosts
+    count toward n_mentions/n_hosts but add 0 authority (left join), so a
+    host outside the link graph can never be silently dropped.
+
+    100 TB shape: host extraction is narrow; the |hosts|-sized rank table
+    broadcasts onto the mention stream (AQE), and the per-entity aggregate
+    map-side combines.  One exchange total.
+    """
+    from aiwhispr_spark.operators.linkgraph import host_of
+
+    keyed = mentions.select(
+        F.col(entity_col).alias("entity"),
+        host_of(F.col(url_col)).alias("host"),
+    )
+    ranked = keyed.join(
+        F.broadcast(host_rank.select(F.col("node").alias("host"), "pr_i")),
+        "host",
+        "left",
+    )
+    return ranked.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum(F.coalesce("pr_i", F.lit(0))).cast("long").alias("authority_i"),
+    )
