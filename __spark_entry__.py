@@ -4774,16 +4774,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mention_bursts"] = mention_bursts_q
 
-    def literal_dtypes_q(spark, sf):
-        # Predicate range-datatype induction (ontology.py::
-        # infer_literal_datatypes): six closed-form predicates — founded_in
-        # mixes years with a 10% 'circa …' text tail, employees mixes
-        # integers with a 1-in-7 decimal tail, launched/homepage/ceo/note
-        # are pure date/url/proper-name/text.  Oracle = expected dtype rows
-        # from doc-id arithmetic (regex-independent) + the same
-        # share/dominance election.
-        from aiwhispr_spark.operators.ontology import infer_literal_datatypes
-
+    def _dtype_fixture(spark, sf):
+        # six closed-form predicates shared by kg_literal_datatypes and
+        # kg_datatype_enforce: founded_in mixes years with a 10% 'circa …'
+        # text tail, employees mixes integers with a 1-in-7 decimal tail,
+        # launched/homepage/ceo/note are pure date/url/proper-name/text
         d = _t(spark, sf, "documents").select("doc_id")
         i = F.col("doc_id")
         subj = F.concat(F.lit("S"), i.cast("string"))
@@ -4824,9 +4819,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .unionByName(tri("note", F.lit("plain lowercase words")))
         )
-        return infer_literal_datatypes(rows)
+        return rows
+
+    def literal_dtypes_q(spark, sf):
+        # Predicate range-datatype induction (ontology.py::
+        # infer_literal_datatypes) over the shared six-predicate fixture.
+        # Oracle = expected dtype rows from doc-id arithmetic
+        # (regex-independent) + the same share/dominance election.
+        from aiwhispr_spark.operators.ontology import infer_literal_datatypes
+
+        return infer_literal_datatypes(_dtype_fixture(spark, sf))
 
     q["kg_literal_datatypes"] = literal_dtypes_q
+
+    def dtype_enforce_q(spark, sf):
+        # Constraint enforcement (ontology.py::apply_datatype_constraints)
+        # over the same fixture: deviants (circa-years, decimal employee
+        # counts) flag conforms_i=0 against the induced dominant dtype.
+        # Oracle = the fact rows with dtype/exp/conforms all derived from
+        # arithmetic, never from the operator's regexes.
+        from aiwhispr_spark.operators.ontology import apply_datatype_constraints
+
+        return apply_datatype_constraints(_dtype_fixture(spark, sf))
+
+    q["kg_datatype_enforce"] = dtype_enforce_q
 
     def appositive_q(spark, sf):
         # Appositive is_a mining (hearst.py::extract_appositive_isa): a
@@ -5232,6 +5248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_list_triples",
         "mention_bursts",
         "kg_literal_datatypes",
+        "kg_datatype_enforce",
         "appositive_isa",
         "homograph_spoof_pairs",
         "host_cocitation_pairs",
@@ -6544,6 +6561,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(coalesce(pr.pr_i, 0)) AS BIGINT) AS authority_i
         FROM m LEFT JOIN pr ON pr.node = m.host
         GROUP BY m.entity
+    """
+    o["kg_datatype_enforce"] = """
+        WITH dd AS (SELECT doc_id AS i FROM documents),
+        f AS (
+          SELECT 'S' || i AS subj, 'founded_in' AS pred,
+                 CASE WHEN i % 10 = 0 THEN 'circa ' || (1900 + i % 100)
+                      ELSE CAST(1900 + i % 100 AS VARCHAR) END AS obj,
+                 CASE WHEN i % 10 = 0 THEN 'text' ELSE 'year' END AS dtype,
+                 'year' AS exp_dtype
+          FROM dd
+          UNION ALL
+          SELECT 'S' || i, 'employees',
+                 CASE WHEN i % 7 = 0 THEN (i % 20) || '.5'
+                      ELSE CAST(i AS VARCHAR) END,
+                 CASE WHEN i % 7 = 0 THEN 'decimal' ELSE 'integer' END,
+                 'integer'
+          FROM dd
+          UNION ALL
+          SELECT 'S' || i, 'launched',
+                 '2020-' || lpad(CAST((i % 12) + 1 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST((i % 28) + 1 AS VARCHAR), 2, '0'),
+                 'date', 'date'
+          FROM dd
+          UNION ALL
+          SELECT 'S' || i, 'homepage', 'https://h' || (i % 9) || '.org',
+                 'url', 'url'
+          FROM dd
+          UNION ALL
+          SELECT 'S' || i, 'ceo', 'Ada Byron ' || (i % 5),
+                 'proper_name', 'proper_name'
+          FROM dd
+          UNION ALL
+          SELECT 'S' || i, 'note', 'plain lowercase words', 'text', 'text'
+          FROM dd
+        )
+        SELECT subj, pred, obj, dtype, exp_dtype,
+               CAST(CASE WHEN dtype = exp_dtype THEN 1 ELSE 0 END AS INTEGER)
+                 AS conforms_i
+        FROM f
     """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),

@@ -160,3 +160,47 @@ def infer_literal_datatypes(
         ).cast("long").alias("share_pm"),
         (F.row_number().over(w_rk) == 1).cast("int").alias("is_dominant_i"),
     )
+
+
+def apply_datatype_constraints(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Enforcement pass over :func:`infer_literal_datatypes`: every fact is
+    checked against its predicate's DOMINANT induced datatype — conforming
+    facts keep flowing, deviants are flagged for quarantine (the mined-KG
+    equivalent of a failed CHECK constraint; extraction noise like
+    ``founded_in → 'circa 1994'`` surfaces here instead of poisoning casts
+    downstream).
+
+    Output: (subj, pred, obj, dtype, exp_dtype, conforms_i) over DISTINCT
+    facts — dominance comes from the SAME induction (one source of truth,
+    re-derived, never passed in stale).
+
+    100 TB shape: the profile is |preds × 7| rows — broadcast back onto the
+    fact stream; classification stays a narrow JVM regex; no second
+    corpus-scale exchange beyond the induction's own distinct.
+    """
+    facts = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    dominant = (
+        infer_literal_datatypes(facts)
+        .filter(F.col("is_dominant_i") == 1)
+        .select("pred", F.col("dtype").alias("exp_dtype"))
+    )
+    typed = facts.select(
+        "subj", "pred", "obj", literal_dtype_expr(F.col("obj")).alias("dtype")
+    )
+    return typed.join(F.broadcast(dominant), "pred").select(
+        "subj",
+        "pred",
+        "obj",
+        "dtype",
+        "exp_dtype",
+        (F.col("dtype") == F.col("exp_dtype")).cast("int").alias("conforms_i"),
+    )

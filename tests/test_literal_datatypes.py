@@ -50,3 +50,18 @@ def test_dominance_share_and_distinct_facts(spark):
         "year": (3, 4, 750, 1),
         "text": (1, 4, 250, 0),
     }
+
+
+def test_enforcement_flags_deviants_against_dominant(spark):
+    from aiwhispr_spark.operators.ontology import apply_datatype_constraints
+
+    rows = [
+        ("S1", "founded_in", "1994"),
+        ("S2", "founded_in", "2001"),
+        ("S3", "founded_in", "circa 1994"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {r.subj: (r.dtype, r.exp_dtype, r.conforms_i)
+           for r in apply_datatype_constraints(df).collect()}
+    assert got["S1"] == ("year", "year", 1)
+    assert got["S3"] == ("text", "year", 0)
