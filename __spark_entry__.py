@@ -5088,6 +5088,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["entity_authority"] = authority_q
 
+    def anchor_edges_q(spark, sf):
+        # Typed KG edges from anchor text (linkgraph.py::anchor_typed_edges):
+        # homepage / contact (root-relative, exercising resolution) /
+        # source-repo anchors plus a 'read more' decoy that must emit
+        # nothing; duplicate homepage assertions collapse.  Oracle =
+        # expected rows from doc-id arithmetic.
+        from aiwhispr_spark.operators.linkgraph import anchor_typed_edges
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        html = F.concat(
+            F.lit('<html><head><meta property="og:title" content="Page '),
+            (i % 20).cast("string"),
+            F.lit('"/></head><body><a href="https://e'),
+            (i % 6).cast("string"),
+            F.lit('.example/">Official Website</a>'),
+            F.lit('<a href="/contact">Contact</a>'),
+            F.lit('<a href="https://g.example/r'),
+            (i % 4).cast("string"),
+            F.lit('">GitHub</a>'),
+            F.lit('<a href="https://e'),
+            (i % 6).cast("string"),
+            F.lit('.example/">official website</a>'),
+            F.lit('<a href="https://x.example/y">read more</a></body></html>'),
+        )
+        docs = d.select(
+            F.concat(F.lit("https://w.example/p/"), i.cast("string")).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        return anchor_typed_edges(docs)
+
+    q["anchor_typed_edges"] = anchor_edges_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5258,6 +5291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_detect",
         "according_to_claims",
         "entity_authority",
+        "anchor_typed_edges",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -6600,6 +6634,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN dtype = exp_dtype THEN 1 ELSE 0 END AS INTEGER)
                  AS conforms_i
         FROM f
+    """
+    o["anchor_typed_edges"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents)
+        SELECT 'https://w.example/p/' || i AS src_url,
+               'Page ' || (i % 20) AS subj, 'homepage' AS pred,
+               'https://e' || (i % 6) || '.example' AS obj
+        FROM d
+        UNION ALL
+        SELECT 'https://w.example/p/' || i, 'Page ' || (i % 20),
+               'contact_page', 'https://w.example/contact'
+        FROM d
+        UNION ALL
+        SELECT 'https://w.example/p/' || i, 'Page ' || (i % 20),
+               'source_repo', 'https://g.example/r' || (i % 4)
+        FROM d
     """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),

@@ -85,15 +85,21 @@ _ANCHOR_RE = r'(?s)<a\s[^>]*href="[^"]*"[^>]*>.*?</a>'
 
 
 def extract_anchors(
-    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    carry: dict[str, Column] | None = None,
 ) -> DataFrame:
-    """(src_url, dst_url, anchor) — like :func:`extract_links` but keeping
-    each link's visible anchor text (inner tags stripped, whitespace
+    """(src_url, dst_url, anchor[, *carry]) — like :func:`extract_links` but
+    keeping each link's visible anchor text (inner tags stripped, whitespace
     trimmed/collapsed, lowercased).  Anchor text is the web's free entity
     alias evidence: aggregated per target it feeds the KG linker's candidate
     priors (operators/linking.py) the same way alias surface forms from SVO
-    extraction do."""
+    extraction do.  ``carry`` maps extra output names to page-level
+    expressions carried through the explode as scalars — the no-self-join
+    way for consumers (anchor_typed_edges) to keep page context."""
     text = F.decode(F.col(html_col), "UTF-8")
+    carry = carry or {}
     href = F.regexp_extract(F.col("a"), r'href="([^"]*)"', 1)
     inner = F.regexp_extract(F.col("a"), r"(?s)>(.*)</a>$", 1)
     anchor = F.lower(
@@ -103,12 +109,14 @@ def extract_anchors(
     return (
         docs.select(
             F.col(url_col).alias("src_url"),
+            *[expr.alias(name) for name, expr in carry.items()],
             F.explode(
                 F.regexp_extract_all(text, F.lit(_ANCHOR_RE), F.lit(0))
             ).alias("a"),
         )
         .select(
             "src_url",
+            *carry.keys(),
             canonical_url_expr(resolved).alias("dst_url"),
             anchor.alias("anchor"),
         )
@@ -310,4 +318,55 @@ def coupling_pairs(
     return _overlap_pairs(
         edges.select(F.col(dst_col).alias("key"), F.col(src_col).alias("item")),
         max_fanout=max_fanout,
+    )
+
+
+# anchor-pattern → predicate map, documented subset (lowercased anchors —
+# extract_anchors lowercases; oracle mirrors the same alternations)
+ANCHOR_PREDICATES: list[tuple[str, str]] = [
+    ("homepage", r"^(official (web)?site|official homepage|homepage|website)$"),
+    ("contact_page", r"^(contact( us)?|imprint|impressum)$"),
+    ("source_repo", r"^(source( code)?|github|repository)$"),
+]
+
+
+def anchor_typed_edges(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Typed KG edges from anchor-text conventions: a link whose visible
+    text says "official website" asserts a ``homepage`` fact about the
+    PAGE'S principal entity (og:title, url fallback) — link structure as a
+    fact source, the relational upgrade of :func:`anchor_aliases` (which
+    only names the target).  Documented predicate table above; anchors that
+    match no pattern emit nothing (navigation noise stays out).
+
+    Output: (src_url, subj, pred, obj) with obj = the canonicalized link
+    target.  Repeated identical assertions on one page collapse (distinct).
+
+    100 TB shape: rides the same single anchor-explode projection as
+    extract_anchors with the subject CARRIED as a scalar (``carry`` — no
+    self-join, no page-scale broadcast); the pattern CASE is pure JVM;
+    distinct is the only exchange.
+    """
+    from aiwhispr_spark.operators.structured import _meta_content
+
+    text = F.decode(F.col(html_col), "UTF-8")
+    subj = F.coalesce(
+        F.nullif(_meta_content(text, "property", "og:title"), F.lit("")),
+        F.col(url_col),
+    )
+    anchors = extract_anchors(
+        docs, url_col=url_col, html_col=html_col, carry={"subj": subj}
+    )
+    pred = F.lit(None).cast("string")
+    for name, rx in reversed(ANCHOR_PREDICATES):
+        pred = F.when(F.col("anchor").rlike(rx), F.lit(name)).otherwise(pred)
+    return (
+        anchors.select(
+            "src_url", "subj", pred.alias("pred"), F.col("dst_url").alias("obj")
+        )
+        .where(F.col("pred").isNotNull())
+        .distinct()
     )
