@@ -5121,6 +5121,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anchor_typed_edges"] = anchor_edges_q
 
+    def domain_rollup_q(spark, sf):
+        # Registrable-domain inventory (urlnorm.py::domain_rollup +
+        # registrable_domain_expr): a two-level-suffix arm (shop*.co.uk with
+        # 4 subdomain hosts), a plain .org arm with 1 host and 3 repeating
+        # paths, and a static-path .net arm (n_urls = 1).  Oracle =
+        # closed-form per-domain counts from residue arithmetic —
+        # suffix-logic independent.
+        from aiwhispr_spark.operators.urlnorm import domain_rollup
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        u1 = d.select(
+            F.concat(
+                F.lit("https://s"), (i % 4).cast("string"),
+                F.lit(".shop"), (i % 10).cast("string"),
+                F.lit(".co.uk/p/"), i.cast("string"),
+            ).alias("url")
+        )
+        u2 = d.select(
+            F.concat(
+                F.lit("https://news.example"), (i % 5).cast("string"),
+                F.lit(".org/a/"), (i % 3).cast("string"),
+            ).alias("url")
+        )
+        u3 = d.select(
+            F.concat(
+                F.lit("https://plain"), (i % 7).cast("string"), F.lit(".net/x")
+            ).alias("url")
+        )
+        return domain_rollup(u1.unionByName(u2).unionByName(u3))
+
+    q["domain_rollup"] = domain_rollup_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5292,6 +5325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "according_to_claims",
         "entity_authority",
         "anchor_typed_edges",
+        "domain_rollup",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -6649,6 +6683,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'https://w.example/p/' || i, 'Page ' || (i % 20),
                'source_repo', 'https://g.example/r' || (i % 4)
         FROM d
+    """
+    o["domain_rollup"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents)
+        SELECT 'shop' || (i % 10) || '.co.uk' AS domain,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(DISTINCT i % 4) AS BIGINT) AS n_hosts,
+               CAST(count(DISTINCT i) AS BIGINT) AS n_urls
+        FROM d GROUP BY i % 10
+        UNION ALL
+        SELECT 'example' || (i % 5) || '.org',
+               CAST(count(*) AS BIGINT), CAST(1 AS BIGINT),
+               CAST(count(DISTINCT i % 3) AS BIGINT)
+        FROM d GROUP BY i % 5
+        UNION ALL
+        SELECT 'plain' || (i % 7) || '.net',
+               CAST(count(*) AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        FROM d GROUP BY i % 7
     """
     o["host_outlink_profile"] = f"""
         WITH l AS ({_linked_links_sql()}),

@@ -299,3 +299,56 @@ def mine_url_templates(
         .cast("int")
         .alias("is_trap_i"),
     )
+
+
+# two-level public suffixes, documented reduced subset of the PSL (the
+# entries that actually dominate web corpora; the full list is a config
+# swap, not a code change)
+TWO_LEVEL_SUFFIXES = (
+    "co.uk ac.uk gov.uk org.uk co.jp ne.jp or.jp com.au net.au org.au "
+    "com.br com.cn com.mx co.in co.kr com.tr com.ar co.za com.sg"
+).split()
+
+
+def registrable_domain_expr(host: Column) -> Column:
+    """Registrable domain (eTLD+1) of a hostname under the documented
+    two-level-suffix subset: 'news.bbc.co.uk' → 'bbc.co.uk',
+    'ads.x.org' → 'x.org', bare 'localhost' stays itself.  The unit of
+    ownership for blocking, rate limits and per-site dedup — hosts are too
+    fine (every subdomain separate), suffixes too coarse.
+
+    Pure JVM split/slice expressions, oracle-mirrored.
+    """
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # guard: slice start must be >= 1 (single-label hosts)
+    last2 = F.when(
+        n >= 2, F.array_join(F.slice(labels, n - 1, 2), ".")
+    ).otherwise(host)
+    two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
+    take = F.when(two_level & (n >= 3), 3).when(~two_level & (n >= 2), 2).otherwise(n)
+    return F.array_join(F.slice(labels, n - take + 1, take), ".")
+
+
+def domain_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-registrable-domain crawl inventory: page rows, distinct hosts,
+    distinct canonical urls — the ownership-level table a budget allocator,
+    blocklist reviewer or per-site dedup keys on.
+
+    100 TB shape: domain extraction is narrow; ONE map-side-combinable
+    groupBy onto |domains| keys; the distinct-url count carries md5 digests,
+    never pages.
+    """
+    keyed = df.select(
+        registrable_domain_expr(url_host_expr(F.col(url_col))).alias("domain"),
+        url_host_expr(F.col(url_col)).alias("_host"),
+        canonical_url_expr(F.col(url_col)).alias("_canon"),
+    )
+    return keyed.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.countDistinct("_host").cast("long").alias("n_hosts"),
+        F.countDistinct("_canon").cast("long").alias("n_urls"),
+    )
