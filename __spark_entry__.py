@@ -5154,6 +5154,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_rollup"] = domain_rollup_q
 
+    def lang_mismatch_q(spark, sf):
+        # Declared-vs-detected language validation (textstats.py::
+        # declared_lang_mismatch): declared = the documents.lang column
+        # (with a region subtag '-GB' on even ids — primary-subtag split
+        # exercised), a 'zz' template-default arm (always mismatches) and a
+        # no-attribute arm (no evidence, never flags).  Detected = the REAL
+        # stopword-vote heuristic over the tag-stripped text; oracle reuses
+        # the lang-detect CTE + declared arithmetic.
+        from aiwhispr_spark.operators.textstats import declared_lang_mismatch
+
+        d = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+        declared = F.when(i % 6 == 0, F.lit("zz")).otherwise(
+            F.when(i % 2 == 0, F.concat(F.col("lang"), F.lit("-GB"))).otherwise(
+                F.col("lang")
+            )
+        )
+        html = F.when(
+            i % 6 == 3,
+            F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
+        ).otherwise(
+            F.concat(
+                F.lit('<html lang="'), declared,
+                F.lit('"><body><p>'), F.col("text"), F.lit("</p></body></html>"),
+            )
+        )
+        docs = d.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        return declared_lang_mismatch(docs)
+
+    q["declared_lang_mismatch"] = lang_mismatch_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5326,6 +5360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_authority",
         "anchor_typed_edges",
         "domain_rollup",
+        "declared_lang_mismatch",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -7800,7 +7835,9 @@ def oracle_sql() -> dict[str, str]:
         lang_cases.append(
             f"len(list_intersect(toks, {_stop_array_sql(lang)})) AS s_{lang}"
         )
-    o["lang_id_heuristic"] = f"""
+    # detected-language statement (doc_id, lang_detected) — shared by the
+    # lang_id gate and the declared-vs-detected mismatch gate
+    _lang_detect_sql = f"""
         WITH t AS (
           SELECT doc_id,
                  list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
@@ -7815,6 +7852,26 @@ def oracle_sql() -> dict[str, str]:
                     WHEN s_es = best THEN 'es'
                     ELSE 'fr' END AS lang_detected
         FROM g
+    """
+    o["lang_id_heuristic"] = _lang_detect_sql
+    o["declared_lang_mismatch"] = f"""
+        WITH det AS ({_lang_detect_sql}),
+        dec AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 6 = 3 THEN ''
+                      WHEN doc_id % 6 = 0 THEN 'zz'
+                      ELSE lang END AS primary_lang
+          FROM documents
+        )
+        SELECT 'u' || dec.doc_id AS url,
+               dec.primary_lang AS declared_lang,
+               det.lang_detected AS detected_lang,
+               CAST(CASE WHEN dec.primary_lang <> '' THEN 1 ELSE 0 END
+                    AS INTEGER) AS has_declared_i,
+               CAST(CASE WHEN dec.primary_lang <> ''
+                          AND dec.primary_lang <> det.lang_detected
+                    THEN 1 ELSE 0 END AS INTEGER) AS mismatch_i
+        FROM dec JOIN det USING (doc_id)
     """
     o["token_counts"] = """
         SELECT doc_id,

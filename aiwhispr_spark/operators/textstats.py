@@ -799,3 +799,38 @@ def readability_scores(
         F.when(w > 0, fk).cast("long").alias("fk_grade_i"),
         F.when(w > 0, fre).cast("long").alias("fre_i"),
     )
+
+
+def declared_lang_mismatch(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Declared-vs-detected language validation (the CCNet consistency
+    check): the ``<html lang="…">`` attribute is author metadata and lies
+    constantly at web scale (template defaults, copy-pasted headers) —
+    routing a page into the wrong language pipeline poisons per-language
+    stats, LM scores and dedup.  Compares the declared PRIMARY subtag
+    ('en-GB' → 'en') against :func:`lang_id_expr` over the tag-stripped
+    visible text.
+
+    Output: (url, declared_lang, detected_lang, has_declared_i, mismatch_i)
+    — undeclared pages flag nothing (no evidence ≠ disagreement).
+
+    100 TB shape: attribute pull + tag strip + the stopword vote are one
+    narrow JVM expression stage; zero shuffle, zero python.
+    """
+    text = F.decode(F.col(html_col), "UTF-8")
+    declared_full = F.lower(
+        F.regexp_extract(text, r'<html[^>]*\slang="([^"]*)"', 1)
+    )
+    primary = F.regexp_extract(declared_full, r"^([a-z]+)", 1)
+    visible = F.regexp_replace(text, r"(?s)<[^>]*>", " ")
+    detected = lang_id_expr(visible)
+    return docs.select(
+        F.col(url_col).alias("url"),
+        primary.alias("declared_lang"),
+        detected.alias("detected_lang"),
+        (primary != "").cast("int").alias("has_declared_i"),
+        ((primary != "") & (primary != detected)).cast("int").alias("mismatch_i"),
+    )
