@@ -495,41 +495,25 @@ def attribute_merge_candidates(
     salting here, chosen not measured.  Sizes re-join on the subject key;
     nothing collects.
     """
-    facts = triples.select(
-        F.col(subj_col).alias("subj"),
-        F.col(pred_col).alias("pred"),
-        F.col(obj_col).alias("obj"),
-    ).distinct()
-    dfc = (
-        facts.groupBy("pred", "obj")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("pred", "obj")
+    # the generic key-overlap wedge (distinct → fan-out cap → a<b join →
+    # sizes → integer jaccard) lives in linkgraph._overlap_pairs; here the
+    # shared key is the (pred, obj) fact and the item is the subject.
+    # Imported in-function: canonicalize ← linkgraph would otherwise risk a
+    # cycle through linkgraph's urlnorm imports.
+    from aiwhispr_spark.operators.linkgraph import _overlap_pairs
+
+    rel = triples.select(
+        F.struct(
+            F.col(pred_col).alias("pred"), F.col(obj_col).alias("obj")
+        ).alias("key"),
+        F.col(subj_col).alias("item"),
     )
-    eligible = facts.join(dfc, ["pred", "obj"], "left_semi")
-    sizes = eligible.groupBy("subj").agg(
-        F.count(F.lit(1)).cast("long").alias("n_facts")
-    )
-    left = eligible.select(F.col("subj").alias("a"), "pred", "obj")
-    right = eligible.select(F.col("subj").alias("b"), "pred", "obj")
-    pairs = (
-        left.join(right, ["pred", "obj"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
-    return (
-        pairs.join(sizes.select(F.col("subj").alias("a"), F.col("n_facts").alias("n_facts_a")), "a")
-        .join(sizes.select(F.col("subj").alias("b"), F.col("n_facts").alias("n_facts_b")), "b")
-        .select(
-            "a",
-            "b",
-            "n_shared",
-            "n_facts_a",
-            "n_facts_b",
-            F.expr("1000000 * n_shared div (n_facts_a + n_facts_b - n_shared)")
-            .cast("long")
-            .alias("jaccard_i"),
-        )
+    out = _overlap_pairs(rel, max_fanout=max_df)
+    return out.filter(F.col("n_common") >= min_shared).select(
+        "a",
+        "b",
+        F.col("n_common").alias("n_shared"),
+        F.col("deg_a").alias("n_facts_a"),
+        F.col("deg_b").alias("n_facts_b"),
+        "jaccard_i",
     )

@@ -114,6 +114,44 @@ def literal_dtype_expr(obj: Column) -> Column:
     return expr
 
 
+def _typed_facts(
+    triples: DataFrame, subj_col: str, pred_col: str, obj_col: str
+) -> DataFrame:
+    """DISTINCT facts with their literal dtype — the shared subtree of the
+    induction and the enforcement pass (identical subplans ⇒ the distinct
+    exchange is ReusedExchange-eligible when both consume it in one job,
+    the unigram-LM vocab pattern)."""
+    return triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct().select(
+        "subj", "pred", "obj", literal_dtype_expr(F.col("obj")).alias("dtype")
+    )
+
+
+def _profile_from_typed(typed: DataFrame) -> DataFrame:
+    """(pred, dtype, n_values, n_total, share_pm, is_dominant_i) — the ONE
+    dominance election, shared by induction and enforcement."""
+    prof = typed.groupBy("pred", "dtype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values")
+    )
+    w_tot = Window.partitionBy("pred")
+    w_rk = Window.partitionBy("pred").orderBy(
+        F.col("n_values").desc(), F.col("dtype").asc()
+    )
+    return prof.select(
+        "pred",
+        "dtype",
+        "n_values",
+        F.sum("n_values").over(w_tot).cast("long").alias("n_total"),
+        F.expr(
+            "1000 * n_values div sum(n_values) OVER (PARTITION BY pred)"
+        ).cast("long").alias("share_pm"),
+        (F.row_number().over(w_rk) == 1).cast("int").alias("is_dominant_i"),
+    )
+
+
 def infer_literal_datatypes(
     triples: DataFrame,
     subj_col: str = "subj",
@@ -138,27 +176,8 @@ def infer_literal_datatypes(
     ONE map-side-combinable groupBy onto a |preds × 7| key space; the rank
     window partitions by pred over ≤7 rows each — never global.
     """
-    facts = triples.select(
-        F.col(subj_col).alias("subj"),
-        F.col(pred_col).alias("pred"),
-        F.col(obj_col).alias("obj"),
-    ).distinct()
-    prof = facts.groupBy(
-        "pred", literal_dtype_expr(F.col("obj")).alias("dtype")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_values"))
-    w_tot = Window.partitionBy("pred")
-    w_rk = Window.partitionBy("pred").orderBy(
-        F.col("n_values").desc(), F.col("dtype").asc()
-    )
-    return prof.select(
-        "pred",
-        "dtype",
-        "n_values",
-        F.sum("n_values").over(w_tot).cast("long").alias("n_total"),
-        F.expr(
-            "1000 * n_values div sum(n_values) OVER (PARTITION BY pred)"
-        ).cast("long").alias("share_pm"),
-        (F.row_number().over(w_rk) == 1).cast("int").alias("is_dominant_i"),
+    return _profile_from_typed(
+        _typed_facts(triples, subj_col, pred_col, obj_col)
     )
 
 
@@ -176,25 +195,20 @@ def apply_datatype_constraints(
     downstream).
 
     Output: (subj, pred, obj, dtype, exp_dtype, conforms_i) over DISTINCT
-    facts — dominance comes from the SAME induction (one source of truth,
-    re-derived, never passed in stale).
+    facts — dominance comes from the SAME election as the induction
+    (`_profile_from_typed`, one source of truth).
 
-    100 TB shape: the profile is |preds × 7| rows — broadcast back onto the
-    fact stream; classification stays a narrow JVM regex; no second
-    corpus-scale exchange beyond the induction's own distinct.
+    100 TB shape: the profile branch and the probe branch consume the
+    IDENTICAL typed-facts subplan, so the triple distinct is
+    ReusedExchange-eligible (one physical distinct at runtime — the
+    unigram-LM vocab-reuse pattern); the |preds × 7| dominant table
+    broadcasts back; classification stays a narrow JVM regex.
     """
-    facts = triples.select(
-        F.col(subj_col).alias("subj"),
-        F.col(pred_col).alias("pred"),
-        F.col(obj_col).alias("obj"),
-    ).distinct()
+    typed = _typed_facts(triples, subj_col, pred_col, obj_col)
     dominant = (
-        infer_literal_datatypes(facts)
+        _profile_from_typed(typed)
         .filter(F.col("is_dominant_i") == 1)
         .select("pred", F.col("dtype").alias("exp_dtype"))
-    )
-    typed = facts.select(
-        "subj", "pred", "obj", literal_dtype_expr(F.col("obj")).alias("dtype")
     )
     return typed.join(F.broadcast(dominant), "pred").select(
         "subj",

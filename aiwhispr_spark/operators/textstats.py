@@ -821,8 +821,12 @@ def declared_lang_mismatch(
     narrow JVM expression stage; zero shuffle, zero python.
     """
     text = F.decode(F.col(html_col), "UTF-8")
+    # any quote style (double/single/none) and any case, like the sibling
+    # attribute extractors; unquoted values end at whitespace or '>'
     declared_full = F.lower(
-        F.regexp_extract(text, r'<html[^>]*\slang="([^"]*)"', 1)
+        F.regexp_extract(
+            text, r"(?i)<html[^>]*\slang\s*=\s*[\"']?([A-Za-z][A-Za-z-]*)", 1
+        )
     )
     primary = F.regexp_extract(declared_full, r"^([a-z]+)", 1)
     visible = F.regexp_replace(text, r"(?s)<[^>]*>", " ")

@@ -33,3 +33,16 @@ def test_subtag_split_mismatch_and_silence(spark):
     assert got["ok"] == ("en", "en", 1, 0)
     assert got["lie"] == ("en", "de", 1, 1)
     assert got["none"] == ("", "en", 0, 0)
+
+
+def test_quote_and_case_variants_all_recognized(spark):
+    got = _sig(
+        spark,
+        [
+            ("sq", f"<html lang='de'><body>{_DE}</body></html>"),
+            ("uq", f"<html lang=de><body>{_DE}</body></html>"),
+            ("uc", f'<HTML LANG="DE-AT"><body>{_DE}</body></html>'),
+        ],
+    )
+    for u in ("sq", "uq", "uc"):
+        assert got[u] == ("de", "de", 1, 0), u
