@@ -5188,6 +5188,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["declared_lang_mismatch"] = lang_mismatch_q
 
+    def ktruss_q(spark, sf):
+        # k-truss decomposition (graph_query.py::k_truss, k=4): a K5 clique
+        # (every edge support 3 — survives) plus a bowtie of two triangles
+        # sharing an edge, which peels in a REAL 2-round cascade (outer
+        # edges drop first, the shared edge loses its support and drops
+        # next).  Oracle = the 10 surviving clique edges from residue
+        # arithmetic.
+        from aiwhispr_spark.operators.graph_query import k_truss
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+
+        def s(pre, c):
+            return F.concat(F.lit(pre), c.cast("string"))
+
+        clique = d.select(
+            s("c", i % 5).alias("src"),
+            s("c", (i % 5 + 1 + i % 4) % 5).alias("dst"),
+        )
+        bow = [("t0", "t1"), ("t0", "t2"), ("t1", "t2"), ("t1", "t3"), ("t2", "t3")]
+        bowtie = None
+        for a, b in bow:
+            arm = d.select(F.lit(a).alias("src"), F.lit(b).alias("dst"))
+            bowtie = arm if bowtie is None else bowtie.unionByName(arm)
+        return k_truss(clique.unionByName(bowtie), k=4)
+
+    q["kg_ktruss"] = ktruss_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5361,6 +5389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_typed_edges",
         "domain_rollup",
         "declared_lang_mismatch",
+        "kg_ktruss",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -7872,6 +7901,14 @@ def oracle_sql() -> dict[str, str]:
                           AND dec.primary_lang <> det.lang_detected
                     THEN 1 ELSE 0 END AS INTEGER) AS mismatch_i
         FROM dec JOIN det USING (doc_id)
+    """
+    o["kg_ktruss"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents),
+        p AS (SELECT DISTINCT
+                least('c' || (i % 5), 'c' || ((i % 5 + 1 + i % 4) % 5)) AS a,
+                greatest('c' || (i % 5), 'c' || ((i % 5 + 1 + i % 4) % 5)) AS b
+              FROM d)
+        SELECT a, b, CAST(3 AS BIGINT) AS support FROM p
     """
     o["token_counts"] = """
         SELECT doc_id,

@@ -556,3 +556,90 @@ def strongly_connected_components(
         F.min("peer").alias("scc_id"),
         F.count(F.lit(1)).cast("long").alias("scc_size"),
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008): iteratively drop every edge whose
+    SUPPORT (triangles containing it) falls below k-2 until fixpoint — the
+    edge-level cohesion core that k-core (kcore_peel) can't give: a k-core
+    keeps hub-and-spoke stars, a k-truss keeps only triangle-dense cores
+    (the mirror-farm / tight-community detector on the host graph).
+
+    Returns surviving undirected edges (a, b, support) with a < b and
+    support = the edge's triangle count within the final truss.  The
+    pendant-triangle cascade is real peeling: dropping outer edges strips
+    the support of inner ones round by round (pinned in tests).
+
+    100 TB shape per round: per-edge support comes from exploding each
+    enumerated triangle into its 3 edges and one map-side-combinable count
+    (triangle_enumerate's 2-join wedge bound) — no per-edge neighbor-set
+    intersection materializes; per-round persist + count cuts lineage
+    (iterative-plan discipline), early stop on a stable edge count.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    cur = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = cur.count()
+    supported = cur.select("a", "b", F.lit(0).cast("long").alias("support"))
+    for _ in range(max_rounds):
+        tris = triangle_enumerate(cur, src_col="a", dst_col="b")
+        tri_edges = (
+            tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            .unionByName(tris.select(F.col("a").alias("x"), F.col("c").alias("y")))
+            .unionByName(tris.select(F.col("b").alias("x"), F.col("c").alias("y")))
+        )
+        support = tri_edges.groupBy("x", "y").agg(
+            F.count(F.lit(1)).cast("long").alias("support")
+        )
+        supported = (
+            cur.join(
+                support,
+                (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")),
+                "left",
+            )
+            .select("a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support"))
+        )
+        # localCheckpoint, not persist: cur feeds the 3-way triangle join,
+        # so the LOGICAL plan grows ~3^round under persist alone (the
+        # graph.py::hits failure mode — analysis itself OOMs)
+        nxt = supported.filter(F.col("support") >= k - 2).select("a", "b").localCheckpoint()
+        m = nxt.count()
+        cur = nxt
+        if m == n:
+            break
+        n = m
+    # re-derive the final supports over the stable edge set (the loop's
+    # `supported` is the PRE-drop view of the last round)
+    tris = triangle_enumerate(cur, src_col="a", dst_col="b")
+    tri_edges = (
+        tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(tris.select(F.col("a").alias("x"), F.col("c").alias("y")))
+        .unionByName(tris.select(F.col("b").alias("x"), F.col("c").alias("y")))
+    )
+    support = tri_edges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    out = (
+        cur.join(
+            support,
+            (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")),
+            "left",
+        )
+        .select("a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support"))
+        .localCheckpoint()
+    )
+    return out
