@@ -5216,6 +5216,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_ktruss"] = ktruss_q
 
+    def ego_q(spark, sf):
+        # Ego-network extraction (graph_query.py::ego_subgraph): a 12-ring
+        # with a (r1, r10) chord (the chord is induced AND leaves the
+        # distance set unchanged — both facts pinned by the closed form)
+        # plus a disconnected x0-x1 component that must stay out.  Seeds
+        # ['r0'], radius 3 → nodes at ring distance ≤ 3.
+        from aiwhispr_spark.operators.graph_query import ego_subgraph
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+
+        def s(pre, c):
+            return F.concat(F.lit(pre), c.cast("string"))
+
+        ring = d.select(
+            s("r", F.lpad((i % 12).cast("string"), 2, "0")).alias("src"),
+            s("r", F.lpad(((i + 1) % 12).cast("string"), 2, "0")).alias("dst"),
+        )
+        extra = d.select(F.lit("r01").alias("src"), F.lit("r10").alias("dst")).unionByName(
+            d.select(F.lit("x0").alias("src"), F.lit("x1").alias("dst"))
+        )
+        return ego_subgraph(ring.unionByName(extra), seeds=["r00"], radius=3)
+
+    q["kg_ego_subgraph"] = ego_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5390,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup",
         "declared_lang_mismatch",
         "kg_ktruss",
+        "kg_ego_subgraph",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -7909,6 +7935,18 @@ def oracle_sql() -> dict[str, str]:
                 greatest('c' || (i % 5), 'c' || ((i % 5 + 1 + i % 4) % 5)) AS b
               FROM d)
         SELECT a, b, CAST(3 AS BIGINT) AS support FROM p
+    """
+    o["kg_ego_subgraph"] = """
+        SELECT a, b, CAST(ah AS INTEGER) AS a_hops, CAST(bh AS INTEGER) AS b_hops
+        FROM (VALUES
+          ('r00', 'r01', 0, 1),
+          ('r01', 'r02', 1, 2),
+          ('r02', 'r03', 2, 3),
+          ('r09', 'r10', 3, 2),
+          ('r10', 'r11', 2, 1),
+          ('r00', 'r11', 0, 1),
+          ('r01', 'r10', 1, 2)
+        ) v(a, b, ah, bh)
     """
     o["token_counts"] = """
         SELECT doc_id,
