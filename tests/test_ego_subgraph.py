@@ -28,4 +28,9 @@ def test_multi_seed_takes_nearest_and_edges_are_undirected(spark):
     # direction reversed in input; distance to the NEAREST seed wins
     pairs = [("b", "a"), ("c", "b"), ("d", "c")]
     got = _ego(spark, pairs, seeds=["a", "d"], radius=1)
-    assert got == {("a", "b"): (0, 1), ("c", "d"): (1, 0)}
+    # (b, c) is induced too: BOTH endpoints sit at hop 1 of their nearest seed
+    assert got == {
+        ("a", "b"): (0, 1),
+        ("b", "c"): (1, 1),
+        ("c", "d"): (1, 0),
+    }
