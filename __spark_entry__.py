@@ -5241,6 +5241,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_ego_subgraph"] = ego_q
 
+    def void_q(spark, sf):
+        # VoID dataset description (rdf.py::void_statistics) over the REAL
+        # E1→E3 corpus triples: property partitions + the __dataset__ total
+        # in one ROLLUP pass.  Oracle = GROUP BY ROLLUP over the e2e twin.
+        from aiwhispr_spark.operators.rdf import void_statistics
+
+        return void_statistics(_corpus_triples(spark))
+
+    q["kg_void_stats"] = void_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5416,6 +5426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "declared_lang_mismatch",
         "kg_ktruss",
         "kg_ego_subgraph",
+        "kg_void_stats",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -7947,6 +7958,15 @@ def oracle_sql() -> dict[str, str]:
           ('r00', 'r11', 0, 1),
           ('r01', 'r10', 1, 2)
         ) v(a, b, ah, bh)
+    """
+    o["kg_void_stats"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        f AS (SELECT DISTINCT subj, pred, obj FROM t)
+        SELECT coalesce(pred, '__dataset__') AS part,
+               CAST(count(*) AS BIGINT) AS n_triples,
+               CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+               CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+        FROM f GROUP BY ROLLUP (pred)
     """
     o["token_counts"] = """
         SELECT doc_id,

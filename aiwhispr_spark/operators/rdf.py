@@ -62,3 +62,44 @@ def ntriples_lines(
         F.lit('" .'),
     )
     return triples.withColumn(out_col, line)
+
+
+def void_statistics(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """VoID dataset description (W3C VoID: void:triples, void:distinctSubjects,
+    void:distinctObjects, void:propertyPartition) — the standard self-
+    description every published KG ships next to its dump (the ntriples
+    export above is the dump; this is its manifest).
+
+    One row per property partition plus the ``__dataset__`` total row,
+    computed in ONE pass via ROLLUP(pred): (part, n_triples,
+    n_subjects, n_objects), counts over DISTINCT triples so a mirrored page
+    never inflates the description.
+
+    100 TB shape: the rollup is a map-side-combinable aggregate onto
+    |preds|+1 keys over the distinct triple set; countDistinct expands per
+    grouping set inside the same exchange — no second scan, no window.
+    """
+    facts = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    return (
+        facts.rollup("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.countDistinct("subj").cast("long").alias("n_subjects"),
+            F.countDistinct("obj").cast("long").alias("n_objects"),
+        )
+        .select(
+            F.coalesce("pred", F.lit("__dataset__")).alias("part"),
+            "n_triples",
+            "n_subjects",
+            "n_objects",
+        )
+    )
