@@ -5251,6 +5251,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_void_stats"] = void_q
 
+    def sitemap_index_q(spark, sf):
+        # Sitemap-index expansion (sources/sitemap.py::parse_sitemap_index):
+        # two <sitemap> children per doc (one with lastmod, one without) and
+        # a <url> block in the SAME document that must be ignored (mixed
+        # files route each block to exactly one parser).  Oracle = expected
+        # child rows from doc-id arithmetic.
+        from aiwhispr_spark.sources.sitemap import parse_sitemap_index
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        base = F.concat(F.lit("https://h"), (i % 8).cast("string"), F.lit(".example.org"))
+        xml = F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"), base,
+            F.lit("/sm/"), (i % 5).cast("string"),
+            F.lit(".xml</loc><lastmod>2024-0"), ((i % 9) + 1).cast("string"),
+            F.lit("-15</lastmod></sitemap><sitemap><loc>"), base,
+            F.lit("/sm/extra.xml</loc></sitemap><url><loc>"), base,
+            F.lit("/page</loc></url></sitemapindex>"),
+        )
+        sm = d.select(
+            F.concat(F.lit("h"), (i % 8).cast("string")).alias("host"),
+            xml.alias("sitemap_xml"),
+        )
+        return parse_sitemap_index(sm)
+
+    q["sitemap_index_expand"] = sitemap_index_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5427,6 +5454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ktruss",
         "kg_ego_subgraph",
         "kg_void_stats",
+        "sitemap_index_expand",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -7967,6 +7995,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
                CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
         FROM f GROUP BY ROLLUP (pred)
+    """
+    o["sitemap_index_expand"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents)
+        SELECT 'h' || (i % 8) AS host,
+               'https://h' || (i % 8) || '.example.org/sm/' || (i % 5) || '.xml'
+                 AS child_loc,
+               '2024-0' || ((i % 9) + 1) || '-15' AS lastmod_day
+        FROM d
+        UNION ALL
+        SELECT 'h' || (i % 8),
+               'https://h' || (i % 8) || '.example.org/sm/extra.xml',
+               NULL
+        FROM d
     """
     o["token_counts"] = """
         SELECT doc_id,

@@ -95,3 +95,42 @@ def sitemap_frontier(
         "last_crawl_day",
         status.alias("status"),
     )
+
+
+_SITEMAP_BLOCK_RE = r"(?s)<sitemap\s*>.*?</sitemap\s*>"
+
+
+def parse_sitemap_index(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Sitemap-INDEX expansion: big sites don't publish one sitemap, they
+    publish a ``<sitemapindex>`` of ``<sitemap>`` children (the 50k-URL
+    protocol cap forces it) — a discovery pipeline must fetch the children
+    before :func:`parse_sitemap_entries` sees any ``<url>``.  Returns
+    (host, child_loc, lastmod_day) — the child-sitemap FETCH LIST, same
+    column contract as the entry parser so the frontier logic composes.
+    ``<url>`` blocks in the same document are ignored here (and ``<sitemap>``
+    blocks are invisible to the entry parser, which keys on ``<url>``), so
+    mixed files route each block to exactly one parser.
+
+    100 TB shape: same ONE-regexp_extract_all narrow JVM projection as the
+    entry parser; zero shuffle, zero python.
+    """
+    blocks = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(_SITEMAP_BLOCK_RE), F.lit(0))
+        ).alias("block"),
+    )
+    return (
+        blocks.select(
+            "host",
+            F.regexp_extract("block", _LOC_RE, 1).alias("child_loc"),
+            F.nullif(
+                F.regexp_extract("block", _LASTMOD_RE, 1), F.lit("")
+            ).alias("lastmod_day"),
+        )
+        .where(F.col("child_loc") != "")
+    )
