@@ -5278,6 +5278,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_index_expand"] = sitemap_index_q
 
+    def fact_confidence_q(spark, sf):
+        # Reliability-weighted fact confidence (temporal.py::
+        # fact_confidence) — the feedback half-iteration over the SAME
+        # conflict fixture as kg_source_reliability: host reliabilities
+        # become vote weights, one vote per (host, fact).  Oracle composes
+        # the reliability CTE with the distinct-vote rollup.
+        from aiwhispr_spark.operators.temporal import fact_confidence
+
+        return fact_confidence(_conflict_observations(spark, sf))
+
+    q["kg_fact_confidence"] = fact_confidence_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5455,6 +5467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ego_subgraph",
         "kg_void_stats",
         "sitemap_index_expand",
+        "kg_fact_confidence",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -8625,6 +8638,30 @@ def oracle_sql() -> dict[str, str]:
                  // count(*) AS BIGINT) AS reliability_i
         FROM obs o JOIN majority m USING (subj, pred)
         GROUP BY o.host
+    """
+    o["kg_fact_confidence"] = f"""
+        WITH {_conflict_cte},
+        votes_n AS (SELECT subj, pred, obj, count(*) AS n
+                    FROM obs GROUP BY subj, pred, obj),
+        majority AS (SELECT subj, pred, obj AS maj_obj FROM (
+          SELECT subj, pred, obj,
+                 row_number() OVER (PARTITION BY subj, pred
+                                    ORDER BY n DESC, obj) AS rk
+          FROM votes_n) WHERE rk = 1),
+        rel AS (
+          SELECT o.host,
+                 CAST((1000000 * sum(CASE WHEN o.obj = m.maj_obj THEN 1 ELSE 0 END))
+                   // count(*) AS BIGINT) AS reliability_i
+          FROM obs o JOIN majority m USING (subj, pred)
+          GROUP BY o.host),
+        dv AS (SELECT DISTINCT host, subj, pred, obj FROM obs)
+        SELECT dv.subj, dv.pred, dv.obj,
+               CAST(count(*) AS BIGINT) AS n_hosts,
+               CAST(sum(rel.reliability_i) AS BIGINT) AS support_i,
+               CAST((1000 * sum(rel.reliability_i))
+                 // (1000000 * count(*)) AS BIGINT) AS confidence_pm
+        FROM dv JOIN rel USING (host)
+        GROUP BY dv.subj, dv.pred, dv.obj
     """
     o["deepwalk_skipgram_pairs"] = f"""
         WITH w AS MATERIALIZED ({_walks_sql(4, _host_edges_sql())})

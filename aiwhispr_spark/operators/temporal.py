@@ -531,3 +531,55 @@ def entity_timeline(
     return g.select(
         "subj", "n_events", "first_year", "last_year", rendered.alias("timeline")
     )
+
+
+def fact_confidence(
+    observed: DataFrame,
+    host_col: str = "host",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Reliability-weighted fact confidence — the second half-iteration of
+    the truth-discovery loop :func:`source_reliability` starts: each host's
+    reliability (majority-agreement share) feeds back as that host's VOTE
+    WEIGHT, so a fact asserted by two trustworthy hosts outranks one spammed
+    by a single unreliable mirror farm.
+
+    Output per DISTINCT (subj, pred, obj): ``n_hosts`` (distinct asserting
+    hosts), ``support_i`` = Σ reliability_i over those hosts (BIGINT sum of
+    scaled ints — exact), and ``confidence_pm`` = 1000·support_i div
+    (1e6·n_hosts) — the reliability-weighted share in [0, 1000].  One vote
+    per (host, fact): re-crawls of the same page don't stuff the ballot.
+
+    100 TB shape: reliability is a |hosts|-sized table — broadcast onto the
+    DISTINCT (host, fact) votes; the per-fact rollup map-side combines and
+    co-partitions with every other fact-keyed op.
+    """
+    rel = source_reliability(
+        observed, host_col, subj_col, pred_col, obj_col
+    ).select("host", "reliability_i")
+    votes = observed.select(
+        F.col(host_col).alias("host"),
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    return (
+        votes.join(F.broadcast(rel), "host")
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hosts"),
+            F.sum("reliability_i").cast("long").alias("support_i"),
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "n_hosts",
+            "support_i",
+            F.expr("1000 * support_i div (1000000 * n_hosts)")
+            .cast("long")
+            .alias("confidence_pm"),
+        )
+    )
