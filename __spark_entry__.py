@@ -5290,6 +5290,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_fact_confidence"] = fact_confidence_q
 
+    def node2vec_q(spark, sf):
+        # node2vec second-order biased walks (graph.py::node2vec_walks,
+        # weights 1/2/4 ≡ p=2, q=0.5) over a ring-with-chords graph (out-
+        # degree 2, so return/distance-1/outward arms all fire).  Oracle =
+        # the same md5-indexed weight-expanded picks unrolled per step in
+        # DuckDB (fresh column names per stage — lateral alias shadowing).
+        from aiwhispr_spark.operators.graph import node2vec_walks
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+
+        def s(c):
+            return F.concat(F.lit("n"), c.cast("string"))
+
+        edges = d.select(
+            s(i % 8).alias("src"), s((i % 8 + 1) % 8).alias("dst")
+        ).unionByName(
+            d.select(s(i % 8).alias("src"), s((i % 8 + 2) % 8).alias("dst"))
+        )
+        return node2vec_walks(edges, length=3)
+
+    q["node2vec_walks"] = node2vec_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5468,6 +5491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_stats",
         "sitemap_index_expand",
         "kg_fact_confidence",
+        "node2vec_walks",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -8021,6 +8045,55 @@ def oracle_sql() -> dict[str, str]:
                'https://h' || (i % 8) || '.example.org/sm/extra.xml',
                NULL
         FROM d
+    """
+    _n2v_idx = (
+        "CAST(('0x' || substr(md5({key}), 1, 8))::BIGINT % {n} AS INT) + 1"
+    )
+    o["node2vec_walks"] = f"""
+        WITH d AS (SELECT doc_id AS i FROM documents),
+        e AS (
+          SELECT DISTINCT 'n' || (i % 8) AS src,
+                 'n' || ((i % 8 + 1) % 8) AS dst FROM d
+          UNION
+          SELECT DISTINCT 'n' || (i % 8), 'n' || ((i % 8 + 2) % 8) FROM d
+        ),
+        nb AS (SELECT src, list_sort(list(DISTINCT dst)) AS nbrs,
+                      CAST(count(DISTINCT dst) AS BIGINT) AS nd
+               FROM e GROUP BY src),
+        starts AS (SELECT DISTINCT src AS node FROM e
+                   UNION SELECT DISTINCT dst FROM e),
+        s1 AS (SELECT st.node AS start, st.node AS p1,
+                      nb.nbrs[{_n2v_idx.format(key="st.node || ':1'", n="nb.nd")}]
+                        AS c1
+               FROM starts st JOIN nb ON nb.src = st.node),
+        s2p AS (SELECT s.start, s.p1, s.c1,
+                       flatten(list_transform(c.nbrs,
+                         x -> list_transform(range(
+                           CASE WHEN x = s.p1 THEN 1
+                                WHEN list_contains(p.nbrs, x) THEN 2
+                                ELSE 4 END), y -> x))) AS exp2
+                FROM s1 s JOIN nb c ON c.src = s.c1
+                          JOIN nb p ON p.src = s.p1),
+        s2 AS (SELECT start, p1, c1, c1 AS p2,
+                      exp2[{_n2v_idx.format(key="p1 || '|' || c1 || ':2'", n="len(exp2)")}]
+                        AS c2
+               FROM s2p),
+        s3p AS (SELECT s.start, s.p2, s.c2,
+                       flatten(list_transform(c.nbrs,
+                         x -> list_transform(range(
+                           CASE WHEN x = s.p2 THEN 1
+                                WHEN list_contains(p.nbrs, x) THEN 2
+                                ELSE 4 END), y -> x))) AS exp3
+                FROM s2 s JOIN nb c ON c.src = s.c2
+                          JOIN nb p ON p.src = s.p2),
+        s3 AS (SELECT start,
+                      exp3[{_n2v_idx.format(key="p2 || '|' || c2 || ':3'", n="len(exp3)")}]
+                        AS c3
+               FROM s3p)
+        SELECT node AS start, CAST(0 AS BIGINT) AS step, node FROM starts
+        UNION ALL SELECT start, CAST(1 AS BIGINT), c1 FROM s1
+        UNION ALL SELECT start, CAST(2 AS BIGINT), c2 FROM s2
+        UNION ALL SELECT start, CAST(3 AS BIGINT), c3 FROM s3
     """
     o["token_counts"] = """
         SELECT doc_id,

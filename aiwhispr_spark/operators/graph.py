@@ -431,3 +431,144 @@ def bounded_shortest_paths(
         )
     e.unpersist()
     return dist
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    length: int = 3,
+    return_w: int = 1,
+    base_w: int = 2,
+    inout_w: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """node2vec SECOND-ORDER biased walks (Grover & Leskovec 2016) — the
+    BFS/DFS-interpolating upgrade of :func:`deterministic_walks`: at node
+    ``cur`` having arrived from ``prev``, candidate x is weighted
+
+    * ``return_w``  when x == prev            (1/p — return),
+    * ``base_w``    when prev → x edge exists (distance 1),
+    * ``inout_w``   otherwise                 (1/q — explore outward),
+
+    with SMALL-INTEGER weights (the p=2, q=0.5 classic is 1/2/4): the
+    weighted draw is an md5 index into the neighbor list EXPANDED by weight
+    — integer-exact, reproducible, and expressible in both engines without
+    a cumulative-sum fold.  Step 1 has no ``prev`` and uses the first-order
+    md5 pick (standard node2vec initialization).  One walk per node; walks
+    terminate early at dangling nodes.
+
+    100 TB shape: per step, the walker state joins the neighbor table TWICE
+    (cur → candidates, prev → the distance-1 test list) — both keyed on the
+    node id; the expansion multiplies a neighbor LIST by ≤ max-weight, never
+    the corpus; localCheckpoint per step (state feeds emit + advance).
+    Degree caps for Zipf-headed webs apply upstream, as in
+    deterministic_walks.
+    """
+    if min(return_w, base_w, inout_w) < 1:
+        raise ValueError("weights must be positive integers")
+    n_part = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nbrs = (
+        e.groupBy("src")
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs"),
+            F.count(F.lit(1)).cast("long").alias("nd"),
+        )
+        .repartition(n_part, "src")
+        .persist()
+    )
+    starts = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    frames = [
+        starts.select(
+            F.col("node").alias("start"),
+            F.lit(0).cast("long").alias("step"),
+            F.col("node").alias("node"),
+        )
+    ]
+    # step 1: first-order pick
+    pick1 = F.element_at(
+        F.col("nbrs"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("cur"), F.lit(":1"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % F.col("nd")
+        ).cast("int")
+        + 1,
+    )
+    state = (
+        starts.select(F.col("node").alias("start"), F.col("node").alias("cur"))
+        .join(nbrs, F.col("cur") == F.col("src"), "inner")
+        .select("start", F.col("cur").alias("prev"), pick1.alias("cur"))
+        .localCheckpoint()
+    )
+    frames.append(
+        state.select("start", F.lit(1).cast("long").alias("step"), F.col("cur").alias("node"))
+    )
+    cand = nbrs.select(F.col("src").alias("_c"), F.col("nbrs").alias("cand"))
+    pnbt = nbrs.select(F.col("src").alias("_p"), F.col("nbrs").alias("pnb"))
+    for t in range(2, length + 1):
+
+        def weight(x):
+            return (
+                F.when(x == F.col("prev"), F.lit(return_w))
+                .when(F.array_contains(F.col("pnb"), x), F.lit(base_w))
+                .otherwise(F.lit(inout_w))
+            )
+
+        expanded = F.flatten(
+            F.transform(
+                F.col("cand"),
+                lambda x: F.transform(F.sequence(F.lit(1), weight(x)), lambda y: x),
+            )
+        )
+        r = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("prev"), F.lit("|"), F.col("cur"), F.lit(f":{t}")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.size("_exp").cast("long")
+        ).cast("int")
+        state = (
+            state.join(cand, state["cur"] == cand["_c"], "inner")
+            .join(pnbt, state["prev"] == pnbt["_p"], "inner")
+            .withColumn("_exp", expanded)
+            .select(
+                "start",
+                F.col("cur").alias("prev"),
+                F.element_at(F.col("_exp"), r + 1).alias("cur"),
+            )
+            .localCheckpoint()
+        )
+        frames.append(
+            state.select(
+                "start", F.lit(t).cast("long").alias("step"), F.col("cur").alias("node")
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    out = out.localCheckpoint()
+    e.unpersist()
+    nbrs.unpersist()
+    return out
