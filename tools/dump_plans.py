@@ -89,6 +89,16 @@ SHOWN = [
     ("kg_entity_timeline", "distinct facts + ONE subj-keyed groupBy with sorted-struct arrays — no window, payload bounded by biography length"),
     ("soft404_detect", "title pull + tag strip + marker rlike fused in WholeStageCodegen: no python stage, no exchange"),
     ("according_to_claims", "one zipped regexp_extract_all pair: no python stage, no exchange"),
+    ("entity_authority", "|hosts|-sized rank table broadcast onto the mention stream; ONE map-side-combinable entity aggregate"),
+    ("anchor_typed_edges", "subject carried through the anchor explode as a scalar (carry=) — no self-join, no page-scale broadcast; pattern CASE pure JVM"),
+    ("domain_rollup", "domain extraction narrow; ONE map-side-combinable groupBy onto |domains| keys carrying url digests, never pages"),
+    ("declared_lang_mismatch", "attr pull + tag strip + stopword vote are one narrow JVM stage: no python, no exchange"),
+    ("kg_ktruss", "per-round support from triangle-explode + map-side count; localCheckpoint lineage cuts (3-way join grows the plan ~3^round under persist)"),
+    ("kg_ego_subgraph", "frontier BFS with per-hop localCheckpoint; visited stays (node, hops); induced join keys each endpoint"),
+    ("kg_void_stats", "ONE ROLLUP aggregate onto |preds|+1 keys over distinct triples — no second scan, no window"),
+    ("sitemap_index_expand", "ONE regexp_extract_all narrow projection: no python stage, no exchange"),
+    ("kg_fact_confidence", "|hosts|-sized reliability table broadcast onto distinct (host, fact) votes; per-fact rollup map-side combines"),
+    ("node2vec_walks", "per step: state joins the neighbor table twice (node-keyed); weight expansion multiplies a neighbor LIST, never the corpus; localCheckpoint per step"),
 ]
 
 
