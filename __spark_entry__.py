@@ -5313,6 +5313,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["node2vec_walks"] = node2vec_q
 
+    def rdfs_schema_q(spark, sf):
+        # RDFS/OWL-lite schema export (rdf.py::rdfs_schema_from_profile)
+        # over the shared six-predicate dtype fixture: object-vs-datatype
+        # property election + XSD range map + conformity share.  Oracle =
+        # closed-form per-predicate declarations from the fixture arithmetic.
+        from aiwhispr_spark.operators.rdf import rdfs_schema_from_profile
+
+        return rdfs_schema_from_profile(_dtype_fixture(spark, sf))
+
+    q["kg_rdfs_schema"] = rdfs_schema_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5492,6 +5503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_index_expand",
         "kg_fact_confidence",
         "node2vec_walks",
+        "kg_rdfs_schema",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -8094,6 +8106,28 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT start, CAST(1 AS BIGINT), c1 FROM s1
         UNION ALL SELECT start, CAST(2 AS BIGINT), c2 FROM s2
         UNION ALL SELECT start, CAST(3 AS BIGINT), c3 FROM s3
+    """
+    o["kg_rdfs_schema"] = """
+        WITH dd AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_year,
+                           CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_int
+                    FROM documents)
+        SELECT 'founded_in' AS pred, 'owl:DatatypeProperty' AS prop_kind,
+               'xsd:gYear' AS range_iri, n AS n_total,
+               CAST(1000 * n_year // n AS BIGINT) AS share_pm
+        FROM dd
+        UNION ALL SELECT 'employees', 'owl:DatatypeProperty', 'xsd:integer', n,
+               CAST(1000 * n_int // n AS BIGINT) FROM dd
+        UNION ALL SELECT 'launched', 'owl:DatatypeProperty', 'xsd:date', n,
+               CAST(1000 AS BIGINT) FROM dd
+        UNION ALL SELECT 'homepage', 'owl:DatatypeProperty', 'xsd:anyURI', n,
+               CAST(1000 AS BIGINT) FROM dd
+        UNION ALL SELECT 'ceo', 'owl:ObjectProperty', 'rdfs:Resource', n,
+               CAST(1000 AS BIGINT) FROM dd
+        UNION ALL SELECT 'note', 'owl:DatatypeProperty', 'xsd:string', n,
+               CAST(1000 AS BIGINT) FROM dd
     """
     o["token_counts"] = """
         SELECT doc_id,

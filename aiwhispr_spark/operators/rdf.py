@@ -103,3 +103,53 @@ def void_statistics(
             "n_objects",
         )
     )
+
+
+# induced literal shape → XSD range IRI (proper_name is the entity arm)
+_XSD_RANGE = {
+    "date": "xsd:date",
+    "year": "xsd:gYear",
+    "integer": "xsd:integer",
+    "decimal": "xsd:decimal",
+    "url": "xsd:anyURI",
+    "text": "xsd:string",
+}
+
+
+def rdfs_schema_from_profile(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """RDFS/OWL-lite schema export from the INDUCED datatype profile
+    (ontology.py::infer_literal_datatypes): every predicate gets a property
+    kind — ``owl:ObjectProperty`` when its dominant object shape is an
+    entity mention (proper_name), else ``owl:DatatypeProperty`` — and the
+    matching ``rdfs:range`` IRI from the documented XSD map.  The schema a
+    mined KG publishes next to its VoID description and ntriples dump,
+    derived from the data instead of hand-written.
+
+    Output: (pred, prop_kind, range_iri, n_total, share_pm) — share_pm is
+    the dominant shape's conformity so consumers see how trustworthy each
+    declaration is.
+
+    100 TB shape: everything downstream of the induction is |preds|-sized.
+    """
+    from aiwhispr_spark.operators.ontology import infer_literal_datatypes
+
+    dom = infer_literal_datatypes(triples, subj_col, pred_col, obj_col).filter(
+        F.col("is_dominant_i") == 1
+    )
+    range_iri = F.lit("rdfs:Resource")
+    for shape, iri in _XSD_RANGE.items():
+        range_iri = F.when(F.col("dtype") == shape, F.lit(iri)).otherwise(range_iri)
+    return dom.select(
+        "pred",
+        F.when(F.col("dtype") == "proper_name", F.lit("owl:ObjectProperty"))
+        .otherwise(F.lit("owl:DatatypeProperty"))
+        .alias("prop_kind"),
+        range_iri.alias("range_iri"),
+        "n_total",
+        "share_pm",
+    )

@@ -21,3 +21,18 @@ def test_partitions_and_dataset_total(spark):
         "q": (1, 1, 1),
         "__dataset__": (4, 2, 2),
     }
+
+
+def test_rdfs_schema_declarations(spark):
+    from aiwhispr_spark.operators.rdf import rdfs_schema_from_profile
+
+    rows = [
+        ("S1", "ceo", "Ada Byron"), ("S2", "ceo", "Eve Null"),
+        ("S1", "founded_in", "1994"), ("S2", "founded_in", "circa 1901"),
+        ("S3", "founded_in", "2001"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {r.pred: (r.prop_kind, r.range_iri, r.n_total, r.share_pm)
+           for r in rdfs_schema_from_profile(df).collect()}
+    assert got["ceo"] == ("owl:ObjectProperty", "rdfs:Resource", 2, 1000)
+    assert got["founded_in"] == ("owl:DatatypeProperty", "xsd:gYear", 3, 666)
