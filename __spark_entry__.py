@@ -5324,6 +5324,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_rdfs_schema"] = rdfs_schema_q
 
+    def vocab_stats_q(spark, sf):
+        # Zipf/Heaps corpus diagnostics (textstats.py::vocab_stats) over the
+        # real documents table (5 languages).  Oracle = the same vocab
+        # rollup + lang-partitioned top-10 window in DuckDB.
+        from aiwhispr_spark.operators.textstats import vocab_stats
+
+        return vocab_stats(_t(spark, sf, "documents"))
+
+    q["corpus_vocab_stats"] = vocab_stats_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5504,6 +5514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_confidence",
         "node2vec_walks",
         "kg_rdfs_schema",
+        "corpus_vocab_stats",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -8128,6 +8139,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 AS BIGINT) FROM dd
         UNION ALL SELECT 'note', 'owl:DatatypeProperty', 'xsd:string', n,
                CAST(1000 AS BIGINT) FROM dd
+    """
+    o["corpus_vocab_stats"] = r"""
+        WITH toks AS (
+          SELECT lang, tok FROM (
+            SELECT lang,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+            FROM documents) WHERE tok <> ''),
+        vocab AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+                  FROM toks GROUP BY lang, tok),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                                ORDER BY n DESC, tok) AS rk
+                   FROM vocab)
+        SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_n,
+               CAST(1000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) // sum(n)
+                    AS BIGINT) AS hapax_share_pm,
+               CAST(1000 * sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) // sum(n)
+                    AS BIGINT) AS top10_share_pm
+        FROM ranked GROUP BY lang
     """
     o["token_counts"] = """
         SELECT doc_id,

@@ -838,3 +838,52 @@ def declared_lang_mismatch(
         (primary != "").cast("int").alias("has_declared_i"),
         ((primary != "") & (primary != detected)).cast("int").alias("mismatch_i"),
     )
+
+
+def vocab_stats(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language vocabulary diagnostics — the Zipf/Heaps sanity panel a
+    corpus report leads with: token volume, vocabulary size, hapax count
+    (Zipf tail mass — a sudden hapax-share jump means OCR junk or encoding
+    damage) and the top-10-type share (head mass — a jump means boilerplate
+    slipped past dedup).
+
+    Output per language: (lang, n_tokens, vocab_size, hapax_n,
+    hapax_share_pm, top10_share_pm) — shares as integer per-mille of tokens.
+
+    100 TB shape: ONE (lang, token) aggregate (map-side combinable,
+    vocabulary-sized result), then per-lang rollups over the vocab table —
+    the corpus is scanned once; the top-10 cut is a lang-partitioned
+    row_number over vocab counts, never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    ranked = vocab.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("hapax_n"),
+            F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("_top10"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "vocab_size",
+            "hapax_n",
+            F.expr("1000 * hapax_n div n_tokens").cast("long").alias("hapax_share_pm"),
+            F.expr("1000 * _top10 div n_tokens").cast("long").alias("top10_share_pm"),
+        )
+    )
