@@ -5334,6 +5334,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_vocab_stats"] = vocab_stats_q
 
+    def seeded_lp_q(spark, sf):
+        # Seeded label propagation (graph_query.py::
+        # propagate_labels_from_seeds): a chain whose middle node ties
+        # between both seed classes (min-label break), a direct 2-vs-1
+        # majority vote, and an unreached component that must surface with
+        # NULL labels.  Oracle = the expected assignments as closed-form
+        # rows.
+        from aiwhispr_spark.operators.graph_query import (
+            propagate_labels_from_seeds,
+        )
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        pairs = [
+            ("a0", "m1"), ("m1", "m2"), ("m2", "m3"), ("m3", "b0"),
+            ("v", "a0"), ("v", "a1"), ("v", "b0"),
+            ("u1", "u2"),
+        ]
+        edges = None
+        for a, b in pairs:
+            arm = d.select(F.lit(a).alias("src"), F.lit(b).alias("dst"))
+            edges = arm if edges is None else edges.unionByName(arm)
+        seeds = spark.createDataFrame(
+            [("a0", "org"), ("a1", "org"), ("b0", "person")],
+            "node string, label string",
+        )
+        return propagate_labels_from_seeds(edges, seeds, rounds=3)
+
+    q["kg_seeded_label_propagation"] = seeded_lp_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5515,6 +5544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks",
         "kg_rdfs_schema",
         "corpus_vocab_stats",
+        "kg_seeded_label_propagation",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -8159,6 +8189,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 * sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) // sum(n)
                     AS BIGINT) AS top10_share_pm
         FROM ranked GROUP BY lang
+    """
+    o["kg_seeded_label_propagation"] = """
+        SELECT node, label, CAST(s AS INTEGER) AS is_seed_i
+        FROM (VALUES
+          ('a0', 'org', 1), ('a1', 'org', 1), ('b0', 'person', 1),
+          ('m1', 'org', 0), ('m2', 'org', 0), ('m3', 'person', 0),
+          ('v', 'org', 0),
+          ('u1', NULL, 0), ('u2', NULL, 0)
+        ) t(node, label, s)
     """
     o["token_counts"] = """
         SELECT doc_id,

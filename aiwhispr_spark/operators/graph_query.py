@@ -701,3 +701,74 @@ def ego_subgraph(
     va = visited.select(F.col("node").alias("a"), F.col("hops").alias("a_hops"))
     vb = visited.select(F.col("node").alias("b"), F.col("hops").alias("b_hops"))
     return ee.join(va, "a").join(vb, "b").select("a", "b", "a_hops", "b_hops")
+
+
+def propagate_labels_from_seeds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """SEEDED label propagation (semi-supervised node classification, the
+    Zhu/Ghahramani clamped variant): ``seeds`` is a (node, label) frame of
+    known assignments — entity types from type_entities, domain categories,
+    spam verdicts — and every UNLABELED node adopts, each synchronous
+    round, the most frequent label among its labeled neighbors (min-label
+    ties).  Seeds are CLAMPED (never change), which is what separates this
+    from label_propagation_communities above: that one discovers structure,
+    this one spreads ground truth.  Nodes still unreached after ``rounds``
+    are reported with NULL label (visible, not dropped).
+
+    Output: (node, label, is_seed_i).
+
+    100 TB shape per round: one exchange keyed on node for the labeled-
+    neighbor vote + a node-partitioned row_number (never global); the
+    labeled set only grows, and the vote re-derives adjacency from the edge
+    frame (state stays (node, label)).  localCheckpoint per round.
+    """
+    from pyspark.sql.window import Window
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    ee = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbrs = ee.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        ee.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).localCheckpoint()
+    nodes = nbrs.select("node").distinct()
+    seed = seeds.select(F.col("node"), F.col("label")).distinct()
+    labeled = seed.localCheckpoint()
+    for _ in range(rounds):
+        votes = (
+            nbrs.join(labeled.select(F.col("node").alias("nbr"), "label"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        adopted = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+            # seeds and already-adopted nodes are clamped
+            .join(labeled.select("node"), "node", "left_anti")
+        )
+        labeled = labeled.unionByName(adopted).localCheckpoint()
+    out = (
+        nodes.join(labeled, "node", "left")
+        .join(
+            seed.select("node", F.lit(1).alias("_s")), "node", "left"
+        )
+        .select(
+            "node",
+            "label",
+            F.coalesce("_s", F.lit(0)).cast("int").alias("is_seed_i"),
+        )
+    )
+    return out
