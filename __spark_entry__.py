@@ -5363,6 +5363,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_seeded_label_propagation"] = seeded_lp_q
 
+    def robots_sitemaps_q(spark, sf):
+        # Sitemap directive extraction (robots.py::sitemap_urls_from_robots):
+        # mixed-case directive, inline comment, duplicate occurrence (counts
+        # once), and Allow/Disallow lines that must stay invisible.  Oracle
+        # = expected (host, url) rows from doc-id arithmetic.
+        from aiwhispr_spark.operators.robots import sitemap_urls_from_robots
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        h = F.concat(F.lit("h"), (i % 6).cast("string"))
+        txt = F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n"),
+            F.lit("Sitemap: https://"), h, F.lit(".example.org/sitemap"),
+            (i % 3).cast("string"), F.lit(".xml  # primary\n"),
+            F.lit("siTEmap: https://"), h, F.lit(".example.org/news.xml\n"),
+            F.lit("Sitemap: https://"), h, F.lit(".example.org/news.xml\n"),
+            F.lit("Allow: /public\n"),
+        )
+        robots = d.select(h.alias("host"), txt.alias("robots_txt"))
+        return sitemap_urls_from_robots(robots)
+
+    q["robots_sitemap_discovery"] = robots_sitemaps_q
+
     # --- riskiest-first registration order (VERDICT r2 #1) ---------------------
     def host_outlinks(spark, sf):
         # Per-host outlink hygiene (linkgraph.py::host_outlink_profile):
@@ -5545,6 +5568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_schema",
         "corpus_vocab_stats",
         "kg_seeded_label_propagation",
+        "robots_sitemap_discovery",
         "kg_horn_rules",
         "kg_type_violations",
         "infobox_triples",
@@ -8198,6 +8222,17 @@ def oracle_sql() -> dict[str, str]:
           ('v', 'org', 0),
           ('u1', NULL, 0), ('u2', NULL, 0)
         ) t(node, label, s)
+    """
+    o["robots_sitemap_discovery"] = """
+        WITH ks AS (SELECT DISTINCT doc_id % 6 AS h, doc_id % 3 AS m
+                    FROM documents)
+        SELECT 'h' || h AS host,
+               'https://h' || h || '.example.org/sitemap' || m || '.xml'
+                 AS sitemap_url
+        FROM ks
+        UNION
+        SELECT DISTINCT 'h' || h, 'https://h' || h || '.example.org/news.xml'
+        FROM ks
     """
     o["token_counts"] = """
         SELECT doc_id,

@@ -243,3 +243,37 @@ def politeness_budget(
         .filter(F.col("fetch_rank") <= k)
         .withColumn("fetch_rank", F.col("fetch_rank").cast("int"))
     )
+
+
+def sitemap_urls_from_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` directive extraction — the missing first hop of the
+    discovery chain (robots.txt → sitemap index → sitemaps → url frontier,
+    now closed end-to-end with sources/sitemap.py): RFC 9309 treats the
+    directive as group-INDEPENDENT, so every occurrence anywhere in the file
+    counts, case-insensitively, with inline comments stripped.  Returns
+    DISTINCT (host, sitemap_url).
+
+    100 TB shape: robots files are tiny and per-host — one narrow line
+    explode + regex; the distinct is host-keyed and |directives|-sized.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(robots_col), "\n")).alias("ln"),
+    )
+    is_sm = F.lower(F.regexp_extract("ln", r"^[ \t]*([A-Za-z-]+)[ \t]*:", 1)) == "sitemap"
+    url = F.trim(
+        F.regexp_replace(
+            F.regexp_extract("ln", r"^[ \t]*[A-Za-z-]+[ \t]*:[ \t]*(.*)$", 1),
+            r"[ \t]*#.*$",
+            "",
+        )
+    )
+    return (
+        lines.select("host", F.when(is_sm, url).alias("sitemap_url"))
+        .where(F.col("sitemap_url").isNotNull() & (F.col("sitemap_url") != ""))
+        .distinct()
+    )

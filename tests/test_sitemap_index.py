@@ -40,3 +40,18 @@ def test_children_extracted_and_url_blocks_ignored(spark):
 def test_entry_parser_sees_only_the_url_block(spark):
     got = [r.loc for r in parse_sitemap_entries(_df(spark)).collect()]
     assert got == ["https://h.example/page"]
+
+
+def test_robots_sitemap_directives(spark):
+    from aiwhispr_spark.operators.robots import sitemap_urls_from_robots
+
+    txt = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: https://h.example/a.xml  # primary\n"
+        "siTEmap: https://h.example/b.xml\n"
+        "Sitemap: https://h.example/b.xml\n"  # duplicate counts once
+        "Allow: /public\n"
+    )
+    df = spark.createDataFrame([("h.example", txt)], "host string, robots_txt string")
+    got = {r.sitemap_url for r in sitemap_urls_from_robots(df).collect()}
+    assert got == {"https://h.example/a.xml", "https://h.example/b.xml"}
