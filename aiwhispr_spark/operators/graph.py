@@ -465,6 +465,8 @@ def node2vec_walks(
     Degree caps for Zipf-headed webs apply upstream, as in
     deterministic_walks.
     """
+    if length < 1:
+        raise ValueError("length must be >= 1")
     if min(return_w, base_w, inout_w) < 1:
         raise ValueError("weights must be positive integers")
     n_part = num_partitions or edges.sparkSession.sparkContext.defaultParallelism

@@ -260,20 +260,29 @@ def transitive_closure(
 
 
 def triangle_enumerate(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Every undirected triangle (a, b, c) with a < b < c, each exactly once.
 
     Direction and multiplicity of the input are erased first (canonical
-    least/greatest + distinct); self-loops dropped."""
-    ee = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    least/greatest + distinct); self-loops dropped.  ``assume_canonical``
+    skips that normalization when the caller guarantees a<b, loop-free,
+    distinct input — iterative callers (k_truss) would otherwise pay a
+    no-op exchange+dedup of the full edge set EVERY round."""
+    if assume_canonical:
+        ee = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    else:
+        ee = (
+            edges.select(
+                F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
     e1 = ee.alias("e1")
     e2 = ee.alias("e2")
     e3 = ee.alias("e3")
@@ -584,6 +593,8 @@ def k_truss(
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
     cur = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -594,9 +605,13 @@ def k_truss(
         .localCheckpoint()
     )
     n = cur.count()
-    supported = cur.select("a", "b", F.lit(0).cast("long").alias("support"))
-    for _ in range(max_rounds):
-        tris = triangle_enumerate(cur, src_col="a", dst_col="b")
+
+    def _support_of(frame: DataFrame) -> DataFrame:
+        # cur is canonical by construction — skip triangle_enumerate's
+        # per-round no-op canonicalize+distinct exchange
+        tris = triangle_enumerate(
+            frame, src_col="a", dst_col="b", assume_canonical=True
+        )
         tri_edges = (
             tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
             .unionByName(tris.select(F.col("a").alias("x"), F.col("c").alias("y")))
@@ -605,14 +620,16 @@ def k_truss(
         support = tri_edges.groupBy("x", "y").agg(
             F.count(F.lit(1)).cast("long").alias("support")
         )
-        supported = (
-            cur.join(
-                support,
-                (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")),
-                "left",
-            )
-            .select("a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support"))
+        return frame.join(
+            support,
+            (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")),
+            "left",
+        ).select(
+            "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
         )
+
+    for _ in range(max_rounds):
+        supported = _support_of(cur)
         # localCheckpoint, not persist: cur feeds the 3-way triangle join,
         # so the LOGICAL plan grows ~3^round under persist alone (the
         # graph.py::hits failure mode — analysis itself OOMs)
@@ -620,29 +637,12 @@ def k_truss(
         m = nxt.count()
         cur = nxt
         if m == n:
-            break
+            # nothing dropped this round: `supported` already IS the final
+            # support view — no re-derivation pass needed on the common exit
+            return supported.localCheckpoint()
         n = m
-    # re-derive the final supports over the stable edge set (the loop's
-    # `supported` is the PRE-drop view of the last round)
-    tris = triangle_enumerate(cur, src_col="a", dst_col="b")
-    tri_edges = (
-        tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .unionByName(tris.select(F.col("a").alias("x"), F.col("c").alias("y")))
-        .unionByName(tris.select(F.col("b").alias("x"), F.col("c").alias("y")))
-    )
-    support = tri_edges.groupBy("x", "y").agg(
-        F.count(F.lit(1)).cast("long").alias("support")
-    )
-    out = (
-        cur.join(
-            support,
-            (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")),
-            "left",
-        )
-        .select("a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support"))
-        .localCheckpoint()
-    )
-    return out
+    # max_rounds exhausted mid-peel: re-derive supports over the final set
+    return _support_of(cur).localCheckpoint()
 
 
 def ego_subgraph(
@@ -682,7 +682,7 @@ def ego_subgraph(
     )
     spark = edges.sparkSession
     visited = spark.createDataFrame(
-        [(s, 0) for s in seeds], "node string, hops int"
+        [(s, 0) for s in sorted(set(seeds))], "node string, hops int"
     ).localCheckpoint()
     frontier = visited
     for h in range(1, radius + 1):
@@ -742,8 +742,10 @@ def propagate_labels_from_seeds(
     nbrs = ee.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
         ee.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     ).localCheckpoint()
-    nodes = nbrs.select("node").distinct()
     seed = seeds.select(F.col("node"), F.col("label")).distinct()
+    # an edge-less seed has no neighbors but is still ground truth — the
+    # node universe must include it or the output silently drops it
+    nodes = nbrs.select("node").unionByName(seed.select("node")).distinct()
     labeled = seed.localCheckpoint()
     for _ in range(rounds):
         votes = (

@@ -34,3 +34,10 @@ def test_multi_seed_takes_nearest_and_edges_are_undirected(spark):
         ("b", "c"): (1, 1),
         ("c", "d"): (1, 0),
     }
+
+
+def test_duplicate_seeds_do_not_multiply_edges(spark):
+    pairs = [("a", "b")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    rows = ego_subgraph(df, seeds=["a", "a"], radius=1).collect()
+    assert len(rows) == 1

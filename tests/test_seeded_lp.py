@@ -36,3 +36,9 @@ def test_seed_never_flips_even_when_outvoted(spark):
     assert got["s"] == ("y", 1)
     # each n sees one x-seed and one y-seed: tie -> min label 'x'
     assert got["n1"] == ("x", 0)
+
+
+def test_edge_less_seed_stays_visible(spark):
+    got = _lp(spark, [("a", "b")], [("z", "org")], rounds=1)
+    assert got["z"] == ("org", 1)
+    assert got["a"] == (None, 0)
