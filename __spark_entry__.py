@@ -348,6 +348,64 @@ def _pagerank_sql(
     return f"{body}\nSELECT node, CAST(round(1000000 * pr) AS BIGINT) AS pr_i FROM pr{iterations}"
 
 
+# TrustRank whitelist for the linked corpus (host_trustrank_seeded) — shared
+# by the Spark query and the _trustrank_sql oracle.
+_TRUST_SEED_HOSTS = ["host1.example.org", "host4.example.org", "host7.example.org"]
+
+
+def _trustrank_sql(
+    seed_hosts: list[str],
+    iterations: int = 5,
+    damping: float = 0.85,
+    edges_sql: str | None = None,
+) -> str:
+    """DuckDB twin of operators/graph.py::personalized_pagerank: the seeded
+    recurrence UNROLLED, tele(v) = 1/|S| on seeds else 0, same double-math
+    formula and association order as the Spark step
+    ((1-d)·tele + d·(contrib + dang·tele)) so round(1e6·pr) hashes
+    identically — the _pagerank_sql pattern."""
+    assert edges_sql is not None
+    seeds_values = ", ".join(f"('{h}')" for h in sorted(set(seed_hosts)))
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        f"seeds AS MATERIALIZED (SELECT DISTINCT node FROM (VALUES {seeds_values}) s(node)),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),",
+        "tele AS MATERIALIZED (SELECT n.node,"
+        " CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT n FROM ns)"
+        " ELSE 0.0 END AS t"
+        " FROM nodes n LEFT JOIN seeds s ON s.node = n.node),",
+        "outd AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outd"
+        " FROM edges GROUP BY src),",
+        "pr0 AS MATERIALIZED (SELECT node, t AS pr FROM tele),",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"pr{k - 1}"
+        parts.append(
+            f"dang{k} AS MATERIALIZED (SELECT coalesce(sum(p.pr), 0) AS dm FROM {p} p"
+            f" LEFT JOIN outd o ON o.node = p.node WHERE o.node IS NULL),"
+        )
+        parts.append(
+            f"pr{k} AS ("
+            f" SELECT n.node,"
+            f"   (1.0 - {damping}) * te.t"
+            f"   + {damping} * (coalesce(c.contrib, 0)"
+            f"                  + (SELECT dm FROM dang{k}) * te.t) AS pr"
+            f" FROM nodes n JOIN tele te ON te.node = n.node"
+            f" LEFT JOIN ("
+            f"   SELECT e.dst AS node, sum(p.pr / o.outd) AS contrib"
+            f"   FROM edges e JOIN {p} p ON p.node = e.src"
+            f"   JOIN outd o ON o.node = e.src"
+            f"   GROUP BY e.dst) c ON c.node = n.node"
+            f"),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\nSELECT node, CAST(round(1000000 * pr) AS BIGINT) AS tr_i"
+        f" FROM pr{iterations}"
+    )
+
+
 def _hits_sql(iterations: int, edges_sql: str) -> str:
     """DuckDB twin of operators/graph.py::hits: the same L1-normalized
     synchronous recurrence UNROLLED (auth-raw → auth-total → auth, then
@@ -2434,6 +2492,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["host_pagerank_5"] = host_pr
+
+    def host_trustrank_q(spark, sf):
+        # TrustRank (Gyöngyi et al. 2004): personalized PageRank whose
+        # teleport set is a 3-host whitelist — authority must flow out of
+        # the trusted seeds (graph.py::personalized_pagerank composed with
+        # the link-extraction chain).  Oracle: the same seeded recurrence
+        # unrolled over the closed-form host edge set (_trustrank_sql).
+        from aiwhispr_spark.operators.linkgraph import host_trustrank
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        return host_trustrank(
+            docs,
+            seed_hosts=_TRUST_SEED_HOSTS,
+            damping=0.85,
+            iterations=5,
+            num_partitions=8,
+        ).select("node", F.round(F.col("pr") * 1000000).cast("long").alias("tr_i"))
+
+    q["host_trustrank_seeded"] = host_trustrank_q
+
+    def host_reciprocity(spark, sf):
+        # Link-exchange reciprocity per host (linkgraph.py::link_reciprocity):
+        # share of out-neighbors that link back — the link-farm signal the
+        # outlink-volume profile can't see.  Pure integer ratio; oracle
+        # self-joins the closed-form host edge set.
+        from aiwhispr_spark.operators.linkgraph import extract_links, host_edges, link_reciprocity
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        edges = host_edges(extract_links(docs)).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        return link_reciprocity(edges)
+
+    q["host_link_reciprocity"] = host_reciprocity
 
     def pii_redact(spark, sf):
         # PII redaction (operators/pii.py): email/IPv4/phone masking with
@@ -5538,6 +5630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_triples",
         "microdata_triples",
         "kg_predicate_paraphrases",
+        "host_trustrank_seeded",
+        "host_link_reciprocity",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -7063,6 +7157,21 @@ def oracle_sql() -> dict[str, str]:
         iterations=5, damping=0.85, edges_sql=_host_edges_sql()
     )
     o["host_hits_5"] = _hits_sql(iterations=5, edges_sql=_host_edges_sql())
+    o["host_trustrank_seeded"] = _trustrank_sql(
+        _TRUST_SEED_HOSTS, iterations=5, damping=0.85, edges_sql=_host_edges_sql()
+    )
+    o["host_link_reciprocity"] = f"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM ({_host_edges_sql()}) WHERE src <> dst)
+        SELECT e.src AS host,
+               CAST(count(*) AS BIGINT) AS n_out,
+               CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_reciprocal,
+               CAST((1000000 * sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END))
+                    // count(*) AS BIGINT) AS reciprocity_i
+        FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+        GROUP BY e.src
+    """
     o["kcore_peel"] = _kcore_sql(k=2, rounds=8)
     o["bloom_prefilter_dedup"] = """
         WITH delta AS MATERIALIZED (

@@ -102,6 +102,105 @@ def pagerank(
     return pr
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(node, pr) after `iterations` synchronous PERSONALIZED PageRank steps:
+    the teleport vector is uniform over the seed set instead of all nodes
+    (TrustRank, Gyöngyi et al. 2004 — seed a whitelist of trusted hosts and
+    authority flows only out of it; `spam mass` = how much of a node's plain
+    PageRank is NOT backed by trust).
+
+      tele(v)   = 1/|S| if v ∈ seeds else 0
+      pr_0      = tele
+      pr_{k+1}(v) = (1-d)·tele(v) + d·(Σ_{u→v} pr_k(u)/outdeg(u)
+                                       + dangling_k·tele(v))
+
+    Same iterative shape as :func:`pagerank` (edges persisted once,
+    localCheckpoint per step — pr is referenced 3× per iteration); the tele
+    column rides the node frame so no per-step extra join.  Seeds not in the
+    graph contribute teleport mass that immediately flows along their
+    (absent) edges — they are counted in |S| but hold rank only via (1-d);
+    callers should intersect seeds with known hosts first if that matters.
+    Deterministic given edges+seeds (double math — emit scaled ints
+    downstream)."""
+    spark = edges.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .repartition(n_part, "src")
+        .persist()
+    )
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().persist()
+    n_seeds = s.count()  # bounded driver scalar
+    nodes_base = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if n_seeds == 0:
+        e.unpersist()
+        s.unpersist()
+        return nodes_base.select("node", F.lit(0.0).alias("pr")).limit(0)
+    nodes = (
+        nodes_base.join(F.broadcast(s.withColumn("is_seed", F.lit(True))), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("is_seed"), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("tele"),
+        )
+        .persist()
+    )
+    nodes.count()
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outd")).persist()
+
+    pr = nodes.select("node", F.col("tele").alias("pr")).persist()
+    pr.count()
+    for _ in range(iterations):
+        contribs = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outd, "src")
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("outd")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            pr.join(outd.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
+        new_pr = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) * F.col("tele")
+                    + damping
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dm") * F.col("tele")
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint()  # see pagerank(): pr referenced 3×/step
+        )
+        pr.unpersist()
+        pr = new_pr
+    e.unpersist()
+    s.unpersist()
+    outd.unpersist()
+    nodes.unpersist()
+    return pr
+
+
 def hits(
     edges: DataFrame,
     iterations: int = 5,

@@ -199,6 +199,81 @@ def host_pagerank(
     )
 
 
+def host_trustrank(
+    docs: DataFrame,
+    seed_hosts: list[str],
+    damping: float = 0.85,
+    iterations: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(node, tr) — TrustRank over the cross-host link graph: personalized
+    PageRank whose teleport set is a curated whitelist of trusted hosts
+    (graph.py::personalized_pagerank).  The web-spam counterpart of
+    :func:`host_pagerank`: rank mass that survives ONLY via trusted
+    endorsement; `pr - tr` is the spam-mass numerator (Gyöngyi et al. 2004).
+
+    100 TB shape identical to host_pagerank — the recurrence runs on the
+    aggregated HOST graph, orders of magnitude smaller than the page corpus;
+    the seed list is a broadcast-sized frame."""
+    from aiwhispr_spark.operators.graph import personalized_pagerank
+
+    edges = host_edges(extract_links(docs)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    seeds = docs.sparkSession.createDataFrame(
+        [(h,) for h in sorted(set(seed_hosts))], "node string"
+    )
+    return personalized_pagerank(
+        edges,
+        seeds,
+        damping=damping,
+        iterations=iterations,
+        num_partitions=num_partitions,
+    )
+
+
+def link_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-host link-exchange profile over the DISTINCT cross-host edge set:
+    (host, n_out, n_reciprocal, reciprocity_i) where ``n_reciprocal`` counts
+    out-neighbors that link back and ``reciprocity_i = ⌊10^6·recip/out⌋``.
+
+    A high reciprocity share on a high-out-degree host is the classic
+    link-farm / link-exchange-ring signal (complements
+    :func:`host_outlink_profile`'s volume stats) — legitimate hubs point at
+    many hosts that never point back.
+
+    Scale shape: runs on the aggregated host graph.  The reverse-edge probe
+    is a self-join on the canonical pair key — map-side combinable distinct
+    first, and the join key (src, dst) is the host-pair, so skew follows the
+    host-graph head which the distinct already collapsed to one row."""
+    e = (
+        edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    marked = e.join(
+        rev.withColumn("has_rev", F.lit(1)).distinct(), ["src", "dst"], "left"
+    )
+    return (
+        marked.groupBy(F.col("src").alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.sum(F.coalesce(F.col("has_rev"), F.lit(0))).cast("long").alias(
+                "n_reciprocal"
+            ),
+        )
+        .select(
+            "host",
+            "n_out",
+            "n_reciprocal",
+            F.expr("CAST((1000000 * n_reciprocal) div n_out AS BIGINT)").alias(
+                "reciprocity_i"
+            ),
+        )
+    )
+
+
 def anchor_commonness(
     aliases: DataFrame, scale: int = 1_000_000
 ) -> DataFrame:

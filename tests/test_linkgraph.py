@@ -121,3 +121,49 @@ def test_host_outlink_profile_diversity_and_self(spark):
     assert (a.n_links, a.n_dst_hosts, a.n_self) == (3, 2, 1)
     assert a.diversity_i == round(10000 * 2 / 3)
     assert got["c.org"].diversity_i == 10000
+
+
+def test_personalized_pagerank_trust_locality(spark):
+    # chain seed -> s1 -> s2, plus an isolated spam ring (x <-> y) that no
+    # trusted path reaches: ring nodes must end with EXACTLY zero trust
+    # (teleport never lands there and no contribution flows in).
+    from aiwhispr_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("seed", "s1"), ("s1", "s2"), ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "node string")
+    tr = {
+        r.node: r.pr
+        for r in personalized_pagerank(edges, seeds, iterations=4).collect()
+    }
+    assert tr["x"] == 0.0 and tr["y"] == 0.0
+    assert tr["seed"] > 0 and tr["s1"] > 0 and tr["s2"] > 0
+    # total mass stays bounded by 1 (leaks only via dangling s2 -> tele)
+    assert 0 < sum(tr.values()) <= 1.0 + 1e-9
+
+
+def test_personalized_pagerank_empty_seeds_is_empty(spark):
+    from aiwhispr_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([], "node string")
+    assert personalized_pagerank(edges, seeds, iterations=2).count() == 0
+
+
+def test_link_reciprocity_counts(spark):
+    # a<->b reciprocal; a->c one-way; c->a one-way back to a (so c's single
+    # out-edge IS reciprocated); duplicate edges collapse first.
+    from aiwhispr_spark.operators.linkgraph import link_reciprocity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("a", "c"), ("d", "d")],
+        "src string, dst string",
+    )
+    got = {r.host: r for r in link_reciprocity(edges).collect()}
+    assert "d" not in got  # self-loop-only host drops out
+    a = got["a"]
+    assert (a.n_out, a.n_reciprocal, a.reciprocity_i) == (2, 2, 1000000)
+    assert (got["b"].n_out, got["b"].n_reciprocal) == (1, 1)
+    assert (got["c"].n_out, got["c"].n_reciprocal) == (1, 1)
