@@ -4169,6 +4169,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_lpa_communities"] = kg_lpa_communities
 
+    def kg_clustering_coeff(spark, sf):
+        # Local clustering coefficient per entity (graph_query.py::
+        # local_clustering_coefficient): exact-integer 2·tri/(deg·(deg−1))
+        # composed from the triangle join + degree aggregate — clique-ness
+        # of each node's neighborhood.  Oracle = the same triangle/degree
+        # SQL with '//' division.
+        from aiwhispr_spark.operators.graph_query import local_clustering_coefficient
+
+        return local_clustering_coefficient(_entity_edges(spark))
+
+    q["kg_clustering_coefficient"] = kg_clustering_coeff
+
+    def kg_modularity(spark, sf):
+        # Partition-quality gate for the LPA communities: per-community
+        # Newman modularity decomposed to the EXACT integer numerator
+        # q_num = 4·m·e_in − d_sum² over denominator 4m² (graph_query.py::
+        # community_modularity) — zero float math, so the vote dynamics AND
+        # the quality metric are both hash-gateable.  Oracle = the unrolled
+        # LPA rounds + the same integer aggregates.
+        from aiwhispr_spark.operators.graph_query import (
+            community_modularity,
+            label_propagation_communities,
+        )
+
+        e = _entity_edges(spark)
+        return community_modularity(e, label_propagation_communities(e, rounds=3))
+
+    q["kg_modularity"] = kg_modularity
+
     def kg_triple_extent(spark, sf):
         # Temporal KG provenance: fact lifespan across the crawl — per
         # distinct (subj, pred, obj) its first/last observation timestamp,
@@ -5632,6 +5661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_paraphrases",
         "host_trustrank_seeded",
         "host_link_reciprocity",
+        "kg_clustering_coefficient",
+        "kg_modularity",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -8735,6 +8766,51 @@ def oracle_sql() -> dict[str, str]:
             _lpa_round.format(out=f"l{i}", prev=f"l{i - 1}") for i in (1, 2, 3)
         )
         + "SELECT node, label FROM l3"
+    )
+    o["kg_clustering_coefficient"] = f"""
+        WITH {_gq_edges},
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM nbrs GROUP BY node),
+        tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                FROM ee e1
+                JOIN ee e2 ON e2.a = e1.b
+                JOIN ee e3 ON e3.a = e1.a AND e3.b = e2.b),
+        tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+                 SELECT a AS node FROM tri
+                 UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri) GROUP BY node)
+        SELECT d.node, d.deg,
+               CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_tri,
+               CAST(CASE WHEN d.deg >= 2
+                    THEN (2000000 * coalesce(tn.n_tri, 0))
+                         // (d.deg * (d.deg - 1))
+                    ELSE 0 END AS BIGINT) AS lcc_i
+        FROM deg d LEFT JOIN tn ON tn.node = d.node
+    """
+    o["kg_modularity"] = (
+        f"WITH {_gq_edges}, l0 AS (SELECT DISTINCT node, node AS label FROM nbrs),"
+        + ",".join(
+            _lpa_round.format(out=f"l{i}", prev=f"l{i - 1}") for i in (1, 2, 3)
+        )
+        + """
+        , mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ee),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM nbrs GROUP BY node),
+        comm AS (SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+                        CAST(sum(d.deg) AS BIGINT) AS d_sum
+                 FROM l3 l JOIN deg d ON d.node = l.node GROUP BY l.label),
+        ein AS (SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+                FROM ee
+                JOIN l3 la ON la.node = ee.a
+                JOIN l3 lb ON lb.node = ee.b AND lb.label = la.label
+                GROUP BY la.label)
+        SELECT c.label, c.n_nodes,
+               CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, c.d_sum,
+               (SELECT m FROM mm) AS m,
+               CAST(4 * (SELECT m FROM mm) * coalesce(e.e_in, 0)
+                    - c.d_sum * c.d_sum AS BIGINT) AS q_num
+        FROM comm c LEFT JOIN ein e ON e.label = c.label
+    """
     )
     o["kg_triple_extent"] = f"""
         WITH t AS ({_kg_e2e_sql()}),

@@ -297,6 +297,139 @@ def triangle_enumerate(
     )
 
 
+def local_clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(node, deg, n_tri, lcc_i) over the canonical undirected edge set:
+    local clustering coefficient ``lcc = 2·tri(v) / (deg(v)·(deg(v)−1))``
+    as the EXACT integer ``lcc_i = ⌊scale·2·tri / (deg·(deg−1))⌋`` (deg<2 →
+    0) — how close each entity's neighborhood is to a clique, the standard
+    structure signal for hub-vs-clique disambiguation and ER-blocking
+    diagnostics on the KG.
+
+    Composition of :func:`triangle_enumerate` (triangles explode to their 3
+    corners, one map-side-combinable count) with the degree aggregate —
+    both keyed on node, pure integer math end-to-end.  Scale cost is the
+    triangle join itself (the standard bound |E|^1.5); everything after is
+    node-cardinality."""
+    ee = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        ee.select(F.col("a").alias("node"))
+        .unionByName(ee.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri_corners = (
+        triangle_enumerate(ee, "a", "b", assume_canonical=True)
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(tri_corners, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    f"CAST(({2 * int(scale)} * coalesce(n_tri, 0))"
+                    " div (deg * (deg - 1)) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_i"),
+        )
+    )
+
+
+def community_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-community modularity decomposition of a node→label partition over
+    the canonical undirected edge set: (label, n_nodes, e_in, d_sum, m,
+    q_num) where ``q_num = 4·m·e_in − d_sum²`` — community c's EXACT-integer
+    numerator of the Newman modularity term ``e_c/m − (d_c/2m)²`` over the
+    common denominator ``4m²``, so ``Q = Σ q_num / (4m²)`` with zero float
+    math in either engine (the quality gate for LPA/Louvain-style community
+    output: Q ≈ 0 means the partition explains nothing).
+
+    ``labels`` is any (node, label) frame — typically
+    :func:`label_propagation_communities`.  Nodes missing from ``labels``
+    are dropped from d_sum and their edges from e_in (partial partitions
+    score only what they cover).  Scale shape: two label joins keyed on
+    node (broadcastable — the label table is node-cardinality), then
+    label-keyed map-side-combinable aggregates; the 1-row m frame rides as
+    a broadcast cross join, never a driver collect."""
+    ee = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    m = ee.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    lab = labels.select(F.col("node"), F.col("label")).distinct()
+    deg = (
+        ee.select(F.col("a").alias("node"))
+        .unionByName(ee.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    comm = (
+        lab.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("d_sum"),
+        )
+    )
+    ein = (
+        ee.join(lab.select(F.col("node").alias("a"), F.col("label").alias("la")), "a")
+        .join(lab.select(F.col("node").alias("b"), F.col("label").alias("lb")), "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    out = (
+        comm.join(ein, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "d_sum",
+            "m",
+            (
+                4 * F.col("m") * F.coalesce("e_in", F.lit(0))
+                - F.col("d_sum") * F.col("d_sum")
+            )
+            .cast("long")
+            .alias("q_num"),
+        )
+    )
+    out = out.localCheckpoint()  # release ee's cache before returning
+    ee.unpersist()
+    return out
+
+
 # surface-form org suffixes (shared with canonicalization's corp-suffix notion)
 _ORG_SUFFIX_RE = r"\b(Corp|Corporation|Inc|Ltd|LLC|GmbH|Co|Company)$"
 # "Ada Byron"-shaped: exactly two capitalized alpha words, no digits

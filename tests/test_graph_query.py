@@ -346,3 +346,54 @@ def test_bgp_optional_chained_on_optional_var_raises(spark):
                 [("?city", "in_country", "?c")],
             ],
         )
+
+
+def test_local_clustering_coefficient_triangle_plus_pendant(spark):
+    from aiwhispr_spark.operators.graph_query import local_clustering_coefficient
+
+    # K3 on {a,b,c} plus pendant d-a; duplicates/direction must collapse
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    got = {r.node: r for r in local_clustering_coefficient(edges).collect()}
+    assert (got["a"].deg, got["a"].n_tri, got["a"].lcc_i) == (3, 1, 333333)
+    assert (got["b"].deg, got["b"].n_tri, got["b"].lcc_i) == (2, 1, 1000000)
+    assert (got["c"].deg, got["c"].n_tri, got["c"].lcc_i) == (2, 1, 1000000)
+    assert (got["d"].deg, got["d"].n_tri, got["d"].lcc_i) == (1, 0, 0)
+
+
+def test_community_modularity_perfect_and_mixed_split(spark):
+    from aiwhispr_spark.operators.graph_query import community_modularity
+
+    # two triangles joined by one bridge edge; labels = the two triangles
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")],
+        "src string, dst string",
+    )
+    labels = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"), ("x", "B"), ("y", "B"), ("z", "B")],
+        "node string, label string",
+    )
+    got = {r.label: r for r in community_modularity(edges, labels).collect()}
+    # m=7; community A: e_in=3, d_sum=2+2+3=7 -> q_num=4*7*3-49=35; B same
+    for lab in ("A", "B"):
+        r = got[lab]
+        assert (r.n_nodes, r.e_in, r.d_sum, r.m, r.q_num) == (3, 3, 7, 7, 35)
+    # Q = (35+35)/(4*49) = 0.357... > 0: the partition beats random
+    assert sum(r.q_num for r in got.values()) > 0
+
+
+def test_community_modularity_drops_unlabeled(spark):
+    from aiwhispr_spark.operators.graph_query import community_modularity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "u")], "src string, dst string"
+    )
+    labels = spark.createDataFrame([("a", "A"), ("b", "A")], "node string, label string")
+    rows = community_modularity(edges, labels).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # u unlabeled: its edge never counts in e_in, its degree never in d_sum
+    assert (r.n_nodes, r.e_in, r.d_sum, r.m, r.q_num) == (2, 1, 3, 2, 4 * 2 * 1 - 9)
