@@ -3314,6 +3314,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard_pairs"] = ngram_jaccard
 
+    def containment_syndication(spark, sf):
+        # Asymmetric shingle containment (dedup.py::containment_pairs):
+        # syndicated-copy detection — C(a→b) = |S_a∩S_b|/|S_a| catches a
+        # small doc wrapped in a larger boilerplate page where Jaccard
+        # can't.  Copies are built in CLOSED FORM (every doc_id%4==0 doc
+        # reappears wrapped at id+10000) so the oracle constructs the same
+        # augmented corpus and recomputes containment from trigram lists.
+        from aiwhispr_spark.operators.dedup import containment_pairs
+
+        d0 = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") < 300)
+            .select("doc_id", "text")
+        )
+        synd = d0.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(
+                F.lit("Syndicated digest follows . "),
+                F.col("text"),
+                F.lit(" . All rights reserved ."),
+            ).alias("text"),
+        )
+        corpus = d0.unionByName(synd)
+        return containment_pairs(corpus, n=3, threshold=0.9)
+
+    q["containment_syndication_pairs"] = containment_syndication
+
     def embedding_near_dup(spark, sf):
         # per-vector norms are computed ONCE before the pair join (not twice
         # per pair): O(n) norm work instead of O(n²), ~3× less expression
@@ -5663,6 +5690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_reciprocity",
         "kg_clustering_coefficient",
         "kg_modularity",
+        "containment_syndication_pairs",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -8153,6 +8181,40 @@ def oracle_sql() -> dict[str, str]:
         FROM d l JOIN d r ON l.id < r.id
         WHERE CAST(round(10000 * len(list_intersect(l.toks, r.toks))::DOUBLE
                    / len(list_distinct(l.toks || r.toks))) AS BIGINT) >= 5000
+    """
+    o["containment_syndication_pairs"] = """
+        WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        alld AS (
+          SELECT doc_id AS id, text FROM d0
+          UNION ALL
+          SELECT doc_id + 10000,
+                 'Syndicated digest follows . ' || text || ' . All rights reserved .'
+          FROM d0 WHERE doc_id % 4 = 0
+        ),
+        toks AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS t FROM alld),
+        base AS (
+          SELECT id,
+                 list_distinct(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM toks WHERE len(t) >= 3
+        ),
+        post AS (SELECT id, unnest(sh) AS fp FROM base),
+        rare AS (SELECT fp FROM post GROUP BY fp HAVING count(*) <= 500),
+        p AS (SELECT post.id, post.fp FROM post JOIN rare USING (fp)),
+        cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+                 FROM p l JOIN p r ON r.fp = l.fp AND l.id < r.id),
+        v AS (SELECT c.a, c.b, len(ba.sh) AS n_a, len(bb.sh) AS n_b,
+                     len(list_intersect(ba.sh, bb.sh)) AS n_common
+              FROM cand c JOIN base ba ON ba.id = c.a JOIN base bb ON bb.id = c.b)
+        SELECT a AS contained, b AS container,
+               CAST(n_a AS BIGINT) AS n_contained,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST((1000000 * n_common) // n_a AS BIGINT) AS containment_i
+        FROM v WHERE (1000000 * n_common) // n_a >= 900000
+        UNION ALL
+        SELECT b, a, CAST(n_b AS BIGINT), CAST(n_common AS BIGINT),
+               CAST((1000000 * n_common) // n_b AS BIGINT)
+        FROM v WHERE (1000000 * n_common) // n_b >= 900000
     """
     o["embedding_near_dup"] = """
         WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),

@@ -345,6 +345,82 @@ def ngram_jaccard_pairs(
     return pairs.select("a", "b", jac).filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int = 500,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment (Broder: containment, not resemblance):
+    ``C(a→b) = |S_a ∩ S_b| / |S_a|`` — detects syndicated copies, quoted
+    articles wrapped in boilerplate, and template supersets, where Jaccard
+    stays low because the container is much larger than the contained doc.
+
+    Output: (contained, container, n_contained, n_common, containment_i)
+    — one row per DIRECTION with ``containment_i = ⌊scale·common/|S_a|⌋ ≥
+    ⌊scale·threshold⌋`` (exact integer math; both directions of an unordered
+    pair can qualify when the docs are near-identical).
+
+    Blocking: inverted shingle index joined on the 8-byte xxhash64 of the
+    shingle (fixed-width shuffle rows, never the shingle strings); shingles
+    with document frequency > ``max_shingle_df`` (corpus boilerplate) are
+    dropped from CANDIDATE GENERATION only — the verify recomputes the
+    intersection on the FULL shingle sets, so the cap costs recall only for
+    pairs sharing nothing but ultra-common shingles.  Fanout per surviving
+    shingle is bounded by the cap (≤ df² pairs)."""
+    thr_i = int(round(scale * threshold))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _token_ngrams(F.col(content_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    post = base.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("fp")
+    )  # sh is distinct per doc already (array_distinct in _token_ngrams)
+    rare = post.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_shingle_df
+    )
+    p = post.join(rare.select("fp"), "fp")
+    cand = (
+        p.alias("l")
+        .join(p.alias("r"), (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    v = (
+        cand.join(base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+        )
+    )
+    fwd = v.select(
+        F.col("a").alias("contained"),
+        F.col("b").alias("container"),
+        F.col("n_a").alias("n_contained"),
+        "n_common",
+        F.expr(f"CAST(({int(scale)} * n_common) div n_a AS BIGINT)").alias(
+            "containment_i"
+        ),
+    )
+    bwd = v.select(
+        F.col("b").alias("contained"),
+        F.col("a").alias("container"),
+        F.col("n_b").alias("n_contained"),
+        "n_common",
+        F.expr(f"CAST(({int(scale)} * n_common) div n_b AS BIGINT)").alias(
+            "containment_i"
+        ),
+    )
+    return fwd.unionByName(bwd).filter(F.col("containment_i") >= thr_i)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

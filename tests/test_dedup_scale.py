@@ -207,3 +207,34 @@ def test_incremental_minhash_mismatched_stores_rejected(spark):
     _, bands1, _ = incremental_minhash_pairs(docs, None, None)
     with pytest.raises(ValueError):
         incremental_minhash_pairs(docs, bands1, None)
+
+
+def test_containment_pairs_directional(spark):
+    # b wraps a's full text in boilerplate: a contained-in b at 1.0, but b
+    # NOT contained in a; c shares nothing.
+    from aiwhispr_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "syndicated feed start alpha beta gamma delta epsilon zeta all rights reserved"),
+        (3, "totally different words everywhere now friend"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.contained, r.container, r.containment_i)
+        for r in containment_pairs(df, n=3, threshold=0.9).collect()
+    ]
+    assert got == [(1, 2, 1000000)]
+
+
+def test_containment_pairs_stop_shingle_cap_blocks_only(spark):
+    # every doc shares ONE ultra-common shingle; with the df cap below the
+    # corpus size no candidates form from it, so no pairs emit even though
+    # the tiny docs are identical on that shingle alone.
+    from aiwhispr_spark.operators.dedup import containment_pairs
+
+    rows = [(i, "all rights reserved") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert containment_pairs(df, n=3, threshold=0.5, max_shingle_df=3).count() == 0
+    # raising the cap re-admits them (identical docs: both directions at 1.0)
+    assert containment_pairs(df, n=3, threshold=0.5, max_shingle_df=10).count() == 20
