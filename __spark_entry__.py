@@ -3341,6 +3341,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["containment_syndication_pairs"] = containment_syndication
 
+    def fellegi_sunter(spark, sf):
+        # Probabilistic record linkage (linking.py::fellegi_sunter_scores):
+        # 240 records built closed-form from doc_id — 60 entities × 4
+        # formatting variants (' Inc' suffix, lowercase, city typo, year
+        # off-by-one); candidates block on e%12; m/u estimated from the
+        # gold key (the clerical-sample plug point); successive-integer-
+        # division likelihood ratio in fixed field order.  Oracle rebuilds
+        # records, pairs, counts, and the same division chain in SQL.
+        from aiwhispr_spark.operators.linking import fellegi_sunter_scores
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 240)
+        e = F.col("doc_id") % 60
+        v = (F.col("doc_id") / 60).cast("long")
+        rec = d.select(
+            F.col("doc_id").alias("rid"),
+            e.alias("ekey"),
+            (e % 12).alias("block"),
+            F.when(v == 1, F.concat(F.lit("Entity "), e.cast("string"), F.lit(" Inc")))
+            .when(v == 2, F.concat(F.lit("entity "), e.cast("string")))
+            .otherwise(F.concat(F.lit("Entity "), e.cast("string")))
+            .alias("name"),
+            F.concat(
+                F.lit("City "),
+                F.when(v == 2, (e + 1) % 7).otherwise(e % 7).cast("string"),
+            ).alias("city"),
+            (
+                F.lit(1980) + e % 30 + F.when(v == 1, 1).otherwise(0)
+            ).cast("long").alias("year"),
+        )
+        l, r = rec.alias("l"), rec.alias("r")
+        pairs = l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.rid") < F.col("r.rid")),
+        ).select(
+            F.col("l.rid").alias("rid_a"),
+            F.col("r.rid").alias("rid_b"),
+            (F.col("l.name") == F.col("r.name")).alias("agr_name"),
+            (F.col("l.city") == F.col("r.city")).alias("agr_city"),
+            (F.col("l.year") == F.col("r.year")).alias("agr_year"),
+            (F.col("l.ekey") == F.col("r.ekey")).alias("is_match"),
+        )
+        out = fellegi_sunter_scores(
+            pairs, ["agr_name", "agr_city", "agr_year"], "is_match"
+        )
+        return out.select(
+            "rid_a",
+            "rid_b",
+            "pattern",
+            "lr_i",
+            F.when(F.col("is_match"), 1).otherwise(0).cast("int").alias("gold_i"),
+        )
+
+    q["fellegi_sunter_linkage"] = fellegi_sunter
+
     def embedding_near_dup(spark, sf):
         # per-vector norms are computed ONCE before the pair join (not twice
         # per pair): O(n) norm work instead of O(n²), ~3× less expression
@@ -5691,6 +5746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering_coefficient",
         "kg_modularity",
         "containment_syndication_pairs",
+        "fellegi_sunter_linkage",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -8215,6 +8271,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT b, a, CAST(n_b AS BIGINT), CAST(n_common AS BIGINT),
                CAST((1000000 * n_common) // n_b AS BIGINT)
         FROM v WHERE (1000000 * n_common) // n_b >= 900000
+    """
+    o["fellegi_sunter_linkage"] = """
+        WITH rec AS (
+          SELECT doc_id AS rid, doc_id % 60 AS ekey, (doc_id % 60) % 12 AS block,
+                 CASE WHEN doc_id // 60 = 1 THEN 'Entity ' || (doc_id % 60) || ' Inc'
+                      WHEN doc_id // 60 = 2 THEN 'entity ' || (doc_id % 60)
+                      ELSE 'Entity ' || (doc_id % 60) END AS name,
+                 'City ' || (CASE WHEN doc_id // 60 = 2 THEN (doc_id % 60 + 1) % 7
+                                  ELSE (doc_id % 60) % 7 END) AS city,
+                 1980 + (doc_id % 60) % 30
+                   + CASE WHEN doc_id // 60 = 1 THEN 1 ELSE 0 END AS year
+          FROM documents WHERE doc_id < 240
+        ),
+        pairs AS (
+          SELECT l.rid AS rid_a, r.rid AS rid_b,
+                 l.name = r.name AS agr_name, l.city = r.city AS agr_city,
+                 l.year = r.year AS agr_year, l.ekey = r.ekey AS is_match
+          FROM rec l JOIN rec r ON l.block = r.block AND l.rid < r.rid
+        ),
+        c AS (
+          SELECT
+            CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+            CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+            CAST(sum(CASE WHEN is_match AND agr_name THEN 1 ELSE 0 END) AS BIGINT) AS ma_0,
+            CAST(sum(CASE WHEN NOT is_match AND agr_name THEN 1 ELSE 0 END) AS BIGINT) AS ua_0,
+            CAST(sum(CASE WHEN is_match AND agr_city THEN 1 ELSE 0 END) AS BIGINT) AS ma_1,
+            CAST(sum(CASE WHEN NOT is_match AND agr_city THEN 1 ELSE 0 END) AS BIGINT) AS ua_1,
+            CAST(sum(CASE WHEN is_match AND agr_year THEN 1 ELSE 0 END) AS BIGINT) AS ma_2,
+            CAST(sum(CASE WHEN NOT is_match AND agr_year THEN 1 ELSE 0 END) AS BIGINT) AS ua_2
+          FROM pairs
+        ),
+        s0 AS (SELECT p.*, c.*, CAST(1000000 AS BIGINT) AS lr FROM pairs p, c),
+        s1 AS (SELECT *,
+                 (lr * (CASE WHEN agr_name THEN (ma_0+1)*(nu+2)
+                             ELSE (nm+1-ma_0)*(nu+2) END))
+                 // (CASE WHEN agr_name THEN (nm+2)*(ua_0+1)
+                          ELSE (nm+2)*(nu+1-ua_0) END) AS lr1 FROM s0),
+        s2 AS (SELECT *,
+                 (lr1 * (CASE WHEN agr_city THEN (ma_1+1)*(nu+2)
+                              ELSE (nm+1-ma_1)*(nu+2) END))
+                 // (CASE WHEN agr_city THEN (nm+2)*(ua_1+1)
+                          ELSE (nm+2)*(nu+1-ua_1) END) AS lr2 FROM s1),
+        s3 AS (SELECT *,
+                 (lr2 * (CASE WHEN agr_year THEN (ma_2+1)*(nu+2)
+                              ELSE (nm+1-ma_2)*(nu+2) END))
+                 // (CASE WHEN agr_year THEN (nm+2)*(ua_2+1)
+                          ELSE (nm+2)*(nu+1-ua_2) END) AS lr3 FROM s2)
+        SELECT rid_a, rid_b,
+               (CASE WHEN agr_name THEN '1' ELSE '0' END)
+               || (CASE WHEN agr_city THEN '1' ELSE '0' END)
+               || (CASE WHEN agr_year THEN '1' ELSE '0' END) AS pattern,
+               CAST(lr3 AS BIGINT) AS lr_i,
+               CAST(CASE WHEN is_match THEN 1 ELSE 0 END AS INTEGER) AS gold_i
+        FROM s3
     """
     o["embedding_near_dup"] = """
         WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),

@@ -103,3 +103,67 @@ def link_triples(
         )
     )
     return triples.join(subj_map, "subj", "left").join(obj_map, "obj", "left")
+
+
+def fellegi_sunter_scores(
+    cand: DataFrame,
+    field_cols: list[str],
+    label_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Classic probabilistic record linkage (Fellegi & Sunter 1969) over a
+    candidate-pair frame: per-field agreement probabilities m_k = P(agree|M),
+    u_k = P(agree|U) are estimated from the labeled pairs (``label_col`` —
+    gold keys at gate scale, a clerical sample in production: the plug
+    point), then every pair scores the likelihood ratio
+
+        LR = Π_k  m_k/u_k          (field k agrees)
+             Π_k  (1−m_k)/(1−u_k)  (field k disagrees)
+
+    EXACT-INTEGER contract: Laplace (+1/+2) smoothing keeps every ratio
+    finite, and the product is computed as SUCCESSIVE integer divisions in
+    the given field order — ``x ← (x·num_k) div den_k`` starting from
+    ``scale`` — so both engines produce bit-identical ``lr_i`` (document the
+    field order; floor error is bounded by one ulp of the running scale per
+    field).  Emits (…input cols…, pattern, lr_i).
+
+    Scale shape: ONE map-side-combinable aggregate produces the 1-row m/u
+    count frame, broadcast back over the pair stream; scoring is pure JVM
+    expressions — the pair stream never shuffles."""
+    n_f = len(field_cols)
+    if n_f == 0:
+        raise ValueError("field_cols must be non-empty")
+    lab = F.col(label_col)
+    aggs = [
+        F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("nm"),
+        F.sum(F.when(~lab, 1).otherwise(0)).cast("long").alias("nu"),
+    ]
+    for i, c in enumerate(field_cols):
+        aggs.append(
+            F.sum(F.when(lab & F.col(c), 1).otherwise(0)).cast("long").alias(f"ma_{i}")
+        )
+        aggs.append(
+            F.sum(F.when((~lab) & F.col(c), 1).otherwise(0))
+            .cast("long")
+            .alias(f"ua_{i}")
+        )
+    counts = cand.agg(*aggs)
+    scored = cand.crossJoin(F.broadcast(counts)).withColumn(
+        "pattern",
+        F.concat(*[F.when(F.col(c), F.lit("1")).otherwise(F.lit("0")) for c in field_cols]),
+    )
+    scored = scored.withColumn("lr_i", F.lit(int(scale)).cast("long"))
+    for i, c in enumerate(field_cols):
+        num = (
+            f"CASE WHEN {c} THEN (ma_{i} + 1) * (nu + 2)"
+            f" ELSE (nm + 1 - ma_{i}) * (nu + 2) END"
+        )
+        den = (
+            f"CASE WHEN {c} THEN (nm + 2) * (ua_{i} + 1)"
+            f" ELSE (nm + 2) * (nu + 1 - ua_{i}) END"
+        )
+        scored = scored.withColumn(
+            "lr_i", F.expr(f"CAST((lr_i * ({num})) div ({den}) AS BIGINT)")
+        )
+    drop = ["nm", "nu"] + [f"ma_{i}" for i in range(n_f)] + [f"ua_{i}" for i in range(n_f)]
+    return scored.drop(*drop)

@@ -111,3 +111,48 @@ def test_link_triples_attaches_external_links(spark, candidates):
     assert by_subj["Entity 7"]["obj_link"] == "Widget Factory"
     assert by_subj["Ada Byron"]["subj_link"] == "Ada Byron"
     assert by_subj["Ada Byron"]["obj_link"] == "Berlin"
+
+
+def test_fellegi_sunter_single_field_ratios(spark):
+    # nm=3, ma=2; nu=4, ua=1 -> smoothed agree ratio 18/10, disagree 12/20
+    from aiwhispr_spark.operators.linking import fellegi_sunter_scores
+
+    rows = [
+        (1, True, True), (2, True, True), (3, False, True),
+        (4, True, False), (5, False, False), (6, False, False), (7, False, False),
+    ]
+    df = spark.createDataFrame(rows, "pid long, agr boolean, lab boolean")
+    got = {r.pid: r for r in fellegi_sunter_scores(df, ["agr"], "lab").collect()}
+    assert got[1].lr_i == (1_000_000 * 3 * 6) // (5 * 2)      # 1_800_000
+    assert got[3].lr_i == (1_000_000 * 2 * 6) // (5 * 4)      # 600_000
+    assert got[1].pattern == "1" and got[3].pattern == "0"
+
+
+def test_fellegi_sunter_field_order_is_the_contract(spark):
+    # successive floor division is order-sensitive by design: assert the
+    # documented left-to-right order is what's computed.
+    from aiwhispr_spark.operators.linking import fellegi_sunter_scores
+
+    rows = [
+        (1, True, False, True), (2, False, True, True),
+        (3, True, True, False), (4, False, False, False), (5, True, False, False),
+    ]
+    df = spark.createDataFrame(rows, "pid long, f1 boolean, f2 boolean, lab boolean")
+    # counts: nm=2 (pids 1,2), nu=3; f1: ma=1, ua=2; f2: ma=1, ua=1
+    def step(x, num, den):
+        return (x * num) // den
+
+    exp1 = step(1_000_000, (1 + 1) * (3 + 2), (2 + 2) * (2 + 1))  # f1 agree
+    exp1 = step(exp1, (2 + 1 - 1) * (3 + 2), (2 + 2) * (3 + 1 - 1))  # f2 disagree
+    got = {r.pid: r.lr_i for r in fellegi_sunter_scores(df, ["f1", "f2"], "lab").collect()}
+    assert got[1] == exp1
+
+
+def test_fellegi_sunter_empty_fields_raises(spark):
+    import pytest
+
+    from aiwhispr_spark.operators.linking import fellegi_sunter_scores
+
+    df = spark.createDataFrame([(1, True)], "pid long, lab boolean")
+    with pytest.raises(ValueError):
+        fellegi_sunter_scores(df, [], "lab")
