@@ -1602,6 +1602,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_facts_as_of_2000"] = kg_as_of
 
+    def kg_interval_coalesce(spark, sf):
+        # Validity-interval coalescing (temporal.py::coalesce_fact_intervals):
+        # gaps-and-islands per fact key — observations ≤30 apart merge, a
+        # longer silence closes the interval.  Observations are closed-form
+        # (fact = doc_id%10, ts = 13·doc_id mod 997 — unique per fact for
+        # doc_id<997), so the oracle runs the same lag/running-sum windows.
+        from aiwhispr_spark.operators.temporal import coalesce_fact_intervals
+
+        obs = _t(spark, sf, "documents").select(
+            F.concat(F.lit("E"), (F.col("doc_id") % 10).cast("string")).alias("subj"),
+            F.lit("active").alias("pred"),
+            F.lit("Y").alias("obj"),
+            ((F.col("doc_id") * 13) % 997).alias("ts"),
+        )
+        return coalesce_fact_intervals(obs, gap=30)
+
+    q["kg_interval_coalesce"] = kg_interval_coalesce
+
     def quote_attr(spark, sf):
         # Quotation attribution (quotes.py::extract_quotes): one leading-arm
         # and one trailing-arm quote per closed-form doc, plus a pronoun
@@ -5747,6 +5765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity",
         "containment_syndication_pairs",
         "fellegi_sunter_linkage",
+        "kg_interval_coalesce",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -6254,6 +6273,28 @@ def oracle_sql() -> dict[str, str]:
                'since',
                CAST(1990 + doc_id % 30 AS INT)
         FROM documents WHERE 1990 + doc_id % 30 <= 2000
+    """
+    o["kg_interval_coalesce"] = """
+        WITH obs AS (
+          SELECT 'E' || (doc_id % 10) AS subj, 'active' AS pred, 'Y' AS obj,
+                 CAST((doc_id * 13) % 997 AS BIGINT) AS ts
+          FROM documents
+        ),
+        flagged AS (
+          SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > 30 THEN 1 ELSE 0 END AS ni
+          FROM obs WINDOW w AS (PARTITION BY subj, pred, obj ORDER BY ts)
+        ),
+        isl AS (
+          SELECT *, sum(ni) OVER (PARTITION BY subj, pred, obj ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        )
+        SELECT subj, pred, obj,
+               CAST(min(ts) AS BIGINT) AS valid_from,
+               CAST(max(ts) AS BIGINT) AS valid_to,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM isl GROUP BY subj, pred, obj, island
     """
     o["quote_attribution"] = """
         SELECT 'u' || doc_id AS url,

@@ -213,6 +213,52 @@ def triple_temporal_extent(
     )
 
 
+def coalesce_fact_intervals(
+    observed: DataFrame,
+    gap: int,
+    ts_col: str = "ts",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Validity-interval coalescing (gaps-and-islands) per distinct fact:
+    consecutive observations ≤ ``gap`` apart merge into one validity island;
+    a silence longer than ``gap`` closes the interval and opens a new one —
+    the temporal-KG refinement of :func:`triple_temporal_extent` (which
+    reports ONE envelope even when a fact disappeared for years between
+    crawls).  Output: (subj, pred, obj, valid_from, valid_to, n_obs), one
+    row per island, exact integer timestamps.
+
+    Scale shape: one window partitioned by the FACT KEY (never global) for
+    the lag + running island counter, then a map-side-combinable aggregate
+    on (fact, island).  Per-fact observation counts are crawl-frequency
+    bounded — no skew beyond what the triple distinct already carries."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("subj", "pred", "obj").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    flagged = observed.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+        F.col(ts_col).cast("long").alias("ts"),
+    ).withColumn(
+        "new_island",
+        F.when(prev.isNull() | (F.col("ts") - prev > gap), 1).otherwise(0),
+    )
+    island = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return island.groupBy("subj", "pred", "obj", "island").agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("valid_to"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    ).drop("island")
+
+
 _DATED_ACQ_RE = (
     r"^([A-Z][A-Za-z0-9_ ]*?) acquired ([A-Za-z0-9_ ]+?) "
     r"(in|since|until) ((?:1[89]|20)\d\d)\.$"

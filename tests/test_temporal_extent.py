@@ -97,3 +97,27 @@ def test_facts_valid_at_qualifier_semantics(spark):
     )
     got = {(r.obj, r.qualifier) for r in facts_valid_at(dated, 2000).collect()}
     assert got == {("B", "in"), ("X", "since"), ("Z", "until")}
+
+
+def test_coalesce_fact_intervals_islands(spark):
+    from aiwhispr_spark.operators.temporal import coalesce_fact_intervals
+
+    rows = [
+        # fact A: 10,20,35 (gaps 10,15 <= 15) | 90 | 200,210
+        ("A", "p", "x", 10), ("A", "p", "x", 20), ("A", "p", "x", 35),
+        ("A", "p", "x", 90), ("A", "p", "x", 200), ("A", "p", "x", 210),
+        # fact B: single observation -> degenerate island
+        ("B", "p", "x", 50),
+        # boundary: gap EXACTLY equal to the threshold stays merged
+        ("C", "p", "x", 0), ("C", "p", "x", 15),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, ts long")
+    got = sorted(
+        (r.subj, r.valid_from, r.valid_to, r.n_obs)
+        for r in coalesce_fact_intervals(df, gap=15).collect()
+    )
+    assert got == [
+        ("A", 10, 35, 3), ("A", 90, 90, 1), ("A", 200, 210, 2),
+        ("B", 50, 50, 1),
+        ("C", 0, 15, 2),
+    ]
