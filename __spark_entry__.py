@@ -406,6 +406,51 @@ def _trustrank_sql(
     )
 
 
+def _truthfinder_sql(output: str, rounds: int = 3) -> str:
+    """DuckDB twin of operators/temporal.py::truthfinder over the
+    conflicting-claim fixture: the same integer Sums/Average trust⇄belief
+    rounds UNROLLED (belief → group-total → conf '//' → trust '//' per
+    round), so every integer matches bit-for-bit."""
+    parts = [
+        "WITH obs AS (SELECT 'h' || (doc_id % 9) AS host,"
+        " 'S' || (doc_id % 20) AS subj, 'ceo_of' AS pred,"
+        " CASE WHEN doc_id % 9 < 6 THEN 'P' || ((doc_id % 20) % 5)"
+        " ELSE 'Q' || (doc_id % 3) END AS obj FROM documents),",
+        "votes AS MATERIALIZED (SELECT DISTINCT host, subj, pred, obj FROM obs),",
+        "t0 AS (SELECT DISTINCT host, CAST(1000000 AS BIGINT) AS trust FROM votes),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"b{k} AS (SELECT v.subj, v.pred, v.obj,"
+            f" CAST(sum(t.trust) AS BIGINT) AS belief,"
+            f" CAST(count(*) AS BIGINT) AS n_hosts"
+            f" FROM votes v JOIN t{k - 1} t ON t.host = v.host"
+            f" GROUP BY v.subj, v.pred, v.obj),"
+        )
+        parts.append(
+            f"g{k} AS (SELECT subj, pred, CAST(sum(belief) AS BIGINT) AS tot"
+            f" FROM b{k} GROUP BY subj, pred),"
+        )
+        parts.append(
+            f"c{k} AS (SELECT b.subj, b.pred, b.obj, b.n_hosts,"
+            f" CAST((1000000 * b.belief) // g.tot AS BIGINT) AS conf"
+            f" FROM b{k} b JOIN g{k} g ON g.subj = b.subj AND g.pred = b.pred),"
+        )
+        parts.append(
+            f"t{k} AS (SELECT v.host, CAST(count(*) AS BIGINT) AS n_claims,"
+            f" CAST(sum(c.conf) // count(*) AS BIGINT) AS trust"
+            f" FROM votes v JOIN c{k} c ON c.subj = v.subj"
+            f" AND c.pred = v.pred AND c.obj = v.obj"
+            f" GROUP BY v.host),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    if output == "facts":
+        return (
+            f"{body}\nSELECT subj, pred, obj, n_hosts, conf AS conf_i FROM c{rounds}"
+        )
+    return f"{body}\nSELECT host, n_claims, trust AS trust_i FROM t{rounds}"
+
+
 def _hits_sql(iterations: int, edges_sql: str) -> str:
     """DuckDB twin of operators/graph.py::hits: the same L1-normalized
     synchronous recurrence UNROLLED (auth-raw → auth-total → auth, then
@@ -1619,6 +1664,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return coalesce_fact_intervals(obs, gap=30)
 
     q["kg_interval_coalesce"] = kg_interval_coalesce
+
+    def _truth_obs(spark, sf):
+        # conflicting-claim fixture: 9 hosts (6 honest, 3 spam), 20 subjects;
+        # honest hosts assert the subject-derived object, spam hosts assert
+        # doc-dependent junk — all closed-form from doc_id.
+        d = _t(spark, sf, "documents")
+        s = F.col("doc_id") % 20
+        h = F.col("doc_id") % 9
+        return d.select(
+            F.concat(F.lit("h"), h.cast("string")).alias("host"),
+            F.concat(F.lit("S"), s.cast("string")).alias("subj"),
+            F.lit("ceo_of").alias("pred"),
+            F.when(h < 6, F.concat(F.lit("P"), (s % 5).cast("string")))
+            .otherwise(F.concat(F.lit("Q"), (F.col("doc_id") % 3).cast("string")))
+            .alias("obj"),
+        )
+
+    def kg_truthfinder_facts(spark, sf):
+        # Iterative truth discovery, fact side (temporal.py::truthfinder):
+        # 3 full trust⇄belief rounds of the integer-exact Sums/Average
+        # update — the fixpoint that source_reliability/fact_confidence
+        # half-round.  Oracle unrolls the same 3 rounds as chained CTEs.
+        from aiwhispr_spark.operators.temporal import truthfinder
+
+        return truthfinder(_truth_obs(spark, sf), rounds=3, output="facts")
+
+    q["kg_truthfinder_facts"] = kg_truthfinder_facts
+
+    def kg_truthfinder_trust(spark, sf):
+        # the host-trust side of the same fixpoint
+        from aiwhispr_spark.operators.temporal import truthfinder
+
+        return truthfinder(_truth_obs(spark, sf), rounds=3, output="trust")
+
+    q["kg_truthfinder_trust"] = kg_truthfinder_trust
 
     def quote_attr(spark, sf):
         # Quotation attribution (quotes.py::extract_quotes): one leading-arm
@@ -5766,6 +5846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_syndication_pairs",
         "fellegi_sunter_linkage",
         "kg_interval_coalesce",
+        "kg_truthfinder_facts",
+        "kg_truthfinder_trust",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -6274,6 +6356,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(1990 + doc_id % 30 AS INT)
         FROM documents WHERE 1990 + doc_id % 30 <= 2000
     """
+    o["kg_truthfinder_facts"] = _truthfinder_sql("facts", rounds=3)
+    o["kg_truthfinder_trust"] = _truthfinder_sql("trust", rounds=3)
     o["kg_interval_coalesce"] = """
         WITH obs AS (
           SELECT 'E' || (doc_id % 10) AS subj, 'active' AS pred, 'Y' AS obj,

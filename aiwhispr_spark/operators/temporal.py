@@ -480,6 +480,96 @@ def source_reliability(
     )
 
 
+def truthfinder(
+    observed: DataFrame,
+    rounds: int = 3,
+    host_col: str = "host",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    scale: int = 1_000_000,
+    output: str = "facts",
+) -> DataFrame:
+    """ITERATIVE truth discovery — the full trust ⇄ belief fixpoint that
+    :func:`source_reliability` (one majority half-round) and
+    :func:`fact_confidence` (one weighted half-round) approximate.  The
+    update is the integer-exact Sums/Average variant (Pasternack & Roth
+    2010's AverageLog without the log, TruthFinder's loop without the
+    sigmoid — chosen so BOTH engines produce bit-identical integers):
+
+      trust_0(h)   = scale
+      belief_k(f)  = Σ_{h asserts f} trust_{k-1}(h)
+      conf_k(f)    = scale·belief_k(f) div Σ_{f' ∈ group(f)} belief_k(f')
+                     (group = facts competing for the same (subj, pred))
+      trust_k(h)   = Σ_{f asserted by h} conf_k(f) div n_claims(h)
+
+    One vote per DISTINCT (host, fact) — re-crawls never stuff the ballot.
+    ``output='facts'`` → (subj, pred, obj, n_hosts, conf_i);
+    ``output='trust'`` → (host, n_claims, trust_i).
+
+    Scale shape per round: one host-keyed broadcast join (trust is
+    |hosts|-sized), two fact-keyed map-side-combinable aggregates, one
+    (subj, pred) group rollup — the vote frame persists once and every
+    round reuses its partitioning; trust localCheckpoints per round
+    (iterative-plan discipline)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if output not in ("facts", "trust"):
+        raise ValueError("output must be 'facts' or 'trust'")
+    votes = (
+        observed.select(
+            F.col(host_col).alias("host"),
+            F.col(subj_col).alias("subj"),
+            F.col(pred_col).alias("pred"),
+            F.col(obj_col).alias("obj"),
+        )
+        .distinct()
+        .persist()
+    )
+    trust = votes.select("host").distinct().withColumn(
+        "trust_i", F.lit(int(scale)).cast("long")
+    )
+    conf = None
+    for _ in range(rounds):
+        belief = (
+            votes.join(F.broadcast(trust), "host")
+            .groupBy("subj", "pred", "obj")
+            .agg(
+                F.sum("trust_i").cast("long").alias("belief_i"),
+                F.count(F.lit(1)).cast("long").alias("n_hosts"),
+            )
+        )
+        group_tot = belief.groupBy("subj", "pred").agg(
+            F.sum("belief_i").cast("long").alias("tot_i")
+        )
+        conf = belief.join(group_tot, ["subj", "pred"]).select(
+            "subj",
+            "pred",
+            "obj",
+            "n_hosts",
+            F.expr(f"CAST(({int(scale)} * belief_i) div tot_i AS BIGINT)").alias(
+                "conf_i"
+            ),
+        ).localCheckpoint()
+        trust = (
+            votes.join(conf.select("subj", "pred", "obj", "conf_i"), ["subj", "pred", "obj"])
+            .groupBy("host")
+            .agg(
+                F.sum("conf_i").cast("long").alias("sum_conf"),
+                F.count(F.lit(1)).cast("long").alias("n_claims"),
+            )
+            .select(
+                "host",
+                "n_claims",
+                F.expr("CAST(sum_conf div n_claims AS BIGINT)").alias("trust_i"),
+            )
+        ).localCheckpoint()
+    votes.unpersist()
+    if output == "trust":
+        return trust
+    return conf
+
+
 def mention_bursts(
     mentions: DataFrame,
     window_days: int = 7,

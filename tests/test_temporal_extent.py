@@ -121,3 +121,32 @@ def test_coalesce_fact_intervals_islands(spark):
         ("B", 50, 50, 1),
         ("C", 0, 15, 2),
     ]
+
+
+def test_truthfinder_three_rounds_hand_computed(spark):
+    from aiwhispr_spark.operators.temporal import truthfinder
+
+    rows = [
+        ("h1", "s", "p", "A"), ("h2", "s", "p", "A"), ("h3", "s", "p", "B"),
+        ("h3", "s", "p", "B"),  # duplicate claim: must not stuff the ballot
+    ]
+    df = spark.createDataFrame(rows, "host string, subj string, pred string, obj string")
+    facts = {r.obj: r for r in truthfinder(df, rounds=3, output="facts").collect()}
+    # r1: conf 666666/333333 -> r2: 800000/200000 -> r3: 888888/111111
+    assert (facts["A"].conf_i, facts["A"].n_hosts) == (888888, 2)
+    assert (facts["B"].conf_i, facts["B"].n_hosts) == (111111, 1)
+    trust = {r.host: r.trust_i for r in truthfinder(df, rounds=3, output="trust").collect()}
+    assert trust == {"h1": 888888, "h2": 888888, "h3": 111111}
+
+
+def test_truthfinder_param_guards(spark):
+    import pytest
+
+    from aiwhispr_spark.operators.temporal import truthfinder
+
+    df = spark.createDataFrame([("h", "s", "p", "o")],
+                               "host string, subj string, pred string, obj string")
+    with pytest.raises(ValueError):
+        truthfinder(df, rounds=0)
+    with pytest.raises(ValueError):
+        truthfinder(df, output="beliefs")
