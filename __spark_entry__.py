@@ -920,7 +920,7 @@ def _e3_sql() -> str:
     return "WITH c AS (" + base + ")\n" + "\nUNION ALL\n".join(parts)
 
 
-def _minhash_cte(bands: int = 8, rows_per_band: int = 2) -> str:
+def _minhash_cte(bands: int = 8, rows_per_band: int = 2, max_doc: int = 300) -> str:
     """Shared CTE chain (corpus augmentation → shingles → md5 minhash
     signatures → banding → verified pairs ≥ 0.5) for the minhash oracles."""
     n = bands * rows_per_band
@@ -936,7 +936,7 @@ def _minhash_cte(bands: int = 8, rows_per_band: int = 2) -> str:
     )
     jac = "len(list_intersect(la.sh, lb.sh))::DOUBLE / len(list_distinct(la.sh || lb.sh))"
     return f"""
-        d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < {max_doc}),
         alld AS (
           SELECT doc_id, text FROM d0
           UNION ALL
@@ -3494,6 +3494,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fellegi_sunter_linkage"] = fellegi_sunter
 
+    def blocking_eval(spark, sf):
+        # Blocking-scheme fitness panel (evaluation.py::blocking_quality):
+        # the md5 minhash banding's RAW candidate set (threshold 0 — no
+        # verify filter) scored against gold = exact all-pairs trigram
+        # Jaccard ≥ 0.5 on the same augmented corpus: pairs completeness /
+        # pairs quality / reduction ratio as one exact-integer row.  The
+        # go/no-go check an LSH config gets before a corpus-scale dedup.
+        from aiwhispr_spark.operators.dedup import _token_ngrams, minhash_lsh_pairs_md5
+        from aiwhispr_spark.operators.evaluation import blocking_quality
+
+        d0 = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") < 150)
+            .select("doc_id", "text")
+        )
+        aug = d0.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(MINHASH_TAIL)).alias("text"),
+        )
+        corpus = d0.unionByName(aug)
+        cand = minhash_lsh_pairs_md5(corpus, jaccard_threshold=0.0).select("a", "b")
+        base = corpus.select(
+            F.col("doc_id").alias("id"), _token_ngrams(F.col("text"), 3).alias("sh")
+        ).filter(F.size("sh") > 0)
+        l, r = base.alias("l"), base.alias("r")
+        gold = (
+            l.join(r, F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("a"),
+                F.col("r.id").alias("b"),
+                (
+                    F.size(F.array_intersect("l.sh", "r.sh"))
+                    / F.size(F.array_union("l.sh", "r.sh"))
+                ).alias("j"),
+            )
+            .filter(F.col("j") >= 0.5)
+            .select("a", "b")
+        )
+        return blocking_quality(cand, gold, base)
+
+    q["minhash_blocking_eval"] = blocking_eval
+
     def embedding_near_dup(spark, sf):
         # per-vector norms are computed ONCE before the pair join (not twice
         # per pair): O(n) norm work instead of O(n²), ~3× less expression
@@ -5848,6 +5890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_interval_coalesce",
         "kg_truthfinder_facts",
         "kg_truthfinder_trust",
+        "minhash_blocking_eval",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -6355,6 +6398,34 @@ def oracle_sql() -> dict[str, str]:
                'since',
                CAST(1990 + doc_id % 30 AS INT)
         FROM documents WHERE 1990 + doc_id % 30 <= 2000
+    """
+    o["minhash_blocking_eval"] = f"""
+        WITH {_minhash_cte(max_doc=150)},
+        allp AS (
+          SELECT la.id AS a, lb.id AS b,
+                 len(list_intersect(la.sh, lb.sh))::DOUBLE
+                   / len(list_distinct(la.sh || lb.sh)) AS j
+          FROM base la JOIN base lb ON la.id < lb.id),
+        gold AS (SELECT a, b FROM allp WHERE j >= 0.5),
+        ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM base),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+        ng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM gold),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true
+               FROM cand c JOIN gold g ON g.a = c.a AND g.b = c.b)
+        SELECT n_items,
+               CAST(n_items * (n_items - 1) // 2 AS BIGINT) AS n_total_pairs,
+               n_cand, n_gold, n_true,
+               CASE WHEN n_gold > 0
+                    THEN CAST((1000000 * n_true) // n_gold AS BIGINT)
+                    ELSE CAST(-1 AS BIGINT) END AS pc_i,
+               CASE WHEN n_cand > 0
+                    THEN CAST((1000000 * n_true) // n_cand AS BIGINT)
+                    ELSE CAST(-1 AS BIGINT) END AS pq_i,
+               CASE WHEN n_items >= 2
+                    THEN CAST((1000000 * (n_items * (n_items - 1) // 2 - n_cand))
+                         // (n_items * (n_items - 1) // 2) AS BIGINT)
+                    ELSE CAST(-1 AS BIGINT) END AS rr_i
+        FROM ni, nc, ng, nt
     """
     o["kg_truthfinder_facts"] = _truthfinder_sql("facts", rounds=3)
     o["kg_truthfinder_trust"] = _truthfinder_sql("trust", rounds=3)

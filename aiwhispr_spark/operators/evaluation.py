@@ -77,3 +77,64 @@ def extraction_prf(
             F.expr(f"2 * {_SCALE} * tp div (n_pred + n_gold)"),
         ).cast("long").alias("f1_i"),
     )
+
+
+def blocking_quality(
+    cand: DataFrame,
+    gold: DataFrame,
+    items: DataFrame,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """ER blocking-scheme evaluation (the classic pairs-completeness /
+    pairs-quality / reduction-ratio panel): how much of the gold duplicate
+    set the blocker's candidate pairs retain (PC = recall), how clean the
+    candidate set is (PQ = precision), and how much of the quadratic
+    comparison space it avoided (RR) — the three numbers that decide
+    whether an LSH/banding configuration is fit for a 100 TB dedup run
+    BEFORE the run.
+
+    ``cand`` and ``gold`` are (a, b) pair frames with a < b; ``items`` is
+    the frame of blocked items (only its count enters RR's denominator).
+    One row out: (n_items, n_total_pairs, n_cand, n_gold, n_true, pc_i,
+    pq_i, rr_i) — exact BIGINT counts, scaled-`div` ratios, and the
+    established −1 sentinel for a zero-support denominator (NULL BIGINTs
+    stringify differently across engines).
+
+    Scale shape: three count aggregates plus ONE pair-keyed join (cand ∩
+    gold — both already deduplicated pair sets, orders of magnitude below
+    the item count), all reduced to 1-row frames crossed together; no
+    window, no python."""
+    c = cand.select("a", "b").distinct()
+    g = gold.select("a", "b").distinct()
+    n_items = items.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    n_cand = c.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    n_gold = g.agg(F.count(F.lit(1)).cast("long").alias("n_gold"))
+    n_true = c.join(g, ["a", "b"]).agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    s = int(scale)
+    return (
+        n_items.crossJoin(n_cand)
+        .crossJoin(n_gold)
+        .crossJoin(n_true)
+        .select(
+            "n_items",
+            F.expr("CAST(n_items * (n_items - 1) div 2 AS BIGINT)").alias(
+                "n_total_pairs"
+            ),
+            "n_cand",
+            "n_gold",
+            "n_true",
+            F.expr(
+                f"CASE WHEN n_gold > 0 THEN CAST(({s} * n_true) div n_gold AS BIGINT)"
+                " ELSE CAST(-1 AS BIGINT) END"
+            ).alias("pc_i"),
+            F.expr(
+                f"CASE WHEN n_cand > 0 THEN CAST(({s} * n_true) div n_cand AS BIGINT)"
+                " ELSE CAST(-1 AS BIGINT) END"
+            ).alias("pq_i"),
+            F.expr(
+                f"CASE WHEN n_items >= 2 THEN CAST(({s} * (n_items * (n_items - 1) div 2 - n_cand))"
+                f" div (n_items * (n_items - 1) div 2) AS BIGINT)"
+                " ELSE CAST(-1 AS BIGINT) END"
+            ).alias("rr_i"),
+        )
+    )

@@ -41,3 +41,26 @@ def test_duplicate_rows_count_once(spark):
     assert got["p"]["n_pred"] == 1 and got["p"]["n_gold"] == 1
     assert got["p"]["precision_i"] == 1000000
     assert got["p"]["f1_i"] == 1000000
+
+
+def test_blocking_quality_metrics(spark):
+    from aiwhispr_spark.operators.evaluation import blocking_quality
+
+    items = spark.createDataFrame([(i,) for i in range(5)], "id long")  # 10 pairs
+    cand = spark.createDataFrame([(0, 1), (0, 2), (3, 4), (0, 1)], "a long, b long")
+    gold = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "a long, b long")
+    r = blocking_quality(cand, gold, items).collect()[0]
+    # cand dedups to 3; true = {(0,1),(3,4)} = 2
+    assert (r.n_items, r.n_total_pairs, r.n_cand, r.n_gold, r.n_true) == (5, 10, 3, 3, 2)
+    assert r.pc_i == (1_000_000 * 2) // 3
+    assert r.pq_i == (1_000_000 * 2) // 3
+    assert r.rr_i == (1_000_000 * 7) // 10
+
+
+def test_blocking_quality_zero_support_sentinels(spark):
+    from aiwhispr_spark.operators.evaluation import blocking_quality
+
+    one = spark.createDataFrame([(0,)], "id long")
+    empty = spark.createDataFrame([], "a long, b long")
+    r = blocking_quality(empty, empty, one).collect()[0]
+    assert (r.pc_i, r.pq_i, r.rr_i) == (-1, -1, -1)
