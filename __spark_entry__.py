@@ -4420,6 +4420,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_modularity"] = kg_modularity
 
+    def kg_bgp_aggregate(spark, sf):
+        # SPARQL 1.1 aggregates over the pattern matcher (graph_query.py::
+        # bgp_aggregate): per city with ≥2 acquired companies based there,
+        # count distinct targets and acquirers — GROUP BY + HAVING on BGP
+        # bindings.  Oracle = the same conjunctive joins + aggregate in SQL.
+        from aiwhispr_spark.operators.graph_query import bgp_aggregate
+
+        return bgp_aggregate(
+            _corpus_triples(spark),
+            [("?x", "based_in", "?city"), ("?y", "acquired", "?x")],
+            group_vars=["city"],
+            counts={"n_targets": "x", "n_acquirers": "y"},
+            having_min=2,
+        )
+
+    q["kg_bgp_aggregate"] = kg_bgp_aggregate
+
+    def mirror_hosts(spark, sf):
+        # Content-overlap mirror detection (linkgraph.py::mirror_host_pairs):
+        # hosts sharing ≥5 page fingerprints at Jaccard ≥ 0.2 — fixture
+        # builds two closed-form mirror families (doc_id%6 hosts, doc_id%80
+        # contents; host m5 diverges onto %160) so partial overlap exists.
+        from aiwhispr_spark.operators.linkgraph import mirror_host_pairs
+
+        d = _t(spark, sf, "documents")
+        pages = d.select(
+            F.concat(F.lit("m"), (F.col("doc_id") % 6).cast("string")).alias("host"),
+            F.concat(
+                F.lit("c"),
+                F.when(F.col("doc_id") % 6 == 5, F.col("doc_id") % 160)
+                .otherwise(F.col("doc_id") % 80)
+                .cast("string"),
+            ).alias("text"),
+        )
+        return mirror_host_pairs(pages, min_shared=5, min_jaccard_i=200_000)
+
+    q["mirror_host_pairs"] = mirror_hosts
+
     def kg_triple_extent(spark, sf):
         # Temporal KG provenance: fact lifespan across the crawl — per
         # distinct (subj, pred, obj) its first/last observation timestamp,
@@ -5891,6 +5929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_truthfinder_facts",
         "kg_truthfinder_trust",
         "minhash_blocking_eval",
+        "kg_bgp_aggregate",
+        "mirror_host_pairs",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -9180,6 +9220,36 @@ def oracle_sql() -> dict[str, str]:
         FROM comm c LEFT JOIN ein e ON e.label = c.label
     """
     )
+    o["kg_bgp_aggregate"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        b AS (SELECT DISTINCT subj AS x, obj AS city FROM t WHERE pred = 'based_in'),
+        a AS (SELECT DISTINCT subj AS y, obj AS x FROM t WHERE pred = 'acquired'),
+        m AS (SELECT DISTINCT b.x, b.city, a.y FROM b JOIN a ON a.x = b.x)
+        SELECT city, CAST(count(DISTINCT x) AS BIGINT) AS n_targets,
+               CAST(count(DISTINCT y) AS BIGINT) AS n_acquirers
+        FROM m GROUP BY city HAVING count(DISTINCT x) >= 2
+    """
+    o["mirror_host_pairs"] = """
+        WITH rel AS (
+          SELECT DISTINCT
+                 md5('c' || (CASE WHEN doc_id % 6 = 5 THEN doc_id % 160
+                                  ELSE doc_id % 80 END)) AS key,
+                 'm' || (doc_id % 6) AS item
+          FROM documents),
+        small AS (SELECT key FROM rel GROUP BY key HAVING count(*) <= 1000),
+        d AS (SELECT rel.key, rel.item FROM rel JOIN small USING (key)),
+        deg AS (SELECT item, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY item),
+        pairs AS (SELECT l.item AS a, r.item AS b,
+                         CAST(count(*) AS BIGINT) AS n_common
+                  FROM d l JOIN d r ON r.key = l.key AND l.item < r.item
+                  GROUP BY l.item, r.item)
+        SELECT p.a, p.b, p.n_common, da.deg AS deg_a, db.deg AS deg_b,
+               CAST((1000000 * p.n_common) // (da.deg + db.deg - p.n_common)
+                    AS BIGINT) AS jaccard_i
+        FROM pairs p JOIN deg da ON da.item = p.a JOIN deg db ON db.item = p.b
+        WHERE p.n_common >= 5
+          AND (1000000 * p.n_common) // (da.deg + db.deg - p.n_common) >= 200000
+    """
     o["kg_triple_extent"] = f"""
         WITH t AS ({_kg_e2e_sql()}),
         obs AS (SELECT subj, pred, obj, url,

@@ -102,6 +102,37 @@ def bgp_match(
     return acc.distinct()
 
 
+def bgp_aggregate(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    group_vars: list[str],
+    counts: dict[str, str],
+    having_min: int | None = None,
+) -> DataFrame:
+    """SPARQL 1.1 aggregate query over a basic graph pattern: GROUP BY
+    ``group_vars`` over the :func:`bgp_match` bindings with COUNT(DISTINCT
+    ?v) aggregates (``counts``: output column → variable name), and an
+    optional HAVING floor on the FIRST aggregate — the `SELECT ?city
+    (COUNT(DISTINCT ?x) AS ?n) … GROUP BY ?city HAVING (?n ≥ k)` analytics
+    surface on top of the pattern matcher.
+
+    Scale shape: the BGP join plan is bgp_match's (most-bound-first);
+    the aggregate adds ONE map-side-combinable exchange keyed on the group
+    variables — distinct-counts partial-aggregate per map side."""
+    if not group_vars:
+        raise ValueError("bgp_aggregate needs at least one group variable")
+    if not counts:
+        raise ValueError("bgp_aggregate needs at least one aggregate")
+    m = bgp_match(triples, patterns)
+    aggs = [
+        F.countDistinct(var).cast("long").alias(out) for out, var in counts.items()
+    ]
+    out = m.groupBy(*group_vars).agg(*aggs)
+    if having_min is not None:
+        out = out.filter(F.col(next(iter(counts))) >= having_min)
+    return out
+
+
 def bgp_match_optional(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],

@@ -360,6 +360,36 @@ def _overlap_pairs(rel: DataFrame, max_fanout: int = 1000) -> DataFrame:
     )
 
 
+def mirror_host_pairs(
+    pages: DataFrame,
+    host_col: str = "host",
+    content_col: str = "text",
+    max_fanout: int = 1000,
+    min_shared: int = 5,
+    min_jaccard_i: int = 200_000,
+) -> DataFrame:
+    """Mirror-site detection by CONTENT overlap: hosts whose page-fingerprint
+    sets share ≥ ``min_shared`` fingerprints at Jaccard ≥ ``min_jaccard_i``
+    (scaled 1e6) — the crawl-curation step that collapses full and partial
+    mirrors (CDNs, country TLD clones, scraped re-hosts) BEFORE per-host
+    stats or authority ranks are computed, where mirrors would double-count.
+
+    Fingerprint = md5 of the page content (exact-copy semantics; swap in a
+    simhash for near-copy mirroring).  The host-pair wedge is
+    :func:`_overlap_pairs` on the (fingerprint, host) relation — the same
+    hub-cap discipline as co-citation: a fingerprint present on more than
+    ``max_fanout`` hosts (boilerplate like an empty page) is dropped from
+    candidate generation, and degrees count after the drop."""
+    rel = pages.select(
+        F.md5(F.col(content_col).cast("string")).alias("key"),
+        F.col(host_col).alias("item"),
+    )
+    out = _overlap_pairs(rel, max_fanout=max_fanout)
+    return out.filter(
+        (F.col("n_common") >= min_shared) & (F.col("jaccard_i") >= min_jaccard_i)
+    )
+
+
 def cocitation_pairs(
     edges: DataFrame,
     src_col: str = "src",

@@ -397,3 +397,39 @@ def test_community_modularity_drops_unlabeled(spark):
     r = rows[0]
     # u unlabeled: its edge never counts in e_in, its degree never in d_sum
     assert (r.n_nodes, r.e_in, r.d_sum, r.m, r.q_num) == (2, 1, 3, 2, 4 * 2 * 1 - 9)
+
+
+def test_bgp_aggregate_group_and_having(spark):
+    from aiwhispr_spark.operators.graph_query import bgp_aggregate
+
+    rows = [
+        ("e1", "based_in", "Berlin"), ("e2", "based_in", "Berlin"),
+        ("e3", "based_in", "Paris"),
+        ("a1", "acquired", "e1"), ("a2", "acquired", "e1"),
+        ("a1", "acquired", "e2"), ("a1", "acquired", "e3"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        r.city: (r.n_targets, r.n_acquirers)
+        for r in bgp_aggregate(
+            t,
+            [("?x", "based_in", "?city"), ("?y", "acquired", "?x")],
+            ["city"],
+            {"n_targets": "x", "n_acquirers": "y"},
+            having_min=2,
+        ).collect()
+    }
+    # Paris has only 1 acquired target -> HAVING drops it
+    assert got == {"Berlin": (2, 2)}
+
+
+def test_bgp_aggregate_param_guards(spark):
+    import pytest
+
+    from aiwhispr_spark.operators.graph_query import bgp_aggregate
+
+    t = spark.createDataFrame([("a", "p", "b")], "subj string, pred string, obj string")
+    with pytest.raises(ValueError):
+        bgp_aggregate(t, [("?x", "p", "?y")], [], {"n": "x"})
+    with pytest.raises(ValueError):
+        bgp_aggregate(t, [("?x", "p", "?y")], ["x"], {})

@@ -167,3 +167,24 @@ def test_link_reciprocity_counts(spark):
     assert (a.n_out, a.n_reciprocal, a.reciprocity_i) == (2, 2, 1000000)
     assert (got["b"].n_out, got["b"].n_reciprocal) == (1, 1)
     assert (got["c"].n_out, got["c"].n_reciprocal) == (1, 1)
+
+
+def test_mirror_host_pairs_partial_overlap(spark):
+    from aiwhispr_spark.operators.linkgraph import mirror_host_pairs
+
+    rows = (
+        [("h1", f"page{i}") for i in range(10)]
+        + [("h2", f"page{i}") for i in range(10)]          # full mirror of h1
+        + [("h3", f"page{i}") for i in range(5)]           # half mirror
+        + [("h3", f"other{i}") for i in range(5)]
+        + [("h4", f"unique{i}") for i in range(10)]        # no overlap
+    )
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {
+        (r.a, r.b): (r.n_common, r.jaccard_i)
+        for r in mirror_host_pairs(df, min_shared=5, min_jaccard_i=300_000).collect()
+    }
+    assert got[("h1", "h2")] == (10, 1_000_000)
+    assert got[("h1", "h3")] == (5, (1_000_000 * 5) // 15)
+    assert ("h1", "h4") not in got and ("h2", "h4") not in got
+    assert set(got) == {("h1", "h2"), ("h1", "h3"), ("h2", "h3")}
