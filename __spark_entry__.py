@@ -1700,6 +1700,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_truthfinder_trust"] = kg_truthfinder_trust
 
+    def kg_statement_reify(spark, sf):
+        # RDF reification of the dated-fact extractor's output (rdf.py::
+        # reify_statements): content-derived statement nodes with
+        # rdf:subject/predicate/object, the temporal qualifier, and
+        # per-source provenance rows.  Oracle rebuilds the same long-form
+        # rows (md5 statement ids) from the closed-form dated facts.
+        from aiwhispr_spark.operators.rdf import reify_statements
+
+        return reify_statements(kg_dated(spark, sf))
+
+    q["kg_statement_reification"] = kg_statement_reify
+
+    def kg_degree_profile(spark, sf):
+        # Power-of-two degree histogram of the entity graph (graph.py::
+        # degree_profile) — ⌊log2(deg)⌋ via length(bin(deg))−1, no float
+        # log; the profile that decides hub caps/salting before big joins.
+        from aiwhispr_spark.operators.graph import degree_profile
+
+        return degree_profile(_entity_edges(spark))
+
+    q["kg_degree_profile"] = kg_degree_profile
+
     def quote_attr(spark, sf):
         # Quotation attribution (quotes.py::extract_quotes): one leading-arm
         # and one trailing-arm quote per closed-form doc, plus a pronoun
@@ -5931,6 +5953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_blocking_eval",
         "kg_bgp_aggregate",
         "mirror_host_pairs",
+        "kg_statement_reification",
+        "kg_degree_profile",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -6469,6 +6493,30 @@ def oracle_sql() -> dict[str, str]:
     """
     o["kg_truthfinder_facts"] = _truthfinder_sql("facts", rounds=3)
     o["kg_truthfinder_trust"] = _truthfinder_sql("trust", rounds=3)
+    o["kg_statement_reification"] = """
+        WITH df AS (
+          SELECT 'u' || doc_id AS url, 'Entity_' || (doc_id % 37) AS subj,
+                 'acquired' AS pred, 'E' || (doc_id % 11) || ' Corp' AS obj,
+                 'in' AS qualifier, CAST(1980 + doc_id % 40 AS VARCHAR) AS year
+          FROM documents
+          UNION ALL
+          SELECT 'u' || doc_id, 'Entity_' || (doc_id % 37), 'based_in',
+                 'City' || ((doc_id * 3) % 13), 'since',
+                 CAST(1990 + doc_id % 30 AS VARCHAR)
+          FROM documents
+        ),
+        b AS (SELECT md5(subj || '|' || pred || '|' || obj || '|'
+                         || qualifier || '|' || year) AS stmt_id,
+                     subj, pred, obj, qualifier, year, url FROM df),
+        r AS (
+          SELECT stmt_id, 'rdf:subject' AS prop, subj AS value FROM b
+          UNION ALL SELECT stmt_id, 'rdf:predicate', pred FROM b
+          UNION ALL SELECT stmt_id, 'rdf:object', obj FROM b
+          UNION ALL SELECT stmt_id, 'kg:' || qualifier, year FROM b
+          UNION ALL SELECT stmt_id, 'prov:wasDerivedFrom', url FROM b
+        )
+        SELECT DISTINCT stmt_id, prop, value FROM r
+    """
     o["kg_interval_coalesce"] = """
         WITH obs AS (
           SELECT 'E' || (doc_id % 10) AS subj, 'active' AS pred, 'Y' AS obj,
@@ -9220,6 +9268,17 @@ def oracle_sql() -> dict[str, str]:
         FROM comm c LEFT JOIN ein e ON e.label = c.label
     """
     )
+    o["kg_degree_profile"] = f"""
+        WITH {_gq_edges},
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM nbrs GROUP BY node)
+        SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(min(deg) AS BIGINT) AS min_deg,
+               CAST(max(deg) AS BIGINT) AS max_deg,
+               CAST(sum(deg) AS BIGINT) AS sum_deg
+        FROM deg GROUP BY 1
+    """
     o["kg_bgp_aggregate"] = f"""
         WITH t AS ({_kg_e2e_sql()}),
         b AS (SELECT DISTINCT subj AS x, obj AS city FROM t WHERE pred = 'based_in'),

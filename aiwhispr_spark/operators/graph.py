@@ -201,6 +201,47 @@ def personalized_pagerank(
     return pr
 
 
+def degree_profile(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Power-of-two degree histogram over the canonical undirected edge set:
+    (bucket, n_nodes, min_deg, max_deg, sum_deg) with ``bucket =
+    ⌊log2(deg)⌋`` computed as ``length(bin(deg)) − 1`` — a pure
+    integer/string op, NO float log (cross-engine exact).  The standard
+    at-scale graph profile: a heavy power-law tail shows up as slowly
+    decaying bucket counts and tells you which joins need the hub caps /
+    salting before you run them.
+
+    Scale shape: one degree aggregate keyed on node, one histogram
+    aggregate keyed on the ~64 possible buckets — both map-side combine."""
+    ee = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        ee.select(F.col("a").alias("node"))
+        .unionByName(ee.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return (
+        deg.withColumn("bucket", (F.length(F.bin("deg")) - 1).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+            F.sum("deg").cast("long").alias("sum_deg"),
+        )
+    )
+
+
 def hits(
     edges: DataFrame,
     iterations: int = 5,

@@ -1,0 +1,36 @@
+
+
+def test_reify_statements_collapses_shared_provenance(spark):
+    from aiwhispr_spark.operators.rdf import reify_statements
+
+    rows = [
+        ("u1", "A", "acquired", "B", "in", 1999),
+        ("u2", "A", "acquired", "B", "in", 1999),   # same fact, 2nd source
+        ("u1", "A", "based_in", "C", "since", 2001),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string, qualifier string, year int"
+    )
+    out = reify_statements(df).collect()
+    by_stmt = {}
+    for r in out:
+        by_stmt.setdefault(r.stmt_id, []).append((r.prop, r.value))
+    assert len(by_stmt) == 2
+    acq = next(v for v in by_stmt.values() if ("rdf:object", "B") in v)
+    # one statement node, TWO provenance rows, qualifier year as string
+    assert ("prov:wasDerivedFrom", "u1") in acq and ("prov:wasDerivedFrom", "u2") in acq
+    assert ("kg:in", "1999") in acq and len(acq) == 6
+
+
+def test_degree_profile_buckets(spark):
+    from aiwhispr_spark.operators.graph import degree_profile
+
+    # star: hub h with 5 leaves -> hub deg 5 (bucket 2), leaves deg 1 (bucket 0)
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(5)] + [("l0", "h")],  # dup direction collapses
+        "src string, dst string",
+    )
+    got = {r.bucket: r for r in degree_profile(edges).collect()}
+    assert got[0].n_nodes == 5 and got[0].min_deg == 1 and got[0].max_deg == 1
+    assert got[2].n_nodes == 1 and got[2].sum_deg == 5
+    assert set(got) == {0, 2}
