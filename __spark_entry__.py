@@ -1722,6 +1722,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_degree_profile"] = kg_degree_profile
 
+    def kg_assortativity(spark, sf):
+        # Degree assortativity of the entity graph (graph.py::
+        # degree_assortativity): exact BIGINT sums + one IEEE sqrt/division
+        # step for r_i — the link-farm drift detector.  Oracle = the same
+        # symmetrized-sums SQL.
+        from aiwhispr_spark.operators.graph import degree_assortativity
+
+        return degree_assortativity(_entity_edges(spark))
+
+    q["kg_assortativity"] = kg_assortativity
+
     def quote_attr(spark, sf):
         # Quotation attribution (quotes.py::extract_quotes): one leading-arm
         # and one trailing-arm quote per closed-form doc, plus a pronoun
@@ -5955,6 +5966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_host_pairs",
         "kg_statement_reification",
         "kg_degree_profile",
+        "kg_assortativity",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -9268,6 +9280,30 @@ def oracle_sql() -> dict[str, str]:
         FROM comm c LEFT JOIN ein e ON e.label = c.label
     """
     )
+    o["kg_assortativity"] = f"""
+        WITH {_gq_edges},
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM nbrs GROUP BY node),
+        sym AS (SELECT a, b FROM ee UNION ALL SELECT b, a FROM ee),
+        pts AS (SELECT da.deg AS x, db.deg AS y
+                FROM sym JOIN deg da ON da.node = sym.a
+                         JOIN deg db ON db.node = sym.b),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM pts)
+        SELECT n_points, sx, sy, sxy, sxx, syy,
+               CASE WHEN (n_points * sxx - sx * sx) > 0
+                     AND (n_points * syy - sy * sy) > 0
+                    THEN CAST(round(1000000 * (n_points * sxy - sx * sy)
+                         / sqrt(CAST(n_points * sxx - sx * sx AS DOUBLE)
+                                * CAST(n_points * syy - sy * sy AS DOUBLE)))
+                         AS BIGINT)
+                    ELSE CAST(-2000000 AS BIGINT) END AS r_i
+        FROM s
+    """
     o["kg_degree_profile"] = f"""
         WITH {_gq_edges},
         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg

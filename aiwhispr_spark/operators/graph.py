@@ -242,6 +242,72 @@ def degree_profile(
     )
 
 
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the canonical undirected edge
+    set — ONE row: the Pearson correlation of endpoint degrees over the
+    SYMMETRIZED edge list ((deg_u, deg_v) and (deg_v, deg_u) per edge).
+    Disassortative (r < 0) is the web-graph signature — hubs link to leaves;
+    a crawl whose host graph turns assortative usually grew a link farm.
+
+    Exact-integer discipline: every sum (n, Σx, Σy, Σxy, Σx², Σy²) is a
+    BIGINT — emitted alongside ``r_i = round(scale·r)`` whose single float
+    step (one sqrt + one division over identical integers) is the same IEEE
+    math in either engine.  Zero-variance degenerate graphs emit the −2·scale
+    sentinel (out of r's range) instead of NULL.
+
+    Scale shape: a degree aggregate, one broadcastable degree join per
+    endpoint, one global 1-row reduce — no window, no python."""
+    ee = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        ee.select(F.col("a").alias("node"))
+        .unionByName(ee.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    sym = ee.unionByName(ee.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    pts = (
+        sym.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("x")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("y")), "b")
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    s = int(scale)
+    return sums.select(
+        "n_points",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.expr(
+            f"CASE WHEN (n_points * sxx - sx * sx) > 0"
+            f" AND (n_points * syy - sy * sy) > 0"
+            f" THEN CAST(round({s} * (n_points * sxy - sx * sy)"
+            f" / sqrt(CAST(n_points * sxx - sx * sx AS DOUBLE)"
+            f" * CAST(n_points * syy - sy * sy AS DOUBLE))) AS BIGINT)"
+            f" ELSE CAST({-2 * s} AS BIGINT) END"
+        ).alias("r_i"),
+    )
+
+
 def hits(
     edges: DataFrame,
     iterations: int = 5,

@@ -398,3 +398,21 @@ def test_bpe_encode_roundtrips_train(spark):
     assert sum(len(t) * n for t, n in toks.items()) == len(
         "thecatsatonthemat"
     )
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from aiwhispr_spark.operators.graph import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c")], "src string, dst string"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert (r.n_points, r.sx, r.sxy, r.sxx) == (6, 12, 18, 30)
+    assert r.r_i == -1_000_000  # a star is perfectly disassortative
+
+
+def test_degree_assortativity_zero_variance_sentinel(spark):
+    from aiwhispr_spark.operators.graph import degree_assortativity
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert degree_assortativity(edges).collect()[0].r_i == -2_000_000
