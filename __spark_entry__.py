@@ -4114,6 +4114,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cc_label_propagation"] = cc_label_propagation
 
+    def cc_incremental(spark, sf):
+        # Dynamic CC maintenance (canonicalize.py::incremental_components):
+        # the merge-applying delta step — old labels + a bridge-edge batch
+        # (user_id % 25 == 7 → +13, some endpoints brand-new) must equal a
+        # FULL recompute over base ∪ delta, which is exactly what the
+        # recursive-closure oracle computes.
+        from aiwhispr_spark.operators.canonicalize import (
+            connected_components,
+            incremental_components,
+        )
+
+        ev = _t(spark, sf, "events")
+        stars = ev.select(
+            F.col("user_id").alias("a"),
+            (F.col("user_id") - F.col("user_id") % 10).alias("b"),
+        )
+        bridges = ev.filter(F.col("user_id") % 40 == 9).select(
+            F.col("user_id").alias("a"), (F.col("user_id") + 1).alias("b")
+        )
+        old = connected_components(
+            stars.unionByName(bridges).distinct(), driver_threshold=0
+        )
+        delta = ev.filter(F.col("user_id") % 25 == 7).select(
+            F.col("user_id").alias("a"), (F.col("user_id") + 13).alias("b")
+        )
+        out = incremental_components(old, delta)
+        return out.select(F.col("alias").alias("node"), "component")
+
+    q["cc_incremental_merge"] = cc_incremental
+
     def kg_triples(spark, sf):
         # E2E pipeline VALUE gate: the real composable path (E1 clean_html UDF
         # → disk-hop roundtrip → C1 mapInPandas chunker with T5 validation →
@@ -5967,6 +5997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_statement_reification",
         "kg_degree_profile",
         "kg_assortativity",
+        "cc_incremental_merge",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -9008,6 +9039,23 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT user_id AS a, user_id - (user_id % 10) AS b FROM events
           UNION
           SELECT DISTINCT user_id, user_id + 1 FROM events WHERE user_id % 40 = 9
+        ),
+        edges AS (SELECT a AS u, b AS v FROM base UNION SELECT b, a FROM base),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        reach(node, root) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT node, min(root) AS component FROM reach GROUP BY node
+    """
+    o["cc_incremental_merge"] = """
+        WITH RECURSIVE base AS (
+          SELECT DISTINCT user_id AS a, user_id - (user_id % 10) AS b FROM events
+          UNION
+          SELECT DISTINCT user_id, user_id + 1 FROM events WHERE user_id % 40 = 9
+          UNION
+          SELECT DISTINCT user_id, user_id + 13 FROM events WHERE user_id % 25 = 7
         ),
         edges AS (SELECT a AS u, b AS v FROM base UNION SELECT b, a FROM base),
         nodes AS (SELECT DISTINCT u AS node FROM edges),

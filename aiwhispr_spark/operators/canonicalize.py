@@ -277,6 +277,76 @@ def connected_components(
     return labels.select(F.col("node").alias("alias"), F.col("label").alias("component"))
 
 
+def incremental_components(
+    old_labels: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Dynamic CC maintenance WITH merges: given a previous run's
+    (alias, component) table (component = min member, the
+    :func:`connected_components` contract) and a DELTA edge batch, return
+    the updated full (alias, component) table ≡ a full recompute over
+    (old edges ∪ delta) — at O(|delta| + |touched components|) cost.
+
+    This is the merge-applying half that :func:`incremental_canonicalize`
+    deliberately defers ("the true merge is deferred to compaction"): run it
+    on the component-contraction graph instead of recanonicalizing the
+    corpus.  Correctness rests on min-label CC depending only on
+    CONNECTIVITY: each delta endpoint CONTRACTS to its old component label
+    (itself if unseen), CC runs on that tiny contracted graph, and the
+    resulting merge map (old label → new min) joins back — a merged set's
+    new min over labels IS the min over all member aliases, because every
+    old label already was its component's min.
+
+    Scale shape: one broadcastable label-lookup join per endpoint, CC over
+    |delta|-bounded contracted edges (driver union-find under the
+    threshold), one merge-map join back over the store (labels not in the
+    map pass through), plus the new-node append.  The full corpus edge set
+    is never touched."""
+    lab = old_labels.select(F.col("alias"), F.col("component"))
+    d = (
+        delta_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+
+    def to_rep(side: str):
+        return (
+            d.select(F.col(side).alias("alias"))
+            .join(lab, "alias", "left")
+            .select(
+                F.col("alias"),
+                F.coalesce("component", "alias").alias(f"rep_{side}"),
+            )
+        )
+
+    du = d.join(to_rep("u").withColumnRenamed("alias", "u"), "u").join(
+        to_rep("v").withColumnRenamed("alias", "v"), "v"
+    )
+    contracted = (
+        du.select(F.col("rep_u").alias("a"), F.col("rep_v").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    merge_map = connected_components(
+        contracted, max_iterations=max_iterations
+    ).select(F.col("alias").alias("rep"), F.col("component").alias("new_comp"))
+    updated_old = lab.join(
+        merge_map.withColumnRenamed("rep", "component"), "component", "left"
+    ).select("alias", F.coalesce("new_comp", "component").alias("component"))
+    endpoints = d.select(F.col("u").alias("alias")).unionByName(
+        d.select(F.col("v").alias("alias"))
+    ).distinct()
+    new_nodes = (
+        endpoints.join(lab.select("alias"), "alias", "left_anti")
+        .join(merge_map.withColumnRenamed("rep", "alias"), "alias", "left")
+        .select("alias", F.coalesce("new_comp", "alias").alias("component"))
+    )
+    return updated_old.unionByName(new_nodes)
+
+
 def canonicalize_aliases(
     aliases: DataFrame,
     alias_col: str = "alias",

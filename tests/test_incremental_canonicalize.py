@@ -92,3 +92,41 @@ def test_incremental_on_empty_store(spark):
     inc = incremental_canonicalize(_adf(spark, surfaces), store)
     batch = canonicalize_aliases(_adf(spark, surfaces))
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_incremental_components_merge_and_new_nodes(spark):
+    from aiwhispr_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21), (30, 31)], "a long, b long"
+    )
+    old = connected_components(base)
+    # delta: merge {10..12} with {20,21}; attach brand-new 5 to 30's comp
+    # (5 < 30 -> the OLD component must relabel to 5); intra-component no-op
+    delta = spark.createDataFrame([(12, 20), (5, 31), (10, 11)], "a long, b long")
+    got = {r.alias: r.component for r in incremental_components(old, delta).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 20: 10, 21: 10, 30: 5, 31: 5, 5: 5}
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    from aiwhispr_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    base_rows = [(i, i + 1) for i in range(0, 40, 2)]           # 20 two-node comps
+    delta_rows = [(i, i + 7) for i in range(0, 40, 5)] + [(100, 3), (101, 100)]
+    base = spark.createDataFrame(base_rows, "a long, b long")
+    delta = spark.createDataFrame(delta_rows, "a long, b long")
+    inc = {
+        r.alias: r.component
+        for r in incremental_components(connected_components(base), delta).collect()
+    }
+    full = {
+        r.alias: r.component
+        for r in connected_components(base.unionByName(delta)).collect()
+    }
+    assert inc == full
