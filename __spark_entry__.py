@@ -1733,6 +1733,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_assortativity"] = kg_assortativity
 
+    def host_harmonic(spark, sf):
+        # Bounded harmonic centrality over the host graph (graph.py::
+        # harmonic_centrality, 6 hops): Σ ⌊1e6/d⌋ over reaching sources —
+        # exact integers, disconnection-safe.  Oracle unrolls the same
+        # min-hop relaxation rounds.
+        from aiwhispr_spark.operators.graph import harmonic_centrality
+        from aiwhispr_spark.operators.linkgraph import extract_links, host_edges
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        edges = host_edges(extract_links(docs)).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        return harmonic_centrality(edges, max_hops=6)
+
+    q["host_harmonic_centrality"] = host_harmonic
+
     def quote_attr(spark, sf):
         # Quotation attribution (quotes.py::extract_quotes): one leading-arm
         # and one trailing-arm quote per closed-form doc, plus a pronoun
@@ -5998,6 +6014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_profile",
         "kg_assortativity",
         "cc_incremental_merge",
+        "host_harmonic_centrality",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -7599,6 +7616,26 @@ def oracle_sql() -> dict[str, str]:
         iterations=5, damping=0.85, edges_sql=_host_edges_sql()
     )
     o["host_hits_5"] = _hits_sql(iterations=5, edges_sql=_host_edges_sql())
+    _harm_parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst"
+        f" FROM ({_host_edges_sql()}) WHERE src <> dst),",
+        "d1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS d FROM edges),",
+    ]
+    for _hk in range(2, 7):
+        _harm_parts.append(
+            f"d{_hk} AS MATERIALIZED (SELECT src, dst, min(d) AS d FROM ("
+            f" SELECT src, dst, d FROM d{_hk - 1}"
+            f" UNION ALL SELECT p.src, e.dst, p.d + 1 FROM d{_hk - 1} p"
+            f" JOIN edges e ON e.src = p.dst) GROUP BY src, dst),"
+        )
+    o["host_harmonic_centrality"] = (
+        "\n".join(_harm_parts).rstrip(",")
+        + """
+        SELECT dst AS node, CAST(sum(1000000 // d) AS BIGINT) AS harmonic_i,
+               CAST(count(*) AS BIGINT) AS n_reach
+        FROM d6 WHERE src <> dst GROUP BY dst
+    """
+    )
     o["host_trustrank_seeded"] = _trustrank_sql(
         _TRUST_SEED_HOSTS, iterations=5, damping=0.85, edges_sql=_host_edges_sql()
     )

@@ -416,3 +416,27 @@ def test_degree_assortativity_zero_variance_sentinel(spark):
 
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     assert degree_assortativity(edges).collect()[0].r_i == -2_000_000
+
+
+def test_harmonic_centrality_chain(spark):
+    from aiwhispr_spark.operators.graph import harmonic_centrality
+
+    # directed chain a->b->c->d: into d: b@2... wait a@3, b@2, c@1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r.node: (r.harmonic_i, r.n_reach) for r in
+           harmonic_centrality(edges, max_hops=6).collect()}
+    assert got["d"] == (1_000_000 + 500_000 + 333_333, 3)
+    assert got["b"] == (1_000_000, 1)
+    assert "a" not in got  # nothing reaches a
+
+
+def test_harmonic_centrality_hop_bound(spark):
+    from aiwhispr_spark.operators.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r.node: r.n_reach for r in harmonic_centrality(edges, max_hops=2).collect()}
+    assert got["d"] == 2  # a@3 is beyond the 2-hop bound
