@@ -1749,6 +1749,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_harmonic_centrality"] = host_harmonic
 
+    def kg_term_dictionary(spark, sf):
+        # Dictionary-encoded triple store, dictionary half (rdf.py::
+        # triple_dictionary): dense 0-based ids under lexicographic term
+        # order via the scale-safe global rank (range exchange + offsets,
+        # no single-partition window) + per-position flags.  Oracle =
+        # row_number over the same distinct-term set.
+        from aiwhispr_spark.operators.rdf import triple_dictionary
+
+        return triple_dictionary(_corpus_triples(spark))
+
+    q["kg_term_dictionary"] = kg_term_dictionary
+
+    def kg_encoded_triples(spark, sf):
+        # the encoding half: the triple multiset re-expressed as 24-byte
+        # (s_id, p_id, o_id) rows via three dictionary joins
+        from aiwhispr_spark.operators.rdf import encode_triples, triple_dictionary
+
+        t = _corpus_triples(spark)
+        return encode_triples(t, triple_dictionary(t))
+
+    q["kg_encoded_triples"] = kg_encoded_triples
+
     def quote_attr(spark, sf):
         # Quotation attribution (quotes.py::extract_quotes): one leading-arm
         # and one trailing-arm quote per closed-form doc, plus a pronoun
@@ -6015,6 +6037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assortativity",
         "cc_incremental_merge",
         "host_harmonic_centrality",
+        "kg_term_dictionary",
+        "kg_encoded_triples",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -9365,6 +9389,33 @@ def oracle_sql() -> dict[str, str]:
         FROM comm c LEFT JOIN ein e ON e.label = c.label
     """
     )
+    _dict_cte = f"""
+        t AS ({_kg_e2e_sql()}),
+        terms AS (
+          SELECT term, CAST(max(ps) AS INTEGER) AS is_subj,
+                 CAST(max(pp) AS INTEGER) AS is_pred,
+                 CAST(max(po) AS INTEGER) AS is_obj
+          FROM (
+            SELECT subj AS term, 1 AS ps, 0 AS pp, 0 AS po FROM t
+            UNION ALL SELECT pred, 0, 1, 0 FROM t
+            UNION ALL SELECT obj, 0, 0, 1 FROM t
+          ) GROUP BY term
+        ),
+        dict AS (SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT)
+                        AS id, is_subj, is_pred, is_obj
+                 FROM terms)
+    """
+    o["kg_term_dictionary"] = f"""
+        WITH {_dict_cte}
+        SELECT term, id, is_subj, is_pred, is_obj FROM dict
+    """
+    o["kg_encoded_triples"] = f"""
+        WITH {_dict_cte}
+        SELECT ds.id AS s_id, dp.id AS p_id, do_.id AS o_id
+        FROM t JOIN dict ds ON ds.term = t.subj
+               JOIN dict dp ON dp.term = t.pred
+               JOIN dict do_ ON do_.term = t.obj
+    """
     o["kg_assortativity"] = f"""
         WITH {_gq_edges},
         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg

@@ -116,6 +116,63 @@ _XSD_RANGE = {
 }
 
 
+def triple_dictionary(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Term dictionary for a dictionary-encoded triple store (the HDT /
+    every-production-triple-store layout): each DISTINCT term across
+    subject, predicate and object positions gets a DENSE integer id (0-based
+    rank under lexicographic term order — deterministic, so two engines and
+    two runs mint identical ids).  Output (term, id, is_subj, is_pred,
+    is_obj) — the position flags let a loader build per-position dictionaries
+    without re-scanning the corpus.
+
+    At 100 TB this is the storage step that turns ~60-byte IRI strings into
+    8-byte ints everywhere downstream (joins shuffle ids, not strings); the
+    dense global rank uses operators/ranking.py::global_row_number — a range
+    exchange + per-partition offsets, NEVER a single-partition window."""
+    from aiwhispr_spark.operators.ranking import global_row_number
+
+    terms = (
+        triples.select(F.col(subj_col).alias("term"))
+        .withColumn("ps", F.lit(1)).withColumn("pp", F.lit(0)).withColumn("po", F.lit(0))
+        .unionByName(
+            triples.select(F.col(pred_col).alias("term"))
+            .withColumn("ps", F.lit(0)).withColumn("pp", F.lit(1)).withColumn("po", F.lit(0))
+        )
+        .unionByName(
+            triples.select(F.col(obj_col).alias("term"))
+            .withColumn("ps", F.lit(0)).withColumn("pp", F.lit(0)).withColumn("po", F.lit(1))
+        )
+        .groupBy("term")
+        .agg(
+            F.max("ps").cast("int").alias("is_subj"),
+            F.max("pp").cast("int").alias("is_pred"),
+            F.max("po").cast("int").alias("is_obj"),
+        )
+    )
+    ranked = global_row_number(terms, [F.col("term")], rank_col="rk")
+    return ranked.select(
+        "term", (F.col("rk") - 1).cast("long").alias("id"), "is_subj", "is_pred", "is_obj"
+    )
+
+
+def encode_triples(triples: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """(s_id, p_id, o_id) — the triple set re-expressed over dictionary ids
+    (three broadcastable joins on the term string; after this every
+    downstream join/shuffle carries 24 bytes per triple)."""
+    d = dictionary.select("term", "id")
+    return (
+        triples.join(d.withColumnsRenamed({"term": "subj", "id": "s_id"}), "subj")
+        .join(d.withColumnsRenamed({"term": "pred", "id": "p_id"}), "pred")
+        .join(d.withColumnsRenamed({"term": "obj", "id": "o_id"}), "obj")
+        .select("s_id", "p_id", "o_id")
+    )
+
+
 def reify_statements(
     dated: DataFrame,
     url_col: str = "url",

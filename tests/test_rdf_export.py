@@ -34,3 +34,21 @@ def test_degree_profile_buckets(spark):
     assert got[0].n_nodes == 5 and got[0].min_deg == 1 and got[0].max_deg == 1
     assert got[2].n_nodes == 1 and got[2].sum_deg == 5
     assert set(got) == {0, 2}
+
+
+def test_triple_dictionary_dense_ids_and_flags(spark):
+    from aiwhispr_spark.operators.rdf import encode_triples, triple_dictionary
+
+    t = spark.createDataFrame(
+        [("b", "p", "a"), ("a", "p", "c"), ("b", "q", "a")],
+        "subj string, pred string, obj string",
+    )
+    d = {r.term: r for r in triple_dictionary(t).collect()}
+    assert [d[k].id for k in sorted(d)] == list(range(5))  # dense, lexicographic
+    assert (d["a"].is_subj, d["a"].is_pred, d["a"].is_obj) == (1, 0, 1)
+    assert (d["p"].is_subj, d["p"].is_pred, d["p"].is_obj) == (0, 1, 0)
+    enc = [tuple(r) for r in encode_triples(t, triple_dictionary(t)).collect()]
+    # roundtrip: decoding ids through the dict recovers the triple multiset
+    inv = {r.id: r.term for r in triple_dictionary(t).collect()}
+    decoded = sorted((inv[s], inv[p], inv[o]) for s, p, o in enc)
+    assert decoded == sorted([("b", "p", "a"), ("a", "p", "c"), ("b", "q", "a")])
