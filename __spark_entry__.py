@@ -152,6 +152,18 @@ def _ensure_link_corpus() -> str:
     return path
 
 
+def _ensure_mediawiki_dump() -> str:
+    """Materialize the one-file MediaWiki dump fixture (idempotent)."""
+    import os
+
+    from aiwhispr_spark.sources import mediawiki
+
+    path = _fixture_path("aiwhispr_mediawiki_120.xml", mediawiki)
+    if not os.path.exists(path):
+        mediawiki.write_mediawiki_dump(path, n_pages=120)
+    return path
+
+
 def _ensure_structured_corpus() -> str:
     """Materialize the structured-markup corpus (JSON-LD / meta / infobox)
     for operators/structured.py (idempotent fixture, same discipline as
@@ -1770,6 +1782,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return encode_triples(t, triple_dictionary(t))
 
     q["kg_encoded_triples"] = kg_encoded_triples
+
+    def wikitext_infobox(spark, sf):
+        # MediaWiki dump source (sources/mediawiki.py): splittable
+        # lineSep='</page>' text scan → XML-unescaped title/body → first
+        # infobox's type + param lines as triples.  Oracle = expected rows
+        # from the fixture's page-index arithmetic (independent of every
+        # regex in the reader).
+        from aiwhispr_spark.sources.mediawiki import infobox_triples, read_mediawiki_pages
+
+        pages = read_mediawiki_pages(spark, _ensure_mediawiki_dump())
+        return infobox_triples(pages)
+
+    q["wikitext_infobox_triples"] = wikitext_infobox
+
+    def wiki_links(spark, sf):
+        # internal [[link]] graph from the same dump: labels and #section
+        # anchors stripped, duplicates kept
+        from aiwhispr_spark.sources.mediawiki import internal_links, read_mediawiki_pages
+
+        pages = read_mediawiki_pages(spark, _ensure_mediawiki_dump())
+        return internal_links(pages)
+
+    q["wiki_internal_links"] = wiki_links
 
     def quote_attr(spark, sf):
         # Quotation attribution (quotes.py::extract_quotes): one leading-arm
@@ -6039,6 +6074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_harmonic_centrality",
         "kg_term_dictionary",
         "kg_encoded_triples",
+        "wikitext_infobox_triples",
+        "wiki_internal_links",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -9389,6 +9426,26 @@ def oracle_sql() -> dict[str, str]:
         FROM comm c LEFT JOIN ein e ON e.label = c.label
     """
     )
+    o["wikitext_infobox_triples"] = """
+        WITH p AS (SELECT doc_id AS i FROM documents WHERE doc_id < 120)
+        SELECT 'Article ' || i AS subj, 'wiki:type' AS pred, 'company' AS obj FROM p
+        UNION ALL
+        SELECT 'Article ' || i, 'infobox:name',
+               'Entity ' || (i % 40)
+               || CASE WHEN i % 10 = 0 THEN ' & Co' ELSE '' END FROM p
+        UNION ALL
+        SELECT 'Article ' || i, 'infobox:founded',
+               CAST(1980 + i % 35 AS VARCHAR) FROM p
+        UNION ALL
+        SELECT 'Article ' || i, 'infobox:hq', 'City' || (i % 9) FROM p
+    """
+    o["wiki_internal_links"] = """
+        WITH p AS (SELECT doc_id AS i FROM documents WHERE doc_id < 120)
+        SELECT 'Article ' || i AS src_title,
+               'Article ' || ((i * 7 + 3) % 120) AS dst_title FROM p
+        UNION ALL
+        SELECT 'Article ' || i, 'Article ' || ((i * 7 + 4) % 120) FROM p
+    """
     _dict_cte = f"""
         t AS ({_kg_e2e_sql()}),
         terms AS (
