@@ -223,16 +223,18 @@ def _structured_facts_sql() -> str:
     """
 
 
-def _linked_links_sql() -> str:
+def _linked_links_sql(where_i: str = "TRUE") -> str:
     """CLOSED-FORM expected out-links of the linked corpus: every page's three
     kept targets written directly from doc-index arithmetic (synthetic.py::
     make_linked_doc_html) — independent of the engine's extract/resolve/
-    canonicalize regexes.  Yields (src_url, dst_url)."""
+    canonicalize regexes.  Yields (src_url, dst_url).  ``where_i`` filters on
+    the page index (epoch splits)."""
     path = _ensure_link_corpus()
     return f"""
         WITH ids AS (
           SELECT CAST(regexp_extract(url, 'a/(\\d+)$', 1) AS BIGINT) AS i
-          FROM read_parquet('{path}')),
+          FROM read_parquet('{path}')
+          WHERE ({where_i})),
         src AS (
           SELECT i, 'https://host' || (i % 12) || '.example.org/a/' || i AS src_url
           FROM ids)
@@ -617,11 +619,12 @@ def _ensure_unicode_corpus() -> str:
     return path
 
 
-def _host_edges_sql() -> str:
+def _host_edges_sql(where_i: str = "TRUE") -> str:
     """Closed-form cross-host edge set of the linked corpus (src, dst) —
-    shared by the host_pagerank_5 / host_hits_5 / host_random_walks oracles."""
+    shared by the host_pagerank_5 / host_hits_5 / host_random_walks oracles.
+    ``where_i`` filters on the page index (epoch splits)."""
     return f"""
-      WITH l AS ({_linked_links_sql()}),
+      WITH l AS ({_linked_links_sql(where_i)}),
       h AS (
         SELECT regexp_extract(src_url, '^[a-z]+://([^/:?#]*)', 1) AS src_host,
                regexp_extract(dst_url, '^[a-z]+://([^/:?#]*)', 1) AS dst_host
@@ -1805,6 +1808,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return internal_links(pages)
 
     q["wiki_internal_links"] = wiki_links
+
+    def best_snippet_q(spark, sf):
+        # Query-biased snippet selection (fulltext.py::best_snippet):
+        # densest 8-token window for {join, hash, scan}, hit-position
+        # candidate starts only, earliest-start ties.  Oracle = the same
+        # hit-pair window count + slice in SQL.
+        from aiwhispr_spark.operators.fulltext import best_snippet
+
+        return best_snippet(
+            _t(spark, sf, "documents"), ["join", "hash", "scan"], window=8
+        )
+
+    q["fulltext_best_snippet"] = best_snippet_q
+
+    def pagerank_drift_q(spark, sf):
+        # Two-epoch authority drift (linkgraph.py::host_pagerank_drift):
+        # pagerank per page-index parity epoch, full-outer joined, absent
+        # hosts carry 0.  Oracle = two unrolled pageranks over the
+        # closed-form epoch edge sets, full-joined the same way.
+        from aiwhispr_spark.operators.linkgraph import host_pagerank_drift
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        i = F.regexp_extract("url", r"a/(\d+)$", 1).cast("long")
+        return host_pagerank_drift(docs, (i % 2) == 1, num_partitions=8)
+
+    q["host_pagerank_drift"] = pagerank_drift_q
 
     def quote_attr(spark, sf):
         # Quotation attribution (quotes.py::extract_quotes): one leading-arm
@@ -6076,6 +6105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_encoded_triples",
         "wikitext_infobox_triples",
         "wiki_internal_links",
+        "fulltext_best_snippet",
+        "host_pagerank_drift",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -9426,6 +9457,35 @@ def oracle_sql() -> dict[str, str]:
         FROM comm c LEFT JOIN ein e ON e.label = c.label
     """
     )
+    o["fulltext_best_snippet"] = """
+        WITH toks AS (SELECT doc_id AS id,
+                             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                      FROM documents),
+        hits AS (SELECT id,
+                        unnest(list_filter(generate_series(1, len(t)),
+                               i -> list_contains(['join','hash','scan'], t[i]))) AS p
+                 FROM toks),
+        scored AS (SELECT a.id, a.p AS start, CAST(count(*) AS BIGINT) AS n_hits
+                   FROM hits a JOIN hits b
+                     ON b.id = a.id AND b.p >= a.p AND b.p < a.p + 8
+                   GROUP BY a.id, a.p),
+        best AS (SELECT id, start, n_hits FROM (
+                   SELECT *, row_number() OVER (PARTITION BY id
+                             ORDER BY n_hits DESC, start) AS rk
+                   FROM scored) WHERE rk = 1)
+        SELECT b.id, CAST(b.start AS BIGINT) AS start, b.n_hits,
+               array_to_string(t[b.start:b.start+7], ' ') AS snippet
+        FROM best b JOIN toks ON toks.id = b.id
+    """
+    o["host_pagerank_drift"] = f"""
+        SELECT coalesce(p0.node, p1.node) AS node,
+               CAST(coalesce(p0.pr_i, 0) AS BIGINT) AS pr_a_i,
+               CAST(coalesce(p1.pr_i, 0) AS BIGINT) AS pr_b_i,
+               CAST(coalesce(p1.pr_i, 0) - coalesce(p0.pr_i, 0) AS BIGINT) AS drift_i
+        FROM ({_pagerank_sql(edges_sql=_host_edges_sql("i % 2 = 0"))}) p0
+        FULL OUTER JOIN ({_pagerank_sql(edges_sql=_host_edges_sql("i % 2 = 1"))}) p1
+          ON p1.node = p0.node
+    """
     o["wikitext_infobox_triples"] = """
         WITH p AS (SELECT doc_id AS i FROM documents WHERE doc_id < 120)
         SELECT 'Article ' || i AS subj, 'wiki:type' AS pred, 'company' AS obj FROM p

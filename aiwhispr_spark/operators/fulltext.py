@@ -457,3 +457,61 @@ def search_terms_bm25(
         )
     )
     return scored.orderBy(F.col("score_i").desc(), F.col("id")).limit(k)
+
+
+def best_snippet(
+    docs: DataFrame,
+    terms: list[str],
+    window: int = 10,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-biased snippet selection (the search-result preview): per
+    document, the ``window``-token span with the MOST query-term hits, ties
+    to the earliest start — (id, start, n_hits, snippet).  Documents with no
+    hit emit nothing.
+
+    Candidate starts are HIT positions only (the optimal window can always
+    shift right until its first slot is a hit without losing hits), so the
+    per-doc work is |hits|² at worst, never |tokens|² — and |hits| is query-
+    term-frequency bounded.  One doc-keyed pair join + one doc-partitioned
+    row_number window; the token array stays with the doc row (no re-scan
+    for the snippet text).  1-based positions (cross-engine slice parity)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(content_col))), r"\s+").alias("t"),
+    )
+    hits = (
+        toks.select("id", F.posexplode("t").alias("pos0", "tok"))
+        .filter(F.col("tok").isin([t.lower() for t in terms]))
+        .select("id", (F.col("pos0") + 1).alias("p"))
+    )
+    a, b = hits.alias("a"), hits.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("b.id") == F.col("a.id"))
+            & (F.col("b.p") >= F.col("a.p"))
+            & (F.col("b.p") < F.col("a.p") + window),
+        )
+        .groupBy(F.col("a.id").alias("id"), F.col("a.p").alias("start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("n_hits"), F.asc("start"))
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return best.join(toks, "id").select(
+        "id",
+        F.col("start").cast("long").alias("start"),
+        "n_hits",
+        F.array_join(F.slice("t", F.col("start"), window), " ").alias("snippet"),
+    )

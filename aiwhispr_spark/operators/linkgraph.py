@@ -360,6 +360,49 @@ def _overlap_pairs(rel: DataFrame, max_fanout: int = 1000) -> DataFrame:
     )
 
 
+def host_pagerank_drift(
+    docs: DataFrame,
+    epoch_expr: Column,
+    damping: float = 0.85,
+    iterations: int = 5,
+    num_partitions: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Authority drift between two crawl epochs: :func:`host_pagerank` runs
+    on each epoch's pages (``epoch_expr`` boolean — False → epoch A, True →
+    epoch B), scaled ranks full-outer join on host, and
+    ``drift_i = pr_b_i − pr_a_i``.  A host absent from an epoch carries 0
+    (it held no rank then) — new hosts show +pr_b, vanished hosts −pr_a; a
+    large positive drift on a young host is the classic spam-burst flag,
+    symmetric negative drift is a dying mirror.
+
+    Scale shape: two independent host-graph pageranks (each |hosts|-sized,
+    see host_pagerank) + one host-keyed join of two |hosts| tables."""
+
+    def side(flt: Column) -> DataFrame:
+        pr = host_pagerank(
+            docs.filter(flt),
+            damping=damping,
+            iterations=iterations,
+            num_partitions=num_partitions,
+        )
+        return pr.select(
+            "node", F.round(F.col("pr") * scale).cast("long").alias("pr_i")
+        )
+
+    a = side(~epoch_expr).withColumnRenamed("pr_i", "pr_a_i")
+    b = side(epoch_expr).withColumnRenamed("pr_i", "pr_b_i")
+    return (
+        a.join(b, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("pr_a_i", F.lit(0)).cast("long").alias("pr_a_i"),
+            F.coalesce("pr_b_i", F.lit(0)).cast("long").alias("pr_b_i"),
+        )
+        .withColumn("drift_i", (F.col("pr_b_i") - F.col("pr_a_i")).cast("long"))
+    )
+
+
 def mirror_host_pairs(
     pages: DataFrame,
     host_col: str = "host",

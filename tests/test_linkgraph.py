@@ -188,3 +188,23 @@ def test_mirror_host_pairs_partial_overlap(spark):
     assert got[("h1", "h3")] == (5, (1_000_000 * 5) // 15)
     assert ("h1", "h4") not in got and ("h2", "h4") not in got
     assert set(got) == {("h1", "h2"), ("h1", "h3"), ("h2", "h3")}
+
+
+def test_host_pagerank_drift_absent_epoch_zero(spark):
+    from aiwhispr_spark.operators.linkgraph import host_pagerank_drift
+
+    # epoch A: a->b only; epoch B: b->c only (host a vanishes, c is new)
+    pages = [
+        ("https://a.org/0", '<a href="https://b.org/x">l</a>', 0),
+        ("https://b.org/1", '<a href="https://c.org/y">l</a>', 1),
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode(), e) for u, h, e in pages], "url string, html binary, epoch int"
+    )
+    from pyspark.sql import functions as SF
+
+    got = {r.node: r for r in host_pagerank_drift(df, SF.col("epoch") == 1).collect()}
+    assert got["c.org"].pr_a_i == 0 and got["c.org"].pr_b_i > 0
+    assert got["a.org"].pr_b_i == 0 and got["a.org"].pr_a_i > 0
+    for r in got.values():
+        assert r.drift_i == r.pr_b_i - r.pr_a_i
