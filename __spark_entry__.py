@@ -1835,6 +1835,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_pagerank_drift"] = pagerank_drift_q
 
+    def length_outliers(spark, sf):
+        # Robust median/MAD outlier flags per source (textstats.py::
+        # robust_outliers) over n_chars — exact quantile_disc twins,
+        # cross-multiplied threshold, MAD-0 sentinel.
+        from aiwhispr_spark.operators.textstats import robust_outliers
+
+        return robust_outliers(
+            _t(spark, sf, "documents"), "n_chars", "source", "doc_id", k_pm=2000
+        )
+
+    q["length_outliers_mad"] = length_outliers
+
     def quote_attr(spark, sf):
         # Quotation attribution (quotes.py::extract_quotes): one leading-arm
         # and one trailing-arm quote per closed-form doc, plus a pronoun
@@ -6107,6 +6119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_internal_links",
         "fulltext_best_snippet",
         "host_pagerank_drift",
+        "length_outliers_mad",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -9457,6 +9470,22 @@ def oracle_sql() -> dict[str, str]:
         FROM comm c LEFT JOIN ein e ON e.label = c.label
     """
     )
+    o["length_outliers_mad"] = """
+        WITH d AS (SELECT source AS g, doc_id, CAST(n_chars AS BIGINT) AS v
+                   FROM documents),
+        med AS (SELECT g, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med
+                FROM d GROUP BY g),
+        j AS (SELECT d.g, d.doc_id, d.v, med.med, abs(d.v - med.med) AS adev
+              FROM d JOIN med USING (g)),
+        mad AS (SELECT g, CAST(quantile_disc(adev, 0.5) AS BIGINT) AS mad
+                FROM j GROUP BY g)
+        SELECT j.g AS source, j.doc_id, j.v AS value, j.med, mad.mad,
+               CASE WHEN mad.mad > 0
+                    THEN CAST((1000 * j.adev) // mad.mad AS BIGINT)
+                    ELSE CAST(-1 AS BIGINT) END AS dev_pm
+        FROM j JOIN mad USING (g)
+        WHERE 1000 * j.adev > 2000 * mad.mad
+    """
     o["fulltext_best_snippet"] = """
         WITH toks AS (SELECT doc_id AS id,
                              regexp_split_to_array(lower(trim(text)), '\\s+') AS t

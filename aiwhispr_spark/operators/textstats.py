@@ -887,3 +887,55 @@ def vocab_stats(
             F.expr("1000 * _top10 div n_tokens").cast("long").alias("top10_share_pm"),
         )
     )
+
+
+def robust_outliers(
+    df,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k_pm: int = 3500,
+):
+    """Robust per-group outlier detection (median/MAD — the curation
+    statistic that survives the heavy tails z-scores die on): flag rows with
+    ``|x − median| > (k_pm/1000) · MAD`` where MAD = median absolute
+    deviation within the group.  EXACT integer contract: medians via
+    percentile_approx at max accuracy (≡ DuckDB quantile_disc — both pick
+    the ceil(p·n)th data point), the threshold as a CROSS-MULTIPLIED
+    integer compare (no division), and ``dev_pm = 1000·|x−med| div MAD``
+    with the −1 sentinel when MAD = 0 (a zero-spread group flags ANY
+    deviation — the cross-multiply handles that case for free).
+
+    Output: (group, id, value, med, mad, dev_pm) for OUTLIER rows only.
+    Scale shape: two grouped percentile aggregates (t-digest state, map-side
+    combinable) + two broadcastable |groups|-sized joins; the row stream
+    never shuffles."""
+    from pyspark.sql import functions as F
+
+    acc = F.lit(2147483647)
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    med = d.groupBy("g").agg(
+        F.percentile_approx("v", F.lit(0.5), acc).cast("long").alias("med")
+    )
+    j = d.join(F.broadcast(med), "g").withColumn("adev", F.abs(F.col("v") - F.col("med")))
+    mad = j.groupBy("g").agg(
+        F.percentile_approx("adev", F.lit(0.5), acc).cast("long").alias("mad")
+    )
+    out = (
+        j.join(F.broadcast(mad), "g")
+        .filter(1000 * F.col("adev") > int(k_pm) * F.col("mad"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("id").alias(id_col),
+            F.col("v").alias("value"),
+            "med",
+            "mad",
+            F.expr("CASE WHEN mad > 0 THEN CAST((1000 * adev) div mad AS BIGINT)"
+                   " ELSE CAST(-1 AS BIGINT) END").alias("dev_pm"),
+        )
+    )
+    return out

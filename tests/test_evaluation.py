@@ -64,3 +64,23 @@ def test_blocking_quality_zero_support_sentinels(spark):
     empty = spark.createDataFrame([], "a long, b long")
     r = blocking_quality(empty, empty, one).collect()[0]
     assert (r.pc_i, r.pq_i, r.rr_i) == (-1, -1, -1)
+
+
+def test_robust_outliers_mad_and_sentinel(spark):
+    from aiwhispr_spark.operators.textstats import robust_outliers
+
+    rows = (
+        [("g1", i, 100) for i in range(4)]        # med 100
+        + [("g1", 10, 104), ("g1", 11, 130)]      # adevs: 0,0,0,0,4,30
+        + [("g2", 20, 50), ("g2", 21, 50), ("g2", 22, 60)]  # mad 0
+    )
+    df = spark.createDataFrame(rows, "src string, id long, v long")
+    got = {
+        (r.src, r.id): r
+        for r in robust_outliers(df, "v", "src", "id", k_pm=3000).collect()
+    }
+    # g1: med=100, adevs sorted [0,0,0,0,4,30] -> mad = 0 (ceil(0.5*6)=3rd)
+    # so ANY deviation flags with the -1 sentinel
+    assert got[("g1", 10)].dev_pm == -1 and got[("g1", 11)].dev_pm == -1
+    assert got[("g2", 22)].mad == 0 and got[("g2", 22)].dev_pm == -1
+    assert ("g1", 0) not in got and ("g2", 20) not in got
