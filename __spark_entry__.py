@@ -1847,6 +1847,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["length_outliers_mad"] = length_outliers
 
+    def layout_census_q(spark, sf):
+        # Template census (structured.py::layout_census): simhash of the
+        # opening-tag BIGRAM stream per page, counted per host — the
+        # single-template-farm detector.  Three closed-form layouts
+        # (div/p, table/tr/td, ul/li/li) over 4 hosts; oracle computes the
+        # same three bigram simhashes from literal token lists.
+        from aiwhispr_spark.operators.structured import layout_census
+
+        d = _t(spark, sf, "documents")
+        v = F.col("doc_id") % 3
+        html = (
+            F.when(v == 0, F.lit("<html><body><div><p>x</p></div></body></html>"))
+            .when(v == 1, F.lit("<html><body><table><tr><td>x</td></tr></table></body></html>"))
+            .otherwise(F.lit("<html><body><ul><li>a</li><li>b</li></ul></body></html>"))
+        )
+        pages = d.select(
+            F.concat(F.lit("L"), (F.col("doc_id") % 4).cast("string")).alias("host"),
+            html.alias("html"),
+        )
+        return layout_census(pages)
+
+    q["layout_template_census"] = layout_census_q
+
     def quote_attr(spark, sf):
         # Quotation attribution (quotes.py::extract_quotes): one leading-arm
         # and one trailing-arm quote per closed-form doc, plus a pronoun
@@ -6120,6 +6143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_best_snippet",
         "host_pagerank_drift",
         "length_outliers_mad",
+        "layout_template_census",
         "url_template_mining",
         "readability_scores",
         "ccnet_perplexity_buckets",
@@ -9470,6 +9494,20 @@ def oracle_sql() -> dict[str, str]:
         FROM comm c LEFT JOIN ein e ON e.label = c.label
     """
     )
+    o["layout_template_census"] = f"""
+        WITH lay AS (
+          SELECT 0 AS v, ['html>body','body>div','div>p'] AS toks
+          UNION ALL SELECT 1, ['html>body','body>table','table>tr','tr>td']
+          UNION ALL SELECT 2, ['html>body','body>ul','ul>li','li>li']
+        ),
+        h AS (SELECT v, list_transform(list_distinct(toks),
+                     w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+              FROM lay),
+        fp AS (SELECT v, CAST({_simhash_terms()} AS BIGINT) AS layout_hash FROM h),
+        d AS (SELECT doc_id % 3 AS v, 'L' || (doc_id % 4) AS host FROM documents)
+        SELECT d.host, fp.layout_hash, CAST(count(*) AS BIGINT) AS n_pages
+        FROM d JOIN fp USING (v) GROUP BY d.host, fp.layout_hash
+    """
     o["length_outliers_mad"] = """
         WITH d AS (SELECT source AS g, doc_id, CAST(n_chars AS BIGINT) AS v
                    FROM documents),

@@ -500,3 +500,50 @@ def list_triples(
         "obj",
         (F.col("pos0") + 1).cast("int").alias("pos"),
     ).filter((F.col("pred") != "list:") & (F.col("obj") != ""))
+
+
+def layout_fingerprint_expr(html_col: Column) -> Column:
+    """60-bit SimHash of the page's OPENING-TAG BIGRAM stream — a layout
+    fingerprint that ignores content entirely: two pages rendered from the
+    same template hash identically (or within a few bits once optional
+    blocks differ).  Tag bigrams (``div>p``) rather than bags of tags so
+    sibling order and nesting transitions count; closing tags are skipped
+    (``</`` never matches the opener regex) — they mirror the openers and
+    would only dilute the vote.  Pure JVM: one regexp_extract_all + one
+    adjacent-zip transform + dedup.simhash64's unrolled bit votes."""
+    from aiwhispr_spark.functions.udfs import bound
+    from aiwhispr_spark.operators.dedup import simhash64
+
+    tags = F.regexp_extract_all(html_col, F.lit(r"<([a-z][a-z0-9]*)"), F.lit(1))
+    bigrams = bound(
+        tags,
+        lambda t: F.filter(
+            F.transform(
+                t,
+                lambda _, i: F.when(
+                    i + 2 <= F.size(t),
+                    F.concat(F.element_at(t, i + 1), F.lit(">"), F.element_at(t, i + 2)),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return simhash64(F.array_join(bigrams, " "))
+
+
+def layout_census(
+    docs: DataFrame, host_col: str = "host", html_col: str = "html"
+) -> DataFrame:
+    """(host, layout_hash, n_pages) — per-host template census over the
+    layout fingerprint: the table that tells a curation pass which hosts are
+    single-template farms (one hash, thousands of pages) vs organic sites,
+    and which templates to target for boilerplate rules.  One narrow
+    fingerprint projection + one map-side-combinable aggregate."""
+    return (
+        docs.select(
+            F.col(host_col).alias("host"),
+            layout_fingerprint_expr(F.col(html_col)).alias("layout_hash"),
+        )
+        .groupBy("host", "layout_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+    )

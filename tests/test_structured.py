@@ -215,3 +215,21 @@ def test_breadcrumb_taxonomy_edges(spark):
         ("Electronics", "Home", 2),
         ("Cameras", "Electronics", 2),
     }
+
+
+def test_layout_fingerprint_template_invariance(spark):
+    # same template, different content -> SAME hash; different structure ->
+    # different hash; closing tags and attributes ignored
+    from pyspark.sql import functions as F
+
+    from aiwhispr_spark.operators.structured import layout_fingerprint_expr
+
+    rows = [
+        (1, '<html><body><div class="a"><p>hello</p></div></body></html>'),
+        (2, "<html><body><div><p>totally other words</p></div></body></html>"),
+        (3, "<html><body><table><tr><td>x</td></tr></table></body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {r.id: r.h for r in df.select("id", layout_fingerprint_expr(F.col("html")).alias("h")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
