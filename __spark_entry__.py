@@ -383,7 +383,8 @@ def _trustrank_sql(
     parts = [
         f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),",
         f"seeds AS MATERIALIZED (SELECT DISTINCT node FROM (VALUES {seeds_values}) s(node)),",
-        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges UNION SELECT node FROM seeds),",
         "ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),",
         "tele AS MATERIALIZED (SELECT n.node,"
         " CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT n FROM ns)"

@@ -313,8 +313,12 @@ def incremental_components(
     )
 
     def to_rep(side: str):
+        # distinct BEFORE the label join: a hub endpoint repeated across k
+        # delta edges would otherwise yield k identical (alias, rep) rows
+        # and fan the du joins out quadratically
         return (
             d.select(F.col(side).alias("alias"))
+            .distinct()
             .join(lab, "alias", "left")
             .select(
                 F.col("alias"),

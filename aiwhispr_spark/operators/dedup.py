@@ -364,9 +364,11 @@ def containment_pairs(
     ⌊scale·threshold⌋`` (exact integer math; both directions of an unordered
     pair can qualify when the docs are near-identical).
 
-    Blocking: inverted shingle index joined on the 8-byte xxhash64 of the
-    shingle (fixed-width shuffle rows, never the shingle strings); shingles
-    with document frequency > ``max_shingle_df`` (corpus boilerplate) are
+    Blocking: the df cap counts per shingle STRING (one linear string-keyed
+    aggregate — a 64-bit hash collision must never pool two shingles'
+    frequencies); the QUADRATIC candidate self-join then runs on the 8-byte
+    xxhash64 key (fixed-width shuffle rows where it matters).  Shingles with
+    document frequency > ``max_shingle_df`` (corpus boilerplate) are
     dropped from CANDIDATE GENERATION only — the verify recomputes the
     intersection on the FULL shingle sets, so the cap costs recall only for
     pairs sharing nothing but ultra-common shingles.  Fanout per surviving
@@ -376,13 +378,15 @@ def containment_pairs(
         F.col(id_col).alias("id"),
         _token_ngrams(F.col(content_col), n).alias("sh"),
     ).filter(F.size("sh") > 0)
-    post = base.select("id", F.explode("sh").alias("s")).select(
-        "id", F.xxhash64("s").alias("fp")
-    )  # sh is distinct per doc already (array_distinct in _token_ngrams)
-    rare = post.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+    post = base.select("id", F.explode("sh").alias("s"))
+    # sh is distinct per doc already (array_distinct in _token_ngrams).
+    # The df cap counts per shingle STRING (the docstring/oracle semantics —
+    # a 64-bit hash collision must not pool two shingles' frequencies); only
+    # the quadratic candidate join downstream switches to the 8-byte hash.
+    rare = post.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= max_shingle_df
     )
-    p = post.join(rare.select("fp"), "fp")
+    p = post.join(rare.select("s"), "s").select("id", F.xxhash64("s").alias("fp"))
     cand = (
         p.alias("l")
         .join(p.alias("r"), (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")))

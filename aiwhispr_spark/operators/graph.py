@@ -124,10 +124,11 @@ def personalized_pagerank(
 
     Same iterative shape as :func:`pagerank` (edges persisted once,
     localCheckpoint per step — pr is referenced 3× per iteration); the tele
-    column rides the node frame so no per-step extra join.  Seeds not in the
-    graph contribute teleport mass that immediately flows along their
-    (absent) edges — they are counted in |S| but hold rank only via (1-d);
-    callers should intersect seeds with known hosts first if that matters.
+    column rides the node frame so no per-step extra join.  The node
+    universe is edge endpoints ∪ SEEDS: a whitelisted host absent from the
+    crawl graph still holds its teleport share ((1−d)·tele + d·dang·tele
+    each round, dangling since it has no out-edges) and appears in the
+    output — silently destroying its mass would deflate every trust score.
     Deterministic given edges+seeds (double math — emit scaled ints
     downstream)."""
     spark = edges.sparkSession
@@ -143,6 +144,7 @@ def personalized_pagerank(
     nodes_base = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
+        .union(s.select("node"))  # out-of-graph seeds stay in the universe
         .distinct()
     )
     if n_seeds == 0:

@@ -251,10 +251,9 @@ def link_reciprocity(edges: DataFrame) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # rev is a pure column swap of the already-distinct e — no re-dedup needed
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    marked = e.join(
-        rev.withColumn("has_rev", F.lit(1)).distinct(), ["src", "dst"], "left"
-    )
+    marked = e.join(rev.withColumn("has_rev", F.lit(1)), ["src", "dst"], "left")
     return (
         marked.groupBy(F.col("src").alias("host"))
         .agg(

@@ -127,9 +127,20 @@ def fellegi_sunter_scores(
     field order; floor error is bounded by one ulp of the running scale per
     field).  Emits (…input cols…, pattern, lr_i).
 
-    Scale shape: ONE map-side-combinable aggregate produces the 1-row m/u
-    count frame, broadcast back over the pair stream; scoring is pure JVM
-    expressions — the pair stream never shuffles."""
+    Overflow envelope: likelihood-ratio PRODUCTS explode by construction
+    (that is why production Fellegi–Sunter sums log2 weights instead).  The
+    m/u counts land as a bounded 1-row driver collect (the pagerank-`n`
+    pattern), so this function computes the worst-case intermediate
+    ``lr_max·num_max`` up front and raises ValueError when it could exceed
+    2^63 — Spark's non-ANSI mode would silently wrap negative while DuckDB
+    errors, a cross-engine divergence that must never reach a gate.  At that
+    point switch to the log-weight form (float log2 sum) or drop `scale`.
+
+    Scale shape: ONE map-side-combinable aggregate reduces the pair stream
+    to the 2+2k m/u counts (driver scalars — that is what enables the
+    overflow pre-check), which then enter the scoring pass as LITERALS:
+    scoring is pure JVM expressions, the pair stream never shuffles and
+    never joins."""
     n_f = len(field_cols)
     if n_f == 0:
         raise ValueError("field_cols must be non-empty")
@@ -147,23 +158,42 @@ def fellegi_sunter_scores(
             .cast("long")
             .alias(f"ua_{i}")
         )
-    counts = cand.agg(*aggs)
-    scored = cand.crossJoin(F.broadcast(counts)).withColumn(
+    row = cand.agg(*aggs).collect()[0]  # bounded driver scalars (2+2k counts)
+    nm, nu = row["nm"], row["nu"]
+    # worst-case envelope check (docstring): track the max possible running
+    # lr and the max per-field numerator it gets multiplied by
+    lr_max = int(scale)
+    for i in range(n_f):
+        ma, ua = row[f"ma_{i}"], row[f"ua_{i}"]
+        nums = (
+            (ma + 1) * (nu + 2),
+            (nm + 1 - ma) * (nu + 2),
+        )
+        dens = ((nm + 2) * (ua + 1), (nm + 2) * (nu + 1 - ua))
+        if lr_max * max(nums) >= 2**63:
+            raise ValueError(
+                "fellegi_sunter_scores: integer likelihood product could "
+                "exceed 2^63 (field %d); use log-weight scoring or a smaller "
+                "scale" % i
+            )
+        lr_max = max(
+            lr_max * nums[0] // dens[0], lr_max * nums[1] // dens[1], lr_max
+        )
+    scored = cand.withColumn(
         "pattern",
         F.concat(*[F.when(F.col(c), F.lit("1")).otherwise(F.lit("0")) for c in field_cols]),
-    )
-    scored = scored.withColumn("lr_i", F.lit(int(scale)).cast("long"))
+    ).withColumn("lr_i", F.lit(int(scale)).cast("long"))
     for i, c in enumerate(field_cols):
+        ma, ua = row[f"ma_{i}"], row[f"ua_{i}"]
         num = (
-            f"CASE WHEN {c} THEN (ma_{i} + 1) * (nu + 2)"
-            f" ELSE (nm + 1 - ma_{i}) * (nu + 2) END"
+            f"CASE WHEN {c} THEN {(ma + 1) * (nu + 2)}"
+            f" ELSE {(nm + 1 - ma) * (nu + 2)} END"
         )
         den = (
-            f"CASE WHEN {c} THEN (nm + 2) * (ua_{i} + 1)"
-            f" ELSE (nm + 2) * (nu + 1 - ua_{i}) END"
+            f"CASE WHEN {c} THEN {(nm + 2) * (ua + 1)}"
+            f" ELSE {(nm + 2) * (nu + 1 - ua)} END"
         )
         scored = scored.withColumn(
             "lr_i", F.expr(f"CAST((lr_i * ({num})) div ({den}) AS BIGINT)")
         )
-    drop = ["nm", "nu"] + [f"ma_{i}" for i in range(n_f)] + [f"ua_{i}" for i in range(n_f)]
-    return scored.drop(*drop)
+    return scored

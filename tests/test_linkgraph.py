@@ -208,3 +208,14 @@ def test_host_pagerank_drift_absent_epoch_zero(spark):
     assert got["a.org"].pr_b_i == 0 and got["a.org"].pr_a_i > 0
     for r in got.values():
         assert r.drift_i == r.pr_b_i - r.pr_a_i
+
+
+def test_personalized_pagerank_out_of_graph_seed_holds_mass(spark):
+    from aiwhispr_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("ghost",), ("a",)], "node string")
+    tr = {r.node: r.pr for r in personalized_pagerank(edges, seeds, iterations=3).collect()}
+    # the absent seed appears and keeps nonzero rank (teleport + dangling)
+    assert "ghost" in tr and tr["ghost"] > 0
+    assert tr["a"] > 0 and tr["b"] > 0

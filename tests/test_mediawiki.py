@@ -30,14 +30,18 @@ def test_scan_is_splittable_and_complete(spark, tmp_path):
     write_mediawiki_dump(p, n_pages=30)
     pages = read_mediawiki_pages(spark, p)
     assert pages.count() == 30
-    # re-read with forced small partitions: same page set (no straddle loss)
-    many = (
-        spark.read.option("lineSep", "</page>")
-        .option("maxPartitionBytes", "2048")
-        .text(p)
-    )
-    assert many.rdd.getNumPartitions() >= 1  # splittable shape accepted
-    titles = {r.title for r in pages.collect()}
+    # force MANY small file splits via the session conf (a reader .option
+    # would be silently ignored) and assert the SPLIT read recovers every
+    # page — the no-page-straddles-a-split property, actually exercised
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "2048")
+        split_pages = read_mediawiki_pages(spark, p)
+        assert split_pages.rdd.getNumPartitions() > 1
+        titles = {r.title for r in split_pages.collect()}
+    finally:
+        spark.conf.set(key, old)
     assert titles == {f"Article {i}" for i in range(30)}
 
 

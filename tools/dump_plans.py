@@ -99,6 +99,16 @@ SHOWN = [
     ("sitemap_index_expand", "ONE regexp_extract_all narrow projection: no python stage, no exchange"),
     ("kg_fact_confidence", "|hosts|-sized reliability table broadcast onto distinct (host, fact) votes; per-fact rollup map-side combines"),
     ("node2vec_walks", "per step: state joins the neighbor table twice (node-keyed); weight expansion multiplies a neighbor LIST, never the corpus; localCheckpoint per step"),
+    ("host_trustrank_seeded", "seeded teleport rides the node frame (no per-step extra join); localCheckpoint per round — same shape as plain pagerank"),
+    ("containment_syndication_pairs", "candidate self-join carries (id, 8-byte xxhash64 fp) only; full shingle arrays re-join candidate-sized"),
+    ("kg_truthfinder_facts", "per round: |hosts| trust frame broadcast onto votes + two fact-keyed map-side-combinable aggs"),
+    ("fellegi_sunter_linkage", "ONE 1-row m/u count aggregate broadcast back; likelihood scoring is pure JVM expressions on the pair stream"),
+    ("kg_term_dictionary", "dense global ids via range exchange + per-partition offsets — no single-partition window"),
+    ("wikitext_infobox_triples", "lineSep='</page>' splittable dump scan; extraction is one narrow JVM regex projection"),
+    ("host_harmonic_centrality", "per hop: one relax join + one min-agg on the host-graph-sized dist frame; localCheckpoint frontier"),
+    ("length_outliers_mad", "two t-digest percentile aggregates + two broadcast |groups| joins; the row stream never shuffles"),
+    ("layout_template_census", "fingerprint is one flat codegen'd expression (60 unrolled bit votes); census aggregate map-side combines"),
+    ("kg_modularity", "labels broadcast onto the canonical edge set twice; all aggregates label-keyed and map-side combinable; zero float math"),
 ]
 
 
