@@ -6109,6 +6109,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["structured_entity_stats"] = structured_stats
 
+    def kg_functional_keys(spark, sf):
+        # ER key mining (ontology.py::predicate_key_profile): per-predicate
+        # functionality / inverse-functionality over the induced KG — exact
+        # max-fanout flags + scaled ratio of distinct subjects (objects) to
+        # distinct facts.  Two map-side-combinable degree groupBys, a
+        # |preds|-row join, no windows, no python.
+        from aiwhispr_spark.operators.ontology import predicate_key_profile
+
+        return predicate_key_profile(_corpus_triples(spark))
+
+    q["kg_functional_keys"] = kg_functional_keys
+
+    def kg_owl_inference(spark, sf):
+        # OWL-lite forward chaining (ontology.py::owl_materialize):
+        # symmetric (partnered_with), inverseOf (acquired→acquired_by,
+        # founded_by→founded), bounded TransitiveProperty (owns, ≤4 hops via
+        # the BFS closure).  Origin elected asserted > symmetric > inverse >
+        # transitive by ONE min-rank groupBy; oracle = recursive-CTE closure
+        # + unioned candidate ranks.
+        from aiwhispr_spark.operators.ontology import owl_materialize
+
+        return owl_materialize(
+            _corpus_triples(spark),
+            symmetric=["partnered_with"],
+            inverse={"acquired": "acquired_by", "founded_by": "founded"},
+            transitive=["owns"],
+            max_hops=4,
+        )
+
+    q["kg_owl_inference"] = kg_owl_inference
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -6117,6 +6148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         "flagship_semantic_search",
         "kg_triples_synthetic",
+        "kg_functional_keys",
+        "kg_owl_inference",
         "jsonld_triples",
         "microdata_triples",
         "kg_predicate_paraphrases",
@@ -10196,5 +10229,63 @@ def oracle_sql() -> dict[str, str]:
                  - 84600000 * n_syllables // n_words AS BIGINT)
                END AS fre_i
         FROM s
+    """
+    o["kg_functional_keys"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        facts AS (SELECT DISTINCT subj, pred, obj FROM t),
+        outd AS (SELECT pred, subj, count(*) AS d_out FROM facts
+                 GROUP BY pred, subj),
+        ind AS (SELECT pred, obj, count(*) AS d_in FROM facts
+                GROUP BY pred, obj),
+        po AS (SELECT pred, CAST(sum(d_out) AS BIGINT) AS n_facts,
+                      CAST(count(*) AS BIGINT) AS n_subj,
+                      CAST(max(d_out) AS BIGINT) AS max_out
+               FROM outd GROUP BY pred),
+        pi AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_obj,
+                      CAST(max(d_in) AS BIGINT) AS max_in
+               FROM ind GROUP BY pred)
+        SELECT po.pred, n_facts, n_subj, n_obj, max_out, max_in,
+               CAST(round(10000.0 * n_subj / n_facts) AS BIGINT)
+                 AS func_ratio_i,
+               CAST(round(10000.0 * n_obj / n_facts) AS BIGINT)
+                 AS inv_func_ratio_i,
+               CAST(max_out = 1 AS BIGINT) AS is_functional_i,
+               CAST(max_in = 1 AS BIGINT) AS is_inverse_functional_i
+        FROM po JOIN pi ON po.pred = pi.pred
+    """
+    o["kg_owl_inference"] = f"""
+        WITH t AS ({_kg_e2e_sql()}),
+        facts AS (SELECT DISTINCT subj, pred, obj FROM t),
+        owns_e AS (SELECT DISTINCT subj AS src, obj AS dst FROM facts
+                   WHERE pred = 'owns' AND subj <> obj),
+        h2 AS (SELECT DISTINCT a.src, b.dst FROM owns_e a
+               JOIN owns_e b ON a.dst = b.src),
+        h3 AS (SELECT DISTINCT a.src, b.dst FROM h2 a
+               JOIN owns_e b ON a.dst = b.src),
+        h4 AS (SELECT DISTINCT a.src, b.dst FROM h3 a
+               JOIN owns_e b ON a.dst = b.src),
+        allh AS (
+          SELECT src, dst, 1 AS hops FROM owns_e
+          UNION ALL SELECT src, dst, 2 FROM h2
+          UNION ALL SELECT src, dst, 3 FROM h3
+          UNION ALL SELECT src, dst, 4 FROM h4
+        ),
+        minreach AS (SELECT src, dst, min(hops) AS h FROM allh
+                     GROUP BY src, dst),
+        cand AS (
+          SELECT subj, pred, obj, 0 AS rank FROM facts
+          UNION ALL
+          SELECT obj, pred, subj, 1 FROM facts WHERE pred = 'partnered_with'
+          UNION ALL
+          SELECT obj, 'acquired_by', subj, 2 FROM facts WHERE pred = 'acquired'
+          UNION ALL
+          SELECT obj, 'founded', subj, 2 FROM facts WHERE pred = 'founded_by'
+          UNION ALL
+          SELECT src, 'owns', dst, 3 FROM minreach WHERE h >= 2
+        )
+        SELECT subj, pred, obj,
+               CASE min(rank) WHEN 0 THEN 'asserted' WHEN 1 THEN 'symmetric'
+                    WHEN 2 THEN 'inverse' ELSE 'transitive' END AS origin
+        FROM cand GROUP BY subj, pred, obj
     """
     return o

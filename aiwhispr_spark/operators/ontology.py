@@ -218,3 +218,147 @@ def apply_datatype_constraints(
         "exp_dtype",
         (F.col("dtype") == F.col("exp_dtype")).cast("int").alias("conforms_i"),
     )
+
+
+def predicate_key_profile(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Functional / inverse-functional key discovery over the induced KG —
+    the ER planner's input: a predicate whose subjects map to exactly one
+    object (functional, e.g. based_in) supports conflict resolution by
+    election; one whose OBJECTS map to exactly one subject
+    (inverse-functional, e.g. a registration id) is a merge KEY — two
+    entity surfaces sharing an inverse-functional object are the same
+    entity (the owl:InverseFunctionalProperty smushing rule).
+
+    Output, one row per predicate over DISTINCT facts:
+      (pred, n_facts, n_subj, n_obj, max_out, max_in,
+       func_ratio_i, inv_func_ratio_i, is_functional_i, is_inverse_functional_i)
+    where max_out = the largest distinct-object fanout of any subject,
+    func_ratio_i = round(1e4 · n_subj / n_facts) (1.0 ⇔ functional), and
+    the flags are the exact max==1 tests.
+
+    100 TB shape: facts → groupBy(pred, subj) and groupBy(pred, obj)
+    counts (map-side combinable; facts are pre-distinct so count(*) IS
+    the distinct count), then two |preds × entities|→|preds| rollups and
+    a |preds|-row join — the only corpus-scale exchanges are the two
+    degree groupBys, and the subject-side one co-partitions with the
+    bucketed triple store.  No windows, no python.
+    """
+    facts = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    out_deg = facts.groupBy("pred", "subj").agg(F.count("*").alias("d_out"))
+    in_deg = facts.groupBy("pred", "obj").agg(F.count("*").alias("d_in"))
+    per_pred_out = out_deg.groupBy("pred").agg(
+        F.sum("d_out").alias("n_facts"),
+        F.count("*").alias("n_subj"),
+        F.max("d_out").alias("max_out"),
+    )
+    per_pred_in = in_deg.groupBy("pred").agg(
+        F.count("*").alias("n_obj"),
+        F.max("d_in").alias("max_in"),
+    )
+    return per_pred_out.join(per_pred_in, "pred").select(
+        "pred",
+        F.col("n_facts").cast("long").alias("n_facts"),
+        F.col("n_subj").cast("long").alias("n_subj"),
+        F.col("n_obj").cast("long").alias("n_obj"),
+        F.col("max_out").cast("long").alias("max_out"),
+        F.col("max_in").cast("long").alias("max_in"),
+        F.round(F.lit(10000.0) * F.col("n_subj") / F.col("n_facts"))
+        .cast("long")
+        .alias("func_ratio_i"),
+        F.round(F.lit(10000.0) * F.col("n_obj") / F.col("n_facts"))
+        .cast("long")
+        .alias("inv_func_ratio_i"),
+        (F.col("max_out") == 1).cast("long").alias("is_functional_i"),
+        (F.col("max_in") == 1).cast("long").alias("is_inverse_functional_i"),
+    )
+
+
+def owl_materialize(
+    triples: DataFrame,
+    symmetric: list[str],
+    inverse: dict[str, str],
+    transitive: list[str],
+    max_hops: int = 4,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """OWL-lite forward inference over the asserted facts: materialize the
+    entailments of owl:SymmetricProperty (``symmetric`` preds mirror),
+    owl:inverseOf (``inverse[p] = q`` emits (o, q, s) for every (s, p, o)),
+    and owl:TransitiveProperty (``transitive`` preds close under bounded
+    composition, ≤ ``max_hops``).
+
+    Output: (subj, pred, obj, origin) over the DISTINCT union of asserted
+    + inferred facts, where ``origin`` labels HOW the fact is cheapest to
+    derive — fixed priority asserted > symmetric > inverse > transitive
+    (a fact both asserted and entailed reports 'asserted'), so the
+    inferred-only delta is exactly the origin != 'asserted' slice.
+
+    100 TB shape: symmetric/inverse inference is a narrow projection (zero
+    exchanges — column swap + literal pred); only the transitive preds pay
+    the iterative join, and that runs per-predicate on the pred-filtered
+    edge slice (graph_query.transitive_closure: BFS frontier + visited
+    anti-join, persisted per hop).  The final distinct-with-priority is
+    ONE groupBy on (subj, pred, obj) taking min(rank) — map-side
+    combinable, fixed-width rows.
+    """
+    facts = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+    ).distinct()
+    candidates = [facts.withColumn("rank", F.lit(0))]
+    if symmetric:
+        candidates.append(
+            facts.filter(F.col("pred").isin(symmetric))
+            .select(
+                F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+            )
+            .withColumn("rank", F.lit(1))
+        )
+    for p, q in sorted(inverse.items()):
+        candidates.append(
+            facts.filter(F.col("pred") == p)
+            .select(
+                F.col("obj").alias("subj"),
+                F.lit(q).alias("pred"),
+                F.col("subj").alias("obj"),
+            )
+            .withColumn("rank", F.lit(2))
+        )
+    from aiwhispr_spark.operators.graph_query import transitive_closure
+
+    for p in sorted(set(transitive)):
+        edges = facts.filter(F.col("pred") == p).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        closed = transitive_closure(edges, max_hops=max_hops)
+        candidates.append(
+            closed.filter(F.col("hops") >= 2).select(
+                F.col("src").alias("subj"),
+                F.lit(p).alias("pred"),
+                F.col("dst").alias("obj"),
+                F.lit(3).alias("rank"),
+            )
+        )
+    allc = candidates[0]
+    for c in candidates[1:]:
+        allc = allc.unionByName(c)
+    best = allc.groupBy("subj", "pred", "obj").agg(F.min("rank").alias("r"))
+    origin = (
+        F.when(F.col("r") == 0, F.lit("asserted"))
+        .when(F.col("r") == 1, F.lit("symmetric"))
+        .when(F.col("r") == 2, F.lit("inverse"))
+        .otherwise(F.lit("transitive"))
+    )
+    return best.select("subj", "pred", "obj", origin.alias("origin"))
