@@ -2358,6 +2358,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["microdata_triples"] = microdata_q
 
+    def rdfa_q(spark, sf):
+        # RDFa-lite mining (structured.py::rdfa_triples): closed-form pages
+        # carry a CURIE-typed Person scope (text + content-attr values), an
+        # IRI-typed Organization section, and a nameless Thing scope that
+        # must emit nothing.  Oracle = expected rows from doc-id arithmetic
+        # — independent of the scope/property regexes.
+        from aiwhispr_spark.operators.structured import rdfa_triples
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+
+        def s(x):
+            return x.cast("string")
+
+        html = F.concat(
+            F.lit('<html><body>'
+                  '<div vocab="https://schema.org/" typeof="schema:Person">'
+                  '<span property="name">Agent'),
+            s(i % 9),
+            F.lit('</span><span property="jobTitle">Analyst'),
+            s(i % 4),
+            F.lit('</span><meta property="birthDate" content="19'),
+            s(F.lit(60) + i % 30),
+            F.lit('-02-02"></div>'
+                  '<section typeof="https://schema.org/Organization">'
+                  '<span property="name">Co'),
+            s(i % 12),
+            F.lit('</span><span property="location">Town'),
+            s(i % 6),
+            F.lit('</span></section>'
+                  '<div typeof="schema:Thing">'
+                  '<span property="label">NoName</span></div></body></html>'),
+        )
+        docs = d.select(
+            F.concat(F.lit("u"), s(i)).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        return rdfa_triples(docs)
+
+    q["rdfa_triples"] = rdfa_q
+
+    def orc_roundtrip(spark, sf):
+        # ORC source/sink (sources/orcsrc.py): closed-form frame with
+        # unicode text, embedded quotes/newlines, NULL langs and a negative
+        # id writes to a dir of ORC files and reads back — DuckDB cannot
+        # read ORC, so the oracle recomputes the rows from the arithmetic
+        # alone; any write/read corruption breaks the value hash.
+        from aiwhispr_spark.sources import orcsrc
+        from aiwhispr_spark.sources.orcsrc import read_orc, write_orc_fixture
+
+        path = _fixture_path("aiwhispr_orc_300", orcsrc)
+        write_orc_fixture(spark, path)
+        df = read_orc(spark, path)
+        return df.select(
+            "doc_id",
+            "lang",
+            F.length("text").cast("long").alias("n_chars"),
+            F.md5("text").alias("text_md5"),
+            F.round(F.col("score") * 10000).cast("long").alias("score_i"),
+        )
+
+    q["orc_roundtrip"] = orc_roundtrip
+
     def paraphrase_q(spark, sf):
         # Predicate paraphrases (paraphrase.py::predicate_paraphrases):
         # closed-form relations over 20 entity pairs — 'bought' mirrors
@@ -6152,6 +6215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_owl_inference",
         "jsonld_triples",
         "microdata_triples",
+        "rdfa_triples",
+        "orc_roundtrip",
         "kg_predicate_paraphrases",
         "host_trustrank_seeded",
         "host_link_reciprocity",
@@ -6860,6 +6925,33 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'u' || i, 'Org' || (i % 13), 'location',
                'City' || (i % 5), 'Organization' FROM d
+    """
+    o["rdfa_triples"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents)
+        SELECT 'u' || i AS src_url, 'Agent' || (i % 9) AS subj,
+               'jobTitle' AS pred, 'Analyst' || (i % 4) AS obj,
+               'Person' AS itype FROM d
+        UNION ALL
+        SELECT 'u' || i, 'Agent' || (i % 9), 'birthDate',
+               '19' || (60 + i % 30) || '-02-02', 'Person' FROM d
+        UNION ALL
+        SELECT 'u' || i, 'Co' || (i % 12), 'location',
+               'Town' || (i % 6), 'Organization' FROM d
+    """
+    o["orc_roundtrip"] = """
+        WITH d AS (
+          SELECT i,
+                 'doc éü中 ' || i || ' with "quotes" and' || chr(10)
+                   || 'newline tail ' || (i * i % 97) AS txt
+          FROM range(300) t(i)
+        )
+        SELECT i - 5 AS doc_id,
+               CASE WHEN i % 7 <> 0
+                    THEN ['en','de','fr','es'][CAST(i % 4 AS INT) + 1] END AS lang,
+               CAST(length(txt) AS BIGINT) AS n_chars,
+               md5(txt) AS text_md5,
+               CAST((i % 13) * 10000 AS BIGINT) AS score_i
+        FROM d
     """
     o["hreflang_clusters"] = """
         WITH g AS (SELECT DISTINCT doc_id // 3 AS g FROM documents),

@@ -364,43 +364,38 @@ _MD_SCOPE_RE = (
 _MD_PROP_RE = r'\bitemprop="([^"]+)"(?:[^>]*\bcontent="([^"]*)")?[^>]*>([^<]*)'
 
 
-def microdata_triples(
-    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+def _scoped_attr_triples(
+    docs: DataFrame,
+    url_col: str,
+    html_col: str,
+    scope_re: str,
+    prop_re: str,
+    type_seg_re: str,
 ) -> DataFrame:
-    """(src_url, subj, pred, obj, itype) from schema.org MICRODATA markup —
-    the HTML-attribute sibling of :func:`jsonld_triples` (real pages use
-    either syntax; a structured-data miner needs both).
-
-    Documented flat subset (oracle-mirrored):
-    * a scope is a ``div``/``section``/``article`` carrying ``itemscope`` +
-      ``itemtype`` with no nested scope of the same tag name; ``itype`` is
-      the last path segment of the itemtype URL;
-    * a property element carries ``itemprop`` (first attribute position),
-      its value the ``content`` attribute when present and non-empty, else
-      the element's inner text;
-    * the scope's ``name`` property is the SUBJECT; scopes without a name
-      identify nothing and emit nothing (the infobox miner's og:title
-      discipline, per-scope).
-
-    100 TB shape: same as the other structured miners — one narrow JVM
-    regex projection per page, zero python, zero extra shuffle; the emit
-    is array transforms carried through a single explode."""
+    """Shared machinery for the two HTML-ATTRIBUTE structured syntaxes
+    (microdata's itemscope/itemprop and RDFa-lite's typeof/property): a
+    typed container scope holds property elements whose value is the
+    ``content`` attribute when present else inner text; the scope's
+    ``name`` property is the SUBJECT (nameless scopes emit nothing).
+    One narrow JVM regex projection per page, zero python, zero extra
+    shuffle; the emit is array transforms carried through a single
+    explode."""
     text = F.decode(F.col(html_col), "UTF-8")
-    types = F.regexp_extract_all(text, F.lit(_MD_SCOPE_RE), F.lit(1))
-    bodies = F.regexp_extract_all(text, F.lit(_MD_SCOPE_RE), F.lit(2))
+    types = F.regexp_extract_all(text, F.lit(scope_re), F.lit(1))
+    bodies = F.regexp_extract_all(text, F.lit(scope_re), F.lit(2))
     scopes = docs.select(
         F.col(url_col).alias("src_url"),
         F.explode(F.arrays_zip(types.alias("itype"), bodies.alias("body"))).alias("s"),
     ).select(
         "src_url",
-        F.regexp_extract(F.col("s.itype"), r"([^/]+)$", 1).alias("itype"),
+        F.regexp_extract(F.col("s.itype"), type_seg_re, 1).alias("itype"),
         F.col("s.body").alias("body"),
     )
 
     def _prop_structs(body: Column) -> Column:
-        names = F.regexp_extract_all(body, F.lit(_MD_PROP_RE), F.lit(1))
-        contents = F.regexp_extract_all(body, F.lit(_MD_PROP_RE), F.lit(2))
-        inners = F.regexp_extract_all(body, F.lit(_MD_PROP_RE), F.lit(3))
+        names = F.regexp_extract_all(body, F.lit(prop_re), F.lit(1))
+        contents = F.regexp_extract_all(body, F.lit(prop_re), F.lit(2))
+        inners = F.regexp_extract_all(body, F.lit(prop_re), F.lit(3))
         zipped = F.arrays_zip(names.alias("p"), contents.alias("c"), inners.alias("t"))
         return F.transform(
             zipped,
@@ -433,6 +428,64 @@ def microdata_triples(
         F.col("f.v").alias("obj"),
         "itype",
     ).filter(F.col("obj") != "")
+
+
+def microdata_triples(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, subj, pred, obj, itype) from schema.org MICRODATA markup —
+    the HTML-attribute sibling of :func:`jsonld_triples` (real pages use
+    either syntax; a structured-data miner needs both).
+
+    Documented flat subset (oracle-mirrored):
+    * a scope is a ``div``/``section``/``article`` carrying ``itemscope`` +
+      ``itemtype`` with no nested scope of the same tag name; ``itype`` is
+      the last path segment of the itemtype URL;
+    * a property element carries ``itemprop`` (first attribute position),
+      its value the ``content`` attribute when present and non-empty, else
+      the element's inner text;
+    * the scope's ``name`` property is the SUBJECT; scopes without a name
+      identify nothing and emit nothing (the infobox miner's og:title
+      discipline, per-scope)."""
+    return _scoped_attr_triples(
+        docs, url_col, html_col, _MD_SCOPE_RE, _MD_PROP_RE, r"([^/]+)$"
+    )
+
+
+# RDFa-lite: typeof= on the container, property= on value elements.  typeof
+# is usually a CURIE (schema:Person) or bare term, so the type segment
+# splits on /, #, or : — the last segment is the local type name.
+_RDFA_SCOPE_RE = (
+    r'(?s)<(?:div|section|article)\b[^>]*'
+    r'\btypeof="([^"]+)"[^>]*>(.*?)</(?:div|section|article)>'
+)
+_RDFA_PROP_RE = r'\bproperty="([^"]+)"(?:[^>]*\bcontent="([^"]*)")?[^>]*>([^<]*)'
+
+
+def rdfa_triples(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, subj, pred, obj, itype) from RDFa-LITE markup — the third
+    structured-data syntax next to :func:`jsonld_triples` and
+    :func:`microdata_triples` (W3C's attribute vocabulary: ``vocab``/
+    ``typeof``/``property``; Facebook-era pages and Drupal sites emit RDFa
+    where newer CMSes emit microdata — a crawl-scale miner needs all three).
+
+    Documented flat subset, same discipline as microdata (oracle-mirrored):
+    * a scope is a ``div``/``section``/``article`` carrying
+      ``typeof="T"``; ``itype`` is the last ``/``/``#``/``:`` segment of T
+      (CURIEs like ``schema:Person`` and IRIs both reduce to the local
+      name);
+    * a property element carries ``property="p"``; its value is the
+      ``content`` attribute when present and non-empty, else inner text;
+    * the scope's ``name`` property is the SUBJECT; nameless scopes emit
+      nothing.
+
+    100 TB shape: identical to microdata — one narrow JVM regex projection
+    fused with the page scan, zero python, zero shuffle."""
+    return _scoped_attr_triples(
+        docs, url_col, html_col, _RDFA_SCOPE_RE, _RDFA_PROP_RE, r"([^/#:]+)$"
+    )
 
 
 _LIST_RE = r"(?s)<h[1-6][^>]*>([^<]*)</h[1-6]>\s*<[uo]l[^>]*>(.*?)</[uo]l>"

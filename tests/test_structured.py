@@ -217,6 +217,49 @@ def test_breadcrumb_taxonomy_edges(spark):
     }
 
 
+def test_rdfa_scopes_curie_types_and_nameless_silence(spark):
+    from aiwhispr_spark.operators.structured import rdfa_triples
+
+    docs = _docs(
+        spark,
+        {
+            # CURIE typeof; content attr beats inner text; head meta
+            # property= tags sit OUTSIDE any scope and must not leak
+            "https://r/1": (
+                '<meta property="og:title" content="Decoy"/>'
+                '<div vocab="https://schema.org/" typeof="schema:Person">'
+                '<span property="name">Ada</span>'
+                '<span property="jobTitle">Eng</span>'
+                '<meta property="birthDate" content="1815-12-10"></div>'
+            ),
+            # IRI typeof reduces to the local name; section container
+            "https://r/2": (
+                '<section typeof="https://schema.org/Organization">'
+                '<span property="name">Acme</span>'
+                '<span property="location">Berlin</span></section>'
+            ),
+            # nameless scope emits nothing
+            "https://r/3": (
+                '<div typeof="schema:Thing"><span property="label">X</span></div>'
+            ),
+        },
+    )
+    rows = rdfa_triples(docs).collect()
+    assert {(r.src_url, r.subj, r.pred, r.obj, r.itype) for r in rows} == {
+        ("https://r/1", "Ada", "jobTitle", "Eng", "Person"),
+        ("https://r/1", "Ada", "birthDate", "1815-12-10", "Person"),
+        ("https://r/2", "Acme", "location", "Berlin", "Organization"),
+    }
+
+
+def test_rdfa_is_pure_jvm_narrow_plan(spark):
+    from aiwhispr_spark.operators.structured import rdfa_triples
+
+    docs = _docs(spark, {"https://p/1": "<p>x</p>"})
+    plan = rdfa_triples(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
 def test_layout_fingerprint_template_invariance(spark):
     # same template, different content -> SAME hash; different structure ->
     # different hash; closing tags and attributes ignored
