@@ -2421,6 +2421,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orc_roundtrip"] = orc_roundtrip
 
+    def shacl_q(spark, sf):
+        # SHACL-lite validation (shapes.py::shape_violations): closed-form
+        # KG over k = doc_id % 24 — persons always work_for one org, extras
+        # on k%5==0 (max_count), a place-typed employer on k%7==0
+        # (class_range), missing email on k%3==0 (min_count 0), an
+        # undeclared nickname on k%4==0 (closed), and C2 with three
+        # located_in objects (max 2).  Oracle EMITS the expected violations
+        # from the arithmetic — independent of the validator's joins.
+        from aiwhispr_spark.operators.shapes import shape_violations
+
+        ks = (
+            _t(spark, sf, "documents")
+            .select((F.col("doc_id") % 24).alias("k"))
+            .distinct()
+        )
+        k = F.col("k")
+
+        def s(x):
+            return x.cast("string")
+
+        P = F.concat(F.lit("P"), s(k))
+        wf = F.lit("works_for").alias("pred")
+        facts = (
+            ks.select(P.alias("subj"), wf, F.concat(F.lit("C"), s(k % 6)).alias("obj"))
+            .unionByName(
+                ks.filter(k % 5 == 0).select(
+                    P.alias("subj"), wf,
+                    F.concat(F.lit("C"), s((k + 1) % 6)).alias("obj"),
+                )
+            )
+            .unionByName(
+                ks.filter(k % 7 == 0).select(
+                    P.alias("subj"), wf,
+                    F.concat(F.lit("T"), s(k % 4)).alias("obj"),
+                )
+            )
+            .unionByName(
+                ks.filter(k % 3 != 0).select(
+                    P.alias("subj"), F.lit("email").alias("pred"),
+                    F.concat(F.lit("E"), s(k)).alias("obj"),
+                )
+            )
+            .unionByName(
+                ks.filter(k % 4 == 0).select(
+                    P.alias("subj"), F.lit("nickname").alias("pred"),
+                    F.concat(F.lit("N"), s(k)).alias("obj"),
+                )
+            )
+        )
+        cs = ks.select((k % 6).alias("c")).distinct()
+        c = F.col("c")
+        C = F.concat(F.lit("C"), s(c))
+        li = F.lit("located_in").alias("pred")
+        facts = facts.unionByName(
+            cs.select(C.alias("subj"), li, F.concat(F.lit("T"), s(c % 4)).alias("obj"))
+        ).unionByName(
+            cs.filter(c == 2).select(
+                C.alias("subj"), li,
+                F.explode(F.array(F.lit("T0"), F.lit("T1"))).alias("obj"),
+            )
+        )
+        types = (
+            ks.select(P.alias("entity"), F.lit("person").alias("etype"))
+            .unionByName(cs.select(C.alias("entity"), F.lit("org").alias("etype")))
+            .unionByName(
+                ks.select((k % 4).alias("t"))
+                .distinct()
+                .select(
+                    F.concat(F.lit("T"), s(F.col("t"))).alias("entity"),
+                    F.lit("place").alias("etype"),
+                )
+            )
+        )
+        shapes = spark.createDataFrame(
+            [
+                ("person", "works_for", 1, 1, "org"),
+                ("person", "email", 1, None, None),
+                ("org", "located_in", 0, 2, "place"),
+            ],
+            "etype string, pred string, min_count int, max_count int, obj_etype string",
+        )
+        return shape_violations(facts, types, shapes)
+
+    q["kg_shacl_violations"] = shacl_q
+
     def paraphrase_q(spark, sf):
         # Predicate paraphrases (paraphrase.py::predicate_paraphrases):
         # closed-form relations over 20 entity pairs — 'bought' mirrors
@@ -6217,6 +6302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microdata_triples",
         "rdfa_triples",
         "orc_roundtrip",
+        "kg_shacl_violations",
         "kg_predicate_paraphrases",
         "host_trustrank_seeded",
         "host_link_reciprocity",
@@ -6937,6 +7023,26 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'u' || i, 'Co' || (i % 12), 'location',
                'Town' || (i % 6), 'Organization' FROM d
+    """
+    o["kg_shacl_violations"] = """
+        WITH ks AS (SELECT DISTINCT doc_id % 24 AS k FROM documents)
+        SELECT 'P' || k AS subj, 'person' AS etype, 'works_for' AS pred,
+               'max_count' AS violation,
+               CAST(1 + CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END
+                      + CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS observed
+        FROM ks WHERE k % 5 = 0 OR k % 7 = 0
+        UNION ALL
+        SELECT 'P' || k, 'person', 'works_for', 'class_range',
+               CAST(1 AS BIGINT) FROM ks WHERE k % 7 = 0
+        UNION ALL
+        SELECT 'P' || k, 'person', 'email', 'min_count',
+               CAST(0 AS BIGINT) FROM ks WHERE k % 3 = 0
+        UNION ALL
+        SELECT 'P' || k, 'person', 'nickname', 'closed',
+               CAST(1 AS BIGINT) FROM ks WHERE k % 4 = 0
+        UNION ALL
+        SELECT 'C2', 'org', 'located_in', 'max_count', CAST(3 AS BIGINT)
     """
     o["orc_roundtrip"] = """
         WITH d AS (
