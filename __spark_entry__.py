@@ -2506,6 +2506,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_shacl_violations"] = shacl_q
 
+    def zorder_q(spark, sf):
+        # Z-order layout (layout.py::zorder_bucket_stats): Morton keys over
+        # (x, y) points derived from o_orderkey, bucketed by the top z bits
+        # (the pure-arithmetic stand-in for 'file'), per-bucket bounding
+        # rectangles + box-pruning stats.  The DuckDB oracle re-derives the
+        # interleave with the same shift/mask cascade — one wrong bit in
+        # the spread breaks the hash.
+        from aiwhispr_spark.operators.layout import zorder_bucket_stats
+
+        pts = _t(spark, sf, "orders").select(
+            (F.col("o_orderkey") % 1024).alias("x"),
+            ((F.col("o_orderkey") * 7 + 13) % 1024).alias("y"),
+        )
+        return zorder_bucket_stats(
+            pts, "x", "y", shift=14, box=(100, 300, 400, 600)
+        )
+
+    q["zorder_bucket_pruning"] = zorder_q
+
     def paraphrase_q(spark, sf):
         # Predicate paraphrases (paraphrase.py::predicate_paraphrases):
         # closed-form relations over 20 entity pairs — 'bought' mirrors
@@ -6303,6 +6322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_triples",
         "orc_roundtrip",
         "kg_shacl_violations",
+        "zorder_bucket_pruning",
         "kg_predicate_paraphrases",
         "host_trustrank_seeded",
         "host_link_reciprocity",
@@ -7023,6 +7043,38 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'u' || i, 'Co' || (i % 12), 'location',
                'Town' || (i % 6), 'Organization' FROM d
+    """
+    o["zorder_bucket_pruning"] = """
+        WITH pts AS (
+          SELECT o_orderkey % 1024 AS x, (o_orderkey * 7 + 13) % 1024 AS y
+          FROM orders
+        ),
+        s0 AS (SELECT x, y, x & 65535 AS xa, y & 65535 AS ya FROM pts),
+        s1 AS (SELECT x, y, (xa | (xa << 8)) & 16711935 AS xb,
+                            (ya | (ya << 8)) & 16711935 AS yb FROM s0),
+        s2 AS (SELECT x, y, (xb | (xb << 4)) & 252645135 AS xc,
+                            (yb | (yb << 4)) & 252645135 AS yc FROM s1),
+        s3 AS (SELECT x, y, (xc | (xc << 2)) & 858993459 AS xd,
+                            (yc | (yc << 2)) & 858993459 AS yd FROM s2),
+        s4 AS (SELECT x, y, (xd | (xd << 1)) & 1431655765 AS xe,
+                            (yd | (yd << 1)) & 1431655765 AS ye FROM s3),
+        z AS (SELECT x, y, xe | (ye << 1) AS z FROM s4),
+        per AS (
+          SELECT z >> 14 AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 min(x) AS min_x, max(x) AS max_x,
+                 min(y) AS min_y, max(y) AS max_y,
+                 CAST(sum(CASE WHEN x BETWEEN 100 AND 300
+                                AND y BETWEEN 400 AND 600
+                               THEN 1 ELSE 0 END) AS BIGINT) AS rows_in_box
+          FROM z GROUP BY 1
+        )
+        SELECT bucket, n_rows, min_x, max_x, min_y, max_y,
+               CAST(CASE WHEN max_x >= 100 AND min_x <= 300
+                          AND max_y >= 400 AND min_y <= 600
+                         THEN 1 ELSE 0 END AS INT) AS touched_i,
+               rows_in_box
+        FROM per
     """
     o["kg_shacl_violations"] = """
         WITH ks AS (SELECT DISTINCT doc_id % 24 AS k FROM documents)

@@ -1,0 +1,119 @@
+"""Z-order (Morton) data layout for multi-dimensional pruning.
+
+At 100 TB the dominant cost of any selective query is the files it CANNOT
+skip.  Sorting a table by one column gives perfect min/max pruning on that
+column and none on any other; interleaving the bits of two columns into a
+Morton key and range-partitioning on it gives every file a small bounding
+RECTANGLE in (x, y) space, so a predicate box on either (or both) columns
+skips all files whose rectangle misses it — the layout trick behind
+Delta/Iceberg ``OPTIMIZE ZORDER BY``.  A KG/curation store wants it for
+(host_bucket, crawl_ts)-style access: per-host queries and per-epoch
+queries both prune the same files.
+
+Spark-first: the key is pure JVM bit arithmetic (shiftleft/and/or — whole
+-stage codegen'd, no python), the layout is ``repartitionByRange`` on the
+key + ``sortWithinPartitions`` before write, i.e. ONE range exchange; the
+parquet writer then records per-file min/max for x and y automatically,
+and future scans prune via ordinary predicate pushdown — no reader-side
+code at all.
+
+Correctness gate: the bucket stats query reproduces the interleave in
+DuckDB with the same shift/mask cascade, so a single wrong bit anywhere in
+the spread breaks the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _spread16(v: Column) -> Column:
+    """Spread the low 16 bits of ``v`` so bit i lands at position 2i —
+    the classic mask cascade (…0x00FF00FF → 0x55555555), all JVM."""
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x33333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555))
+    return v
+
+
+def zvalue16(x: Column, y: Column) -> Column:
+    """32-bit Morton key interleaving the low 16 bits of x (even bit
+    positions) and y (odd positions); BIGINT-safe (inputs cast to long)."""
+    xs = _spread16(x.cast("long"))
+    ys = _spread16(y.cast("long"))
+    return xs.bitwiseOR(F.shiftleft(ys, 1)).alias("zvalue")
+
+
+def zorder_write(
+    df: DataFrame, xcol: str, ycol: str, path: str, n_files: int = 16
+) -> str:
+    """Write ``df`` z-ordered on (xcol, ycol): one range exchange on the
+    Morton key, a per-partition sort, per-file min/max stats for BOTH
+    columns come free from the parquet writer."""
+    keyed = df.withColumn("_z", zvalue16(F.col(xcol), F.col(ycol)))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def zorder_bucket_stats(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    shift: int,
+    box: tuple[int, int, int, int],
+) -> DataFrame:
+    """Per-z-bucket bounding rectangles + pruning stats for a query box
+    (x_lo, x_hi, y_lo, y_hi): bucket = zvalue >> shift (a pure-arithmetic
+    stand-in for 'file'), touched_i = 1 when the bucket's rectangle
+    intersects the box, rows_in_box the rows actually inside.  The ratio of
+    touched buckets to total is the fraction of files a box scan reads."""
+    x_lo, x_hi, y_lo, y_hi = box
+    z = zvalue16(F.col(xcol), F.col(ycol))
+    per = (
+        df.select(
+            F.shiftright(z, shift).alias("bucket"),
+            F.col(xcol).cast("long").alias("x"),
+            F.col(ycol).cast("long").alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            F.sum(
+                (
+                    (F.col("x") >= x_lo)
+                    & (F.col("x") <= x_hi)
+                    & (F.col("y") >= y_lo)
+                    & (F.col("y") <= y_hi)
+                ).cast("long")
+            ).alias("rows_in_box"),
+        )
+    )
+    touched = (
+        (F.col("max_x") >= x_lo)
+        & (F.col("min_x") <= x_hi)
+        & (F.col("max_y") >= y_lo)
+        & (F.col("min_y") <= y_hi)
+    )
+    return per.select(
+        "bucket",
+        "n_rows",
+        "min_x",
+        "max_x",
+        "min_y",
+        "max_y",
+        touched.cast("int").alias("touched_i"),
+        "rows_in_box",
+    )
