@@ -2525,6 +2525,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zorder_bucket_pruning"] = zorder_q
 
+    def jw_q(spark, sf):
+        # Jaro-Winkler name comparator (namesim.py): four pair kinds per
+        # k — internal transposition, truncation, disjoint name, trailing
+        # transposition — scored by the Arrow-batched python comparator vs
+        # DuckDB's INDEPENDENT jaro_winkler_similarity implementation
+        # (byte-level semantics, 0.7 boost threshold, prefix cap 4).
+        from aiwhispr_spark.operators.namesim import jw_i
+
+        ks = (
+            _t(spark, sf, "documents")
+            .select((F.col("doc_id") % 24).alias("k"))
+            .distinct()
+        )
+        s = F.col("k").cast("string")
+        acme = F.concat(F.lit("Acme Corporation "), s)
+        pairs = (
+            ks.select(
+                "k", F.lit(0).alias("kind"), acme.alias("a"),
+                F.concat(F.lit("Acme Corporatoin "), s).alias("b"),
+            )
+            .unionByName(ks.select(
+                "k", F.lit(1).alias("kind"), acme.alias("a"),
+                F.concat(F.lit("Acme Corp "), s).alias("b"),
+            ))
+            .unionByName(ks.select(
+                "k", F.lit(2).alias("kind"), acme.alias("a"),
+                F.concat(F.lit("Zenith Widgets "), s).alias("b"),
+            ))
+            .unionByName(ks.select(
+                "k", F.lit(3).alias("kind"),
+                F.concat(F.lit("Entity "), s, F.lit(" GmbH")).alias("a"),
+                F.concat(F.lit("Entity "), s, F.lit(" Gmhb")).alias("b"),
+            ))
+        )
+        return pairs.select("k", "kind", jw_i(F.col("a"), F.col("b")).alias("jw_i"))
+
+    q["jaro_winkler_scores"] = jw_q
+
     def paraphrase_q(spark, sf):
         # Predicate paraphrases (paraphrase.py::predicate_paraphrases):
         # closed-form relations over 20 entity pairs — 'bought' mirrors
@@ -6323,6 +6361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip",
         "kg_shacl_violations",
         "zorder_bucket_pruning",
+        "jaro_winkler_scores",
         "kg_predicate_paraphrases",
         "host_trustrank_seeded",
         "host_link_reciprocity",
@@ -7043,6 +7082,24 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'u' || i, 'Co' || (i % 12), 'location',
                'Town' || (i % 6), 'Organization' FROM d
+    """
+    o["jaro_winkler_scores"] = """
+        WITH ks AS (SELECT DISTINCT doc_id % 24 AS k FROM documents),
+        p AS (
+          SELECT k, 0 AS kind, 'Acme Corporation ' || k AS a,
+                 'Acme Corporatoin ' || k AS b FROM ks
+          UNION ALL
+          SELECT k, 1, 'Acme Corporation ' || k, 'Acme Corp ' || k FROM ks
+          UNION ALL
+          SELECT k, 2, 'Acme Corporation ' || k, 'Zenith Widgets ' || k FROM ks
+          UNION ALL
+          SELECT k, 3, 'Entity ' || k || ' GmbH', 'Entity ' || k || ' Gmhb'
+          FROM ks
+        )
+        SELECT k, kind,
+               CAST(round(jaro_winkler_similarity(a, b) * 10000) AS BIGINT)
+                 AS jw_i
+        FROM p
     """
     o["zorder_bucket_pruning"] = """
         WITH pts AS (
