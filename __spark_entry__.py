@@ -318,7 +318,10 @@ def _ensure_curation_warc() -> str:
 
 
 def _pagerank_sql(
-    iterations: int = 5, damping: float = 0.85, edges_sql: str | None = None
+    iterations: int = 5,
+    damping: float = 0.85,
+    edges_sql: str | None = None,
+    raw: bool = False,
 ) -> str:
     """DuckDB twin of operators/graph.py::pagerank: the same synchronous
     recurrence UNROLLED (one CTE pair per iteration — dangling mass +
@@ -359,6 +362,10 @@ def _pagerank_sql(
             f"),"
         )
     body = "\n".join(parts).rstrip(",")
+    if raw:
+        # unscaled doubles — for composition (spam mass joins pr with tr
+        # BEFORE scaling so the difference rounds once, not twice)
+        return f"{body}\nSELECT node, pr FROM pr{iterations}"
     return f"{body}\nSELECT node, CAST(round(1000000 * pr) AS BIGINT) AS pr_i FROM pr{iterations}"
 
 
@@ -372,6 +379,7 @@ def _trustrank_sql(
     iterations: int = 5,
     damping: float = 0.85,
     edges_sql: str | None = None,
+    raw: bool = False,
 ) -> str:
     """DuckDB twin of operators/graph.py::personalized_pagerank: the seeded
     recurrence UNROLLED, tele(v) = 1/|S| on seeds else 0, same double-math
@@ -415,6 +423,8 @@ def _trustrank_sql(
             f"),"
         )
     body = "\n".join(parts).rstrip(",")
+    if raw:
+        return f"{body}\nSELECT node, pr FROM pr{iterations}"
     return (
         f"{body}\nSELECT node, CAST(round(1000000 * pr) AS BIGINT) AS tr_i"
         f" FROM pr{iterations}"
@@ -677,6 +687,36 @@ def _kcore_fixture_edges() -> list[tuple[int, int]]:
     edges += [(20, 21), (21, 22), (22, 23), (23, 20)]
     edges += [(30, 31), (0, 1), (7, 7)]
     return edges
+
+
+def _bowtie_fixture_edges() -> list[tuple[str, str]]:
+    """Shared bowtie fixture (Broder web-structure classes, hand-derived):
+    CORE = the 4-cycle c0→c1→c2→c3→c0 with chord c1→c3 (largest SCC);
+    IN = i1→i0→c0; OUT = c0→o0→o1 plus the SMALLER 2-node SCC o2↔o3 hanging
+    off c3 (a non-core SCC must land in OUT, pinning the largest-SCC
+    election); TENDRILS = t0→t3 off the IN chain (reach nothing core-ward)
+    and t1→o1 (Broder's tube-ish: feeds OUT, never reaches CORE);
+    DISCONNECTED = the 2-node SCC d0↔d1 and the isolated edge d2→d3.
+    A self-loop c0→c0 and a duplicate c0→c1 exercise input hygiene."""
+    return [
+        ("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c0"), ("c1", "c3"),
+        ("i1", "i0"), ("i0", "c0"),
+        ("c0", "o0"), ("o0", "o1"),
+        ("c3", "o2"), ("o2", "o3"), ("o3", "o2"),
+        ("i0", "t0"), ("t0", "t3"),
+        ("t1", "o1"),
+        ("d0", "d1"), ("d1", "d0"), ("d2", "d3"),
+        ("c0", "c0"), ("c0", "c1"),
+    ]
+
+
+_BOWTIE_EXPECTED = {
+    "CORE": ["c0", "c1", "c2", "c3"],
+    "OUT": ["o0", "o1", "o2", "o3"],
+    "IN": ["i0", "i1"],
+    "TENDRIL": ["t0", "t1", "t3"],
+    "DISCONNECTED": ["d0", "d1", "d2", "d3"],
+}
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -1680,6 +1720,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return coalesce_fact_intervals(obs, gap=30)
 
     q["kg_interval_coalesce"] = kg_interval_coalesce
+
+    def kg_allen_relations(spark, sf):
+        # Allen interval algebra (temporal.py::allen_relations): per-subject
+        # pairwise relation labels over closed-form strict intervals
+        # (s = 3·doc_id mod 29, len = 1 + 5·doc_id mod 11) — the temporal
+        # consistency primitive.  Conditions are complete (no fall-through),
+        # so the oracle's CASE chain is order-independent by construction.
+        from aiwhispr_spark.operators.temporal import allen_relations
+
+        iv = _t(spark, sf, "documents").select(
+            F.concat(F.lit("E"), (F.col("doc_id") % 17).cast("string")).alias("subj"),
+            F.col("doc_id").alias("fid"),
+            ((F.col("doc_id") * 3) % 29).alias("s"),
+            (
+                (F.col("doc_id") * 3) % 29 + 1 + (F.col("doc_id") * 5) % 11
+            ).alias("e"),
+        )
+        return allen_relations(iv)
+
+    q["kg_allen_relations"] = kg_allen_relations
 
     def _truth_obs(spark, sf):
         # conflicting-claim fixture: 9 hosts (6 honest, 3 spam), 20 subjects;
@@ -2738,6 +2798,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_bgp_optional"] = kg_bgp_optional
 
+    def kg_bgp_minus(spark, sf):
+        # SPARQL MINUS (graph_query.py::bgp_match_minus): acquisitions
+        # (?y acquired ?x) MINUS entities with a known location MINUS
+        # entities with a known founder — each group one left-anti join on
+        # the shared ?x (bindings never NULL, so MINUS ≡ NOT EXISTS in this
+        # subset).  Oracle = the same double NOT EXISTS in SQL.
+        from aiwhispr_spark.operators.graph_query import bgp_match_minus
+
+        t = _corpus_triples(spark)
+        out = bgp_match_minus(
+            t,
+            [("?y", "acquired", "?x")],
+            [
+                [("?x", "based_in", "?city")],
+                [("?x", "founded_by", "?f")],
+            ],
+        )
+        return out.select("x", "y")
+
+    q["kg_bgp_minus"] = kg_bgp_minus
+
     def kg_property_path(spark, sf):
         # SPARQL property-path subset (graph_query.py::property_path):
         # ^founded_by/(owns|acquired)+/based_in — founders to the locations
@@ -2986,6 +3067,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_trustrank_seeded"] = host_trustrank_q
 
+    def host_spam_mass_q(spark, sf):
+        # Spam-mass estimation (linkgraph.py::host_spam_mass): pr − tr per
+        # host and the relative share — the Gyöngyi mass-estimation flag
+        # composed from BOTH rank passes over ONE persisted host edge set.
+        # Oracle: the raw-double pagerank and trustrank recurrences joined,
+        # difference and quotient taken BEFORE scaling (one round each).
+        from aiwhispr_spark.operators.linkgraph import host_spam_mass
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        return host_spam_mass(
+            docs,
+            seed_hosts=_TRUST_SEED_HOSTS,
+            damping=0.85,
+            iterations=5,
+            num_partitions=8,
+        )
+
+    q["host_spam_mass"] = host_spam_mass_q
+
     def host_reciprocity(spark, sf):
         # Link-exchange reciprocity per host (linkgraph.py::link_reciprocity):
         # share of out-neighbors that link back — the link-farm signal the
@@ -3127,6 +3227,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_change_stats"] = crawl_changes
 
+    def snapshot_diff_q(spark, sf):
+        # First-vs-last snapshot line diff per canonical url (urlnorm.py::
+        # snapshot_line_diff): 30 pages, messy url variants, ts = doc_id
+        # (unique — endpoint election unambiguous); lines exercise trim
+        # (padded footer), empty-line drop, and a parity-gated extra line
+        # so endpoints differ exactly when min/max doc_id parity differs.
+        # Oracle rebuilds both endpoint line LISTS from arithmetic.
+        from aiwhispr_spark.operators.urlnorm import snapshot_line_diff
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        page = i % 30
+        messy = F.concat(
+            F.lit("https://site.org/pg/"),
+            page.cast("string"),
+            F.when(i % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(i % 3 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        )
+        text = F.concat(
+            F.lit("header "),
+            page.cast("string"),
+            F.lit("\n\n item "),
+            (i % 7).cast("string"),
+            F.lit(" \n"),
+            F.when(
+                i % 2 == 0,
+                F.concat(F.lit("extra "), (page % 5).cast("string"), F.lit("\n")),
+            ).otherwise(F.lit("")),
+            F.lit("  footer  "),
+        )
+        df = d.select(messy.alias("url"), i.alias("ts"), text.alias("text"))
+        return snapshot_line_diff(df, ts_col="ts", text_col="text")
+
+    q["snapshot_line_diff"] = snapshot_diff_q
+
     def domain_blocklist(spark, sf):
         # Domain-blocklist filter (urlnorm.py::filter_blocked_hosts):
         # dot-suffix semantics — blocking site3.example.org removes its
@@ -3239,6 +3374,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kcore(edges, k=2, num_partitions=8)
 
     q["kcore_peel"] = kcore_peel
+
+    def web_bowtie(spark, sf):
+        # Broder bowtie decomposition (graph_query.py::bowtie_structure):
+        # CORE/IN/OUT/TENDRIL/DISCONNECTED relative to the largest SCC over
+        # the hand-derived fixture (_bowtie_fixture_edges — includes a
+        # smaller competing SCC, tendrils both ways, and a disconnected
+        # SCC).  Oracle = the closed-form expected classes.
+        from aiwhispr_spark.operators.graph_query import bowtie_structure
+
+        edges = spark.createDataFrame(
+            _bowtie_fixture_edges(), "src string, dst string"
+        )
+        return bowtie_structure(edges, max_hops=6)
+
+    q["web_bowtie_structure"] = web_bowtie
 
     def bloom_dedup(spark, sf):
         # Bloom-filter membership prefilter (operators/bloomfilter.py): the
@@ -5527,6 +5677,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["html_list_triples"] = list_triples_q
 
+    def colist_expansion_q(spark, sf):
+        # Entity-set expansion by list co-occurrence (structured.py::
+        # colist_expansion) COMPOSED through the HTML list miner: closed-form
+        # tag/reviewer lists per page, seeds {Tag 0, Person 4}, candidates
+        # ranked by shared-list count.  Oracle rebuilds the memberships from
+        # doc-id arithmetic (independent of the list regexes) and mirrors
+        # the two semi-join aggregates.
+        from aiwhispr_spark.operators.structured import colist_expansion, list_triples
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        html = F.concat(
+            F.lit('<html><head><meta property="og:title" content="Page '),
+            (i % 20).cast("string"),
+            F.lit('"/></head><body><h2>Tags</h2><ul><li>Tag '),
+            (i % 6).cast("string"),
+            F.lit("</li><li>Tag "),
+            ((i + 1) % 6).cast("string"),
+            F.lit("</li><li>Tag "),
+            ((i * 3 + 2) % 6).cast("string"),
+            F.lit("</li></ul><h3>Reviewers</h3><ul><li>Person "),
+            (i % 9).cast("string"),
+            F.lit("</li><li>Person "),
+            ((i + 2) % 9).cast("string"),
+            F.lit("</li></ul></body></html>"),
+        )
+        docs = d.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        t = list_triples(docs)
+        memberships = t.select(
+            F.concat_ws("|", "src_url", "pred").alias("list_id"),
+            F.col("obj").alias("item"),
+        )
+        return colist_expansion(memberships, seeds=["Tag 0", "Person 4"])
+
+    q["colist_expansion"] = colist_expansion_q
+
     def mention_bursts_q(spark, sf):
         # Trending-entity burst detection (temporal.py::mention_bursts):
         # three timeline shapes — sparse baselines (gap days make a single
@@ -6363,12 +6552,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_bucket_pruning",
         "jaro_winkler_scores",
         "kg_predicate_paraphrases",
+        "host_spam_mass",
         "host_trustrank_seeded",
         "host_link_reciprocity",
         "kg_clustering_coefficient",
         "kg_modularity",
         "containment_syndication_pairs",
         "fellegi_sunter_linkage",
+        "snapshot_line_diff",
+        "kg_allen_relations",
         "kg_interval_coalesce",
         "kg_truthfinder_facts",
         "kg_truthfinder_trust",
@@ -6393,6 +6585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets",
         "kg_extraction_eval",
         "kg_attribute_merge",
+        "colist_expansion",
         "html_list_triples",
         "mention_bursts",
         "kg_literal_datatypes",
@@ -6464,6 +6657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_disambiguation",
         "kg_fact_resolution",
         "kg_predicate_profile",
+        "kg_bgp_minus",
         "kg_bgp_optional",
         "kg_fact_rank",
         "kg_property_path",
@@ -6524,6 +6718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_hashed",
         "robots_noindex_filter",
         "host_hits_5",
+        "web_bowtie_structure",
         "kcore_peel",
         "bloom_prefilter_dedup",
         "duplicate_ngram_spans",
@@ -6862,6 +7057,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN t a ON a.pred = 'acquired' AND a.obj = w.subj
         WHERE w.pred = 'works_for'
     """
+    o["kg_bgp_minus"] = f"""
+        WITH t AS MATERIALIZED ({_kg_e2e_sql()})
+        SELECT DISTINCT a.obj AS x, a.subj AS y
+        FROM t a
+        WHERE a.pred = 'acquired'
+          AND NOT EXISTS (
+            SELECT 1 FROM t b WHERE b.pred = 'based_in' AND b.subj = a.obj)
+          AND NOT EXISTS (
+            SELECT 1 FROM t f WHERE f.pred = 'founded_by' AND f.subj = a.obj)
+    """
     o["kg_dated_facts"] = """
         SELECT 'u' || doc_id AS url,
                'Entity_' || (doc_id % 37) AS subj,
@@ -6971,6 +7176,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(ts) AS BIGINT) AS valid_to,
                CAST(count(*) AS BIGINT) AS n_obs
         FROM isl GROUP BY subj, pred, obj, island
+    """
+    o["kg_allen_relations"] = """
+        WITH iv AS (
+          SELECT 'E' || (doc_id % 17) AS subj, doc_id AS fid,
+                 CAST((doc_id * 3) % 29 AS BIGINT) AS s,
+                 CAST((doc_id * 3) % 29 + 1 + (doc_id * 5) % 11 AS BIGINT) AS e
+          FROM documents
+        )
+        SELECT a.subj, a.fid AS fid_a, b.fid AS fid_b,
+               CASE
+                 WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+                 WHEN a.e < b.s THEN 'before'
+                 WHEN a.s > b.e THEN 'after'
+                 WHEN a.e = b.s THEN 'meets'
+                 WHEN a.s = b.e THEN 'met_by'
+                 WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+                 WHEN a.s = b.s AND a.e > b.e THEN 'started_by'
+                 WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+                 WHEN a.e = b.e AND a.s < b.s THEN 'finished_by'
+                 WHEN a.s > b.s AND a.e < b.e THEN 'during'
+                 WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+                 WHEN a.s < b.s AND b.s < a.e AND a.e < b.e THEN 'overlaps'
+                 WHEN b.s < a.s AND a.s < b.e AND b.e < a.e THEN 'overlapped_by'
+               END AS rel
+        FROM iv a JOIN iv b ON b.subj = a.subj AND a.fid < b.fid
+        WHERE a.s < a.e AND b.s < b.e
     """
     o["quote_attribution"] = """
         SELECT 'u' || doc_id AS url,
@@ -7699,6 +7930,32 @@ def oracle_sql() -> dict[str, str]:
                'Member ' || (i % 5), CAST(1 AS INTEGER)
         FROM d
     """
+    o["colist_expansion"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents),
+        m AS (
+          SELECT DISTINCT 'u' || i || '|list:tags' AS list_id,
+                 'Tag ' || (i % 6) AS item FROM d
+          UNION SELECT 'u' || i || '|list:tags', 'Tag ' || ((i + 1) % 6) FROM d
+          UNION SELECT 'u' || i || '|list:tags', 'Tag ' || ((i * 3 + 2) % 6) FROM d
+          UNION SELECT 'u' || i || '|list:reviewers', 'Person ' || (i % 9) FROM d
+          UNION SELECT 'u' || i || '|list:reviewers', 'Person ' || ((i + 2) % 9)
+          FROM d
+        ),
+        sl AS (SELECT DISTINCT list_id FROM m
+               WHERE item IN ('Tag 0', 'Person 4')),
+        tot AS (SELECT item, count(*) AS n_lists FROM m GROUP BY item),
+        sh AS (
+          SELECT item, count(*) AS n_shared_lists FROM m
+          WHERE list_id IN (SELECT list_id FROM sl)
+            AND item NOT IN ('Tag 0', 'Person 4')
+          GROUP BY item)
+        SELECT sh.item,
+               CAST(sh.n_shared_lists AS BIGINT) AS n_shared_lists,
+               CAST(tot.n_lists AS BIGINT) AS n_lists,
+               CAST((1000000 * sh.n_shared_lists) // tot.n_lists AS BIGINT)
+                 AS support_i
+        FROM sh JOIN tot ON tot.item = sh.item
+    """
     o["mention_bursts"] = """
         WITH d AS (SELECT doc_id AS i FROM documents),
         m AS (
@@ -8109,6 +8366,23 @@ def oracle_sql() -> dict[str, str]:
     o["host_trustrank_seeded"] = _trustrank_sql(
         _TRUST_SEED_HOSTS, iterations=5, damping=0.85, edges_sql=_host_edges_sql()
     )
+    o["host_spam_mass"] = f"""
+        WITH p AS MATERIALIZED (
+          {_pagerank_sql(iterations=5, damping=0.85,
+                         edges_sql=_host_edges_sql(), raw=True)}),
+        t AS MATERIALIZED (
+          {_trustrank_sql(_TRUST_SEED_HOSTS, iterations=5, damping=0.85,
+                          edges_sql=_host_edges_sql(), raw=True)})
+        SELECT coalesce(p.node, t.node) AS node,
+               CAST(round(1000000 * coalesce(p.pr, 0)) AS BIGINT) AS pr_i,
+               CAST(round(1000000 * coalesce(t.pr, 0)) AS BIGINT) AS tr_i,
+               CAST(round(1000000 * (coalesce(p.pr, 0) - coalesce(t.pr, 0)))
+                    AS BIGINT) AS mass_i,
+               CAST(CASE WHEN p.node IS NULL THEN -1
+                    ELSE round(1000000 * (p.pr - coalesce(t.pr, 0)) / p.pr)
+                    END AS BIGINT) AS rel_i
+        FROM p FULL OUTER JOIN t ON t.node = p.node
+    """
     o["host_link_reciprocity"] = f"""
         WITH e AS MATERIALIZED (
           SELECT DISTINCT src, dst FROM ({_host_edges_sql()}) WHERE src <> dst)
@@ -8122,6 +8396,11 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY e.src
     """
     o["kcore_peel"] = _kcore_sql(k=2, rounds=8)
+    o["web_bowtie_structure"] = "\nUNION ALL ".join(
+        f"SELECT '{n}' AS node, '{cls}' AS cls"
+        for cls, members in _BOWTIE_EXPECTED.items()
+        for n in members
+    )
     o["bloom_prefilter_dedup"] = """
         WITH delta AS MATERIALIZED (
           SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 10 = 0),
@@ -8888,6 +9167,32 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
                min(ts) AS first_ts, max(ts) AS last_ts
         FROM w GROUP BY canon_url
+    """
+    o["snapshot_line_diff"] = """
+        WITH d AS (SELECT doc_id AS i, doc_id % 30 AS p FROM documents),
+        ends AS (
+          SELECT p, min(i) AS i0, max(i) AS i1,
+                 CAST(count(*) AS BIGINT) AS n_snapshots
+          FROM d GROUP BY p),
+        built AS (
+          SELECT 'https://site.org/pg/' || p AS canon_url, n_snapshots,
+                 ['header ' || p, 'item ' || (i0 % 7)]
+                   || (CASE WHEN i0 % 2 = 0 THEN ['extra ' || (p % 5)]
+                       ELSE []::VARCHAR[] END) || ['footer'] AS lo,
+                 ['header ' || p, 'item ' || (i1 % 7)]
+                   || (CASE WHEN i1 % 2 = 0 THEN ['extra ' || (p % 5)]
+                       ELSE []::VARCHAR[] END) || ['footer'] AS ln
+          FROM ends)
+        SELECT canon_url, n_snapshots,
+               CAST(len(lo) AS BIGINT) AS n_old_lines,
+               CAST(len(ln) AS BIGINT) AS n_new_lines,
+               CAST(len(list_filter(ln, x -> NOT list_contains(lo, x)))
+                    AS BIGINT) AS n_added,
+               CAST(len(list_filter(lo, x -> NOT list_contains(ln, x)))
+                    AS BIGINT) AS n_removed,
+               CAST(len(list_filter(lo, x -> list_contains(ln, x)))
+                    AS BIGINT) AS n_common
+        FROM built
     """
     o["anchor_alias_mining"] = f"""
         WITH ids AS (

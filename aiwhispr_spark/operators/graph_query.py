@@ -176,6 +176,44 @@ def bgp_match_optional(
     return base
 
 
+def bgp_match_minus(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    minus: list[list[tuple[str, str, str]]],
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """SPARQL MINUS over :func:`bgp_match` — documented subset: the required
+    ``patterns`` bind as usual, then each MINUS group removes bindings
+    compatible with any of its solutions.  Every group must share ≥1
+    variable with the required patterns: SPARQL defines MINUS with disjoint
+    domains as a silent no-op (nothing is removed), which in a data pipeline
+    is invariably an authoring bug, so it raises instead.
+
+    bgp_match bindings are never NULL, so SPARQL's compatible-mapping test
+    degenerates to equality on the shared variables — exactly one left-anti
+    hash-join per MINUS group (in this subset MINUS and FILTER NOT EXISTS
+    coincide).
+
+    100 TB shape: same bound-constant scans as bgp_match; each group adds
+    one anti-join keyed on entity variables, its build side pre-shrunk to
+    the DISTINCT shared-variable projection (AQE broadcasts small groups)."""
+    base = bgp_match(triples, patterns, subj_col, pred_col, obj_col)
+    required_vars = set(base.columns)
+    for group in minus:
+        m = bgp_match(triples, group, subj_col, pred_col, obj_col)
+        shared = sorted(required_vars & set(m.columns))
+        if not shared:
+            raise ValueError(
+                "MINUS group shares no variable with the required pattern — "
+                "SPARQL's disjoint-domain MINUS removes nothing; refuse the "
+                "silent no-op"
+            )
+        base = base.join(m.select(*shared).distinct(), on=shared, how="left_anti")
+    return base
+
+
 def property_path(
     triples: DataFrame,
     path: str,
@@ -260,10 +298,13 @@ def transitive_closure(
         .distinct()
         .persist()
     )
-    frontier = e.withColumn("hops", F.lit(1)).persist()
-    frontier.count()  # materialize, cut lineage
+    # localCheckpoint per hop, NOT persist+count: persist truncates the
+    # physical recompute but the LOGICAL plan still nests ~3× per hop
+    # (frontier⋈e anti-joined against the growing union), and at 6+ hops
+    # the explain-string generation alone OOMs the driver — the hits()
+    # 3^round lesson applies to the closure too
+    frontier = e.withColumn("hops", F.lit(1)).localCheckpoint()
     result = frontier
-    kept: list[DataFrame] = [frontier]
     for k in range(2, max_hops + 1):
         nxt = (
             frontier.alias("f")
@@ -272,22 +313,14 @@ def transitive_closure(
             .distinct()
             .join(result.select("src", "dst"), ["src", "dst"], "left_anti")
             .withColumn("hops", F.lit(k))
-            .persist()
+            .localCheckpoint()
         )
-        if nxt.count() == 0:
-            nxt.unpersist()
+        if nxt.isEmpty():
             break
-        result = result.unionByName(nxt).persist()
-        result.count()
-        kept.append(nxt)
-        kept.append(result)
+        result = result.unionByName(nxt).localCheckpoint()
         frontier = nxt
-    out = result.select("src", "dst", "hops")
-    # lineage is materialized; safe to drop the cache handles lazily
-    for df in kept:
-        df.unpersist()
     e.unpersist()
-    return out
+    return result.select("src", "dst", "hops")
 
 
 def triangle_enumerate(
@@ -937,4 +970,112 @@ def propagate_labels_from_seeds(
             F.coalesce("_s", F.lit(0)).cast("int").alias("is_seed_i"),
         )
     )
+    return out
+
+
+def _reach_from(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """DISTINCT nodes reachable from the ``seeds`` node set in ≤ ``max_hops``
+    directed steps (seeds included at hop 0).  Frontier BFS: one hash-join +
+    anti-join per hop, localCheckpoint per round (iterative-plan
+    discipline), early-stop on an exhausted frontier."""
+    visited = seeds.select("node").distinct().localCheckpoint()
+    frontier = visited
+    for _ in range(max_hops):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def bowtie_structure(
+    edges: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bowtie decomposition of a directed graph (Broder et al. 2000, "Graph
+    structure in the Web"): classify every node relative to the LARGEST
+    strongly connected component —
+
+    * ``CORE`` — member of the largest SCC (ties broken by minimum scc_id)
+    * ``OUT``  — reachable FROM the core, not in it
+    * ``IN``   — reaches the core, not in it and not already OUT
+    * ``TENDRIL`` — weakly connected to the core, none of the above
+      (includes Broder's tubes and both tendril kinds)
+    * ``DISCONNECTED`` — everything else
+
+    The precedence (CORE > OUT > IN > TENDRIL) is part of the contract:
+    under a finite hop bound a node could appear in both the forward and
+    backward bounded closures without having been merged into the core SCC
+    (its round-trip exceeds the bound); the deterministic tie goes to OUT.
+
+    All reachability shares the :func:`transitive_closure` hop-bound
+    contract (``max_hops`` ≥ the weak diameter of the core's component for
+    exact classes).  Returns (node, cls) for every endpoint.
+
+    100 TB shape: the SCC pass is :func:`strongly_connected_components`;
+    the three set-reachability passes are frontier BFS (per-hop exchange
+    keyed on the frontier, visited set stays one string column); the final
+    classification is four broadcast-sized semi-join flags over the node
+    list — the closures collapse to node SETS, never pair tables."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint cuts the SCC closure's lineage BEFORE it fans out into
+    # four consumers (core flag + three reachability seeds) — composing the
+    # full closure plan four ways blows up plan-tree generation (the hits()
+    # 3^round lesson), and checkpointing also evaluates the SCC pass once
+    scc = strongly_connected_components(e, max_hops).localCheckpoint()
+    core_id = (
+        scc.select("scc_id", "scc_size")
+        .distinct()
+        .orderBy(F.desc("scc_size"), F.asc("scc_id"))
+        .limit(1)
+        .select("scc_id")
+    )
+    core = scc.join(F.broadcast(core_id), "scc_id").select("node").localCheckpoint()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd = _reach_from(e, core, max_hops)
+    bwd = _reach_from(rev, core, max_hops)
+    weak = _reach_from(e.unionByName(rev).distinct(), core, max_hops)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def flag(df: DataFrame, name: str) -> DataFrame:
+        return df.select("node", F.lit(1).alias(name))
+
+    marked = (
+        nodes.join(flag(core, "is_core"), "node", "left")
+        .join(flag(fwd, "in_fwd"), "node", "left")
+        .join(flag(bwd, "in_bwd"), "node", "left")
+        .join(flag(weak, "in_weak"), "node", "left")
+    )
+    cls = (
+        F.when(F.col("is_core").isNotNull(), F.lit("CORE"))
+        .when(F.col("in_fwd").isNotNull(), F.lit("OUT"))
+        .when(F.col("in_bwd").isNotNull(), F.lit("IN"))
+        .when(F.col("in_weak").isNotNull(), F.lit("TENDRIL"))
+        .otherwise(F.lit("DISCONNECTED"))
+    )
+    out = marked.select("node", cls.alias("cls"))
+    e.unpersist()
     return out

@@ -517,3 +517,68 @@ def anchor_typed_edges(
         .where(F.col("pred").isNotNull())
         .distinct()
     )
+
+
+def host_spam_mass(
+    docs: DataFrame,
+    seed_hosts: list[str],
+    damping: float = 0.85,
+    iterations: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Link-spam mass estimation (Gyöngyi, Garcia-Molina & Pedersen 2004,
+    "Link Spam Detection Based on Mass Estimation"): for every host,
+    ``mass = pr − tr`` — the PageRank share NOT attributable to trusted
+    endorsement — and the relative mass ``rel = mass / pr``.  Hosts whose
+    rank is mostly spam mass (rel near 1) earn their authority from
+    untrusted link structure: the actionable spam flag that neither
+    :func:`host_pagerank` nor :func:`host_trustrank` yields alone.
+
+    Returns (node, pr_i, tr_i, mass_i, rel_i) — scaled BIGINTs
+    (round(1e6·x)); ``rel_i`` is −1 when the host has no PageRank row
+    (a whitelisted seed absent from the crawl's link graph).
+
+    Scale shape: the page→host edge aggregation runs ONCE and is persisted
+    (both rank passes iterate over the same host graph, orders of magnitude
+    smaller than the corpus); the two recurrences then add one extra
+    broadcast-sized join to align pr and tr.  The single pr division is the
+    one permitted IEEE float step (the assortativity precedent) — both
+    inputs are association-pinned doubles, so the quotient is
+    cross-engine-stable."""
+    from aiwhispr_spark.operators.graph import pagerank, personalized_pagerank
+
+    edges = (
+        host_edges(extract_links(docs))
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .persist()
+    )
+    pr = pagerank(
+        edges, damping=damping, iterations=iterations, num_partitions=num_partitions
+    )
+    seeds = docs.sparkSession.createDataFrame(
+        [(h,) for h in sorted(set(seed_hosts))], "node string"
+    )
+    tr = personalized_pagerank(
+        edges,
+        seeds,
+        damping=damping,
+        iterations=iterations,
+        num_partitions=num_partitions,
+    ).withColumnRenamed("pr", "tr")
+    joined = pr.join(tr, "node", "full_outer").select(
+        "node",
+        F.coalesce(F.col("pr"), F.lit(0.0)).alias("prv"),
+        F.coalesce(F.col("tr"), F.lit(0.0)).alias("trv"),
+        F.col("pr").isNull().alias("no_pr"),
+    )
+    mass = F.col("prv") - F.col("trv")
+    return joined.select(
+        "node",
+        F.round(F.col("prv") * 1000000).cast("long").alias("pr_i"),
+        F.round(F.col("trv") * 1000000).cast("long").alias("tr_i"),
+        F.round(mass * 1000000).cast("long").alias("mass_i"),
+        F.when(F.col("no_pr"), F.lit(-1))
+        .otherwise(F.round(mass * 1000000 / F.col("prv")))
+        .cast("long")
+        .alias("rel_i"),
+    )

@@ -600,3 +600,58 @@ def layout_census(
         .groupBy("host", "layout_hash")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
     )
+
+
+def colist_expansion(
+    memberships: DataFrame,
+    seeds: list[str],
+    list_col: str = "list_id",
+    item_col: str = "item",
+    min_lists: int = 1,
+) -> DataFrame:
+    """Entity-set expansion by list co-occurrence (the SEAL/SEISA family,
+    Wang & Cohen 2007): given seed entities and (list_id, item) memberships
+    — e.g. :func:`list_triples` output keyed on (src_url, pred) — rank every
+    NON-seed item by how many distinct lists it shares with at least one
+    seed.  Items that keep appearing in the same curated lists as the seeds
+    are the candidate members of the seeds' implicit class.
+
+    Returns (item, n_shared_lists, n_lists, support_i) where ``n_lists`` is
+    the candidate's total list count and ``support_i = ⌊10^6·shared/total⌋``
+    (exact integer division — a candidate appearing ONLY alongside seeds
+    scores 1e6).  Filtered to ``n_shared_lists ≥ min_lists``, seeds
+    excluded.
+
+    100 TB shape: the seed list is a literal broadcast; seed-bearing list
+    ids come from ONE semi-join and stay a set of keys; candidates are a
+    second semi-join on those keys; both aggregates are map-side
+    combinable groupBys on the item.  No all-pairs item×item join ever
+    materializes — the classic co-occurrence blow-up is avoided by keeping
+    the LIST as the join key."""
+    spark = memberships.sparkSession
+    m = memberships.select(
+        F.col(list_col).cast("string").alias("list_id"),
+        F.col(item_col).cast("string").alias("item"),
+    ).distinct()
+    seed_df = spark.createDataFrame(
+        [(s,) for s in sorted(set(seeds))], "item string"
+    )
+    seed_lists = m.join(F.broadcast(seed_df), "item", "left_semi").select(
+        "list_id"
+    ).distinct()
+    totals = m.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_lists"))
+    shared = (
+        m.join(seed_lists, "list_id", "left_semi")
+        .join(F.broadcast(seed_df), "item", "left_anti")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_lists"))
+        .filter(F.col("n_shared_lists") >= min_lists)
+    )
+    return shared.join(totals, "item").select(
+        "item",
+        "n_shared_lists",
+        "n_lists",
+        F.expr("CAST((1000000 * n_shared_lists) div n_lists AS BIGINT)").alias(
+            "support_i"
+        ),
+    )

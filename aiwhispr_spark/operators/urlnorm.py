@@ -352,3 +352,59 @@ def domain_rollup(
         F.countDistinct("_host").cast("long").alias("n_hosts"),
         F.countDistinct("_canon").cast("long").alias("n_urls"),
     )
+
+
+def snapshot_line_diff(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level diff between the FIRST and LAST crawl snapshot of every
+    canonical URL — what actually changed across the crawl window, where
+    :func:`crawl_change_stats` only says *whether* it changed.  Lines are
+    trimmed, empties dropped, and compared as DISTINCT sets (the CCNet
+    line-unit convention), so reshuffled boilerplate isn't "change".
+
+    Output per canonical url: ``n_snapshots``, ``n_old_lines`` /
+    ``n_new_lines`` (distinct line counts of the two endpoint snapshots),
+    ``n_added`` / ``n_removed`` (set differences new−old / old−new) and
+    ``n_common``.  Snapshot endpoints are elected by (ts, text) struct
+    min/max — the text tie-break makes duplicate-timestamp inputs
+    deterministic.
+
+    100 TB shape: ONE exchange keyed on the canonical url (map-side
+    combinable min/max structs — the full snapshot history is never
+    collected), then pure JVM split/array set ops on the two endpoint
+    texts.  No window, no python, no explode."""
+    canon = df.select(
+        canonical_url_expr(F.col(url_col)).alias("canon_url"),
+        F.struct(F.col(ts_col).alias("ts"), F.col(text_col).alias("text")).alias(
+            "_s"
+        ),
+    )
+    g = canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_snapshots"),
+        F.min("_s").alias("_first"),
+        F.max("_s").alias("_last"),
+    )
+
+    def lines(c):
+        return F.array_distinct(
+            F.filter(
+                F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        )
+
+    old = lines(F.col("_first")["text"])
+    new = lines(F.col("_last")["text"])
+    return g.select(
+        "canon_url",
+        "n_snapshots",
+        F.size(old).cast("long").alias("n_old_lines"),
+        F.size(new).cast("long").alias("n_new_lines"),
+        F.size(F.array_except(new, old)).cast("long").alias("n_added"),
+        F.size(F.array_except(old, new)).cast("long").alias("n_removed"),
+        F.size(F.array_intersect(old, new)).cast("long").alias("n_common"),
+    )
