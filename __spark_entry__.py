@@ -644,6 +644,67 @@ def _host_edges_sql(where_i: str = "TRUE") -> str:
     """
 
 
+def _minhop_parts(edges_sql: str, hops: int) -> list[str]:
+    """Shared unrolled bounded-min-hop CTE chain (d1..d{hops}) over a
+    (src, dst) edge query — the DuckDB twin of graph_query.py::
+    transitive_closure, used by the harmonic / eccentricity / stress
+    oracles.  Returns WITH-clause parts ending in a trailing comma."""
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst"
+        f" FROM ({edges_sql}) WHERE src <> dst),",
+        "d1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS d FROM edges),",
+    ]
+    for hk in range(2, hops + 1):
+        parts.append(
+            f"d{hk} AS MATERIALIZED (SELECT src, dst, min(d) AS d FROM ("
+            f" SELECT src, dst, d FROM d{hk - 1}"
+            f" UNION ALL SELECT p.src, e.dst, p.d + 1 FROM d{hk - 1} p"
+            f" JOIN edges e ON e.src = p.dst) GROUP BY src, dst),"
+        )
+    return parts
+
+
+def _stress_sql(edges_sql: str, hops: int) -> str:
+    """DuckDB twin of graph_query.py::stress_centrality: the min-hop chain
+    plus one σ CTE per level (hop-synchronous shortest-path counting) and
+    the through-v join — all BIGINT."""
+    parts = _minhop_parts(edges_sql, hops)
+    parts.append(f"dist AS MATERIALIZED (SELECT src, dst, d FROM d{hops}),")
+    parts.append(
+        "s1 AS MATERIALIZED (SELECT e.src, e.dst, CAST(1 AS BIGINT) AS sigma"
+        " FROM edges e JOIN dist ON dist.src = e.src AND dist.dst = e.dst"
+        " AND dist.d = 1),"
+    )
+    for hk in range(2, hops + 1):
+        parts.append(
+            f"s{hk} AS MATERIALIZED (SELECT p.src, e.dst,"
+            f" CAST(sum(p.sigma) AS BIGINT) AS sigma"
+            f" FROM s{hk - 1} p JOIN edges e ON e.src = p.dst"
+            f" JOIN dist ON dist.src = p.src AND dist.dst = e.dst"
+            f" AND dist.d = {hk}"
+            f" GROUP BY p.src, e.dst),"
+        )
+    sig_union = "\nUNION ALL ".join(
+        f"SELECT src, dst, sigma, CAST({hk} AS BIGINT) AS d FROM s{hk}"
+        for hk in range(1, hops + 1)
+    )
+    parts.append(f"sig AS MATERIALIZED ({sig_union})")
+    body = "\n".join(parts)
+    return f"""{body}
+        SELECT x.v AS node,
+               CAST(sum(x.sigma_sv * x.sigma_vt) AS BIGINT) AS stress
+        FROM (
+          SELECT sv.src AS s, sv.dst AS v, vt.dst AS t,
+                 sv.sigma AS sigma_sv, vt.sigma AS sigma_vt,
+                 sv.d AS d_sv, vt.d AS d_vt
+          FROM sig sv JOIN sig vt ON vt.src = sv.dst) x
+        JOIN dist ON dist.src = x.s AND dist.dst = x.t
+        WHERE x.s <> x.t AND x.s <> x.v AND x.t <> x.v
+          AND x.d_sv + x.d_vt = dist.d
+        GROUP BY x.v
+    """
+
+
 def _walks_sql(length: int, edges_sql: str) -> str:
     """DuckDB twin of operators/graph.py::deterministic_walks: per-node
     sorted neighbor lists, md5-derandomized step pick, one MATERIALIZED CTE
@@ -3085,6 +3146,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["host_spam_mass"] = host_spam_mass_q
+
+    def _host_graph_edges_df(spark):
+        from aiwhispr_spark.operators.linkgraph import extract_links, host_edges
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        return host_edges(extract_links(docs)).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+
+    def host_ecc_q(spark, sf):
+        # Bounded out-eccentricity panel over the host graph (graph_query.py
+        # ::eccentricity_profile): max min-hop distance + reach count per
+        # host — diameter/radius read straight off the result.  Oracle =
+        # the unrolled min-hop rounds (the harmonic-centrality pattern)
+        # aggregated by SOURCE instead of destination.
+        from aiwhispr_spark.operators.graph_query import eccentricity_profile
+
+        return eccentricity_profile(_host_graph_edges_df(spark), max_hops=6)
+
+    q["host_eccentricity"] = host_ecc_q
+
+    def host_stress_q(spark, sf):
+        # Stress centrality (graph_query.py::stress_centrality): EXACT
+        # shortest-path counts through each host (σ_sv·σ_vt where distances
+        # compose) — integer-exact betweenness sibling.  Oracle = the same
+        # hop-synchronous σ DP unrolled (dist chain + one σ CTE per level)
+        # and the same through-v join.
+        from aiwhispr_spark.operators.graph_query import stress_centrality
+
+        return stress_centrality(_host_graph_edges_df(spark), max_hops=6)
+
+    q["host_stress_centrality"] = host_stress_q
 
     def host_reciprocity(spark, sf):
         # Link-exchange reciprocity per host (linkgraph.py::link_reciprocity):
@@ -6553,6 +6646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler_scores",
         "kg_predicate_paraphrases",
         "host_spam_mass",
+        "host_stress_centrality",
+        "host_eccentricity",
         "host_trustrank_seeded",
         "host_link_reciprocity",
         "kg_clustering_coefficient",
@@ -8343,26 +8438,23 @@ def oracle_sql() -> dict[str, str]:
         iterations=5, damping=0.85, edges_sql=_host_edges_sql()
     )
     o["host_hits_5"] = _hits_sql(iterations=5, edges_sql=_host_edges_sql())
-    _harm_parts = [
-        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst"
-        f" FROM ({_host_edges_sql()}) WHERE src <> dst),",
-        "d1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS d FROM edges),",
-    ]
-    for _hk in range(2, 7):
-        _harm_parts.append(
-            f"d{_hk} AS MATERIALIZED (SELECT src, dst, min(d) AS d FROM ("
-            f" SELECT src, dst, d FROM d{_hk - 1}"
-            f" UNION ALL SELECT p.src, e.dst, p.d + 1 FROM d{_hk - 1} p"
-            f" JOIN edges e ON e.src = p.dst) GROUP BY src, dst),"
-        )
     o["host_harmonic_centrality"] = (
-        "\n".join(_harm_parts).rstrip(",")
+        "\n".join(_minhop_parts(_host_edges_sql(), 6)).rstrip(",")
         + """
         SELECT dst AS node, CAST(sum(1000000 // d) AS BIGINT) AS harmonic_i,
                CAST(count(*) AS BIGINT) AS n_reach
         FROM d6 WHERE src <> dst GROUP BY dst
     """
     )
+    o["host_eccentricity"] = (
+        "\n".join(_minhop_parts(_host_edges_sql(), 6)).rstrip(",")
+        + """
+        SELECT src AS node, CAST(max(d) AS BIGINT) AS ecc,
+               CAST(count(*) AS BIGINT) AS n_reach
+        FROM d6 WHERE src <> dst GROUP BY src
+    """
+    )
+    o["host_stress_centrality"] = _stress_sql(_host_edges_sql(), 6)
     o["host_trustrank_seeded"] = _trustrank_sql(
         _TRUST_SEED_HOSTS, iterations=5, damping=0.85, edges_sql=_host_edges_sql()
     )

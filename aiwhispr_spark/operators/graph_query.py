@@ -18,9 +18,10 @@ Spark-first shapes, chosen per operator for the 100 TB triple table:
 * **Transitive closure** — frontier BFS: per hop, ONE shuffle (frontier ⋈
   edges on the hop key) plus an anti-join against the visited set, which also
   makes the per-pair hop count the MINIMUM by construction.  Each hop is
-  materialized (count) and persisted: iterative plans must cut lineage per
-  step or the DAG doubles per iteration.  Early-stops on an empty frontier.
-  Visited set stays (src, dst) pairs — never widens with payload columns.
+  localCheckpoint-ed: persist alone truncates recompute but the LOGICAL plan
+  still nests ~3× per hop and explain-string generation OOMs at 6+ hops.
+  Early-stops on an empty frontier.  Visited set stays (src, dst) pairs —
+  never widens with payload columns.
 * **Triangles** — canonical undirected edge set (least, greatest) built once,
   then the standard ordered 3-join (a<b<c enumerates each triangle exactly
   once).  Join fan-out is bounded by degree^2 of the hub nodes; for a skewed
@@ -1077,5 +1078,122 @@ def bowtie_structure(
         .otherwise(F.lit("DISCONNECTED"))
     )
     out = marked.select("node", cls.alias("cls"))
+    e.unpersist()
+    return out
+
+
+def eccentricity_profile(
+    edges: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded out-eccentricity per node: (node, ecc, n_reach) where ``ecc``
+    is the MAXIMUM min-hop distance to any node reached within ``max_hops``
+    and ``n_reach`` the count of reached nodes (self excluded — a cycle's
+    return pair doesn't inflate the radius).  diameter = max(ecc), radius =
+    min(ecc) over the nodes that reach the whole component — the
+    small-world panel for the contracted host graph.  Nodes reaching
+    nothing don't appear (sinks have no out-eccentricity).
+
+    Shares :func:`transitive_closure`'s hop-bound contract; one
+    map-side-combinable aggregate over the closure pairs."""
+    reach = transitive_closure(edges, max_hops, src_col, dst_col)
+    return (
+        reach.filter(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.max("hops").cast("long").alias("ecc"),
+            F.count(F.lit(1)).cast("long").alias("n_reach"),
+        )
+    )
+
+
+def stress_centrality(
+    edges: DataFrame,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Stress centrality (Shimbel 1953), bounded: for every node v, the
+    EXACT number of shortest paths (≤ ``max_hops``) that pass THROUGH v —
+    Σ over s≠v≠t of σ_st(v), where σ_st(v) = σ(s,v)·σ(v,t) when
+    d(s,v)+d(v,t) = d(s,t).  The integer-exact sibling of betweenness
+    (betweenness divides by σ_st, dragging float sums into the plan; stress
+    ranks the same broker nodes with pure BIGINT arithmetic — the repo-wide
+    exactness discipline).
+
+    σ is counted by hop-synchronous DP: level h extends level h−1 along
+    edges and keeps only pairs whose bounded min distance is exactly h, so
+    closed walks never leak in (an extension from a cycle's (s,s,c) entry
+    lands on a distance-1 neighbor and fails the d = c+1 check).  One
+    localCheckpoint per level (iterative-plan discipline).
+
+    100 TB shape: meant for the CONTRACTED host/entity graph like the other
+    all-pairs operators (closure pairs are |V|·reach); the through-v join
+    is two σ-table self-joins keyed on v plus one (s,t) dist probe — all
+    map-side-combinable aggregates, no python, no floats."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    dist = transitive_closure(e, max_hops).localCheckpoint()
+    # σ DP: level 1 = the edges themselves (every edge is a shortest path
+    # of length 1), each with σ = 1
+    level = (
+        e.join(dist.filter(F.col("hops") == 1), ["src", "dst"], "left_semi")
+        .select("src", "dst", F.lit(1).cast("long").alias("sigma"))
+        .localCheckpoint()
+    )
+    sigma = level.withColumn("d", F.lit(1).cast("long"))
+    for h in range(2, max_hops + 1):
+        dh = dist.filter(F.col("hops") == h).select("src", "dst")
+        level = (
+            level.alias("p")
+            .join(e.alias("e"), F.col("p.dst") == F.col("e.src"))
+            .select(
+                F.col("p.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                F.col("p.sigma").alias("sigma"),
+            )
+            .join(dh, ["src", "dst"], "left_semi")
+            .groupBy("src", "dst")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .localCheckpoint()
+        )
+        if level.isEmpty():
+            break
+        sigma = sigma.unionByName(
+            level.withColumn("d", F.lit(h).cast("long"))
+        ).localCheckpoint()
+    sv = sigma.select(
+        F.col("src").alias("s"),
+        F.col("dst").alias("v"),
+        F.col("sigma").alias("sigma_sv"),
+        F.col("d").alias("d_sv"),
+    )
+    vt = sigma.select(
+        F.col("src").alias("v"),
+        F.col("dst").alias("t"),
+        F.col("sigma").alias("sigma_vt"),
+        F.col("d").alias("d_vt"),
+    )
+    st = dist.select(
+        F.col("src").alias("s"), F.col("dst").alias("t"), F.col("hops").alias("d_st")
+    )
+    through = (
+        sv.join(vt, "v")
+        .filter((F.col("s") != F.col("t")) & (F.col("s") != F.col("v")) & (F.col("t") != F.col("v")))
+        .join(st, ["s", "t"])
+        .filter(F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+    )
+    out = through.groupBy(F.col("v").alias("node")).agg(
+        F.sum(F.col("sigma_sv") * F.col("sigma_vt")).cast("long").alias("stress")
+    )
     e.unpersist()
     return out
