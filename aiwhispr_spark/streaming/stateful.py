@@ -124,3 +124,76 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+DEDUP_SCHEMA = StructType(
+    [
+        StructField("digest", StringType()),
+        StructField("url", StringType()),
+        StructField("ts_epoch", LongType()),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = StructType([StructField("seen", IntegerType())])
+
+
+def make_first_seen_dedup():
+    """applyInPandasWithState function for exact streaming dedup: per
+    content digest, the FIRST occurrence ever seen wins (deterministic
+    (ts, url) election inside the arrival batch) and every later arrival —
+    same batch or any later micro-batch — is suppressed.  State is one
+    marker int per digest."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        digest = key[0]
+        rows: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(t), str(u)) for t, u in zip(pdf["ts_epoch"], pdf["url"])
+            )
+        if state.exists or not rows:
+            # duplicate of an earlier batch's winner (or a pure timeout
+            # call, which never happens without a timeout conf): suppress
+            state.update((1,))
+            return
+        ts, url = min(rows)
+        state.update((1,))
+        yield pd.DataFrame([(digest, url, ts)], columns=["digest", "url", "ts_epoch"])
+
+    return fn
+
+
+def dedup_stream_first_seen(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts_epoch",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup by content digest — the batch ``dedup_exact``
+    keeper election carried across micro-batches: the first-seen snapshot
+    of each distinct text survives, replays and re-crawls are dropped at
+    ingest, and the kept stream is append-mode (each winner emitted exactly
+    once, in the batch where its digest first appears).
+
+    State is O(distinct digests) × one int — the honest cost of EXACT
+    streaming dedup; at 100 TB scope the state store (RocksDB) holds the
+    digest set and the same md5-keyed hash partitioning every batch keeps
+    state co-located, or bound memory by composing a bloom/TTL pre-filter
+    upstream (operators/dedup.py bloom_prefilter) and accepting its false
+    negatives."""
+    from pyspark.sql import functions as F
+
+    prepared = docs.select(
+        F.md5(F.col(text_col)).alias("digest"),
+        F.col(url_col).cast("string").alias("url"),
+        F.col(ts_col).cast("long").alias("ts_epoch"),
+    )
+    return prepared.groupBy("digest").applyInPandasWithState(
+        make_first_seen_dedup(),
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

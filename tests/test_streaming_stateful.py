@@ -569,3 +569,56 @@ def test_neardup_kg_stream_pairs_match_batch_and_survive_replay(spark, tmp_path)
     assert spark.read.parquet(out + "/lsh_sigs").count() == n_sigs
     assert pset(spark.read.parquet(out + "/near_pairs")) == streamed
     assert spark.read.parquet(out + "/near_pairs").count() == n_pairs
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """Exact streaming dedup: per digest the (ts, url) minimum of its FIRST
+    arrival batch wins; duplicates in the same batch and in LATER batches
+    are suppressed by the state marker; streamed keeper set ≡ the batch
+    dedup_exact election over the union of all batches."""
+    from aiwhispr_spark.streaming.stateful import dedup_stream_first_seen
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 0: two copies of text A (in-batch dup: ts tie-break elects u2
+    # via min(ts)), one text B
+    _write_json(
+        str(src / "0.json"),
+        [
+            {"url": "u1", "ts_epoch": 50, "text": "A"},
+            {"url": "u2", "ts_epoch": 10, "text": "A"},
+            {"url": "u3", "ts_epoch": 20, "text": "B"},
+        ],
+        mtime=1_000_000,
+    )
+    # batch 1: text A re-crawled (must be suppressed by state), text C new
+    _write_json(
+        str(src / "1.json"),
+        [
+            {"url": "u4", "ts_epoch": 5, "text": "A"},
+            {"url": "u5", "ts_epoch": 99, "text": "C"},
+        ],
+        mtime=2_000_000,
+    )
+    stream = (
+        spark.readStream.schema("url string, ts_epoch long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    kept = dedup_stream_first_seen(stream)
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["url"]: r["ts_epoch"]
+        for r in spark.sql("SELECT * FROM dedup_out").collect()
+    }
+    # A's batch-1 arrival at ts=5 is EARLIER than the batch-0 winner, but
+    # first-SEEN semantics keep the batch-0 election — that's the contract
+    assert rows == {"u2": 10, "u3": 20, "u5": 99}
