@@ -3179,6 +3179,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_stress_centrality"] = host_stress_q
 
+    def host_anf_q(spark, sf):
+        # HyperBall ANF (graph.py::anf_hyperball): per-host ball sizes for
+        # r=1..4 via HLL sketch-union rounds — the fixed-width-state scale
+        # path for neighborhood curves.  DataSketches' small-set coupon
+        # mode is exact far below 2^lgk, so at gate scale round(estimate)
+        # EQUALS the exact closure count (percentile-at-max-accuracy twin
+        # pattern); oracle = exact ball counts off the min-hop chain.
+        from aiwhispr_spark.operators.graph import anf_hyperball
+
+        return anf_hyperball(_host_graph_edges_df(spark), radius=4, lgk=12)
+
+    q["host_anf_hyperball"] = host_anf_q
+
     def host_reciprocity(spark, sf):
         # Link-exchange reciprocity per host (linkgraph.py::link_reciprocity):
         # share of out-neighbors that link back — the link-farm signal the
@@ -6646,6 +6659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler_scores",
         "kg_predicate_paraphrases",
         "host_spam_mass",
+        "host_anf_hyperball",
         "host_stress_centrality",
         "host_eccentricity",
         "host_trustrank_seeded",
@@ -8455,6 +8469,17 @@ def oracle_sql() -> dict[str, str]:
     """
     )
     o["host_stress_centrality"] = _stress_sql(_host_edges_sql(), 6)
+    o["host_anf_hyperball"] = (
+        "\n".join(_minhop_parts(_host_edges_sql(), 4)).rstrip(",")
+        + """
+        , nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+        SELECT n.node, CAST(rr.r AS BIGINT) AS r,
+               CAST(1 + (SELECT count(DISTINCT d4.dst) FROM d4
+                         WHERE d4.src = n.node AND d4.d <= rr.r
+                           AND d4.dst <> n.node) AS BIGINT) AS ball_i
+        FROM nodes n CROSS JOIN (VALUES (1), (2), (3), (4)) rr(r)
+    """
+    )
     o["host_trustrank_seeded"] = _trustrank_sql(
         _TRUST_SEED_HOSTS, iterations=5, damping=0.85, edges_sql=_host_edges_sql()
     )

@@ -63,3 +63,34 @@ def test_eccentricity_hop_bound(spark):
         for r in eccentricity_profile(_edges(spark, DIAMOND), max_hops=2).collect()
     }
     assert out["a"] == (2, 3)
+
+
+def test_anf_hyperball_exact_at_small_scale(spark):
+    from aiwhispr_spark.operators.graph import anf_hyperball
+
+    out = {
+        (r["node"], r["r"]): r["ball_i"]
+        for r in anf_hyperball(_edges(spark, DIAMOND), radius=3).collect()
+    }
+    # balls include the node itself; sink e stays at 1 for every r
+    assert out[("a", 1)] == 3 and out[("a", 2)] == 4 and out[("a", 3)] == 5
+    assert out[("b", 1)] == 2 and out[("b", 2)] == 3 and out[("b", 3)] == 3
+    assert out[("e", 1)] == 1 and out[("e", 3)] == 1
+    # monotone non-decreasing in r for every node
+    for n in "abcde":
+        assert out[(n, 1)] <= out[(n, 2)] <= out[(n, 3)]
+
+
+def test_anf_hyperball_exact_on_long_chain(spark):
+    # 60-node directed chain: ball_i(v0, r) = r+1 exactly — pins that the
+    # DataSketches small-set mode stays exact well past toy sizes
+    from aiwhispr_spark.operators.graph import anf_hyperball
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(59)]
+    out = {
+        (r["node"], r["r"]): r["ball_i"]
+        for r in anf_hyperball(_edges(spark, chain), radius=6).collect()
+    }
+    for r in range(1, 7):
+        assert out[("n00", r)] == r + 1
+    assert out[("n59", 6)] == 1

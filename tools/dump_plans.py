@@ -109,6 +109,14 @@ SHOWN = [
     ("length_outliers_mad", "two t-digest percentile aggregates + two broadcast |groups| joins; the row stream never shuffles"),
     ("layout_template_census", "fingerprint is one flat codegen'd expression (60 unrolled bit votes); census aggregate map-side combines"),
     ("kg_modularity", "labels broadcast onto the canonical edge set twice; all aggregates label-keyed and map-side combinable; zero float math"),
+    ("host_spam_mass", "ONE persisted host edge set feeds both rank recurrences; pr/tr aligned by a single host-graph-sized join; one IEEE division step"),
+    ("kg_bgp_minus", "each MINUS group is one left-anti join whose build side is the DISTINCT shared-var projection (AQE broadcasts it)"),
+    ("kg_allen_relations", "ONE subject-keyed self-join; the 13-way CASE is pure JVM — quadratic only inside a subject's interval set"),
+    ("web_bowtie_structure", "SCC closure localCheckpoints before the 4-way fan-out; reachability closures stay one-column node SETS; class flags are broadcast-sized semi-join markers"),
+    ("colist_expansion", "seed list literal-broadcast; both aggregates map-side combine on the item; the LIST stays the join key — no item×item blow-up"),
+    ("snapshot_line_diff", "ONE url-keyed exchange with map-side min/max struct combine; line-set diff is JVM array ops on the two endpoint texts only"),
+    ("host_eccentricity", "closure per-hop localCheckpoint; final max/count aggregate map-side combines per source"),
+    ("host_stress_centrality", "σ DP one level join per hop (localCheckpoint); through-v join keys on v with |reach|² fan-out on the CONTRACTED graph; pure BIGINT"),
 ]
 
 
