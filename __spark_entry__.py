@@ -1699,6 +1699,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_ngrams"] = decontaminate
 
+    def novelty_q(spark, sf):
+        # First-seen n-gram novelty curve (decontam.py::ngram_novelty_curve):
+        # marginal coverage contribution per doc in crawl order, computed by
+        # min-(ts,id) ELECTION instead of sequential state.  Closed-form
+        # 4-token docs → exactly three distinct bigrams each; the oracle
+        # enumerates the same gram rows and elects min doc id.
+        from aiwhispr_spark.operators.decontam import ngram_novelty_curve
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        text = F.concat(
+            F.lit("a"), (i % 5).cast("string"),
+            F.lit(" b"), (i % 7).cast("string"),
+            F.lit(" c"), (i % 3).cast("string"),
+            F.lit(" d"), (i % 11).cast("string"),
+        )
+        docs = d.select("doc_id", i.alias("ts"), text.alias("text"))
+        return ngram_novelty_curve(docs, n=2).withColumnRenamed("id", "doc_id")
+
+    q["ngram_novelty_curve"] = novelty_q
+
     def kg_pagerank(spark, sf):
         # PageRank over the synthetic corpus's triple graph (subj→obj edge
         # set): 5 synchronous iterations with dangling redistribution —
@@ -3495,6 +3516,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bowtie_structure(edges, max_hops=6)
 
     q["web_bowtie_structure"] = web_bowtie
+
+    def kg_condensation_q(spark, sf):
+        # Condensation DAG (graph_query.py::condensation_dag): SCCs of the
+        # bowtie fixture contracted, longest-path topological level per
+        # component (i1 → i0 → c0-cycle → o0 → o1 gives depth 4; the
+        # disconnected d0↔d1 component sits at level 0).  Oracle = the
+        # hand-derived closed-form component rows.
+        from aiwhispr_spark.operators.graph_query import condensation_dag
+
+        edges = spark.createDataFrame(
+            _bowtie_fixture_edges(), "src string, dst string"
+        )
+        return condensation_dag(edges, max_hops=6)
+
+    q["kg_condensation"] = kg_condensation_q
 
     def bloom_dedup(spark, sf):
         # Bloom-filter membership prefilter (operators/bloomfilter.py): the
@@ -6668,6 +6704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity",
         "containment_syndication_pairs",
         "fellegi_sunter_linkage",
+        "ngram_novelty_curve",
         "snapshot_line_diff",
         "kg_allen_relations",
         "kg_interval_coalesce",
@@ -6828,6 +6865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_noindex_filter",
         "host_hits_5",
         "web_bowtie_structure",
+        "kg_condensation",
         "kcore_peel",
         "bloom_prefilter_dedup",
         "duplicate_ngram_spans",
@@ -8518,6 +8556,17 @@ def oracle_sql() -> dict[str, str]:
         for cls, members in _BOWTIE_EXPECTED.items()
         for n in members
     )
+    # hand-derived condensation of the bowtie fixture: (scc_id, size, level)
+    o["kg_condensation"] = "\nUNION ALL ".join(
+        f"SELECT '{cid}' AS scc_id, CAST({n} AS BIGINT) AS n_members,"
+        f" CAST({lvl} AS BIGINT) AS level"
+        for cid, n, lvl in [
+            ("c0", 4, 2), ("o2", 2, 3), ("d0", 2, 0),
+            ("i1", 1, 0), ("i0", 1, 1), ("t0", 1, 2), ("t3", 1, 3),
+            ("t1", 1, 0), ("o0", 1, 3), ("o1", 1, 4),
+            ("d2", 1, 0), ("d3", 1, 1),
+        ]
+    )
     o["bloom_prefilter_dedup"] = """
         WITH delta AS MATERIALIZED (
           SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 10 = 0),
@@ -9391,6 +9440,23 @@ def oracle_sql() -> dict[str, str]:
         FROM src, LATERAL (
           SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
         ) u
+    """
+    o["ngram_novelty_curve"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents),
+        g AS (
+          SELECT i, 'a' || (i % 5) || ' b' || (i % 7) AS gram FROM d
+          UNION ALL SELECT i, 'b' || (i % 7) || ' c' || (i % 3) FROM d
+          UNION ALL SELECT i, 'c' || (i % 3) || ' d' || (i % 11) FROM d
+        ),
+        own AS (SELECT gram, min(i) AS owner FROM g GROUP BY gram),
+        nov AS (SELECT owner AS i, count(*) AS n_novel FROM own GROUP BY owner),
+        tot AS (SELECT i, count(*) AS n_distinct FROM g GROUP BY i)
+        SELECT t.i AS doc_id,
+               CAST(t.n_distinct AS BIGINT) AS n_distinct_grams,
+               CAST(coalesce(nov.n_novel, 0) AS BIGINT) AS n_novel,
+               CAST(round(10000.0 * coalesce(nov.n_novel, 0) / t.n_distinct)
+                    AS BIGINT) AS novelty_frac_i
+        FROM tot t LEFT JOIN nov ON nov.i = t.i
     """
     o["decontaminate_ngrams"] = """
         WITH toks AS (

@@ -227,3 +227,68 @@ def duplicate_ngram_spans(
             .alias("dup_frac_i"),
         )
     )
+
+
+def ngram_novelty_curve(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Marginal n-gram novelty per document in crawl order: how many of the
+    doc's DISTINCT length-n token windows appear in NO earlier document
+    (earlier = smaller (ts, id)).  The coverage-contribution curve that
+    data-ordering / selection policies maximize — a late doc whose windows
+    are all already-seen adds nothing, however long it is.
+
+    Election, not state: each gram's first owner is the MINIMUM (ts, id)
+    struct over its occurrences, so the result exactly equals a sequential
+    first-seen scan without any sequential dependency.  Returns
+    ``(id, n_distinct_grams, n_novel, novelty_frac_i)`` with
+    ``novelty_frac_i = round(1e4 · novel/distinct)`` (0 for gram-less docs).
+
+    100 TB shape: the election shuffle carries ``(xxhash64(gram), ts, id)``
+    — the gram TEXT never rides an exchange (linededup discipline); the
+    min-struct aggregate map-side combines; both per-doc rollups are
+    map-side-combinable counts keyed on the doc id."""
+    order = docs.select(
+        F.col(id_col).alias("id"), F.col(ts_col).cast("long").alias("_ts")
+    )
+    grams = (
+        _doc_ngrams(docs, n, text_col, id_col)
+        .select("id", F.xxhash64("gram").alias("gram_key"))
+        .distinct()
+        .join(order, "id")
+    )
+    owners = grams.groupBy("gram_key").agg(
+        F.min(F.struct(F.col("_ts"), F.col("id"))).alias("_first")
+    )
+    novel = owners.groupBy(F.col("_first")["id"].alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    per_doc = grams.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_grams")
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .join(novel, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_distinct_grams", F.lit(0)).cast("long").alias(
+                "n_distinct_grams"
+            ),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_distinct_grams", F.lit(0)) > 0,
+                F.round(
+                    F.lit(10000.0)
+                    * F.coalesce("n_novel", F.lit(0))
+                    / F.col("n_distinct_grams")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("novelty_frac_i"),
+        )
+    )

@@ -86,3 +86,31 @@ def test_colist_expansion_min_lists_floor(spark):
     )
     rows = colist_expansion(m, ["s"], min_lists=2).collect()
     assert {r["item"] for r in rows} == {"a"}
+
+
+def test_condensation_contracts_and_levels(spark):
+    from aiwhispr_spark.operators.graph_query import condensation_dag
+
+    # 2-cycle {a,b} → c → d, plus x → a: levels x=0, {a,b}=1, c=2, d=3
+    out = {
+        r["scc_id"]: (r["n_members"], r["level"])
+        for r in condensation_dag(
+            _edges(
+                spark,
+                [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("x", "a")],
+            ),
+            max_hops=6,
+        ).collect()
+    }
+    assert out == {"x": (1, 0), "a": (2, 1), "c": (1, 2), "d": (1, 3)}
+
+
+def test_condensation_single_scc_is_level_zero(spark):
+    from aiwhispr_spark.operators.graph_query import condensation_dag
+
+    out = condensation_dag(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")]), max_hops=6
+    ).collect()
+    assert [(r["scc_id"], r["n_members"], r["level"]) for r in out] == [
+        ("a", 3, 0)
+    ]
