@@ -3389,6 +3389,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_line_diff"] = snapshot_diff_q
 
+    def mobile_variants_q(spark, sf):
+        # Mobile/AMP variant clustering (urlnorm.py::mobile_variant_clusters):
+        # 50 articles × four renderings (desktop, m. host, www+/amp path,
+        # ?amp=1 param) — the variant shape cycles on doc_id div 50 so every
+        # article sees all four; desktop wins the canonical election.
+        # Oracle = the closed-form expected cluster rows.
+        from aiwhispr_spark.operators.urlnorm import mobile_variant_clusters
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        p = (F.col("doc_id") % 50).cast("string")
+        shape = F.expr("(doc_id div 50) % 4")
+        url = (
+            F.when(shape == 0, F.concat(F.lit("https://site"), p, F.lit(".org/art/"), p))
+            .when(shape == 1, F.concat(F.lit("https://m.site"), p, F.lit(".org/art/"), p))
+            .when(shape == 2, F.concat(F.lit("https://www.site"), p, F.lit(".org/art/"), p, F.lit("/amp")))
+            .otherwise(F.concat(F.lit("https://site"), p, F.lit(".org/art/"), p, F.lit("?amp=1")))
+        )
+        return mobile_variant_clusters(d.select(url.alias("url")))
+
+    q["mobile_variant_clusters"] = mobile_variants_q
+
     def domain_blocklist(spark, sf):
         # Domain-blocklist filter (urlnorm.py::filter_blocked_hosts):
         # dot-suffix semantics — blocking site3.example.org removes its
@@ -4161,6 +4182,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fellegi_sunter_linkage"] = fellegi_sunter
+
+    def snm_q(spark, sf):
+        # Sorted-neighborhood blocking (linking.py::snm_candidate_pairs):
+        # window 3 over the (key, id) total order via the scale-safe global
+        # rank — the typo-adjacency complement to LSH banding.  Key spreads
+        # ids across 100 sort positions so neighborhoods cross position
+        # boundaries; oracle = row_number + rank-distance self-join.
+        from aiwhispr_spark.operators.linking import snm_candidate_pairs
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        recs = d.select(
+            F.col("doc_id").alias("id"),
+            F.concat(
+                F.lit("k"),
+                F.lpad(((F.col("doc_id") * 7) % 100).cast("string"), 2, "0"),
+            ).alias("key"),
+        )
+        return snm_candidate_pairs(recs, key_col="key", id_col="id", window=3)
+
+    q["snm_candidate_pairs"] = snm_q
 
     def blocking_eval(spark, sf):
         # Blocking-scheme fitness panel (evaluation.py::blocking_quality):
@@ -6703,8 +6744,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering_coefficient",
         "kg_modularity",
         "containment_syndication_pairs",
+        "snm_candidate_pairs",
         "fellegi_sunter_linkage",
         "ngram_novelty_curve",
+        "mobile_variant_clusters",
         "snapshot_line_diff",
         "kg_allen_relations",
         "kg_interval_coalesce",
@@ -9334,6 +9377,14 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS first_ts, max(ts) AS last_ts
         FROM w GROUP BY canon_url
     """
+    o["mobile_variant_clusters"] = """
+        WITH p AS (SELECT DISTINCT doc_id % 50 AS p FROM documents)
+        SELECT 'https://site' || p || '.org/art/' || p AS variant_key,
+               CAST(4 AS BIGINT) AS n_urls,
+               CAST(3 AS BIGINT) AS n_variant,
+               'https://site' || p || '.org/art/' || p AS canonical_url
+        FROM p
+    """
     o["snapshot_line_diff"] = """
         WITH d AS (SELECT doc_id AS i, doc_id % 30 AS p FROM documents),
         ends AS (
@@ -9593,6 +9644,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT b, a, CAST(n_b AS BIGINT), CAST(n_common AS BIGINT),
                CAST((1000000 * n_common) // n_b AS BIGINT)
         FROM v WHERE (1000000 * n_common) // n_b >= 900000
+    """
+    o["snm_candidate_pairs"] = """
+        WITH r AS (
+          SELECT doc_id AS id,
+                 'k' || lpad(CAST((doc_id * 7) % 100 AS VARCHAR), 2, '0') AS key,
+                 row_number() OVER (
+                   ORDER BY 'k' || lpad(CAST((doc_id * 7) % 100 AS VARCHAR), 2, '0'),
+                            doc_id) AS rk
+          FROM documents)
+        SELECT a.id AS id_a, b.id AS id_b, CAST(b.rk - a.rk AS BIGINT) AS gap
+        FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 2
     """
     o["fellegi_sunter_linkage"] = """
         WITH rec AS (

@@ -197,3 +197,49 @@ def fellegi_sunter_scores(
             "lr_i", F.expr(f"CAST((lr_i * ({num})) div ({den}) AS BIGINT)")
         )
     return scored
+
+
+def snm_candidate_pairs(
+    records: DataFrame,
+    key_col: str,
+    id_col: str = "id",
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1998): sort all
+    records by a fuzzy blocking key, slide a ``window``-record frame down
+    the order, and emit every in-window pair as an ER candidate.  The
+    classic complement to hash/LSH blocking — typo'd keys land in ADJACENT
+    sort positions even when token-level hashing scatters them into
+    different buckets.
+
+    Returns (id_a, id_b, gap) with gap = rank distance ∈ [1, window−1];
+    order is the (key, id) total order (id tie-break — required for
+    determinism, same contract as global_row_number).
+
+    100 TB shape: the global sort is ranking.global_row_number's
+    range-Exchange dataflow — NO single-partition window; the neighborhood
+    join is ONE equi-join on rank+d probes (d exploded from a window-sized
+    literal array), so exchanges carry (id, rank) pairs only and the output
+    is exactly (window−1)·n pairs — never a block cross-product."""
+    if window < 2:
+        raise ValueError("window must be >= 2 (a 1-window has no pairs)")
+    from .ranking import global_row_number
+
+    ranked = global_row_number(
+        records.select(F.col(id_col).alias("id"), F.col(key_col).alias("key")),
+        [F.col("key"), F.col("id")],
+        rank_col="rk",
+    ).select("id", "rk")
+    probes = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("rk").alias("rk_a"),
+        F.explode(
+            F.array([F.lit(d) for d in range(1, window)])
+        ).alias("gap"),
+    ).withColumn("rk", F.col("rk_a") + F.col("gap"))
+    return (
+        probes.join(
+            ranked.select(F.col("id").alias("id_b"), "rk"), "rk"
+        )
+        .select("id_a", "id_b", F.col("gap").cast("long").alias("gap"))
+    )

@@ -408,3 +408,62 @@ def snapshot_line_diff(
         F.size(F.array_except(old, new)).cast("long").alias("n_removed"),
         F.size(F.array_intersect(old, new)).cast("long").alias("n_common"),
     )
+
+
+_MOBILE_LABEL_RE = r"^([a-z][a-z0-9+.\-]*://)(?:(?:m|www|mobile|amp)\.)+"
+_AMP_PARAM_RE = r"^(amp(=|$)|outputType=amp$)"
+
+
+def mobile_variant_key_expr(col: Column) -> Column:
+    """Variant-collapsing key of a URL column: :func:`canonical_url_expr`
+    plus the mobile/AMP conventions — leading ``m.``/``www.``/``mobile.``/
+    ``amp.`` host labels stripped, a trailing ``/amp`` path segment
+    removed, and ``amp``/``amp=…``/``outputType=amp`` query params dropped
+    (documented subset of the AMP URL zoo).  Two renderings of the same
+    article collapse to one key."""
+    base = canonical_url_expr(col)
+    nohost = F.regexp_replace(base, _MOBILE_LABEL_RE, r"$1")
+    noamp = F.regexp_replace(
+        F.regexp_extract(nohost, r"^([^?]*)", 1), r"/amp$", ""
+    )
+    query = F.regexp_extract(nohost, r"\?(.*)$", 1)
+    params = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_AMP_PARAM_RE),
+        ),
+        "&",
+    )
+    return F.concat(
+        noamp,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+
+
+def mobile_variant_clusters(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Cluster a URL set by :func:`mobile_variant_key_expr` and elect the
+    DESKTOP rendering as the cluster canonical (the non-variant URL —
+    key == its own canonical form — wins; lexicographic min breaks ties and
+    covers clusters that only ever appeared as variants).  Output per
+    cluster: (variant_key, n_urls, n_variant, canonical_url).
+
+    The m./AMP sibling of rel=canonical clustering: at crawl scale every
+    mobile mirror doubles a page's operator cost unless collapsed here.
+
+    100 TB shape: key + variant flag are a narrow JVM projection; ONE
+    exchange on the key with map-side-combinable count/min-struct
+    aggregates."""
+    canon = canonical_url_expr(F.col(url_col))
+    key = mobile_variant_key_expr(F.col(url_col))
+    rows = df.select(
+        key.alias("variant_key"),
+        canon.alias("_canon"),
+        (key != canon).cast("int").alias("_is_variant"),
+    ).distinct()
+    return rows.groupBy("variant_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum("_is_variant").cast("long").alias("n_variant"),
+        F.min(F.struct(F.col("_is_variant"), F.col("_canon")))["_canon"].alias(
+            "canonical_url"
+        ),
+    )

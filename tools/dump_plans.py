@@ -117,6 +117,11 @@ SHOWN = [
     ("snapshot_line_diff", "ONE url-keyed exchange with map-side min/max struct combine; line-set diff is JVM array ops on the two endpoint texts only"),
     ("host_eccentricity", "closure per-hop localCheckpoint; final max/count aggregate map-side combines per source"),
     ("host_stress_centrality", "σ DP one level join per hop (localCheckpoint); through-v join keys on v with |reach|² fan-out on the CONTRACTED graph; pure BIGINT"),
+    ("host_anf_hyperball", "one node-keyed exchange of fixed-width (node, HLL sketch) rows per round + hll_union_agg map-side combine"),
+    ("ngram_novelty_curve", "election shuffle carries (xxhash64 gram, ts, id) — gram text never rides an exchange; min-struct and both rollups map-side combine"),
+    ("kg_condensation", "two label joins contract edges; level relaxation runs on the COMPONENT graph with localCheckpoint + fixpoint early-exit"),
+    ("snm_candidate_pairs", "global sort via range-Exchange rank (no single-partition window); neighborhood join is ONE rank+d equi-join carrying (id, rank) only"),
+    ("mobile_variant_clusters", "key + variant flag are narrow JVM regex; ONE exchange with map-side count/min-struct combine"),
 ]
 
 
