@@ -3410,6 +3410,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mobile_variant_clusters"] = mobile_variants_q
 
+    def nofollow_q(spark, sf):
+        # rel-aware link extraction (linkgraph.py::extract_links_rel): four
+        # anchors per closed-form page — plain, rel="nofollow", rel before
+        # href with mixed-case UGC + root-relative target, and a
+        # non-denial rel (noopener).  Oracle = the expected edge rows.
+        from aiwhispr_spark.operators.linkgraph import extract_links_rel
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        src = F.concat(F.lit("https://s"), (i % 9).cast("string"), F.lit(".org/d/"), i.cast("string"))
+        html = F.concat(
+            F.lit('<html><body><p><a href="https://f'),
+            (i % 5).cast("string"),
+            F.lit('.org/p1">one</a> <a href="https://n'),
+            (i % 4).cast("string"),
+            F.lit('.org/p2" rel="nofollow">two</a> <a rel="UGC noopener" href="/local'),
+            (i % 3).cast("string"),
+            F.lit('">three</a> <a href="https://k.org/p4" rel="noopener">four</a></p></body></html>'),
+        )
+        docs = d.select(src.alias("url"), F.encode(html, "UTF-8").alias("html"))
+        return extract_links_rel(docs)
+
+    q["nofollow_link_extract"] = nofollow_q
+
     def domain_blocklist(spark, sf):
         # Domain-blocklist filter (urlnorm.py::filter_blocked_hosts):
         # dot-suffix semantics — blocking site3.example.org removes its
@@ -6748,6 +6772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fellegi_sunter_linkage",
         "ngram_novelty_curve",
         "mobile_variant_clusters",
+        "nofollow_link_extract",
         "snapshot_line_diff",
         "kg_allen_relations",
         "kg_interval_coalesce",
@@ -9376,6 +9401,22 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
                min(ts) AS first_ts, max(ts) AS last_ts
         FROM w GROUP BY canon_url
+    """
+    o["nofollow_link_extract"] = """
+        WITH d AS (SELECT doc_id AS i,
+                          'https://s' || (doc_id % 9) || '.org/d/' || doc_id
+                            AS src_url
+                   FROM documents)
+        SELECT src_url, 'https://f' || (i % 5) || '.org/p1' AS dst_url,
+               CAST(0 AS INTEGER) AS nofollow FROM d
+        UNION ALL
+        SELECT src_url, 'https://n' || (i % 4) || '.org/p2',
+               CAST(1 AS INTEGER) FROM d
+        UNION ALL
+        SELECT src_url, 'https://s' || (i % 9) || '.org/local' || (i % 3),
+               CAST(1 AS INTEGER) FROM d
+        UNION ALL
+        SELECT src_url, 'https://k.org/p4', CAST(0 AS INTEGER) FROM d
     """
     o["mobile_variant_clusters"] = """
         WITH p AS (SELECT DISTINCT doc_id % 50 AS p FROM documents)

@@ -83,6 +83,42 @@ def extract_links(
 # non-DOTALL '.*?' would silently skip every multi-line anchor.
 _ANCHOR_RE = r'(?s)<a\s[^>]*href="[^"]*"[^>]*>.*?</a>'
 
+_ATAG_RE = r'<a\s[^>]*href="[^"]*"[^>]*>'
+# the 2019 rel family: any of these tokens denies endorsement
+_NOFOLLOW_TOKEN_RE = r"(?i)(^|\s)(nofollow|ugc|sponsored)(\s|$)"
+
+
+def extract_links_rel(
+    docs: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url, nofollow) — :func:`extract_links` plus rel
+    semantics: ``nofollow`` is 1 when the tag's (double-quoted) rel
+    attribute carries any of the endorsement-denial tokens
+    ``nofollow``/``ugc``/``sponsored`` (the post-2019 rel family), else 0.
+
+    Rank-family consumers (pagerank/trustrank/HITS) must drop nofollow
+    edges — they are the web's explicit "this link is not a vote" marker,
+    and counting them is the textbook comment-spam amplifier — while alias
+    and discovery consumers keep them.  Same resolution/canonicalization
+    contract as extract_links; same one-explode narrow JVM shape."""
+    text = F.decode(F.col(html_col), "UTF-8")
+    href = F.regexp_extract(F.col("a"), r'href="([^"]*)"', 1)
+    rel = F.regexp_extract(F.col("a"), r'(?i)rel\s*=\s*"([^"]*)"', 1)
+    return (
+        docs.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(
+                F.regexp_extract_all(text, F.lit(_ATAG_RE), F.lit(0))
+            ).alias("a"),
+        )
+        .select(
+            "src_url",
+            canonical_url_expr(_resolve(href, F.col("src_url"))).alias("dst_url"),
+            rel.rlike(_NOFOLLOW_TOKEN_RE).cast("int").alias("nofollow"),
+        )
+        .filter(F.col("dst_url").isNotNull() & (F.col("dst_url") != ""))
+    )
+
 
 def extract_anchors(
     docs: DataFrame,

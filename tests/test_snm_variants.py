@@ -77,3 +77,29 @@ def test_variant_key_stacked_labels_and_inner_amp(spark):
     # stacked labels strip; a LEADING /amp/ segment is outside the subset
     # (only the trailing segment is AMP-conventional) so it stays
     assert list(rows) == ["https://site.org/amp/a"]
+
+
+def test_extract_links_rel_tokens_and_resolution(spark):
+    from aiwhispr_spark.operators.linkgraph import extract_links_rel
+
+    html = (
+        '<html><body>'
+        '<a href="https://a.org/x">plain</a>'
+        '<a href="https://b.org/y" rel="nofollow">nf</a>'
+        '<a rel="sponsored" href="https://c.org/z">sp</a>'
+        '<a href="https://d.org/w" rel="me noopener">not-denial</a>'
+        '<a href="mailto:x@y.z" rel="nofollow">skipped</a>'
+        "</body></html>"
+    )
+    docs = spark.createDataFrame(
+        [("https://s.org/p", html.encode())], "url string, html binary"
+    )
+    out = {
+        r["dst_url"]: r["nofollow"] for r in extract_links_rel(docs).collect()
+    }
+    assert out == {
+        "https://a.org/x": 0,
+        "https://b.org/y": 1,
+        "https://c.org/z": 1,
+        "https://d.org/w": 0,
+    }
