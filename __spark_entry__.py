@@ -6758,6 +6758,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_violations",
         "zorder_bucket_pruning",
         "jaro_winkler_scores",
+        "web_bowtie_structure",
+        "kg_condensation",
+        "kg_bgp_minus",
+        "colist_expansion",
         "kg_predicate_paraphrases",
         "host_spam_mass",
         "host_anf_hyperball",
@@ -6799,7 +6803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets",
         "kg_extraction_eval",
         "kg_attribute_merge",
-        "colist_expansion",
         "html_list_triples",
         "mention_bursts",
         "kg_literal_datatypes",
@@ -6871,7 +6874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_disambiguation",
         "kg_fact_resolution",
         "kg_predicate_profile",
-        "kg_bgp_minus",
         "kg_bgp_optional",
         "kg_fact_rank",
         "kg_property_path",
@@ -6932,8 +6934,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_hashed",
         "robots_noindex_filter",
         "host_hits_5",
-        "web_bowtie_structure",
-        "kg_condensation",
         "kcore_peel",
         "bloom_prefilter_dedup",
         "duplicate_ngram_spans",
