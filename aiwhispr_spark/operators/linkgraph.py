@@ -103,7 +103,10 @@ def extract_links_rel(
     contract as extract_links; same one-explode narrow JVM shape."""
     text = F.decode(F.col(html_col), "UTF-8")
     href = F.regexp_extract(F.col("a"), r'href="([^"]*)"', 1)
-    rel = F.regexp_extract(F.col("a"), r'(?i)rel\s*=\s*"([^"]*)"', 1)
+    # (?<![\w-]) pins the attribute NAME: without it the pattern matches
+    # the 'rel="' tail inside data-rel=/myrel= and misreads widget
+    # attributes as rel semantics
+    rel = F.regexp_extract(F.col("a"), r'(?i)(?<![\w-])rel\s*=\s*"([^"]*)"', 1)
     return (
         docs.select(
             F.col(url_col).alias("src_url"),
@@ -601,6 +604,10 @@ def host_spam_mass(
         iterations=iterations,
         num_partitions=num_partitions,
     ).withColumnRenamed("pr", "tr")
+    # both rank passes are eager and return localCheckpointed frames —
+    # the shared edge cache is done; dropping it here (not at GC time)
+    # keeps long-lived drivers from pinning one host-graph copy per call
+    edges.unpersist()
     joined = pr.join(tr, "node", "full_outer").select(
         "node",
         F.coalesce(F.col("pr"), F.lit(0.0)).alias("prv"),

@@ -81,10 +81,18 @@ def shape_violations(
         sh.filter(F.col("obj_etype").isNotNull()).select("etype", "pred", "obj_etype"),
         ["etype", "pred"],
     )
-    ot = types.select(F.col("entity").alias("obj"), F.col("etype").alias("obj_type"))
+    # one row per object with its full type set: a multi-typed object
+    # conforms when ANY of its types matches, and the left join cannot fan
+    # a conforming triple out into a spurious violation row
+    ot = types.groupBy(F.col("entity").alias("obj")).agg(
+        F.collect_set("etype").alias("obj_types")
+    )
     viol_range = (
         ranged.join(ot, "obj", "left")
-        .filter(F.col("obj_type").isNull() | (F.col("obj_type") != F.col("obj_etype")))
+        .filter(
+            F.col("obj_types").isNull()
+            | ~F.array_contains("obj_types", F.col("obj_etype"))
+        )
         .groupBy("subj", "etype", "pred")
         .agg(F.count(F.lit(1)).cast("long").alias("observed"))
         .select(

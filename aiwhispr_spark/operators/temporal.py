@@ -756,10 +756,12 @@ def allen_relations(
         .filter(F.col("s") < F.col("e"))
     )
     if max_group is not None:
+        # anti-join against the (small) over-cap set — the KEEP side is
+        # nearly the whole subject universe and must never be broadcast
+        # (the _overlap_pairs hub-cap discipline)
         sizes = iv.groupBy("subj").agg(F.count(F.lit(1)).alias("n_iv"))
-        iv = (
-            iv.join(F.broadcast(sizes.filter(F.col("n_iv") <= max_group)), "subj")
-            .drop("n_iv")
+        iv = iv.join(
+            sizes.filter(F.col("n_iv") > max_group), "subj", "left_anti"
         )
     a = iv.select("subj", F.col("fid").alias("fid_a"), F.col("s").alias("s1"), F.col("e").alias("e1"))
     b = iv.select("subj", F.col("fid").alias("fid_b"), F.col("s").alias("s2"), F.col("e").alias("e2"))

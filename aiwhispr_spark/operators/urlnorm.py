@@ -379,9 +379,13 @@ def snapshot_line_diff(
     texts.  No window, no python, no explode."""
     canon = df.select(
         canonical_url_expr(F.col(url_col)).alias("canon_url"),
-        F.struct(F.col(ts_col).alias("ts"), F.col(text_col).alias("text")).alias(
-            "_s"
-        ),
+        # NULL text = empty line set: coalesce BEFORE the struct min/max,
+        # else a NULL field wins the election and every downstream
+        # split/size count goes NULL for that url
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+        ).alias("_s"),
     )
     g = canon.groupBy("canon_url").agg(
         F.count(F.lit(1)).cast("long").alias("n_snapshots"),

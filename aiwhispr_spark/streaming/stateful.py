@@ -153,10 +153,12 @@ def make_first_seen_dedup():
             rows.extend(
                 (int(t), str(u)) for t, u in zip(pdf["ts_epoch"], pdf["url"])
             )
-        if state.exists or not rows:
-            # duplicate of an earlier batch's winner (or a pure timeout
-            # call, which never happens without a timeout conf): suppress
-            state.update((1,))
+        if not rows:
+            # data-less (timeout) invocation: touch NOTHING — marking the
+            # digest seen here would suppress its real first occurrence
+            return
+        if state.exists:
+            # duplicate of an earlier batch's winner: suppress
             return
         ts, url = min(rows)
         state.update((1,))

@@ -84,6 +84,24 @@ def test_clean_graph_yields_nothing(spark):
     assert shape_violations(triples, types, shapes).count() == 0
 
 
+def test_multi_typed_object_conforms_when_any_type_matches(spark):
+    # 'acme' is both org and company; the shape wants org — conforming,
+    # and the extra type must not fan out into a class_range violation
+    triples = spark.createDataFrame(
+        [("p1", "works_for", "acme"), ("p1", "email", "x@y")],
+        "subj string, pred string, obj string",
+    )
+    types = spark.createDataFrame(
+        [("p1", "person"), ("acme", "org"), ("acme", "company")],
+        "entity string, etype string",
+    )
+    shapes = spark.createDataFrame(
+        [("person", "works_for", 1, 1, "org"), ("person", "email", 1, None, None)],
+        "etype string, pred string, min_count int, max_count int, obj_etype string",
+    )
+    assert shape_violations(triples, types, shapes).count() == 0
+
+
 def test_shapes_catalog_is_broadcast(spark):
     triples, types, shapes = _fixture(spark)
     plan = (

@@ -88,6 +88,7 @@ def test_extract_links_rel_tokens_and_resolution(spark):
         '<a href="https://b.org/y" rel="nofollow">nf</a>'
         '<a rel="sponsored" href="https://c.org/z">sp</a>'
         '<a href="https://d.org/w" rel="me noopener">not-denial</a>'
+        '<a href="https://e.org/v" data-rel="nofollow">cms-widget-attr</a>'
         '<a href="mailto:x@y.z" rel="nofollow">skipped</a>'
         "</body></html>"
     )
@@ -102,4 +103,6 @@ def test_extract_links_rel_tokens_and_resolution(spark):
         "https://b.org/y": 1,
         "https://c.org/z": 1,
         "https://d.org/w": 0,
+        # data-rel is NOT a rel attribute — the edge stays an endorsement
+        "https://e.org/v": 0,
     }
