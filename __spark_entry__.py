@@ -5042,6 +5042,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = multimodal
 
+    def image_dhash_near_dup(spark, sf):
+        # Perceptual image near-dup (multimodal.py::image_dhash +
+        # dhash_near_dup_pairs): REAL netpbm decode → 64-bit dHash → 4-band
+        # Hamming self-join, EXACT for hamming ≤ 3 by pigeonhole.  Fixture:
+        # one 9x8 PGM per doc, pixel (g·131 + r·37 + c·61) mod 251 with
+        # group g = doc_id div 4; variant v=3 spikes pixel (0,0) to 255 so
+        # in-group pairs land at hamming 0-1 and the threshold bites.  The
+        # oracle recomputes every gradient bit closed-form and does the
+        # exhaustive pair join — banded ≡ exhaustive is exactly the claim.
+        from aiwhispr_spark.operators.multimodal import (
+            dhash_near_dup_pairs,
+            image_dhash,
+        )
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        g = F.expr("doc_id div 4")
+        v = F.col("doc_id") % 4
+
+        def px(r: int, c: int):
+            base = (g * 131 + F.lit(r * 37 + c * 61)) % 251
+            if r == 0 and c == 0:
+                return F.when(v == 3, F.lit(255)).otherwise(base)
+            return base
+
+        pgm = F.concat_ws(
+            " ",
+            F.lit("P2"), F.lit("9"), F.lit("8"), F.lit("255"),
+            *[px(r, c).cast("string") for r in range(8) for c in range(9)],
+        )
+        media = d.select(
+            F.concat(F.lit("img"), F.col("doc_id").cast("string")).alias("media_id"),
+            F.encode(pgm, "UTF-8").alias("payload"),
+        )
+        return dhash_near_dup_pairs(image_dhash(media), max_hamming=3, bands=4)
+
+    q["image_dhash_near_dup"] = image_dhash_near_dup
+
     def kmeans_clusters(spark, sf):
         # Integer-exact Lloyd k-means over the embeddings table
         # (operators/clustering.py): quantized BIGINT grid, exact integer
@@ -6758,6 +6795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_violations",
         "zorder_bucket_pruning",
         "jaro_winkler_scores",
+        "image_dhash_near_dup",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -10209,6 +10247,29 @@ def oracle_sql() -> dict[str, str]:
         FROM m GROUP BY user_id, session_no
     """
     o["multimodal_features"] = _multimodal_sql()
+    o["image_dhash_near_dup"] = """
+        WITH im AS (SELECT doc_id AS i, doc_id // 4 AS g, doc_id % 4 AS v
+                    FROM documents),
+        bits AS (
+          SELECT i, r.r * 8 + c.c AS pos,
+                 CASE WHEN
+                   (CASE WHEN v = 3 AND r.r = 0 AND c.c = 0 THEN 255
+                         ELSE (g*131 + r.r*37 + c.c*61) % 251 END)
+                   < ((g*131 + r.r*37 + (c.c+1)*61) % 251)
+                 THEN 1 ELSE 0 END AS b
+          FROM im, range(8) r(r), range(8) c(c)
+        ),
+        ham AS (
+          SELECT a.i AS ia, b.i AS ib,
+                 CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS INT)
+                   AS hamming
+          FROM bits a JOIN bits b
+            ON a.pos = b.pos AND 'img' || a.i < 'img' || b.i
+          GROUP BY a.i, b.i
+        )
+        SELECT 'img' || ia AS id_a, 'img' || ib AS id_b, hamming
+        FROM ham WHERE hamming <= 3
+    """
     o["kg_triples_synthetic"] = _kg_e2e_sql()
     o["kg_session_provenance"] = f"""
         WITH t AS ({_kg_e2e_sql()}),

@@ -383,3 +383,95 @@ def sniff_media_type(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         else:
             expr = F.when(cond, F.lit(media_type)).otherwise(expr)
     return df.withColumn("media_type", expr)
+
+
+# --- perceptual near-dup: difference hash over REAL decoded rasters -----------
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (the classic 9x8 dHash): grayscale (channel
+    mean for RGB), nearest-resize to 8 rows x 9 cols, bit (r, c) = 1 iff
+    px[r][c] < px[r][c+1], packed little-endian by (r*8 + c).  Returned as
+    a SIGNED 64-bit int (two's complement fold) so it rides a Spark
+    LongType column unchanged.
+
+    Strict `<` on a netpbm decode is exact: the decoder divides distinct
+    integers by one shared maxval, which preserves order bit-for-bit."""
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    g = resize_nearest(img, 8, 9)
+    bits = (g[:, :-1] < g[:, 1:]).astype(np.uint64).ravel()
+    v = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, dhash) from netpbm image payloads — REAL decode path
+    (:func:`decode_netpbm`), one Arrow batch per task amortizing setup;
+    the binary column is deserialized exactly once per image."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (str(i), dhash64(decode_netpbm(bytes(p))))
+                for i, p in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(out, columns=["id", "dhash"])
+
+    return df.select(id_col, payload_col).mapInPandas(gen, "id string, dhash long")
+
+
+def dhash_near_dup_pairs(
+    sig: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """(id_a, id_b, hamming) for all signature pairs within ``max_hamming``
+    bits — banded Hamming join over (id, dhash).  With ``max_hamming <
+    bands`` the band join is EXACT, not approximate: a pair differing in at
+    most bands−1 bits must agree on at least one band (pigeonhole), so
+    every qualifying pair surfaces in some bucket.
+
+    100 TB shape: one posexplode to `bands` fixed-width keys, ONE
+    self-join carrying (id, dhash, band, bhash) only — the band-join
+    discipline of the minhash/simhash paths (no K-way union fan-out);
+    verify is a JVM xor+bit_count.  Band buckets of a skewed corpus (all-
+    flat images hash alike) bound at bucket size², same as simhash."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs < bands={bands} for exact recall"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("dhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    k = sig.select("id", "dhash", F.explode(keys).alias("k")).select(
+        "id", "dhash", F.col("k.band").alias("band"), F.col("k.bhash").alias("bhash")
+    )
+    a = k.select(
+        F.col("id").alias("id_a"), F.col("dhash").alias("dh_a"), "band", "bhash"
+    )
+    b = k.select(
+        F.col("id").alias("id_b"), F.col("dhash").alias("dh_b"), "band", "bhash"
+    )
+    return (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )

@@ -126,3 +126,57 @@ def test_sniff_media_type_is_pure_jvm(spark):
     df = spark.createDataFrame([("a", b"x")], "media_id string, payload binary")
     plan = sniff_media_type(df)._jdf.queryExecution().executedPlan().treeString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_dhash64_known_bits():
+    from aiwhispr_spark.operators.multimodal import dhash64
+
+    # monotone rows: every gradient comparison true -> all 64 bits -> -1
+    inc = (np.arange(72, dtype=np.float64).reshape(8, 9)) / 255.0
+    assert dhash64(inc) == -1
+    # flat image: no strict increase anywhere -> 0
+    assert dhash64(np.full((8, 9), 0.5)) == 0
+    # flipping ONE gradient flips exactly one bit
+    one = inc.copy()
+    one[0, 0] = 1.0  # now px[0][0] > px[0][1]
+    assert dhash64(one) == -1 - 1  # bit 0 cleared from all-ones
+    # RGB collapses by channel mean to the same gray
+    rgb = np.repeat(inc[:, :, None], 3, axis=2)
+    assert dhash64(rgb) == -1
+
+
+def test_dhash_banded_join_equals_exhaustive(spark):
+    from aiwhispr_spark.operators.multimodal import dhash_near_dup_pairs
+
+    def signed(u: int) -> int:
+        u &= (1 << 64) - 1
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    # pseudo-random signatures plus engineered close pairs, including a
+    # sign-bit flip (band 3 must still bucket two's-complement values)
+    rng = np.random.RandomState(7)
+    sigs = [signed(int(x)) for x in rng.randint(0, 2**63 - 1, size=40, dtype=np.uint64)]
+    sigs.append(signed(sigs[0] ^ 0b101))       # hamming 2 from sigs[0]
+    sigs.append(signed(sigs[1] ^ (1 << 63)))   # hamming 1, sign flips
+    df = spark.createDataFrame(
+        [(f"s{i:02d}", s) for i, s in enumerate(sigs)], "id string, dhash long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dhash_near_dup_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    want = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                x, y = sorted([f"s{i:02d}", f"s{j:02d}"])
+                want.add((x, y, h))
+    assert got == want and len(want) >= 2
+
+
+def test_dhash_threshold_must_stay_under_bands():
+    from aiwhispr_spark.operators.multimodal import dhash_near_dup_pairs
+
+    with pytest.raises(ValueError):
+        dhash_near_dup_pairs(None, max_hamming=4, bands=4)
