@@ -4765,6 +4765,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["clean_corpus_filter_chain"] = clean_corpus_filter_chain
 
+    def training_mix_pipeline(spark, sf):
+        # END-TO-END training-data mix (plans/training.py): lang+quality
+        # floor → exact-dedup keeper → 13-gram decontamination against a
+        # leaked benchmark (every 50th doc — those flag 100% contaminated
+        # and drop) → temperature-weighted source sampling → greedy packing
+        # per source shard.  Every stage is individually gated elsewhere;
+        # this gate pins the COMPOSITION through the library plan, oracle =
+        # the same five stages composed in SQL from the per-stage fragments.
+        from aiwhispr_spark.plans.training import build_training_mix
+
+        d = _t(spark, sf, "documents")
+        bench = d.filter(F.col("doc_id") % 50 == 0)
+        return build_training_mix(d, bench)
+
+    q["training_mix_pipeline"] = training_mix_pipeline
+
     def e3_triples_inline_svo(spark, sf):
         # E3 value gate: deterministic SVO sentences built from documents in
         # BOTH engines; Spark runs the real mapInPandas triple kernel
@@ -6796,6 +6812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_bucket_pruning",
         "jaro_winkler_scores",
         "image_dhash_near_dup",
+        "training_mix_pipeline",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -10370,6 +10387,85 @@ def oracle_sql() -> dict[str, str]:
         JOIN kp ON kp.doc_id = qf.doc_id
         WHERE lg.lang_detected = 'en' AND qf.quality_i >= 3000
           AND kp.keep_id = qf.doc_id
+    """
+    o["training_mix_pipeline"] = f"""
+        WITH RECURSIVE
+        qf AS (SELECT doc_id, quality_i FROM ({o["quality_features"]})),
+        lg AS ({o["lang_id_heuristic"]}),
+        kp AS (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+          FROM documents
+        ),
+        s1 AS (
+          SELECT d.doc_id, d.source, d.text, qf.quality_i
+          FROM documents d
+          JOIN qf USING (doc_id) JOIN lg USING (doc_id) JOIN kp USING (doc_id)
+          WHERE lg.lang_detected = 'en' AND qf.quality_i >= 3000
+            AND kp.keep_id = d.doc_id
+        ),
+        btoks AS (
+          SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '') AS arr
+          FROM documents WHERE doc_id % 50 = 0
+        ),
+        bgrams AS (
+          SELECT DISTINCT array_to_string(arr[i : i + 12], ' ') AS gram
+          FROM btoks,
+               LATERAL (SELECT unnest(generate_series(1, len(arr) - 12)) AS i) g
+          WHERE len(arr) >= 13
+        ),
+        stoks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '') AS arr
+          FROM s1
+        ),
+        sgrams AS (
+          SELECT doc_id, array_to_string(arr[i : i + 12], ' ') AS gram
+          FROM stoks,
+               LATERAL (SELECT unnest(generate_series(1, len(arr) - 12)) AS i) g
+          WHERE len(arr) >= 13
+        ),
+        dirty AS (SELECT DISTINCT s.doc_id FROM sgrams s JOIN bgrams b USING (gram)),
+        s2 AS (SELECT * FROM s1
+               WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        c AS (SELECT source, count(*) AS n_s FROM s2 GROUP BY source),
+        m AS (SELECT max(n_s) AS n_max FROM c),
+        r AS (
+          SELECT source,
+                 CAST(least(1000000.0,
+                      round(pow(CAST(n_max AS DOUBLE) / n_s, 0.5)
+                            * 0.5 * 1000000.0)) AS BIGINT) AS rate_i
+          FROM c, m),
+        s3 AS (
+          SELECT s2.*, r.rate_i FROM s2 JOIN r USING (source)
+          WHERE ('0x' || substr(md5(CAST(s2.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 1000000 < r.rate_i
+        ),
+        t AS (
+          SELECT source AS shard, doc_id, source, quality_i, rate_i,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS n_tokens,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM s3
+        ),
+        packed AS (
+          SELECT shard, doc_id, n_tokens, rn, n_tokens AS acc, 0 AS seq
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.shard, t.doc_id, t.n_tokens, t.rn,
+                 CASE WHEN packed.acc + t.n_tokens > 256 THEN t.n_tokens
+                      ELSE packed.acc + t.n_tokens END,
+                 CASE WHEN packed.acc + t.n_tokens > 256 THEN packed.seq + 1
+                      ELSE packed.seq END
+          FROM packed JOIN t ON t.shard = packed.shard AND t.rn = packed.rn + 1
+        )
+        SELECT t.doc_id, t.source, t.quality_i, t.rate_i,
+               CAST(t.n_tokens AS INT) AS n_tokens,
+               CAST(p.seq AS INT) AS seq_id,
+               CAST(p.acc - p.n_tokens AS INT) AS seq_offset
+        FROM packed p JOIN t ON t.doc_id = p.doc_id
     """
     o["chars_percentiles"] = """
         SELECT lang,
