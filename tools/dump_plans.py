@@ -121,6 +121,8 @@ SHOWN = [
     ("ngram_novelty_curve", "election shuffle carries (xxhash64 gram, ts, id) — gram text never rides an exchange; min-struct and both rollups map-side combine"),
     ("kg_condensation", "two label joins contract edges; level relaxation runs on the COMPONENT graph with localCheckpoint + fixpoint early-exit"),
     ("snm_candidate_pairs", "global sort via range-Exchange rank (no single-partition window); neighborhood join is ONE rank+d equi-join carrying (id, rank) only"),
+    ("image_dhash_near_dup", "dHash band join carries (id, dhash, band, bhash) fixed-width rows off ONE posexplode; verify is JVM xor+bit_count — no python past the decode stage"),
+    ("training_mix_pipeline", "benchmark grams + source rates broadcast; corpus exchanges = digest keeper election + shard packing groupBy; python sees (shard,id,n_tokens) only"),
     ("mobile_variant_clusters", "key + variant flag are narrow JVM regex; ONE exchange with map-side count/min-struct combine"),
 ]
 
