@@ -4402,6 +4402,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hash_split_assign"] = hash_split
 
+    def rendezvous_shards(spark, sf):
+        # HRW crawl-fleet sharding (operators/sharding.py): argmax of the
+        # keyed md5 fingerprint over a 5-shard fleet — zero-exchange JVM
+        # expression; the minimal-churn property is unit-test-pinned.
+        from aiwhispr_spark.operators.sharding import rendezvous_assign
+
+        d = _t(spark, sf, "documents").select(
+            F.concat(
+                F.lit("https://h"),
+                (F.col("doc_id") % 40).cast("string"),
+                F.lit(".org/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url")
+        )
+        fleet = [f"fetcher-{c}" for c in "abcde"]
+        return rendezvous_assign(d, fleet)
+
+    q["url_rendezvous_shards"] = rendezvous_shards
+
+    def percolate(spark, sf):
+        # Reverse search (fulltext.py::percolate_conjunctive): a saved-query
+        # registry matched against every doc in ONE shared pass.  Fixture
+        # exercises conjunction (q2), duplicate query terms (q5), and a
+        # never-matching term (q4); oracle = the closed-form match sets.
+        from aiwhispr_spark.operators.fulltext import percolate_conjunctive
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("alpha beta w"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(" gamma q"),
+                (F.col("doc_id") % 3).cast("string"),
+            ).alias("text"),
+        )
+        reg = spark.createDataFrame(
+            [
+                ("q1", "alpha w0"),
+                ("q2", "gamma q1 w2"),
+                ("q3", "alpha beta"),
+                ("q4", "zzz alpha"),
+                ("q5", "beta beta gamma"),
+            ],
+            "query_id string, query string",
+        )
+        return percolate_conjunctive(d, reg).withColumnRenamed("id", "doc_id")
+
+    q["percolate_matches"] = percolate
+
     def stratified_sample(spark, sf):
         # deterministic stratified sampling: top-3 docs per source by md5
         # rank — the seeded-sample primitive for eval-set construction; one
@@ -6813,6 +6862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_winkler_scores",
         "image_dhash_near_dup",
         "training_mix_pipeline",
+        "url_rendezvous_shards",
+        "percolate_matches",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -10098,6 +10149,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(10000 * CASE WHEN g.topc IS NOT NULL AND g.total > 0
                     THEN g.topc::DOUBLE / g.total ELSE 0 END) AS BIGINT) AS top_bigram_frac_i
         FROM toks t LEFT JOIN bgtop g ON g.doc_id = t.doc_id
+    """
+    o["url_rendezvous_shards"] = """
+        WITH k AS (
+          SELECT 'https://h' || (doc_id % 40) || '.org/p/' || doc_id AS url
+          FROM documents
+        ),
+        s(shard) AS (VALUES ('fetcher-a'), ('fetcher-b'), ('fetcher-c'),
+                            ('fetcher-d'), ('fetcher-e')),
+        w AS (
+          SELECT url, shard,
+                 ('0x' || substr(md5(url || '|' || shard), 1, 15))::BIGINT AS w
+          FROM k, s
+        ),
+        r AS (
+          SELECT url, shard,
+                 row_number() OVER (PARTITION BY url ORDER BY w DESC, shard DESC)
+                   AS rn
+          FROM w
+        )
+        SELECT url, shard FROM r WHERE rn = 1
+    """
+    o["percolate_matches"] = """
+        WITH d AS (SELECT doc_id, doc_id % 5 AS a, doc_id % 3 AS b
+                   FROM documents)
+        SELECT doc_id, 'q1' AS query_id FROM d WHERE a = 0
+        UNION ALL SELECT doc_id, 'q2' FROM d WHERE b = 1 AND a = 2
+        UNION ALL SELECT doc_id, 'q3' FROM d
+        UNION ALL SELECT doc_id, 'q5' FROM d
     """
     o["hash_split_assign"] = """
         SELECT doc_id,

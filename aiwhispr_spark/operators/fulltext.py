@@ -515,3 +515,47 @@ def best_snippet(
         "n_hits",
         F.array_join(F.slice("t", F.col("start"), window), " ").alias("snippet"),
     )
+
+
+def percolate_conjunctive(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "query",
+) -> DataFrame:
+    """Reverse search (the Percolator pattern): which SAVED queries match
+    each incoming document — the alerting primitive a crawl pipeline runs
+    at ingest ("tell me when a page mentions all of X Y Z").  Conjunctive
+    semantics: a query matches iff EVERY one of its distinct tokens occurs
+    in the document.  Returns (id, query_id), one row per match.
+
+    100 TB shape: the query registry is broadcast TWICE (term list and
+    per-query term counts — registries are KB-scale); the corpus-side
+    explode keeps DISTINCT doc tokens only, and the one exchange is the
+    (id, query_id) coverage count.  No per-query corpus scan, no union
+    fan-out — K queries cost one shared pass."""
+    qtok = F.array_distinct(F.filter(tokenize(F.col(qtext_col)), lambda t: t != ""))
+    qterms = queries.select(
+        F.col(qid_col).alias("query_id"), F.explode(qtok).alias("token")
+    )
+    qsizes = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_terms")
+    )
+    dtok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.filter(tokenize(F.col(text_col)), lambda t: t != ""))
+        ).alias("token"),
+    )
+    hits = (
+        dtok.join(F.broadcast(qterms), "token")
+        .groupBy("id", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n_hit"))
+    )
+    return (
+        hits.join(F.broadcast(qsizes), "query_id")
+        .filter(F.col("_n_hit") == F.col("_n_terms"))
+        .select("id", "query_id")
+    )
