@@ -4424,8 +4424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def percolate(spark, sf):
         # Reverse search (fulltext.py::percolate_conjunctive): a saved-query
         # registry matched against every doc in ONE shared pass.  Fixture
-        # exercises conjunction (q2), duplicate query terms (q5), and a
-        # never-matching term (q4); oracle = the closed-form match sets.
+        # exercises conjunction (q2), duplicate query terms (q5), a
+        # never-matching term (q4), and a token-less query (q6 → vacuous
+        # conjunction, matches ALL docs); oracle = closed-form match sets.
         from aiwhispr_spark.operators.fulltext import percolate_conjunctive
 
         d = _t(spark, sf, "documents").select(
@@ -4444,6 +4445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ("q3", "alpha beta"),
                 ("q4", "zzz alpha"),
                 ("q5", "beta beta gamma"),
+                ("q6", "   "),
             ],
             "query_id string, query string",
         )
@@ -10177,6 +10179,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT doc_id, 'q2' FROM d WHERE b = 1 AND a = 2
         UNION ALL SELECT doc_id, 'q3' FROM d
         UNION ALL SELECT doc_id, 'q5' FROM d
+        UNION ALL SELECT doc_id, 'q6' FROM d
     """
     o["hash_split_assign"] = """
         SELECT doc_id,

@@ -529,7 +529,10 @@ def percolate_conjunctive(
     each incoming document — the alerting primitive a crawl pipeline runs
     at ingest ("tell me when a page mentions all of X Y Z").  Conjunctive
     semantics: a query matches iff EVERY one of its distinct tokens occurs
-    in the document.  Returns (id, query_id), one row per match.
+    in the document — so a TOKEN-LESS query (empty, whitespace-only, or
+    NULL text) is a vacuous conjunction and matches ALL documents, the
+    percolator convention (match-all, never a silent no-match).  Returns
+    (id, query_id), one row per match.
 
     100 TB shape: the query registry is broadcast TWICE (term list and
     per-query term counts — registries are KB-scale); the corpus-side
@@ -554,8 +557,18 @@ def percolate_conjunctive(
         .groupBy("id", "query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("_n_hit"))
     )
+    # vacuous conjunction: queries with zero tokens match every document
+    # (a KB-scale broadcast against the doc-id projection — no text scan)
+    match_all = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.coalesce(F.size(qtok), F.lit(0)).alias("_n"),
+    ).filter(F.col("_n") <= 0)
+    vacuous = docs.select(F.col(id_col).alias("id")).crossJoin(
+        F.broadcast(match_all.select("query_id"))
+    )
     return (
         hits.join(F.broadcast(qsizes), "query_id")
         .filter(F.col("_n_hit") == F.col("_n_terms"))
         .select("id", "query_id")
+        .unionByName(vacuous)
     )

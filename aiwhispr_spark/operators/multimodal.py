@@ -410,13 +410,17 @@ def image_dhash(
 ) -> DataFrame:
     """(id, dhash) from netpbm image payloads — REAL decode path
     (:func:`decode_netpbm`), one Arrow batch per task amortizing setup;
-    the binary column is deserialized exactly once per image."""
+    the binary column is deserialized exactly once per image.  Rows whose
+    payload is NULL or empty (fetch failures are routine in crawled media
+    tables) are SKIPPED — they have no raster to hash, and surfacing them
+    is the ingest scan's job, not the near-dup path's."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
                 (str(i), dhash64(decode_netpbm(bytes(p))))
                 for i, p in zip(pdf[id_col], pdf[payload_col])
+                if p is not None and len(p) > 0
             ]
             yield pd.DataFrame(out, columns=["id", "dhash"])
 
@@ -443,20 +447,13 @@ def dhash_near_dup_pairs(
         )
     width = 64 // bands
     mask = (1 << width) - 1
-    keys = F.array(
+    bhashes = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("dhash"), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("bhash"),
-            )
+            F.shiftrightunsigned(F.col("dhash"), b * width).bitwiseAND(F.lit(mask))
             for b in range(bands)
         ]
     )
-    k = sig.select("id", "dhash", F.explode(keys).alias("k")).select(
-        "id", "dhash", F.col("k.band").alias("band"), F.col("k.bhash").alias("bhash")
-    )
+    k = sig.select("id", "dhash", F.posexplode(bhashes).alias("band", "bhash"))
     a = k.select(
         F.col("id").alias("id_a"), F.col("dhash").alias("dh_a"), "band", "bhash"
     )
@@ -466,12 +463,16 @@ def dhash_near_dup_pairs(
     return (
         a.join(b, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # dedup the up-to-`bands`x band-duplicated pairs BEFORE the verify
+        # (dh_a/dh_b are functionally determined by the ids)
+        .select("id_a", "id_b", "dh_a", "dh_b")
+        .distinct()
         .select(
             "id_a",
             "id_b",
-            F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b"))).alias("hamming"),
+            F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b")))
+            .cast("int")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )

@@ -47,18 +47,33 @@ def pack_greedy(
     shard_col: str = "shard",
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(shard, doc_id, n_tokens, seq_id, seq_offset): greedy packing per
-    shard, documents ordered by id within the shard (deterministic — the
-    same input always packs identically, so resume/retry re-derive the same
-    plan)."""
+    """(shard, doc_id, n_tokens, seq_id, seq_offset[, *carry]): greedy
+    packing per shard, documents ordered by id within the shard
+    (deterministic — the same input always packs identically, so
+    resume/retry re-derive the same plan).  ``carry`` columns ride through
+    the python stage unchanged so a composed plan (plans/training.py) can
+    keep per-doc attributes WITHOUT re-joining against — and therefore
+    re-executing — its own upstream lineage."""
     from pyspark.sql import functions as F
 
     prepared = df.select(
         F.col(shard_col).cast("string").alias("shard"),
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(tokens_col).cast("int").alias("n_tokens"),
+        *[F.col(c) for c in carry],
     )
+    if carry:
+        schema = StructType(
+            list(prepared.schema.fields)
+            + [
+                StructField("seq_id", IntegerType()),
+                StructField("seq_offset", IntegerType()),
+            ]
+        )
+    else:
+        schema = PACK_SCHEMA
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -76,7 +91,7 @@ def pack_greedy(
         pdf["seq_offset"] = pd.Series(offs, dtype="int32")
         return pdf
 
-    return prepared.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+    return prepared.groupBy("shard").applyInPandas(pack, schema)
 
 
 def passage_windows(

@@ -22,7 +22,11 @@ def rendezvous_expr(key: Column, shards: list[str]) -> Column:
     """Winning shard for ``key``: argmax over shards of the 60-bit
     md5 fingerprint of ``key || '|' || shard`` (the repo's one fingerprint
     discipline); exact-tie fallback is the lexicographically larger shard
-    name via struct max — deterministic, engine-reproducible."""
+    name via struct max — deterministic, engine-reproducible.  A NULL key
+    yields a NULL shard: concat(NULL, …) nulls every fingerprint, and
+    without the guard the all-NULL-weight tie would silently dump every
+    bad row on the lexicographically last shard — a fake hotspot.  NULL
+    keys stay visible for the caller to route or reject."""
     if not shards:
         raise ValueError("rendezvous needs at least one shard")
     scored = F.array(
@@ -34,7 +38,9 @@ def rendezvous_expr(key: Column, shards: list[str]) -> Column:
             for s in sorted(set(shards))
         ]
     )
-    return F.array_max(scored)["shard"]
+    return F.when(key.isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_max(scored)["shard"]
+    )
 
 
 def rendezvous_assign(

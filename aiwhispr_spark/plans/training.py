@@ -23,8 +23,11 @@ same per-stage oracle fragments.
 (32-byte keys); stage 3 is the n-gram explode joined against a BROADCAST
 benchmark gram set (benchmarks are MB-scale — never shuffle the corpus
 against them); stage 4 broadcasts |sources| rate rows; stage 5's only
-exchange groups by shard and the python stage sees (shard, id, n_tokens)
-triples — never document text.  Nothing collects driver-side.
+exchange groups by shard and the python stage sees skinny
+(shard, id, n_tokens, quality_i, rate_i) rows — never document text — with
+the per-doc attributes carried through so the composition is ONE lineage
+executed once (no re-join against the upstream stages).  Nothing collects
+driver-side.
 """
 
 from __future__ import annotations
@@ -86,24 +89,22 @@ def build_training_mix(
         s2, source_col=source_col, id_col=id_col, alpha=alpha, base_frac=base_frac
     )
     sized = s3.withColumn("n_tokens", token_count_expr(F.col(text_col)))
+    # quality_i/rate_i ride THROUGH the packing stage (pack_greedy carry=)
+    # instead of re-joining against s3: the join's right side would be the
+    # whole unpersisted stage-1..4 lineage — quality features, the dedup
+    # window, the n-gram decontamination explode — executed a SECOND time
+    # per action.  Single lineage = single execution.
     packed = pack_greedy(
         sized,
         capacity=capacity,
         shard_col=source_col,
         id_col=id_col,
         tokens_col="n_tokens",
+        carry=("quality_i", "rate_i"),
     )
-    return packed.join(
-        s3.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(source_col).alias("source"),
-            "quality_i",
-            "rate_i",
-        ),
+    return packed.select(
         "doc_id",
-    ).select(
-        "doc_id",
-        "source",
+        F.col("shard").alias("source"),
         "quality_i",
         "rate_i",
         F.col("n_tokens").cast("int").alias("n_tokens"),

@@ -175,6 +175,20 @@ def test_dhash_banded_join_equals_exhaustive(spark):
     assert got == want and len(want) >= 2
 
 
+def test_image_dhash_skips_null_and_empty_payloads(spark):
+    # fetch failures leave NULL/empty binary rows in crawled media tables;
+    # the hash stage must skip them, not abort the whole job on bytes(None)
+    from aiwhispr_spark.operators.multimodal import image_dhash
+
+    img = np.arange(72, dtype=np.float64).reshape(8, 9) / 255.0
+    df = spark.createDataFrame(
+        [("ok", _pgm_p5(img)), ("null", None), ("empty", b"")],
+        "media_id string, payload binary",
+    )
+    rows = image_dhash(df).collect()
+    assert [r.id for r in rows] == ["ok"]
+
+
 def test_dhash_threshold_must_stay_under_bands():
     from aiwhispr_spark.operators.multimodal import dhash_near_dup_pairs
 

@@ -47,6 +47,15 @@ def test_rendezvous_rejects_empty_fleet():
         rendezvous_expr(F.lit("x"), [])
 
 
+def test_rendezvous_null_key_yields_null_shard(spark):
+    # a NULL key must NOT silently pile onto the lexicographically last
+    # shard (the all-NULL-weight tie fallback) — it stays NULL and visible
+    df = spark.createDataFrame([("https://k1",), (None,)], "url string")
+    rows = {r.url: r.shard for r in rendezvous_assign(df, ["a", "b", "z"]).collect()}
+    assert rows["https://k1"] is not None
+    assert rows[None] is None
+
+
 def test_rendezvous_is_pure_jvm_no_exchange(spark):
     plan = (
         rendezvous_assign(_keys(spark), ["a", "b", "c"])
@@ -73,11 +82,20 @@ def test_percolate_conjunctive_semantics(spark):
             ("dup-terms", "the the sat"),
             ("miss", "cat dog"),
             ("casefold", "CAT Mat"),
+            ("vacuous-empty", ""),
+            ("vacuous-ws", "   "),
+            ("vacuous-null", None),
         ],
         "query_id string, query string",
     )
     got = {
         (r.id, r.query_id) for r in percolate_conjunctive(docs, queries).collect()
+    }
+    # token-less queries are vacuous conjunctions: they match EVERY doc
+    vacuous = {
+        (d, q)
+        for d in (1, 2, 3)
+        for q in ("vacuous-empty", "vacuous-ws", "vacuous-null")
     }
     assert got == {
         (1, "both"),
@@ -86,7 +104,7 @@ def test_percolate_conjunctive_semantics(spark):
         (1, "dup-terms"),
         (2, "dup-terms"),
         (1, "casefold"),
-    }
+    } | vacuous
 
 
 def test_percolate_broadcasts_registry(spark):
