@@ -4453,6 +4453,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["percolate_matches"] = percolate
 
+    def gopher_filter(spark, sf):
+        # Gopher rule panel (textstats.py::gopher_rules): the corpus text is
+        # decorated deterministically by k = doc_id % 12 so every rule fires
+        # both ways — k%4==0 appends two bullet lines + an ellipsis line
+        # (line rules), k%3==0 appends a '### ... …' symbol tail (symbol
+        # rule), k%5==0 appends a stopword sentence (stopword rule flips),
+        # k%7==0 appends a numeric run (alpha-word rule).  Oracle mirrors
+        # the decoration and the integer cross-multiplied rules exactly.
+        from aiwhispr_spark.operators.textstats import gopher_rules
+
+        d = _t(spark, sf, "documents")
+        k = F.col("doc_id") % 12
+        decorated = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(k % 4 == 0, F.lit("\n- bullet one\n- bullet two\ntail line ...")).otherwise(F.lit("")),
+                F.when(k % 3 == 0, F.lit(" ### ... … ### ...")).otherwise(F.lit("")),
+                F.when(k % 5 == 0, F.lit(" the cat sat with that to be of and")).otherwise(F.lit("")),
+                F.when(k % 7 == 0, F.lit(" 101 202 303 404 505 606 707 808 909 111 222 333")).otherwise(F.lit("")),
+                # k==8: twenty bullet lines on top of the k%4 decoration's
+                # 2 bullets + 1 tail → 22 of 24 lines bullet-started > 90%
+                # (bullet rule fails); k==9: 78 one-char words drag the mean
+                # word length under 3 (mean-length rule fails)
+                F.when(
+                    k == 8,
+                    F.concat_ws("", F.array(*[F.lit(f"\n- b{i}") for i in range(20)])),
+                ).otherwise(F.lit("")),
+                F.when(
+                    k == 9,
+                    F.lit(" " + " ".join(list("abcdefghijklmnopqrstuvwxyz") * 3)),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return gopher_rules(decorated, min_words=40, max_words=90)
+
+    q["gopher_quality_filter"] = gopher_filter
+
+    def weighted_sample(spark, sf):
+        # Efraimidis–Spirakis weighted sampling without replacement
+        # (mixing.py::weighted_sample_without_replacement): 5 docs per
+        # source, inclusion odds ∝ n_chars, priorities content-addressed
+        # via the md5→60-bit fingerprint — the oracle re-derives ln(u)/w
+        # from the identical dyadic rational and must elect the SAME docs.
+        from aiwhispr_spark.operators.mixing import weighted_sample_without_replacement
+
+        d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+        return weighted_sample_without_replacement(
+            d, k=5, weight_col="n_chars", group_col="source", id_col="doc_id"
+        )
+
+    q["weighted_sample_es"] = weighted_sample
+
+    def compaction(spark, sf):
+        # small-file compaction planner (maintenance.py::compaction_plan):
+        # synthetic file listing derived from documents (one "file" per doc,
+        # size = n_chars, dir = source), binned to 1 KiB targets; oracle =
+        # the identical exclusive-prefix-sum window in SQL.
+        from aiwhispr_spark.operators.maintenance import compaction_plan
+
+        listing = _t(spark, sf, "documents").select(
+            F.col("source").alias("part_dir"),
+            F.concat(F.lit("part-"), F.lpad(F.col("doc_id").cast("string"), 6, "0"))
+            .alias("file_name"),
+            F.col("n_chars").cast("long").alias("size_bytes"),
+        )
+        return compaction_plan(listing, target_bytes=1024)
+
+    q["compaction_plan"] = compaction
+
     def stratified_sample(spark, sf):
         # deterministic stratified sampling: top-3 docs per source by md5
         # rank — the seeded-sample primitive for eval-set construction; one
@@ -6866,6 +6936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix_pipeline",
         "url_rendezvous_shards",
         "percolate_matches",
+        "gopher_quality_filter",
+        "weighted_sample_es",
+        "compaction_plan",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -10180,6 +10253,99 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT doc_id, 'q3' FROM d
         UNION ALL SELECT doc_id, 'q5' FROM d
         UNION ALL SELECT doc_id, 'q6' FROM d
+    """
+    o["gopher_quality_filter"] = """
+        WITH dec AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN (doc_id % 12) % 4 = 0
+                         THEN chr(10) || '- bullet one' || chr(10) || '- bullet two'
+                              || chr(10) || 'tail line ...' ELSE '' END
+                 || CASE WHEN (doc_id % 12) % 3 = 0 THEN ' ### ... … ### ...' ELSE '' END
+                 || CASE WHEN (doc_id % 12) % 5 = 0
+                         THEN ' the cat sat with that to be of and' ELSE '' END
+                 || CASE WHEN (doc_id % 12) % 7 = 0
+                         THEN ' 101 202 303 404 505 606 707 808 909 111 222 333' ELSE '' END
+                 || CASE WHEN doc_id % 12 = 8
+                         THEN chr(10) || '- b0' || chr(10) || '- b1' || chr(10) || '- b2'
+                           || chr(10) || '- b3' || chr(10) || '- b4' || chr(10) || '- b5'
+                           || chr(10) || '- b6' || chr(10) || '- b7' || chr(10) || '- b8'
+                           || chr(10) || '- b9' || chr(10) || '- b10' || chr(10) || '- b11'
+                           || chr(10) || '- b12' || chr(10) || '- b13' || chr(10) || '- b14'
+                           || chr(10) || '- b15' || chr(10) || '- b16' || chr(10) || '- b17'
+                           || chr(10) || '- b18' || chr(10) || '- b19' ELSE '' END
+                 || CASE WHEN doc_id % 12 = 9
+                         THEN ' ' || repeat('a b c d e f g h i j k l m n o p q r s t u v w x y z ', 3)
+                         ELSE '' END
+                 AS t
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(t)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS n_words,
+                 length(regexp_replace(t, '\\s+', '', 'g')) AS chars_in_words,
+                 len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS n_sym,
+                 list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines,
+                 regexp_split_to_array(lower(trim(t)), '\\s+') AS words
+          FROM dec
+        ),
+        c AS (
+          SELECT doc_id, n_words, chars_in_words, n_sym,
+                 len(lines) AS n_lines,
+                 len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]'))) AS n_bullet,
+                 len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) AS n_ellipsis,
+                 len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                 len(list_intersect(list_distinct(words),
+                     ['the','be','to','of','and','that','have','with'])) AS n_stop
+          FROM m
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_words >= 40 AND n_words <= 90 AS INT) AS r_wordcount,
+               CAST(3 * n_words <= chars_in_words AND chars_in_words <= 10 * n_words AS INT) AS r_meanlen,
+               CAST(n_sym * 10 <= n_words AS INT) AS r_symbol,
+               CAST(n_bullet * 10 <= n_lines * 9 AS INT) AS r_bullets,
+               CAST(n_ellipsis * 10 <= n_lines * 3 AS INT) AS r_ellipsis,
+               CAST(n_alpha * 10 >= n_words * 8 AS INT) AS r_alpha,
+               CAST(n_stop >= 2 AS INT) AS r_stopwords,
+               CAST(n_words >= 40 AND n_words <= 90
+                    AND 3 * n_words <= chars_in_words AND chars_in_words <= 10 * n_words
+                    AND n_sym * 10 <= n_words
+                    AND n_bullet * 10 <= n_lines * 9
+                    AND n_ellipsis * 10 <= n_lines * 3
+                    AND n_alpha * 10 >= n_words * 8
+                    AND n_stop >= 2 AS INT) AS keep
+        FROM c
+    """
+    o["weighted_sample_es"] = """
+        WITH p AS (
+          SELECT source, doc_id,
+                 ln((CAST(('0x' || substr(md5('es1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                          AS DOUBLE) + 1) / 1152921504606846976.0)
+                 / CAST(n_chars AS DOUBLE) AS es_key
+          FROM documents
+          WHERE CAST(n_chars AS DOUBLE) > 0
+        ),
+        r AS (
+          SELECT source, doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY es_key DESC, doc_id) AS INT) AS rk
+          FROM p
+        )
+        SELECT source, doc_id, rk FROM r WHERE rk <= 5
+    """
+    o["compaction_plan"] = """
+        WITH listing AS (
+          SELECT source AS part_dir,
+                 'part-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS file_name,
+                 CAST(n_chars AS BIGINT) AS size_bytes
+          FROM documents
+        )
+        SELECT part_dir, file_name, size_bytes,
+               (SUM(size_bytes) OVER (
+                  PARTITION BY part_dir ORDER BY file_name
+                  ROWS UNBOUNDED PRECEDING) - size_bytes) // 1024 AS bin
+        FROM listing
     """
     o["hash_split_assign"] = """
         SELECT doc_id,

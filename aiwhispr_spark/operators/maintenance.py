@@ -64,3 +64,53 @@ def restore_snapshot(snapshot_path: str, table_path: str) -> None:
     if os.path.exists(table_path):
         shutil.rmtree(table_path)
     shutil.copytree(snapshot_path, table_path)
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    dir_col: str = "part_dir",
+    file_col: str = "file_name",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """(part_dir, file_name, size_bytes, bin): small-file compaction planner —
+    the maintenance job every long-lived 100 TB table needs after streaming /
+    per-run appends fragment it (this repo's own run_id-tagged resume appends
+    are exactly such a producer; recanonicalize_output compacts CONTENT,
+    this plans the FILE rewrite).
+
+    Files are binned per directory in file-name order: a file opens a new
+    bin exactly when the bytes before it already fill the previous bins
+    (``bin = floor(exclusive_prefix_sum / target)``) — bins may overrun by
+    one trailing file, never undershoot-fragment, and the plan is a pure
+    function of the listing (rerun-stable, no rng, no driver loop).
+
+    100 TB shape: this runs over the FILE LISTING (metadata scale: one row
+    per file, millions of rows, not the table's bytes); the window sort is
+    per-directory.  The rewrite itself is then `read bin → write one file`,
+    embarrassingly parallel per bin.
+    """
+    from pyspark.sql.window import Window
+
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    w = (
+        Window.partitionBy(dir_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(size_col)).over(w)
+    staged = files.select(
+        F.col(dir_col).alias("part_dir"),
+        F.col(file_col).alias("file_name"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+        (running - F.col(size_col)).cast("long").alias("_prefix"),
+    )
+    # integer `div`, not float `/`: prefix sums at metadata scale still
+    # overflow double mantissa long before they overflow BIGINT
+    return staged.select(
+        "part_dir",
+        "file_name",
+        "size_bytes",
+        F.expr(f"_prefix div {int(target_bytes)}").alias("bin"),
+    )

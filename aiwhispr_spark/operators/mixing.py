@@ -122,3 +122,67 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def weighted_sample_keys(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "es1",
+) -> Column:
+    """Efraimidis–Spirakis priority key ``ln(u) / w`` with ``u`` derived from
+    the repo's one md5→60-bit fingerprint discipline: ``u = (fp60(seed || id)
+    + 1) / 2^60 ∈ (0, 1]``.  Ranking by this key DESC and keeping the top k
+    is EXACTLY weighted sampling without replacement with inclusion odds
+    proportional to ``w`` (Efraimidis & Spirakis 2006, via u^(1/w) ↦
+    monotone ln(u)/w) — and it is content-addressed: a rerun, a task retry,
+    or the DuckDB oracle derives the SAME priorities, no rng state.
+
+    The single float is ``ln`` of a dyadic rational both engines round
+    identically; a cross-engine ulp flip would need two priorities closer
+    than 2^-50, vanishing at corpus-real candidate counts (tie-break on id
+    regardless).
+    """
+    fp = fingerprint_expr(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+    u = (fp.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    return F.log(u) / F.col(weight_col).cast("double")
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "es1",
+) -> DataFrame:
+    """(group, doc_id, rk): k documents per group, drawn WITHOUT replacement
+    with probability proportional to ``weight_col`` (quality-weighted
+    subcorpus election — the step after scoring and before mixing, when the
+    budget says "keep k docs per source, prefer the good ones but keep
+    diversity", where deterministic top-k-by-quality would collapse onto
+    near-duplicate top scorers).
+
+    100 TB shape: the window sorts only (group, priority, id) — ~24-byte
+    rows, independent of document size; weights must be strictly positive
+    (filtered, not NULL-poisoned).
+    """
+    from pyspark.sql.window import Window
+
+    key = weighted_sample_keys(df, weight_col, id_col=id_col, seed=seed)
+    w = Window.partitionBy("grp").orderBy(F.desc("es_key"), F.col("id"))
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("id"),
+            key.alias("es_key"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id").alias(id_col),
+            "rk",
+        )
+    )

@@ -939,3 +939,57 @@ def robust_outliers(
         )
     )
     return out
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style repetition-free quality rule panel (Rae et al. 2021,
+    "Scaling Language Models", Table A1) — the other canonical web-corpus
+    keep/drop ruleset next to the C4 chain (``clean_corpus_filters``): word
+    count in [min_words, max_words], mean word length in [3, 10], symbol
+    ("#", "...", "…") to word ratio ≤ 0.1, ≤ 90% of lines bullet-started,
+    ≤ 30% of lines ellipsis-ended, ≥ 80% of words containing a letter, and
+    ≥ 2 distinct stopwords from the canonical 8-word set.
+
+    Determinism discipline: every ratio is an INTEGER cross-multiplication
+    (sym·10 ≤ words, alpha·10 ≥ words·8, …) — no float ever exists, so the
+    DuckDB twin agrees bit-for-bit.  Empty inputs take the ≤ branches (0
+    lines passes the line rules; 0 words fails the word-count rule).
+
+    100 TB shape: pure JVM expressions over one projection — no shuffle, no
+    python stage; the panel fuses into whatever scan feeds it.
+    """
+    t = F.col(text_col)
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    n_words = token_count_expr(t)
+    chars_in_words = F.length(F.regexp_replace(t, r"\s+", ""))
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]")))
+    n_ellipsis = F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")))
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
+    stop = F.array(*[F.lit(s) for s in ["the", "be", "to", "of", "and", "that", "have", "with"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop))
+    flags = {
+        "r_wordcount": (n_words >= min_words) & (n_words <= max_words),
+        "r_meanlen": (F.lit(3) * n_words <= chars_in_words)
+        & (chars_in_words <= F.lit(10) * n_words),
+        "r_symbol": n_sym * F.lit(10) <= n_words,
+        "r_bullets": n_bullet * F.lit(10) <= n_lines * F.lit(9),
+        "r_ellipsis": n_ellipsis * F.lit(10) <= n_lines * F.lit(3),
+        "r_alpha": n_alpha * F.lit(10) >= n_words * F.lit(8),
+        "r_stopwords": n_stop >= F.lit(2),
+    }
+    keep = None
+    cols = [F.col(id_col), n_words.cast("long").alias("n_words")]
+    for name, cond in flags.items():
+        cols.append(cond.cast("int").alias(name))
+        keep = cond if keep is None else (keep & cond)
+    cols.append(keep.cast("int").alias("keep"))
+    return df.select(*cols)

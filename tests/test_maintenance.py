@@ -51,3 +51,30 @@ def test_partition_pruning_on_site_filter(spark, tmp_path):
     )
     assert "PartitionFilters: [isnotnull(content_site_name" in plan
     assert filtered.count() == 25
+
+
+def test_compaction_plan_bins_by_exclusive_prefix(spark):
+    from aiwhispr_spark.operators.maintenance import compaction_plan
+
+    rows = [
+        ("d1", "f1", 400), ("d1", "f2", 400), ("d1", "f3", 400),  # f3 prefix=800
+        ("d1", "f4", 2000),                                        # big file, own bin
+        ("d1", "f5", 10),                                          # prefix 3200 → bin 3
+        ("d2", "f1", 50),
+    ]
+    df = spark.createDataFrame(rows, "part_dir string, file_name string, size_bytes long")
+    out = {(r.part_dir, r.file_name): r.bin for r in compaction_plan(df, 1000).collect()}
+    assert out[("d1", "f1")] == 0 and out[("d1", "f2")] == 0
+    assert out[("d1", "f3")] == 0   # exclusive prefix 800 < 1000: overruns, never fragments
+    assert out[("d1", "f4")] == 1   # prefix 1200
+    assert out[("d1", "f5")] == 3   # prefix 3200
+    assert out[("d2", "f1")] == 0   # directories bin independently
+
+
+def test_compaction_plan_rejects_bad_target(spark):
+    import pytest
+    from aiwhispr_spark.operators.maintenance import compaction_plan
+
+    df = spark.createDataFrame([("d", "f", 1)], "part_dir string, file_name string, size_bytes long")
+    with pytest.raises(ValueError):
+        compaction_plan(df, 0)

@@ -82,3 +82,41 @@ def test_alpha_one_is_uniform_rate(spark):
         for r in source_rates(_docs(spark), alpha=1.0, base_frac=0.25).collect()
     }
     assert set(rates.values()) == {250000}  # natural proportions, no boost
+
+
+def test_weighted_sample_prefers_heavy_but_not_deterministically_top(spark):
+    from aiwhispr_spark.operators.mixing import weighted_sample_without_replacement
+
+    # one source, weights 1 for ids 0..79 and 1000 for ids 80..99: the
+    # heavy docs should dominate the k=10 draw without being a pure top-k
+    rows = [(i, "s", 1 if i < 80 else 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = weighted_sample_without_replacement(df, k=10, weight_col="w")
+    picked = sorted(r.doc_id for r in out.collect())
+    assert len(picked) == 10
+    heavy = sum(1 for i in picked if i >= 80)
+    assert heavy >= 7  # 20 heavy docs at 1000x weight dominate the draw
+
+
+def test_weighted_sample_deterministic_and_seed_sensitive(spark):
+    from aiwhispr_spark.operators.mixing import weighted_sample_without_replacement
+
+    rows = [(i, "s", i + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    a = sorted(r.doc_id for r in weighted_sample_without_replacement(df, 8, "w").collect())
+    b = sorted(r.doc_id for r in weighted_sample_without_replacement(df, 8, "w").collect())
+    c = sorted(
+        r.doc_id
+        for r in weighted_sample_without_replacement(df, 8, "w", seed="es2").collect()
+    )
+    assert a == b  # content-addressed rerun stability
+    assert a != c  # the seed actually enters the priorities
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    from aiwhispr_spark.operators.mixing import weighted_sample_without_replacement
+
+    rows = [(1, "s", 0), (2, "s", -5), (3, "s", None), (4, "s", 7), (5, "s", 3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = sorted(r.doc_id for r in weighted_sample_without_replacement(df, 10, "w").collect())
+    assert out == [4, 5]  # zero/negative/NULL weights are ineligible, not NaN-ranked

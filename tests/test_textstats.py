@@ -28,3 +28,23 @@ def test_script_profile_is_pure_jvm(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = script_profile(docs)._jdf.queryExecution().executedPlan().treeString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_gopher_rules_panel_edges(spark):
+    from aiwhispr_spark.operators.textstats import gopher_rules
+
+    good = " ".join(["the quick brown fox jumps with that energy of note"] * 5)
+    df = spark.createDataFrame(
+        [
+            (1, good),                                   # passes everything
+            (2, ""),                                     # empty: line rules pass, wordcount fails
+            (3, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\nx"),  # 10/11 bullets
+            (4, good + " # # # # # # # # # # # # # # #"),  # symbol ratio > 0.1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(df, min_words=10, max_words=500).collect()}
+    assert out[1].keep == 1
+    assert out[2].r_wordcount == 0 and out[2].r_bullets == 1 and out[2].r_ellipsis == 1
+    assert out[3].r_bullets == 0
+    assert out[4].r_symbol == 0 and out[4].r_wordcount == 1
