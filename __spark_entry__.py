@@ -4523,6 +4523,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["compaction_plan"] = compaction
 
+    def xml_native(spark, sf):
+        # Native XML scan roundtrip (sources/xmlsrc.py): real XML files
+        # (root element, attribute rows, &quot;/&amp;/&lt;/&#10; escapes,
+        # missing Lang attr every 7th row) read via Spark 4's core XML
+        # source with an explicit schema; DuckDB cannot read XML, so the
+        # oracle recomputes the decoded rows from the fixture arithmetic —
+        # any parse/normalization damage breaks the value hash.
+        from aiwhispr_spark.sources import xmlsrc
+        from aiwhispr_spark.sources.xmlsrc import read_xml, write_xml_fixture
+
+        path = _fixture_path("aiwhispr_xml_300", xmlsrc)
+        write_xml_fixture(spark, path)
+        df = read_xml(spark, path)
+        return df.select(
+            F.col("_Id").alias("doc_id"),
+            F.col("_Lang").alias("lang"),
+            F.length("_Body").cast("long").alias("n_chars"),
+            F.md5("_Body").alias("body_md5"),
+            F.col("_Score").cast("long").alias("score"),
+        )
+
+    q["xml_native_roundtrip"] = xml_native
+
+    def spectral_peaks(spark, sf):
+        # FFT dominant-frequency detection (multimodal.py::
+        # spectral_peak_features): 120 PCM-16 clips with the major tone on
+        # bin 3 + i%40 (exact bin centers → zero leakage) and a quarter-
+        # amplitude minor tone; oracle = the closed-form bins and the exact
+        # integer bin→Hz arithmetic (8000 Hz / 1024 fft → 78125 per bin).
+        from aiwhispr_spark.operators.multimodal import make_tone_clip, spectral_peak_features
+
+        rows = [
+            (
+                f"clip-{i}",
+                make_tone_clip(
+                    peak_bin=3 + i % 40,
+                    amp=6000 + (i % 5) * 1000,
+                    minor_bin=50 + (i * 7) % 400,
+                ),
+            )
+            for i in range(120)
+        ]
+        clips = spark.createDataFrame(rows, "media_id string, payload binary")
+        return spectral_peak_features(clips)
+
+    q["audio_spectral_peaks"] = spectral_peaks
+
+    def copula_polarity(spark, sf):
+        # negation-aware copula is_a mining (hearst.py::extract_copula_isa):
+        # eight sentence shapes by doc_id % 8 — plain assertion, "is not",
+        # "was never" with a two-word predicate, "isn't", "is no longer"
+        # ending at a comma, a hyphenated predicate, "an", and a no-copula
+        # control; oracle = the SAME RE2-safe regex over the SAME built
+        # sentences in DuckDB (polarity must flip on every negated form).
+        from aiwhispr_spark.operators.hearst import extract_copula_isa
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        m = F.col("doc_id") % 8
+        i = F.col("doc_id").cast("string")
+        sent = (
+            F.when(m == 0, F.concat(F.lit("Acme"), i, F.lit(" Corp is a vendor.")))
+            .when(m == 1, F.concat(F.lit("Beta"), i, F.lit(" Ltd is not a vendor.")))
+            .when(m == 2, F.concat(F.lit("Gamma"), i, F.lit(" was never a data broker.")))
+            .when(m == 3, F.concat(F.lit("Delta"), i, F.lit(" isn't a supplier.")))
+            .when(m == 4, F.concat(F.lit("Epsilon"), i, F.lit(" is no longer a partner, sadly.")))
+            .when(m == 5, F.concat(F.lit("Zeta"), i, F.lit(" Group is a fast-growing startup.")))
+            .when(m == 6, F.concat(F.lit("Eta"), i, F.lit(" is an engineer.")))
+            .otherwise(F.concat(F.lit("Theta"), i, F.lit(" has a vendor line and no copula")))
+        )
+        chunks = d.select(i.alias("url"), sent.alias("text_chunk"))
+        return extract_copula_isa(chunks)
+
+    q["copula_isa_polarity"] = copula_polarity
+
+    def prf_expand(spark, sf):
+        # pseudo-relevance-feedback expansion (fulltext.py::
+        # prf_expansion_terms): seed ['spark','query'] → top-10 feedback
+        # docs → top-8 expansion terms by feedback tf mass; oracle rebuilds
+        # the posting table, the feedback election, and the exclusion set
+        # in SQL (tie order score desc, df_fb desc, token asc in both).
+        from aiwhispr_spark.operators.fulltext import build_inverted_index, prf_expansion_terms
+
+        d = _t(spark, sf, "documents")
+        idx = build_inverted_index(d)
+        return prf_expansion_terms(
+            idx, ["spark", "query"], k_docs=10, k_terms=8, stop_tokens=("the", "a")
+        )
+
+    q["prf_query_expansion"] = prf_expand
+
     def stratified_sample(spark, sf):
         # deterministic stratified sampling: top-3 docs per source by md5
         # rank — the seeded-sample primitive for eval-set construction; one
@@ -6939,6 +7029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filter",
         "weighted_sample_es",
         "compaction_plan",
+        "xml_native_roundtrip",
+        "audio_spectral_peaks",
+        "copula_isa_polarity",
+        "prf_query_expansion",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -10346,6 +10440,79 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY part_dir ORDER BY file_name
                   ROWS UNBOUNDED PRECEDING) - size_bytes) // 1024 AS bin
         FROM listing
+    """
+    o["xml_native_roundtrip"] = """
+        WITH d AS (
+          SELECT i,
+                 'xml éü中 ' || i || ' with "quotes" & <tags>' || chr(10)
+                   || 'tail ' || (i * i % 89) AS body
+          FROM range(300) t(i)
+        )
+        SELECT i - 5 AS doc_id,
+               CASE WHEN i % 7 <> 0
+                    THEN ['en','de','fr','es'][CAST(i % 4 AS INT) + 1] END AS lang,
+               CAST(length(body) AS BIGINT) AS n_chars,
+               md5(body) AS body_md5,
+               CAST((i * 3) % 23 AS BIGINT) AS score
+        FROM d
+    """
+    o["audio_spectral_peaks"] = """
+        SELECT 'clip-' || i AS media_id,
+               CAST(8000 AS INT) AS sample_rate_i,
+               CAST(3 + i % 40 AS INT) AS peak_bin,
+               CAST((3 + i % 40) * 78125 AS BIGINT) AS peak_hz_mi
+        FROM range(120) t(i)
+    """
+    o["copula_isa_polarity"] = """
+        WITH s AS (
+          SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+                 CASE doc_id % 8
+                   WHEN 0 THEN 'Acme' || doc_id || ' Corp is a vendor.'
+                   WHEN 1 THEN 'Beta' || doc_id || ' Ltd is not a vendor.'
+                   WHEN 2 THEN 'Gamma' || doc_id || ' was never a data broker.'
+                   WHEN 3 THEN 'Delta' || doc_id || ' isn''t a supplier.'
+                   WHEN 4 THEN 'Epsilon' || doc_id || ' is no longer a partner, sadly.'
+                   WHEN 5 THEN 'Zeta' || doc_id || ' Group is a fast-growing startup.'
+                   WHEN 6 THEN 'Eta' || doc_id || ' is an engineer.'
+                   ELSE 'Theta' || doc_id || ' has a vendor line and no copula'
+                 END AS sent
+          FROM documents
+        ),
+        e AS (
+          SELECT i AS url,
+                 regexp_extract(sent, '((?:[A-Z][A-Za-z0-9_]*)(?: (?:[A-Z][A-Za-z0-9_]*|[0-9]+))*) (?:is|was|are|were)( not| never| no longer|n''t)? an? ((?:[a-z][a-z\\-]* )*[a-z][a-z\\-]*)[.,;!?]', 1) AS subj,
+                 regexp_extract(sent, '((?:[A-Z][A-Za-z0-9_]*)(?: (?:[A-Z][A-Za-z0-9_]*|[0-9]+))*) (?:is|was|are|were)( not| never| no longer|n''t)? an? ((?:[a-z][a-z\\-]* )*[a-z][a-z\\-]*)[.,;!?]', 2) AS neg,
+                 regexp_extract(sent, '((?:[A-Z][A-Za-z0-9_]*)(?: (?:[A-Z][A-Za-z0-9_]*|[0-9]+))*) (?:is|was|are|were)( not| never| no longer|n''t)? an? ((?:[a-z][a-z\\-]* )*[a-z][a-z\\-]*)[.,;!?]', 3) AS phrase
+          FROM s
+          WHERE regexp_matches(sent, '((?:[A-Z][A-Za-z0-9_]*)(?: (?:[A-Z][A-Za-z0-9_]*|[0-9]+))*) (?:is|was|are|were)( not| never| no longer|n''t)? an? ((?:[a-z][a-z\\-]* )*[a-z][a-z\\-]*)[.,;!?]')
+        )
+        SELECT url, subj, 'is_a' AS pred,
+               (string_split(phrase, ' '))[-1] AS obj,
+               CASE WHEN trim(neg) = '' THEN 'pos' ELSE 'neg' END AS polarity,
+               phrase
+        FROM e
+    """
+    o["prf_query_expansion"] = """
+        WITH idx AS (
+          SELECT doc_id AS id, t.token, count(*) AS tf
+          FROM documents,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(token)
+          WHERE t.token <> ''
+          GROUP BY 1, 2
+        ),
+        fb AS (
+          SELECT id FROM (
+            SELECT id, sum(tf) AS score
+            FROM idx WHERE token IN ('query', 'spark') GROUP BY id
+          ) ORDER BY score DESC, id LIMIT 10
+        )
+        SELECT token, CAST(sum(tf) AS BIGINT) AS score,
+               CAST(count(DISTINCT id) AS INT) AS df_fb
+        FROM idx JOIN fb USING (id)
+        WHERE length(token) >= 3 AND token NOT IN ('query', 'spark', 'the', 'a')
+        GROUP BY token
+        ORDER BY score DESC, df_fb DESC, token
+        LIMIT 8
     """
     o["hash_split_assign"] = """
         SELECT doc_id,

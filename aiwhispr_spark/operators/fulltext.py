@@ -572,3 +572,46 @@ def percolate_conjunctive(
         .select("id", "query_id")
         .unionByName(vacuous)
     )
+
+
+def prf_expansion_terms(
+    index: DataFrame,
+    terms: Sequence[str],
+    k_docs: int = 10,
+    k_terms: int = 8,
+    min_token_len: int = 3,
+    stop_tokens: Sequence[str] = (),
+) -> DataFrame:
+    """(token, score, df_fb) pseudo-relevance-feedback query expansion
+    (RM1-lite, Lavrenko & Croft 2001): run the seed query, take the top
+    ``k_docs`` feedback documents, and rank the terms THOSE docs contain by
+    feedback weight ``score = Σ_d tf(t, d)`` with doc-frequency-in-feedback
+    ``df_fb`` for the consumer's reweighting — the "searches related to"
+    primitive, and the recall arm a fixed-vocabulary query misses.
+
+    Seed terms, sub-minimum-length tokens, and caller stop tokens are
+    excluded from the expansion (they are the query, not its neighborhood).
+
+    Deterministic: feedback docs = the ``search_terms`` contract (score
+    desc, id asc); expansion order = score desc, df_fb desc, token asc.
+
+    100 TB shape: the feedback-doc id set is ≤ k_docs rows — BROADCAST back
+    against the posting table, so the expansion aggregates over feedback
+    postings only (thousands of rows), never the corpus; the seed search
+    itself is the existing broadcast-term-set path.
+    """
+    fb = search_terms(index, terms, k=k_docs).select("id")
+    excluded = {t.lower() for t in terms} | {t.lower() for t in stop_tokens}
+    fb_postings = index.join(F.broadcast(fb), "id").filter(
+        (F.length("token") >= min_token_len)
+        & ~F.col("token").isin(*sorted(excluded))
+    )
+    return (
+        fb_postings.groupBy("token")
+        .agg(
+            F.sum("tf").cast("long").alias("score"),
+            F.countDistinct("id").cast("int").alias("df_fb"),
+        )
+        .orderBy(F.col("score").desc(), F.col("df_fb").desc(), F.col("token"))
+        .limit(k_terms)
+    )

@@ -117,3 +117,54 @@ def extract_appositive_isa(
             F.lit("appositive").alias("pattern"),
         )
     )
+
+
+# copula predicate nominal: "<Mention> is/was/are/were [negation] a|an
+# <lowercase phrase><clause-ending punctuation>" — the polarity-aware SVO
+# sibling: "Acme is a vendor." asserts; "Acme is not a vendor." DENIES, and
+# a pipeline that mines the positive form while ignoring negation emits the
+# exact opposite of what the page said.
+_COPULA_RE = (
+    rf"({_M}) (?:is|was|are|were)( not| never| no longer|n't)?"
+    r" an? ((?:[a-z][a-z\-]* )*[a-z][a-z\-]*)[.,;!?]"
+)
+
+
+def extract_copula_isa(
+    chunks: DataFrame,
+    text_col: str = "text_chunk",
+    id_col: str = "url",
+) -> DataFrame:
+    """(url, subj, pred, obj, polarity, phrase) — ``is_a`` facts from copula
+    sentences WITH NEGATION POLARITY: polarity='neg' rows are denials
+    ("is not a", "isn't a", "was never a", "is no longer a") that a fact
+    consumer must treat as refuting evidence, never as support (the
+    truthfinder/fact-confidence ballots take polarity as input).
+
+    Documented subset (oracle-mirrored): the predicate nominal is the
+    lowercase/hyphen word run from the article to the CLAUSE-ENDING
+    punctuation (. , ; ! ?) — head-final, obj = last token, same head rule
+    as the appositive arm; a capitalized or punctuation-free predicate is
+    out of scope (usually coordination or an unfinished clause).
+
+    100 TB shape: one narrow JVM regex projection, zero shuffle, zero
+    python — fuses into the chunk scan like the other prose-taxonomy arms.
+    """
+    text = F.col(text_col)
+    subs = F.regexp_extract_all(text, F.lit(_COPULA_RE), F.lit(1))
+    negs = F.regexp_extract_all(text, F.lit(_COPULA_RE), F.lit(2))
+    phrases = F.regexp_extract_all(text, F.lit(_COPULA_RE), F.lit(3))
+    zipped = F.arrays_zip(subs.alias("subj"), negs.alias("neg"), phrases.alias("phrase"))
+    return (
+        chunks.select(F.col(id_col).alias("url"), F.explode(zipped).alias("m"))
+        .select(
+            "url",
+            F.col("m.subj").alias("subj"),
+            F.lit("is_a").alias("pred"),
+            F.element_at(F.split(F.col("m.phrase"), " "), -1).alias("obj"),
+            F.when(F.trim(F.col("m.neg")) == "", F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("polarity"),
+            F.col("m.phrase").alias("phrase"),
+        )
+    )

@@ -106,3 +106,32 @@ def test_f6_typed_attrs_null_default(spark):
     ).collect()
     assert out[0]["id"] == 5 and out[0]["ts_epoch"] is not None
     assert out[1]["id"] == 6 and out[1]["ts_epoch"] is None
+
+
+def test_xml_native_roundtrip_preserves_charref_newline(spark, tmp_path):
+    # attribute-value normalization eats LITERAL newlines; &#10; survives
+    # (the same char-ref rule the OOXML extractors pin) — the fixture writer
+    # must emit the char ref or the roundtrip silently flattens bodies
+    from aiwhispr_spark.sources.xmlsrc import fixture_row, read_xml, write_xml_fixture
+
+    path = str(tmp_path / "xml")
+    write_xml_fixture(spark, path, n_docs=30, n_files=2)
+    got = {r._Id: r for r in read_xml(spark, path).collect()}
+    assert len(got) == 30
+    for i in (0, 7, 13, 29):
+        doc_id, lang, body, score = fixture_row(i)
+        assert got[doc_id]._Body == body  # newline + quotes + & + < intact
+        assert got[doc_id]._Lang == lang  # missing attr → NULL
+        assert got[doc_id]._Score == score
+
+
+def test_xml_literal_newline_attr_normalizes_to_space(spark, tmp_path):
+    # negative pin documenting WHY the writer escapes: a literal newline in
+    # an attribute is normalized to a space by any conformant XML parser
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "f.xml").write_text('<posts>\n<row Id="1" Body="a\nb" />\n</posts>')
+    from aiwhispr_spark.sources.xmlsrc import read_xml
+
+    [row] = read_xml(spark, str(p), schema="_Id long, _Body string").collect()
+    assert row._Body == "a b"

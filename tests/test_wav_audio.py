@@ -85,3 +85,34 @@ def test_null_and_zero_channel_payloads_yield_null_stats(spark):
     assert got["ok"]["n_frames_l"] == 100
     assert got["zch"]["n_frames_l"] is None
     assert got["nul"]["n_frames_l"] is None
+
+
+def test_spectral_peak_detects_major_tone_over_minor(spark):
+    from aiwhispr_spark.operators.multimodal import make_tone_clip, spectral_peak_features
+
+    rows = [
+        ("a", make_tone_clip(peak_bin=17, minor_bin=200)),
+        ("b", make_tone_clip(peak_bin=311)),
+        ("short", make_tone_clip(peak_bin=5)[:200]),  # truncated container
+        ("junk", b"RIFFxxxxWAVE"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r.media_id: r for r in spectral_peak_features(df).collect()}
+    assert out["a"].peak_bin == 17 and out["a"].peak_hz_mi == 17 * 78125
+    assert out["b"].peak_bin == 311
+    assert out["short"].peak_bin is None  # short/corrupt → NULL, not a crash
+    assert out["junk"].peak_bin is None
+
+
+def test_spectral_peak_dc_offset_is_not_a_tone(spark):
+    import numpy as np
+    from aiwhispr_spark.operators.multimodal import encode_wav, spectral_peak_features
+
+    t = np.arange(1024, dtype=np.float64)
+    x = 8000.0 + 500.0 * np.sin(2.0 * np.pi * 9 * t / 1024)  # huge DC, small tone
+    df = spark.createDataFrame(
+        [("dc", encode_wav(np.round(x).astype(np.int16), 8000))],
+        "media_id string, payload binary",
+    )
+    [row] = spectral_peak_features(df).collect()
+    assert row.peak_bin == 9
