@@ -4570,6 +4570,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_spectral_peaks"] = spectral_peaks
 
+    def video_stats(spark, sf):
+        # REAL Y4M video decode (multimodal.py::decode_y4m) + every-3rd-
+        # frame sampling + exact-integer luma stats: 40 gradient clips whose
+        # dims/frame-count/fps/bytes all derive from closed-form arithmetic
+        # (Y[f][r][c] = (i*11+f*7+r*5+c*3) % 251); the C420 chroma stride is
+        # load-bearing — a wrong skip shears every later frame's sum.  Two
+        # corrupt payloads pin the NULL-row contract.  Oracle re-derives the
+        # sums with range() cross joins (exact, no float).
+        from aiwhispr_spark.operators.multimodal import make_gradient_video, video_frame_stats
+
+        rows = [(f"vid-{i}", make_gradient_video(i)) for i in range(40)]
+        rows.append(("bad-magic", b"NOTY4M W8 H6\nFRAME\n" + bytes(48)))
+        rows.append(("truncated", make_gradient_video(1)[:-10]))
+        clips = spark.createDataFrame(rows, "media_id string, payload binary")
+        out = video_frame_stats(clips, every_k=3)
+        # nullable-int gate sentinel (NULL BIGINTs stringify differently per
+        # engine); NULL semantics stay in the operator, pinned by pytest
+        return out.select(
+            "media_id",
+            *[
+                F.coalesce(F.col(c), F.lit(-1)).cast(t).alias(c)
+                for c, t in [
+                    ("frame_idx", "int"),
+                    ("width", "int"),
+                    ("height", "int"),
+                    ("fps_num", "int"),
+                    ("y_sum", "long"),
+                    ("y_mean_mi", "long"),
+                ]
+            ],
+        )
+
+    q["video_frame_stats"] = video_stats
+
     def copula_polarity(spark, sf):
         # negation-aware copula is_a mining (hearst.py::extract_copula_isa):
         # eight sentence shapes by doc_id % 8 — plain assertion, "is not",
@@ -4596,6 +4630,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_copula_isa(chunks)
 
     q["copula_isa_polarity"] = copula_polarity
+
+    def scd2(spark, sf):
+        # SCD2 versioned fact store merge (temporal.py::scd2_apply): 60 open
+        # + 15 closed versions, a 146-row change batch exercising every arm —
+        # no-op vs open value (all 40 touched keys' first rows), version
+        # chaining (2 effective changes per key), in-batch consecutive-dup
+        # collapse (20 tail rows), stale rejection (ts=50 < valid_from), and
+        # 20 untouched keys.  Oracle = the same merge algorithm as SQL
+        # windows over the same range-built frames.
+        from aiwhispr_spark.operators.temporal import scd2_apply
+
+        e60 = spark.range(60).select(
+            F.concat(F.lit("E"), F.col("id")).alias("subj"),
+            F.lit("color").alias("pred"),
+            F.concat(F.lit("c"), F.col("id") % 5).alias("obj"),
+            (F.col("id") + 100).alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+        )
+        closed = spark.range(60).filter(F.col("id") % 4 == 0).select(
+            F.concat(F.lit("E"), F.col("id")).alias("subj"),
+            F.lit("color").alias("pred"),
+            F.concat(F.lit("old"), F.col("id")).alias("obj"),
+            F.col("id").alias("valid_from"),
+            (F.col("id") + 100).alias("valid_to"),
+        )
+        store = e60.unionByName(closed)
+        d = F.col("id")
+        batch = spark.range(146).select(
+            F.concat(
+                F.lit("E"),
+                F.when(d < 120, d % 40).when(d < 140, d - 120).otherwise((d - 140) * 6),
+            ).alias("subj"),
+            F.lit("color").alias("pred"),
+            F.when(d < 120, F.concat(F.lit("c"), (d % 40 + F.floor(d / 40)) % 5))
+            .when(d < 140, F.concat(F.lit("c"), (d - 120 + 2) % 5))
+            .otherwise(F.lit("stale"))
+            .alias("obj"),
+            F.when(d < 120, 200 + d).when(d < 140, 320 + (d - 120)).otherwise(F.lit(50))
+            .cast("long")
+            .alias("ts"),
+        )
+        out = scd2_apply(store, batch)
+        return out.select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("valid_from").cast("long").alias("valid_from"),
+            F.coalesce(F.col("valid_to"), F.lit(-1)).cast("long").alias("valid_to_s"),
+        )
+
+    q["kg_scd2_history"] = scd2
+
+    def ir_eval(spark, sf):
+        # IR ranking-quality panel (evaluation.py::ranking_metrics): 30
+        # queries × 10-deep runs vs 5-judgment gold lists, graded gains;
+        # per-query parity alternates which gold docs are retrievable so
+        # MRR/recall/NDCG all vary.  The 1/log2(r+1) discount enters as an
+        # integer literal table — every runtime step exact BIGINT, oracle
+        # carries the SAME literals.
+        from aiwhispr_spark.operators.evaluation import ranking_metrics
+
+        w = [10000, 6309, 5000, 4307, 3869, 3562, 3333, 3155, 3010, 2891]
+        qs = spark.range(30)
+        rs = spark.range(1, 11).select(F.col("id").alias("r"))
+        res = qs.crossJoin(rs).select(
+            F.col("id").alias("query_id"),
+            F.concat(F.lit("d"), (F.col("id") * 13 + F.col("r") * 7) % 50).alias("doc_id"),
+            F.col("r").cast("int").alias("rank"),
+        )
+        gs = spark.range(1, 6).select(F.col("id").alias("g"))
+        qr = qs.crossJoin(gs).select(
+            F.col("id").alias("query_id"),
+            F.concat(
+                F.lit("d"),
+                (F.col("id") * 13 + F.col("g") * 7 + ((F.col("g") + F.col("id")) % 2) * 25)
+                % 50,
+            ).alias("doc_id"),
+            ((F.col("id") + F.col("g")) % 3 + 1).cast("long").alias("gain"),
+        )
+        return ranking_metrics(res, qr, k=10, discounts_mi=w)
+
+    q["ir_ranking_eval"] = ir_eval
 
     def prf_expand(spark, sf):
         # pseudo-relevance-feedback expansion (fulltext.py::
@@ -7031,8 +7147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan",
         "xml_native_roundtrip",
         "audio_spectral_peaks",
+        "video_frame_stats",
         "copula_isa_polarity",
         "prf_query_expansion",
+        "kg_scd2_history",
+        "ir_ranking_eval",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -10456,12 +10575,138 @@ def oracle_sql() -> dict[str, str]:
                CAST((i * 3) % 23 AS BIGINT) AS score
         FROM d
     """
+    o["video_frame_stats"] = """
+        WITH clips AS (
+          SELECT i, 8 + (i % 3) * 4 AS w, 6 + (i % 2) * 2 AS h, 5 + i % 7 AS n,
+                 CASE WHEN i % 2 = 1 THEN 30000 ELSE 25 END AS fps_num
+          FROM range(40) t(i)
+        ),
+        frames AS (
+          SELECT c.*, f.f
+          FROM clips c, range(11) f(f)
+          WHERE f.f < c.n AND f.f % 3 = 0
+        ),
+        sums AS (
+          SELECT i, f, w, h, fps_num,
+                 SUM((i*11 + f*7 + r.r*5 + cc.c*3) % 251) AS y_sum
+          FROM frames, range(8) r(r), range(16) cc(c)
+          WHERE r.r < h AND cc.c < w
+          GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT 'vid-' || i AS media_id, CAST(f AS INT) AS frame_idx,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(fps_num AS INT) AS fps_num, CAST(y_sum AS BIGINT) AS y_sum,
+               CAST(y_sum * 10000 // (w*h) AS BIGINT) AS y_mean_mi
+        FROM sums
+        UNION ALL
+        SELECT v, -1, -1, -1, -1, -1, -1
+        FROM (VALUES ('bad-magic'), ('truncated')) t(v)
+    """
     o["audio_spectral_peaks"] = """
         SELECT 'clip-' || i AS media_id,
                CAST(8000 AS INT) AS sample_rate_i,
                CAST(3 + i % 40 AS INT) AS peak_bin,
                CAST((3 + i % 40) * 78125 AS BIGINT) AS peak_hz_mi
         FROM range(120) t(i)
+    """
+    o["ir_ranking_eval"] = """
+        WITH w(r, w) AS (
+          SELECT * FROM (VALUES (1,10000),(2,6309),(3,5000),(4,4307),(5,3869),
+                                (6,3562),(7,3333),(8,3155),(9,3010),(10,2891))
+        ),
+        res AS (
+          SELECT q.i AS query_id, 'd' || ((q.i*13 + r.r*7) % 50) AS doc_id, r.r AS rank
+          FROM range(30) q(i), range(1, 11) r(r)
+        ),
+        qr AS (
+          SELECT q.i AS query_id,
+                 'd' || ((q.i*13 + g.g*7 + ((g.g + q.i) % 2) * 25) % 50) AS doc_id,
+                 ((q.i + g.g) % 3) + 1 AS gain
+          FROM range(30) q(i), range(1, 6) g(g)
+        ),
+        hit AS (
+          SELECT res.query_id, res.rank, qr.gain
+          FROM res JOIN qr USING (query_id, doc_id)
+        ),
+        got AS (
+          SELECT query_id, SUM(gain * w.w) AS dcg, COUNT(*) AS hits,
+                 MIN(CASE WHEN gain > 0 THEN rank END) AS first_rel
+          FROM hit JOIN w ON w.r = hit.rank GROUP BY 1
+        ),
+        ideal AS (
+          SELECT query_id, SUM(gain * w.w) AS ideal FROM (
+            SELECT query_id, gain, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY gain DESC, doc_id) AS ir
+            FROM qr) t JOIN w ON w.r = t.ir
+          WHERE ir <= 10 GROUP BY 1
+        ),
+        ng AS (SELECT query_id, COUNT(*) AS n_gold FROM qr GROUP BY 1)
+        SELECT ng.query_id, CAST(n_gold AS BIGINT) AS n_gold,
+               CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+               CAST(CASE WHEN ideal > 0 THEN coalesce(dcg, 0) * 10000 // ideal
+                    ELSE -1 END AS BIGINT) AS ndcg_mi,
+               CAST(CASE WHEN first_rel IS NOT NULL THEN 10000 // first_rel
+                    ELSE 0 END AS BIGINT) AS rr_mi,
+               CAST(coalesce(hits, 0) * 10000 // n_gold AS BIGINT) AS recall_mi
+        FROM ng JOIN ideal USING (query_id) LEFT JOIN got USING (query_id)
+    """
+    o["kg_scd2_history"] = """
+        WITH open_v AS (
+          SELECT 'E' || i AS subj, 'color' AS pred, 'c' || (i % 5) AS obj,
+                 CAST(i + 100 AS BIGINT) AS valid_from
+          FROM range(60) t(i)
+        ),
+        closed_v AS (
+          SELECT 'E' || i AS subj, 'color' AS pred, 'old' || i AS obj,
+                 CAST(i AS BIGINT) AS valid_from, CAST(i + 100 AS BIGINT) AS valid_to
+          FROM range(60) t(i) WHERE i % 4 = 0
+        ),
+        batch AS (
+          SELECT 'E' || (CASE WHEN d < 120 THEN d % 40 WHEN d < 140 THEN d - 120
+                              ELSE (d - 140) * 6 END) AS subj,
+                 'color' AS pred,
+                 CASE WHEN d < 120 THEN 'c' || ((d % 40 + d // 40) % 5)
+                      WHEN d < 140 THEN 'c' || ((d - 120 + 2) % 5)
+                      ELSE 'stale' END AS obj,
+                 CAST(CASE WHEN d < 120 THEN 200 + d WHEN d < 140 THEN 320 + (d - 120)
+                      ELSE 50 END AS BIGINT) AS ts
+          FROM range(146) t(d)
+        ),
+        fresh AS (
+          SELECT b.*, o.obj AS cur, o.valid_from AS cur_from
+          FROM batch b LEFT JOIN open_v o USING (subj, pred)
+          WHERE o.valid_from IS NULL OR b.ts > o.valid_from
+        ),
+        seq AS (
+          SELECT *, lag(obj) OVER (PARTITION BY subj, pred ORDER BY ts) AS prev
+          FROM fresh
+        ),
+        eff AS (
+          SELECT subj, pred, obj, ts FROM seq
+          WHERE CASE WHEN prev IS NOT NULL THEN prev <> obj
+                     ELSE cur IS NULL OR cur <> obj END
+        ),
+        new_versions AS (
+          SELECT subj, pred, obj, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY subj, pred ORDER BY ts) AS valid_to
+          FROM eff
+        ),
+        first_change AS (
+          SELECT subj, pred, min(ts) AS first_ts FROM eff GROUP BY 1, 2
+        ),
+        open_updated AS (
+          SELECT o.subj, o.pred, o.obj, o.valid_from, f.first_ts AS valid_to
+          FROM open_v o LEFT JOIN first_change f USING (subj, pred)
+        ),
+        merged AS (
+          SELECT subj, pred, obj, valid_from, valid_to FROM closed_v
+          UNION ALL SELECT * FROM open_updated
+          UNION ALL SELECT * FROM new_versions
+        )
+        SELECT subj, pred, obj, valid_from,
+               CAST(coalesce(valid_to, -1) AS BIGINT) AS valid_to_s
+        FROM merged
     """
     o["copula_isa_polarity"] = """
         WITH s AS (

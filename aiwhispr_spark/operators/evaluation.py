@@ -138,3 +138,82 @@ def blocking_quality(
             ).alias("rr_i"),
         )
     )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    discounts_mi: list[int] | None = None,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    gain_col: str = "gain",
+) -> DataFrame:
+    """(query_id, n_gold, hits, ndcg_mi, rr_mi, recall_mi): per-query IR
+    ranking quality — NDCG@k, MRR@k, recall@k — of a ranked run against
+    graded relevance judgments (the TREC eval protocol; the grading step
+    every search/RAG retrieval stack runs before a ranker change ships).
+
+    Exactness trick: the ONLY irrational in NDCG is the discount 1/log2(r+1)
+    — so it enters as a PRECOMPUTED INTEGER TABLE (``discounts_mi[r-1]`` ≈
+    1e4/log2(r+1), a literal array baked into the plan, identical in any
+    oracle), and every runtime step is exact BIGINT: dcg = Σ gain·w[rank],
+    ideal-dcg = the same sum over the query's gold sorted by (gain desc,
+    doc asc), ndcg_mi = dcg·10000 // ideal, rr_mi = 10000 // first-relevant
+    rank (0 when nothing relevant is retrieved — the MRR convention),
+    recall_mi = hits·10000 // n_gold.  No float exists anywhere at runtime.
+
+    Queries are the GOLD's queries (a run for an unjudged query is not
+    evaluable); a judged query the run missed entirely scores 0/0/0.
+
+    100 TB shape: one inner join on (query, doc) — both sides shuffle on the
+    query key once; the ideal window runs over the qrels only (judgment
+    lists are short); every aggregate map-side combines to |queries| rows.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    if discounts_mi is None:
+        discounts_mi = [round(10000 / math.log2(r + 1)) for r in range(1, k + 1)]
+    w_arr = F.array(*[F.lit(int(w)) for w in discounts_mi])
+
+    topk = results.filter(F.col(rank_col) <= k).select(
+        query_col, doc_col, F.col(rank_col).alias("_rank")
+    )
+    hit = topk.join(qrels.select(query_col, doc_col, gain_col), [query_col, doc_col])
+    got = hit.groupBy(query_col).agg(
+        F.sum(F.col(gain_col) * F.element_at(w_arr, F.col("_rank"))).alias("_dcg"),
+        F.count("*").cast("long").alias("hits"),
+        F.min(F.when(F.col(gain_col) > 0, F.col("_rank"))).alias("_first_rel"),
+    )
+    iw = Window.partitionBy(query_col).orderBy(F.col(gain_col).desc(), F.col(doc_col))
+    ideal = (
+        qrels.withColumn("_irank", F.row_number().over(iw))
+        .filter(F.col("_irank") <= k)
+        .groupBy(query_col)
+        .agg(
+            F.sum(F.col(gain_col) * F.element_at(w_arr, F.col("_irank"))).alias("_ideal"),
+            F.count("*").alias("_n_topk"),
+        )
+    )
+    n_gold = qrels.groupBy(query_col).agg(F.count("*").cast("long").alias("n_gold"))
+    base = n_gold.join(ideal, query_col).join(got, query_col, "left")
+    return base.select(
+        query_col,
+        "n_gold",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.when(
+            F.col("_ideal") > 0,
+            F.expr("(coalesce(_dcg, 0L) * 10000L) div _ideal"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("ndcg_mi"),
+        F.when(F.col("_first_rel").isNotNull(), F.expr("10000L div _first_rel"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rr_mi"),
+        F.expr("(coalesce(hits, 0L) * 10000L) div n_gold").cast("long").alias("recall_mi"),
+    )

@@ -543,3 +543,153 @@ def make_tone_clip(
     if minor_bin is not None and minor_bin != peak_bin:
         x = x + (amp / 4.0) * np.sin(2.0 * np.pi * minor_bin * t / n_fft)
     return encode_wav(np.round(x).astype(np.int16), sample_rate)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) video — REAL decoder, numpy-only (the video twin of the
+# netpbm/WAV arms: no av/ffmpeg in the sandbox, but Y4M is a trivially
+# parseable uncompressed container — text header + FRAME-delimited planar
+# YUV — so frame parsing, chroma-stride accounting, and frame sampling are
+# genuine, not stubs).
+# ---------------------------------------------------------------------------
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Parse a YUV4MPEG2 stream → ``(width, height, fps_num, fps_den,
+    frames)`` with frames shaped (n_frames, h, w) uint8 — the LUMA planes
+    only (chroma is parsed for its byte stride and skipped; a wrong stride
+    would shear every subsequent frame, which the gates catch).
+
+    Supported chroma taggings: C420* (2×2 subsampled, the Y4M default),
+    C444, Cmono.  Raises ValueError on bad magic, missing dims, unsupported
+    chroma, a malformed FRAME marker, or a truncated frame body.
+    """
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", errors="strict")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = 0
+    fps_num, fps_den = 25, 1
+    chroma = "420"
+    for tok in header.split()[1:]:
+        tag, val = tok[0], tok[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == "C":
+            chroma = val
+    if w <= 0 or h <= 0:
+        raise ValueError("missing W/H in Y4M header")
+    if chroma.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 requires even dimensions")
+        chroma_bytes = (w // 2) * (h // 2) * 2
+    elif chroma == "mono":
+        chroma_bytes = 0
+    elif chroma.startswith("444"):
+        chroma_bytes = w * h * 2
+    else:
+        raise ValueError(f"unsupported chroma {chroma!r}")
+    frame_bytes = w * h + chroma_bytes
+    pos = nl + 1
+    frames = []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("missing FRAME marker")
+        pos = fnl + 1
+        if pos + frame_bytes > len(payload):
+            raise ValueError("truncated frame body")
+        y = np.frombuffer(payload[pos : pos + w * h], dtype=np.uint8).reshape(h, w)
+        frames.append(y)
+        pos += frame_bytes
+    stacked = np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
+    return w, h, fps_num, fps_den, stacked
+
+
+def encode_y4m(
+    frames: np.ndarray,
+    fps: tuple[int, int] = (25, 1),
+    chroma: str = "420",
+) -> bytes:
+    """Write (n, h, w) uint8 luma planes as a real Y4M stream; C420 emits
+    constant-gray chroma planes (the decoder must skip EXACTLY these bytes
+    or later frames corrupt — that stride is what the fixture exercises)."""
+    n, h, w = frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n".encode()]
+    if chroma == "420":
+        uv = bytes([128]) * ((w // 2) * (h // 2) * 2)
+    elif chroma == "mono":
+        uv = b""
+    else:
+        raise ValueError(f"encoder supports 420/mono, not {chroma!r}")
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[f].tobytes())
+        out.append(uv)
+    return b"".join(out)
+
+
+def video_frame_stats(
+    df: DataFrame,
+    every_k: int = 3,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, frame_idx, width, height, fps_num, y_sum, y_mean_mi): decode a
+    Y4M payload, SAMPLE every ``every_k``-th frame (keyframe-stride
+    sampling — the standard first pass of any video curation pipeline:
+    stats/embeddings run on the sample, never the full frame stream), and
+    emit exact-integer luma stats per sampled frame: ``y_sum`` = Σ of the
+    Y plane, ``y_mean_mi`` = mean in 1e-4 units via integer division
+    ``y_sum * 10000 // (w*h)`` — no float anywhere, so a closed-form
+    gradient fixture gets an exact arithmetic oracle.  Undecodable or
+    empty clips yield ONE all-NULL-stats row (visible, not dropped).
+
+    100 TB shape: one narrow ``mapInPandas`` stage; the binary is
+    deserialized once per clip and the explode happens AFTER the decode;
+    cost scales with sampled frames, not clip length, for the stats step.
+    """
+    out_schema = (
+        f"{id_col} string, frame_idx int, width int, height int,"
+        " fps_num int, y_sum long, y_mean_mi long"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col, "frame_idx", "width", "height", "fps_num", "y_sum", "y_mean_mi"]
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if p is None:
+                        raise ValueError("NULL payload")
+                    w, h, fn, _fd, frames = decode_y4m(bytes(p))
+                    if frames.shape[0] == 0:
+                        raise ValueError("no frames")
+                    for idx in range(0, frames.shape[0], every_k):
+                        s = int(frames[idx].sum(dtype=np.int64))
+                        rows.append((str(i), idx, w, h, fn, s, s * 10000 // (w * h)))
+                except (ValueError, UnicodeDecodeError):
+                    rows.append((str(i), None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+def make_gradient_video(i: int, chroma: str = "420") -> bytes:
+    """Closed-form fixture clip ``i``: dims/frame-count/fps and every luma
+    byte derive from arithmetic the DuckDB oracle re-derives —
+    ``Y[f][r][c] = (i*11 + f*7 + r*5 + c*3) % 251``."""
+    w = 8 + (i % 3) * 4
+    h = 6 + (i % 2) * 2
+    n = 5 + i % 7
+    f_idx = np.arange(n).reshape(n, 1, 1)
+    r_idx = np.arange(h).reshape(1, h, 1)
+    c_idx = np.arange(w).reshape(1, 1, w)
+    y = ((i * 11 + f_idx * 7 + r_idx * 5 + c_idx * 3) % 251).astype(np.uint8)
+    fps = (30000, 1001) if i % 2 else (25, 1)
+    return encode_y4m(y, fps=fps, chroma=chroma)

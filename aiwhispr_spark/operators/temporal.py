@@ -786,3 +786,68 @@ def allen_relations(
         # would surface it as a hash mismatch
     )
     return p.select("subj", "fid_a", "fid_b", rel.alias("rel"))
+
+
+def scd2_apply(
+    store: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str] = ("subj", "pred"),
+    val_col: str = "obj",
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply a change batch to a
+    versioned fact store and return the NEW store — the maintenance step
+    that turns per-crawl observations into ``extract_dated_facts``-shaped
+    interval history (valid_to NULL = the open/current version).
+
+    Semantics (all pinned):
+      * a change whose value equals the key's current open value is a no-op;
+      * multiple changes to one key in one batch CHAIN versions in ts order
+        (consecutive in-batch duplicates collapse);
+      * the first effective change closes the prior open row at its ts;
+      * STALE rows (ts <= the open version's valid_from) are rejected — the
+        standard monotone-feed contract (late facts belong in a quarantine
+        re-run, not spliced into closed history);
+      * unseen keys pass through untouched; closed history is immutable.
+
+    100 TB shape: every window runs over the BATCH (delta-sized, key-
+    partitioned); the store participates in exactly two key joins —
+    open-rows ⋈ batch-keys and open-rows ⋈ first-change — and with the
+    store bucketed by key the closed partition never moves.  Nothing
+    corpus-wide shuffles; cost is O(delta) + O(open-rows join).
+    """
+    key = list(key_cols)
+    out_cols = [*key, val_col, from_col, to_col]
+    closed = store.filter(F.col(to_col).isNotNull()).select(*out_cols)
+    open_rows = store.filter(F.col(to_col).isNull())
+
+    cur = open_rows.select(
+        *key,
+        F.col(val_col).alias("_cur"),
+        F.col(from_col).alias("_cur_from"),
+    )
+    fresh = changes.join(cur, key, "left").filter(
+        F.col("_cur_from").isNull() | (F.col(ts_col) > F.col("_cur_from"))
+    )
+    w_raw = Window.partitionBy(*key).orderBy(ts_col)
+    seq = fresh.withColumn("_prev", F.lag(val_col).over(w_raw))
+    eff = seq.filter(
+        F.when(F.col("_prev").isNotNull(), F.col("_prev") != F.col(val_col)).otherwise(
+            F.col("_cur").isNull() | (F.col("_cur") != F.col(val_col))
+        )
+    )
+    w_eff = Window.partitionBy(*key).orderBy(ts_col)
+    new_versions = eff.select(
+        *key,
+        F.col(val_col),
+        F.col(ts_col).alias(from_col),
+        F.lead(ts_col).over(w_eff).alias(to_col),
+    )
+    first_change = eff.groupBy(*key).agg(F.min(ts_col).alias("_first_ts"))
+    open_updated = (
+        open_rows.join(first_change, key, "left")
+        .select(*key, val_col, from_col, F.col("_first_ts").alias(to_col))
+    )
+    return closed.unionByName(open_updated).unionByName(new_versions)
