@@ -644,6 +644,38 @@ def _host_edges_sql(where_i: str = "TRUE") -> str:
     """
 
 
+def _simrank_sql(rounds: int, edges_sql: str) -> str:
+    """Unrolled integer-exact SimRank recurrence (DuckDB twin of
+    graph.py::simrank_bounded): per round, co-in-neighbor pair sums then
+    ONE floor division (8·Σ) // (10·|I(a)|·|I(b)|); 0-floor rows drop."""
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})"
+        " WHERE src <> dst),",
+        "indeg AS (SELECT dst, COUNT(*) AS ind FROM edges GROUP BY dst),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "s0 AS (SELECT node AS a, node AS b, CAST(1000000 AS BIGINT) AS s FROM nodes),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"u{r} AS (SELECT e1.dst AS a, e2.dst AS b, SUM(p.s) AS t"
+            f" FROM s{r - 1} p JOIN edges e1 ON p.a = e1.src"
+            f" JOIN edges e2 ON p.b = e2.src GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED ("
+            " SELECT node AS a, node AS b, CAST(1000000 AS BIGINT) AS s FROM nodes"
+            " UNION ALL"
+            " SELECT u.a, u.b, CAST((8 * t) // (10 * ia.ind * ib.ind) AS BIGINT)"
+            f" FROM u{r} u JOIN indeg ia ON u.a = ia.dst JOIN indeg ib ON u.b = ib.dst"
+            " WHERE u.a <> u.b AND (8 * t) // (10 * ia.ind * ib.ind) > 0),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return (
+        "\n".join(parts)
+        + f"\nSELECT a, b, s AS simrank_i FROM s{rounds} WHERE a < b AND s > 0"
+    )
+
+
 def _minhop_parts(edges_sql: str, hops: int) -> list[str]:
     """Shared unrolled bounded-min-hop CTE chain (d1..d{hops}) over a
     (src, dst) edge query — the DuckDB twin of graph_query.py::
@@ -4713,6 +4745,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ir_ranking_eval"] = ir_eval
 
+    def wand(spark, sf):
+        # WAND/MaxScore pruned top-k (fulltext.py::wand_topk): the pruned
+        # result must HASH-MATCH the oracle's UNPRUNED exact scoring — the
+        # pruned≡exact gate pattern (ivf_all_probe_equals_exact).  Length-
+        # normalized weighted tf, all-integer arithmetic.
+        from aiwhispr_spark.operators.fulltext import build_inverted_index, wand_topk
+
+        d = _t(spark, sf, "documents")
+        idx = build_inverted_index(d)
+        dl = idx.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
+        return wand_topk(idx, dl, {"spark": 40, "query": 30, "data": 20, "the": 5}, k=15)
+
+    q["wand_topk_pruned"] = wand
+
+    def simrank(spark, sf):
+        # bounded SimRank (graph.py::simrank_bounded, 3 rounds) over the
+        # linked corpus's host graph — structural similarity from shared
+        # in-linkers.  Integer-exact: ONE floor division per round, so the
+        # unrolled-CTE oracle (_simrank_sql) reproduces every bit; rows
+        # flooring to 0 drop in BOTH engines (sparsity is part of the
+        # contract).  Symmetric → a < b output half.
+        from aiwhispr_spark.operators.graph import simrank_bounded
+        from aiwhispr_spark.operators.linkgraph import extract_links, host_edges
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        edges = host_edges(extract_links(docs)).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        s = simrank_bounded(edges, rounds=3)
+        return s.filter(F.col("a") < F.col("b")).select(
+            "a", "b", F.col("s").alias("simrank_i")
+        )
+
+    q["host_simrank_3"] = simrank
+
     def prf_expand(spark, sf):
         # pseudo-relevance-feedback expansion (fulltext.py::
         # prf_expansion_terms): seed ['spark','query'] → top-10 feedback
@@ -7152,6 +7219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_query_expansion",
         "kg_scd2_history",
         "ir_ranking_eval",
+        "wand_topk_pruned",
+        "host_simrank_3",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -10608,6 +10677,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(3 + i % 40 AS INT) AS peak_bin,
                CAST((3 + i % 40) * 78125 AS BIGINT) AS peak_hz_mi
         FROM range(120) t(i)
+    """
+    o["host_simrank_3"] = _simrank_sql(3, _host_edges_sql())
+    o["wand_topk_pruned"] = """
+        WITH idx AS (
+          SELECT doc_id AS id, t.token, count(*) AS tf
+          FROM documents,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(token)
+          WHERE t.token <> ''
+          GROUP BY 1, 2
+        ),
+        dl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM idx GROUP BY 1),
+        q(token, w) AS (
+          SELECT * FROM (VALUES ('data', 20), ('query', 30), ('spark', 40), ('the', 5))
+        ),
+        s AS (
+          SELECT id, SUM(tf * w) AS s, CAST(COUNT(DISTINCT token) AS INT) AS n_terms
+          FROM idx JOIN q USING (token) GROUP BY id
+        )
+        SELECT id, CAST((s * 10000) // (50 + dl) AS BIGINT) AS score_i, n_terms
+        FROM s JOIN dl USING (id)
+        ORDER BY score_i DESC, id LIMIT 15
     """
     o["ir_ranking_eval"] = """
         WITH w(r, w) AS (

@@ -615,3 +615,105 @@ def prf_expansion_terms(
         .orderBy(F.col("score").desc(), F.col("df_fb").desc(), F.col("token"))
         .limit(k_terms)
     )
+
+
+def _wand_parts(
+    index: DataFrame,
+    doc_lengths: DataFrame,
+    term_weights: dict[str, int],
+    k: int,
+    norm_k: int,
+):
+    """Shared WAND machinery → (post, theta, survivors).  All arithmetic is
+    exact BIGINT so the pruned result can hash-match an unpruned oracle."""
+    spark = index.sparkSession
+    q = spark.createDataFrame(sorted(term_weights.items()), "token string, w long")
+    post = index.join(F.broadcast(q), "token")
+
+    ub_t = post.groupBy("token").agg(F.max(F.col("tf") * F.col("w")).alias("ub"))
+
+    # θ = the k-th best EXACT partial score over the highest-upper-bound
+    # term's postings — a valid lower bound on the true k-th best score
+    # (each partial ≤ that doc's full score), or 0 when the driver term has
+    # fewer than k postings (no pruning, still correct)
+    driver = ub_t.orderBy(F.col("ub").desc(), F.col("token")).limit(1)
+    theta = (
+        post.join(F.broadcast(driver.select("token")), "token")
+        .join(doc_lengths, "id")
+        .select(F.expr(f"(tf * w * 10000) div ({norm_k} + dl)").alias("p"))
+        .orderBy(F.col("p").desc())
+        .limit(k)
+        .agg(F.when(F.count("*") >= k, F.min("p")).otherwise(F.lit(0)).alias("theta"))
+    )
+    # per-doc ceiling uses the doc's OWN length norm (as in classic WAND,
+    # where the norm rides the posting entry) — a corpus-min denominator is
+    # provably safe but too loose to prune anything when lengths vary
+    survivors = (
+        post.join(F.broadcast(ub_t), "token")
+        .groupBy("id")
+        .agg(F.sum("ub").alias("ub_sum"))
+        .join(doc_lengths, "id")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.expr(f"(ub_sum * 10000) div ({norm_k} + dl) >= theta"))
+        .select("id")
+    )
+    return post, theta, survivors
+
+
+def wand_topk(
+    index: DataFrame,
+    doc_lengths: DataFrame,
+    term_weights: dict[str, int],
+    k: int = 10,
+    norm_k: int = 50,
+) -> DataFrame:
+    """(id, score_i, n_terms) top-k by length-normalized weighted tf
+    ``score = (Σ_t w_t·tf) · 10000 div (norm_k + dl)`` with WAND/MaxScore
+    candidate pruning (Broder 2003 / Turtle–Flood MaxScore): per-term upper
+    bounds ``max(tf·w)`` + the global min doc length give each doc a cheap
+    score ceiling; docs whose ceiling is below θ (the k-th best exact
+    partial score on the highest-bound term's postings) are eliminated
+    BEFORE the expensive stage.  Provably identical to the unpruned top-k —
+    every pruned doc's true score < θ ≤ the true k-th best.
+
+    100 TB shape: the UB pass touches only the skinny (token, id, tf)
+    postings of the query terms plus the (id, dl) norm table (in a classic
+    index layout the norm rides the posting entry); the EXPENSIVE stage —
+    full scoring, and in a real index positions/proximity/ML features —
+    runs on SURVIVORS only.  θ and the bound tables are 1-row / |q|-row
+    broadcasts; nothing corpus-wide shuffles beyond the postings.
+    """
+    post, _theta, survivors = _wand_parts(index, doc_lengths, term_weights, k, norm_k)
+    return (
+        post.join(survivors, "id")
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).alias("_s"),
+            F.countDistinct("token").cast("int").alias("n_terms"),
+        )
+        .join(doc_lengths, "id")
+        .select(
+            "id",
+            F.expr(f"(_s * 10000) div ({norm_k} + dl)").cast("long").alias("score_i"),
+            "n_terms",
+        )
+        .orderBy(F.col("score_i").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def wand_prune_stats(
+    index: DataFrame,
+    doc_lengths: DataFrame,
+    term_weights: dict[str, int],
+    k: int = 10,
+    norm_k: int = 50,
+) -> tuple[int, int, int]:
+    """(n_or_docs, n_survivors, theta) — how much the WAND bound actually
+    pruned; the test hook that keeps the scale path honest (a θ of 0 or
+    survivors == OR-docs means the 'pruning' is vacuous)."""
+    post, theta, survivors = _wand_parts(index, doc_lengths, term_weights, k, norm_k)
+    n_or = post.select("id").distinct().count()
+    n_sv = survivors.count()
+    th = theta.collect()[0]["theta"]
+    return n_or, n_sv, int(th)

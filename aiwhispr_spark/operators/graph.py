@@ -903,3 +903,61 @@ def anf_hyperball(
     e.unpersist()
     assert out is not None
     return out
+
+
+def simrank_bounded(
+    edges: DataFrame,
+    rounds: int = 3,
+    scale: int = 1_000_000,
+    c_num: int = 8,
+    c_den: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(a, b, s) bounded SimRank (Jeh & Widom 2002) after ``rounds``
+    iterations of  s'(a,b) = C/(|I(a)|·|I(b)|) · Σ_{i∈I(a), j∈I(b)} s(i,j)
+    with s(x,x) = ``scale`` — structural "similar pages are linked to by
+    similar pages" similarity, the link-graph sibling of content near-dup.
+
+    Integer-exact: C = c_num/c_den enters as ONE floor division per round
+    (``(c_num·Σ) div (c_den·|I(a)|·|I(b)|)``), so an unrolled-SQL oracle
+    reproduces every intermediate bit; rows flooring to 0 are dropped,
+    which keeps the pair frame sparse AND is mirrored by the oracle.
+
+    100 TB shape: the pair frame only ever contains pairs reachable through
+    co-in-neighbor wedges (sparse in real link graphs — it grows from the
+    diagonal outward, never materializing all n² pairs); each round is two
+    equi-joins against the edge list + one pair-keyed aggregate, and the
+    frame is localCheckpoint'ed per round (the 3-way-iterative-join plan
+    blowup lesson).  Hub skew is the caller's job: cap in-degree upstream
+    (same contract as _overlap_pairs) before handing edges in.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    indeg = e.groupBy("dst").agg(F.count("*").alias("ind"))
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    ident = nodes.select(
+        F.col("node").alias("a"), F.col("node").alias("b"), F.lit(scale).cast("long").alias("s")
+    )
+    s = ident
+    for _ in range(rounds):
+        u = (
+            s.join(e.select(F.col("src").alias("a"), F.col("dst").alias("na")), "a")
+            .join(e.select(F.col("src").alias("b"), F.col("dst").alias("nb")), "b")
+            .groupBy("na", "nb")
+            .agg(F.sum("s").alias("t"))
+            .join(indeg.select(F.col("dst").alias("na"), F.col("ind").alias("ia")), "na")
+            .join(indeg.select(F.col("dst").alias("nb"), F.col("ind").alias("ib")), "nb")
+            .filter(F.col("na") != F.col("nb"))
+            .select(
+                F.col("na").alias("a"),
+                F.col("nb").alias("b"),
+                F.expr(f"({c_num} * t) div ({c_den} * ia * ib)").cast("long").alias("s"),
+            )
+            .filter(F.col("s") > 0)
+        )
+        s = ident.unionByName(u).localCheckpoint(eager=True)
+    return s
