@@ -4780,6 +4780,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_simrank_3"] = simrank
 
+    def kg_construct(spark, sf):
+        # SPARQL CONSTRUCT (graph_query.py::bgp_construct): acquisitions
+        # with a known acquiree location rewrite into a derived graph —
+        # controls / has_presence_in / located_in triples, DISTINCT set
+        # semantics.  One explode of a 3-struct array (no union fan-out).
+        from aiwhispr_spark.operators.graph_query import bgp_construct
+
+        t = _corpus_triples(spark)
+        return bgp_construct(
+            t,
+            where=[("?y", "acquired", "?x"), ("?x", "based_in", "?city")],
+            template=[
+                ("?y", "controls", "?x"),
+                ("?y", "has_presence_in", "?city"),
+                ("?x", "located_in", "?city"),
+            ],
+        )
+
+    q["kg_construct_derived"] = kg_construct
+
+    def tpch_q5ish(spark, sf):
+        # TPC-H Q5 (local supplier volume): same-nation customer/supplier
+        # revenue inside one region + an order-date year window.  Plan
+        # shape: region→nation→supplier collapse into ONE broadcast dim;
+        # lineitem⋈orders is the only big shuffle; the same-nation predicate
+        # rides the customer equi-join.  Dates never reach the output.
+        r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        n = _t(spark, sf, "nation")
+        s = _t(spark, sf, "supplier")
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        li = _t(spark, sf, "lineitem")
+        dim = (
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("s_suppkey", "s_nationkey", "n_name")
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+            .join(
+                c,
+                (o.o_custkey == c.c_custkey) & (c.c_nationkey == dim.s_nationkey),
+            )
+        )
+        return (
+            j.groupBy("n_name")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .cast("long")
+                .alias("revenue_i")
+            )
+            .orderBy(F.col("revenue_i").desc(), F.col("n_name"))
+        )
+
+    q["tpch_q5_local_supplier"] = tpch_q5ish
+
+    def mw_relatedness(spark, sf):
+        # Milne–Witten relatedness (linkgraph.py::milne_witten_relatedness)
+        # between mined entities from shared mention docs — the coherence
+        # signal of collective entity linking.  Counts ride the hub-capped
+        # _overlap_pairs wedge; the WLM ln-ratio is ONE closed-form float
+        # step over four exact ints, identical in the oracle.
+        from aiwhispr_spark.functions.udfs import extract_triples_df
+        from aiwhispr_spark.operators.linkgraph import milne_witten_relatedness
+        from aiwhispr_spark.plans.kg_pipeline import docs_to_chunks
+
+        docs = spark.read.parquet(_ensure_simple_corpus())
+        t = extract_triples_df(docs_to_chunks(docs))
+        rel = t.select(F.col("url").alias("key"), F.col("subj").alias("item"))
+        return milne_witten_relatedness(rel)
+
+    q["entity_relatedness_mw"] = mw_relatedness
+
+    def spell(spark, sf):
+        # noisy-channel "did you mean" (fulltext.py::spell_correct_terms):
+        # typo'd, exact, and unmatchable query terms; rank = edits asc,
+        # corpus freq desc, token asc; no-candidate terms emit NO row.
+        from aiwhispr_spark.operators.fulltext import build_inverted_index, spell_correct_terms
+
+        d = _t(spark, sf, "documents")
+        idx = build_inverted_index(d)
+        return spell_correct_terms(
+            idx, ["sparc", "qeury", "data", "zzzzqx"], max_edits=2
+        )
+
+    q["spell_correct_terms"] = spell
+
+    def tpch_q18ish(spark, sf):
+        # TPC-H Q18 (large-volume customers): orders whose total quantity
+        # exceeds 200, joined back to orders+customer, top-100 by price.
+        # The HAVING pre-aggregate keys on l_orderkey — the big shuffle —
+        # and the survivor set is tiny, so the back-joins broadcast it.
+        # o_orderdate emitted AS STRING (date-stringification gotcha).
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"))
+            .filter(F.col("sum_qty") > 200)
+        )
+        return (
+            o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select(
+                "c_name",
+                "c_custkey",
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_ci"),
+                "sum_qty",
+            )
+            .orderBy(F.col("totalprice_ci").desc(), F.col("o_orderkey"))
+            .limit(100)
+        )
+
+    q["tpch_q18_big_orders"] = tpch_q18ish
+
     def prf_expand(spark, sf):
         # pseudo-relevance-feedback expansion (fulltext.py::
         # prf_expansion_terms): seed ['spark','query'] → top-10 feedback
@@ -7221,6 +7342,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_ranking_eval",
         "wand_topk_pruned",
         "host_simrank_3",
+        "kg_construct_derived",
+        "tpch_q5_local_supplier",
+        "tpch_q18_big_orders",
+        "entity_relatedness_mw",
+        "spell_correct_terms",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -10679,6 +10805,92 @@ def oracle_sql() -> dict[str, str]:
         FROM range(120) t(i)
     """
     o["host_simrank_3"] = _simrank_sql(3, _host_edges_sql())
+    o["spell_correct_terms"] = """
+        WITH idx AS (
+          SELECT doc_id AS id, t.token, count(*) AS tf
+          FROM documents,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(token)
+          WHERE t.token <> ''
+          GROUP BY 1, 2
+        ),
+        vocab AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS freq FROM idx GROUP BY 1),
+        q(term) AS (SELECT * FROM (VALUES ('data'), ('qeury'), ('sparc'), ('zzzzqx'))),
+        cands AS (
+          SELECT q.term, v.token, CAST(levenshtein(v.token, q.term) AS INT) AS edits,
+                 v.freq
+          FROM vocab v, q
+          WHERE abs(length(v.token) - length(q.term)) <= 2
+            AND levenshtein(v.token, q.term) <= 2
+        )
+        SELECT term, token AS suggestion, edits, freq FROM (
+          SELECT *, row_number() OVER (PARTITION BY term
+                      ORDER BY edits, freq DESC, token) AS rn
+          FROM cands) WHERE rn = 1
+    """
+    o["entity_relatedness_mw"] = f"""
+        WITH t AS MATERIALIZED ({_kg_e2e_sql()}),
+        ed AS (SELECT DISTINCT url AS key, subj AS item FROM t),
+        nk AS (SELECT CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys FROM ed),
+        small AS (SELECT key FROM (SELECT key, count(*) AS c FROM ed GROUP BY key)
+                  WHERE c <= 1000),
+        d AS (SELECT ed.key, ed.item FROM ed JOIN small USING (key)),
+        deg AS (SELECT item, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY item),
+        p AS (SELECT l.item AS a, r.item AS b, CAST(count(*) AS BIGINT) AS n_common
+              FROM d l JOIN d r ON r.key = l.key AND l.item < r.item
+              GROUP BY 1, 2)
+        SELECT p.a, p.b, p.n_common, da.deg AS deg_a, db.deg AS deg_b,
+               CASE WHEN ln(n_keys) = ln(least(da.deg, db.deg)) THEN -1
+                    ELSE greatest(0, CAST(round(10000 * (
+                      1.0 - (ln(greatest(da.deg, db.deg)) - ln(p.n_common))
+                            / (ln(n_keys) - ln(least(da.deg, db.deg)))
+                    )) AS BIGINT)) END AS mw_mi
+        FROM p JOIN deg da ON da.item = p.a JOIN deg db ON db.item = p.b
+        CROSS JOIN nk
+    """
+    o["tpch_q5_local_supplier"] = """
+        SELECT n_name,
+               CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue_i
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue_i DESC, n_name
+    """
+    o["tpch_q18_big_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 200
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_ci,
+               sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY totalprice_ci DESC, o_orderkey LIMIT 100
+    """
+    o["kg_construct_derived"] = f"""
+        WITH t AS MATERIALIZED ({_kg_e2e_sql()}),
+        b AS (
+          SELECT DISTINCT a.subj AS y, a.obj AS x, l.obj AS city
+          FROM t a JOIN t l ON l.pred = 'based_in' AND l.subj = a.obj
+          WHERE a.pred = 'acquired'
+        )
+        SELECT DISTINCT subj, pred, obj FROM (
+          SELECT y AS subj, 'controls' AS pred, x AS obj FROM b
+          UNION ALL SELECT y, 'has_presence_in', city FROM b
+          UNION ALL SELECT x, 'located_in', city FROM b
+        )
+    """
     o["wand_topk_pruned"] = """
         WITH idx AS (
           SELECT doc_id AS id, t.token, count(*) AS tf

@@ -717,3 +717,46 @@ def wand_prune_stats(
     n_sv = survivors.count()
     th = theta.collect()[0]["theta"]
     return n_or, n_sv, int(th)
+
+
+def spell_correct_terms(
+    index: DataFrame,
+    terms: Sequence[str],
+    max_edits: int = 2,
+) -> DataFrame:
+    """(term, suggestion, edits, freq) — noisy-channel query spelling
+    correction: each query term maps to its best vocabulary candidate by
+    (edit distance asc, corpus frequency desc, token asc) — the classic
+    "did you mean" ranking where the channel prefers fewer edits and the
+    language-model prior breaks ties by unigram frequency.  An in-vocab
+    term corrects to itself (0 edits beats everything); a term with no
+    candidate within ``max_edits`` emits NO row (visible absence).
+
+    100 TB shape: same contract as search_terms_fuzzy — the edit-distance
+    match runs against the DISTINCT VOCABULARY (orders smaller than the
+    postings), broadcast-nested-loop of the tiny term list with the
+    |len Δ| ≤ max_edits length prefilter; the per-term argmin is a window
+    over candidates only.
+    """
+    from pyspark.sql.window import Window
+
+    uniq = sorted({t.lower() for t in terms})
+    spark = index.sparkSession
+    q = spark.createDataFrame([(t,) for t in uniq], "term string")
+    vocab = index.groupBy("token").agg(F.sum("tf").cast("long").alias("freq"))
+    cands = (
+        vocab.crossJoin(F.broadcast(q))
+        .filter(
+            (F.abs(F.length("token") - F.length("term")) <= max_edits)
+            & (F.levenshtein("token", "term") <= max_edits)
+        )
+        .withColumn("edits", F.levenshtein("token", "term").cast("int"))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("edits"), F.col("freq").desc(), F.col("token")
+    )
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("term", F.col("token").alias("suggestion"), "edits", "freq")
+    )

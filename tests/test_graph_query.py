@@ -433,3 +433,34 @@ def test_bgp_aggregate_param_guards(spark):
         bgp_aggregate(t, [("?x", "p", "?y")], [], {"n": "x"})
     with pytest.raises(ValueError):
         bgp_aggregate(t, [("?x", "p", "?y")], ["x"], {})
+
+
+def test_bgp_construct_set_semantics_and_unbound_raise(spark):
+    from aiwhispr_spark.operators.graph_query import bgp_construct
+
+    t = spark.createDataFrame(
+        [
+            ("a", "acquired", "x"),
+            ("b", "acquired", "x"),
+            ("x", "based_in", "berlin"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = bgp_construct(
+        t,
+        where=[("?y", "acquired", "?x"), ("?x", "based_in", "?c")],
+        template=[("?y", "controls", "?x"), ("?x", "located_in", "?c")],
+    )
+    got = sorted((r.subj, r.pred, r.obj) for r in out.collect())
+    # located_in instantiated per solution but DISTINCT collapses the dup
+    assert got == [
+        ("a", "controls", "x"),
+        ("b", "controls", "x"),
+        ("x", "located_in", "berlin"),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):  # typo'd template var must not silently drop
+        bgp_construct(t, [("?y", "acquired", "?x")], [("?y", "controls", "?z")])
+    with pytest.raises(ValueError):
+        bgp_construct(t, [("?y", "acquired", "?x")], [])
