@@ -4870,6 +4870,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spell_correct_terms"] = spell
 
+    def kappa(spark, sf):
+        # Cohen's κ (evaluation.py::cohen_kappa): a 70%-agreement panel AND
+        # an anti-correlated panel (κ < 0 — exercises the pmod floor-div
+        # fix; Spark div truncates, DuckDB // floors).  Exact integer
+        # cross-multiplied formula, −20000 degenerate sentinel via pytest.
+        from aiwhispr_spark.operators.evaluation import cohen_kappa
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        base = d.select(
+            F.concat(F.lit("c"), F.col("doc_id") % 4).alias("label_a"),
+            F.when(
+                F.col("doc_id") % 10 < 7, F.concat(F.lit("c"), F.col("doc_id") % 4)
+            )
+            .otherwise(F.concat(F.lit("c"), (F.col("doc_id") + 1) % 4))
+            .alias("label_b"),
+        )
+        anti = d.select(
+            F.concat(F.lit("c"), F.col("doc_id") % 4).alias("label_a"),
+            F.concat(F.lit("c"), (F.col("doc_id") + 1) % 4).alias("label_b"),
+        )
+        return (
+            cohen_kappa(base).select(F.lit("panel").alias("arm"), "n", "agree", "kappa_mi")
+            .unionByName(
+                cohen_kappa(anti).select(F.lit("anti").alias("arm"), "n", "agree", "kappa_mi")
+            )
+        )
+
+    q["annotator_agreement_kappa"] = kappa
+
+    def scd2_crawl(spark, sf):
+        # SCD2 composed with the CRAWL-DERIVED dated facts (temporal.py::
+        # extract_dated_facts semantics re-derived on documents): per
+        # (subj, year) the deterministic min-obj is elected FIRST (the
+        # "pre-aggregate or it's nondeterministic" contract asof_join
+        # shares), then scd2_apply folds the year stream into interval
+        # history from an empty store — entity location history as a
+        # versioned table.
+        from aiwhispr_spark.operators.temporal import scd2_apply
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        facts = d.select(
+            F.concat(F.lit("Entity_"), F.col("doc_id") % 37).alias("subj"),
+            F.lit("based_in").alias("pred"),
+            F.concat(F.lit("City"), (F.col("doc_id") * 3) % 13).alias("obj"),
+            (1990 + F.col("doc_id") % 30).cast("long").alias("ts"),
+        )
+        changes = facts.groupBy("subj", "pred", "ts").agg(F.min("obj").alias("obj"))
+        empty_store = spark.createDataFrame(
+            [], "subj string, pred string, obj string, valid_from long, valid_to long"
+        )
+        out = scd2_apply(empty_store, changes)
+        return out.select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("valid_from").cast("long").alias("valid_from"),
+            F.coalesce(F.col("valid_to"), F.lit(-1)).cast("long").alias("valid_to_s"),
+        )
+
+    q["kg_scd2_from_crawl"] = scd2_crawl
+
     def tpch_q18ish(spark, sf):
         # TPC-H Q18 (large-volume customers): orders whose total quantity
         # exceeds 200, joined back to orders+customer, top-100 by price.
@@ -7347,6 +7408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_big_orders",
         "entity_relatedness_mw",
         "spell_correct_terms",
+        "annotator_agreement_kappa",
+        "kg_scd2_from_crawl",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -10805,6 +10868,67 @@ def oracle_sql() -> dict[str, str]:
         FROM range(120) t(i)
     """
     o["host_simrank_3"] = _simrank_sql(3, _host_edges_sql())
+    o["annotator_agreement_kappa"] = """
+        WITH l AS (
+          SELECT 'c' || (doc_id % 4) AS a,
+                 CASE WHEN doc_id % 10 < 7 THEN 'c' || (doc_id % 4)
+                      ELSE 'c' || ((doc_id + 1) % 4) END AS b
+          FROM documents
+        ),
+        flip AS (
+          SELECT 'c' || (doc_id % 4) AS a, 'c' || ((doc_id + 1) % 4) AS b
+          FROM documents
+        ),
+        k1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+                 (SELECT SUM(r.cnt * c.cnt) FROM
+                    (SELECT a AS k, COUNT(*) AS cnt FROM l GROUP BY a) r
+                    JOIN (SELECT b AS k, COUNT(*) AS cnt FROM l GROUP BY b) c
+                    USING (k)) AS rc
+          FROM l
+        ),
+        k2 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+                 (SELECT SUM(r.cnt * c.cnt) FROM
+                    (SELECT a AS k, COUNT(*) AS cnt FROM flip GROUP BY a) r
+                    JOIN (SELECT b AS k, COUNT(*) AS cnt FROM flip GROUP BY b) c
+                    USING (k)) AS rc
+          FROM flip
+        )
+        SELECT 'panel' AS arm, n, agree,
+               CAST((10000 * (n * agree - rc)) // (n * n - rc) AS BIGINT) AS kappa_mi
+        FROM k1
+        UNION ALL
+        SELECT 'anti', n, agree,
+               CAST((10000 * (n * agree - rc)) // (n * n - rc) AS BIGINT)
+        FROM k2
+    """
+    o["kg_scd2_from_crawl"] = """
+        WITH facts AS (
+          SELECT 'Entity_' || (doc_id % 37) AS subj, 'based_in' AS pred,
+                 'City' || ((doc_id * 3) % 13) AS obj,
+                 CAST(1990 + doc_id % 30 AS BIGINT) AS ts
+          FROM documents
+        ),
+        changes AS (
+          SELECT subj, pred, ts, min(obj) AS obj FROM facts GROUP BY 1, 2, 3
+        ),
+        seq AS (
+          SELECT *, lag(obj) OVER (PARTITION BY subj, pred ORDER BY ts) AS prev
+          FROM changes
+        ),
+        eff AS (
+          SELECT subj, pred, obj, ts FROM seq
+          WHERE prev IS NULL OR prev <> obj
+        )
+        SELECT subj, pred, obj, ts AS valid_from,
+               CAST(coalesce(
+                 lead(ts) OVER (PARTITION BY subj, pred ORDER BY ts), -1
+               ) AS BIGINT) AS valid_to_s
+        FROM eff
+    """
     o["spell_correct_terms"] = """
         WITH idx AS (
           SELECT doc_id AS id, t.token, count(*) AS tf

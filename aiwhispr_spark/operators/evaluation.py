@@ -217,3 +217,44 @@ def ranking_metrics(
         .alias("rr_mi"),
         F.expr("(coalesce(hits, 0L) * 10000L) div n_gold").cast("long").alias("recall_mi"),
     )
+
+
+def cohen_kappa(
+    labels: DataFrame,
+    rater_a: str = "label_a",
+    rater_b: str = "label_b",
+) -> DataFrame:
+    """One-row (n, agree, kappa_mi) — Cohen's κ inter-annotator agreement,
+    the gate every labeling campaign (quality judgments, relevance gold,
+    extraction audits) runs before its labels are trusted.
+
+    Exactness: κ = (p_o − p_e)/(1 − p_e) cross-multiplies to the all-integer
+    form  κ = (n·Σd − Σ r_k·c_k) / (n² − Σ r_k·c_k)  with Σd the agreement
+    count and r_k/c_k the per-class marginals.  κ can be NEGATIVE (worse
+    than chance): both Spark's ``div`` and DuckDB's integer ``//`` truncate
+    toward zero (measured: −7//2 = −3 in DuckDB), so plain ``div`` is
+    bit-identical cross-engine even below zero.  −20000 sentinel when
+    p_e = 1 (both raters constant, κ undefined).
+
+    100 TB shape: one count + one agreement count + two |classes|-keyed
+    marginal aggregates joined on the class label — every aggregate
+    map-side combines; nothing but class-sized frames move.
+    """
+    n_agree = labels.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col(rater_a) == F.col(rater_b)).cast("long")).alias("agree"),
+    )
+    ra = labels.groupBy(F.col(rater_a).alias("k")).agg(F.count(F.lit(1)).alias("r"))
+    rb = labels.groupBy(F.col(rater_b).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    rc = (
+        ra.join(rb, "k")
+        .agg(F.sum(F.col("r") * F.col("c")).cast("long").alias("rc"))
+    )
+    return n_agree.crossJoin(F.broadcast(rc)).select(
+        "n",
+        "agree",
+        F.when(F.expr("n * n = rc"), F.lit(-20000))
+        .otherwise(F.expr("(10000 * (n * agree - rc)) div (n * n - rc)"))
+        .cast("long")
+        .alias("kappa_mi"),
+    )

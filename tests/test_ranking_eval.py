@@ -53,3 +53,31 @@ def test_ideal_truncates_to_k_and_rank_beyond_k_ignored(spark):
     assert r.hits == 1  # the rank-3 hit fell outside k
     assert r.ndcg_mi == (1 * 10000) * 10000 // (3 * 10000 + 2 * 6309)
     assert r.recall_mi == 1 * 10000 // 3
+
+
+def test_cohen_kappa_hand_computed_and_sentinel(spark):
+    from aiwhispr_spark.operators.evaluation import cohen_kappa
+
+    # classic 2x2 table: 9 yy, 3 yn, 3 ny, 5 nn -> po = 14/20, marginals
+    # 12y/8n on BOTH sides -> pe = (144+64)/400, kappa = 0.375 exactly
+    rows = (
+        [("y", "y")] * 9 + [("y", "n")] * 3 + [("n", "y")] * 3 + [("n", "n")] * 5
+    )
+    df = spark.createDataFrame(rows, "label_a string, label_b string")
+    [r] = cohen_kappa(df).collect()
+    n, agree = 20, 14
+    rc = 12 * 12 + 8 * 8  # marginals: a 12y/8n, b 12y/8n
+    assert (r.n, r.agree) == (n, agree)
+    assert r.kappa_mi == (10000 * (n * agree - rc)) // (n * n - rc)  # 3750
+
+    # degenerate: both raters constant -> p_e = 1 -> sentinel
+    same = spark.createDataFrame([("x", "x")] * 5, "label_a string, label_b string")
+    [r2] = cohen_kappa(same).collect()
+    assert r2.kappa_mi == -20000
+
+    # worse-than-chance: perfect disagreement on 2 balanced classes -> -10000
+    flip = spark.createDataFrame(
+        [("a", "b")] * 5 + [("b", "a")] * 5, "label_a string, label_b string"
+    )
+    [r3] = cohen_kappa(flip).collect()
+    assert r3.kappa_mi == -10000

@@ -124,6 +124,19 @@ SHOWN = [
     ("image_dhash_near_dup", "dHash band join carries (id, dhash, band, bhash) fixed-width rows off ONE posexplode; verify is JVM xor+bit_count — no python past the decode stage"),
     ("training_mix_pipeline", "benchmark grams + source rates broadcast; corpus exchanges = digest keeper election + shard packing groupBy; python sees (shard,id,n_tokens) only"),
     ("mobile_variant_clusters", "key + variant flag are narrow JVM regex; ONE exchange with map-side count/min-struct combine"),
+    ("wand_topk_pruned", "UB pass over term postings + (id, dl) norms; θ and bound tables 1-row/|q|-row broadcasts; full scoring runs on SURVIVORS only; top-k is TakeOrderedAndProject"),
+    ("kg_scd2_history", "every Window is DELTA-sized and key-partitioned (lag/lead on the batch); the store appears only in key joins — closed history never moves"),
+    ("video_frame_stats", "ONE mapInPandas decode stage, explode AFTER decode (binary deserialized once per clip); no exchange"),
+    ("host_simrank_3", "per round: two edge equi-joins + ONE pair-keyed map-side-combinable aggregate; identity∪update localCheckpointed (lineage cut) — pair frame holds co-in-neighbor pairs only, never n²"),
+    ("ir_ranking_eval", "one (query, doc) equi-join; the ideal window runs over qrels only; all aggregates map-side combine into |queries| keys; discount weights are a literal array (no float at runtime)"),
+    ("kg_construct_derived", "template instantiation is ONE explode of a 3-struct array (no K-way union fan-out); the final DISTINCT is the only added exchange after the most-bound-first BGP joins"),
+    ("entity_relatedness_mw", "hub-capped wedge exchanges carry (key, item) only; N is a 1-row broadcast; the WLM ln step is a narrow projection over four exact ints"),
+    ("tpch_q5_local_supplier", "region→nation→supplier collapse into ONE broadcast dim; lineitem⋈orders is the only big shuffle; same-nation predicate rides the customer equi-join"),
+    ("tpch_q18_big_orders", "HAVING pre-aggregate keys on l_orderkey (map-side partial sum); the tiny survivor set broadcasts to both back-joins; top-100 is TakeOrderedAndProject"),
+    ("spell_correct_terms", "levenshtein runs against the DISTINCT VOCABULARY with the |lenΔ| prefilter (broadcast nested loop of the tiny term list); per-term argmin is a window over candidates only"),
+    ("prf_query_expansion", "feedback-doc ids (≤ k_docs rows) broadcast back onto the postings; expansion aggregates feedback postings only, never the corpus"),
+    ("copula_isa_polarity", "one regexp_extract_all projection + in-row zip/explode: no python stage, no shuffle"),
+    ("xml_native_roundtrip", "V2 XML scan with an EXPLICIT schema — no inference pre-scan pass; typed attribute projection"),
 ]
 
 
