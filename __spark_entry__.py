@@ -4827,14 +4827,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (o.o_custkey == c.c_custkey) & (c.c_nationkey == dim.s_nationkey),
             )
         )
+        # per-row cents round FIRST, then an EXACT integer sum — a
+        # round-after-float-sum would be summation-order dependent
         return (
             j.groupBy("n_name")
             .agg(
-                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                    .cast("long")
+                )
                 .cast("long")
-                .alias("revenue_i")
+                .alias("revenue_ci")
             )
-            .orderBy(F.col("revenue_i").desc(), F.col("n_name"))
+            .orderBy(F.col("revenue_ci").desc(), F.col("n_name"))
         )
 
     q["tpch_q5_local_supplier"] = tpch_q5ish
@@ -4930,6 +4935,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_scd2_from_crawl"] = scd2_crawl
+
+    def span_corrupt(spark, sf):
+        # T5 span corruption (packing.py::span_corruption): content-seeded
+        # masking (md5 doc_id:pos), contiguous runs collapse to ONE
+        # <extra_id_K> sentinel; Spark side is a single zero-shuffle array
+        # fold, the oracle is the relational twin (explode + lag window +
+        # filtered string_aggs) — two totally different formulations must
+        # produce byte-identical input/target strings.
+        from aiwhispr_spark.operators.packing import span_corruption
+
+        d = _t(spark, sf, "documents")
+        return span_corruption(d, noise_pct=15)
+
+    q["span_corruption_t5"] = span_corrupt
+
+    def collective(spark, sf):
+        # one-round collective disambiguation (linking.py::
+        # collective_disambiguation): coherence FLIPS the prior choice
+        # (B_k + strong rel to the neighbor's obvious reading beats A_k's
+        # higher prior), identity-context bonus, and singleton docs fall
+        # back to pure prior.  Oracle mirrors the round as SQL windows over
+        # identical range-built frames.
+        from aiwhispr_spark.operators.linking import collective_disambiguation
+
+        k10 = spark.range(10).select(F.col("id").alias("k"))
+        pri = k10.select(
+            F.concat(F.lit("s"), "k").alias("surface"),
+            F.concat(F.lit("A"), "k").alias("entity"),
+            F.lit(6000).cast("long").alias("prior_i"),
+        ).unionByName(
+            k10.select(
+                F.concat(F.lit("s"), "k").alias("surface"),
+                F.concat(F.lit("B"), "k").alias("entity"),
+                F.lit(5000).cast("long").alias("prior_i"),
+            )
+        )
+        k9 = spark.range(9).select(F.col("id").alias("k"))
+        e1 = F.concat(F.lit("B"), "k")
+        e2 = F.concat(F.lit("A"), F.col("k") + 1)
+        e3 = F.concat(F.lit("A"), "k")
+        rel = k9.select(
+            F.least(e1, e2).alias("a"), F.greatest(e1, e2).alias("b"),
+            F.lit(9000).cast("long").alias("rel_i"),
+        ).unionByName(
+            k9.select(
+                F.least(e3, e2).alias("a"), F.greatest(e3, e2).alias("b"),
+                F.lit(1000).cast("long").alias("rel_i"),
+            )
+        )
+        d60 = spark.range(60).select(F.col("id").alias("d"))
+        m0 = d60.select(
+            F.concat(F.lit("d"), "d").alias("doc"),
+            F.lit(0).cast("int").alias("mention_id"),
+            F.concat(F.lit("s"), F.col("d") % 9).alias("surface"),
+        )
+        m1 = d60.filter(F.col("d") % 5 != 0).select(
+            F.concat(F.lit("d"), "d").alias("doc"),
+            F.lit(1).cast("int").alias("mention_id"),
+            F.when(F.col("d") % 7 == 3, F.concat(F.lit("s"), F.col("d") % 9))
+            .otherwise(F.concat(F.lit("s"), F.col("d") % 9 + 1))
+            .alias("surface"),
+        )
+        return collective_disambiguation(m0.unionByName(m1), pri, rel)
+
+    q["collective_entity_linking"] = collective
 
     def tpch_q18ish(spark, sf):
         # TPC-H Q18 (large-volume customers): orders whose total quantity
@@ -7410,6 +7480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_correct_terms",
         "annotator_agreement_kappa",
         "kg_scd2_from_crawl",
+        "span_corruption_t5",
+        "collective_entity_linking",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -10868,6 +10940,112 @@ def oracle_sql() -> dict[str, str]:
         FROM range(120) t(i)
     """
     o["host_simrank_3"] = _simrank_sql(3, _host_edges_sql())
+    o["collective_entity_linking"] = """
+        WITH pri AS (
+          SELECT 's' || k AS surface, 'A' || k AS entity, CAST(6000 AS BIGINT) AS prior_i
+          FROM range(10) t(k)
+          UNION ALL
+          SELECT 's' || k, 'B' || k, 5000 FROM range(10) t(k)
+        ),
+        rel AS (
+          SELECT least('B' || k, 'A' || (k + 1)) AS a,
+                 greatest('B' || k, 'A' || (k + 1)) AS b,
+                 CAST(9000 AS BIGINT) AS rel_i
+          FROM range(9) t(k)
+          UNION ALL
+          SELECT least('A' || k, 'A' || (k + 1)), greatest('A' || k, 'A' || (k + 1)), 1000
+          FROM range(9) t(k)
+        ),
+        men AS (
+          SELECT 'd' || d AS doc, CAST(0 AS INT) AS mention_id,
+                 's' || (d % 9) AS surface
+          FROM range(60) t(d)
+          UNION ALL
+          SELECT 'd' || d, 1,
+                 CASE WHEN d % 7 = 3 THEN 's' || (d % 9) ELSE 's' || (d % 9 + 1) END
+          FROM range(60) t(d) WHERE d % 5 <> 0
+        ),
+        top1 AS (
+          SELECT surface, entity AS ctx_entity FROM (
+            SELECT *, row_number() OVER (PARTITION BY surface
+                        ORDER BY prior_i DESC, entity) AS rn FROM pri)
+          WHERE rn = 1
+        ),
+        ctx AS (
+          SELECT m.doc, m.mention_id AS ctx_mid, t.ctx_entity
+          FROM men m JOIN top1 t USING (surface)
+        ),
+        cands AS (
+          SELECT m.doc, m.mention_id, m.surface, p.entity, p.prior_i
+          FROM men m JOIN pri p USING (surface)
+        ),
+        pairs AS (
+          SELECT c.doc, c.mention_id, c.entity, x.ctx_entity,
+                 least(c.entity, x.ctx_entity) AS pa,
+                 greatest(c.entity, x.ctx_entity) AS pb
+          FROM (SELECT doc, mention_id, entity FROM cands) c
+          JOIN ctx x USING (doc)
+          WHERE c.mention_id <> x.ctx_mid
+        ),
+        coh AS (
+          SELECT doc, mention_id, entity,
+                 SUM(CASE WHEN entity = ctx_entity THEN 10000
+                          ELSE coalesce(r.rel_i, 0) END) AS c
+          FROM pairs LEFT JOIN rel r ON r.a = pairs.pa AND r.b = pairs.pb
+          GROUP BY 1, 2, 3
+        ),
+        sc AS (
+          SELECT c.doc, c.mention_id, c.surface, c.entity,
+                 CAST(c.prior_i + coalesce(h.c, 0) AS BIGINT) AS score_i
+          FROM cands c LEFT JOIN coh h USING (doc, mention_id, entity)
+        )
+        SELECT doc, mention_id, surface, entity, score_i FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc, mention_id
+                      ORDER BY score_i DESC, entity) AS rn FROM sc)
+        WHERE rn = 1
+    """
+    o["span_corruption_t5"] = """
+        WITH toks AS (
+          SELECT doc_id, s.tok AS tok, CAST(s.i - 1 AS BIGINT) AS i
+          FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> ''),
+                     (x, j) -> struct_pack(tok := x, i := j))) AS s
+            FROM documents)
+        ),
+        m AS (
+          SELECT doc_id, i, tok,
+                 (('0x' || substr(md5(doc_id || ':' || i), 1, 4))::BIGINT % 100) < 15
+                   AS msk
+          FROM toks
+        ),
+        r AS (
+          SELECT *, CASE WHEN msk AND NOT coalesce(
+                   lag(msk) OVER (PARTITION BY doc_id ORDER BY i), false)
+                 THEN 1 ELSE 0 END AS rs
+          FROM m
+        ),
+        s AS (
+          SELECT *, SUM(rs) OVER (PARTITION BY doc_id ORDER BY i) - 1 AS sid FROM r
+        ),
+        agg AS (
+          SELECT doc_id,
+            string_agg(CASE WHEN NOT msk THEN tok
+                            ELSE '<extra_id_' || sid || '>' END, ' ' ORDER BY i)
+              FILTER (WHERE NOT msk OR rs = 1) AS input_text,
+            string_agg(CASE WHEN rs = 1 THEN '<extra_id_' || sid || '> ' || tok
+                            ELSE tok END, ' ' ORDER BY i)
+              FILTER (WHERE msk) AS target_text,
+            CAST(SUM(CASE WHEN msk THEN 1 ELSE 0 END) AS INT) AS n_masked
+          FROM s GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(a.input_text, '') AS input_text,
+               coalesce(a.target_text, '') AS target_text,
+               coalesce(a.n_masked, 0) AS n_masked
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
     o["annotator_agreement_kappa"] = """
         WITH l AS (
           SELECT 'c' || (doc_id % 4) AS a,
@@ -10973,7 +11151,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["tpch_q5_local_supplier"] = """
         SELECT n_name,
-               CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue_i
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_ci
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -10985,7 +11163,7 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY n_name
-        ORDER BY revenue_i DESC, n_name
+        ORDER BY revenue_ci DESC, n_name
     """
     o["tpch_q18_big_orders"] = """
         WITH big AS (
@@ -11055,7 +11233,8 @@ def oracle_sql() -> dict[str, str]:
           FROM res JOIN qr USING (query_id, doc_id)
         ),
         got AS (
-          SELECT query_id, SUM(gain * w.w) AS dcg, COUNT(*) AS hits,
+          SELECT query_id, SUM(gain * w.w) AS dcg,
+                 SUM(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS hits,
                  MIN(CASE WHEN gain > 0 THEN rank END) AS first_rel
           FROM hit JOIN w ON w.r = hit.rank GROUP BY 1
         ),
@@ -11067,15 +11246,17 @@ def oracle_sql() -> dict[str, str]:
             FROM qr) t JOIN w ON w.r = t.ir
           WHERE ir <= 10 GROUP BY 1
         ),
-        ng AS (SELECT query_id, COUNT(*) AS n_gold FROM qr GROUP BY 1)
-        SELECT ng.query_id, CAST(n_gold AS BIGINT) AS n_gold,
+        ng AS (SELECT query_id, COUNT(*) AS n_gold FROM qr WHERE gain > 0 GROUP BY 1)
+        SELECT ideal.query_id, CAST(coalesce(n_gold, 0) AS BIGINT) AS n_gold,
                CAST(coalesce(hits, 0) AS BIGINT) AS hits,
                CAST(CASE WHEN ideal > 0 THEN coalesce(dcg, 0) * 10000 // ideal
                     ELSE -1 END AS BIGINT) AS ndcg_mi,
                CAST(CASE WHEN first_rel IS NOT NULL THEN 10000 // first_rel
                     ELSE 0 END AS BIGINT) AS rr_mi,
-               CAST(coalesce(hits, 0) * 10000 // n_gold AS BIGINT) AS recall_mi
-        FROM ng JOIN ideal USING (query_id) LEFT JOIN got USING (query_id)
+               CAST(CASE WHEN coalesce(n_gold, 0) > 0
+                    THEN coalesce(hits, 0) * 10000 // n_gold
+                    ELSE -1 END AS BIGINT) AS recall_mi
+        FROM ideal LEFT JOIN ng USING (query_id) LEFT JOIN got USING (query_id)
     """
     o["kg_scd2_history"] = """
         WITH open_v AS (
@@ -11105,7 +11286,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE o.valid_from IS NULL OR b.ts > o.valid_from
         ),
         seq AS (
-          SELECT *, lag(obj) OVER (PARTITION BY subj, pred ORDER BY ts) AS prev
+          SELECT *, lag(obj) OVER (PARTITION BY subj, pred ORDER BY ts, obj) AS prev
           FROM fresh
         ),
         eff AS (
@@ -11115,7 +11296,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         new_versions AS (
           SELECT subj, pred, obj, ts AS valid_from,
-                 lead(ts) OVER (PARTITION BY subj, pred ORDER BY ts) AS valid_to
+                 lead(ts) OVER (PARTITION BY subj, pred ORDER BY ts, obj) AS valid_to
           FROM eff
         ),
         first_change AS (

@@ -164,6 +164,11 @@ def ranking_metrics(
     rank (0 when nothing relevant is retrieved — the MRR convention),
     recall_mi = hits·10000 // n_gold.  No float exists anywhere at runtime.
 
+    Gain-0 judgments (TREC "judged non-relevant") participate in the ideal
+    ordering (contributing 0) but NOT in hits/recall/MRR — recall@k is
+    relevant-retrieved / relevant-total, and ``n_gold`` counts RELEVANT
+    judgments only.  A query whose judgments are ALL gain-0 stays in the
+    output with −1 ndcg AND −1 recall sentinels (undefined, not zero).
     Queries are the GOLD's queries (a run for an unjudged query is not
     evaluable); a judged query the run missed entirely scores 0/0/0.
 
@@ -177,6 +182,10 @@ def ranking_metrics(
 
     if discounts_mi is None:
         discounts_mi = [round(10000 / math.log2(r + 1)) for r in range(1, k + 1)]
+    if len(discounts_mi) < k:
+        # a short table would make element_at return NULL and SILENTLY drop
+        # deep hits from dcg/ideal
+        raise ValueError(f"discounts_mi has {len(discounts_mi)} entries, need k={k}")
     w_arr = F.array(*[F.lit(int(w)) for w in discounts_mi])
 
     topk = results.filter(F.col(rank_col) <= k).select(
@@ -185,7 +194,7 @@ def ranking_metrics(
     hit = topk.join(qrels.select(query_col, doc_col, gain_col), [query_col, doc_col])
     got = hit.groupBy(query_col).agg(
         F.sum(F.col(gain_col) * F.element_at(w_arr, F.col("_rank"))).alias("_dcg"),
-        F.count("*").cast("long").alias("hits"),
+        F.sum((F.col(gain_col) > 0).cast("long")).alias("hits"),
         F.min(F.when(F.col(gain_col) > 0, F.col("_rank"))).alias("_first_rel"),
     )
     iw = Window.partitionBy(query_col).orderBy(F.col(gain_col).desc(), F.col(doc_col))
@@ -195,14 +204,19 @@ def ranking_metrics(
         .groupBy(query_col)
         .agg(
             F.sum(F.col(gain_col) * F.element_at(w_arr, F.col("_irank"))).alias("_ideal"),
-            F.count("*").alias("_n_topk"),
         )
     )
-    n_gold = qrels.groupBy(query_col).agg(F.count("*").cast("long").alias("n_gold"))
-    base = n_gold.join(ideal, query_col).join(got, query_col, "left")
+    n_gold = (
+        qrels.filter(F.col(gain_col) > 0)
+        .groupBy(query_col)
+        .agg(F.count("*").cast("long").alias("n_gold"))
+    )
+    # ideal covers EVERY judged query; an all-gain-0 query stays in the
+    # output with the -1 ndcg/recall sentinels rather than silently dropping
+    base = ideal.join(n_gold, query_col, "left").join(got, query_col, "left")
     return base.select(
         query_col,
-        "n_gold",
+        F.coalesce(F.col("n_gold"), F.lit(0)).cast("long").alias("n_gold"),
         F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
         F.when(
             F.col("_ideal") > 0,
@@ -215,7 +229,13 @@ def ranking_metrics(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("rr_mi"),
-        F.expr("(coalesce(hits, 0L) * 10000L) div n_gold").cast("long").alias("recall_mi"),
+        F.when(
+            F.coalesce(F.col("n_gold"), F.lit(0)) > 0,
+            F.expr("(coalesce(hits, 0L) * 10000L) div n_gold"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("recall_mi"),
     )
 
 

@@ -143,6 +143,22 @@ def write_bucketed_postings(
     )
 
 
+def _fuzzy_vocab_match(vocab: DataFrame, terms: Sequence[str], max_edits: int) -> DataFrame:
+    """Candidate (term, token, …) pairs: broadcast-nested-loop of the tiny
+    term list against a token VOCABULARY frame with the |lenΔ| <= max_edits
+    necessary-condition prefilter before the O(n·m) levenshtein — the one
+    shared fuzzy-matching kernel behind search_terms_fuzzy and
+    spell_correct_terms (fix the matching semantics HERE, once)."""
+    uniq = sorted({t.lower() for t in terms})
+    spark = vocab.sparkSession
+    q = spark.createDataFrame([(t,) for t in uniq], "term string")
+    return vocab.join(
+        F.broadcast(q),
+        (F.abs(F.length("token") - F.length("term")) <= max_edits)
+        & (F.levenshtein("token", "term") <= max_edits),
+    )
+
+
 def search_terms_fuzzy(
     index: DataFrame,
     terms: Sequence[str],
@@ -165,15 +181,7 @@ def search_terms_fuzzy(
     score = Σ tf over matched (term, token) pairs (a token within edit
     distance of two query terms counts twice, once per term);
     n_terms = #query terms matched.  Deterministic order: score desc, id."""
-    terms = sorted({t.lower() for t in terms})
-    spark = index.sparkSession
-    q = spark.createDataFrame([(t,) for t in terms], "term string")
-    vocab = index.select("token").distinct()
-    matched = vocab.join(
-        F.broadcast(q),
-        (F.abs(F.length("token") - F.length("term")) <= max_edits)
-        & (F.levenshtein("token", "term") <= max_edits),
-    )
+    matched = _fuzzy_vocab_match(index.select("token").distinct(), terms, max_edits)
     scored = (
         index.join(matched, "token")
         .groupBy("id")
@@ -740,17 +748,9 @@ def spell_correct_terms(
     """
     from pyspark.sql.window import Window
 
-    uniq = sorted({t.lower() for t in terms})
-    spark = index.sparkSession
-    q = spark.createDataFrame([(t,) for t in uniq], "term string")
     vocab = index.groupBy("token").agg(F.sum("tf").cast("long").alias("freq"))
-    cands = (
-        vocab.crossJoin(F.broadcast(q))
-        .filter(
-            (F.abs(F.length("token") - F.length("term")) <= max_edits)
-            & (F.levenshtein("token", "term") <= max_edits)
-        )
-        .withColumn("edits", F.levenshtein("token", "term").cast("int"))
+    cands = _fuzzy_vocab_match(vocab, terms, max_edits).withColumn(
+        "edits", F.levenshtein("token", "term").cast("int")
     )
     w = Window.partitionBy("term").orderBy(
         F.col("edits"), F.col("freq").desc(), F.col("token")

@@ -243,3 +243,86 @@ def snm_candidate_pairs(
         )
         .select("id_a", "id_b", F.col("gap").cast("long").alias("gap"))
     )
+
+
+def collective_disambiguation(
+    mentions: DataFrame,
+    priors: DataFrame,
+    relatedness: DataFrame,
+    self_rel_i: int = 10000,
+) -> DataFrame:
+    """(doc, mention_id, surface, entity, score_i) — one-round collective
+    entity disambiguation (the ICA approximation of AIDA/TagMe coherence
+    objectives): each mention's candidates score
+
+        score = prior_i + Σ_{other mentions m'} rel(candidate, top(m'))
+
+    where top(m') is m's top-PRIOR candidate (the fixed context of the
+    round) and rel comes from a Milne–Witten-style relatedness table
+    (``milne_witten_relatedness`` output; symmetric pairs a < b); a
+    candidate IDENTICAL to a context entity scores ``self_rel_i`` (identity
+    is maximal coherence).  Argmax per mention, ties to the lexicographic
+    entity — fully deterministic, every term an exact int.
+
+    One round is the standard scalable compromise: full joint inference is
+    NP-hard, iterated ICA is order-sensitive; one fixed-context round is
+    deterministic and captures the dominant "my neighbors' obvious
+    readings" signal.
+
+    A mention whose surface has NO prior candidates emits NO row (NIL —
+    visible absence, same contract as spell_correct_terms): linking
+    coverage is ``|output| / |mentions|``, and NIL handling (create-entity
+    vs drop) is the caller's policy, not this operator's.
+
+    100 TB shape: context and candidates join doc-keyed (per-doc mention
+    count is small — the quadratic is within a page); relatedness joins on
+    the unordered pair key; the argmax is a mention-partitioned window.
+    """
+    from pyspark.sql.window import Window
+
+    w_top = Window.partitionBy("surface").orderBy(F.col("prior_i").desc(), F.col("entity"))
+    top1 = (
+        priors.withColumn("_rn", F.row_number().over(w_top))
+        .filter(F.col("_rn") == 1)
+        .select("surface", F.col("entity").alias("ctx_entity"))
+    )
+    ctx = mentions.join(top1, "surface").select(
+        "doc", F.col("mention_id").alias("ctx_mid"), "ctx_entity"
+    )
+    cands = mentions.join(priors, "surface")
+    pairs = (
+        cands.select("doc", "mention_id", "entity")
+        .join(ctx, "doc")
+        .filter(F.col("mention_id") != F.col("ctx_mid"))
+        .withColumn("pa", F.least("entity", "ctx_entity"))
+        .withColumn("pb", F.greatest("entity", "ctx_entity"))
+    )
+    rel = relatedness.select(F.col("a").alias("pa"), F.col("b").alias("pb"), "rel_i")
+    coh = (
+        pairs.join(rel, ["pa", "pb"], "left")
+        .select(
+            "doc",
+            "mention_id",
+            "entity",
+            F.when(F.col("entity") == F.col("ctx_entity"), F.lit(self_rel_i))
+            .otherwise(F.coalesce(F.col("rel_i"), F.lit(0)))
+            .alias("_r"),
+        )
+        .groupBy("doc", "mention_id", "entity")
+        .agg(F.sum("_r").cast("long").alias("_coh"))
+    )
+    scored = cands.join(coh, ["doc", "mention_id", "entity"], "left").select(
+        "doc",
+        "mention_id",
+        "surface",
+        "entity",
+        (F.col("prior_i") + F.coalesce(F.col("_coh"), F.lit(0))).cast("long").alias("score_i"),
+    )
+    w_pick = Window.partitionBy("doc", "mention_id").orderBy(
+        F.col("score_i").desc(), F.col("entity")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

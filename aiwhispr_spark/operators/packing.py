@@ -161,3 +161,83 @@ def passage_windows(
             F.col("p.n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    noise_pct: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, input_text, target_text, n_masked) — T5-style span
+    corruption (Raffel et al. 2020): tokens are masked by a CONTENT-SEEDED
+    coin (md5 of ``doc_id:position`` — rerun/retry-stable, no RNG state),
+    contiguous masked runs collapse to one ``<extra_id_K>`` sentinel in the
+    input, and the target is the sentinel-prefixed masked spans — the
+    denoising-objective prep step between a cleaned corpus and a pretraining
+    shard.
+
+    Built as ONE array fold (``F.aggregate`` over the token array with a
+    struct accumulator carrying input-so-far / target-so-far / in-run /
+    run-count): pure JVM, zero shuffle, zero python — the corruption runs
+    at scan speed.  The relational formulation (explode + window + two
+    filtered string_aggs) is the ORACLE's job; per-token exploding a 100 TB
+    corpus to decide masks would shuffle the tokenized corpus twice.
+    """
+    from pyspark.sql import functions as F
+
+    did = F.col(id_col).cast("string")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+    def masked(i):
+        h = F.conv(
+            F.substring(F.md5(F.concat(did, F.lit(":"), i.cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        return (h % 100) < noise_pct
+
+    items = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("tok"), masked(i).alias("m")
+        ),
+    )
+    init = F.struct(
+        F.lit("").alias("inp"),
+        F.lit("").alias("tgt"),
+        F.lit(False).alias("prev"),
+        F.lit(0).alias("runs"),
+        F.lit(0).alias("nm"),
+    )
+
+    def step(acc, x):
+        sentinel = F.concat(F.lit("<extra_id_"), acc["runs"].cast("string"), F.lit(">"))
+        new_run = x["m"] & ~acc["prev"]
+        inp = (
+            F.when(new_run, F.concat(acc["inp"], F.lit(" "), sentinel))
+            .when(x["m"], acc["inp"])
+            .otherwise(F.concat(acc["inp"], F.lit(" "), x["tok"]))
+        )
+        tgt = (
+            F.when(new_run, F.concat(acc["tgt"], F.lit(" "), sentinel, F.lit(" "), x["tok"]))
+            .when(x["m"], F.concat(acc["tgt"], F.lit(" "), x["tok"]))
+            .otherwise(acc["tgt"])
+        )
+        return F.struct(
+            inp.alias("inp"),
+            tgt.alias("tgt"),
+            x["m"].alias("prev"),
+            F.when(new_run, acc["runs"] + 1).otherwise(acc["runs"]).alias("runs"),
+            F.when(x["m"], acc["nm"] + 1).otherwise(acc["nm"]).alias("nm"),
+        )
+
+    agg = F.aggregate(items, init, step)
+    # guard: F.sequence(0, -1) runs BACKWARDS on an empty token array
+    empty = F.size(toks) == 0
+    return docs.select(
+        id_col,
+        F.when(empty, F.lit("")).otherwise(F.ltrim(agg["inp"])).alias("input_text"),
+        F.when(empty, F.lit("")).otherwise(F.ltrim(agg["tgt"])).alias("target_text"),
+        F.when(empty, F.lit(0)).otherwise(agg["nm"]).cast("int").alias("n_masked"),
+    )

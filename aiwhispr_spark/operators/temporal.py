@@ -810,6 +810,11 @@ def scd2_apply(
       * STALE rows (ts <= the open version's valid_from) are rejected — the
         standard monotone-feed contract (late facts belong in a quarantine
         re-run, not spliced into closed history);
+      * two changes to one key at the SAME ts tie-break by value (ts, then
+        ``val_col`` — the same "pre-aggregate or it's order-dependent"
+        caveat as asof_join: elect one value per (key, ts) upstream when
+        the tie order is not the semantics you want; the later of two
+        tied values becomes a zero-length version);
       * unseen keys pass through untouched; closed history is immutable.
 
     100 TB shape: every window runs over the BATCH (delta-sized, key-
@@ -831,14 +836,14 @@ def scd2_apply(
     fresh = changes.join(cur, key, "left").filter(
         F.col("_cur_from").isNull() | (F.col(ts_col) > F.col("_cur_from"))
     )
-    w_raw = Window.partitionBy(*key).orderBy(ts_col)
+    w_raw = Window.partitionBy(*key).orderBy(ts_col, val_col)
     seq = fresh.withColumn("_prev", F.lag(val_col).over(w_raw))
     eff = seq.filter(
         F.when(F.col("_prev").isNotNull(), F.col("_prev") != F.col(val_col)).otherwise(
             F.col("_cur").isNull() | (F.col("_cur") != F.col(val_col))
         )
     )
-    w_eff = Window.partitionBy(*key).orderBy(ts_col)
+    w_eff = Window.partitionBy(*key).orderBy(ts_col, val_col)
     new_versions = eff.select(
         *key,
         F.col(val_col),

@@ -38,11 +38,13 @@ def stream_interval_join(
 
     Both sides MUST carry watermarks (Spark refuses unbounded stream-stream
     joins in append mode otherwise) — together with the interval condition
-    they let the engine evict buffered rows deterministically.  Key columns
-    are required to be distinct names so the output schema is unambiguous.
+    they let the engine evict buffered rows deterministically.  The two
+    schemas must be fully DISJOINT (not just the key columns) so every
+    column reference in the condition and the output is unambiguous.
     """
-    if left_key == right_key:
-        raise ValueError("left_key and right_key must differ (rename one side)")
+    overlap = sorted(set(left.columns) & set(right.columns))
+    if overlap:
+        raise ValueError(f"left/right schemas share columns {overlap} — rename one side")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (

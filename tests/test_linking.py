@@ -156,3 +156,33 @@ def test_fellegi_sunter_empty_fields_raises(spark):
     df = spark.createDataFrame([(1, True)], "pid long, lab boolean")
     with pytest.raises(ValueError):
         fellegi_sunter_scores(df, [], "lab")
+
+
+def test_collective_disambiguation_flip_singleton_identity(spark):
+    from aiwhispr_spark.operators.linking import collective_disambiguation
+
+    pri = spark.createDataFrame(
+        [
+            ("jaguar", "JaguarCar", 6000),
+            ("jaguar", "JaguarCat", 5000),
+            ("habitat", "Habitat", 9000),
+        ],
+        "surface string, entity string, prior_i long",
+    )
+    rel = spark.createDataFrame(
+        [("Habitat", "JaguarCat", 9000)],  # a < b lexicographically
+        "a string, b string, rel_i long",
+    )
+    men = spark.createDataFrame(
+        [
+            ("doc1", 0, "jaguar"), ("doc1", 1, "habitat"),  # context flips to Cat
+            ("doc2", 0, "jaguar"),                            # singleton: prior wins
+            ("doc3", 0, "habitat"), ("doc3", 1, "habitat"),  # identity bonus
+        ],
+        "doc string, mention_id int, surface string",
+    )
+    got = {(r.doc, r.mention_id): (r.entity, r.score_i)
+           for r in collective_disambiguation(men, pri, rel).collect()}
+    assert got[("doc1", 0)] == ("JaguarCat", 5000 + 9000)  # coherence beats prior
+    assert got[("doc2", 0)] == ("JaguarCar", 6000)          # no context -> prior
+    assert got[("doc3", 0)] == ("Habitat", 9000 + 10000)    # identity context bonus

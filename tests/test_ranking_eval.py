@@ -81,3 +81,31 @@ def test_cohen_kappa_hand_computed_and_sentinel(spark):
     )
     [r3] = cohen_kappa(flip).collect()
     assert r3.kappa_mi == -10000
+
+
+def test_gain_zero_judgments_dont_count_as_hits(spark):
+    from aiwhispr_spark.operators.evaluation import ranking_metrics
+
+    got = _metrics(
+        spark,
+        [(1, "a", 1), (1, "b", 2), (2, "x", 1)],
+        [(1, "a", 0), (1, "b", 2), (1, "c", 0), (2, "x", 0)],  # a,c judged NON-relevant
+    )
+    r = got[1]
+    assert r.n_gold == 1  # only b is relevant
+    assert r.hits == 1  # the retrieved gain-0 doc a is NOT a hit
+    assert r.recall_mi == 10000
+    assert r.rr_mi == 5000  # first RELEVANT at rank 2
+    # all-gain-0 query: stays in the output with undefined sentinels
+    assert (got[2].n_gold, got[2].ndcg_mi, got[2].recall_mi) == (0, -1, -1)
+
+
+def test_short_discount_table_raises(spark):
+    import pytest
+
+    from aiwhispr_spark.operators.evaluation import ranking_metrics
+
+    res = spark.createDataFrame([(1, "a", 1)], "query_id long, doc_id string, rank int")
+    qr = spark.createDataFrame([(1, "a", 1)], "query_id long, doc_id string, gain long")
+    with pytest.raises(ValueError):  # silent NULL-drop of deep hits otherwise
+        ranking_metrics(res, qr, k=10, discounts_mi=[10000, 6309])

@@ -88,3 +88,20 @@ def test_windows_run_on_batch_not_store(spark):
     assert plan.count("Window") == 3
     # each window is keyed (no global single-partition window anywhere)
     assert plan.count("windowspecdefinition(subj") == 3
+
+
+def test_same_ts_changes_tie_break_by_value_deterministically(spark):
+    # the documented (ts, val) tie order: green sorts after blue, so blue is
+    # a zero-length version and green holds the open slot — SAME result on
+    # every run regardless of partitioning (pre-aggregate upstream when the
+    # tie order is not the semantics you want)
+    got = _apply(
+        spark,
+        [("E1", "color", "red", 100, None)],
+        [("E1", "color", "green", 200), ("E1", "color", "blue", 200)],
+    )
+    assert [(r.obj, r.valid_from, r.valid_to) for r in got] == [
+        ("red", 100, 200),
+        ("blue", 200, 200),
+        ("green", 200, None),
+    ]

@@ -141,3 +141,15 @@ def test_dedup_within_watermark_drops_then_forgets(spark, tmp_path):
         ("B", "2024-01-01 00:00:02"),
         ("C", "2024-01-01 01:00:00"),
     ]
+
+
+def test_interval_join_rejects_any_shared_column(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aiwhispr_spark.streaming.joins import stream_interval_join
+
+    l = spark.range(1).select(F.col("id").alias("k1"), F.col("id").cast("timestamp").alias("ts"))
+    r = spark.range(1).select(F.col("id").alias("k2"), F.col("id").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError):  # shared 'ts' would be ambiguous in the condition
+        stream_interval_join(l, r, "k1", "k2", "ts", "ts", 10)
