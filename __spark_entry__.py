@@ -5136,10 +5136,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
                 F.sum("l_quantity").cast("long").alias("sum_qty"),
-                F.round(F.sum("l_extendedprice")).cast("long").alias("sum_base_price_i"),
-                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                # per-row cents round FIRST, then an exact integer sum —
+                # round-after-float-sum is summation-order dependent
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
                 .cast("long")
-                .alias("sum_disc_price_i"),
+                .alias("sum_base_price_ci"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                    .cast("long")
+                )
+                .cast("long")
+                .alias("sum_disc_price_ci"),
                 F.round(F.avg("l_quantity") * 100).cast("long").alias("avg_qty_i"),
                 F.count(F.lit(1)).alias("count_order"),
             )
@@ -5156,11 +5163,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         )
         rev = joined.groupBy("o_orderkey").agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
             .cast("long")
-            .alias("revenue_i")
+            .alias("revenue_ci")
         )
-        return rev.orderBy(F.col("revenue_i").desc(), F.col("o_orderkey")).limit(10)
+        return rev.orderBy(F.col("revenue_ci").desc(), F.col("o_orderkey")).limit(10)
 
     q["tpch_q3_top_revenue"] = tpch_q3ish
 
@@ -11585,8 +11595,8 @@ def oracle_sql() -> dict[str, str]:
     o["tpch_q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-               CAST(round(sum(l_extendedprice)) AS BIGINT) AS sum_base_price_i,
-               CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS sum_disc_price_i,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_ci,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_ci,
                CAST(round(avg(l_quantity) * 100) AS BIGINT) AS avg_qty_i,
                count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= '1998-09-02'
@@ -11594,13 +11604,13 @@ def oracle_sql() -> dict[str, str]:
     """
     o["tpch_q3_top_revenue"] = """
         SELECT o_orderkey,
-               CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue_i
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_ci
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY o_orderkey
-        ORDER BY revenue_i DESC, o_orderkey LIMIT 10
+        ORDER BY revenue_ci DESC, o_orderkey LIMIT 10
     """
     o["broadcast_chain_region_suppliers"] = """
         SELECT r_name, count(*) AS n_suppliers

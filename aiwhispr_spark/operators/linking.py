@@ -250,6 +250,7 @@ def collective_disambiguation(
     priors: DataFrame,
     relatedness: DataFrame,
     self_rel_i: int = 10000,
+    rel_col: str = "rel_i",
 ) -> DataFrame:
     """(doc, mention_id, surface, entity, score_i) — one-round collective
     entity disambiguation (the ICA approximation of AIDA/TagMe coherence
@@ -259,7 +260,9 @@ def collective_disambiguation(
 
     where top(m') is m's top-PRIOR candidate (the fixed context of the
     round) and rel comes from a Milne–Witten-style relatedness table
-    (``milne_witten_relatedness`` output; symmetric pairs a < b); a
+    (symmetric pairs a < b with the score in ``rel_col`` — pass
+    ``milne_witten_relatedness`` output with ``rel_col="mw_mi"``; its −1
+    undefined-denominator sentinel is clamped to 0, never subtracted); a
     candidate IDENTICAL to a context entity scores ``self_rel_i`` (identity
     is maximal coherence).  Argmax per mention, ties to the lexicographic
     entity — fully deterministic, every term an exact int.
@@ -278,8 +281,6 @@ def collective_disambiguation(
     count is small — the quadratic is within a page); relatedness joins on
     the unordered pair key; the argmax is a mention-partitioned window.
     """
-    from pyspark.sql.window import Window
-
     w_top = Window.partitionBy("surface").orderBy(F.col("prior_i").desc(), F.col("entity"))
     top1 = (
         priors.withColumn("_rn", F.row_number().over(w_top))
@@ -297,7 +298,11 @@ def collective_disambiguation(
         .withColumn("pa", F.least("entity", "ctx_entity"))
         .withColumn("pb", F.greatest("entity", "ctx_entity"))
     )
-    rel = relatedness.select(F.col("a").alias("pa"), F.col("b").alias("pb"), "rel_i")
+    rel = relatedness.select(
+        F.col("a").alias("pa"),
+        F.col("b").alias("pb"),
+        F.greatest(F.col(rel_col), F.lit(0)).alias("rel_i"),
+    )
     coh = (
         pairs.join(rel, ["pa", "pb"], "left")
         .select(

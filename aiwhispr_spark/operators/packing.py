@@ -233,8 +233,10 @@ def span_corruption(
         )
 
     agg = F.aggregate(items, init, step)
-    # guard: F.sequence(0, -1) runs BACKWARDS on an empty token array
-    empty = F.size(toks) == 0
+    # guard: F.sequence(0, -1) runs BACKWARDS on an empty token array, and a
+    # NULL text yields a NULL token array (size() = NULL is falsy -> the
+    # otherwise-branch would propagate NULL through the fold)
+    empty = toks.isNull() | (F.size(toks) == 0)
     return docs.select(
         id_col,
         F.when(empty, F.lit("")).otherwise(F.ltrim(agg["inp"])).alias("input_text"),

@@ -813,8 +813,9 @@ def scd2_apply(
       * two changes to one key at the SAME ts tie-break by value (ts, then
         ``val_col`` — the same "pre-aggregate or it's order-dependent"
         caveat as asof_join: elect one value per (key, ts) upstream when
-        the tie order is not the semantics you want; the later of two
-        tied values becomes a zero-length version);
+        the tie order is not the semantics you want; the EARLIER-sorted
+        of two tied values becomes the zero-length version and the
+        later-sorted one holds the open slot);
       * unseen keys pass through untouched; closed history is immutable.
 
     100 TB shape: every window runs over the BATCH (delta-sized, key-

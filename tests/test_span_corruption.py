@@ -57,3 +57,14 @@ def test_span_corruption_is_lossless_and_deterministic(spark):
         (again[k].input_text, again[k].target_text) == (out[k].input_text, out[k].target_text)
         for k in out
     )
+
+
+def test_null_text_behaves_like_empty(spark):
+    # NULL text must not propagate NULL through the fold (the oracle's
+    # unnest+coalesce path yields ''/''/0 — the engine must match)
+    from aiwhispr_spark.operators.packing import span_corruption
+
+    docs = spark.createDataFrame([(1, None), (2, "a b")], "doc_id long, text string")
+    got = {r.doc_id: r for r in span_corruption(docs).collect()}
+    assert (got[1].input_text, got[1].target_text, got[1].n_masked) == ("", "", 0)
+    assert got[2].n_masked is not None
