@@ -5001,6 +5001,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["collective_entity_linking"] = collective
 
+    def rrf(spark, sf):
+        # reciprocal-rank fusion (fulltext.py::rrf_fuse) of two arms with
+        # incomparable scores — tf-rank['spark','query'] and tf-rank['data']
+        # — fused purely by rank (1e6 div (60+rank), exact ints).  The
+        # ≤20-row rank windows run on already-limited arm outputs.
+        from pyspark.sql.window import Window
+
+        from aiwhispr_spark.operators.fulltext import (
+            build_inverted_index,
+            rrf_fuse,
+            search_terms,
+        )
+
+        d = _t(spark, sf, "documents")
+        idx = build_inverted_index(d)
+
+        def ranked(terms):
+            arm = search_terms(idx, terms, k=20)
+            w = Window.orderBy(F.col("score").desc(), F.col("id"))
+            return arm.withColumn("rank", F.row_number().over(w))
+
+        return rrf_fuse([ranked(["spark", "query"]), ranked(["data"])], k=15)
+
+    q["rrf_fusion_topk"] = rrf
+
+    def epochs(spark, sf):
+        # UniMax epoch-capped budget water-fill (mixing.py::
+        # epoch_allocation): 12 sources, 40k-token budget, 3-epoch cap —
+        # small sources cap out, the freed budget redistributes equally;
+        # exact closed-form flags (no iteration), mirrored in SQL.
+        from aiwhispr_spark.operators.mixing import epoch_allocation
+
+        src = spark.range(12).select(
+            F.concat(F.lit("src"), F.col("id")).alias("source"),
+            (1000 * (F.col("id") + 1) + (F.col("id") % 3) * 50)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        return epoch_allocation(src, budget_tokens=40000, max_epochs=3)
+
+    q["epoch_budget_waterfill"] = epochs
+
     def tpch_q18ish(spark, sf):
         # TPC-H Q18 (large-volume customers): orders whose total quantity
         # exceeds 200, joined back to orders+customer, top-100 by price.
@@ -7492,6 +7534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scd2_from_crawl",
         "span_corruption_t5",
         "collective_entity_linking",
+        "rrf_fusion_topk",
+        "epoch_budget_waterfill",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -10950,6 +10994,73 @@ def oracle_sql() -> dict[str, str]:
         FROM range(120) t(i)
     """
     o["host_simrank_3"] = _simrank_sql(3, _host_edges_sql())
+    o["epoch_budget_waterfill"] = """
+        WITH src AS (
+          SELECT 'src' || s AS source,
+                 CAST(1000 * (s + 1) + (s % 3) * 50 AS BIGINT) AS n_tokens
+          FROM range(12) t(s)
+        ),
+        base AS (SELECT *, CAST(n_tokens * 3 AS BIGINT) AS cap_tokens FROM src),
+        seq AS (
+          SELECT *, row_number() OVER (ORDER BY cap_tokens, source) AS i,
+                 coalesce(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pprev,
+                 COUNT(*) OVER () AS s_total
+          FROM base
+        ),
+        flg AS (
+          SELECT *, CASE WHEN cap_tokens * (s_total - i + 1) <= 40000 - pprev
+                         THEN 1 ELSE 0 END AS capped
+          FROM seq
+        ),
+        fill AS (
+          SELECT SUM(capped) AS t_capped,
+                 coalesce(SUM(CASE WHEN capped = 1 THEN cap_tokens END), 0) AS p_capped
+          FROM flg
+        ),
+        alloc AS (
+          SELECT flg.*, fill.t_capped, fill.p_capped,
+                 CASE WHEN capped = 1 THEN cap_tokens
+                      WHEN s_total > t_capped
+                        THEN (40000 - p_capped) // (s_total - t_capped)
+                      ELSE 0 END AS alloc_tokens
+          FROM flg, fill
+        )
+        SELECT source, n_tokens, cap_tokens,
+               CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+               CAST(capped AS INT) AS capped,
+               CAST(alloc_tokens * 10000 // n_tokens AS BIGINT) AS epochs_mi
+        FROM alloc
+    """
+    o["rrf_fusion_topk"] = """
+        WITH idx AS (
+          SELECT doc_id AS id, t.token, count(*) AS tf
+          FROM documents,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(token)
+          WHERE t.token <> ''
+          GROUP BY 1, 2
+        ),
+        arm_a AS (
+          SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM (
+            SELECT id, SUM(tf) AS score FROM idx
+            WHERE token IN ('query', 'spark') GROUP BY id
+            ORDER BY score DESC, id LIMIT 20)
+        ),
+        arm_b AS (
+          SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM (
+            SELECT id, SUM(tf) AS score FROM idx
+            WHERE token = 'data' GROUP BY id
+            ORDER BY score DESC, id LIMIT 20)
+        ),
+        u AS (
+          SELECT id, 1000000 // (60 + rank) AS rr FROM arm_a
+          UNION ALL
+          SELECT id, 1000000 // (60 + rank) FROM arm_b
+        )
+        SELECT id, CAST(SUM(rr) AS BIGINT) AS rrf_mi, CAST(COUNT(*) AS INT) AS n_arms
+        FROM u GROUP BY id
+        ORDER BY rrf_mi DESC, n_arms DESC, id LIMIT 15
+    """
     o["collective_entity_linking"] = """
         WITH pri AS (
           SELECT 's' || k AS surface, 'A' || k AS entity, CAST(6000 AS BIGINT) AS prior_i

@@ -760,3 +760,48 @@ def spell_correct_terms(
         .filter(F.col("_rn") == 1)
         .select("term", F.col("token").alias("suggestion"), "edits", "freq")
     )
+
+
+def rrf_fuse(
+    runs: Sequence[DataFrame],
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(id, rrf_mi, n_arms) top-k reciprocal-rank fusion (Cormack et al.
+    2009) of N ranked runs: ``rrf = Σ_arms 1/(rrf_k + rank)`` — THE
+    standard score-free way to merge heterogeneous retrieval arms (lexical
+    + semantic + fuzzy) whose raw scores are incomparable; rank is all that
+    transfers.
+
+    Exactness: each reciprocal enters as ``1_000_000 div (rrf_k + rank)``
+    (integer floor, identical in any SQL oracle) and the fused score is an
+    exact BIGINT sum.  Ties order by (rrf_mi desc, n_arms desc, id asc).
+
+    100 TB shape: the runs are ALREADY top-k outputs (tiny frames) — the
+    union-then-aggregate here moves O(Σ|runs|) rows no matter how big the
+    corpus behind them was; fusion is never the bottleneck, and the arms
+    keep their own optimal plans.
+    """
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    parts = [
+        r.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"1000000 div ({int(rrf_k)} + {rank_col})").cast("long").alias("_rr"),
+        )
+        for r in runs
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy("id")
+        .agg(
+            F.sum("_rr").cast("long").alias("rrf_mi"),
+            F.count(F.lit(1)).cast("int").alias("n_arms"),
+        )
+        .orderBy(F.col("rrf_mi").desc(), F.col("n_arms").desc(), F.col("id"))
+        .limit(k)
+    )

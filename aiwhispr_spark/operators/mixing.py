@@ -186,3 +186,89 @@ def weighted_sample_without_replacement(
             "rk",
         )
     )
+
+
+def epoch_allocation(
+    sources: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(source, n_tokens, cap_tokens, alloc_tokens, capped, epochs_mi) —
+    UniMax-style epoch-capped budget WATER-FILL (Chung et al. 2023): give
+    every source an equal share of the token budget, except no source may
+    repeat more than ``max_epochs`` times; budget freed by capped (small)
+    sources redistributes equally among the rest.
+
+    Exact integer closed form (no iteration): sort by cap = n·E ascending;
+    source i is capped iff cap_i·(S−i+1) ≤ B − prefix_cap_{i−1} — once the
+    test fails it can never pass again (caps ascend), so the flag column IS
+    the sequential water-fill.  Uncapped sources get ``(B − Σ capped caps)
+    div (S − T)`` (the ≤ S−T−1 remainder tokens stay unallocated — floor
+    share, deterministic); ``epochs_mi = alloc·10000 div n``.
+
+    100 TB shape: the frame is the SOURCE REGISTRY (dozens of rows — the
+    corpus never enters), so the single-partition ordering window is
+    registry-sized by construction; the two 1-row stats broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    b, e = int(budget_tokens), int(max_epochs)
+    base = (
+        sources.select(
+            F.col(source_col).alias("source"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("cap_tokens", (F.col("n_tokens") * e).cast("long"))
+    )
+    w = Window.orderBy("cap_tokens", "source")
+    n_src = base.agg(F.count(F.lit(1)).cast("long").alias("s_total"))
+    seq = (
+        base.withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            "_pprev",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .crossJoin(F.broadcast(n_src))
+        .withColumn(
+            "capped",
+            (
+                F.col("cap_tokens") * (F.col("s_total") - F.col("_i") + 1)
+                <= F.lit(b) - F.col("_pprev")
+            ).cast("int"),
+        )
+    )
+    fill = seq.agg(
+        F.sum("capped").cast("long").alias("t_capped"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("cap_tokens"))), F.lit(0)
+        ).cast("long").alias("p_capped"),
+    )
+    return (
+        seq.crossJoin(F.broadcast(fill))
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("capped") == 1, F.col("cap_tokens"))
+            .when(
+                F.col("s_total") > F.col("t_capped"),
+                F.expr(f"({b} - p_capped) div (s_total - t_capped)"),
+            )
+            .otherwise(F.lit(0))  # unreachable: every row capped ⇒ no uncapped row
+            .cast("long"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "cap_tokens",
+            "alloc_tokens",
+            "capped",
+            F.expr("(alloc_tokens * 10000) div n_tokens").cast("long").alias("epochs_mi"),
+        )
+    )
