@@ -5033,9 +5033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact closed-form flags (no iteration), mirrored in SQL.
         from aiwhispr_spark.operators.mixing import epoch_allocation
 
-        src = spark.range(12).select(
+        src = spark.range(13).select(
             F.concat(F.lit("src"), F.col("id")).alias("source"),
-            (1000 * (F.col("id") + 1) + (F.col("id") % 3) * 50)
+            F.when(F.col("id") == 12, F.lit(0))
+            .otherwise(1000 * (F.col("id") + 1) + (F.col("id") % 3) * 50)
             .cast("long")
             .alias("n_tokens"),
         )
@@ -10997,10 +10998,12 @@ def oracle_sql() -> dict[str, str]:
     o["epoch_budget_waterfill"] = """
         WITH src AS (
           SELECT 'src' || s AS source,
-                 CAST(1000 * (s + 1) + (s % 3) * 50 AS BIGINT) AS n_tokens
-          FROM range(12) t(s)
+                 CAST(CASE WHEN s = 12 THEN 0
+                      ELSE 1000 * (s + 1) + (s % 3) * 50 END AS BIGINT) AS n_tokens
+          FROM range(13) t(s)
         ),
-        base AS (SELECT *, CAST(n_tokens * 3 AS BIGINT) AS cap_tokens FROM src),
+        base AS (SELECT *, CAST(n_tokens * 3 AS BIGINT) AS cap_tokens
+                 FROM src WHERE n_tokens > 0),
         seq AS (
           SELECT *, row_number() OVER (ORDER BY cap_tokens, source) AS i,
                  coalesce(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
@@ -11031,6 +11034,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(capped AS INT) AS capped,
                CAST(alloc_tokens * 10000 // n_tokens AS BIGINT) AS epochs_mi
         FROM alloc
+        UNION ALL
+        SELECT source, n_tokens, 0, 0, 0, 0 FROM src WHERE n_tokens <= 0
     """
     o["rrf_fusion_topk"] = """
         WITH idx AS (

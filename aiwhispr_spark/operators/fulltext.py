@@ -786,10 +786,15 @@ def rrf_fuse(
     """
     if not runs:
         raise ValueError("rrf_fuse needs at least one run")
+    # per-run min-rank dedup: a run carrying an id twice (tie expansion,
+    # upstream unions) must contribute ONE reciprocal, or n_arms inflates
     parts = [
-        r.select(
-            F.col(id_col).alias("id"),
-            F.expr(f"1000000 div ({int(rrf_k)} + {rank_col})").cast("long").alias("_rr"),
+        r.select(F.col(id_col).alias("id"), F.col(rank_col).alias("_rank"))
+        .groupBy("id")
+        .agg(F.min("_rank").alias("_rank"))
+        .select(
+            "id",
+            F.expr(f"1000000 div ({int(rrf_k)} + `_rank`)").cast("long").alias("_rr"),
         )
         for r in runs
     ]

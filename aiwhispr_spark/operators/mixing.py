@@ -215,13 +215,25 @@ def epoch_allocation(
     from pyspark.sql.window import Window
 
     b, e = int(budget_tokens), int(max_epochs)
-    base = (
-        sources.select(
-            F.col(source_col).alias("source"),
-            F.col(tokens_col).cast("long").alias("n_tokens"),
-        )
-        .filter(F.col("n_tokens") > 0)
-        .withColumn("cap_tokens", (F.col("n_tokens") * e).cast("long"))
+    rows = sources.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    # NULL/zero-token sources stay VISIBLE with a zero allocation (they
+    # cannot absorb budget, but silently dropping registry rows is the
+    # linededup-NULL-doc bug class); they never enter S or the prefix sums
+    ineligible = rows.filter(
+        F.col("n_tokens").isNull() | (F.col("n_tokens") <= 0)
+    ).select(
+        "source",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("cap_tokens"),
+        F.lit(0).cast("long").alias("alloc_tokens"),
+        F.lit(0).cast("int").alias("capped"),
+        F.lit(0).cast("long").alias("epochs_mi"),
+    )
+    base = rows.filter(F.col("n_tokens") > 0).withColumn(
+        "cap_tokens", (F.col("n_tokens") * e).cast("long")
     )
     w = Window.orderBy("cap_tokens", "source")
     n_src = base.agg(F.count(F.lit(1)).cast("long").alias("s_total"))
@@ -271,4 +283,5 @@ def epoch_allocation(
             "capped",
             F.expr("(alloc_tokens * 10000) div n_tokens").cast("long").alias("epochs_mi"),
         )
+        .unionByName(ineligible)
     )

@@ -1,9 +1,6 @@
 """UniMax epoch water-fill (mixing.py::epoch_allocation) + RRF fusion
 (fulltext.py::rrf_fuse) — budget conservation, cap respect, equal shares."""
 
-from pyspark.sql import functions as F
-
-
 def _alloc(spark, rows, budget, epochs):
     from aiwhispr_spark.operators.mixing import epoch_allocation
 
@@ -48,3 +45,21 @@ def test_rrf_prefers_docs_ranked_in_both_arms(spark):
     assert out[0] == (20, rr(2) + rr(1), 2)
     assert out[1] == (10, rr(1), 1)
     assert [x[0] for x in out] == [20, 10, 40, 30]
+
+
+def test_waterfill_keeps_ineligible_sources_visible(spark):
+    got = _alloc(spark, [("a", 1000), ("zero", 0), ("nul", None)], 900, 3)
+    assert set(got) == {"a", "zero", "nul"}  # registry rows never vanish
+    assert (got["zero"].alloc_tokens, got["zero"].epochs_mi) == (0, 0)
+    assert (got["nul"].n_tokens, got["nul"].alloc_tokens) == (0, 0)
+    assert got["a"].alloc_tokens == 900  # budget split over ELIGIBLE only
+
+
+def test_rrf_dedups_ids_within_a_run(spark):
+    from aiwhispr_spark.operators.fulltext import rrf_fuse
+
+    arm = spark.createDataFrame([(7, 3), (7, 9), (8, 1)], "id long, rank int")
+    out = {r.id: (r.rrf_mi, r.n_arms) for r in rrf_fuse([arm], k=10).collect()}
+    rr = lambda r: 1_000_000 // (60 + r)
+    assert out[7] == (rr(3), 1)  # min rank once, never double-counted
+    assert out[8] == (rr(1), 1)

@@ -137,6 +137,10 @@ SHOWN = [
     ("prf_query_expansion", "feedback-doc ids (≤ k_docs rows) broadcast back onto the postings; expansion aggregates feedback postings only, never the corpus"),
     ("copula_isa_polarity", "one regexp_extract_all projection + in-row zip/explode: no python stage, no shuffle"),
     ("xml_native_roundtrip", "V2 XML scan with an EXPLICIT schema — no inference pre-scan pass; typed attribute projection"),
+    ("rrf_fusion_topk", "fusion aggregates ONLY the two ≤20-row arm outputs (each arm keeps its own broadcast-term plan); rank windows run on already-limited frames"),
+    ("epoch_budget_waterfill", "single-partition ordering window is REGISTRY-sized by construction (sources, not corpus); the two stats frames broadcast"),
+    ("span_corruption_t5", "ONE F.aggregate fold inside the projection: zero shuffle, zero python — corruption at scan speed"),
+    ("collective_entity_linking", "context join is doc-keyed (per-page quadratic only); relatedness joins on the unordered pair key; argmax is a mention-partitioned window"),
 ]
 
 
