@@ -5044,6 +5044,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["epoch_budget_waterfill"] = epochs
 
+    def contrastive(spark, sf):
+        # contrastive training triplets (dedup.py::contrastive_triplets)
+        # composed on the md5-minhash near-dup pairs: positive = best
+        # near-dup (max scaled jaccard, tie min id), negative = argmin
+        # md5(anchor:cand) over a hash-probe subset, with ALL near-dup
+        # partners excluded (false negatives poison the loss).  Oracle
+        # recomposes the whole chain on _minhash_cte.
+        from aiwhispr_spark.operators.dedup import contrastive_triplets, minhash_lsh_pairs_md5
+
+        d0 = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select("doc_id", "text")
+        aug = d0.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(MINHASH_TAIL)).alias("text"),
+        )
+        alld = d0.unionByName(aug)
+        pairs = minhash_lsh_pairs_md5(alld, "text", "doc_id")
+        return contrastive_triplets(pairs, alld.select("doc_id"))
+
+    q["contrastive_triplets"] = contrastive
+
     def tpch_q18ish(spark, sf):
         # TPC-H Q18 (large-volume customers): orders whose total quantity
         # exceeds 200, joined back to orders+customer, top-100 by price.
@@ -7537,6 +7557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collective_entity_linking",
         "rrf_fusion_topk",
         "epoch_budget_waterfill",
+        "contrastive_triplets",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -10995,6 +11016,38 @@ def oracle_sql() -> dict[str, str]:
         FROM range(120) t(i)
     """
     o["host_simrank_3"] = _simrank_sql(3, _host_edges_sql())
+    o["contrastive_triplets"] = (
+        "WITH "
+        + _minhash_cte()
+        + """,
+        sym AS (
+          SELECT a AS anchor, b AS pos, jaccard_i FROM pairs
+          UNION ALL SELECT b, a, jaccard_i FROM pairs
+        ),
+        best AS (
+          SELECT anchor, pos FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor
+                        ORDER BY jaccard_i DESC, pos) AS rn FROM sym)
+          WHERE rn = 1
+        ),
+        probe AS (
+          SELECT doc_id AS cand FROM alld
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 37 = 0
+        ),
+        cand_pairs AS (
+          SELECT b.anchor, b.pos, p.cand,
+                 md5(b.anchor || ':' || p.cand) AS h
+          FROM best b, probe p
+          WHERE p.cand <> b.anchor AND p.cand <> b.pos
+            AND NOT EXISTS (SELECT 1 FROM sym s
+                            WHERE s.anchor = b.anchor AND s.pos = p.cand)
+        )
+        SELECT anchor, pos AS pos_id, cand AS neg_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY h, cand) AS rn
+          FROM cand_pairs)
+        WHERE rn = 1
+    """
+    )
     o["epoch_budget_waterfill"] = """
         WITH src AS (
           SELECT 'src' || s AS source,

@@ -748,3 +748,65 @@ def elect_keepers_by_quality(
         .select(F.col("grp"), F.col("id").alias("keep_id"))
     )
     return withg.join(keep, "grp").select("id", "keep_id", "score_i")
+
+
+def contrastive_triplets(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    probe_mod: int = 37,
+) -> DataFrame:
+    """(anchor, pos_id, neg_id) — contrastive training triplets for
+    embedding-model fine-tuning, mined from a near-dup pair table: the
+    POSITIVE is the anchor's best near-duplicate (max jaccard, tie → min
+    partner id), the NEGATIVE is a content-addressed random non-duplicate.
+
+    Negative sampling at scale: candidates come from a HASH-PROBE subset
+    (fingerprint(id) % probe_mod == 0 — ~1/probe_mod of the corpus,
+    broadcastable) rather than a corpus-wide argmin; within the probe the
+    winner is argmin md5(anchor:cand) (rerun/retry-stable, no RNG state),
+    excluding the anchor itself, its positive, and ANY of its near-dup
+    partners (a false negative poisons the contrastive loss).
+
+    100 TB shape: the pair table is the (already skinny) LSH output; the
+    probe broadcast makes negative assignment a narrow map per anchor; both
+    argmax/argmin windows partition by anchor.
+    """
+    from aiwhispr_spark.operators.textstats import fingerprint_expr
+
+    sym = pairs.select(
+        F.col("a").alias("anchor"), F.col("b").alias("pos"), "jaccard"
+    ).unionByName(
+        pairs.select(F.col("b").alias("anchor"), F.col("a").alias("pos"), "jaccard")
+    )
+    # order by the SCALED jaccard (the cross-engine compare unit), tie -> pos
+    sym = sym.withColumn("_j", F.round(F.col("jaccard") * 1_000_000).cast("long"))
+    w_pos = Window.partitionBy("anchor").orderBy(F.col("_j").desc(), F.col("pos"))
+    best = (
+        sym.withColumn("_rn", F.row_number().over(w_pos))
+        .filter(F.col("_rn") == 1)
+        .select("anchor", "pos")
+    )
+    probe = ids.select(F.col(id_col).alias("cand")).filter(
+        fingerprint_expr(F.col("cand").cast("string")) % probe_mod == 0
+    )
+    linked = sym.select("anchor", F.col("pos").alias("cand"))
+    cand = (
+        best.crossJoin(F.broadcast(probe))
+        .filter((F.col("cand") != F.col("anchor")) & (F.col("cand") != F.col("pos")))
+        .join(linked, ["anchor", "cand"], "left_anti")
+        .withColumn(
+            "_h",
+            F.md5(
+                F.concat(
+                    F.col("anchor").cast("string"), F.lit(":"), F.col("cand").cast("string")
+                )
+            ),
+        )
+    )
+    w_neg = Window.partitionBy("anchor").orderBy("_h", "cand")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w_neg))
+        .filter(F.col("_rn") == 1)
+        .select("anchor", F.col("pos").alias("pos_id"), F.col("cand").alias("neg_id"))
+    )

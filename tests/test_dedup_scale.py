@@ -238,3 +238,28 @@ def test_containment_pairs_stop_shingle_cap_blocks_only(spark):
     assert containment_pairs(df, n=3, threshold=0.5, max_shingle_df=3).count() == 0
     # raising the cap re-admits them (identical docs: both directions at 1.0)
     assert containment_pairs(df, n=3, threshold=0.5, max_shingle_df=10).count() == 20
+
+
+def test_contrastive_triplets_positive_election_and_negative_exclusion(spark):
+    from pyspark.sql import functions as F
+
+    from aiwhispr_spark.operators.dedup import contrastive_triplets
+
+    # pair table: 1's best dup is 2 (J=.9) over 3 (J=.6); 4 is isolated
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.6)], "a long, b long, jaccard double"
+    )
+    ids = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    got = {r.anchor: r for r in contrastive_triplets(pairs, ids, probe_mod=3).collect()}
+    assert set(got) == {1, 2, 3}  # every paired doc anchors; isolated docs don't
+    assert got[1].pos_id == 2  # max jaccard wins
+    assert got[2].pos_id == 1 and got[3].pos_id == 1
+    # negative is never the anchor, its positive, or ANY near-dup partner
+    partners = {1: {2, 3}, 2: {1}, 3: {1}}
+    for r in got.values():
+        assert r.neg_id != r.anchor
+        assert r.neg_id not in partners[r.anchor]
+
+    # determinism: content-addressed negatives repeat exactly
+    again = {r.anchor: r.neg_id for r in contrastive_triplets(pairs, ids, probe_mod=3).collect()}
+    assert again == {k: v.neg_id for k, v in got.items()}
