@@ -5064,6 +5064,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contrastive_triplets"] = contrastive
 
+    def transitions(spark, sf):
+        # first-order event-type Markov matrix (temporal.py::
+        # event_transitions) over each user's (ts, event_id)-ordered
+        # timeline; exact integer row-normalized probabilities.
+        from aiwhispr_spark.operators.temporal import event_transitions
+
+        return event_transitions(_t(spark, sf, "events"))
+
+    q["event_markov_transitions"] = transitions
+
     def tpch_q18ish(spark, sf):
         # TPC-H Q18 (large-volume customers): orders whose total quantity
         # exceeds 200, joined back to orders+customer, top-100 by price.
@@ -7558,6 +7568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion_topk",
         "epoch_budget_waterfill",
         "contrastive_triplets",
+        "event_markov_transitions",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -11016,6 +11027,22 @@ def oracle_sql() -> dict[str, str]:
         FROM range(120) t(i)
     """
     o["host_simrank_3"] = _simrank_sql(3, _host_edges_sql())
+    o["event_markov_transitions"] = """
+        WITH nxt AS (
+          SELECT event_type AS src_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst_type
+          FROM events
+        ),
+        counts AS (
+          SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM nxt WHERE dst_type IS NOT NULL GROUP BY 1, 2
+        ),
+        totals AS (SELECT src_type, SUM(n) AS tot FROM counts GROUP BY 1)
+        SELECT src_type, dst_type, n,
+               CAST((n * 1000000) // tot AS BIGINT) AS p_mi
+        FROM counts JOIN totals USING (src_type)
+    """
     o["contrastive_triplets"] = (
         "WITH "
         + _minhash_cte()

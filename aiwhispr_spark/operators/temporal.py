@@ -857,3 +857,41 @@ def scd2_apply(
         .select(*key, val_col, from_col, F.col("_first_ts").alias(to_col))
     )
     return closed.unionByName(open_updated).unionByName(new_versions)
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(src_type, dst_type, n, p_mi) — first-order Markov transition matrix
+    of event types along each user's timeline (the clickstream-analytics
+    staple: "what follows a view?"; the row-normalized probabilities feed
+    funnel analysis and next-event prediction baselines).
+
+    Determinism: per-user order is (ts, id) — the unique id tie-break makes
+    same-timestamp events order-stable in both engines; ``p_mi`` is the
+    exact integer ``n·1e6 div row_total``.
+
+    100 TB shape: ONE user-partitioned lead window (never global) + two
+    map-side-combinable aggregates onto a |types|² key space; the |types|-
+    row totals broadcast back.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    nxt = (
+        events.select(user_col, ts_col, id_col, F.col(type_col).alias("src_type"))
+        .withColumn("dst_type", F.lead("src_type").over(w))
+        .filter(F.col("dst_type").isNotNull())
+    )
+    counts = nxt.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("src_type").agg(F.sum("n").cast("long").alias("_tot"))
+    return counts.join(F.broadcast(totals), "src_type").select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.expr("(n * 1000000) div _tot").cast("long").alias("p_mi"),
+    )

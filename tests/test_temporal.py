@@ -100,3 +100,26 @@ def test_asof_join_is_single_shuffle(spark):
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"):
         assert bad not in plan, f"asof_join plan fell back to {bad}:\n{plan[:1500]}"
     assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_event_transitions_hand_computed_with_tie(spark):
+    from aiwhispr_spark.operators.temporal import event_transitions
+
+    rows = [
+        # user 1: view -> click -> view ; same-ts tie broken by event_id
+        (1, 1, 100, "view"),
+        (2, 1, 200, "click"),
+        (3, 1, 200, "view"),  # ties with event 2 at ts=200; id orders it after
+        # user 2: view -> view (no cross-user transition to user 1)
+        (4, 2, 100, "view"),
+        (5, 2, 150, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    got = {(r.src_type, r.dst_type): (r.n, r.p_mi) for r in event_transitions(ev).collect()}
+    # transitions: u1: view->click, click->view; u2: view->view
+    assert got[("view", "click")] == (1, 500000)  # of 2 view-outgoing
+    assert got[("view", "view")] == (1, 500000)
+    assert got[("click", "view")] == (1, 1000000)
+    assert len(got) == 3  # nothing crosses user boundaries
