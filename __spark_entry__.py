@@ -11115,7 +11115,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(alloc_tokens * 10000 // n_tokens AS BIGINT) AS epochs_mi
         FROM alloc
         UNION ALL
-        SELECT source, n_tokens, 0, 0, 0, 0 FROM src WHERE n_tokens <= 0
+        SELECT source, CAST(coalesce(n_tokens, 0) AS BIGINT), 0, 0, 0, 0
+        FROM src WHERE n_tokens <= 0 OR n_tokens IS NULL
     """
     o["rrf_fusion_topk"] = """
         WITH idx AS (

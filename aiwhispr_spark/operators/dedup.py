@@ -779,8 +779,14 @@ def contrastive_triplets(
     ).unionByName(
         pairs.select(F.col("b").alias("anchor"), F.col("a").alias("pos"), "jaccard")
     )
-    # order by the SCALED jaccard (the cross-engine compare unit), tie -> pos
-    sym = sym.withColumn("_j", F.round(F.col("jaccard") * 1_000_000).cast("long"))
+    # order by jaccard scaled at 1e4 — the SAME unit the pair-table oracles
+    # (_minhash_cte's jaccard_i) rank by; a finer election unit here could
+    # pick a different positive than the oracle on 1e4-rounding ties
+    sym = sym.withColumn("_j", F.round(F.col("jaccard") * 10_000).cast("long"))
+    # sym feeds TWO plan branches (election window + the false-negative
+    # anti-join); checkpoint the skinny pair frame or the whole upstream
+    # LSH chain executes twice
+    sym = sym.localCheckpoint(eager=True)
     w_pos = Window.partitionBy("anchor").orderBy(F.col("_j").desc(), F.col("pos"))
     best = (
         sym.withColumn("_rn", F.row_number().over(w_pos))
