@@ -5074,6 +5074,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_markov_transitions"] = transitions
 
+    def conductance(spark, sf):
+        # per-community conductance (graph_query.py::community_conductance)
+        # over the LPA partition — cut/min(vol, 2m−vol) as exact ints; the
+        # community-level quality twin of kg_modularity's partition score.
+        from aiwhispr_spark.operators.graph_query import (
+            community_conductance,
+            label_propagation_communities,
+        )
+
+        edges = _entity_edges(spark)
+        labels = label_propagation_communities(edges, rounds=3)
+        return community_conductance(edges, labels)
+
+    q["kg_community_conductance"] = conductance
+
     def tpch_q18ish(spark, sf):
         # TPC-H Q18 (large-volume customers): orders whose total quantity
         # exceeds 200, joined back to orders+customer, top-100 by price.
@@ -7569,6 +7584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_budget_waterfill",
         "contrastive_triplets",
         "event_markov_transitions",
+        "kg_community_conductance",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -12011,6 +12027,47 @@ def oracle_sql() -> dict[str, str]:
             _lpa_round.format(out=f"l{i}", prev=f"l{i - 1}") for i in (1, 2, 3)
         )
         + "SELECT node, label FROM l3"
+    )
+    o["kg_community_conductance"] = (
+        f"WITH {_gq_edges}, l0 AS (SELECT DISTINCT node, node AS label FROM nbrs),"
+        + ",".join(
+            _lpa_round.format(out=f"l{i}", prev=f"l{i - 1}") for i in (1, 2, 3)
+        )
+        + """,
+        labels AS (SELECT node, label FROM l3),
+        tagged AS (
+          SELECT ee.a, ee.b, la.label AS lab_a, lb.label AS lab_b
+          FROM ee JOIN labels la ON la.node = ee.a
+                  JOIN labels lb ON lb.node = ee.b
+        ),
+        internal AS (
+          SELECT lab_a AS label, CAST(COUNT(*) AS BIGINT) AS internal_edges
+          FROM tagged WHERE lab_a = lab_b GROUP BY 1
+        ),
+        cutu AS (
+          SELECT lab_a AS label FROM tagged WHERE lab_a <> lab_b
+          UNION ALL
+          SELECT lab_b FROM tagged WHERE lab_a <> lab_b
+        ),
+        cut AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cut_edges
+                FROM cutu GROUP BY 1),
+        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM nbrs GROUP BY 1),
+        vol AS (
+          SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(coalesce(SUM(d.d), 0) AS BIGINT) AS vol
+          FROM labels l LEFT JOIN deg d USING (node) GROUP BY 1
+        ),
+        m2 AS (SELECT CAST(COUNT(*) * 2 AS BIGINT) AS m2 FROM ee)
+        SELECT v.label, v.n_nodes, v.vol,
+               CAST(coalesce(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+               CAST(coalesce(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+               CAST(CASE WHEN least(v.vol, m2.m2 - v.vol) > 0
+                    THEN (coalesce(c.cut_edges, 0) * 1000000)
+                         // least(v.vol, m2.m2 - v.vol)
+                    ELSE -1 END AS BIGINT) AS conductance_mi
+        FROM vol v LEFT JOIN internal i USING (label)
+                   LEFT JOIN cut c USING (label), m2
+    """
     )
     o["kg_clustering_coefficient"] = f"""
         WITH {_gq_edges},

@@ -1318,3 +1318,89 @@ def bgp_construct(
         .select("t.subj", "t.pred", "t.obj")
         .distinct()
     )
+
+
+def community_conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(label, n_nodes, vol, internal_edges, cut_edges, conductance_mi) —
+    per-community conductance φ(C) = cut(C) / min(vol(C), 2m − vol(C)), the
+    partition-quality metric that decides whether an LPA/Louvain community
+    is a real cluster or a propagation artifact (low φ = tight community;
+    the modularity twin `community_modularity` scores the PARTITION, this
+    scores each community against its own boundary).
+
+    All-integer: vol = Σ degree over members, cut = boundary edge count
+    (counted once per side), 2m from one scalar agg; ``conductance_mi =
+    cut·1e6 div min(vol, 2m−vol)``, −1 sentinel when the min is 0 (the
+    whole-graph or empty-side community — φ undefined).
+
+    100 TB shape: two node-keyed label joins onto the (already DISTINCT,
+    canonical) edge list, then everything map-side combines onto |labels|
+    keys; the 1-row 2m aggregate broadcasts.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("src"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()  # canonical undirected edge set — degrees/cuts count once
+    )
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("_lb"))
+    tagged = e.join(la, "src").join(lb, "dst")
+    internal = (
+        tagged.filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    cut = (
+        tagged.filter(F.col("_la") != F.col("_lb"))
+        .select(F.col("_la").alias("label"))
+        .unionByName(
+            tagged.filter(F.col("_la") != F.col("_lb")).select(F.col("_lb").alias("label"))
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    )
+    vol = (
+        labels.join(deg, "node", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("_deg"), F.lit(0)).cast("long").alias("vol"),
+        )
+    )
+    two_m = e.agg((F.count(F.lit(1)) * 2).cast("long").alias("_2m"))
+    return (
+        vol.join(internal, "label", "left")
+        .join(cut, "label", "left")
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            "label",
+            "n_nodes",
+            "vol",
+            F.coalesce("internal_edges", F.lit(0)).cast("long").alias("internal_edges"),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+            F.when(
+                F.least(F.col("vol"), F.col("_2m") - F.col("vol")) > 0,
+                F.expr(
+                    "(coalesce(cut_edges, 0) * 1000000)"
+                    " div least(vol, _2m - vol)"
+                ),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("conductance_mi"),
+        )
+    )

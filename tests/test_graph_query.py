@@ -464,3 +464,33 @@ def test_bgp_construct_set_semantics_and_unbound_raise(spark):
         bgp_construct(t, [("?y", "acquired", "?x")], [("?y", "controls", "?z")])
     with pytest.raises(ValueError):
         bgp_construct(t, [("?y", "acquired", "?x")], [])
+
+
+def test_community_conductance_hand_computed(spark):
+    from aiwhispr_spark.operators.graph_query import community_conductance
+
+    # two triangles bridged by one edge: each community vol=7 (3 internal
+    # edges ×2 + 1 bridge endpoint), cut=1, 2m=14 -> phi = 1e6 // 7
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+         ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+         ("a1", "b1"), ("b1", "a1")],  # duplicate reversed bridge: canonicalized
+        "src string, dst string",
+    )
+    labels = spark.createDataFrame(
+        [(n, "A") for n in ("a1", "a2", "a3")] + [(n, "B") for n in ("b1", "b2", "b3")],
+        "node string, label string",
+    )
+    got = {r.label: r for r in community_conductance(edges, labels).collect()}
+    for lab in ("A", "B"):
+        r = got[lab]
+        assert (r.n_nodes, r.vol, r.internal_edges, r.cut_edges) == (3, 7, 3, 1)
+        assert r.conductance_mi == 1_000_000 // 7
+
+    # whole-graph community: min(vol, 2m-vol) = 0 -> sentinel
+    one = spark.createDataFrame(
+        [(n, "ALL") for n in ("a1", "a2", "a3", "b1", "b2", "b3")],
+        "node string, label string",
+    )
+    [r] = community_conductance(edges, one).collect()
+    assert r.conductance_mi == -1 and r.cut_edges == 0
