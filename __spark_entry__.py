@@ -5089,6 +5089,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_community_conductance"] = conductance
 
+    def fim_q(spark, sf):
+        # fill-in-the-middle transform (packing.py::fim_transform): a
+        # content-seeded coin picks 50% of docs, two md5 cut points split
+        # the token stream into prefix/middle/suffix for PSM reordering.
+        # Spark side is three codegen array slices; the oracle re-derives
+        # the segments relationally (explode + index-range string_aggs) —
+        # byte-identical segments AND exact cut arithmetic (% (n+1) over
+        # an 8-hex-digit md5 prefix) must agree.
+        from aiwhispr_spark.operators.packing import fim_transform
+
+        d = _t(spark, sf, "documents")
+        return fim_transform(d, fim_pct=50)
+
+    q["fim_transform_psm"] = fim_q
+
+    def inverse_pred_q(spark, sf):
+        # inverse-predicate detection (paraphrase.py::inverse_predicates):
+        # closed-form relations over 20 entities — 'acquired_by' mirrors
+        # 'acquired' on residues < 15 and asserts 5 non-mirror junk facts
+        # (+3 offset) on residues >= 15, so the pair scores 7500 (15 of
+        # min(20,20)); 'partnered_with' is built symmetric (diagonal row,
+        # score 10000); 'owns' points at a disjoint object space (no
+        # row).  Triples repeat across doc_ids to pin the distinct
+        # collapse, same fixture discipline as kg_predicate_paraphrases.
+        from aiwhispr_spark.operators.paraphrase import inverse_predicates
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        r = (F.col("doc_id") % 20).cast("string")
+        r7 = ((F.col("doc_id") + 7) % 20).cast("string")
+        r3 = ((F.col("doc_id") + 3) % 20).cast("string")
+        subj = F.concat(F.lit("E"), r)
+        obj = F.concat(F.lit("E"), r7)
+        acq = d.select(
+            subj.alias("subj"), F.lit("acquired").alias("pred"), obj.alias("obj")
+        )
+        acq_by = d.filter(F.col("doc_id") % 20 < 15).select(
+            obj.alias("subj"), F.lit("acquired_by").alias("pred"), subj.alias("obj")
+        ).unionByName(
+            d.filter(F.col("doc_id") % 20 >= 15).select(
+                subj.alias("subj"),
+                F.lit("acquired_by").alias("pred"),
+                F.concat(F.lit("E"), r3).alias("obj"),
+            )
+        )
+        part = d.select(
+            subj.alias("subj"), F.lit("partnered_with").alias("pred"), obj.alias("obj")
+        ).unionByName(
+            d.select(
+                obj.alias("subj"),
+                F.lit("partnered_with").alias("pred"),
+                subj.alias("obj"),
+            )
+        )
+        owns = d.select(
+            subj.alias("subj"), F.lit("owns").alias("pred"),
+            F.concat(F.lit("F"), r).alias("obj"),
+        )
+        t = acq.unionByName(acq_by).unionByName(part).unionByName(owns)
+        return inverse_predicates(t, min_common=2)
+
+    q["kg_inverse_predicates"] = inverse_pred_q
+
+    def preference_q(spark, sf):
+        # preference-pair mining (preference.py::preference_pairs): 50
+        # urls × 10 snapshot versions synthesized from documents; quality
+        # = whitespace token count of the versioned body (repeat() with a
+        # non-monotone modular length), so some revisions improve and
+        # others regress — only consecutive pairs with gain >= 2 emit.
+        # ONE url-keyed lag window, never a global sort.
+        from aiwhispr_spark.operators.preference import preference_pairs
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        url = F.concat(F.lit("https://ex.org/p"), (F.col("doc_id") % 50).cast("string"))
+        v = F.expr("doc_id div 50").cast("long")
+        k = ((F.col("doc_id") % 50) + v * F.lit(3)) % 11
+        snaps = d.select(
+            url.alias("url"),
+            (F.lit(1700000000) + v * 86400).cast("long").alias("warc_ts"),
+            F.concat(
+                F.lit("page v"), v.cast("string"), F.lit(" "),
+                F.rtrim(F.repeat(F.lit("body "), k.cast("int"))),
+            ).alias("text"),
+        ).withColumn("q", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"))
+        return preference_pairs(snaps, min_gain=2, quality_col="q")
+
+    q["preference_pairs_crawl"] = preference_q
+
     def tpch_q18ish(spark, sf):
         # TPC-H Q18 (large-volume customers): orders whose total quantity
         # exceeds 200, joined back to orders+customer, top-100 by price.
@@ -7585,6 +7672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_triplets",
         "event_markov_transitions",
         "kg_community_conductance",
+        "fim_transform_psm",
+        "kg_inverse_predicates",
+        "preference_pairs_crawl",
         "web_bowtie_structure",
         "kg_condensation",
         "kg_bgp_minus",
@@ -12069,6 +12159,115 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN cut c USING (label), m2
     """
     )
+    o["fim_transform_psm"] = """
+        WITH toks AS (
+          SELECT doc_id, s.tok AS tok, CAST(s.i - 1 AS BIGINT) AS i
+          FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> ''),
+                     (x, j) -> struct_pack(tok := x, i := j))) AS s
+            FROM documents)
+        ),
+        nn AS (
+          SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n
+          FROM documents d LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        ),
+        cuts AS (
+          SELECT doc_id, n,
+            least(('0x' || substr(md5(doc_id || ':fim:a'), 1, 8))::BIGINT % (n + 1),
+                  ('0x' || substr(md5(doc_id || ':fim:b'), 1, 8))::BIGINT % (n + 1))
+              AS lo,
+            greatest(('0x' || substr(md5(doc_id || ':fim:a'), 1, 8))::BIGINT % (n + 1),
+                     ('0x' || substr(md5(doc_id || ':fim:b'), 1, 8))::BIGINT % (n + 1))
+              AS hi,
+            (('0x' || substr(md5(doc_id || ':fim:g'), 1, 4))::BIGINT % 100) < 50
+              AS is_fim
+          FROM nn
+        ),
+        seg AS (
+          SELECT t.doc_id,
+            string_agg(tok, ' ' ORDER BY i) FILTER (WHERE i < c.lo) AS pfx,
+            string_agg(tok, ' ' ORDER BY i) FILTER (WHERE i >= c.lo AND i < c.hi)
+              AS mid,
+            string_agg(tok, ' ' ORDER BY i) FILTER (WHERE i >= c.hi) AS sfx,
+            string_agg(tok, ' ' ORDER BY i) AS full_text
+          FROM toks t JOIN cuts c USING (doc_id)
+          GROUP BY t.doc_id, c.lo, c.hi
+        )
+        SELECT c.doc_id,
+          CASE WHEN c.is_fim THEN 'fim' ELSE 'plain' END AS mode,
+          CASE WHEN c.is_fim THEN coalesce(s.pfx, '')
+               ELSE coalesce(s.full_text, '') END AS prefix,
+          CASE WHEN c.is_fim THEN coalesce(s.mid, '') ELSE '' END AS middle,
+          CASE WHEN c.is_fim THEN coalesce(s.sfx, '') ELSE '' END AS suffix,
+          CAST(CASE WHEN c.is_fim THEN c.lo ELSE c.n END AS BIGINT) AS n_prefix,
+          CAST(CASE WHEN c.is_fim THEN c.hi - c.lo ELSE 0 END AS BIGINT) AS n_middle,
+          CAST(CASE WHEN c.is_fim THEN c.n - c.hi ELSE 0 END AS BIGINT) AS n_suffix
+        FROM cuts c LEFT JOIN seg s USING (doc_id)
+    """
+    o["kg_inverse_predicates"] = """
+        WITH base AS (
+          SELECT 'E' || (doc_id % 20) AS s, 'E' || ((doc_id + 7) % 20) AS o,
+                 'E' || ((doc_id + 3) % 20) AS o3, doc_id % 20 AS r
+          FROM documents
+        ),
+        t AS (
+          SELECT s AS subj, 'acquired' AS pred, o AS obj FROM base
+          UNION ALL
+          SELECT o, 'acquired_by', s FROM base WHERE r < 15
+          UNION ALL
+          SELECT s, 'acquired_by', o3 FROM base WHERE r >= 15
+          UNION ALL
+          SELECT s, 'partnered_with', o FROM base
+          UNION ALL
+          SELECT o, 'partnered_with', s FROM base
+          UNION ALL
+          SELECT s, 'owns', 'F' || r FROM base
+        ),
+        pairs AS (SELECT DISTINCT subj, pred, obj FROM t),
+        sizes AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1),
+        common AS (
+          SELECT a.pred AS pred_a, b.pred AS pred_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM pairs a JOIN pairs b
+            ON a.subj = b.obj AND a.obj = b.subj AND a.pred <= b.pred
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )
+        SELECT c.pred_a, c.pred_b, c.n_common, sa.n AS n_a, sb.n AS n_b,
+               CAST((c.n_common * 10000) // least(sa.n, sb.n) AS BIGINT)
+                 AS inv_score_i
+        FROM common c
+          JOIN sizes sa ON sa.pred = c.pred_a
+          JOIN sizes sb ON sb.pred = c.pred_b
+    """
+    o["preference_pairs_crawl"] = """
+        WITH snaps AS (
+          SELECT 'https://ex.org/p' || (doc_id % 50) AS url,
+                 CAST(1700000000 + (doc_id // 50) * 86400 AS BIGINT) AS ts,
+                 'page v' || (doc_id // 50) || ' ' ||
+                   rtrim(repeat('body ',
+                     CAST(((doc_id % 50) + (doc_id // 50) * 3) % 11 AS INT)))
+                   AS text
+          FROM documents
+        ),
+        scored AS (
+          SELECT url, ts, text,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS q
+          FROM snaps
+        ),
+        l AS (
+          SELECT url, lag(ts) OVER w AS ts_old, ts AS ts_new,
+                 lag(text) OVER w AS rejected, text AS chosen,
+                 q - lag(q) OVER w AS gain
+          FROM scored WINDOW w AS (PARTITION BY url ORDER BY ts)
+        )
+        SELECT url, CAST(ts_old AS BIGINT) AS ts_old, ts_new, rejected, chosen,
+               CAST(gain AS BIGINT) AS gain
+        FROM l WHERE gain >= 2
+    """
     o["kg_clustering_coefficient"] = f"""
         WITH {_gq_edges},
         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg

@@ -243,3 +243,68 @@ def span_corruption(
         F.when(empty, F.lit("")).otherwise(F.ltrim(agg["tgt"])).alias("target_text"),
         F.when(empty, F.lit(0)).otherwise(agg["nm"]).cast("int").alias("n_masked"),
     )
+
+def fim_transform(
+    docs: DataFrame,
+    fim_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, mode, prefix, middle, suffix, n_prefix, n_middle, n_suffix)
+    — fill-in-the-middle transformation (Bavarian et al. 2022): a
+    content-seeded coin (md5 of ``doc_id:fim:g`` — rerun/retry-stable, no
+    RNG state) selects ``fim_pct``% of documents for FIM; two independent
+    md5-derived cut points split the token stream into prefix / middle /
+    suffix so the trainer can emit PSM order (prefix, suffix, middle) with
+    sentinel tokens.  Documents not selected pass through as
+    ``mode='plain'`` with the whole text in ``prefix`` — the mixed
+    plain+FIM shard the paper trains on.
+
+    The three segments are emitted as separate columns (not one
+    pre-spliced string) so the splice-back invariant is checkable:
+    tokens(prefix) ++ tokens(middle) ++ tokens(suffix) == tokens(text)
+    for EVERY row, both modes — FIM must be lossless or the objective
+    leaks/starves tokens.
+
+    100 TB shape: pure JVM per row — one split, two md5 cuts, three
+    array slices inside codegen; zero python, zero shuffle.  Cut points
+    are uniform over 0..n (inclusive), so empty segments are legal (the
+    paper keeps them; the sentinels alone carry the signal).
+    """
+    from pyspark.sql import functions as F
+
+    if not 0 <= fim_pct <= 100:
+        raise ValueError("fim_pct must be in [0, 100]")
+    did = F.col(id_col).cast("string")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n = F.coalesce(F.size(toks), F.lit(0)).cast("long")
+
+    def cut(tag):
+        h = F.conv(
+            F.substring(F.md5(F.concat(did, F.lit(f":fim:{tag}"))), 1, 8), 16, 10
+        ).cast("long")
+        return h % (n + 1)
+
+    lo = F.least(cut("a"), cut("b"))
+    hi = F.greatest(cut("a"), cut("b"))
+    gate = (
+        F.conv(
+            F.substring(F.md5(F.concat(did, F.lit(":fim:g"))), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    ) < fim_pct
+    join = lambda arr: F.coalesce(F.array_join(arr, " "), F.lit(""))
+    prefix = join(F.slice(toks, 1, lo.cast("int")))
+    middle = join(F.slice(toks, (lo + 1).cast("int"), (hi - lo).cast("int")))
+    suffix = join(F.slice(toks, (hi + 1).cast("int"), (n - hi).cast("int")))
+    full = join(toks)
+    return docs.select(
+        id_col,
+        F.when(gate, F.lit("fim")).otherwise(F.lit("plain")).alias("mode"),
+        F.when(gate, prefix).otherwise(full).alias("prefix"),
+        F.when(gate, middle).otherwise(F.lit("")).alias("middle"),
+        F.when(gate, suffix).otherwise(F.lit("")).alias("suffix"),
+        F.when(gate, lo).otherwise(n).cast("long").alias("n_prefix"),
+        F.when(gate, hi - lo).otherwise(F.lit(0)).cast("long").alias("n_middle"),
+        F.when(gate, n - hi).otherwise(F.lit(0)).cast("long").alias("n_suffix"),
+    )

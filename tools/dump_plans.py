@@ -141,6 +141,9 @@ SHOWN = [
     ("epoch_budget_waterfill", "single-partition ordering window is REGISTRY-sized by construction (sources, not corpus); the two stats frames broadcast"),
     ("span_corruption_t5", "ONE F.aggregate fold inside the projection: zero shuffle, zero python — corruption at scan speed"),
     ("collective_entity_linking", "context join is doc-keyed (per-page quadratic only); relatedness joins on the unordered pair key; argmax is a mention-partitioned window"),
+    ("fim_transform_psm", "mode coin + two md5 cuts + three array slices in ONE codegen projection: zero shuffle, zero python — FIM at scan speed"),
+    ("kg_inverse_predicates", "reversed self-join exchanges key on the ARGUMENT pair (one side pre-swapped); sizes join back broadcast-sized; never a predicate cross product"),
+    ("preference_pairs_crawl", "ONE url-keyed hash exchange feeds the lag window; no global sort, no second shuffle"),
 ]
 
 
