@@ -7625,6 +7625,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_owl_inference"] = kg_owl_inference
 
+    def funnel(spark, sf):
+        # strictly-ordered product funnel (temporal.py::funnel_conversion):
+        # signup → view → click → purchase, earliest-completion greedy
+        # chain, exact integer step/first conversion rates.
+        from aiwhispr_spark.operators.temporal import funnel_conversion
+
+        return funnel_conversion(
+            _t(spark, sf, "events"), ["signup", "view", "click", "purchase"]
+        )
+
+    q["funnel_conversion"] = funnel
+
+    def retention(spark, sf):
+        # weekly retention triangle (temporal.py::retention_cohorts):
+        # cohort = ISO week of first event, activity = distinct
+        # (user, week); exact integer retained ratios.
+        from aiwhispr_spark.operators.temporal import retention_cohorts
+
+        return retention_cohorts(_t(spark, sf, "events"), max_offset=4)
+
+    q["retention_cohorts"] = retention
+
+    def attribution(spark, sf):
+        # last/first-touch conversion attribution (temporal.py::
+        # conversion_attribution): 7-day lookback, (ts, event_id) tie-break,
+        # '(none)' bucket keeps totals reconciled with conversion count.
+        from aiwhispr_spark.operators.temporal import conversion_attribution
+
+        return conversion_attribution(_t(spark, sf, "events"))
+
+    q["conversion_attribution"] = attribution
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -7671,6 +7703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_budget_waterfill",
         "contrastive_triplets",
         "event_markov_transitions",
+        "funnel_conversion",
+        "retention_cohorts",
+        "conversion_attribution",
         "kg_community_conductance",
         "fim_transform_psm",
         "kg_inverse_predicates",
@@ -13072,5 +13107,113 @@ def oracle_sql() -> dict[str, str]:
                CASE min(rank) WHEN 0 THEN 'asserted' WHEN 1 THEN 'symmetric'
                     WHEN 2 THEN 'inverse' ELSE 'transitive' END AS origin
         FROM cand GROUP BY subj, pred, obj
+    """
+    o["funnel_conversion"] = """
+        WITH w AS (
+          SELECT user_id,
+                 list_sort(list(ts) FILTER (WHERE event_type = 'signup')) AS a0,
+                 list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS a1,
+                 list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS a2,
+                 list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS a3
+          FROM events
+          WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+          GROUP BY 1
+        ),
+        c0 AS (SELECT *, list_min(a0) AS t0 FROM w),
+        c1 AS (SELECT *, list_min(list_filter(a1, x -> x > t0)) AS t1 FROM c0),
+        c2 AS (SELECT *, list_min(list_filter(a2, x -> x > t1)) AS t2 FROM c1),
+        c3 AS (SELECT *, list_min(list_filter(a3, x -> x > t2)) AS t3 FROM c2),
+        u AS (SELECT CAST(count(t0) AS BIGINT) AS u0,
+                     CAST(count(t1) AS BIGINT) AS u1,
+                     CAST(count(t2) AS BIGINT) AS u2,
+                     CAST(count(t3) AS BIGINT) AS u3
+              FROM c3)
+        SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step, u0 AS users,
+               CASE WHEN u0 > 0 THEN (u0 * 1000000) // u0 END AS conv_from_prev_mi,
+               CASE WHEN u0 > 0 THEN (u0 * 1000000) // u0 END AS conv_from_first_mi
+        FROM u
+        UNION ALL
+        SELECT 1, 'view', u1,
+               CASE WHEN u0 > 0 THEN (u1 * 1000000) // u0 END,
+               CASE WHEN u0 > 0 THEN (u1 * 1000000) // u0 END FROM u
+        UNION ALL
+        SELECT 2, 'click', u2,
+               CASE WHEN u1 > 0 THEN (u2 * 1000000) // u1 END,
+               CASE WHEN u0 > 0 THEN (u2 * 1000000) // u0 END FROM u
+        UNION ALL
+        SELECT 3, 'purchase', u3,
+               CASE WHEN u2 > 0 THEN (u3 * 1000000) // u2 END,
+               CASE WHEN u0 > 0 THEN (u3 * 1000000) // u0 END FROM u
+    """
+    o["retention_cohorts"] = """
+        WITH firsts AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY 1
+        ),
+        active AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS active_week
+          FROM events
+        ),
+        j AS (
+          SELECT f.cohort_week, a.user_id,
+                 CAST((a.active_week - f.cohort_week) // 7 AS BIGINT)
+                   AS week_offset
+          FROM active a JOIN firsts f USING (user_id)
+        ),
+        cells AS (
+          SELECT cohort_week, week_offset,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+          FROM j WHERE week_offset <= 4 GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT cohort_week, CAST(count(*) AS BIGINT) AS sz
+          FROM firsts GROUP BY 1
+        )
+        SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week, week_offset,
+               active_users,
+               CAST((active_users * 1000000) // sz AS BIGINT) AS retained_mi
+        FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+    """
+    o["conversion_attribution"] = """
+        WITH conv AS (
+          SELECT user_id, ts AS conv_ts, event_id AS conv_id
+          FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS (
+          SELECT user_id, ts, event_id, event_type
+          FROM events WHERE event_type <> 'purchase'
+        ),
+        j AS (
+          SELECT c.user_id, c.conv_ts, c.conv_id,
+                 t.ts, t.event_id, t.event_type
+          FROM conv c JOIN touch t USING (user_id)
+          WHERE t.ts < c.conv_ts
+            AND t.ts >= c.conv_ts - INTERVAL 7 DAY
+        ),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY user_id, conv_id
+                                    ORDER BY ts DESC, event_id DESC) AS rl,
+                 row_number() OVER (PARTITION BY user_id, conv_id
+                                    ORDER BY ts ASC, event_id ASC) AS rf
+          FROM j
+        ),
+        picked AS (
+          SELECT user_id, conv_id,
+                 max(CASE WHEN rl = 1 THEN event_type END) AS last_touch,
+                 max(CASE WHEN rf = 1 THEN event_type END) AS first_touch
+          FROM ranked GROUP BY 1, 2
+        ),
+        credited AS (
+          SELECT coalesce(p.last_touch, '(none)') AS last_touch,
+                 coalesce(p.first_touch, '(none)') AS first_touch
+          FROM conv c LEFT JOIN picked p
+            ON c.user_id = p.user_id AND c.conv_id = p.conv_id
+        )
+        SELECT last_touch, first_touch,
+               CAST(count(*) AS BIGINT) AS conversions
+        FROM credited GROUP BY 1, 2
     """
     return o

@@ -895,3 +895,192 @@ def event_transitions(
         "n",
         F.expr("(n * 1000000) div _tot").cast("long").alias("p_mi"),
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step_idx, step, users, conv_from_prev_mi, conv_from_first_mi) —
+    strictly-ordered funnel: a user reaches step k only via the EARLIEST
+    completion time of step k-1 followed by a later step-k event (the
+    product-analytics semantics: Amplitude/Mixpanel "this order" funnels;
+    reference has no funnel op — this is the web-analytics tier the
+    events table exists for).
+
+    Earliest-completion is the standard greedy rule: it maximizes the set
+    of users counted at each step (any later step-(k-1) witness only
+    shrinks the window for step k), so the greedy chain IS the funnel.
+
+    Determinism: min(ts) per user/step is exact; conversion ratios are
+    integer ``users_k·1e6 div users_{k-1}`` (div by the FIRST step for
+    conv_from_first).
+
+    100 TB shape: one filter to the |steps| event types, ONE user-keyed
+    aggregate building |steps| sorted ts arrays (per-user activity sized),
+    then the "earliest after previous" chain is a JVM array fold over ONE
+    row per user — no self-joins, no window over the raw event stream.
+    Final counts are a tiny |steps|-row frame.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    # per-user sorted ts arrays, one per step (arrays are per-user activity
+    # sized — clickstream scale; a heavy-user cap upstream is the skew
+    # guard at 100 TB, same pattern as _overlap_pairs' max_fanout)
+    arr_aggs = [
+        F.sort_array(
+            F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+        ).alias(f"_a{i}")
+        for i, s in enumerate(steps)
+    ]
+    wide = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(*arr_aggs)
+    )
+    # greedy earliest-completion chain: t_0 = first step-0 event; t_k =
+    # EARLIEST step-k event strictly after t_{k-1} (null t_{k-1} makes the
+    # filter lambda null → empty → null, so the chain collapses correctly).
+    chained = wide
+    for i in range(len(steps)):
+        if i == 0:
+            c = F.array_min(F.col("_a0"))  # sorted, so min = first; NULL-safe on empty
+        else:
+            prev = F.col(f"_t{i-1}")
+            c = F.array_min(F.filter(F.col(f"_a{i}"), lambda x: x > prev))
+        chained = chained.withColumn(f"_t{i}", c)
+    chained = chained.select(*[f"_t{i}" for i in range(len(steps))])
+    aggs = [
+        F.count(F.col(f"_t{i}")).cast("long").alias(f"u{i}")
+        for i in range(len(steps))
+    ]
+    counts = chained.agg(*aggs)
+    rows = []
+    for i, s in enumerate(steps):
+        prev_u = F.col(f"u{i-1}") if i else F.col("u0")
+        first_u = F.col("u0")
+        rows.append(
+            F.struct(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"u{i}").alias("users"),
+                F.when(prev_u > 0, F.expr(f"(u{i} * 1000000) div u{max(i-1,0)}"))
+                .otherwise(F.lit(None))
+                .cast("long")
+                .alias("conv_from_prev_mi"),
+                F.when(first_u > 0, F.expr(f"(u{i} * 1000000) div u0"))
+                .otherwise(F.lit(None))
+                .cast("long")
+                .alias("conv_from_first_mi"),
+            )
+        )
+    return counts.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int = 4,
+) -> DataFrame:
+    """(cohort_week, week_offset, active_users, retained_mi) — classic
+    weekly retention triangle: cohort = ISO week of the user's FIRST
+    event; a user is active at offset k if they have any event whose
+    week-start is exactly k weeks after the cohort week-start.
+
+    Week buckets are date_trunc('week', ts) — both engines truncate to
+    the Monday of the ISO week, so bucket labels match exactly; offsets
+    are integer day-diffs div 7 (exact).  retained_mi = active·1e6 div
+    cohort_size.
+
+    100 TB shape: one (user)-keyed min-ts aggregate for the cohort map
+    (broadcastable: |users| << |events| but if not, it's a shuffle on
+    user_id that the activity agg below REUSES — same key), one
+    (user, week) distinct, then a join on user_id and a tiny
+    (cohort_week × offset) rollup.
+    """
+    firsts = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    active = events.select(
+        F.col(user_col).alias("user"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("active_week"),
+    ).distinct()
+    joined = active.join(firsts, "user").withColumn(
+        "week_offset",
+        (F.datediff("active_week", "cohort_week") / 7).cast("long"),
+    )
+    cells = (
+        joined.filter(F.col("week_offset") <= max_offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user").cast("long").alias("active_users"))
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_offset",
+        "active_users",
+        F.expr("(active_users * 1000000) div _size").cast("long").alias("retained_mi"),
+    )
+
+
+def conversion_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """(channel, last_touch, first_touch) — multi-touch attribution over
+    each user's event stream: for every conversion event, credit the
+    LAST non-conversion event strictly before it within ``window_days``
+    (last-touch), and independently the FIRST touch inside that same
+    lookback window (first-touch).  Channels here are event types (the
+    synthetic stream has no utm columns; the operator takes any
+    ``type_col``).
+
+    Determinism: touches order by (ts, event_id) — the unique id breaks
+    same-timestamp ties identically in both engines; conversions with no
+    in-window touch are credited to '(none)' so totals reconcile with
+    the conversion count.
+
+    100 TB shape: ONE user-partitioned sort feeds both window functions
+    (last_value and a min_by over the running frame is expressed as a
+    self-join-free last/first over the per-user ordered frame); the wide
+    per-conversion frame collapses immediately to a |channels|² rollup.
+    """
+    typed = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+    )
+    conv = typed.filter(F.col("etype") == conversion_type).select(
+        "user", F.col("ts").alias("conv_ts"), F.col("eid").alias("conv_id")
+    )
+    touch = typed.filter(F.col("etype") != conversion_type)
+    # range-join conversions to in-window preceding touches; per-user
+    # event counts are small (clickstream sessions), and the join key is
+    # user_id so it co-partitions with everything else in this family.
+    j = conv.join(touch, "user").filter(
+        (F.col("ts") < F.col("conv_ts"))
+        & (F.col("ts") >= F.expr(f"conv_ts - INTERVAL {window_days} DAYS"))
+    )
+    picked = j.groupBy("user", "conv_ts", "conv_id").agg(
+        F.max(F.struct("ts", "eid", "etype")).getField("etype").alias("last_touch"),
+        F.min(F.struct("ts", "eid", "etype")).getField("etype").alias("first_touch"),
+    )
+    credited = conv.join(picked, ["user", "conv_ts", "conv_id"], "left").select(
+        F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"),
+        F.coalesce("first_touch", F.lit("(none)")).alias("first_touch"),
+    )
+    return credited.groupBy("last_touch", "first_touch").agg(
+        F.count(F.lit(1)).cast("long").alias("conversions")
+    )
