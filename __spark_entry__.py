@@ -7657,6 +7657,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conversion_attribution"] = attribution
 
+    def kmv(spark, sf):
+        # KMV bottom-k distinct sketch + the Beyer et al. union-merge
+        # (sketches.py::kmv_sketch_estimates): per-source token estimates
+        # with the exact-count small-set regime, plus the '(all)' merged
+        # row; WindowGroupLimit partial bottom-k is the scale path.
+        from aiwhispr_spark.operators.sketches import kmv_sketch_estimates
+
+        return kmv_sketch_estimates(_t(spark, sf, "documents"), k=16)
+
+    q["kmv_distinct_sketch"] = kmv
+
+    def varint(spark, sf):
+        # delta+LEB128 posting-list compression (fulltext.py::
+        # postings_varint_stats): the full hex encoding is the hash-gated
+        # artifact; pytest pins the decoder roundtrip.
+        from aiwhispr_spark.operators.fulltext import postings_varint_stats
+
+        return postings_varint_stats(_t(spark, sf, "documents"), top_k=30)
+
+    q["postings_varint"] = varint
+
+    def dirichlet(spark, sf):
+        # Dirichlet query-likelihood ranking (fulltext.py::
+        # dirichlet_ql_rank, Zhai & Lafferty): absent in-vocab terms
+        # contribute smoothing mass; per-(doc,term) scaled-int ln before
+        # the integer sum.
+        from aiwhispr_spark.operators.fulltext import dirichlet_ql_rank
+
+        return dirichlet_ql_rank(
+            _t(spark, sf, "documents"), ["join", "slow", "customer"], mu=2000, k=10
+        )
+
+    q["dirichlet_ql_rank"] = dirichlet
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -7706,6 +7740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion",
         "retention_cohorts",
         "conversion_attribution",
+        "kmv_distinct_sketch",
+        "postings_varint",
+        "dirichlet_ql_rank",
         "kg_community_conductance",
         "fim_transform_psm",
         "kg_inverse_predicates",
@@ -13107,6 +13144,137 @@ def oracle_sql() -> dict[str, str]:
                CASE min(rank) WHEN 0 THEN 'asserted' WHEN 1 THEN 'symmetric'
                     WHEN 2 THEN 'inverse' ELSE 'transitive' END AS origin
         FROM cand GROUP BY subj, pred, obj
+    """
+    o["kmv_distinct_sketch"] = """
+        WITH toks AS (
+          SELECT DISTINCT grp,
+                 ('0x' || substr(md5(tok), 1, 13))::BIGINT AS h
+          FROM (SELECT source AS grp,
+                       unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                FROM documents)
+          WHERE tok <> ''
+        ),
+        kept AS (
+          SELECT grp, h FROM (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM toks) WHERE rn <= 16
+        ),
+        merged AS (
+          SELECT grp, h FROM (
+            SELECT '(all)' AS grp, h,
+                   row_number() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM kept)) WHERE rn <= 16
+        ),
+        sk AS (SELECT * FROM kept UNION ALL SELECT * FROM merged),
+        per AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS k_used,
+                 max(h) AS kth_hash
+          FROM sk GROUP BY 1
+        ),
+        exact AS (
+          SELECT grp, CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct
+          FROM toks GROUP BY 1
+          UNION ALL
+          SELECT '(all)', CAST(count(DISTINCT h) AS BIGINT) FROM toks
+        ),
+        est AS (
+          SELECT p.grp, k_used, kth_hash,
+                 CAST(CASE WHEN k_used < 16 THEN exact_distinct
+                      ELSE ((k_used - 1) * 4503599627370496) // kth_hash
+                      END AS BIGINT) AS est_distinct,
+                 exact_distinct
+          FROM per p JOIN exact e ON p.grp = e.grp
+        )
+        SELECT grp, k_used, kth_hash, est_distinct, exact_distinct,
+               CAST((abs(est_distinct - exact_distinct) * 10000)
+                    // exact_distinct AS BIGINT) AS err_i
+        FROM est
+    """
+    o["postings_varint"] = """
+        WITH toks AS (
+          SELECT doc_id AS id, tok AS token
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+                FROM documents)
+          WHERE tok <> ''
+        ),
+        idx AS (SELECT token, id FROM toks GROUP BY 1, 2),
+        lists AS (
+          SELECT token, list_sort(list(id)) AS ids,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM idx GROUP BY 1
+        ),
+        enc AS (
+          SELECT token, n_docs,
+                 array_to_string(list_transform(
+                   list_transform(ids, (x, i) ->
+                     CASE WHEN i = 1 THEN x ELSE x - ids[i - 1] END),
+                   g -> CASE
+                     WHEN g < 128 THEN lower(lpad(to_hex(g % 128), 2, '0'))
+                     WHEN g < 16384 THEN
+                       lower(lpad(to_hex(g % 128 + 128), 2, '0')) ||
+                       lower(lpad(to_hex((g // 128) % 128), 2, '0'))
+                     WHEN g < 2097152 THEN
+                       lower(lpad(to_hex(g % 128 + 128), 2, '0')) ||
+                       lower(lpad(to_hex((g // 128) % 128 + 128), 2, '0')) ||
+                       lower(lpad(to_hex((g // 16384) % 128), 2, '0'))
+                     ELSE
+                       lower(lpad(to_hex(g % 128 + 128), 2, '0')) ||
+                       lower(lpad(to_hex((g // 128) % 128 + 128), 2, '0')) ||
+                       lower(lpad(to_hex((g // 16384) % 128 + 128), 2, '0')) ||
+                       lower(lpad(to_hex((g // 2097152) % 128), 2, '0'))
+                   END), '') AS hex_postings
+          FROM lists
+        )
+        SELECT token, n_docs,
+               CAST(8 * n_docs AS BIGINT) AS raw_bytes,
+               CAST(length(hex_postings) // 2 AS BIGINT) AS varint_bytes,
+               hex_postings,
+               CAST((length(hex_postings) // 2 * 10000) // (8 * n_docs)
+                    AS BIGINT) AS ratio_i
+        FROM enc
+        ORDER BY n_docs DESC, token LIMIT 30
+    """
+    o["dirichlet_ql_rank"] = """
+        WITH toks AS (
+          SELECT doc_id AS id, tok AS token
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+                FROM documents)
+          WHERE tok <> ''
+        ),
+        idx AS (SELECT token, id, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY 1, 2),
+        dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS ctotal FROM toks),
+        q(token) AS (VALUES ('join'), ('slow'), ('customer')),
+        cf AS (
+          SELECT q.token, CAST(count(t.token) AS BIGINT) AS cf
+          FROM q LEFT JOIN toks t ON q.token = t.token GROUP BY 1
+        ),
+        cand AS (SELECT DISTINCT id FROM idx JOIN q ON idx.token = q.token),
+        grid AS (
+          SELECT cand.id, c.token, c.cf, tot.ctotal
+          FROM cand, (SELECT * FROM cf WHERE cf > 0) c, tot
+        ),
+        sc AS (
+          SELECT g.id, coalesce(i.tf, 0) AS tf, g.cf, g.ctotal, d.dl
+          FROM grid g
+          LEFT JOIN idx i ON g.id = i.id AND g.token = i.token
+          JOIN dl d ON g.id = d.id
+        ),
+        agg AS (
+          SELECT id,
+                 CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hit_terms,
+                 CAST(sum(CAST(round(1000000 * ln(
+                   (tf * ctotal + 2000 * cf) / (ctotal * (dl + 2000))
+                 )) AS BIGINT)) AS BIGINT) AS score_i
+          FROM sc GROUP BY 1
+        )
+        SELECT id, n_hit_terms, score_i FROM agg
+        ORDER BY score_i DESC, id LIMIT 10
     """
     o["funnel_conversion"] = """
         WITH w AS (

@@ -810,3 +810,158 @@ def rrf_fuse(
         .orderBy(F.col("rrf_mi").desc(), F.col("n_arms").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def _leb128_hex(d):
+    """Little-endian base-128 (LEB128 / protobuf varint) hex of a delta,
+    unrolled to 4 continuation groups (28 bits — doc-id deltas in a
+    posting list, which are gaps, not absolute ids; a gap ≥ 2^28 means a
+    token appearing once per 268M docs and belongs in a wider unroll).
+    Pure JVM bit ops + hex, no python."""
+    g0, g1 = d % 128, F.shiftright(d, 7) % 128
+    g2, g3 = F.shiftright(d, 14) % 128, F.shiftright(d, 21) % 128
+    bh = lambda x: F.lpad(F.lower(F.hex(x.cast("long"))), 2, "0")  # noqa: E731
+    return (
+        F.when(d < 128, bh(g0))
+        .when(d < 128 * 128, F.concat(bh(g0 + 128), bh(g1)))
+        .when(d < 128 * 128 * 128, F.concat(bh(g0 + 128), bh(g1 + 128), bh(g2)))
+        .otherwise(F.concat(bh(g0 + 128), bh(g1 + 128), bh(g2 + 128), bh(g3)))
+    )
+
+
+def postings_varint_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 30
+) -> DataFrame:
+    """(token, n_docs, raw_bytes, varint_bytes, ratio_i, hex_postings) —
+    delta + LEB128-varint compression of each token's posting list (the
+    Lucene/PForDelta-family storage layout every web-scale index uses:
+    sorted doc ids → gaps → variable-width bytes).  First gap is the
+    absolute first id (standard framing).  raw_bytes = 8·n_docs (int64
+    ids); ratio_i = varint_bytes·1e4 div raw_bytes.  Top-k most-common
+    tokens by (n_docs desc, token) so the densest (best-compressing)
+    lists are the gate's subject.
+
+    Determinism: sorted ids → gaps → per-gap hex is all exact; the full
+    hex string is the hash-gated artifact, so a single wrong byte fails.
+
+    100 TB shape: posting lists aggregate per token (one shuffle on the
+    token key — same key the bucketed-postings layout already uses);
+    the encode is a JVM array fold per token, no python, no second
+    shuffle.  collect_list is posting-list sized — the same per-token
+    memory any posting materialization (including Lucene's) requires;
+    beyond that, lists split into fixed-width blocks upstream.
+    """
+    idx = build_inverted_index(docs, text_col, id_col)
+    lists = idx.groupBy("token").agg(
+        F.sort_array(F.collect_list(F.col("id").cast("long"))).alias("ids"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    # gaps: first absolute, then deltas (ids are distinct so gaps ≥ 1)
+    gaps = F.concat(
+        F.slice("ids", 1, 1),
+        F.zip_with(
+            F.slice("ids", 2, F.size("ids") - 1),
+            F.slice("ids", 1, F.size("ids") - 1),
+            lambda a, b: a - b,
+        ),
+    )
+    enc = lists.withColumn(
+        "hex_postings",
+        F.array_join(F.transform(F.when(F.size("ids") > 1, gaps).otherwise(F.col("ids")), _leb128_hex), ""),
+    )
+    return (
+        enc.select(
+            "token",
+            "n_docs",
+            (F.lit(8) * F.col("n_docs")).cast("long").alias("raw_bytes"),
+            (F.length("hex_postings") / 2).cast("long").alias("varint_bytes"),
+            "hex_postings",
+        )
+        .withColumn("ratio_i", F.expr("(varint_bytes * 10000) div raw_bytes").cast("long"))
+        .orderBy(F.col("n_docs").desc(), "token")
+        .limit(top_k)
+    )
+
+
+def varint_decode_hex(hex_str: str) -> list:
+    """Driver-side LEB128 decoder for the roundtrip test (not a Spark op)."""
+    data = bytes.fromhex(hex_str)
+    vals, cur, shift = [], 0, 0
+    for b in data:
+        cur |= (b & 0x7F) << shift
+        if b & 0x80:
+            shift += 7
+        else:
+            vals.append(cur)
+            cur, shift = 0, 0
+    out = []
+    for i, g in enumerate(vals):
+        out.append(g if i == 0 else out[-1] + g)
+    return out
+
+
+def dirichlet_ql_rank(
+    docs: DataFrame,
+    terms: Sequence[str],
+    mu: int = 2000,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_hit_terms, score_i) — query-likelihood ranking with Dirichlet
+    smoothing (Zhai & Lafferty 2001), the LM alternative to BM25:
+    score = Σ_t ln((tf_td·|C| + μ·cf_t) / (|C|·(dl_d + μ))).  Candidate
+    docs match ≥ 1 term; ABSENT query terms still contribute their
+    background (smoothing) mass — that is the point of the model, and the
+    left join supplies tf = 0 for them.
+
+    Float discipline: per-(doc, term) round(1e6·ln(·)) BIGINT, then an
+    integer sum — order-independent, cross-engine exact (the
+    unigram_logprob_scores pattern).  One division then one ln, written
+    identically in the oracle.
+
+    100 TB shape: corpus stats (cf per query term, |C|) are query-sized
+    and broadcast; candidates come off the token-keyed index; the per-doc
+    frame is |candidates|×|q| rows.  Top-k is TakeOrderedAndProject.
+    """
+    terms = [t.lower() for t in terms]
+    idx = build_inverted_index(docs, text_col, id_col)
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("_ctotal"))
+    q = idx.sparkSession.createDataFrame([(t,) for t in terms], "token string")
+    cf = (
+        toks.join(F.broadcast(q), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+        .join(F.broadcast(q), "token", "right")
+        .fillna(0, subset=["cf"])
+    )
+    # OOV query terms (cf = 0) would put ln(0) on every candidate — a
+    # uniform -inf shift; the standard treatment drops them from the score
+    cand = idx.join(F.broadcast(q), "token").select("id").distinct()
+    grid = cand.crossJoin(F.broadcast(cf.filter(F.col("cf") > 0).crossJoin(total)))
+    scored = (
+        grid.join(idx, ["id", "token"], "left")
+        .fillna(0, subset=["tf"])
+        .join(dl, "id")
+        .withColumn(
+            "contrib_i",
+            F.round(
+                F.log(
+                    (F.col("tf") * F.col("_ctotal") + F.lit(mu) * F.col("cf"))
+                    / (F.col("_ctotal") * (F.col("dl") + F.lit(mu)))
+                )
+                * 1e6
+            ).cast("long"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).cast("long").alias("n_hit_terms"),
+            F.sum("contrib_i").cast("long").alias("score_i"),
+        )
+    )
+    return scored.orderBy(F.col("score_i").desc(), F.col("id")).limit(k)

@@ -21,7 +21,7 @@ hash families diverge) or a changed collision pattern flips the hash.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -147,3 +147,81 @@ def cms_heavy_hitters(
         )
     )
     return out.orderBy(F.desc("est_l"), token_col).limit(k)
+
+
+def kmv_sketch_estimates(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 16,
+) -> DataFrame:
+    """(grp, k_used, kth_hash, est_distinct, exact_distinct, err_i) — KMV
+    (k-minimum-values / bottom-k) distinct-count sketch per group, PLUS an
+    '(all)' row whose sketch is the MERGE of the per-group bottom-k sets
+    (the KMV union property: bottom-k of a union = bottom-k of the merged
+    bottom-k lists — Beyer et al., SIGMOD'07).  est = (k-1)·2^52 div
+    kth_min over 13-hex-char md5 values (52 bits keeps (k-1)·2^52 inside
+    int64); groups with < k distinct tokens fall back to their exact count
+    (k_used = n, est = n — the standard small-set exact regime).
+
+    Determinism: md5 is identical in both engines; the sketch, the
+    estimate, and the scaled error are all exact integers.
+
+    100 TB shape: one distinct on (grp, token-hash) — 8-byte keys, never
+    text — then a rank-k window that compiles to WindowGroupLimit
+    (map-side partial bottom-k, so each partition ships ≤ k rows per
+    group); the '(all)' merge re-ranks |groups|·k rows on ONE key.  Exact
+    distincts ride the same shuffles.  No collect; estimates land in the
+    |groups|+1-row frame.
+    """
+    toks = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "grp",
+            F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = toks.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    # union merge: bottom-k of the merged per-group bottom-k sets — a
+    # |groups|·k frame, so TakeOrderedAndProject (orderBy+limit), not a
+    # degenerate single-partition window
+    merged = (
+        kept.select("h").distinct().orderBy("h").limit(k)
+        .select(F.lit("(all)").alias("grp"), "h")
+    )
+    sketch = kept.select("grp", "h").unionByName(merged)
+    per = sketch.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    exact_g = toks.groupBy("grp").agg(
+        F.countDistinct("h").cast("long").alias("exact_distinct")
+    )
+    exact_all = toks.select("h").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    ).select(F.lit("(all)").alias("grp"), "exact_distinct")
+    exact = exact_g.unionByName(exact_all)
+    est = F.when(
+        F.col("k_used") < k, F.col("exact_distinct")
+    ).otherwise(F.expr(f"((k_used - 1) * {1 << 52}) div kth_hash"))
+    out = per.join(exact, "grp").select(
+        "grp",
+        "k_used",
+        "kth_hash",
+        est.cast("long").alias("est_distinct"),
+        "exact_distinct",
+    )
+    return out.withColumn(
+        "err_i",
+        F.expr(
+            "(abs(est_distinct - exact_distinct) * 10000) div exact_distinct"
+        ).cast("long"),
+    )
