@@ -961,3 +961,93 @@ def simrank_bounded(
         )
         s = ident.unionByName(u).localCheckpoint(eager=True)
     return s
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src_col: str = "a",
+    dst_col: str = "b",
+    weight_col: str = "w",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(a, b, w) — minimum spanning forest by Borůvka's algorithm, THE
+    distributed-MST choice (each round every component picks its cheapest
+    incident edge, components merge, component count at least halves ⇒
+    ≤ log₂|V| rounds of data-parallel work; Prim/Kruskal are inherently
+    sequential).  Distinct weights are the caller's contract — they make
+    the MSF unique, so the pick needs no cycle detection beyond the
+    cross-component filter (with ties, Borůvka needs a total edge order;
+    (w, a, b) struct min supplies one, but the ORACLE must mirror it, so
+    the gate fixture derives distinct md5 weights instead).
+
+    100 TB shape: per round, two node-keyed joins stamp component labels
+    on the edge list, a map-side-combinable min(struct) per component
+    picks the merge edges, and the contraction runs over the COMPONENT
+    graph (≤ |components| edges — collapsing geometrically), via the
+    size-adaptive connected_components.  Component labels localCheckpoint
+    per round — the k_truss lesson: iterative multi-joins must truncate
+    lineage or the logical plan grows 3^rounds.
+    """
+    from aiwhispr_spark.operators.canonicalize import connected_components
+
+    ee = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("ea"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("eb"),
+            F.col(weight_col).alias("w"),
+        )
+        .filter(F.col("ea") != F.col("eb"))
+        .groupBy("ea", "eb")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    comp = (
+        ee.select(F.col("ea").alias("node"))
+        .unionByName(ee.select(F.col("eb").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    chosen = None
+    for _ in range(max_rounds):
+        lab = (
+            ee.join(comp.select(F.col("node").alias("ea"), F.col("comp").alias("ca")), "ea")
+            .join(comp.select(F.col("node").alias("eb"), F.col("comp").alias("cb")), "eb")
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        inc = lab.select(F.col("ca").alias("c"), F.struct("w", "ea", "eb").alias("e")).unionByName(
+            lab.select(F.col("cb").alias("c"), F.struct("w", "ea", "eb").alias("e"))
+        )
+        sel = (
+            inc.groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .select("e.ea", "e.eb", "e.w")
+            .distinct()
+            .localCheckpoint()
+        )
+        if sel.isEmpty():
+            break
+        chosen = sel if chosen is None else chosen.unionByName(sel).distinct().localCheckpoint()
+        # contract along the freshly merged component graph: relabel every
+        # node's component to the CC representative of its current label
+        cg = (
+            sel.join(comp.select(F.col("node").alias("ea"), F.col("comp").alias("ca")), "ea")
+            .join(comp.select(F.col("node").alias("eb"), F.col("comp").alias("cb")), "eb")
+            .select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+        )
+        mapping = connected_components(cg, src="a", dst="b")
+        comp = (
+            comp.join(
+                mapping.withColumnRenamed("alias", "comp").withColumnRenamed(
+                    "component", "_new"
+                ),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("_new", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+    ee.unpersist()
+    if chosen is None:
+        return ee.select(F.col("ea").alias("a"), F.col("eb").alias("b"), "w").limit(0)
+    return chosen.select(F.col("ea").alias("a"), F.col("eb").alias("b"), "w")

@@ -1404,3 +1404,38 @@ def community_conductance(
             .alias("conductance_mi"),
         )
     )
+
+
+def cliques_k4(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(a, b, c, d) with a<b<c<d — every 4-clique exactly once, the next
+    rung above triangle_enumerate on the cohesion ladder (k-truss bounds
+    edges, k-core bounds nodes; cliques are the exact dense-subgraph
+    certificate ER blocking and community seeding want).
+
+    Composition: triangles (a<b<c) extend by a 4th node d>c adjacent to
+    all three — the canonical-order join means each clique materializes
+    exactly once, no post-hoc dedup.
+
+    100 TB shape: three joins keyed on node ids over the canonical edge
+    set; cost is the standard output-bound clique bound (arboricity²·|E|),
+    and the a<b<c<d constraint prunes each join's build side.  A hub cap
+    upstream (degree filter) is the skew guard, same contract as
+    _overlap_pairs."""
+    ee = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("x"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    tri = triangle_enumerate(ee, "x", "y", assume_canonical=True)
+    e1, e2, e3 = ee.alias("x1"), ee.alias("x2"), ee.alias("x3")
+    return (
+        tri.join(e1, (F.col("x1.x") == tri.a) & (F.col("x1.y") > tri.c))
+        .join(e2, (F.col("x2.x") == tri.b) & (F.col("x2.y") == F.col("x1.y")))
+        .join(e3, (F.col("x3.x") == tri.c) & (F.col("x3.y") == F.col("x1.y")))
+        .select(tri.a, tri.b, tri.c, F.col("x1.y").alias("d"))
+    )
