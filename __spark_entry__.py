@@ -7751,6 +7751,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["boruvka_mst_forest"] = mst
 
+    def seqbuckets(spark, sf):
+        # power-of-2 sequence-length bucketing (mixing.py::
+        # sequence_length_buckets): per-bucket padding-waste accounting,
+        # bit-length bucket (no float log2).
+        from aiwhispr_spark.operators.mixing import sequence_length_buckets
+
+        return sequence_length_buckets(_t(spark, sf, "documents"), seq_len_cap=4096)
+
+    q["seq_length_buckets"] = seqbuckets
+
+    def doremi(spark, sf):
+        # linear Group-DRO / DoReMi-style domain reweighting (mixing.py::
+        # excess_loss_domain_weights): unigram-NLL proxy, integer-exact
+        # linear update, overflow-safe normalization.
+        from aiwhispr_spark.operators.mixing import excess_loss_domain_weights
+
+        return excess_loss_domain_weights(_t(spark, sf, "documents"))
+
+    q["doremi_domain_weights"] = doremi
+
+    def curriculum(spark, sf):
+        # shortest-first curriculum with in-tier content-hash shuffle
+        # (mixing.py::curriculum_order) — ranked by the scale-safe
+        # global_row_number (range exchange + offsets, no global window).
+        from aiwhispr_spark.operators.mixing import curriculum_order
+
+        return curriculum_order(_t(spark, sf, "documents"), seq_len_cap=4096)
+
+    q["curriculum_order"] = curriculum
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -7805,6 +7835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dirichlet_ql_rank",
         "kg_cliques_k4",
         "boruvka_mst_forest",
+        "seq_length_buckets",
+        "doremi_domain_weights",
+        "curriculum_order",
         "kg_community_conductance",
         "fim_transform_psm",
         "kg_inverse_predicates",
@@ -13207,6 +13240,71 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 2 THEN 'inverse' ELSE 'transitive' END AS origin
         FROM cand GROUP BY subj, pred, obj
     """
+    _pow2_n_sql = """
+          SELECT doc_id,
+                 least(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                       ELSE len(regexp_split_to_array(
+                              lower(trim(coalesce(text, ''))), '\\s+'))
+                       END, 4096) AS n
+          FROM documents
+    """
+    o["seq_length_buckets"] = f"""
+        WITH per AS (
+          SELECT CASE WHEN n <= 1 THEN 1
+                 ELSE 1 << length(bin(n - 1)) END AS bucket, n
+          FROM ({_pow2_n_sql}) WHERE n > 0
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS sum_tokens,
+               CAST(bucket * count(*) - sum(n) AS BIGINT) AS pad_tokens,
+               CAST(((bucket * count(*) - sum(n)) * 10000)
+                    // (bucket * count(*)) AS BIGINT) AS waste_i
+        FROM per GROUP BY bucket
+    """
+    o["curriculum_order"] = f"""
+        WITH per AS (
+          SELECT doc_id,
+                 CASE WHEN n <= 1 THEN 1
+                 ELSE 1 << length(bin(n - 1)) END AS bucket,
+                 md5('c:' || doc_id) AS shuf
+          FROM ({_pow2_n_sql})
+        )
+        SELECT CAST(row_number() OVER (ORDER BY bucket, shuf, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id, CAST(bucket AS BIGINT) AS bucket
+        FROM per
+    """
+    o["doremi_domain_weights"] = (
+        "WITH "
+        + _unigram_lm_cte
+        + """,
+        dom AS (
+          SELECT d.source AS grp, CAST(sum(l.n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(l.sum_logp_i) AS BIGINT) AS slp
+          FROM lm l JOIN documents d USING (doc_id) GROUP BY 1
+        ),
+        dom2 AS (
+          SELECT grp, n_tokens, slp,
+                 CAST((-slp) // n_tokens AS BIGINT) AS nll_mi
+          FROM dom
+        ),
+        corpus AS (
+          SELECT CAST((-sum(slp)) // sum(n_tokens) AS BIGINT) AS cn FROM dom
+        ),
+        w AS (
+          SELECT grp, n_tokens, nll_mi,
+                 CAST(greatest(0, nll_mi - cn) AS BIGINT) AS excess_mi,
+                 n_tokens * (1000000 + greatest(0, nll_mi - cn)) AS score
+          FROM dom2, corpus
+        ),
+        tot AS (SELECT CAST(sum(score) AS BIGINT) AS t FROM w)
+        SELECT grp, n_tokens, nll_mi, excess_mi,
+               CAST(round((CAST(score AS DOUBLE) / t) * 1000000)
+                    AS BIGINT) AS weight_mi
+        FROM w, tot
+    """
+    )
     o["kg_cliques_k4"] = f"""
         WITH t AS ({_kg_e2e_sql()}),
         ee AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b

@@ -285,3 +285,163 @@ def epoch_allocation(
         )
         .unionByName(ineligible)
     )
+
+
+def _pow2_bucket(text_col: str, seq_len_cap: int) -> Column:
+    """Smallest power of 2 ≥ whitespace-token count, capped; bit-length
+    trick (1<<length(bin(n−1))) — no float log2."""
+    # NULL text counts as empty — a NULL bucket would sort NULLS FIRST in
+    # Spark but NULLS LAST in DuckDB, silently breaking downstream orders
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    n_tok = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(F.lower(t), r"\s+")))
+    capped = F.least(n_tok, F.lit(seq_len_cap))
+    # pyspark's shiftleft wants a python-int bit count, so the power comes
+    # from pow(2, bits): exact in IEEE double for bits ≤ 52, cast back to
+    # long — the BIT COUNT (length(bin(n-1))) is still pure integer, which
+    # is where float log2 would have been boundary-unsafe
+    bucket = (
+        F.when(capped <= 1, F.lit(1))
+        .otherwise(F.pow(F.lit(2.0), F.length(F.bin(capped - 1))).cast("long"))
+        .cast("long")
+    )
+    return bucket, capped
+
+
+def sequence_length_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    seq_len_cap: int = 4096,
+) -> DataFrame:
+    """(bucket, n_docs, sum_tokens, pad_tokens, waste_i) — power-of-2
+    length bucketing, the batching layout every trainer uses when it does
+    NOT pack: each doc pads to its bucket's size, so the per-bucket
+    padding waste (bucket·n − Σtokens) is the number the packing pipeline
+    (pack_greedy) exists to reclaim.  Bucket = smallest power of 2 ≥
+    n_tokens, capped at ``seq_len_cap`` (longer docs truncate upstream —
+    they report in the cap bucket with zero individual pad accounting
+    beyond the cap).
+
+    Integer-exact both engines: the power is 1<<length(bin(n−1)) — a bit-
+    length trick, no float log2 (whose exactness at powers of 2 invites
+    off-by-one at bucket boundaries).
+
+    100 TB shape: one JVM token count per doc, one map-side-combinable
+    groupBy onto ≤ log₂(cap) keys.  No python, no window.
+    """
+    bucket, capped = _pow2_bucket(text_col, seq_len_cap)
+    per = docs.select(bucket.alias("bucket"), capped.cast("long").alias("n"))
+    return (
+        per.filter(F.col("n") > 0)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            (F.col("bucket") * F.col("n_docs") - F.col("sum_tokens"))
+            .cast("long")
+            .alias("pad_tokens"),
+            F.expr("((bucket * n_docs - sum_tokens) * 10000) div (bucket * n_docs)")
+            .cast("long")
+            .alias("waste_i"),
+        )
+    )
+
+
+def excess_loss_domain_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(grp, n_tokens, nll_mi, excess_mi, weight_mi) — one linear
+    multiplicative-weights round of domain reweighting in the DoReMi /
+    Group-DRO spirit (Xie et al. 2023): domains whose loss under the
+    proxy model exceeds the corpus mean get upweighted proportionally to
+    their excess.  The proxy here is the corpus-self unigram NLL
+    (unigram_logprob_scores — the same stand-in ccnet_perplexity_buckets
+    uses), and the update is LINEAR (η=1) rather than exponentiated so
+    the whole chain stays integer-exact: w_d ∝ tokens_d·(1e6+excess_mi),
+    normalized to parts-per-million by one integer division.
+
+    100 TB shape: rides unigram_logprob_scores' two token-keyed shuffles,
+    then a |domains|-row aggregate; the corpus mean is a 1-row broadcast.
+    """
+    from aiwhispr_spark.operators.textstats import unigram_logprob_scores
+
+    scores = unigram_logprob_scores(docs, text_col=text_col, id_col=id_col)
+    per_doc = docs.select(F.col(id_col), F.col(group_col).alias("grp")).join(
+        scores, id_col
+    )
+    dom = per_doc.groupBy("grp").agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("sum_logp_i").cast("long").alias("_sum_logp_i"),
+    )
+    # mean NLL per token, scaled 1e6 (sum_logp_i is already 1e6-scaled):
+    # nll_mi = (−Σlogp_i) div Σtokens
+    dom = dom.withColumn(
+        "nll_mi", F.expr("(-_sum_logp_i) div n_tokens").cast("long")
+    )
+    corpus = dom.agg(
+        F.sum("_sum_logp_i").alias("_cs"), F.sum("n_tokens").alias("_ct")
+    ).select(F.expr("(-_cs) div _ct").cast("long").alias("_corpus_nll_mi"))
+    w = dom.crossJoin(F.broadcast(corpus)).withColumn(
+        "excess_mi",
+        F.greatest(F.lit(0), F.col("nll_mi") - F.col("_corpus_nll_mi")).cast("long"),
+    )
+    w = w.withColumn("_score", F.col("n_tokens") * (F.lit(1000000) + F.col("excess_mi")))
+    tot = w.agg(F.sum("_score").alias("_tot"))
+    # normalize in double — score·1e6 would overflow int64 once
+    # Σtokens·2e6 passes ~9e12, and the floor-denominator trick
+    # (score div (tot div 1e6)) over-allocates when tot is small; one
+    # round((score/tot)·1e6) is cross-engine exact (identical IEEE ops)
+    # and within ½ ppm of true at every scale
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "n_tokens",
+            "nll_mi",
+            "excess_mi",
+            F.round(
+                (F.col("_score").cast("double") / F.col("_tot")) * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("weight_mi"),
+        )
+    )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len_cap: int = 4096,
+) -> DataFrame:
+    """(rank, doc_id, bucket) — shortest-first training curriculum: docs
+    ordered by their power-of-2 length tier ascending (the Shortformer-
+    style staged-length schedule), with a content-hash shuffle WITHIN
+    each tier (md5('c:'||id) — deterministic, rerun-stable, no RNG state)
+    so batches inside a stage stay i.i.d. rather than length-sorted.
+
+    Rank is assigned by global_row_number — the range-exchange +
+    per-partition-offset path (NOT a single-partition window), so the
+    total order scales; its persist-pins-boundaries contract applies.
+
+    100 TB shape: one narrow projection (id, tier, hash), one range
+    exchange; no corpus-wide window, no collect beyond the per-partition
+    count rows."""
+    from aiwhispr_spark.operators.ranking import global_row_number
+
+    bucket, _ = _pow2_bucket(text_col, seq_len_cap)
+    base = docs.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        F.md5(F.concat(F.lit("c:"), F.col(id_col).cast("string"))).alias("_shuf"),
+    )
+    return global_row_number(
+        base, [F.col("bucket"), F.col("_shuf"), F.col(id_col)], "rank"
+    ).select("rank", id_col, "bucket")
