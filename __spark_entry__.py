@@ -152,6 +152,32 @@ def _ensure_link_corpus() -> str:
     return path
 
 
+def _ensure_bmp_corpus() -> str:
+    """Materialize the closed-form BMP fixture (idempotent)."""
+    import os
+
+    from aiwhispr_spark.sources import synthetic
+    from aiwhispr_spark.sources.synthetic import write_bmp_corpus_parquet
+
+    path = _fixture_path("aiwhispr_bmp_24.parquet", synthetic)
+    if not os.path.exists(path):
+        write_bmp_corpus_parquet(path, n_images=24)
+    return path
+
+
+def _ensure_tracker_corpus() -> str:
+    """Materialize the tracker-script page fixture (idempotent)."""
+    import os
+
+    from aiwhispr_spark.sources import synthetic
+    from aiwhispr_spark.sources.synthetic import write_tracker_corpus_parquet
+
+    path = _fixture_path("aiwhispr_tracker_60.parquet", synthetic)
+    if not os.path.exists(path):
+        write_tracker_corpus_parquet(path, n_pages=60)
+    return path
+
+
 def _ensure_mediawiki_dump() -> str:
     """Materialize the one-file MediaWiki dump fixture (idempotent)."""
     import os
@@ -7781,6 +7807,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curriculum_order"] = curriculum
 
+    def bmp(spark, sf):
+        # REAL 24bpp BMP decode (multimodal.py::decode_bmp: stride padding,
+        # bottom-up rows, BGR order) → integer channel stats; the
+        # closed-form fixture makes a stride/row-order bug a value
+        # mismatch, not a crash.
+        from aiwhispr_spark.operators.multimodal import bmp_stats
+
+        return bmp_stats(spark.read.parquet(_ensure_bmp_corpus()))
+
+    q["bmp_decode_stats"] = bmp
+
+    def trackers(spark, sf):
+        # per-page tracker-script signal (linkgraph.py::
+        # tracker_script_signals): third-party script hosts + rule-list
+        # tracker match, zero-exchange JVM regex plan.
+        from aiwhispr_spark.operators.linkgraph import tracker_script_signals
+
+        return tracker_script_signals(spark.read.parquet(_ensure_tracker_corpus()))
+
+    q["tracker_density"] = trackers
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -7838,6 +7885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_length_buckets",
         "doremi_domain_weights",
         "curriculum_order",
+        "bmp_decode_stats",
+        "tracker_density",
         "kg_community_conductance",
         "fim_transform_psm",
         "kg_inverse_predicates",
@@ -13239,6 +13288,56 @@ def oracle_sql() -> dict[str, str]:
                CASE min(rank) WHEN 0 THEN 'asserted' WHEN 1 THEN 'symmetric'
                     WHEN 2 THEN 'inverse' ELSE 'transitive' END AS origin
         FROM cand GROUP BY subj, pred, obj
+    """
+    o["bmp_decode_stats"] = """
+        WITH img AS (SELECT s AS i, 4 + s % 5 AS w, 3 + s % 4 AS h
+                     FROM range(24) t(s)),
+        xs AS (SELECT s AS x FROM range(8) t(s)),
+        ys AS (SELECT s AS y FROM range(6) t(s)),
+        px AS (SELECT i, w, h, x, y FROM img, xs, ys WHERE x < w AND y < h),
+        sums AS (
+          SELECT i, w, h,
+                 CAST(sum((3 * x + 5 * y + i) % 256) AS BIGINT) AS sum_r,
+                 CAST(sum((7 * x + 11 * y + 2 * i) % 256) AS BIGINT) AS sum_g,
+                 CAST(sum((13 * x + 17 * y + 3 * i) % 256) AS BIGINT) AS sum_b
+          FROM px GROUP BY 1, 2, 3
+        )
+        SELECT 'img' || i AS media_id, CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_px,
+               sum_r, sum_g, sum_b,
+               CAST(sum_r * 100 // (w * h) AS BIGINT) AS mean_r_i,
+               CAST(sum_g * 100 // (w * h) AS BIGINT) AS mean_g_i,
+               CAST(sum_b * 100 // (w * h) AS BIGINT) AS mean_b_i
+        FROM sums
+    """
+    o["tracker_density"] = f"""
+        WITH base AS (
+          SELECT url,
+                 regexp_extract(url, '^https?://([^/:?#]+)', 1) AS ph,
+                 regexp_extract_all(html, '<script\\b[^>]*>', 0) AS tags,
+                 regexp_extract_all(html, '<script\\b[^>]*?src="([^"]*)"', 1)
+                   AS srcs
+          FROM read_parquet('{_ensure_tracker_corpus()}')
+        ),
+        h AS (
+          SELECT url, ph, CAST(len(tags) AS BIGINT) AS n_scripts, srcs,
+                 list_transform(srcs,
+                   s -> regexp_extract(s, '^https?://([^/:?#]+)', 1)) AS hosts
+          FROM base
+        )
+        SELECT url, n_scripts,
+               CAST(len(srcs) AS BIGINT) AS n_external,
+               CAST(len(list_filter(hosts, x -> x <> '' AND x <> ph))
+                    AS BIGINT) AS n_third_party,
+               CAST(len(list_filter(hosts,
+                    x -> regexp_matches(x, '^(analytics|pixel|tracker|ads)\\.')))
+                    AS BIGINT) AS n_tracker,
+               CAST(CASE WHEN n_scripts > 0 THEN
+                 (len(list_filter(hosts,
+                    x -> regexp_matches(x, '^(analytics|pixel|tracker|ads)\\.')))
+                  * 10000) // n_scripts
+               ELSE -1 END AS BIGINT) AS tracker_density_i
+        FROM h
     """
     _pow2_n_sql = """
           SELECT doc_id,

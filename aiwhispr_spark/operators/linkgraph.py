@@ -666,3 +666,53 @@ def milne_witten_relatedness(rel: DataFrame, max_fanout: int = 1000) -> DataFram
         .cast("long")
         .alias("mw_mi"),
     )
+
+
+def tracker_script_signals(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, n_scripts, n_external, n_third_party, n_tracker,
+    tracker_density_i) — per-page surveillance/boilerplate signal: script
+    tags, external script srcs, third-party srcs (absolute http(s) host ≠
+    page host; relative and protocol-less srcs are same-origin by the
+    fetch model), and known-tracker hosts by the rule list
+    ^(analytics|pixel|tracker|ads)\\. — the ad-tech subdomain convention;
+    a production deployment swaps in a curated blocklist table
+    (broadcast join on host) without changing the plan shape.  density =
+    n_tracker·1e4 div n_scripts (−1 when scriptless, the visible-sentinel
+    rule).
+
+    100 TB shape: pure JVM regex + array lambdas per page — zero
+    exchanges, zero python (pii_redact's plan class)."""
+    page_host = F.regexp_extract(F.col(url_col), r"^https?://([^/:?#]+)", 1)
+    open_tags = F.expr(rf"regexp_extract_all({html_col}, '<script\\b[^>]*>', 0)")
+    srcs = F.expr(
+        rf"""regexp_extract_all({html_col}, '<script\\b[^>]*?src="([^"]*)"', 1)"""
+    )
+    hosts = F.transform(
+        srcs, lambda s: F.regexp_extract(s, r"^https?://([^/:?#]+)", 1)
+    )
+    n_scripts = F.size(open_tags).cast("long")
+    n_external = F.size(srcs).cast("long")
+    ph = page_host
+    n_third = F.size(
+        F.filter(hosts, lambda h: (h != F.lit("")) & (h != ph))
+    ).cast("long")
+    n_tracker = F.size(
+        F.filter(hosts, lambda h: h.rlike(r"^(analytics|pixel|tracker|ads)\."))
+    ).cast("long")
+    return pages.select(
+        F.col(url_col).alias("url"),
+        n_scripts.alias("n_scripts"),
+        n_external.alias("n_external"),
+        n_third.alias("n_third_party"),
+        n_tracker.alias("n_tracker"),
+    ).withColumn(
+        "tracker_density_i",
+        F.when(
+            F.col("n_scripts") > 0,
+            F.expr("(n_tracker * 10000) div n_scripts"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long"),
+    )

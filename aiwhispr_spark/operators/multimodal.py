@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -693,3 +694,100 @@ def make_gradient_video(i: int, chroma: str = "420") -> bytes:
     y = ((i * 11 + f_idx * 7 + r_idx * 5 + c_idx * 3) % 251).astype(np.uint8)
     fps = (30000, 1001) if i % 2 else (25, 1)
     return encode_y4m(y, fps=fps, chroma=chroma)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """bytes → HxWx3 uint8 RGB from a real Windows BMP (BITMAPFILEHEADER +
+    40-byte BITMAPINFOHEADER, 24bpp uncompressed).  Handles the two traps a
+    fake decoder would skip: rows are PADDED to 4-byte multiples, and a
+    POSITIVE height means bottom-up row order (negative = top-down).
+    Pixel byte order on disk is BGR."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, w, h, planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: hdr={hdr_size} bpp={bpp} comp={comp}")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_px", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("mean_r_i", LongType()),
+        StructField("mean_g_i", LongType()),
+        StructField("mean_b_i", LongType()),
+    ]
+)
+
+
+def bmp_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(media_id, width, height, n_px, sum/mean per channel) — integer
+    channel statistics off the REAL BMP decode; means are exact
+    ``sum·100 div n_px``.  mapInPandas batched (one python pool, Arrow
+    in/out); the closed-form fixture makes every output an arithmetic
+    consequence of (i, x, y), so the gate catches a stride or row-order
+    bug as a value mismatch, not a crash."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_bmp(bytes(payload))
+                h, w = img.shape[:2]
+                s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                out.append(
+                    {
+                        "media_id": str(mid),
+                        "width": w,
+                        "height": h,
+                        "n_px": n,
+                        "sum_r": int(s[0]),
+                        "sum_g": int(s[1]),
+                        "sum_b": int(s[2]),
+                        "mean_r_i": int(s[0]) * 100 // n,
+                        "mean_g_i": int(s[1]) * 100 // n,
+                        "mean_b_i": int(s[2]) * 100 // n,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in BMP_STATS_SCHEMA.fields])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        gen, BMP_STATS_SCHEMA
+    )
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → 24bpp bottom-up BMP bytes (fixture writer twin of
+    decode_bmp — real header, real padding)."""
+    import struct
+
+    h, w = img.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, bottom-up
+    data = raster.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data

@@ -875,3 +875,90 @@ def write_charset_corpus_parquet(path: str, n_docs: int = 120) -> str:
         path,
     )
     return path
+
+
+def write_bmp_corpus_parquet(path: str, n_images: int = 24) -> str:
+    """(media_id, payload) fixture of REAL 24bpp BMPs whose pixels are
+    closed-form in (i, x, y) so the DuckDB oracle derives every channel
+    sum from range() arithmetic alone:
+
+    * width  = 4 + i%5, height = 3 + i%4  (width 5 ⇒ stride padding live)
+    * R(x,y) = (3x + 5y + i) % 256
+    * G(x,y) = (7x + 11y + 2i) % 256
+    * B(x,y) = (13x + 17y + 3i) % 256
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiwhispr_spark.operators.multimodal import encode_bmp
+
+    ids, payloads = [], []
+    for i in range(n_images):
+        w, h = 4 + i % 5, 3 + i % 4
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        img = np.concatenate(
+            [
+                (3 * x + 5 * y + i) % 256,
+                (7 * x + 11 * y + 2 * i) % 256,
+                (13 * x + 17 * y + 3 * i) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        ids.append(f"img{i}")
+        payloads.append(encode_bmp(img))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def write_tracker_corpus_parquet(path: str, n_pages: int = 60) -> str:
+    """(url, html) fixture for the tracker-script signal: page i on host
+    site{i%6}.example.org carries
+
+    * 1 inline script (no src — counts as a script, never as external)
+    * i%3 first-party scripts   src="/js/app{k}.js" (relative ⇒ same-origin)
+    * i%4 third-party cdn       src="https://cdn{k}.shared.example/lib.js"
+    * i%2 + 2·[i%5==0] trackers src="https://{name}.trk{k}.example/t.js",
+      name cycling (analytics, pixel, tracker, ads)
+    plus anchor/noise markup the script regex must not trip on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names = ["analytics", "pixel", "tracker", "ads"]
+    urls, htmls = [], []
+    for i in range(n_pages):
+        host = f"site{i % 6}.example.org"
+        parts = [
+            f"<html><head><title>Page {i}</title>",
+            '<script type="text/javascript">var i = %d;</script>' % i,
+        ]
+        for k in range(i % 3):
+            parts.append(f'<script src="/js/app{k}.js"></script>')
+        for k in range(i % 4):
+            parts.append(f'<script async src="https://cdn{k}.shared.example/lib.js"></script>')
+        for k in range(i % 2 + (2 if i % 5 == 0 else 0)):
+            nm = names[(i + k) % 4]
+            parts.append(f'<script src="https://{nm}.trk{k}.example/t.js" defer></script>')
+        parts.append(f'<body><a href="https://site{(i + 1) % 6}.example.org/p">next</a>')
+        parts.append("<p>script is a word, not a tag; &lt;script&gt; is entity-escaped.</p></body></html>")
+        urls.append(f"https://{host}/page/{i}")
+        htmls.append("\n".join(parts))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.string()),
+            }
+        ),
+        path,
+    )
+    return path
