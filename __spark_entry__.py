@@ -7828,6 +7828,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tracker_density"] = trackers
 
+    def calibration(spark, sf):
+        # reliability bins + ECE of a quality classifier (modeleval.py::
+        # calibration_bins): scores/labels are closed-form in doc_id so the
+        # oracle re-derives them from arithmetic alone; NULL int columns of
+        # the ECE row coalesce to -1 in BOTH engines (NULL-BIGINT
+        # stringification differs; semantics stay in the operator).
+        from aiwhispr_spark.operators.modeleval import calibration_bins
+
+        d = _t(spark, sf, "documents").select(
+            (F.col("doc_id").cast("long") * 2654435761 % 10001).alias("score_i"),
+            F.expr(
+                "CASE WHEN (doc_id * 1103515245 + 12345) % 10000"
+                " < doc_id * 2654435761 % 10001 THEN 1 ELSE 0 END"
+            ).alias("label"),
+        )
+        out = calibration_bins(d, n_bins=10, scale=10000)
+        return out.select(
+            "bin",
+            "n",
+            F.coalesce("mean_score_i", F.lit(-1)).alias("mean_score_i"),
+            F.coalesce("pos_rate_i", F.lit(-1)).alias("pos_rate_i"),
+            "gap_i",
+        )
+
+    q["classifier_calibration_bins"] = calibration
+
+    def kfold(spark, sf):
+        # group-aware k-fold with snake balancing (sharding.py::
+        # grouped_kfold): quadratic-residue grouping mod 41 gives uneven
+        # group sizes; rank by (size desc, name) then boustrophedon fold.
+        from aiwhispr_spark.operators.sharding import grouped_kfold
+
+        d = _t(spark, sf, "documents").select(
+            F.concat(F.lit("h"), (F.col("doc_id") * F.col("doc_id") % 41)).alias(
+                "grp"
+            )
+        )
+        return grouped_kfold(d, "grp", k=5)
+
+    q["grouped_kfold_assign"] = kfold
+
+    def click_pbm(spark, sf):
+        # position-based click model (modeleval.py::pbm_attractiveness):
+        # synthetic impression log closed-form in doc_id (position-biased
+        # click rule 90 div pos), exact 1/pos examination mass via the
+        # LCM(1..5)=60 integer trick — no EM, no float.
+        from aiwhispr_spark.operators.modeleval import pbm_attractiveness
+
+        imp = _t(spark, sf, "documents").select(
+            (F.col("doc_id") % 7).alias("query_id"),
+            F.expr("(doc_id div 7) % 11").alias("item_id"),
+            (F.col("doc_id") % 5 + 1).alias("pos"),
+            F.expr(
+                "CASE WHEN doc_id * 2654435761 % 100"
+                " < 90 div (doc_id % 5 + 1) THEN 1 ELSE 0 END"
+            ).alias("clicked"),
+        )
+        return pbm_attractiveness(imp, max_pos=5)
+
+    q["click_model_pbm"] = click_pbm
+
+    def scaling_fit(spark, sf):
+        # per-domain scaling-law OLS (modeleval.py::ols_fit_by): integer
+        # (x, y) points with a known planted slope per group; closed-form
+        # normal equations on BIGINT sums, scaled div — the Kaplan-style
+        # log-log fit with x as the integer exponent.
+        from aiwhispr_spark.operators.modeleval import ols_fit_by
+
+        pts = _t(spark, sf, "documents").select(
+            F.concat(F.lit("d"), F.col("doc_id") % 5).alias("grp"),
+            F.expr("(doc_id div 5) % 20").alias("x"),
+            F.expr(
+                "40000 - (1000 + 137 * (doc_id % 5)) * ((doc_id div 5) % 20)"
+                " + doc_id * 48271 % 500"
+            ).alias("y"),
+        )
+        return ols_fit_by(pts, "grp")
+
+    q["scaling_law_fit"] = scaling_fit
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -13686,5 +13766,95 @@ def oracle_sql() -> dict[str, str]:
         SELECT last_touch, first_touch,
                CAST(count(*) AS BIGINT) AS conversions
         FROM credited GROUP BY 1, 2
+    """
+    o["classifier_calibration_bins"] = """
+        WITH scored AS (
+          SELECT doc_id * 2654435761 % 10001 AS s,
+                 CASE WHEN (doc_id * 1103515245 + 12345) % 10000
+                      < doc_id * 2654435761 % 10001 THEN 1 ELSE 0 END AS y
+          FROM documents
+        ),
+        per AS (
+          SELECT least(s * 10 // 10000, 9) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(s) // count(*) AS mean_score_i,
+                 (sum(y) * 10000) // count(*) AS pos_rate_i
+          FROM scored GROUP BY 1
+        ),
+        gapped AS (
+          SELECT bin, n, mean_score_i, pos_rate_i,
+                 abs(mean_score_i - pos_rate_i) AS gap_i
+          FROM per
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, n,
+               CAST(mean_score_i AS BIGINT) AS mean_score_i,
+               CAST(pos_rate_i AS BIGINT) AS pos_rate_i,
+               CAST(gap_i AS BIGINT) AS gap_i
+        FROM gapped
+        UNION ALL
+        SELECT -1, CAST(sum(n) AS BIGINT), -1, -1,
+               CAST(sum(n * gap_i) // sum(n) AS BIGINT)
+        FROM gapped
+    """
+    o["grouped_kfold_assign"] = """
+        WITH sizes AS (
+          SELECT 'h' || CAST(doc_id * doc_id % 41 AS VARCHAR) AS grp,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1
+        ),
+        ranked AS (
+          SELECT grp, n_docs,
+                 CAST(row_number() OVER (ORDER BY n_docs DESC, grp ASC)
+                      AS INT) AS rank
+          FROM sizes
+        )
+        SELECT grp, n_docs, rank,
+               CAST(CASE WHEN (rank - 1) % 10 < 5 THEN (rank - 1) % 10
+                    ELSE 9 - (rank - 1) % 10 END AS BIGINT) AS fold
+        FROM ranked
+    """
+    o["click_model_pbm"] = """
+        WITH imp AS (
+          SELECT doc_id % 7 AS query_id,
+                 (doc_id // 7) % 11 AS item_id,
+                 doc_id % 5 + 1 AS pos,
+                 CASE WHEN doc_id * 2654435761 % 100
+                      < 90 // (doc_id % 5 + 1) THEN 1 ELSE 0 END AS clicked
+          FROM documents
+        )
+        SELECT query_id, item_id,
+               CAST(count(*) AS BIGINT) AS n_impr,
+               CAST(sum(clicked) AS BIGINT) AS n_clicks,
+               CAST(sum(60 // pos) AS BIGINT) AS exam_w,
+               CAST((sum(clicked) * 60 * 10000) // sum(60 // pos)
+                    AS BIGINT) AS attract_i
+        FROM imp GROUP BY 1, 2
+    """
+    o["scaling_law_fit"] = """
+        WITH pts AS (
+          SELECT 'd' || CAST(doc_id % 5 AS VARCHAR) AS grp,
+                 (doc_id // 5) % 20 AS x,
+                 40000 - (1000 + 137 * (doc_id % 5)) * ((doc_id // 5) % 20)
+                   + doc_id * 48271 % 500 AS y
+          FROM documents
+        ),
+        sums AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM pts GROUP BY 1
+        ),
+        fit AS (
+          SELECT grp, n, sx, sy,
+                 CASE WHEN n * sxx - sx * sx <> 0 THEN
+                   ((n * sxy - sx * sy) * 10000) // (n * sxx - sx * sx)
+                 END AS slope_i
+          FROM sums
+        )
+        SELECT grp, n, CAST(slope_i AS BIGINT) AS slope_i,
+               CAST(CASE WHEN slope_i IS NOT NULL THEN
+                 (sy * 10000 - slope_i * sx) // n END AS BIGINT)
+                 AS intercept_i
+        FROM fit
     """
     return o

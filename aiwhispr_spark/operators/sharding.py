@@ -48,3 +48,41 @@ def rendezvous_assign(
 ) -> DataFrame:
     """Append ``out_col`` = the HRW shard of ``key_col``."""
     return df.withColumn(out_col, rendezvous_expr(F.col(key_col), shards))
+
+
+def grouped_kfold(
+    docs: DataFrame, group_col: str, k: int = 5
+) -> DataFrame:
+    """Group-aware k-fold assignment with snake (boustrophedon) balancing.
+
+    Train/eval splits must keep ALL documents of one group (host, forum
+    thread, near-dup family) in the same fold or the eval leaks — the
+    sklearn GroupKFold contract, re-expressed for a cluster.  Plain
+    hash-mod assignment honours the grouping but ignores group SIZE; with
+    heavy-tailed web hosts that leaves folds 2-3× apart.  Snake balancing
+    fixes the tail deterministically: rank groups by (size desc, name
+    asc), then fold = r if r < k else 2k-1-r over r = (rank-1) mod 2k —
+    the biggest k groups land in distinct folds and each 2k-stripe
+    reverses direction, so running fold totals stay within one
+    group-size of each other without any sequential greedy state.
+
+    Output: one row per group — (group_col, n_docs, rank, fold).  Callers
+    broadcast-join it back onto the corpus (groups ≪ docs).
+
+    Scale: one count exchange onto the group key; the rank is a window
+    over the GROUP frame (hosts-sized, not corpus-sized).  A group
+    universe too big for one window partition would shard the rank via
+    ranking.global_row_number — same contract.
+    """
+    if k < 2:
+        raise ValueError("grouped_kfold needs k >= 2")
+    from pyspark.sql import Window
+
+    sizes = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.desc("n_docs"), F.asc(group_col))
+    ranked = sizes.withColumn("rank", F.row_number().over(w))
+    r = (F.col("rank") - 1) % (2 * k)
+    return ranked.withColumn(
+        "fold",
+        F.when(r < k, r).otherwise(2 * k - 1 - r).cast("long"),
+    )
