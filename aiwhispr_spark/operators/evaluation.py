@@ -278,3 +278,84 @@ def cohen_kappa(
         .cast("long")
         .alias("kappa_mi"),
     )
+
+
+def dawid_skene_one_round(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    annot_col: str = "annot_id",
+    label_col: str = "label",
+    scale: int = 10_000,
+) -> DataFrame:
+    """One Dawid–Skene EM round over crowd labels: majority-vote init,
+    per-annotator accuracy from agreement with the majority, then an
+    accuracy-weighted re-vote.  The standard crowd-label aggregation
+    (Dawid & Skene 1979) truncated at the round where every quantity is
+    still an exact integer — accuracies are agree·scale div n per
+    annotator, re-vote weight per (item, label) is the BIGINT sum of the
+    voters' accuracies, and both elections tie-break (count/weight desc,
+    label asc), so the whole round is hash-gateable.
+
+    Output: one row per item — (item_col, maj_label, maj_votes, ds_label,
+    ds_weight).  ``ds_label`` flips from ``maj_label`` exactly when
+    low-accuracy annotators formed the majority.
+
+    100 TB shape: two exchanges, both map-side combinable — (item, label)
+    vote counts, then annotator agreement keyed on the annotator (a
+    workforce-sized frame that broadcast-joins back onto the label log).
+    The per-item elections are windows over ≤|label-alphabet| rows.
+    """
+    from pyspark.sql import Window
+
+    it, an, lb = F.col(item_col), F.col(annot_col), F.col(label_col)
+    votes = labels.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_item = Window.partitionBy(item_col).orderBy(
+        F.desc("cnt"), F.asc(label_col)
+    )
+    majority = (
+        votes.withColumn("rn", F.row_number().over(w_item))
+        .filter(F.col("rn") == 1)
+        .select(
+            it.alias("_mi"),
+            lb.alias("maj_label"),
+            F.col("cnt").alias("maj_votes"),
+        )
+    )
+    acc = (
+        labels.join(
+            majority, labels[item_col] == majority["_mi"], "inner"
+        )
+        .select(an.alias("_an"), (lb == F.col("maj_label")).alias("ok"))
+        .groupBy("_an")
+        .agg(
+            F.expr(f"(sum(CASE WHEN ok THEN 1 ELSE 0 END) * {scale})"
+                   " div count(*)").alias("acc_i")
+        )
+    )
+    weighted = (
+        labels.join(F.broadcast(acc), labels[annot_col] == acc["_an"])
+        .groupBy(item_col, label_col)
+        .agg(F.sum("acc_i").alias("wsum"))
+    )
+    w_ds = Window.partitionBy(item_col).orderBy(F.desc("wsum"), F.asc(label_col))
+    ds = (
+        weighted.withColumn("rn", F.row_number().over(w_ds))
+        .filter(F.col("rn") == 1)
+        .select(
+            it.alias("_di"),
+            lb.alias("ds_label"),
+            F.col("wsum").alias("ds_weight"),
+        )
+    )
+    return (
+        majority.join(ds, majority["_mi"] == ds["_di"])
+        .select(
+            F.col("_mi").alias(item_col),
+            "maj_label",
+            "maj_votes",
+            "ds_label",
+            "ds_weight",
+        )
+    )

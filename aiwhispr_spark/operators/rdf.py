@@ -271,3 +271,74 @@ def rdfs_schema_from_profile(
         "n_total",
         "share_pm",
     )
+
+
+def rdf_list_unroll(
+    triples: DataFrame,
+    head_pred: str = "hasList",
+    first_pred: str = "rdf:first",
+    rest_pred: str = "rdf:rest",
+    nil: str = "rdf:nil",
+    max_len: int = 16,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Reconstruct ordered RDF collections (rdf:first/rdf:rest chains).
+
+    RDF 1.1 lists are cons cells: owner --head_pred--> cell0,
+    cell --rdf:first--> item, cell --rdf:rest--> next cell | rdf:nil.
+    Triple stores hold them shredded; consumers need (owner, idx, item)
+    back in order.  This walks the chain breadth-parallel: every list
+    advances one cell per round, so the round count is the MAX list
+    length, bounded by ``max_len`` (the kg_scc_bounded contract — the
+    bound is part of the operator's semantics, and real-world schema
+    lists are short).  Cycles and overlong chains stop at the bound
+    instead of looping; truncation is observable as a missing rdf:nil
+    terminator, not silent data loss.
+
+    Each round is one join of the (shrinking) frontier against the two
+    cell maps on the cell id — at 100 TB both maps are the same
+    subj-keyed exchange reused every round, the frontier only ever
+    shrinks, and per-round persist caps lineage (rounds are joins off
+    the SAME persisted parents, so depth stays linear; no 3-way blowup).
+
+    Output: (owner, idx, item) with idx 0-based.
+    """
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    firsts = triples.filter(p == first_pred).select(
+        s.alias("cell"), o.alias("item")
+    )
+    rests = triples.filter(p == rest_pred).select(
+        s.alias("cell"), o.alias("nxt")
+    )
+    firsts.persist()
+    rests.persist()
+    frontier = triples.filter(p == head_pred).select(
+        s.alias("owner"), o.alias("cell")
+    )
+    out = []
+    for idx in range(max_len):
+        frontier = frontier.persist()
+        if frontier.rdd.isEmpty():
+            break
+        out.append(
+            frontier.join(firsts, "cell").select(
+                "owner", F.lit(idx).cast("long").alias("idx"), "item"
+            )
+        )
+        nxt = frontier.join(rests, "cell").filter(F.col("nxt") != nil)
+        prev = frontier
+        frontier = nxt.select("owner", F.col("nxt").alias("cell"))
+        frontier = frontier.localCheckpoint(eager=True)
+        prev.unpersist()
+    firsts.unpersist()
+    rests.unpersist()
+    if not out:
+        return triples.sparkSession.createDataFrame(
+            [], "owner string, idx long, item string"
+        )
+    res = out[0]
+    for d in out[1:]:
+        res = res.unionByName(d)
+    return res
