@@ -8002,6 +8002,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_pivot_daily"] = pivot_daily
 
+    def pq_adc(spark, sf):
+        # product-quantization ADC top-k (similarity.py::pq_adc_topk):
+        # fixed-point 1e3 integer vectors, codebook = vec_id < 16, query =
+        # vec_id 123 kept exact; m=8 subspaces of 8 dims, argmin squared-L2
+        # assignment (tie-break smallest code), LUT-summed estimated
+        # distance — all-BIGINT so the whole IVF+PQ memory path hash-gates.
+        from aiwhispr_spark.operators.similarity import (
+            fixed_point_vectors,
+            pq_adc_topk,
+        )
+
+        fp = fixed_point_vectors(_t(spark, sf, "embeddings"))
+        cb = fp.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").cast("long").alias("code"),
+            F.col("fp").alias("cfp"),
+        )
+        qv = fp.filter(F.col("vec_id") == 123)
+        return pq_adc_topk(fp, cb, qv, k=10, m=8, dim=64)
+
+    q["pq_adc_topk"] = pq_adc
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -13999,6 +14020,48 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT m.item_id, m.maj_label, m.maj_votes, d.ds_label, d.ds_weight
         FROM maj m JOIN ds d USING (item_id)
+    """
+    o["pq_adc_topk"] = """
+        WITH fp AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                 ) AS fp
+          FROM embeddings
+        ),
+        cb AS (SELECT vec_id AS code, fp AS cfp FROM fp WHERE vec_id < 16),
+        q AS (SELECT fp AS qfp FROM fp WHERE vec_id = 123),
+        diffs AS (
+          SELECT f.vec_id, c.code, s.range AS s,
+                 sum((f.fp[s.range * 8 + d.range] - c.cfp[s.range * 8 + d.range])
+                   * (f.fp[s.range * 8 + d.range] - c.cfp[s.range * 8 + d.range]))
+                   AS dist
+          FROM fp f, cb c, range(0, 8) s, range(1, 9) d
+          GROUP BY 1, 2, 3
+        ),
+        best AS (
+          SELECT vec_id, s, code FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+            FROM diffs) WHERE rn = 1
+        ),
+        lut AS (
+          SELECT c.code, s.range AS s,
+                 sum((q.qfp[s.range * 8 + d.range] - c.cfp[s.range * 8 + d.range])
+                   * (q.qfp[s.range * 8 + d.range] - c.cfp[s.range * 8 + d.range]))
+                   AS qdist
+          FROM cb c, q, range(0, 8) s, range(1, 9) d
+          GROUP BY 1, 2
+        ),
+        adc AS (
+          SELECT b.vec_id, CAST(sum(l.qdist) AS BIGINT) AS adc_i
+          FROM best b JOIN lut l ON b.code = l.code AND b.s = l.s
+          GROUP BY 1
+        )
+        SELECT CAST(row_number() OVER (ORDER BY adc_i, vec_id) AS BIGINT)
+                 AS rank,
+               vec_id, adc_i
+        FROM adc ORDER BY adc_i, vec_id LIMIT 10
     """
     o["events_pivot_daily"] = """
         SELECT CAST(isodow(ts) AS INT) AS isodow,

@@ -221,3 +221,139 @@ def quantize_embeddings_int8(
         ).otherwise(F.transform(v, lambda x: F.lit(0))),
     ).alias(q_col)
     return df.withColumns({scale_col: scale, q_col: q})
+
+
+def fixed_point_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    out_col: str = "fp",
+) -> DataFrame:
+    """Fixed-point integer view of a float vector column: round(x·scale)
+    per element, BIGINT.  The precision contract that makes every distance
+    downstream (PQ assignment, ADC lookups) an EXACT integer — engines
+    agree because float32 inputs are exactly representable in double and
+    round-half-away matches.  Pure JVM transform, zero shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * float(scale)).cast("long"),
+        ).alias(out_col),
+    )
+
+
+def pq_assign(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    fp_col: str = "fp",
+    code_col: str = "code",
+    cfp_col: str = "cfp",
+) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al. 2011): split the
+    ``dim``-d integer vector into ``m`` contiguous subspaces of width
+    dim/m; per subspace every vector takes the codebook entry with the
+    minimum exact squared L2 over that slice (tie-break smallest code).
+
+    Output: (id_col, s, code, dist) — m rows per vector, the compressed
+    representation is m·log2(|codebook|) bits.
+
+    100 TB shape: the codebook is dozens-to-256 rows and BROADCAST; the
+    fan-out is vectors × |codebook| with an m-wide distance array computed
+    in one JVM pass (nested higher-order aggregate — no python), then
+    posexploded and window-reduced per (vector, subspace) over |codebook|
+    rows.  No corpus-wide shuffle: the window key includes the vector id,
+    so AQE keeps it map-local after the broadcast join.
+    """
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    w = dim // m
+    fp, cfp = F.col(fp_col), F.col(cfp_col)
+    # per (vector, code): array of m subspace distances, one JVM pass
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.aggregate(
+            F.sequence(s * w + 1, s * w + w),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + (F.element_at(fp, i) - F.element_at(cfp, i))
+            * (F.element_at(fp, i) - F.element_at(cfp, i)),
+        ),
+    )
+    pairs = vectors.crossJoin(F.broadcast(codebook)).select(
+        F.col(id_col),
+        F.col(code_col),
+        F.posexplode(dists).alias("s", "dist"),
+    )
+    win = Window.partitionBy(id_col, "s").orderBy("dist", code_col)
+    return (
+        pairs.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("s").cast("long").alias("s"), code_col, "dist")
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact, the
+    corpus is its PQ codes; estimated distance = Σ_s lut[s, code_s] where
+    the LUT holds the query-to-centroid squared L2 per subspace.  The IVF+PQ
+    memory path every billion-vector store runs (Jégou et al. 2011) — the
+    scan reads m bytes per vector instead of 4·dim.
+
+    ``query`` is a one-row frame with ``fp_col``.  Output: (rank, id, adc_i)
+    — all-integer, deterministic (ties break on id).
+
+    100 TB shape: LUT = |codebook|·m rows computed once and broadcast onto
+    the code table; the top-k is TakeOrderedAndProject over (adc_i, id).
+    """
+    w = dim // m
+    asg = pq_assign(
+        vectors, codebook, m=m, dim=dim, id_col=id_col, fp_col=fp_col
+    )
+    qfp = F.col("qfp")
+    cfp = F.col("cfp")
+    lut_dists = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.aggregate(
+            F.sequence(s * w + 1, s * w + w),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + (F.element_at(qfp, i) - F.element_at(cfp, i))
+            * (F.element_at(qfp, i) - F.element_at(cfp, i)),
+        ),
+    )
+    lut = codebook.crossJoin(
+        F.broadcast(query.select(F.col(fp_col).alias("qfp")))
+    ).select(
+        F.col("code").alias("lcode"),
+        F.posexplode(lut_dists).alias("ls", "qdist"),
+    )
+    adc = (
+        asg.join(
+            F.broadcast(lut),
+            (asg["code"] == lut["lcode"]) & (asg["s"] == lut["ls"]),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("qdist").alias("adc_i"))
+        .orderBy("adc_i", id_col)
+        .limit(k)
+    )
+    rank_win = Window.orderBy("adc_i", id_col)
+    return adc.select(
+        F.row_number().over(rank_win).cast("long").alias("rank"),
+        id_col,
+        "adc_i",
+    )

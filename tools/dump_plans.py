@@ -144,6 +144,11 @@ SHOWN = [
     ("fim_transform_psm", "mode coin + two md5 cuts + three array slices in ONE codegen projection: zero shuffle, zero python — FIM at scan speed"),
     ("kg_inverse_predicates", "reversed self-join exchanges key on the ARGUMENT pair (one side pre-swapped); sizes join back broadcast-sized; never a predicate cross product"),
     ("preference_pairs_crawl", "ONE url-keyed hash exchange feeds the lag window; no global sort, no second shuffle"),
+    ("pq_adc_topk", "codebook + LUT broadcast (BroadcastNestedLoopJoin over ≤16 rows); per-(vector,subspace) argmin via WindowGroupLimit partial bottom-1; top-k is TakeOrderedAndProject; final rank window is k-rows by construction"),
+    ("classifier_calibration_bins", "one exchange onto ≤ n_bins keys (map-side combine); the ECE total aggregates the 10-row bin frame"),
+    ("click_model_pbm", "ONE (query, doc)-keyed map-side-combinable aggregate; examination mass folds into the same exchange (lcm div pos is a narrow projection)"),
+    ("kg_rdf_lists", "bounded breadth-parallel chain walk: per-round joins reuse the persisted first/rest maps, frontier localCheckpointed (linear lineage); rounds = max list length"),
+    ("dawid_skene_round1", "two map-side-combinable exchanges ((item,label) votes, annotator agreement); accuracy table broadcast back; elections are windows over ≤|labels| rows"),
 ]
 
 
