@@ -8023,6 +8023,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_adc_topk"] = pq_adc
 
+    def kn_bigram(spark, sf):
+        # exact-rational Kneser–Ney bigram model (textstats.py::
+        # kneser_ney_bigram_model): d=3/4 multiplies out to one integer
+        # fraction over (cab, ca, continuation counts, N) — the
+        # continuation-count semantics that raw-frequency LMs miss.
+        from aiwhispr_spark.operators.textstats import kneser_ney_bigram_model
+
+        return kneser_ney_bigram_model(
+            _t(spark, sf, "documents"), min_count=3
+        )
+
+    q["kneser_ney_bigram"] = kn_bigram
+
+    def rouge_pairs(spark, sf):
+        # ROUGE-L LCS dedup metric (evaluation.py::rouge_l_pairs): planted
+        # LCS — 6 common tokens, pair j reverses a prefix block of size
+        # j%5 in the reference, noise tokens unique+disjoint per side so
+        # only the planted subsequence can match; LCS = 6 for block ≤ 1
+        # else 7−block.  Oracle is closed form, independent of the DP.
+        from aiwhispr_spark.operators.evaluation import rouge_l_pairs
+
+        d = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") < 40)
+            .select(F.col("doc_id").alias("j"), (F.col("doc_id") % 5).alias("h"))
+        )
+        common = F.transform(
+            F.sequence(F.lit(0), F.lit(5)),
+            lambda i: F.concat(F.lit("c"), i),
+        )
+        noise_a = F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.concat(F.lit("na"), F.col("j"), F.lit("_"), i),
+        )
+        noise_b = F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda i: F.concat(F.lit("nb"), F.col("j"), F.lit("_"), i),
+        )
+        common_b = F.concat(
+            F.reverse(F.slice(common, F.lit(1), F.col("h"))),
+            F.slice(common, F.col("h") + 1, F.lit(6) - F.col("h")),
+        )
+        cand = F.concat(
+            F.flatten(
+                F.zip_with(
+                    common,
+                    F.slice(noise_a, 1, 6),
+                    lambda c, n: F.array(c, n),
+                )
+            ),
+            F.slice(noise_a, 7, 2),
+        )
+        ref = F.concat(
+            F.flatten(
+                F.zip_with(
+                    F.slice(common_b, F.lit(1), F.lit(4)),
+                    noise_b,
+                    lambda c, n: F.array(c, n),
+                )
+            ),
+            F.slice(common_b, F.lit(5), F.lit(2)),
+        )
+        pairs = d.select(
+            F.col("j").alias("pair_id"),
+            cand.alias("cand_toks"),
+            ref.alias("ref_toks"),
+        )
+        return rouge_l_pairs(pairs).select(
+            "pair_id", "lcs", "len_cand", "len_ref", "prec_i", "rec_i", "f_i"
+        )
+
+    q["rouge_l_dedup_pairs"] = rouge_pairs
+
+    def butterflies(spark, sf):
+        # bipartite butterfly counting (linkgraph.py::bipartite_butterflies)
+        # over a (key, item) incidence closed-form in doc_id; pair-join
+        # C(n_common,2) counting — no 4-node enumeration.  Every key's
+        # fan-out here ≤ 9, so the hub cap never fires and the oracle can
+        # recompute cap-free.
+        from aiwhispr_spark.operators.linkgraph import bipartite_butterflies
+
+        rel = _t(spark, sf, "documents").select(
+            F.concat(F.lit("k"), F.col("doc_id") % 13).alias("key"),
+            F.concat(F.lit("i"), F.col("doc_id") % 9).alias("item"),
+        )
+        return bipartite_butterflies(rel)
+
+    q["bipartite_butterflies"] = butterflies
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -14020,6 +14109,76 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT m.item_id, m.maj_label, m.maj_votes, d.ds_label, d.ds_weight
         FROM maj m JOIN ds d USING (item_id)
+    """
+    o["kneser_ney_bigram"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             t -> t <> '') AS t
+          FROM documents),
+        big AS (
+          SELECT unnest(CASE WHEN len(t) >= 2
+                   THEN list_transform(range(1, len(t)),
+                          i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])
+                   ELSE [] END) AS bigram
+          FROM toks),
+        counts AS (SELECT bigram, count(*) AS cab FROM big GROUP BY bigram),
+        sp AS (
+          SELECT bigram, cab,
+                 string_split(bigram, ' ')[1] AS a,
+                 string_split(bigram, ' ')[2] AS b
+          FROM counts),
+        left_t AS (SELECT a, sum(cab) AS ca, count(*) AS n1_left
+                   FROM sp GROUP BY 1),
+        right_t AS (SELECT b, count(*) AS n1_right FROM sp GROUP BY 1),
+        nb AS (SELECT count(*) AS nb FROM counts)
+        SELECT s.bigram, CAST(s.cab AS BIGINT) AS cab,
+               CAST(l.ca AS BIGINT) AS ca,
+               CAST(l.n1_left AS BIGINT) AS n1_left,
+               CAST(r.n1_right AS BIGINT) AS n1_right,
+               CAST((greatest(4 * s.cab - 3, 0) * nb.nb
+                     + 3 * l.n1_left * r.n1_right) * 1000000000
+                    // (4 * l.ca * nb.nb) AS BIGINT) AS p_kn_i
+        FROM sp s JOIN left_t l USING (a) JOIN right_t r USING (b), nb
+        WHERE s.cab >= 3
+    """
+    o["rouge_l_dedup_pairs"] = """
+        -- closed-form planted LCS, independent of the DP under test
+        WITH base AS (
+          SELECT doc_id AS pair_id,
+                 CAST(CASE WHEN doc_id % 5 <= 1 THEN 6
+                      ELSE 7 - doc_id % 5 END AS BIGINT) AS lcs
+          FROM documents WHERE doc_id < 40
+        )
+        SELECT pair_id, lcs,
+               CAST(14 AS BIGINT) AS len_cand,
+               CAST(10 AS BIGINT) AS len_ref,
+               CAST(lcs * 10000 // 14 AS BIGINT) AS prec_i,
+               CAST(lcs * 10000 // 10 AS BIGINT) AS rec_i,
+               CAST(2 * lcs * 10000 // 24 AS BIGINT) AS f_i
+        FROM base
+    """
+    o["bipartite_butterflies"] = """
+        WITH rel AS (
+          SELECT DISTINCT 'k' || CAST(doc_id % 13 AS VARCHAR) AS key,
+                          'i' || CAST(doc_id % 9 AS VARCHAR) AS item
+          FROM documents
+        ),
+        pairs AS (
+          SELECT l.item AS a, r.item AS b, count(*) AS n_common
+          FROM rel l JOIN rel r ON l.key = r.key AND l.item < r.item
+          GROUP BY 1, 2
+        ),
+        bf AS (
+          SELECT a, b, n_common * (n_common - 1) // 2 AS bf
+          FROM pairs WHERE n_common >= 2
+        )
+        SELECT item, CAST(sum(bf) AS BIGINT) AS n_butterflies FROM (
+          SELECT a AS item, bf FROM bf
+          UNION ALL SELECT b AS item, bf FROM bf
+        ) GROUP BY 1
+        UNION ALL
+        SELECT '(all)', CAST(coalesce(sum(bf), 0) AS BIGINT) FROM bf
     """
     o["pq_adc_topk"] = """
         WITH fp AS (

@@ -359,3 +359,85 @@ def dawid_skene_one_round(
             "ds_weight",
         )
     )
+
+
+def rouge_l_pairs(
+    pairs: DataFrame,
+    cand_col: str = "cand_toks",
+    ref_col: str = "ref_toks",
+    scale: int = 10_000,
+) -> DataFrame:
+    """ROUGE-L over (candidate, reference) token-array pairs: LCS length by
+    dynamic programming, then the exact integer metrics
+    P = lcs·scale div |cand|, R = lcs·scale div |ref|,
+    F = 2·lcs·scale div (|cand|+|ref|) (the 2PR/(P+R) identity on counts —
+    no float).  The self-instruct / summarization dedup gate (Lin 2004;
+    Wang et al. 2022 drop candidates with ROUGE-L > 0.7 vs any kept
+    instruction).
+
+    The DP is a vectorized pandas UDF (Arrow batches; two-row rolling DP,
+    O(min·max) time, O(min) memory per pair).  That's the honest boundary:
+    LCS has no relational form, so the kernel is python-per-pair — at
+    100 TB the pair stream is ALREADY candidate-sized (this runs after
+    blocking, never all-pairs), and the batch shape keeps Arrow transfer
+    amortized.  Appends (lcs, len_cand, len_ref, prec_i, rec_i, f_i).
+    Empty sides yield zero metrics (guarded div)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    # module-level `from __future__ import annotations` stringifies hints,
+    # and pandas is imported locally — pandas_udf can't resolve 'pd.Series'
+    # from a string.  Bind REAL annotation objects instead.
+    def _lcs_fn(a_ser, b_ser):
+        out = []
+        for a, b in zip(a_ser, b_ser):
+            a = list(a) if a is not None else []
+            b = list(b) if b is not None else []
+            if len(a) < len(b):
+                a, b = b, a
+            if not b:
+                out.append(0)
+                continue
+            prev = [0] * (len(b) + 1)
+            for x in a:
+                cur = [0]
+                for j, y in enumerate(b, 1):
+                    cur.append(
+                        prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+                    )
+                prev = cur
+            out.append(prev[-1])
+        return pd.Series(out)
+
+    _lcs_fn.__annotations__ = {
+        "a_ser": pd.Series,
+        "b_ser": pd.Series,
+        "return": pd.Series,
+    }
+    _lcs = pandas_udf(_lcs_fn, "long")
+
+    out = pairs.withColumn("lcs", _lcs(F.col(cand_col), F.col(ref_col)))
+    la = F.size(F.col(cand_col))
+    lb = F.size(F.col(ref_col))
+    return (
+        out.withColumn("len_cand", la.cast("long"))
+        .withColumn("len_ref", lb.cast("long"))
+        .withColumn(
+            "prec_i",
+            F.expr(f"CASE WHEN len_cand > 0 THEN lcs * {scale} div len_cand"
+                   " ELSE 0 END"),
+        )
+        .withColumn(
+            "rec_i",
+            F.expr(f"CASE WHEN len_ref > 0 THEN lcs * {scale} div len_ref"
+                   " ELSE 0 END"),
+        )
+        .withColumn(
+            "f_i",
+            F.expr(
+                f"CASE WHEN len_cand + len_ref > 0 THEN"
+                f" 2 * lcs * {scale} div (len_cand + len_ref) ELSE 0 END"
+            ),
+        )
+    )

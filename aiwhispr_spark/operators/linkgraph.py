@@ -716,3 +716,40 @@ def tracker_script_signals(
         .otherwise(F.lit(-1))
         .cast("long"),
     )
+
+
+def bipartite_butterflies(rel: DataFrame, max_fanout: int = 1000) -> DataFrame:
+    """Butterfly (2×2 biclique) counts over a bipartite (key, item)
+    incidence — the bipartite clustering primitive (Wang et al. 2019,
+    "Vertex Priority Based Butterfly Counting"): a butterfly is two items
+    sharing two keys, the smallest cohesion motif a host↔token or
+    doc↔entity graph has (triangles don't exist in bipartite graphs).
+
+    Counting rides :func:`_overlap_pairs`: per item pair with n_common
+    shared keys there are C(n_common, 2) butterflies, so the pair join IS
+    the count — no 4-node enumeration.  The hub cap (keys with fan-out >
+    max_fanout dropped) is the same skew guard the wedge join needs anyway.
+
+    Output: (item, n_butterflies) per item — each butterfly counted once
+    per endpoint item — plus an '(all)' row with the GLOBAL butterfly
+    total (each counted once).
+
+    100 TB shape: everything downstream of the hub-capped wedge join is
+    pair-keyed and map-side combinable; per-item rollup keys on the item.
+    """
+    pairs = _overlap_pairs(rel, max_fanout=max_fanout).filter(
+        F.col("n_common") >= 2
+    )
+    bf = pairs.select(
+        "a", "b", F.expr("n_common * (n_common - 1) div 2").alias("bf")
+    )
+    per_item = (
+        bf.select(F.explode(F.array("a", "b")).alias("item"), "bf")
+        .groupBy("item")
+        .agg(F.sum("bf").alias("n_butterflies"))
+    )
+    total = bf.agg(
+        F.lit("(all)").alias("item"),
+        F.coalesce(F.sum("bf"), F.lit(0)).alias("n_butterflies"),
+    )
+    return per_item.unionByName(total)

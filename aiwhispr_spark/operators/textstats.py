@@ -993,3 +993,89 @@ def gopher_rules(
         keep = cond if keep is None else (keep & cond)
     cols.append(keep.cast("int").alias("keep"))
     return df.select(*cols)
+
+
+def kneser_ney_bigram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram model (Chen & Goodman 1999) kept
+    EXACT: with the standard discount d = 3/4,
+
+        P_KN(b|a) = max(c(ab)−d, 0)/c(a·) + d·N1+(a·)/c(a·) · N1+(·b)/N
+
+    multiplies out to the single rational
+
+        [max(4·c(ab)−3, 0)·N + 3·N1+(a·)·N1+(·b)] / (4·c(a·)·N)
+
+    over exact BIGINT counts (N = distinct bigram types, N1+(a·) =
+    distinct continuations of a, N1+(·b) = distinct left contexts of b —
+    the continuation count that makes KN model "how many contexts does b
+    complete" instead of raw frequency).  Emitted as
+    p_kn_i = num·scale div den — no float, no log, hash-gateable, and
+    Σ_b P_KN(b|a) = 1 exactly per context once the λ(a)·P_cont(b) mass of
+    UNSEEN continuations is included (model rows cover observed bigrams;
+    the identity is pinned with exact fractions in pytest).
+
+    ``min_count`` bounds the OUTPUT (model rows with c(ab) ≥ min_count);
+    the statistics always come from the full corpus.
+
+    Output: (bigram, cab, ca, n1_left, n1_right, p_kn_i).
+
+    100 TB shape: the corpus collapses to its bigram vocabulary first (one
+    bigram-keyed exchange, map-side combined); both continuation counts
+    aggregate from that VOCAB table (vocab-sized shuffles keyed on a/b);
+    N is a 1-row broadcast.  int64 bound: num ≤ 4·c(ab)·N needs
+    c(ab)·N < 2^61 — a web-scale corpus reduces the fraction (gcd) or
+    drops to 128-bit decimal; the contract here is exactness, the
+    representation is swappable.
+    """
+    toks_expr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    from ..functions.udfs import bound
+
+    bigram_arr = bound(
+        toks_expr,
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    counts = (
+        docs.select(bigram_arr.alias("bg"))
+        .select(F.explode("bg").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .withColumn("a", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("b", F.split(F.col("bigram"), " ").getItem(1))
+    )
+    left = counts.groupBy("a").agg(
+        F.sum("cab").alias("ca"), F.count(F.lit(1)).alias("n1_left")
+    )
+    right = counts.groupBy("b").agg(F.count(F.lit(1)).alias("n1_right"))
+    nbig = counts.agg(F.count(F.lit(1)).alias("nb"))
+    return (
+        counts.join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(nbig))
+        .filter(F.col("cab") >= min_count)
+        .select(
+            "bigram",
+            "cab",
+            "ca",
+            "n1_left",
+            "n1_right",
+            F.expr(
+                f"(greatest(4 * cab - 3, 0) * nb + 3 * n1_left * n1_right)"
+                f" * {scale} div (4 * ca * nb)"
+            ).alias("p_kn_i"),
+        )
+    )
