@@ -165,6 +165,19 @@ def _ensure_bmp_corpus() -> str:
     return path
 
 
+def _ensure_tiff_corpus() -> str:
+    """Materialize the closed-form multi-strip TIFF fixture (idempotent)."""
+    import os
+
+    from aiwhispr_spark.sources import synthetic
+    from aiwhispr_spark.sources.synthetic import write_tiff_corpus_parquet
+
+    path = _fixture_path("aiwhispr_tiff_24.parquet", synthetic)
+    if not os.path.exists(path):
+        write_tiff_corpus_parquet(path, n_images=24)
+    return path
+
+
 def _ensure_tracker_corpus() -> str:
     """Materialize the tracker-script page fixture (idempotent)."""
     import os
@@ -7818,6 +7831,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bmp_decode_stats"] = bmp
 
+    def tiff(spark, sf):
+        # REAL baseline multi-strip TIFF decode (multimodal.py::decode_tiff:
+        # IFD inline-vs-offset value slots, strip-table reassembly) →
+        # the same integer channel stats as bmp_decode_stats; a strip-order
+        # or inline/offset bug is a value mismatch, not a crash.
+        from aiwhispr_spark.operators.multimodal import tiff_stats
+
+        return tiff_stats(spark.read.parquet(_ensure_tiff_corpus()))
+
+    q["tiff_decode_stats"] = tiff
+
     def trackers(spark, sf):
         # per-page tracker-script signal (linkgraph.py::
         # tracker_script_signals): third-party script hosts + rule-list
@@ -8170,6 +8194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doremi_domain_weights",
         "curriculum_order",
         "bmp_decode_stats",
+        "tiff_decode_stats",
         "tracker_density",
         "kg_community_conductance",
         "fim_transform_psm",
@@ -13584,6 +13609,27 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum((3 * x + 5 * y + i) % 256) AS BIGINT) AS sum_r,
                  CAST(sum((7 * x + 11 * y + 2 * i) % 256) AS BIGINT) AS sum_g,
                  CAST(sum((13 * x + 17 * y + 3 * i) % 256) AS BIGINT) AS sum_b
+          FROM px GROUP BY 1, 2, 3
+        )
+        SELECT 'img' || i AS media_id, CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_px,
+               sum_r, sum_g, sum_b,
+               CAST(sum_r * 100 // (w * h) AS BIGINT) AS mean_r_i,
+               CAST(sum_g * 100 // (w * h) AS BIGINT) AS mean_g_i,
+               CAST(sum_b * 100 // (w * h) AS BIGINT) AS mean_b_i
+        FROM sums
+    """
+    o["tiff_decode_stats"] = """
+        WITH img AS (SELECT s AS i, 5 + s % 4 AS w, 6 + s % 5 AS h
+                     FROM range(24) t(s)),
+        xs AS (SELECT s AS x FROM range(8) t(s)),
+        ys AS (SELECT s AS y FROM range(10) t(s)),
+        px AS (SELECT i, w, h, x, y FROM img, xs, ys WHERE x < w AND y < h),
+        sums AS (
+          SELECT i, w, h,
+                 CAST(sum((2 * x + 9 * y + i) % 256) AS BIGINT) AS sum_r,
+                 CAST(sum((5 * x + 3 * y + 2 * i) % 256) AS BIGINT) AS sum_g,
+                 CAST(sum((11 * x + 7 * y + 5 * i) % 256) AS BIGINT) AS sum_b
           FROM px GROUP BY 1, 2, 3
         )
         SELECT 'img' || i AS media_id, CAST(w AS BIGINT) AS width,

@@ -791,3 +791,156 @@ def encode_bmp(img: np.ndarray) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
     return header + info + data
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """bytes → HxWx3 uint8 RGB from a baseline little-endian TIFF
+    (uncompressed, chunky RGB, strip-organized).  The traps a fake decoder
+    skips: IFD entries hold SMALL values INLINE in the 4-byte value slot
+    (count·size ≤ 4) but larger arrays via OFFSET, and the image arrives
+    as MULTIPLE strips of rows_per_strip rows that must be reassembled in
+    tag order — wrong inline/offset handling or strip order shears rows.
+
+    Supported: Compression=1, PhotometricInterpretation=2 (RGB),
+    BitsPerSample=8×3, SamplesPerPixel=3.  Everything else raises."""
+    import struct
+
+    if payload[:4] != b"II*\x00":
+        raise ValueError("not a little-endian TIFF payload")
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    (n_ent,) = struct.unpack_from("<H", payload, ifd_off)
+    _SIZES = {1: 1, 3: 2, 4: 4}
+
+    def read_values(typ: int, cnt: int, raw: bytes) -> list[int]:
+        size = _SIZES[typ]
+        src = raw if cnt * size <= 4 else payload[
+            struct.unpack("<I", raw)[0] : struct.unpack("<I", raw)[0]
+            + cnt * size
+        ]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return list(struct.unpack_from(f"<{cnt}{fmt}", src, 0))
+
+    tags: dict[int, list[int]] = {}
+    for k in range(n_ent):
+        tag, typ, cnt = struct.unpack_from("<HHI", payload, ifd_off + 2 + 12 * k)
+        raw = payload[ifd_off + 2 + 12 * k + 8 : ifd_off + 2 + 12 * k + 12]
+        if typ in _SIZES:
+            tags[tag] = read_values(typ, cnt, raw)
+    w, h = tags[256][0], tags[257][0]
+    if tags.get(259, [1])[0] != 1 or tags.get(262, [2])[0] != 2:
+        raise ValueError("unsupported TIFF compression/photometric")
+    if tags.get(258, [8, 8, 8]) != [8, 8, 8] or tags.get(277, [3])[0] != 3:
+        raise ValueError("unsupported TIFF sample layout")
+    rows_per_strip = tags.get(278, [h])[0]
+    offs, cnts = tags[273], tags[279]
+    if len(offs) != len(cnts) or len(offs) != -(-h // rows_per_strip):
+        raise ValueError("inconsistent TIFF strip table")
+    buf = b"".join(payload[o : o + c] for o, c in zip(offs, cnts))
+    if len(buf) != w * h * 3:
+        raise ValueError("TIFF strip bytes do not cover the image")
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def encode_tiff(img: np.ndarray, rows_per_strip: int = 4) -> bytes:
+    """HxWx3 uint8 RGB → baseline little-endian TIFF bytes, MULTI-STRIP
+    (fixture-writer twin of decode_tiff — real IFD, real inline-vs-offset
+    value placement, real strip table)."""
+    import struct
+
+    h, w = img.shape[:2]
+    n_strips = -(-h // rows_per_strip)
+    strips = [
+        img[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
+        for i in range(n_strips)
+    ]
+    # layout: header(8) | IFD | bits(6) | offsets(4n) | counts(4n) | strips
+    n_ent = 9
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_ent + 4
+    bits_off = ifd_off + ifd_size
+    offs_off = bits_off + 6
+    # single-strip offsets/counts live INLINE in the IFD value slots —
+    # no tables are written, so no table space may be reserved
+    table = 0 if n_strips == 1 else 4 * n_strips
+    cnts_off = offs_off + table
+    data_off = cnts_off + table
+    strip_offs = []
+    pos = data_off
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+
+    def ent(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    def inline_shorts(vals: list[int]) -> int:
+        v = vals + [0] * (2 - len(vals))
+        return v[0] | (v[1] << 16)
+
+    entries = [
+        ent(256, 3, 1, w),
+        ent(257, 3, 1, h),
+        ent(258, 3, 3, bits_off),
+        ent(259, 3, 1, 1),
+        ent(262, 3, 1, 2),
+        ent(273, 4, n_strips, strip_offs[0] if n_strips == 1 else offs_off),
+        ent(277, 3, 1, 3),
+        ent(278, 3, 1, rows_per_strip),
+        ent(
+            279,
+            4,
+            n_strips,
+            len(strips[0]) if n_strips == 1 else cnts_off,
+        ),
+    ]
+    out = [
+        b"II*\x00",
+        struct.pack("<I", ifd_off),
+        struct.pack("<H", n_ent),
+        b"".join(entries),
+        struct.pack("<I", 0),  # next-IFD pointer
+        struct.pack("<HHH", 8, 8, 8),
+        b"" if n_strips == 1 else struct.pack(f"<{n_strips}I", *strip_offs),
+        b"" if n_strips == 1 else struct.pack(
+            f"<{n_strips}I", *[len(s) for s in strips]
+        ),
+        b"".join(strips),
+    ]
+    return b"".join(out)
+
+
+def tiff_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """TIFF twin of :func:`bmp_stats` — same integer channel statistics,
+    same mapInPandas batch shape, off the REAL multi-strip TIFF decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_tiff(bytes(payload))
+                h, w = img.shape[:2]
+                s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                out.append(
+                    {
+                        "media_id": str(mid),
+                        "width": w,
+                        "height": h,
+                        "n_px": n,
+                        "sum_r": int(s[0]),
+                        "sum_g": int(s[1]),
+                        "sum_b": int(s[2]),
+                        "mean_r_i": int(s[0]) * 100 // n,
+                        "mean_g_i": int(s[1]) * 100 // n,
+                        "mean_b_i": int(s[2]) * 100 // n,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in BMP_STATS_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        gen, BMP_STATS_SCHEMA
+    )

@@ -962,3 +962,47 @@ def write_tracker_corpus_parquet(path: str, n_pages: int = 60) -> str:
         path,
     )
     return path
+
+
+def write_tiff_corpus_parquet(path: str, n_images: int = 24) -> str:
+    """(media_id, payload) fixture of REAL baseline multi-strip TIFFs whose
+    pixels are closed-form in (i, x, y) so the DuckDB oracle derives every
+    channel sum from range() arithmetic alone:
+
+    * width = 5 + i%4, height = 6 + i%5  (heights 6-10 with
+      rows_per_strip=4 ⇒ 2-3 strips, the reassembly path always live)
+    * R(x,y) = (2x + 9y + i) % 256
+    * G(x,y) = (5x + 3y + 2i) % 256
+    * B(x,y) = (11x + 7y + 5i) % 256
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiwhispr_spark.operators.multimodal import encode_tiff
+
+    ids, payloads = [], []
+    for i in range(n_images):
+        w, h = 5 + i % 4, 6 + i % 5
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        img = np.concatenate(
+            [
+                (2 * x + 9 * y + i) % 256,
+                (5 * x + 3 * y + 2 * i) % 256,
+                (11 * x + 7 * y + 5 * i) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        ids.append(f"img{i}")
+        payloads.append(encode_tiff(img, rows_per_strip=4))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        path,
+    )
+    return path
