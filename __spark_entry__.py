@@ -178,6 +178,19 @@ def _ensure_tiff_corpus() -> str:
     return path
 
 
+def _ensure_png_corpus() -> str:
+    """Materialize the closed-form filtered-scanline PNG fixture (idempotent)."""
+    import os
+
+    from aiwhispr_spark.sources import synthetic
+    from aiwhispr_spark.sources.synthetic import write_png_corpus_parquet
+
+    path = _fixture_path("aiwhispr_png_24.parquet", synthetic)
+    if not os.path.exists(path):
+        write_png_corpus_parquet(path, n_images=24)
+    return path
+
+
 def _ensure_tracker_corpus() -> str:
     """Materialize the tracker-script page fixture (idempotent)."""
     import os
@@ -7842,6 +7855,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tiff_decode_stats"] = tiff
 
+    def png(spark, sf):
+        # REAL PNG decode (multimodal.py::decode_png: multi-IDAT zlib
+        # stream, per-scanline filter byte, Sub/Up/Average/Paeth
+        # reconstruction against RECONSTRUCTED neighbors, chunk CRCs) →
+        # the same integer channel stats; the fixture cycles all five
+        # filters per image so a filter bug is a value mismatch.
+        from aiwhispr_spark.operators.multimodal import png_stats
+
+        return png_stats(spark.read.parquet(_ensure_png_corpus()))
+
+    q["png_decode_stats"] = png
+
     def trackers(spark, sf):
         # per-page tracker-script signal (linkgraph.py::
         # tracker_script_signals): third-party script hosts + rule-list
@@ -8195,6 +8220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order",
         "bmp_decode_stats",
         "tiff_decode_stats",
+        "png_decode_stats",
         "tracker_density",
         "kg_community_conductance",
         "fim_transform_psm",
@@ -13630,6 +13656,27 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum((2 * x + 9 * y + i) % 256) AS BIGINT) AS sum_r,
                  CAST(sum((5 * x + 3 * y + 2 * i) % 256) AS BIGINT) AS sum_g,
                  CAST(sum((11 * x + 7 * y + 5 * i) % 256) AS BIGINT) AS sum_b
+          FROM px GROUP BY 1, 2, 3
+        )
+        SELECT 'img' || i AS media_id, CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_px,
+               sum_r, sum_g, sum_b,
+               CAST(sum_r * 100 // (w * h) AS BIGINT) AS mean_r_i,
+               CAST(sum_g * 100 // (w * h) AS BIGINT) AS mean_g_i,
+               CAST(sum_b * 100 // (w * h) AS BIGINT) AS mean_b_i
+        FROM sums
+    """
+    o["png_decode_stats"] = """
+        WITH img AS (SELECT s AS i, 5 + s % 4 AS w, 6 + s % 5 AS h
+                     FROM range(24) t(s)),
+        xs AS (SELECT s AS x FROM range(8) t(s)),
+        ys AS (SELECT s AS y FROM range(10) t(s)),
+        px AS (SELECT i, w, h, x, y FROM img, xs, ys WHERE x < w AND y < h),
+        sums AS (
+          SELECT i, w, h,
+                 CAST(sum((3 * x + 8 * y + 2 * i) % 256) AS BIGINT) AS sum_r,
+                 CAST(sum((7 * x + 5 * y + 3 * i) % 256) AS BIGINT) AS sum_g,
+                 CAST(sum((x + 13 * y + 7 * i) % 256) AS BIGINT) AS sum_b
           FROM px GROUP BY 1, 2, 3
         )
         SELECT 'img' || i AS media_id, CAST(w AS BIGINT) AS width,

@@ -944,3 +944,172 @@ def tiff_stats(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         gen, BMP_STATS_SCHEMA
     )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    the linear estimate a + b − c, ties broken left → up → up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """bytes → HxWx3 uint8 RGB from a real PNG (8-bit truecolor,
+    non-interlaced).  The traps a fake decoder skips: IDAT may arrive as
+    MULTIPLE chunks that concatenate into ONE zlib stream (not one stream
+    per chunk), every scanline is prefixed by a filter-type byte, and
+    filters 1-4 (Sub/Up/Average/Paeth) reconstruct against ALREADY-
+    RECONSTRUCTED neighbor bytes — filtering against raw bytes corrupts
+    everything after the first non-zero filter row.  Chunk CRCs are
+    verified (zlib.crc32 over type+data).
+
+    Supported: bit depth 8, color type 2 (RGB), compression 0, filter 0,
+    interlace 0.  Everything else raises."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError("unsupported PNG layout (need 8-bit RGB, no interlace)")
+    raw = zlib.decompress(b"".join(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        cur = out[y]
+        if ftype == 0:
+            cur[:] = np.frombuffer(line, dtype=np.uint8)
+        elif ftype == 2:
+            cur[:] = (np.frombuffer(line, dtype=np.uint8).astype(np.int32) + prev) % 256
+        elif ftype in (1, 3, 4):
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pred = _paeth(a, b, c)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out.reshape(h, w, 3).copy()
+
+
+def encode_png(img: np.ndarray, filter_of_row=None, idat_piece: int = 64) -> bytes:
+    """HxWx3 uint8 RGB → real PNG bytes (fixture-writer twin of
+    decode_png): real chunk CRCs, per-row filter types (default cycles
+    0→4 so every reconstruction path is live), and the zlib stream split
+    across MULTIPLE small IDAT chunks to keep the concatenation path hot."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    bpp, stride = 3, w * 3
+    flat = img.reshape(h, stride).astype(np.int32)
+    pick = filter_of_row or (lambda y: y % 5)
+    lines = []
+    for y in range(h):
+        ftype = pick(y)
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        enc = bytearray([ftype])
+        for x in range(stride):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            pred = {
+                0: 0,
+                1: a,
+                2: b,
+                3: (a + b) // 2,
+                4: _paeth(a, b, c),
+            }[ftype]
+            enc.append((int(cur[x]) - pred) % 256)
+        lines.append(bytes(enc))
+    z = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idats = [
+        chunk(b"IDAT", z[i : i + idat_piece]) for i in range(0, len(z), idat_piece)
+    ]
+    return b"".join(
+        [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr), *idats, chunk(b"IEND", b"")]
+    )
+
+
+def png_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """PNG twin of :func:`bmp_stats` — same integer channel statistics,
+    same mapInPandas batch shape, off the REAL filtered-scanline decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_png(bytes(payload))
+                h, w = img.shape[:2]
+                s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                out.append(
+                    {
+                        "media_id": str(mid),
+                        "width": w,
+                        "height": h,
+                        "n_px": n,
+                        "sum_r": int(s[0]),
+                        "sum_g": int(s[1]),
+                        "sum_b": int(s[2]),
+                        "mean_r_i": int(s[0]) * 100 // n,
+                        "mean_g_i": int(s[1]) * 100 // n,
+                        "mean_b_i": int(s[2]) * 100 // n,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in BMP_STATS_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        gen, BMP_STATS_SCHEMA
+    )

@@ -1006,3 +1006,46 @@ def write_tiff_corpus_parquet(path: str, n_images: int = 24) -> str:
         path,
     )
     return path
+
+
+def write_png_corpus_parquet(path: str, n_images: int = 24) -> str:
+    """(media_id, payload) fixture of REAL PNGs (8-bit RGB, per-row filter
+    type (y + i) % 5 so all five filters appear in every image position,
+    multi-IDAT zlib stream) whose pixels are closed-form in (i, x, y):
+
+    * width = 5 + i%4, height = 6 + i%5
+    * R(x,y) = (3x + 8y + 2i) % 256
+    * G(x,y) = (7x + 5y + 3i) % 256
+    * B(x,y) = (x + 13y + 7i) % 256
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiwhispr_spark.operators.multimodal import encode_png
+
+    ids, payloads = [], []
+    for i in range(n_images):
+        w, h = 5 + i % 4, 6 + i % 5
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        img = np.concatenate(
+            [
+                (3 * x + 8 * y + 2 * i) % 256,
+                (7 * x + 5 * y + 3 * i) % 256,
+                (x + 13 * y + 7 * i) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        ids.append(f"img{i}")
+        payloads.append(encode_png(img, filter_of_row=lambda r, k=i: (r + k) % 5))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        path,
+    )
+    return path
