@@ -4896,6 +4896,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q5_local_supplier"] = tpch_q5ish
 
+    def tpch_q4ish(spark, sf):
+        # TPC-H Q4 (order priority checking), adapted to this schema's
+        # columns: count orders per priority that have AT LEAST ONE
+        # late-shipped line (l_shipdate > o_orderdate).  The EXISTS
+        # becomes a LEFT SEMI join — the probe side never fans out on
+        # multi-line orders, and the non-equi predicate rides the join.
+        o = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-10-01")
+        )
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+        hit = o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        return (
+            hit.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("order_count"))
+            .orderBy("o_orderpriority")
+        )
+
+    q["tpch_q4_priority_exists"] = tpch_q4ish
+
+    def tpch_q6ish(spark, sf):
+        # TPC-H Q6 (forecast revenue change): pure scan-side predicate —
+        # every filter pushes into the parquet scan, the agg is one
+        # map-side-combinable sum of per-row cents.  No joins, no python.
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        return li.agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("revenue_ci"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+
+    q["tpch_q6_forecast_revenue"] = tpch_q6ish
+
+    def tpch_q10ish(spark, sf):
+        # TPC-H Q10 (returned-item reporting): revenue lost to 'R' lines
+        # for one quarter's orders, per customer with their nation.  The
+        # nation dim broadcasts; lineitem⋈orders is the only big shuffle;
+        # top 20 via TakeOrderedAndProject on the scaled-int revenue.
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        o = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        )
+        return (
+            j.groupBy("c_custkey", "c_name", "n_name")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("revenue_ci")
+            )
+            .orderBy(F.col("revenue_ci").desc(), F.col("c_custkey"))
+            .limit(20)
+        )
+
+    q["tpch_q10_returned_items"] = tpch_q10ish
+
+    def tpch_q14ish(spark, sf):
+        # TPC-H Q14 (promotion effect): promo revenue share for one
+        # month, part dim broadcast; the share is integer cross-multiplied
+        # basis points (promo_ci*10000 div total_ci) — no float division.
+        p = _t(spark, sf, "part").select("p_partkey", "p_type")
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1997-03-01")
+            & (F.col("l_shipdate") < "1997-06-01")
+        )
+        cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+        agg = (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(
+                F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0))
+                .cast("long")
+                .alias("promo_ci"),
+                F.sum(cents).cast("long").alias("total_ci"),
+            )
+        )
+        return agg.select(
+            "promo_ci",
+            "total_ci",
+            F.expr("promo_ci * 10000L div total_ci").alias("promo_share_bp"),
+        )
+
+    q["tpch_q14_promo_share"] = tpch_q14ish
+
     def mw_relatedness(spark, sf):
         # Milne–Witten relatedness (linkgraph.py::milne_witten_relatedness)
         # between mined entities from shared mention docs — the coherence
@@ -8197,6 +8307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct_derived",
         "tpch_q5_local_supplier",
         "tpch_q18_big_orders",
+        "tpch_q4_priority_exists",
+        "tpch_q6_forecast_revenue",
+        "tpch_q10_returned_items",
+        "tpch_q14_promo_share",
         "entity_relatedness_mw",
         "spell_correct_terms",
         "annotator_agreement_kappa",
@@ -12028,6 +12142,55 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY n_name
         ORDER BY revenue_ci DESC, n_name
+    """
+    o["tpch_q4_priority_exists"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+    o["tpch_q6_forecast_revenue"] = """
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_ci,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+    o["tpch_q10_returned_items"] = """
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_ci
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue_ci DESC, c_custkey LIMIT 20
+    """
+    o["tpch_q14_promo_share"] = """
+        WITH agg AS (
+          SELECT
+            CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS promo_ci,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_ci
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+            AND l_shipdate < TIMESTAMP '1997-06-01'
+        )
+        SELECT promo_ci, total_ci,
+               CAST(promo_ci * 10000 // total_ci AS BIGINT) AS promo_share_bp
+        FROM agg
     """
     o["tpch_q18_big_orders"] = """
         WITH big AS (
