@@ -1765,6 +1765,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_rank"] = bm25_rank
 
+    def sdm_rank(spark, sf):
+        # SDM proximity ranking (fulltext.py::sdm_score): term + ordered-
+        # bigram (#1) + unordered-window (#uw8) features, integer weights
+        # 85/10/5 — per-term position arrays and both proximity counts are
+        # zero-shuffle JVM array folds; the oracle recomputes them
+        # relationally from an indexed-token self-join.
+        from aiwhispr_spark.operators.fulltext import sdm_score
+
+        return sdm_score(
+            _t(spark, sf, "documents"), ["table", "scan", "fast"], k=15
+        )
+
+    q["sdm_proximity_rank"] = sdm_rank
+
     def decontaminate(spark, sf):
         # benchmark decontamination (GPT-3 13-gram rule): benchmark = every
         # 50th doc; those docs flag 100% contaminated, plus any organic
@@ -3343,6 +3357,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pii_redact"] = pii_redact
+
+    def k_anon(spark, sf):
+        # k-anonymity audit (pii.py::k_anonymity_audit): QI = (lang,
+        # source) + n_chars-century ladder column, k=5, two-level local
+        # generalization — under-k classes regroup without the ladder,
+        # then suppress.  Sentinel −1 (never NULL) for generalized
+        # ladder values.
+        from aiwhispr_spark.operators.pii import k_anonymity_audit
+
+        d = _t(spark, sf, "documents").select(
+            "lang",
+            "source",
+            F.expr("n_chars div 100").cast("long").alias("chars_c"),
+        )
+        return k_anonymity_audit(d, ["lang", "source"], "chars_c", k=5).orderBy(
+            "anon_level", "lang", "source", "chars_c"
+        )
+
+    q["k_anonymity_audit"] = k_anon
 
     def temp_mix(spark, sf):
         # Temperature-weighted source re-sampling (operators/mixing.py).
@@ -8255,6 +8288,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rouge_l_dedup_pairs"] = rouge_pairs
 
+    def bleu_stats(spark, sf):
+        # BLEU modified n-gram precisions (evaluation.py::bleu_ngram_stats)
+        # over real adjacent-document text pairs — the whole metric
+        # (tokenize, n-grams, clipped counts) is ONE zero-shuffle JVM
+        # projection; the oracle recomputes the clip RELATIONALLY
+        # (unnest + count + min-join), so the two derivations are
+        # independent.
+        from aiwhispr_spark.operators.evaluation import bleu_ngram_stats
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+        pairs = d.groupBy((F.col("doc_id") / 2).cast("long").alias("pair_id")).agg(
+            F.max(F.when(F.col("doc_id") % 2 == 0, F.col("text"))).alias("cand_text"),
+            F.max(F.when(F.col("doc_id") % 2 == 1, F.col("text"))).alias("ref_text"),
+        )
+        return bleu_ngram_stats(pairs).orderBy("pair_id", "n")
+
+    q["bleu_ngram_precisions"] = bleu_stats
+
     def butterflies(spark, sf):
         # bipartite butterfly counting (linkgraph.py::bipartite_butterflies)
         # over a (key, item) incidence closed-form in doc_id; pair-join
@@ -8307,6 +8358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct_derived",
         "tpch_q5_local_supplier",
         "tpch_q18_big_orders",
+        "bleu_ngram_precisions",
+        "sdm_proximity_rank",
+        "k_anonymity_audit",
         "tpch_q4_priority_exists",
         "tpch_q6_forecast_revenue",
         "tpch_q10_returned_items",
@@ -10713,6 +10767,31 @@ def oracle_sql() -> dict[str, str]:
     """
     from aiwhispr_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
 
+    o["k_anonymity_audit"] = """
+        WITH base AS (
+          SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS chars_c
+          FROM documents
+        ),
+        lvl0 AS (
+          SELECT lang, source, chars_c, CAST(count(*) AS BIGINT) AS n_rows
+          FROM base GROUP BY 1, 2, 3
+        ),
+        ok0 AS (
+          SELECT lang, source, chars_c, CAST(0 AS BIGINT) AS anon_level, n_rows
+          FROM lvl0 WHERE n_rows >= 5
+        ),
+        lvl1 AS (
+          SELECT lang, source, CAST(sum(n_rows) AS BIGINT) AS n_rows
+          FROM lvl0 WHERE n_rows < 5 GROUP BY 1, 2
+        )
+        SELECT * FROM ok0
+        UNION ALL
+        SELECT lang, source, CAST(-1 AS BIGINT) AS chars_c,
+               CAST(CASE WHEN n_rows >= 5 THEN 1 ELSE 2 END AS BIGINT),
+               n_rows
+        FROM lvl1
+        ORDER BY anon_level, lang, source, chars_c
+    """
     o["pii_redact"] = f"""
         WITH aug AS (
           SELECT doc_id,
@@ -11157,6 +11236,43 @@ def oracle_sql() -> dict[str, str]:
                coalesce(p.n_hit, 0) AS n_hit,
                CAST(CASE WHEN coalesce(p.n_hit, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
         FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """
+    o["sdm_proximity_rank"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, u.s.x AS tok, u.s.i AS pos
+          FROM tok,
+               unnest(list_transform(t, (x, i) -> struct_pack(x := x, i := i))) u(s)
+          WHERE u.s.x IN ('table', 'scan', 'fast')
+        ),
+        tf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf_total
+               FROM pos GROUP BY 1),
+        adjp AS (
+          SELECT a.doc_id,
+                 CAST(count(*) FILTER (WHERE b.pos = a.pos + 1) AS BIGINT) AS o_c,
+                 CAST(count(*) FILTER (
+                   WHERE abs(b.pos - a.pos) <= 7 AND b.pos <> a.pos
+                 ) AS BIGINT) AS u_c
+          FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+           AND ((a.tok = 'table' AND b.tok = 'scan')
+             OR (a.tok = 'scan' AND b.tok = 'fast'))
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(tf.tf_total, 0) AS BIGINT) AS tf_total,
+               CAST(coalesce(adjp.o_c, 0) AS BIGINT) AS ordered_hits,
+               CAST(coalesce(adjp.u_c, 0) AS BIGINT) AS unordered_hits,
+               CAST(85 * coalesce(tf.tf_total, 0)
+                    + 10 * coalesce(adjp.o_c, 0)
+                    + 5 * coalesce(adjp.u_c, 0) AS BIGINT) AS sdm_score
+        FROM documents d
+        LEFT JOIN tf ON d.doc_id = tf.doc_id
+        LEFT JOIN adjp ON d.doc_id = adjp.doc_id
+        ORDER BY sdm_score DESC, d.doc_id LIMIT 15
     """
     o["bm25_rank"] = """
         WITH toks AS (
@@ -14413,6 +14529,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(lcs * 10000 // 10 AS BIGINT) AS rec_i,
                CAST(2 * lcs * 10000 // 24 AS BIGINT) AS f_i
         FROM base
+    """
+    o["bleu_ngram_precisions"] = """
+        WITH p AS (
+          SELECT CAST(doc_id // 2 AS BIGINT) AS pair_id,
+                 max(CASE WHEN doc_id % 2 = 0 THEN text END) AS cand,
+                 max(CASE WHEN doc_id % 2 = 1 THEN text END) AS ref
+          FROM documents WHERE doc_id < 40 GROUP BY 1
+        ),
+        tok AS (
+          SELECT pair_id,
+                 list_filter(regexp_split_to_array(lower(cand), '\\s+'),
+                             x -> x <> '') AS ct,
+                 list_filter(regexp_split_to_array(lower(ref), '\\s+'),
+                             x -> x <> '') AS rt
+          FROM p
+        ),
+        spine AS (
+          SELECT pair_id, CAST(n.range + 1 AS BIGINT) AS n,
+                 CAST(len(ct) AS BIGINT) AS len_cand,
+                 CAST(len(rt) AS BIGINT) AS len_ref, ct, rt
+          FROM tok, range(4) n
+        ),
+        cg AS (
+          SELECT pair_id, n, unnest(list_transform(
+                   range(1, CAST(greatest(len_cand - n + 2, 1) AS INTEGER)),
+                   j -> array_to_string(ct[j : j + CAST(n AS INTEGER) - 1], ' ')
+                 )) AS gram
+          FROM spine
+        ),
+        rg AS (
+          SELECT pair_id, n, unnest(list_transform(
+                   range(1, CAST(greatest(len_ref - n + 2, 1) AS INTEGER)),
+                   j -> array_to_string(rt[j : j + CAST(n AS INTEGER) - 1], ' ')
+                 )) AS gram
+          FROM spine
+        ),
+        cc AS (SELECT pair_id, n, gram, count(*) AS c FROM cg GROUP BY 1,2,3),
+        rc AS (SELECT pair_id, n, gram, count(*) AS c FROM rg GROUP BY 1,2,3),
+        clip AS (
+          SELECT cc.pair_id, cc.n,
+                 CAST(sum(least(cc.c, rc.c)) AS BIGINT) AS num
+          FROM cc JOIN rc ON cc.pair_id = rc.pair_id AND cc.n = rc.n
+                         AND cc.gram = rc.gram
+          GROUP BY 1, 2
+        )
+        SELECT s.pair_id, s.n,
+               CAST(coalesce(clip.num, 0) AS BIGINT) AS clipped_num,
+               CAST(greatest(s.len_cand - s.n + 1, 0) AS BIGINT) AS cand_den,
+               s.len_cand, s.len_ref,
+               CAST(CASE WHEN s.len_cand - s.n + 1 > 0 THEN
+                      coalesce(clip.num, 0) * 10000 // (s.len_cand - s.n + 1)
+                    ELSE -1 END AS BIGINT) AS prec_i
+        FROM spine s
+        LEFT JOIN clip ON s.pair_id = clip.pair_id AND s.n = clip.n
+        ORDER BY s.pair_id, s.n
     """
     o["bipartite_butterflies"] = """
         WITH rel AS (

@@ -441,3 +441,95 @@ def rouge_l_pairs(
             ),
         )
     )
+
+
+def bleu_ngram_stats(
+    pairs: DataFrame,
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+    id_col: str = "pair_id",
+    max_n: int = 4,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Modified n-gram precision statistics of BLEU (Papineni et al. 2002)
+    over (candidate, reference) TEXT pairs, one output row per (pair, n)
+    for n = 1..max_n:
+
+        clipped_num = Σ_{g ∈ distinct cand n-grams} min(cnt_cand(g), cnt_ref(g))
+        cand_den    = max(|cand| − n + 1, 0)
+        prec_i      = clipped_num·scale div cand_den   (−1 when den = 0)
+
+    plus len_cand/len_ref (the brevity-penalty inputs — BP itself is
+    exp(1−r/c), a float; downstream applies it, the gate stays integer).
+
+    Spark-first shape: tokenization, n-gram construction AND the clipped
+    count are all JVM array expressions — the clip is an F.aggregate fold
+    over the DISTINCT candidate grams with nested F.filter counts, so the
+    whole metric is ONE zero-shuffle projection (no explode, no groupBy,
+    no python).  O(g²) per row is bounded by sentence length, not corpus
+    size; the relational alternative (explode + count + join) would
+    shuffle every gram of every pair."""
+
+    def toks(c: str):
+        return F.filter(F.split(F.lower(F.col(c)), r"\s+"), lambda x: x != "")
+
+    def grams(t, n: int):
+        def slicer(nn: int):
+            return lambda j: F.concat_ws(" ", F.slice(t, j, nn))
+
+        return F.when(
+            F.size(t) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(t) - n + 1), slicer(n)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def clipped(cg, rg):
+        def count_in(arr):
+            return lambda g: F.size(F.filter(arr, lambda x: x == g))
+
+        def step(acc, g):
+            return acc + F.least(count_in(cg)(g), count_in(rg)(g)).cast("long")
+
+        return F.aggregate(
+            F.array_distinct(cg), F.lit(0).cast("long"), step
+        )
+
+    base = pairs.select(
+        F.col(id_col).alias("pair_id"),
+        toks(cand_col).alias("ct"),
+        toks(ref_col).alias("rt"),
+    )
+    per_n = [
+        F.struct(
+            F.lit(n).cast("long").alias("n"),
+            clipped(grams(F.col("ct"), n), grams(F.col("rt"), n)).alias(
+                "clipped_num"
+            ),
+            F.greatest(F.size("ct") - n + 1, F.lit(0))
+            .cast("long")
+            .alias("cand_den"),
+        )
+        for n in range(1, max_n + 1)
+    ]
+    return (
+        base.select(
+            "pair_id",
+            F.size("ct").cast("long").alias("len_cand"),
+            F.size("rt").cast("long").alias("len_ref"),
+            F.explode(F.array(*per_n)).alias("s"),
+        )
+        .select(
+            "pair_id",
+            F.col("s.n").alias("n"),
+            F.col("s.clipped_num").alias("clipped_num"),
+            F.col("s.cand_den").alias("cand_den"),
+            "len_cand",
+            "len_ref",
+            F.when(
+                F.col("s.cand_den") > 0,
+                F.expr("s.clipped_num * " + str(scale) + "L div s.cand_den"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("prec_i"),
+        )
+    )

@@ -48,3 +48,57 @@ def pii_counts_expr(col: Column) -> tuple[Column, Column, Column]:
     after_ip = F.regexp_replace(after_email, IPV4_RE, IP_TOKEN)
     n = lambda c, rx: F.size(F.regexp_extract_all(c, F.lit(rx), F.lit(0))).cast("long")  # noqa: E731
     return n(col, EMAIL_RE), n(after_email, IPV4_RE), n(after_ip, PHONE_RE)
+
+
+def k_anonymity_audit(
+    df,
+    qi_cols,
+    ladder_col,
+    k: int = 5,
+):
+    """k-anonymity audit with a two-level LOCAL generalization ladder
+    (Sweeney 2002; Samarati's generalization lattice, restricted to one
+    rung + suppression).  ``qi_cols`` are the stable quasi-identifiers,
+    ``ladder_col`` the most specific one (the first to generalize away):
+
+    * level 0 — equivalence classes over (qi_cols…, ladder_col) of size
+      ≥ k are already k-anonymous and publish as-is;
+    * level 1 — ROWS from under-k level-0 classes regroup over qi_cols
+      only (ladder value generalized to the −1 sentinel); classes now
+      ≥ k publish at level 1;
+    * level 2 — anything still under k is SUPPRESSED (reported with
+      n_rows, the release would drop them).
+
+    Returns one row per FINAL class: (*qi_cols, <ladder_col> with −1 for
+    generalized, anon_level, n_rows).  Integer sentinel, never NULL —
+    the cross-engine NULL-BIGINT stringification trap.
+
+    100 TB shape: two QI-keyed aggregates, the second over ONLY the
+    residue of the first (under-k classes are by definition < k rows
+    each, so the level-1 input is the long tail, not the corpus); both
+    map-side combine.  No windows, no collect."""
+    from pyspark.sql import functions as F
+
+    qi = list(qi_cols)
+    lvl0 = df.groupBy(*qi, ladder_col).agg(F.count("*").cast("long").alias("n_rows"))
+    ok0 = lvl0.filter(F.col("n_rows") >= k).select(
+        *qi,
+        F.col(ladder_col).cast("long").alias(ladder_col),
+        F.lit(0).cast("long").alias("anon_level"),
+        "n_rows",
+    )
+    residue = lvl0.filter(F.col("n_rows") < k)
+    lvl1 = residue.groupBy(*qi).agg(F.sum("n_rows").cast("long").alias("n_rows"))
+    ok1 = lvl1.filter(F.col("n_rows") >= k).select(
+        *qi,
+        F.lit(-1).cast("long").alias(ladder_col),
+        F.lit(1).cast("long").alias("anon_level"),
+        "n_rows",
+    )
+    supp = lvl1.filter(F.col("n_rows") < k).select(
+        *qi,
+        F.lit(-1).cast("long").alias(ladder_col),
+        F.lit(2).cast("long").alias("anon_level"),
+        "n_rows",
+    )
+    return ok0.unionByName(ok1).unionByName(supp)
