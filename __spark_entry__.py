@@ -3377,6 +3377,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["k_anonymity_audit"] = k_anon
 
+    def cdc_dedup(spark, sf):
+        # Content-defined chunking dedup (fingerprint.py::cdc_dup_chunks):
+        # gear rolling hash (pure formula, no lookup table), 16-char
+        # window, mask 32 — cut placement is a closed-form windowed sum
+        # both engines derive independently; the dedup exchange carries
+        # (md5, id, idx) only, never chunk bytes.
+        from aiwhispr_spark.operators.fingerprint import cdc_dup_chunks
+
+        return cdc_dup_chunks(_t(spark, sf, "documents")).orderBy("chunk_md5")
+
+    q["cdc_dedup_chunks"] = cdc_dedup
+
     def temp_mix(spark, sf):
         # Temperature-weighted source re-sampling (operators/mixing.py).
         # The driver corpus's sources are uniform, so a SKEWED source label
@@ -8361,6 +8373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_ngram_precisions",
         "sdm_proximity_rank",
         "k_anonymity_audit",
+        "cdc_dedup_chunks",
         "tpch_q4_priority_exists",
         "tpch_q6_forecast_revenue",
         "tpch_q10_returned_items",
@@ -10791,6 +10804,47 @@ def oracle_sql() -> dict[str, str]:
                n_rows
         FROM lvl1
         ORDER BY anon_level, lang, source, chars_c
+    """
+    o["cdc_dedup_chunks"] = """
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS n FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, text, n, r.range AS p
+          FROM d, range(16, 4096) r
+          WHERE r.range <= n
+        ),
+        h AS (
+          SELECT doc_id, n, p,
+                 sum((unicode(text[p - j.range : p - j.range])
+                      * 2654435761 % 4294967296)
+                     * (1 << j.range)) % 4294967296 AS hv
+          FROM pos, range(16) j
+          GROUP BY doc_id, text, n, p
+        ),
+        cuts AS (
+          SELECT doc_id, p FROM h WHERE hv % 32 = 0
+          UNION
+          SELECT doc_id, n AS p FROM d WHERE n > 0
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1 AS s,
+                 p AS e
+          FROM cuts
+        ),
+        hashed AS (
+          SELECT c.doc_id, md5(substring(d.text, c.s, c.e - c.s + 1)) AS chunk_md5,
+                 c.e - c.s + 1 AS chunk_len
+          FROM chunks c JOIN d USING (doc_id)
+          WHERE c.e - c.s + 1 > 0
+        )
+        SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(min(chunk_len) AS BIGINT) AS chunk_len,
+               CAST(min(doc_id) AS BIGINT) AS first_id
+        FROM hashed
+        GROUP BY chunk_md5 HAVING count(*) >= 2
+        ORDER BY chunk_md5
     """
     o["pii_redact"] = f"""
         WITH aug AS (

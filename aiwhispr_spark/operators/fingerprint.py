@@ -137,3 +137,110 @@ def shared_fingerprint_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    mask: int = 32,
+) -> DataFrame:
+    """Content-defined chunking (Rabin/LBFS-style, gear rolling hash):
+    cut after position p (1-based) whenever
+
+        h(p) = Σ_{j=0..window−1} gear(c_{p−j}) · 2^j  (mod 2^32)
+
+    satisfies h(p) % mask == 0, with gear(c) = c·2654435761 mod 2^32
+    (Knuth multiplicative — a pure FORMULA, not a lookup table, so an
+    independent engine can recompute it).  h is defined only for
+    p ≥ window; the final chunk always ends at the text end.  The cut
+    decision depends on the local window alone — the shift-resistance
+    property that makes CDC dedup robust to insertions (an edit moves
+    at most the two adjacent cuts, unlike fixed-size blocks where one
+    byte shifts EVERY later boundary).
+
+    Deliberately no min-chunk skip: FastCDC's min-size rule makes each
+    cut depend on the previous cut (sequential), which would kill the
+    closed form both engines verify; pure windowed cuts keep boundary
+    placement embarrassingly parallel per position.
+
+    Returns one row per chunk: (id, chunk_idx 0-based, start 1-based,
+    chunk_len, chunk_md5).  ASCII-text contract (codepoint = byte).
+
+    100 TB shape: the whole boundary computation is a per-doc JVM array
+    fold (O(window·len), zero shuffle, no python); downstream dedup
+    groups by chunk_md5 — the shuffle carries (md5, id, idx), never
+    chunk bytes."""
+    c = F.col(text_col)
+    n = F.length(c)
+
+    def gear(ch):
+        return (F.ascii(ch).cast("long") * F.lit(2654435761)) % F.lit(4294967296)
+
+    def h_at(p):
+        # Σ j = 0..window−1: gear(text[p−j]) · 2^j — p is a Column, j a
+        # python int, so the weight 2^j is a LITERAL and the whole window
+        # unrolls into one fixed JVM expression (no shift-by-column,
+        # which Spark's shiftleft cannot do)
+        h = F.lit(0).cast("long")
+        for j in range(window):
+            h = h + gear(c.substr(p - j, F.lit(1))) * F.lit(1 << j)
+        return h % F.lit(4294967296)
+
+    # cut positions: every p in [window, n] with h(p) % mask == 0, plus n
+    cuts = F.array_distinct(
+        F.concat(
+            F.when(
+                n >= window,
+                F.filter(
+                    F.sequence(F.lit(window), F.greatest(n, F.lit(window))),
+                    lambda p: (p <= n) & (h_at(p) % mask == 0),
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+            F.array(n.cast("int")),
+        )
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(F.slice(cuts, 1, F.size(cuts) - 1), lambda e: e + 1))
+    chunks = F.zip_with(
+        starts,
+        cuts,
+        lambda s, e: F.struct(
+            s.alias("start"), (e - s + 1).alias("chunk_len")
+        ),
+    )
+    out = docs.select(
+        F.col(id_col),
+        c.alias("_t"),
+        F.posexplode(chunks).alias("chunk_idx", "ch"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("ch.start").cast("long").alias("start"),
+        F.col("ch.chunk_len").cast("long").alias("chunk_len"),
+        F.md5(F.expr("substring(_t, ch.start, ch.chunk_len)")).alias("chunk_md5"),
+    ).filter(F.col("chunk_len") > 0)
+
+
+def cdc_dup_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    mask: int = 32,
+    min_occ: int = 2,
+) -> DataFrame:
+    """Cross-corpus duplicate CDC chunks: chunks whose bytes recur
+    (storage-dedup view of corpus redundancy).  Groups by chunk_md5 —
+    the exchange carries 16-byte digests, not chunk text."""
+    ch = cdc_chunks(docs, id_col, text_col, window, mask)
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.min("chunk_len").cast("long").alias("chunk_len"),
+            F.min(id_col).cast("long").alias("first_id"),
+        )
+        .filter(F.col("n_occ") >= min_occ)
+    )
