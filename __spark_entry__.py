@@ -191,6 +191,19 @@ def _ensure_png_corpus() -> str:
     return path
 
 
+def _ensure_gif_corpus() -> str:
+    """Materialize the closed-form LZW GIF fixture (idempotent)."""
+    import os
+
+    from aiwhispr_spark.sources import synthetic
+    from aiwhispr_spark.sources.synthetic import write_gif_corpus_parquet
+
+    path = _fixture_path("aiwhispr_gif_24.parquet", synthetic)
+    if not os.path.exists(path):
+        write_gif_corpus_parquet(path, n_images=24)
+    return path
+
+
 def _ensure_tracker_corpus() -> str:
     """Materialize the tracker-script page fixture (idempotent)."""
     import os
@@ -8022,6 +8035,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["png_decode_stats"] = png
 
+    def gif(spark, sf):
+        # REAL GIF decode (multimodal.py::decode_gif: true LZW with the
+        # growing-width schedule + KwKwK case, sub-block framing,
+        # extension skip, 4-pass interlace) → integer channel stats via
+        # the closed-form palette.
+        from aiwhispr_spark.operators.multimodal import gif_stats
+
+        return gif_stats(spark.read.parquet(_ensure_gif_corpus()))
+
+    q["gif_decode_stats"] = gif
+
     def trackers(spark, sf):
         # per-page tracker-script signal (linkgraph.py::
         # tracker_script_signals): third-party script hosts + rule-list
@@ -8402,6 +8426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_decode_stats",
         "tiff_decode_stats",
         "png_decode_stats",
+        "gif_decode_stats",
         "tracker_density",
         "kg_community_conductance",
         "fim_transform_psm",
@@ -14010,6 +14035,28 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum((3 * x + 8 * y + 2 * i) % 256) AS BIGINT) AS sum_r,
                  CAST(sum((7 * x + 5 * y + 3 * i) % 256) AS BIGINT) AS sum_g,
                  CAST(sum((x + 13 * y + 7 * i) % 256) AS BIGINT) AS sum_b
+          FROM px GROUP BY 1, 2, 3
+        )
+        SELECT 'img' || i AS media_id, CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_px,
+               sum_r, sum_g, sum_b,
+               CAST(sum_r * 100 // (w * h) AS BIGINT) AS mean_r_i,
+               CAST(sum_g * 100 // (w * h) AS BIGINT) AS mean_g_i,
+               CAST(sum_b * 100 // (w * h) AS BIGINT) AS mean_b_i
+        FROM sums
+    """
+    o["gif_decode_stats"] = """
+        WITH img AS (SELECT s AS i, 5 + s % 4 AS w, 6 + s % 5 AS h
+                     FROM range(24) t(s)),
+        xs AS (SELECT s AS x FROM range(8) t(s)),
+        ys AS (SELECT s AS y FROM range(10) t(s)),
+        px AS (SELECT i, w, h, (x + 2 * y + i) % 16 AS k
+               FROM img, xs, ys WHERE x < w AND y < h),
+        sums AS (
+          SELECT i, w, h,
+                 CAST(sum((7 * k + 3) % 256) AS BIGINT) AS sum_r,
+                 CAST(sum((11 * k + 5) % 256) AS BIGINT) AS sum_g,
+                 CAST(sum((13 * k + 9) % 256) AS BIGINT) AS sum_b
           FROM px GROUP BY 1, 2, 3
         )
         SELECT 'img' || i AS media_id, CAST(w AS BIGINT) AS width,

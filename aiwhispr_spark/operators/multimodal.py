@@ -1113,3 +1113,232 @@ def png_stats(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         gen, BMP_STATS_SCHEMA
     )
+
+
+def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, grows the code width when the
+    next code would not fit, resets at 4096 codes; LSB-first bit packing."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out_bits = []
+
+    def emit(code: int, width: int) -> None:
+        for b in range(width):
+            out_bits.append((code >> b) & 1)
+
+    def fresh():
+        return {bytes([k]): k for k in range(1 << min_code_size)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    buf = b""
+    for idx in indices:
+        nxt = buf + bytes([int(idx)])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = fresh()
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = bytes([int(idx)])
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    by = bytearray()
+    for k in range(0, len(out_bits), 8):
+        v = 0
+        for j, bit in enumerate(out_bits[k : k + 8]):
+            v |= bit << j
+        by.append(v)
+    return bytes(by)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, n_expected: int) -> list:
+    """Inverse of :func:`_lzw_encode_gif`.  The traps: the code width
+    grows when the NEXT table entry would overflow it (so the decoder's
+    width schedule must track table size + 1), and the KwKwK case — a
+    code equal to the not-yet-defined next entry decodes as prev +
+    prev[0]."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            raise ValueError("GIF LZW stream truncated")
+        v = 0
+        for b in range(width):
+            byte = data[(pos + b) >> 3]
+            v |= ((byte >> ((pos + b) & 7)) & 1) << b
+        pos += width
+        return v
+
+    table = [bytes([k]) for k in range(1 << min_code_size)] + [b"", b""]
+    width = min_code_size + 1
+    out = []
+    prev = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([k]) for k in range(1 << min_code_size)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("GIF LZW bad code")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+        if len(table) + 1 > (1 << width) and width < 12:
+            width += 1
+        prev = entry
+        if len(out) >= n_expected:
+            break
+    return out[:n_expected]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """bytes → HxWx3 uint8 RGB from a real single-frame GIF (87a/89a,
+    global color table).  Real-codec traps: the LZW code width grows on a
+    table-size schedule the encoder and decoder must agree on, the KwKwK
+    self-referential code, extension blocks that must be skipped by
+    sub-block framing (not fixed lengths), and four-pass interlace row
+    reordering."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_n = 2 << (flags & 0x07)
+    gct = np.frombuffer(payload[pos : pos + 3 * gct_n], dtype=np.uint8).reshape(
+        gct_n, 3
+    )
+    pos += 3 * gct_n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if iflags & 0x80:
+                raise ValueError("GIF local color tables unsupported")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            idx = _lzw_decode_gif(bytes(data), min_code, w * h)
+            arr = np.array(idx, dtype=np.uint8).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = []
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows.extend(range(start, h, step))
+                de = np.empty_like(arr)
+                de[rows] = arr
+                arr = de
+            return gct[arr]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image block")
+
+
+def encode_gif(
+    img_idx: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """(HxW palette indices, Nx3 palette) → real single-frame GIF89a
+    bytes: real LZW stream, sub-block framing, optional interlace, and a
+    skippable comment extension so the decoder's extension walk is live."""
+    import struct
+
+    h, w = img_idx.shape
+    n = len(palette)
+    depth = max(1, (n - 1).bit_length())
+    size_field = depth - 1
+    out = [b"GIF89a", struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)]
+    pal = np.zeros((2**depth, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out.append(pal.tobytes())
+    out.append(b"\x21\xfe\x07fixture\x00")  # comment extension, sub-block framed
+    iflags = 0x40 if interlace else 0
+    out.append(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, iflags))
+    arr = img_idx
+    if interlace:
+        rows = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            rows.extend(range(start, h, step))
+        arr = img_idx[rows]
+    min_code = max(2, depth)
+    z = _lzw_encode_gif(arr.reshape(-1).tolist(), min_code)
+    out.append(bytes([min_code]))
+    for k in range(0, len(z), 255):
+        piece = z[k : k + 255]
+        out.append(bytes([len(piece)]) + piece)
+    out.append(b"\x00\x3b")
+    return b"".join(out)
+
+
+def gif_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """GIF twin of :func:`bmp_stats` — same integer channel statistics,
+    same mapInPandas batch shape, off the REAL LZW decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_gif(bytes(payload))
+                h, w = img.shape[:2]
+                s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                out.append(
+                    {
+                        "media_id": str(mid),
+                        "width": w,
+                        "height": h,
+                        "n_px": n,
+                        "sum_r": int(s[0]),
+                        "sum_g": int(s[1]),
+                        "sum_b": int(s[2]),
+                        "mean_r_i": int(s[0]) * 100 // n,
+                        "mean_g_i": int(s[1]) * 100 // n,
+                        "mean_b_i": int(s[2]) * 100 // n,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in BMP_STATS_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        gen, BMP_STATS_SCHEMA
+    )

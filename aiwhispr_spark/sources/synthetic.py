@@ -1049,3 +1049,47 @@ def write_png_corpus_parquet(path: str, n_images: int = 24) -> str:
         path,
     )
     return path
+
+
+def write_gif_corpus_parquet(path: str, n_images: int = 24) -> str:
+    """(media_id, payload) fixture of REAL single-frame GIFs (true LZW
+    stream, comment extension, odd i interlaced) with a closed-form
+    16-color palette and index map so the DuckDB oracle derives channel
+    sums from range() arithmetic alone:
+
+    * width = 5 + i%4, height = 6 + i%5
+    * idx(x,y) = (x + 2y + i) % 16
+    * palette[k] = ((7k+3)%256, (11k+5)%256, (13k+9)%256)
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aiwhispr_spark.operators.multimodal import encode_gif
+
+    pal = np.stack(
+        [
+            (7 * np.arange(16) + 3) % 256,
+            (11 * np.arange(16) + 5) % 256,
+            (13 * np.arange(16) + 9) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    ids, payloads = [], []
+    for i in range(n_images):
+        w, h = 5 + i % 4, 6 + i % 5
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        idx = ((x + 2 * y + i) % 16).astype(np.uint8)
+        ids.append(f"img{i}")
+        payloads.append(encode_gif(idx, pal, interlace=bool(i % 2)))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        path,
+    )
+    return path
