@@ -7888,6 +7888,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmv_distinct_sketch"] = kmv
 
+    def kmv_pairs(spark, sf):
+        # KMV pairwise Jaccard/intersection estimates (sketches.py::
+        # kmv_pair_jaccard) over per-source 3-shingle sets — the merged-
+        # bottom-k set operation HLL cannot express; integer estimator,
+        # G² pair work touches k-sized sketches only.  Top-20 most
+        # similar source pairs.
+        from aiwhispr_spark.operators.sketches import kmv_pair_jaccard
+
+        return kmv_pair_jaccard(_t(spark, sf, "documents")).orderBy(
+            F.desc("jaccard_i"), "grp_a", "grp_b"
+        ).limit(20)
+
+    q["kmv_jaccard_pairs"] = kmv_pairs
+
     def varint(spark, sf):
         # delta+LEB128 posting-list compression (fulltext.py::
         # postings_varint_stats): the full hex encoding is the hash-gated
@@ -8416,6 +8430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts",
         "conversion_attribution",
         "kmv_distinct_sketch",
+        "kmv_jaccard_pairs",
         "postings_varint",
         "dirichlet_ql_rank",
         "kg_cliques_k4",
@@ -14204,6 +14219,64 @@ def oracle_sql() -> dict[str, str]:
            ORDER BY x.w LIMIT 1)
         )
         SELECT pa AS a, pb AS b, pw AS w FROM prim WHERE pa IS NOT NULL
+    """
+    o["kmv_jaccard_pairs"] = """
+        WITH tok AS (
+          SELECT source AS grp,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT grp,
+                 ('0x' || substr(md5(s), 1, 13))::BIGINT AS h
+          FROM (
+            SELECT grp, unnest(list_transform(
+                     range(1, CAST(greatest(len(t) - 1, 1) AS INTEGER)),
+                     j -> array_to_string(t[j : j + 2], ' '))) AS s
+            FROM tok WHERE len(t) >= 3
+          )
+        ),
+        kept AS (
+          SELECT grp, h FROM (
+            SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM sh) WHERE rn <= 16
+        ),
+        groups AS (SELECT DISTINCT grp FROM kept),
+        pairs AS (
+          SELECT a.grp AS grp_a, b.grp AS grp_b
+          FROM groups a JOIN groups b ON a.grp < b.grp
+        ),
+        cand AS (
+          SELECT p.grp_a, p.grp_b, g.h,
+                 max(CASE WHEN g.grp = p.grp_a THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN g.grp = p.grp_b THEN 1 ELSE 0 END) AS in_b
+          FROM pairs p JOIN kept g ON g.grp = p.grp_a OR g.grp = p.grp_b
+          GROUP BY 1, 2, 3
+        ),
+        topk AS (
+          SELECT * FROM (
+            SELECT grp_a, grp_b, h, in_a, in_b,
+                   row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+            FROM cand) WHERE rn <= 16
+        ),
+        agg AS (
+          SELECT grp_a, grp_b,
+                 CAST(count(*) AS BIGINT) AS k_eff,
+                 CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
+                 max(h) AS kth_hash
+          FROM topk GROUP BY 1, 2
+        )
+        SELECT grp_a, grp_b, k_eff, n_shared,
+               CAST(n_shared * 10000 // k_eff AS BIGINT) AS jaccard_i,
+               CAST(CASE WHEN k_eff < 16 THEN k_eff
+                    ELSE ((k_eff - 1) * 4503599627370496) // kth_hash
+                    END AS BIGINT) AS est_union,
+               CAST(n_shared * (CASE WHEN k_eff < 16 THEN k_eff
+                    ELSE ((k_eff - 1) * 4503599627370496) // kth_hash END)
+                    // k_eff AS BIGINT) AS est_inter
+        FROM agg
+        ORDER BY jaccard_i DESC, grp_a, grp_b LIMIT 20
     """
     o["kmv_distinct_sketch"] = """
         WITH toks AS (

@@ -225,3 +225,93 @@ def kmv_sketch_estimates(
             "(abs(est_distinct - exact_distinct) * 10000) div exact_distinct"
         ).cast("long"),
     )
+
+
+def kmv_pair_jaccard(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 16,
+    shingle: int = 3,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Pairwise Jaccard / intersection ESTIMATES between group shingle
+    sets from merged KMV sketches (Beyer et al., SIGMOD'07 §5 — the set
+    operation HLL cannot do): for groups (a, b),
+
+        K      = bottom-k of (sketch_a ∪ sketch_b)
+        ρ̂      = |K ∩ sketch_a ∩ sketch_b| / |K|          (Jaccard)
+        |A∪B|̂  = (|K|−1)·2^52 div max(K)   (or exact |K| in the small regime)
+        |A∩B|̂  = n_shared · |A∪B|̂ div |K|
+
+    — all exact integer arithmetic over 52-bit md5 prefixes, so the
+    estimate itself is engine-reproducible (the gate pins the ESTIMATOR,
+    not a tolerance).
+
+    100 TB shape: per-group sketches come from one distinct + one
+    WindowGroupLimit bottom-k (each partition ships ≤ k rows/group);
+    everything pairwise then operates on |G|·k rows — the G² blowup
+    touches k-sized sketches, never the corpus.  Pairs frame broadcasts."""
+    t = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+
+    def shingles(tt):
+        def mk(j):
+            return F.concat_ws(" ", F.slice(tt, j, shingle))
+
+        return F.when(
+            F.size(tt) >= shingle,
+            F.transform(F.sequence(F.lit(1), F.size(tt) - (shingle - 1)), mk),
+        ).otherwise(F.array().cast("array<string>"))
+
+    toks = (
+        docs.select(F.col(group_col).alias("grp"), F.explode(shingles(t)).alias("s"))
+        .select(
+            "grp",
+            F.conv(F.substring(F.md5("s"), 1, 13), 16, 10).cast("long").alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = toks.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    groups = kept.select("grp").distinct()
+    pairs = (
+        groups.alias("ga")
+        .join(groups.alias("gb"), F.col("ga.grp") < F.col("gb.grp"))
+        .select(F.col("ga.grp").alias("grp_a"), F.col("gb.grp").alias("grp_b"))
+    )
+    cand = (
+        F.broadcast(pairs)
+        .join(
+            kept.select(F.col("grp").alias("g"), "h"),
+            (F.col("g") == F.col("grp_a")) | (F.col("g") == F.col("grp_b")),
+        )
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(
+            F.max((F.col("g") == F.col("grp_a")).cast("int")).alias("in_a"),
+            F.max((F.col("g") == F.col("grp_b")).cast("int")).alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    topk = cand.withColumn("_rn", F.row_number().over(wp)).filter(F.col("_rn") <= k)
+    agg = topk.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("n_shared"),
+        F.max("h").alias("kth_hash"),
+    )
+    est_union = F.when(
+        F.col("k_eff") < k, F.col("k_eff")
+    ).otherwise(F.expr(f"((k_eff - 1) * {1 << 52}) div kth_hash"))
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "k_eff",
+        "n_shared",
+        F.expr(f"n_shared * {scale}L div k_eff").alias("jaccard_i"),
+        est_union.cast("long").alias("est_union"),
+        F.expr(
+            f"n_shared * (CASE WHEN k_eff < {k} THEN k_eff "
+            f"ELSE ((k_eff - 1) * {1 << 52}) div kth_hash END) div k_eff"
+        )
+        .cast("long")
+        .alias("est_inter"),
+    )
