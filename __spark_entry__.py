@@ -7902,6 +7902,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmv_jaccard_pairs"] = kmv_pairs
 
+    def wl_hist(spark, sf):
+        # 1-WL color refinement (graph.py::wl_color_refinement), 2 rounds
+        # over a closed-form directed labeled graph — the RDF canonical-
+        # labeling / GNN-expressiveness workhorse.  Histogram of final
+        # color classes; equal colors = r-hop-indistinguishable nodes.
+        from aiwhispr_spark.operators.graph import wl_color_histogram
+
+        # hub-skewed closed-form graph (50 spokes → 7 quadratic-residue
+        # hubs, two predicates): WL refines it into a MIXED histogram —
+        # classes of 7/6/3 plus structural singletons — so both over- and
+        # under-refinement bugs shift the gate
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        triples = d.select(
+            F.concat(F.lit("E"), (F.col("doc_id") % 50).cast("string")).alias(
+                "subj"
+            ),
+            F.element_at(
+                F.array(F.lit("linked_to"), F.lit("cites")),
+                (F.col("doc_id") % 2 + 1).cast("int"),
+            ).alias("pred"),
+            F.concat(
+                F.lit("E"), ((F.col("doc_id") * F.col("doc_id")) % 7).cast("string")
+            ).alias("obj"),
+        ).distinct()
+        return wl_color_histogram(triples, rounds=2).orderBy(
+            F.desc("n_nodes"), "wl_color"
+        )
+
+    q["kg_wl_colors"] = wl_hist
+
     def varint(spark, sf):
         # delta+LEB128 posting-list compression (fulltext.py::
         # postings_varint_stats): the full hex encoding is the hash-gated
@@ -8431,6 +8461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_attribution",
         "kmv_distinct_sketch",
         "kmv_jaccard_pairs",
+        "kg_wl_colors",
         "postings_varint",
         "dirichlet_ql_rank",
         "kg_cliques_k4",
@@ -14219,6 +14250,55 @@ def oracle_sql() -> dict[str, str]:
            ORDER BY x.w LIMIT 1)
         )
         SELECT pa AS a, pb AS b, pw AS w FROM prim WHERE pa IS NOT NULL
+    """
+    o["kg_wl_colors"] = """
+        WITH e AS (
+          SELECT DISTINCT
+                 'E' || CAST(doc_id % 50 AS VARCHAR) AS s,
+                 CASE doc_id % 2 WHEN 0 THEN 'linked_to' ELSE 'cites' END AS p,
+                 'E' || CAST((doc_id * doc_id) % 7 AS VARCHAR) AS o
+          FROM documents WHERE doc_id < 200
+        ),
+        n0 AS (
+          SELECT node, '0' AS c FROM (
+            SELECT s AS node FROM e UNION SELECT o FROM e)
+        ),
+        m1 AS (
+          SELECT e.s AS node, '>' AS dir, e.p, n.c AS nbc
+          FROM e JOIN n0 n ON e.o = n.node
+          UNION ALL
+          SELECT e.o AS node, '<' AS dir, e.p, n.c AS nbc
+          FROM e JOIN n0 n ON e.s = n.node
+        ),
+        s1 AS (
+          SELECT node, string_agg(dir || p || '=' || nbc, ','
+                                  ORDER BY dir, p, nbc) AS sig
+          FROM m1 GROUP BY node
+        ),
+        n1 AS (
+          SELECT n0.node, md5(n0.c || '|' || coalesce(s1.sig, '')) AS c
+          FROM n0 LEFT JOIN s1 ON n0.node = s1.node
+        ),
+        m2 AS (
+          SELECT e.s AS node, '>' AS dir, e.p, n.c AS nbc
+          FROM e JOIN n1 n ON e.o = n.node
+          UNION ALL
+          SELECT e.o AS node, '<' AS dir, e.p, n.c AS nbc
+          FROM e JOIN n1 n ON e.s = n.node
+        ),
+        s2 AS (
+          SELECT node, string_agg(dir || p || '=' || nbc, ','
+                                  ORDER BY dir, p, nbc) AS sig
+          FROM m2 GROUP BY node
+        ),
+        n2 AS (
+          SELECT n1.node, md5(n1.c || '|' || coalesce(s2.sig, '')) AS c
+          FROM n1 LEFT JOIN s2 ON n1.node = s2.node
+        )
+        SELECT c AS wl_color, CAST(count(*) AS BIGINT) AS n_nodes,
+               min(node) AS example_node
+        FROM n2 GROUP BY 1
+        ORDER BY n_nodes DESC, wl_color
     """
     o["kmv_jaccard_pairs"] = """
         WITH tok AS (

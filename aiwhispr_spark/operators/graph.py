@@ -1051,3 +1051,100 @@ def boruvka_mst(
     if chosen is None:
         return ee.select(F.col("ea").alias("a"), F.col("eb").alias("b"), "w").limit(0)
     return chosen.select(F.col("ea").alias("a"), F.col("eb").alias("b"), "w")
+
+
+def wl_color_refinement(
+    triples: DataFrame,
+    rounds: int = 2,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """1-dimensional Weisfeiler–Leman color refinement over the directed
+    labeled triple graph (the RDF canonical-labeling / graph-isomorphism
+    workhorse — URDNA2015's blank-node labeling and GNN expressiveness
+    bounds are both 1-WL):
+
+        c_{r+1}(v) = md5( c_r(v) || '|' ||
+                          join_{sorted} (dir ⊕ pred ⊕ '=' ⊕ c_r(neighbor)) )
+
+    with dir ∈ {'>', '<'} for out/in edges and the multiset sorted by
+    (dir, pred, neighbor-color) — the sort makes the hash order-free, so
+    two nodes get equal colors iff their r-hop neighborhood trees agree.
+    Initial color is the constant '0' (structure-only refinement).
+
+    Returns (node, wl_color) after ``rounds`` rounds; isolated nodes
+    refine on the empty multiset.
+
+    100 TB shape: each round is ONE edge-keyed exchange (messages carry
+    (node, dir, pred, 32-char color) — never neighborhoods) + a node-keyed
+    sorted-aggregate; rounds are bounded (2–3 in practice), each
+    materialized by construction of the next join.  The classic
+    MapReduce-WL layout."""
+    nodes = (
+        triples.select(F.col(subj_col).alias("node"))
+        .unionByName(triples.select(F.col(obj_col).alias("node")))
+        .distinct()
+        .withColumn("wl_color", F.lit("0"))
+    )
+    edges = triples.select(
+        F.col(subj_col).alias("s"), F.col(pred_col).alias("p"),
+        F.col(obj_col).alias("o"),
+    )
+    for _ in range(rounds):
+        cmap = nodes.select("node", "wl_color")
+        out_msgs = edges.join(
+            cmap.withColumnRenamed("node", "o").withColumnRenamed(
+                "wl_color", "nbc"
+            ),
+            "o",
+        ).select(F.col("s").alias("node"), F.lit(">").alias("dir"), "p", "nbc")
+        in_msgs = edges.join(
+            cmap.withColumnRenamed("node", "s").withColumnRenamed(
+                "wl_color", "nbc"
+            ),
+            "s",
+        ).select(F.col("o").alias("node"), F.lit("<").alias("dir"), "p", "nbc")
+        sigs = (
+            out_msgs.unionByName(in_msgs)
+            .groupBy("node")
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("dir", "p", "nbc"))
+                        ),
+                        lambda t: F.concat(
+                            t["dir"], t["p"], F.lit("="), t["nbc"]
+                        ),
+                    ),
+                ).alias("sig")
+            )
+        )
+        nodes = (
+            nodes.join(sigs, "node", "left")
+            .select(
+                "node",
+                F.md5(
+                    F.concat(
+                        F.col("wl_color"), F.lit("|"), F.coalesce("sig", F.lit(""))
+                    )
+                ).alias("wl_color"),
+            )
+        )
+    return nodes
+
+
+def wl_color_histogram(triples: DataFrame, rounds: int = 2) -> DataFrame:
+    """Color-class histogram of the final WL round: (wl_color, n_nodes,
+    example_node) — equal rows are structurally indistinguishable at
+    radius ``rounds``; singleton classes are structurally unique."""
+    colors = wl_color_refinement(triples, rounds=rounds)
+    return (
+        colors.groupBy("wl_color")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").alias("example_node"),
+        )
+    )
