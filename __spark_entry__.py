@@ -157,9 +157,10 @@ def _ensure_bmp_corpus() -> str:
     import os
 
     from aiwhispr_spark.sources import synthetic
+    from aiwhispr_spark.operators import multimodal
     from aiwhispr_spark.sources.synthetic import write_bmp_corpus_parquet
 
-    path = _fixture_path("aiwhispr_bmp_24.parquet", synthetic)
+    path = _fixture_path("aiwhispr_bmp_24.parquet", synthetic, multimodal)
     if not os.path.exists(path):
         write_bmp_corpus_parquet(path, n_images=24)
     return path
@@ -170,9 +171,10 @@ def _ensure_tiff_corpus() -> str:
     import os
 
     from aiwhispr_spark.sources import synthetic
+    from aiwhispr_spark.operators import multimodal
     from aiwhispr_spark.sources.synthetic import write_tiff_corpus_parquet
 
-    path = _fixture_path("aiwhispr_tiff_24.parquet", synthetic)
+    path = _fixture_path("aiwhispr_tiff_24.parquet", synthetic, multimodal)
     if not os.path.exists(path):
         write_tiff_corpus_parquet(path, n_images=24)
     return path
@@ -183,9 +185,10 @@ def _ensure_png_corpus() -> str:
     import os
 
     from aiwhispr_spark.sources import synthetic
+    from aiwhispr_spark.operators import multimodal
     from aiwhispr_spark.sources.synthetic import write_png_corpus_parquet
 
-    path = _fixture_path("aiwhispr_png_24.parquet", synthetic)
+    path = _fixture_path("aiwhispr_png_24.parquet", synthetic, multimodal)
     if not os.path.exists(path):
         write_png_corpus_parquet(path, n_images=24)
     return path
@@ -196,9 +199,10 @@ def _ensure_gif_corpus() -> str:
     import os
 
     from aiwhispr_spark.sources import synthetic
+    from aiwhispr_spark.operators import multimodal
     from aiwhispr_spark.sources.synthetic import write_gif_corpus_parquet
 
-    path = _fixture_path("aiwhispr_gif_24.parquet", synthetic)
+    path = _fixture_path("aiwhispr_gif_24.parquet", synthetic, multimodal)
     if not os.path.exists(path):
         write_gif_corpus_parquet(path, n_images=24)
     return path
@@ -644,9 +648,10 @@ def _ensure_wav_corpus() -> str:
     import tempfile
 
     from aiwhispr_spark.sources import synthetic
+    from aiwhispr_spark.operators import multimodal
     from aiwhispr_spark.sources.synthetic import write_wav_corpus_parquet
 
-    path = _fixture_path("aiwhispr_wav_60.parquet", synthetic)
+    path = _fixture_path("aiwhispr_wav_60.parquet", synthetic, multimodal)
     if not os.path.exists(path):
         write_wav_corpus_parquet(path)
     return path
@@ -3398,7 +3403,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (md5, id, idx) only, never chunk bytes.
         from aiwhispr_spark.operators.fingerprint import cdc_dup_chunks
 
-        return cdc_dup_chunks(_t(spark, sf, "documents")).orderBy("chunk_md5")
+        # gate domain: length <= 4000 in BOTH engines — the oracle's
+        # position table is a constant range(16, 4096) (DuckDB range()
+        # rejects subquery bounds), so the predicate is the shared
+        # contract, not a silent one-sided cap.  The operator itself is
+        # unconstrained.
+        d = _t(spark, sf, "documents").filter(F.length("text") <= 4000)
+        return cdc_dup_chunks(d).orderBy("chunk_md5")
 
     q["cdc_dedup_chunks"] = cdc_dedup
 
@@ -10878,7 +10889,10 @@ def oracle_sql() -> dict[str, str]:
     """
     o["cdc_dedup_chunks"] = """
         WITH d AS (
+          -- length <= 4000: shared gate domain (see the query comment);
+          -- range(16, 4096) must cover every position of every kept doc
           SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) <= 4000
         ),
         pos AS (
           SELECT doc_id, text, n, r.range AS p

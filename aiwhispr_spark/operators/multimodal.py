@@ -738,21 +738,22 @@ BMP_STATS_SCHEMA = StructType(
 )
 
 
-def bmp_stats(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+def _channel_stats(
+    df: DataFrame, decode_fn, payload_col: str, id_col: str
 ) -> DataFrame:
-    """(media_id, width, height, n_px, sum/mean per channel) — integer
-    channel statistics off the REAL BMP decode; means are exact
+    """Shared body of the per-format *_stats surfaces: decode each payload
+    with ``decode_fn`` (bytes → HxWx3 uint8) and emit the integer channel
+    statistics of :data:`BMP_STATS_SCHEMA`; means are exact
     ``sum·100 div n_px``.  mapInPandas batched (one python pool, Arrow
-    in/out); the closed-form fixture makes every output an arithmetic
-    consequence of (i, x, y), so the gate catches a stride or row-order
-    bug as a value mismatch, not a crash."""
+    in/out); the closed-form fixtures make every output an arithmetic
+    consequence of (i, x, y), so each gate catches decode bugs as value
+    mismatches, not crashes."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_bmp(bytes(payload))
+                img = decode_fn(bytes(payload))
                 h, w = img.shape[:2]
                 s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
                 n = h * w
@@ -775,6 +776,14 @@ def bmp_stats(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         gen, BMP_STATS_SCHEMA
     )
+
+
+def bmp_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Integer channel statistics off the REAL BMP decode (stride padding,
+    bottom-up rows, BGR order) — see :func:`_channel_stats`."""
+    return _channel_stats(df, decode_bmp, payload_col, id_col)
 
 
 def encode_bmp(img: np.ndarray) -> bytes:
@@ -873,10 +882,6 @@ def encode_tiff(img: np.ndarray, rows_per_strip: int = 4) -> bytes:
     def ent(tag: int, typ: int, cnt: int, val: int) -> bytes:
         return struct.pack("<HHII", tag, typ, cnt, val)
 
-    def inline_shorts(vals: list[int]) -> int:
-        v = vals + [0] * (2 - len(vals))
-        return v[0] | (v[1] << 16)
-
     entries = [
         ent(256, 3, 1, w),
         ent(257, 3, 1, h),
@@ -912,39 +917,9 @@ def encode_tiff(img: np.ndarray, rows_per_strip: int = 4) -> bytes:
 def tiff_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
-    """TIFF twin of :func:`bmp_stats` — same integer channel statistics,
-    same mapInPandas batch shape, off the REAL multi-strip TIFF decode."""
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_tiff(bytes(payload))
-                h, w = img.shape[:2]
-                s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
-                n = h * w
-                out.append(
-                    {
-                        "media_id": str(mid),
-                        "width": w,
-                        "height": h,
-                        "n_px": n,
-                        "sum_r": int(s[0]),
-                        "sum_g": int(s[1]),
-                        "sum_b": int(s[2]),
-                        "mean_r_i": int(s[0]) * 100 // n,
-                        "mean_g_i": int(s[1]) * 100 // n,
-                        "mean_b_i": int(s[2]) * 100 // n,
-                    }
-                )
-            yield pd.DataFrame(
-                out, columns=[f.name for f in BMP_STATS_SCHEMA.fields]
-            )
-
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        gen, BMP_STATS_SCHEMA
-    )
-
+    """Integer channel statistics off the REAL multi-strip TIFF decode
+    (IFD inline-vs-offset slots, strip reassembly) — see :func:`_channel_stats`."""
+    return _channel_stats(df, decode_tiff, payload_col, id_col)
 
 def _paeth(a: int, b: int, c: int) -> int:
     """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
@@ -1081,39 +1056,9 @@ def encode_png(img: np.ndarray, filter_of_row=None, idat_piece: int = 64) -> byt
 def png_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
-    """PNG twin of :func:`bmp_stats` — same integer channel statistics,
-    same mapInPandas batch shape, off the REAL filtered-scanline decode."""
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_png(bytes(payload))
-                h, w = img.shape[:2]
-                s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
-                n = h * w
-                out.append(
-                    {
-                        "media_id": str(mid),
-                        "width": w,
-                        "height": h,
-                        "n_px": n,
-                        "sum_r": int(s[0]),
-                        "sum_g": int(s[1]),
-                        "sum_b": int(s[2]),
-                        "mean_r_i": int(s[0]) * 100 // n,
-                        "mean_g_i": int(s[1]) * 100 // n,
-                        "mean_b_i": int(s[2]) * 100 // n,
-                    }
-                )
-            yield pd.DataFrame(
-                out, columns=[f.name for f in BMP_STATS_SCHEMA.fields]
-            )
-
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        gen, BMP_STATS_SCHEMA
-    )
-
+    """Integer channel statistics off the REAL filtered-scanline PNG
+    decode (multi-IDAT zlib, Sub/Up/Average/Paeth) — see :func:`_channel_stats`."""
+    return _channel_stats(df, decode_png, payload_col, id_col)
 
 def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
     """GIF-variant LZW: emits CLEAR first, grows the code width when the
@@ -1151,6 +1096,14 @@ def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
         buf = bytes([int(idx)])
     if buf:
         emit(table[buf], width)
+        # the decoder appends one table entry AFTER processing this final
+        # code and re-checks its width (size+1 rule, which equals
+        # next_code+1 here since the flush adds no encoder entry) — emit
+        # END at the width the decoder will actually read it with, or a
+        # stream whose last data code lands exactly on a 2^w boundary
+        # desyncs END by one bit-width
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
     emit(end, width)
     by = bytearray()
     for k in range(0, len(out_bits), 8):
@@ -1310,35 +1263,7 @@ def encode_gif(
 def gif_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
-    """GIF twin of :func:`bmp_stats` — same integer channel statistics,
-    same mapInPandas batch shape, off the REAL LZW decode."""
+    """Integer channel statistics off the REAL GIF LZW decode (width
+    schedule, KwKwK, interlace) — see :func:`_channel_stats`."""
+    return _channel_stats(df, decode_gif, payload_col, id_col)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decode_gif(bytes(payload))
-                h, w = img.shape[:2]
-                s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
-                n = h * w
-                out.append(
-                    {
-                        "media_id": str(mid),
-                        "width": w,
-                        "height": h,
-                        "n_px": n,
-                        "sum_r": int(s[0]),
-                        "sum_g": int(s[1]),
-                        "sum_b": int(s[2]),
-                        "mean_r_i": int(s[0]) * 100 // n,
-                        "mean_g_i": int(s[1]) * 100 // n,
-                        "mean_b_i": int(s[2]) * 100 // n,
-                    }
-                )
-            yield pd.DataFrame(
-                out, columns=[f.name for f in BMP_STATS_SCHEMA.fields]
-            )
-
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        gen, BMP_STATS_SCHEMA
-    )

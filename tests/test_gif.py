@@ -78,3 +78,18 @@ def test_gif_stats_matches_closed_form(spark, tmp_path):
         assert r.sum_r == sum((7 * k + 3) % 256 for k in ks)
         assert r.sum_g == sum((11 * k + 5) % 256 for k in ks)
         assert r.sum_b == sum((13 * k + 9) % 256 for k in ks)
+
+
+def test_gif_lzw_end_code_width_boundary():
+    # review finding: when the LAST data code is emitted exactly as the
+    # table size reaches 2^width, the decoder bumps its width before
+    # reading END — the encoder must emit END one bit wider.  Decode with
+    # an oversized n_expected so END parsing is mandatory (no early break).
+    from aiwhispr_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    seq = [0, 1, 3, 0, 2, 0, 0, 1, 3, 1, 2, 3]  # flush at next_code == 2^w
+    z = _lzw_encode_gif(seq, 2)
+    assert _lzw_decode_gif(z, 2, len(seq) + 1000) == seq
