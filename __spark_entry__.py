@@ -7943,6 +7943,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_wl_colors"] = wl_hist
 
+    _AC_PATTERNS = ["scan", "can", "an", "a a", "table", "stream"]
+
+    def ac_counts(spark, sf):
+        # real Aho–Corasick automaton (keywords.py::multi_pattern_counts_ac:
+        # goto trie + BFS failure links + flattened output links) counting
+        # OVERLAPPING char-level occurrences — patterns share suffixes
+        # ('scan'⊃'can'⊃'an') so the failure-link path is load-bearing.
+        # Oracle recomputes via brute-force position scan.
+        from aiwhispr_spark.operators.keywords import multi_pattern_counts_ac
+
+        return multi_pattern_counts_ac(
+            _t(spark, sf, "documents"), _AC_PATTERNS
+        ).orderBy("id", "pattern")
+
+    q["ac_multi_pattern_counts"] = ac_counts
+
+    def ac_equals_expr(spark, sf):
+        # exactness gate: the automaton path ≡ the per-pattern JVM
+        # expression twin on every (id, pattern) — same pattern as
+        # ivf_all_probe_equals_exact.  Emits the disagreement count (0)
+        # plus both row totals.
+        from aiwhispr_spark.operators.keywords import (
+            multi_pattern_counts_ac,
+            multi_pattern_counts_expr,
+        )
+
+        d = _t(spark, sf, "documents")
+        ac = multi_pattern_counts_ac(d, _AC_PATTERNS)
+        ex = multi_pattern_counts_expr(d, _AC_PATTERNS)
+        joined = ac.alias("ac").join(
+            ex.alias("ex"), ["id", "pattern"], "full_outer"
+        )
+        return joined.agg(
+            F.sum(
+                (
+                    F.coalesce(F.col("ac.n_hits"), F.lit(-1))
+                    != F.coalesce(F.col("ex.n_hits"), F.lit(-2))
+                ).cast("long")
+            ).alias("n_disagree"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+
+    q["ac_equals_expr_twin"] = ac_equals_expr
+
     def varint(spark, sf):
         # delta+LEB128 posting-list compression (fulltext.py::
         # postings_varint_stats): the full hex encoding is the hash-gated
@@ -8473,6 +8517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_sketch",
         "kmv_jaccard_pairs",
         "kg_wl_colors",
+        "ac_multi_pattern_counts",
+        "ac_equals_expr_twin",
         "postings_varint",
         "dirichlet_ql_rank",
         "kg_cliques_k4",
@@ -14313,6 +14359,36 @@ def oracle_sql() -> dict[str, str]:
                min(node) AS example_node
         FROM n2 GROUP BY 1
         ORDER BY n_nodes DESC, wl_color
+    """
+    o["ac_multi_pattern_counts"] = """
+        WITH pats AS (
+          SELECT * FROM (VALUES ('scan'), ('can'), ('an'), ('a a'),
+                                ('table'), ('stream')) p(pat)
+        )
+        SELECT d.doc_id AS id, p.pat AS pattern,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM documents d, pats p, range(1, 2048) r
+        WHERE d.text IS NOT NULL
+          AND r.range <= length(d.text) - length(p.pat) + 1
+          AND substring(d.text, r.range, length(p.pat)) = p.pat
+        GROUP BY 1, 2
+        ORDER BY id, pattern
+    """
+    o["ac_equals_expr_twin"] = """
+        WITH pats AS (
+          SELECT * FROM (VALUES ('scan'), ('can'), ('an'), ('a a'),
+                                ('table'), ('stream')) p(pat)
+        ),
+        hits AS (
+          SELECT d.doc_id AS id, p.pat AS pattern
+          FROM documents d, pats p, range(1, 2048) r
+          WHERE d.text IS NOT NULL
+            AND r.range <= length(d.text) - length(p.pat) + 1
+            AND substring(d.text, r.range, length(p.pat)) = p.pat
+          GROUP BY 1, 2
+        )
+        SELECT CAST(0 AS BIGINT) AS n_disagree,
+               CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_rows
     """
     o["kmv_jaccard_pairs"] = """
         WITH tok AS (

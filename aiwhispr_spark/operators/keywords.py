@@ -138,3 +138,141 @@ def pmi_collocations(
         pmi_i.alias("pmi_i"),
     )
     return out.orderBy(F.desc("pmi_i"), "bigram").limit(k)
+
+
+def aho_corasick_build(patterns):
+    """Build an Aho–Corasick automaton (goto trie + BFS failure links +
+    output links) over ``patterns``.  Returns (goto, fail, out) where
+    ``goto`` is a list of dicts, ``fail`` the failure-link array and
+    ``out`` per-state lists of pattern indexes ending there (output links
+    pre-flattened, so matching never walks the suffix chain)."""
+    goto = [{}]
+    out = [[]]
+    for pi, pat in enumerate(patterns):
+        st = 0
+        for ch in pat:
+            if ch not in goto[st]:
+                goto.append({})
+                out.append([])
+                goto[st][ch] = len(goto) - 1
+            st = goto[st][ch]
+        out[st].append(pi)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    dq = deque()
+    for ch, nxt in goto[0].items():
+        fail[nxt] = 0
+        dq.append(nxt)
+    while dq:
+        st = dq.popleft()
+        for ch, nxt in goto[st].items():
+            dq.append(nxt)
+            f = fail[st]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[nxt] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != nxt else 0
+            out[nxt] = out[nxt] + out[fail[nxt]]  # flatten output links
+    return goto, fail, out
+
+
+def _ac_count(text: str, goto, fail, out, n_patterns: int):
+    counts = [0] * n_patterns
+    st = 0
+    for ch in text:
+        while st and ch not in goto[st]:
+            st = fail[st]
+        st = goto[st].get(ch, 0)
+        for pi in out[st]:
+            counts[pi] += 1
+    return counts
+
+
+def multi_pattern_counts_ac(
+    docs: DataFrame,
+    patterns,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-level multi-pattern occurrence counts (OVERLAPPING
+    matches included — 'ana' occurs twice in 'banana') via a real
+    Aho–Corasick automaton: one pass per document regardless of
+    dictionary size.  This is the LARGE-dictionary scale path — the
+    automaton builds once on the driver, broadcasts in the task closure,
+    and each text is scanned O(len) with failure links; the per-pattern
+    expression twin (:func:`multi_pattern_counts_expr`) is O(len·|P|)
+    and wins only for tiny pattern sets.  Emits (id, pattern, n_hits)
+    for patterns with ≥ 1 hit."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    pats = list(patterns)
+    goto, fail, out = aho_corasick_build(pats)
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("pattern", StringType()),
+            StructField("n_hits", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                counts = _ac_count(str(text), goto, fail, out, len(pats))
+                for pi, c in enumerate(counts):
+                    if c:
+                        rows.append(
+                            {"id": int(did), "pattern": pats[pi], "n_hits": c}
+                        )
+            yield pd.DataFrame(rows, columns=["id", "pattern", "n_hits"])
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, schema)
+
+
+def multi_pattern_counts_expr(
+    docs: DataFrame,
+    patterns,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """JVM-expression twin of :func:`multi_pattern_counts_ac` for SMALL
+    pattern sets: per pattern, count positions p with
+    substring(text, p, len) = pattern — overlapping occurrences included,
+    zero python, zero shuffle.  Gates the automaton (ac ≡ expr)."""
+    t = F.col(text_col)
+    arms = []
+    for pat in patterns:
+        L = len(pat)
+
+        def counter(p_lit: str, ln: int):
+            return F.size(
+                F.filter(
+                    F.sequence(F.lit(1), F.greatest(F.length(t) - ln + 1, F.lit(0))),
+                    lambda p: t.substr(p, F.lit(ln)) == p_lit,
+                )
+            )
+
+        arms.append(
+            F.struct(
+                F.lit(pat).alias("pattern"),
+                counter(pat, L).cast("long").alias("n_hits"),
+            )
+        )
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"), F.explode(F.array(*arms)).alias("s")
+        )
+        .select("id", F.col("s.pattern").alias("pattern"), F.col("s.n_hits").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
