@@ -109,6 +109,21 @@ def _fixture_path(basename: str, *modules) -> str:
     return os.path.join(tempfile.gettempdir(), f"{root}_{tag}{ext}")
 
 
+# unigram-LM tokenizer vocab (piece → integer cost), shared verbatim by the
+# Spark query and the DuckDB oracle: 26 single chars cost 10 (full coverage)
+# + multi-char pieces priced so merges win on common subwords
+_SP_VOCAB = {
+    **{chr(c): 10 for c in range(ord("a"), ord("z") + 1)},
+    "an": 9, "er": 9, "ig": 9, "ow": 9, "he": 9,
+    "ta": 11, "st": 11, "sc": 11,
+    "ble": 14, "ter": 13, "row": 16, "art": 13, "ort": 13, "ash": 13,
+    "ine": 13, "all": 13, "mer": 13, "tor": 13, "oup": 13,
+    "dow": 14, "win": 14, "umn": 14, "atch": 14, "ream": 17,
+    "able": 16, "uery": 16, "scan": 15, "table": 18, "value": 20,
+    "stream": 22,
+}
+
+
 def _ensure_simple_corpus() -> str:
     """Materialize the oracle-friendly KG corpus (idempotent; called from both
     the Spark query and the oracle-SQL builder so file existence never depends
@@ -7987,6 +8002,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ac_equals_expr_twin"] = ac_equals_expr
 
+    def sp_segment(spark, sf):
+        # SentencePiece-style unigram-LM Viterbi segmentation (textstats.
+        # py::unigram_viterbi_segment) over the DISTINCT corpus words —
+        # the DP state is ONE sortable string (cost|n|path) and the
+        # transition plain min(), so the oracle's unrolled string-min DP
+        # provably picks the SAME segmentation (output gate, not just
+        # cost).
+        from aiwhispr_spark.operators.textstats import unigram_viterbi_segment
+
+        words = (
+            _t(spark, sf, "documents")
+            .select(
+                F.explode(
+                    F.split(F.lower(F.col("text")), r"\s+")
+                ).alias("word")
+            )
+            .filter(F.col("word") != "")
+        )
+        return unigram_viterbi_segment(words, _SP_VOCAB).orderBy("word")
+
+    q["unigram_viterbi_segment"] = sp_segment
+
     def varint(spark, sf):
         # delta+LEB128 posting-list compression (fulltext.py::
         # postings_varint_stats): the full hex encoding is the hash-gated
@@ -8519,6 +8556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wl_colors",
         "ac_multi_pattern_counts",
         "ac_equals_expr_twin",
+        "unigram_viterbi_segment",
         "postings_varint",
         "dirichlet_ql_rank",
         "kg_cliques_k4",
@@ -14359,6 +14397,45 @@ def oracle_sql() -> dict[str, str]:
                min(node) AS example_node
         FROM n2 GROUP BY 1
         ORDER BY n_nodes DESC, wl_color
+    """
+    _vocab_values = ", ".join(f"('{p}', {c})" for p, c in sorted(_SP_VOCAB.items()))
+    _dp_ctes = []
+    _prev = "SELECT * FROM dp0"
+    for _k in range(1, 9):
+        _dp_ctes.append(f"""
+        dp{_k} AS (
+          SELECT w.word, {_k} AS pos,
+                 min(lpad(CAST(CAST(substr(d.enc, 1, 4) AS INTEGER) + v.c AS VARCHAR), 4, '0')
+                     || '|' ||
+                     lpad(CAST(CAST(substr(d.enc, 6, 2) AS INTEGER) + 1 AS VARCHAR), 2, '0')
+                     || '|' ||
+                     CASE WHEN substr(d.enc, 9) = '' THEN v.p
+                          ELSE substr(d.enc, 9) || ' ' || v.p END) AS enc
+          FROM words w
+          JOIN ({_prev}) d ON d.word = w.word
+          JOIN vocab v ON length(v.p) = {_k} - d.pos
+                      AND substr(w.word, d.pos + 1, length(v.p)) = v.p
+          WHERE length(w.word) >= {_k}
+          GROUP BY 1, 2
+        )""")
+        _prev = " UNION ALL ".join(f"SELECT * FROM dp{_j}" for _j in range(_k + 1))
+    o["unigram_viterbi_segment"] = f"""
+        WITH words AS (
+          SELECT DISTINCT t AS word FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+            FROM documents) WHERE t <> ''
+        ),
+        vocab AS (SELECT * FROM (VALUES {_vocab_values}) v(p, c)),
+        dp0 AS (SELECT word, 0 AS pos, '0000|00|' AS enc FROM words),
+        {",".join(_dp_ctes)}
+        SELECT w.word,
+               coalesce(CAST(substr(d.enc, 1, 4) AS BIGINT), -1) AS cost,
+               coalesce(CAST(substr(d.enc, 6, 2) AS BIGINT), -1) AS n_pieces,
+               coalesce(substr(d.enc, 9), '') AS pieces
+        FROM words w
+        LEFT JOIN ({_prev}) d
+               ON d.word = w.word AND d.pos = length(w.word)
+        ORDER BY w.word
     """
     o["ac_multi_pattern_counts"] = """
         WITH pats AS (

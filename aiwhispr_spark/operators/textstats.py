@@ -1079,3 +1079,85 @@ def kneser_ney_bigram_model(
             ).alias("p_kn_i"),
         )
     )
+
+
+def unigram_viterbi_segment(
+    words: DataFrame,
+    vocab: dict,
+    word_col: str = "word",
+    max_pieces: int = 12,
+) -> DataFrame:
+    """SentencePiece-style unigram-LM Viterbi segmentation: split each
+    word into the vocab pieces minimizing total integer cost, tie-broken
+    by (fewer pieces, then lexicographically smallest piece sequence).
+    The tie-break is enforced STRUCTURALLY: every DP state is one sortable
+    string ``lpad(cost,4) | lpad(n_pieces,2) | piece-sequence`` and the
+    transition is plain ``min()`` over candidate strings — an independent
+    engine running the same string-min DP provably picks the same
+    segmentation, so the OUTPUT segmentation (not just its cost) is
+    hash-gateable.
+
+    The DP is sequential per word (the honest python boundary, like the
+    ROUGE LCS kernel); words are short, the vocab dict ships in the task
+    closure, and the input is the DISTINCT word list — corpus-size
+    independent.  Unsegmentable words (vocab lacks a cover) emit cost −1.
+
+    Returns (word, cost, n_pieces, pieces)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    items = sorted(vocab.items())
+    schema = StructType(
+        [
+            StructField("word", StringType()),
+            StructField("cost", LongType()),
+            StructField("n_pieces", LongType()),
+            StructField("pieces", StringType()),
+        ]
+    )
+
+    def segment(w: str):
+        dp = [None] * (len(w) + 1)
+        dp[0] = "0000|00|"
+        for pos in range(1, len(w) + 1):
+            best = None
+            for piece, c in items:
+                lp = len(piece)
+                if lp <= pos and dp[pos - lp] is not None and w[pos - lp : pos] == piece:
+                    pc, pn, pp = dp[pos - lp].split("|", 2)
+                    path = piece if not pp else pp + " " + piece
+                    cand = f"{int(pc) + c:04d}|{int(pn) + 1:02d}|{path}"
+                    if best is None or cand < best:
+                        best = cand
+            dp[pos] = best
+        return dp[len(w)]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for w in pdf[word_col]:
+                w = str(w)
+                enc = segment(w)
+                if enc is None:
+                    rows.append(
+                        {"word": w, "cost": -1, "n_pieces": -1, "pieces": ""}
+                    )
+                else:
+                    c, n, p = enc.split("|", 2)
+                    rows.append(
+                        {
+                            "word": w,
+                            "cost": int(c),
+                            "n_pieces": int(n),
+                            "pieces": p,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["word", "cost", "n_pieces", "pieces"])
+
+    return words.select(F.col(word_col)).distinct().mapInPandas(gen, schema)
