@@ -8024,6 +8024,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_viterbi_segment"] = sp_segment
 
+    def date_norm(spark, sf):
+        # multi-format date normalization (literals.py::
+        # extract_normalize_dates): separator-keyed day/month convention,
+        # month names, REAL Gregorian validation (leap centuries) —
+        # synthesized date sentences cycle all 5 formats × years
+        # 1996-2004 × days 1-31, so invalid combos (Feb 30, Apr 31,
+        # Feb 29 off-leap) appear and must flag valid_i=0.
+        from aiwhispr_spark.operators.literals import extract_normalize_dates
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        y = (1996 + F.col("doc_id") % 9).cast("int")
+        m = (1 + F.col("doc_id") % 12).cast("int")
+        dy = (1 + (F.col("doc_id") * 7) % 31).cast("int")
+        mon = F.element_at(
+            F.array(*[F.lit(x) for x in [
+                "January", "February", "March", "April", "May", "June",
+                "July", "August", "September", "October", "November",
+                "December"]]),
+            m,
+        )
+        ys, ms, ds = y.cast("string"), m.cast("string"), dy.cast("string")
+        raw = (
+            F.when(F.col("doc_id") % 5 == 0, F.concat(
+                F.lpad(ys, 4, "0"), F.lit("-"), F.lpad(ms, 2, "0"),
+                F.lit("-"), F.lpad(ds, 2, "0")))
+            .when(F.col("doc_id") % 5 == 1, F.concat(ms, F.lit("/"), ds, F.lit("/"), ys))
+            .when(F.col("doc_id") % 5 == 2, F.concat(ds, F.lit("."), ms, F.lit("."), ys))
+            .when(F.col("doc_id") % 5 == 3, F.concat(mon, F.lit(" "), ds, F.lit(", "), ys))
+            .otherwise(F.concat(ds, F.lit(" "), mon, F.lit(" "), ys))
+        )
+        docs = d.select(
+            "doc_id",
+            F.concat(F.lit("released on "), raw, F.lit(" and archived.")).alias(
+                "text"
+            ),
+        )
+        return extract_normalize_dates(docs).orderBy("id", "raw")
+
+    q["date_normalize_validate"] = date_norm
+
     def varint(spark, sf):
         # delta+LEB128 posting-list compression (fulltext.py::
         # postings_varint_stats): the full hex encoding is the hash-gated
@@ -8557,6 +8597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ac_multi_pattern_counts",
         "ac_equals_expr_twin",
         "unigram_viterbi_segment",
+        "date_normalize_validate",
         "postings_varint",
         "dirichlet_ql_rank",
         "kg_cliques_k4",
@@ -14436,6 +14477,51 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ({_prev}) d
                ON d.word = w.word AND d.pos = length(w.word)
         ORDER BY w.word
+    """
+    o["date_normalize_validate"] = """
+        WITH base AS (
+          SELECT doc_id AS id,
+                 1996 + doc_id % 9 AS y,
+                 CAST(1 + doc_id % 12 AS INTEGER) AS m,
+                 CAST(1 + (doc_id * 7) % 31 AS INTEGER) AS d
+          FROM documents
+        ),
+        named AS (
+          SELECT id, y, m, d,
+                 (['January','February','March','April','May','June','July',
+                   'August','September','October','November','December'])[m]
+                   AS mon
+          FROM base
+        ),
+        built AS (
+          SELECT id, y, m, d,
+                 CASE id % 5
+                   WHEN 0 THEN lpad(CAST(y AS VARCHAR), 4, '0') || '-' ||
+                               lpad(CAST(m AS VARCHAR), 2, '0') || '-' ||
+                               lpad(CAST(d AS VARCHAR), 2, '0')
+                   WHEN 1 THEN CAST(m AS VARCHAR) || '/' || CAST(d AS VARCHAR)
+                               || '/' || CAST(y AS VARCHAR)
+                   WHEN 2 THEN CAST(d AS VARCHAR) || '.' || CAST(m AS VARCHAR)
+                               || '.' || CAST(y AS VARCHAR)
+                   WHEN 3 THEN mon || ' ' || CAST(d AS VARCHAR) || ', ' ||
+                               CAST(y AS VARCHAR)
+                   ELSE CAST(d AS VARCHAR) || ' ' || mon || ' ' ||
+                        CAST(y AS VARCHAR)
+                 END AS raw
+          FROM named
+        ),
+        judged AS (
+          SELECT id, raw,
+                 lpad(CAST(y AS VARCHAR), 4, '0') || '-' ||
+                 lpad(CAST(m AS VARCHAR), 2, '0') || '-' ||
+                 lpad(CAST(d AS VARCHAR), 2, '0') AS iso,
+                 CAST(CASE WHEN d <= ([31,28,31,30,31,30,31,31,30,31,30,31])[m]
+                             + (CASE WHEN m = 2 AND ((y % 4 = 0 AND y % 100 <> 0)
+                                       OR y % 400 = 0) THEN 1 ELSE 0 END)
+                      THEN 1 ELSE 0 END AS BIGINT) AS valid_i
+          FROM built
+        )
+        SELECT id, raw, iso, valid_i FROM judged ORDER BY id, raw
     """
     o["ac_multi_pattern_counts"] = """
         WITH pats AS (
