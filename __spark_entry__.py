@@ -8064,6 +8064,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["date_normalize_validate"] = date_norm
 
+    def edgecut(spark, sf):
+        # partition-layout planning (linkgraph.py::partition_edgecut_eval):
+        # hash-by-host vs domain-locality placement over the host graph —
+        # the locality-vs-balance trade a distributed graph job tunes
+        # before shuffling 100 TB; cut share and balance as integer bp.
+        from aiwhispr_spark.operators.linkgraph import (
+            extract_links,
+            host_edges,
+            partition_edgecut_eval,
+        )
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        return partition_edgecut_eval(host_edges(extract_links(docs))).orderBy(
+            "scheme"
+        )
+
+    q["partition_edgecut_eval"] = edgecut
+
     def varint(spark, sf):
         # delta+LEB128 posting-list compression (fulltext.py::
         # postings_varint_stats): the full hex encoding is the hash-gated
@@ -8598,6 +8616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ac_equals_expr_twin",
         "unigram_viterbi_segment",
         "date_normalize_validate",
+        "partition_edgecut_eval",
         "postings_varint",
         "dirichlet_ql_rank",
         "kg_cliques_k4",
@@ -14477,6 +14496,50 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ({_prev}) d
                ON d.word = w.word AND d.pos = length(w.word)
         ORDER BY w.word
+    """
+    o["partition_edgecut_eval"] = f"""
+        WITH he AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+          FROM ({_host_edges_sql()}) GROUP BY 1, 2
+        ),
+        hosts AS (SELECT src AS h FROM he UNION SELECT dst FROM he),
+        -- these 3-label hosts all take the last-2-labels branch of the
+        -- registrable-domain rule, so the regexp mirrors it exactly
+        parts AS (
+          SELECT 'hash' AS scheme, h,
+                 ('0x' || substr(md5(h), 1, 13))::BIGINT % 8 AS p FROM hosts
+          UNION ALL
+          SELECT 'domain', h,
+                 ('0x' || substr(md5(
+                    regexp_extract(h, '([^.]+\\.[^.]+)$', 1)), 1, 13))::BIGINT % 8
+          FROM hosts
+        ),
+        eparts AS (
+          SELECT ps.scheme, he.w,
+                 CASE WHEN ps.p <> pd.p THEN 1 ELSE 0 END AS cut
+          FROM he
+          JOIN parts ps ON ps.h = he.src
+          JOIN parts pd ON pd.h = he.dst AND pd.scheme = ps.scheme
+        ),
+        agg AS (
+          SELECT scheme, CAST(count(*) AS BIGINT) AS n_edges,
+                 CAST(sum(cut) AS BIGINT) AS cut_edges,
+                 CAST(sum(cut * w) AS BIGINT) AS cut_links,
+                 CAST(sum(w) AS BIGINT) AS total_links
+          FROM eparts GROUP BY 1
+        ),
+        bal AS (
+          SELECT scheme, CAST(max(c) AS BIGINT) AS mx,
+                 CAST(sum(c) AS BIGINT) AS nh
+          FROM (SELECT scheme, p, count(*) AS c FROM parts GROUP BY 1, 2)
+          GROUP BY 1
+        )
+        SELECT a.scheme, CAST(8 AS BIGINT) AS n_parts, n_edges, cut_edges,
+               CAST(cut_links * 10000 // total_links AS BIGINT) AS cut_bp,
+               mx AS max_part_hosts,
+               CAST(mx * 8 * 10000 // nh AS BIGINT) AS balance_bp
+        FROM agg a JOIN bal b ON a.scheme = b.scheme
+        ORDER BY a.scheme
     """
     o["date_normalize_validate"] = """
         WITH base AS (

@@ -753,3 +753,83 @@ def bipartite_butterflies(rel: DataFrame, max_fanout: int = 1000) -> DataFrame:
         F.coalesce(F.sum("bf"), F.lit(0)).alias("n_butterflies"),
     )
     return per_item.unionByName(total)
+
+
+def partition_edgecut_eval(
+    edges: DataFrame,
+    n_parts: int = 8,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+) -> DataFrame:
+    """Edge-cut comparison of graph partitioning schemes over the host
+    graph — the planning query behind a distributed-graph layout choice:
+
+    * ``hash``   — partition = md5(host) mod P (what a naive
+      ``repartition(P, host)`` does);
+    * ``domain`` — partition = md5(registrable domain) mod P
+      (domain-locality placement: most web links are intra-domain, so
+      co-locating a domain's hosts slashes cross-partition traffic — the
+      standard web-graph trick, at the cost of domain-size skew).
+
+    Emits one row per scheme: (scheme, n_parts, n_edges, cut_edges,
+    cut_links, cut_bp, max_part_hosts, balance_bp) where cut_bp =
+    link-weighted cut share ·10⁴ and balance_bp = max-partition size ·
+    P·10⁴ div n_hosts (10000 = perfect balance; the hash/domain rows
+    together expose the locality-vs-balance trade).
+
+    100 TB shape: two tiny aggregates per scheme over the HOST-level edge
+    frame (already corpus-collapsed); nothing touches pages."""
+    from .urlnorm import registrable_domain_expr
+
+    def part_of(col, scheme: str):
+        key = col if scheme == "hash" else registrable_domain_expr(col)
+        return (
+            F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("long")
+            % n_parts
+        )
+
+    hosts = (
+        edges.select(F.col(src_col).alias("h"))
+        .unionByName(edges.select(F.col(dst_col).alias("h")))
+        .distinct()
+    )
+    outs = []
+    for scheme in ("hash", "domain"):
+        e = edges.select(
+            part_of(F.col(src_col), scheme).alias("ps"),
+            part_of(F.col(dst_col), scheme).alias("pd"),
+            F.col(weight_col).alias("w"),
+        )
+        agg = e.agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum((F.col("ps") != F.col("pd")).cast("long")).alias("cut_edges"),
+            F.sum(
+                F.when(F.col("ps") != F.col("pd"), F.col("w")).otherwise(0)
+            )
+            .cast("long")
+            .alias("cut_links"),
+            F.sum("w").cast("long").alias("total_links"),
+        )
+        bal = (
+            hosts.groupBy(part_of(F.col("h"), scheme).alias("p"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.max("c").cast("long").alias("max_part_hosts"),
+                F.sum("c").cast("long").alias("n_hosts"),
+            )
+        )
+        outs.append(
+            agg.crossJoin(bal).select(
+                F.lit(scheme).alias("scheme"),
+                F.lit(n_parts).cast("long").alias("n_parts"),
+                "n_edges",
+                "cut_edges",
+                F.expr("cut_links * 10000L div total_links").alias("cut_bp"),
+                "max_part_hosts",
+                F.expr(
+                    f"max_part_hosts * {n_parts}L * 10000L div n_hosts"
+                ).alias("balance_bp"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
