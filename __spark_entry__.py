@@ -3882,6 +3882,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_transe_score"] = transe_score
 
+    def distmult_score(spark, sf):
+        # DistMult bilinear-diagonal scoring (kgscore.py::distmult_scores)
+        # over the same closed-form triple base as kg_transe_score — the
+        # multiplicative twin; symmetry pinned in tests.
+        from aiwhispr_spark.operators.kgscore import distmult_scores
+
+        d = _t(spark, sf, "documents")
+        triples = d.select(
+            F.concat(F.lit("Entity_"), (F.col("doc_id") % 40).cast("string")).alias(
+                "subj"
+            ),
+            F.element_at(
+                F.array(F.lit("founded"), F.lit("acquired"), F.lit("based_in")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("pred"),
+            F.concat(
+                F.lit("Entity_"), ((F.col("doc_id") * 7 + 1) % 40).cast("string")
+            ).alias("obj"),
+        ).distinct()
+        return distmult_scores(triples, dim=16)
+
+    q["kg_distmult_score"] = distmult_score
+
     def transe_eval_q(spark, sf):
         # Filtered link-prediction eval (kgscore.py::transe_eval): rank each
         # positive against its 8 filtered corrupted-object negatives, exact
@@ -8082,6 +8105,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["partition_edgecut_eval"] = edgecut
 
+    def landmarks(spark, sf):
+        # landmark distance sketch (graph.py::landmark_distance_eval):
+        # d̂(u,v) = min_l d(u,l)+d(l,v) from TWO multi-source BFS passes
+        # (2·L·|V| rows) evaluated against exact bounded distances — the
+        # all-pairs substitution for distance queries on web graphs.
+        from aiwhispr_spark.operators.graph import landmark_distance_eval
+        from aiwhispr_spark.operators.linkgraph import extract_links, host_edges
+
+        docs = spark.read.parquet(_ensure_link_corpus())
+        e = host_edges(extract_links(docs)).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        return landmark_distance_eval(e, n_landmarks=4, hops=6).orderBy("u", "v")
+
+    q["landmark_distance_eval"] = landmarks
+
     def varint(spark, sf):
         # delta+LEB128 posting-list compression (fulltext.py::
         # postings_varint_stats): the full hex encoding is the hash-gated
@@ -8617,6 +8656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_viterbi_segment",
         "date_normalize_validate",
         "partition_edgecut_eval",
+        "landmark_distance_eval",
+        "kg_distmult_score",
         "postings_varint",
         "dirichlet_ql_rank",
         "kg_cliques_k4",
@@ -10958,6 +10999,25 @@ def oracle_sql() -> dict[str, str]:
         FROM ch c JOIN pr p ON p.node = c.host
         ORDER BY priority_i DESC, c.canon_url ASC
         LIMIT 30
+    """
+    o["kg_distmult_score"] = """
+        WITH t AS (
+          SELECT DISTINCT
+                 'Entity_' || (doc_id % 40) AS subj,
+                 CASE doc_id % 3 WHEN 0 THEN 'founded'
+                                 WHEN 1 THEN 'acquired'
+                                 ELSE 'based_in' END AS pred,
+                 'Entity_' || ((doc_id * 7 + 1) % 40) AS obj
+          FROM documents)
+        SELECT subj, pred, obj,
+               CAST(list_aggregate(list_transform(range(0, 16), i ->
+                   ((('0x' || substr(md5(subj || ':' || i), 1, 8))::BIGINT
+                     % 2001) - 1000)
+                 * ((('0x' || substr(md5('rel:' || pred || ':' || i), 1, 8))::BIGINT
+                     % 2001) - 1000)
+                 * ((('0x' || substr(md5(obj || ':' || i), 1, 8))::BIGINT
+                     % 2001) - 1000)), 'sum') AS BIGINT) AS score_i
+        FROM t
     """
     o["kg_transe_score"] = """
         WITH t AS (
@@ -14497,6 +14557,44 @@ def oracle_sql() -> dict[str, str]:
                ON d.word = w.word AND d.pos = length(w.word)
         ORDER BY w.word
     """
+    o["landmark_distance_eval"] = (
+        "\n".join(_minhop_parts(_host_edges_sql(), 6)).rstrip(",")
+        + """
+        , deg AS (
+          SELECT node, count(*) AS c FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges) GROUP BY 1
+        ),
+        lm AS (SELECT node FROM deg ORDER BY c DESC, node LIMIT 4),
+        ul AS (  -- d(u, l), incl. the landmark's own 0
+          SELECT u, lmn, min(du) AS du FROM (
+            SELECT a.src AS u, l.node AS lmn, a.d AS du
+            FROM d6 a JOIN lm l ON a.dst = l.node
+            UNION ALL SELECT node, node, 0 FROM lm
+          ) GROUP BY 1, 2
+        ),
+        lv AS (  -- d(l, v), incl. 0
+          SELECT lmn, v, min(dv) AS dv FROM (
+            SELECT l.node AS lmn, b.dst AS v, b.d AS dv
+            FROM d6 b JOIN lm l ON b.src = l.node
+            UNION ALL SELECT node, node, 0 FROM lm
+          ) GROUP BY 1, 2
+        ),
+        est AS (
+          SELECT ul.u, lv.v, CAST(min(ul.du + lv.dv) AS BIGINT) AS est_d
+          FROM ul JOIN lv ON ul.lmn = lv.lmn GROUP BY 1, 2
+        )
+        SELECT x.src AS u, x.dst AS v, CAST(x.d AS BIGINT) AS exact_d,
+               CAST(coalesce(est.est_d, -1) AS BIGINT) AS est_d,
+               CAST(CASE WHEN est.est_d IS NOT NULL
+                    THEN est.est_d * 10000 // x.d ELSE -1 END AS BIGINT)
+                 AS stretch_bp
+        FROM d6 x
+        LEFT JOIN est ON est.u = x.src AND est.v = x.dst
+        WHERE x.src <> x.dst
+        ORDER BY u, v
+    """
+    )
     o["partition_edgecut_eval"] = f"""
         WITH he AS (
           SELECT src, dst, CAST(count(*) AS BIGINT) AS w

@@ -1148,3 +1148,129 @@ def wl_color_histogram(triples: DataFrame, rounds: int = 2) -> DataFrame:
             F.min("node").alias("example_node"),
         )
     )
+
+
+def select_landmarks(
+    edges: DataFrame,
+    n_landmarks: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Top-degree landmark selection (the standard heuristic — Potamias
+    et al. 2009 show high-degree landmarks dominate random picks): total
+    degree desc, node asc tie-break, top ``n_landmarks``."""
+    deg = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return (
+        deg.orderBy(F.desc("deg"), "node").limit(n_landmarks).select("node")
+    )
+
+
+def multi_source_minhop(
+    edges: DataFrame,
+    sources: DataFrame,
+    hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(lm, node, d) — bounded min-hop distances from EVERY source in one
+    synchronous BFS over the composite (lm, node) key: the production
+    shape for landmark sketches (2 passes total — forward + reversed —
+    instead of 2·L single-source runs).  Same iterative discipline as
+    pagerank: per round one relax join + one min-agg, localCheckpoint to
+    cut lineage."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    state = sources.select(
+        F.col("node").alias("lm"),
+        F.col("node").alias("node"),
+        F.lit(0).cast("long").alias("d"),
+    ).localCheckpoint()
+    for _ in range(hops):
+        nxt = state.join(e, state.node == e.src).select(
+            "lm", e.dst.alias("node"), (F.col("d") + 1).alias("d")
+        )
+        state = (
+            state.unionByName(nxt)
+            .groupBy("lm", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return state
+
+
+def landmark_distance_eval(
+    edges: DataFrame,
+    n_landmarks: int = 4,
+    hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Landmark distance-sketch evaluation: estimate
+    d̂(u,v) = min_l d(u,l) + d(l,v) against the exact bounded distance.
+    The sketch needs only 2·L·|V| distance rows (two multi-source BFS
+    passes) versus all-pairs |V|² — THE scale substitution for distance
+    queries on web graphs; the estimate is an admissible upper bound by
+    the triangle inequality, exact whenever a shortest path passes a
+    landmark (or an endpoint is one).
+
+    Emits (u, v, exact_d, est_d, stretch_bp) per reachable pair u≠v;
+    est_d = −1 when no landmark connects the pair within the hop bound
+    (stretch −1 too).  The exact arm (transitive_closure) is the
+    EVALUATION harness, not the production path."""
+    from .graph_query import transitive_closure
+
+    lms = select_landmarks(edges, n_landmarks, src_col, dst_col)
+    fwd = multi_source_minhop(edges, lms, hops, src_col, dst_col)  # d(l, v)
+    rev = multi_source_minhop(
+        edges.select(
+            F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col)
+        ),
+        lms,
+        hops,
+        src_col,
+        dst_col,
+    )  # reversed ⇒ d(u, l)
+    est = (
+        rev.select(F.col("node").alias("u"), F.col("lm"), F.col("d").alias("du"))
+        .join(
+            fwd.select(
+                F.col("node").alias("v"), F.col("lm"), F.col("d").alias("dv")
+            ),
+            "lm",
+        )
+        .groupBy("u", "v")
+        .agg(F.min(F.col("du") + F.col("dv")).alias("est_d"))
+    )
+    exact = transitive_closure(
+        edges.select(src_col, dst_col), hops, src_col, dst_col
+    ).select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v"),
+        F.col("hops").cast("long").alias("exact_d"),
+    )
+    return (
+        exact.join(est, ["u", "v"], "left")
+        .where(F.col("u") != F.col("v"))
+        .select(
+            "u",
+            "v",
+            "exact_d",
+            F.coalesce("est_d", F.lit(-1)).cast("long").alias("est_d"),
+            F.when(
+                F.col("est_d").isNotNull(),
+                F.expr("est_d * 10000L div exact_d"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("stretch_bp"),
+        )
+    )

@@ -221,3 +221,46 @@ def negative_samples(
     return negs.join(true_objs, ["subj", "pred", "neg_obj"], "left_anti").select(
         "subj", "pred", "obj", "neg_i", "neg_obj"
     )
+
+
+def distmult_score_expr(
+    subj: Column, pred: Column, obj: Column, dim: int = 16
+) -> Column:
+    """DistMult bilinear-diagonal score Σ_i e(subj)_i · r(pred)_i · e(obj)_i
+    (Yang et al. 2015) as an exact BIGINT — the multiplicative counterpart
+    to TransE's additive energy (higher = more plausible).  Same closed-form
+    integer embedding plug-point as :func:`transe_energy_expr`.  Note the
+    model's defining (and limiting) property: the score is SYMMETRIC in
+    (subj, obj), so asymmetric relations need ComplEx-style extensions —
+    pinned in tests."""
+    rel = F.concat(F.lit("rel:"), pred)
+    terms = [
+        component_expr(subj, i)
+        * component_expr(rel, i)
+        * component_expr(obj, i)
+        for i in range(dim)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
+def distmult_scores(
+    triples: DataFrame,
+    dim: int = 16,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """(subj, pred, obj, score_i) — DistMult plausibility per triple;
+    pure JVM expression per row, zero shuffle (trained tables swap in as
+    broadcast joins via the embedding_of contract)."""
+    return triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+        distmult_score_expr(
+            F.col(subj_col), F.col(pred_col), F.col(obj_col), dim
+        ).alias("score_i"),
+    )
