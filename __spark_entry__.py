@@ -3905,6 +3905,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_distmult_score"] = distmult_score
 
+    _SOUNDEX_NAMES = [
+        "Smith", "Smyth", "Smythe", "Schmidt", "Schmitt", "Johnson",
+        "Jonson", "Johnston", "Ashcraft", "Ashcroft", "Tymczak",
+        "Pfister", "Honeyman", "Lee", "Leigh", "Lea", "VanDeusen",
+        "Washington", "Gutierrez", "Robert", "Rupert", "Rubin",
+        "Jackson", "Jaxon", "Meyer", "Maier", "Mayr", "Miller",
+        "Mueller", "OBrien", "O'Brien", "Wu", "Woo",
+    ]
+
+    def phonetic(spark, sf):
+        # Soundex phonetic blocking (namesim.py::soundex_expr/
+        # phonetic_blocks): NARA spec with TRANSPARENT H/W (Ashcraft →
+        # A261 — where simplified variants diverge), RE2-safe per-digit
+        # run collapse so the oracle runs the LITERAL same chain; classic
+        # surname-variant list; blocks ≥ 2 names.
+        from aiwhispr_spark.operators.namesim import phonetic_blocks
+
+        names = spark.createDataFrame(
+            [(n,) for n in _SOUNDEX_NAMES], "name string"
+        )
+        return phonetic_blocks(names).orderBy("soundex")
+
+    q["soundex_blocking"] = phonetic
+
     def transe_eval_q(spark, sf):
         # Filtered link-prediction eval (kgscore.py::transe_eval): rank each
         # positive against its 8 filtered corrupted-object negatives, exact
@@ -8658,6 +8682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_edgecut_eval",
         "landmark_distance_eval",
         "kg_distmult_score",
+        "soundex_blocking",
         "postings_varint",
         "dirichlet_ql_rank",
         "kg_cliques_k4",
@@ -10999,6 +11024,48 @@ def oracle_sql() -> dict[str, str]:
         FROM ch c JOIN pr p ON p.node = c.host
         ORDER BY priority_i DESC, c.canon_url ASC
         LIMIT 30
+    """
+    _sx_names = ", ".join(
+        "('" + n.replace("'", "''") + "')"
+        for n in [
+            "Smith", "Smyth", "Smythe", "Schmidt", "Schmitt", "Johnson",
+            "Jonson", "Johnston", "Ashcraft", "Ashcroft", "Tymczak",
+            "Pfister", "Honeyman", "Lee", "Leigh", "Lea", "VanDeusen",
+            "Washington", "Gutierrez", "Robert", "Rupert", "Rubin",
+            "Jackson", "Jaxon", "Meyer", "Maier", "Mayr", "Miller",
+            "Mueller", "OBrien", "O'Brien", "Wu", "Woo",
+        ]
+    )
+    _sx_d = (
+        "translate(regexp_replace(u, '[HW]', '', 'g'),"
+        " 'AEIOUYBFPVCGJKQSXZDTLMNR', '000000111122222222334556')"
+    )
+    for _dig in "0123456":
+        _sx_d = f"regexp_replace({_sx_d}, '{_dig}{_dig}+', '{_dig}', 'g')"
+    o["soundex_blocking"] = f"""
+        WITH names AS (SELECT DISTINCT name
+                       FROM (VALUES {_sx_names}) n(name)),
+        pre AS (
+          SELECT name, regexp_replace(upper(name), '[^A-Z]', '', 'g') AS u
+          FROM names
+        ),
+        coded AS (
+          SELECT name, u, substr(u, 1, 1) AS f, {_sx_d} AS d
+          FROM pre
+        ),
+        sx AS (
+          SELECT name,
+                 CASE WHEN u = '' THEN '' ELSE
+                   f || rpad(substr(replace(
+                     CASE WHEN f IN ('H', 'W') THEN d ELSE substr(d, 2) END,
+                     '0', ''), 1, 3), 3, '0')
+                 END AS soundex
+          FROM coded
+        )
+        SELECT soundex, CAST(count(*) AS BIGINT) AS n_names,
+               string_agg(name, ',' ORDER BY name) AS members
+        FROM sx GROUP BY soundex HAVING count(*) >= 2
+        ORDER BY soundex
     """
     o["kg_distmult_score"] = """
         WITH t AS (

@@ -121,3 +121,57 @@ def blocked_name_matches(
     cand = a.join(b, "bk").drop("bk")
     scored = cand.withColumn("jw_i", jw_i(F.col("name_a"), F.col("name_b")))
     return scored.filter(F.col("jw_i") >= int(round(threshold * 10000)))
+
+
+def soundex_expr(col: Column) -> Column:
+    """American Soundex (NARA spec) as a PURE expression chain both
+    engines can mirror — crucially H/W are TRANSPARENT (consonants
+    separated only by H/W still collapse: Ashcraft → A261, not A226),
+    which is where the simplified SQL-Server-style variant diverges.
+
+    Pipeline: uppercase/strip → drop H/W → code letters (vowels→0) →
+    collapse same-digit runs (per-digit '11+'→'1' replaces — RE2-safe, no
+    backreferences, so the DuckDB twin is literally the same chain) →
+    drop the leading code unless the first letter was H/W (it was already
+    removed then) → drop 0s → first letter + 3 digits zero-padded."""
+    u = F.regexp_replace(F.upper(col), "[^A-Z]", "")
+    first = F.substring(u, 1, 1)
+    x = F.regexp_replace(u, "[HW]", "")
+    d = F.translate(
+        x, "AEIOUYBFPVCGJKQSXZDTLMNR", "000000111122222222334556"
+    )
+    for dig in "0123456":
+        d = F.regexp_replace(d, f"{dig}{dig}+", dig)
+    tail = F.when(first.isin("H", "W"), d).otherwise(F.substring(d, 2, 1000))
+    digits = F.regexp_replace(tail, "0", "")
+    return F.when(u == "", F.lit("")).otherwise(
+        F.concat(first, F.rpad(F.substring(digits, 1, 3), 3, "0"))
+    )
+
+
+def phonetic_blocks(
+    names: DataFrame, name_col: str = "name"
+) -> DataFrame:
+    """Soundex blocking for entity resolution: (soundex, n_names, members)
+    per block with ≥ 2 DISTINCT names — the classic phonetic candidate
+    generator (pairs inside a block go to the expensive verifier; names in
+    different blocks are never compared).  members is the sorted
+    comma-join, deterministic.
+
+    100 TB shape: one 4-char-key exchange over DISTINCT names; block
+    membership ships (code, name) only."""
+    coded = (
+        names.select(F.col(name_col).alias("name"))
+        .distinct()
+        .select("name", soundex_expr(F.col("name")).alias("soundex"))
+    )
+    return (
+        coded.groupBy("soundex")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_names"),
+            F.array_join(F.sort_array(F.collect_list("name")), ",").alias(
+                "members"
+            ),
+        )
+        .filter(F.col("n_names") >= 2)
+    )
