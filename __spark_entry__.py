@@ -3929,6 +3929,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["soundex_blocking"] = phonetic
 
+    def geohash(spark, sf):
+        # integer geohash encoding (geo.py::geohash_cells): all-BIGINT
+        # quantization reproducing the classic binary subdivision
+        # (canonical vector pinned); prefix = spatial partition key.
+        from aiwhispr_spark.operators.geo import geohash_cells
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            ((F.col("doc_id") * 7919) % 1800000001 - 900000000)
+            .cast("long")
+            .alias("lat_e7"),
+            ((F.col("doc_id") * 104729) % 3600000001 - 1800000000)
+            .cast("long")
+            .alias("lng_e7"),
+        )
+        out = geohash_cells(d, precision=7)
+        return out.select(
+            "doc_id", "lat_e7", "lng_e7", "geohash",
+            F.substring("geohash", 1, 4).alias("cell4"),
+        ).orderBy("doc_id")
+
+    q["geohash_encode"] = geohash
+
     def transe_eval_q(spark, sf):
         # Filtered link-prediction eval (kgscore.py::transe_eval): rank each
         # positive against its 8 filtered corrupted-object negatives, exact
@@ -8683,6 +8706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distance_eval",
         "kg_distmult_score",
         "soundex_blocking",
+        "geohash_encode",
         "postings_varint",
         "dirichlet_ql_rank",
         "kg_cliques_k4",
@@ -11066,6 +11090,44 @@ def oracle_sql() -> dict[str, str]:
                string_agg(name, ',' ORDER BY name) AS members
         FROM sx GROUP BY soundex HAVING count(*) >= 2
         ORDER BY soundex
+    """
+    _gh_chars = []
+    for _c in range(7):
+        _bits = []
+        for _k in range(5):
+            _j = 5 * _c + _k
+            _q = "lngq" if _j % 2 == 0 else "latq"
+            _idx = _j // 2
+            _bits.append(f"(({_q} >> {29 - _idx}) & 1)")
+        _v = " + ".join(
+            f"{b} * {1 << (4 - i)}" for i, b in enumerate(_bits)
+        )
+        _gh_chars.append(
+            f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST({_v} AS INTEGER) + 1, 1)"
+        )
+    o["geohash_encode"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST((doc_id * 7919) % 1800000001 - 900000000 AS BIGINT)
+                   AS lat_e7,
+                 CAST((doc_id * 104729) % 3600000001 - 1800000000 AS BIGINT)
+                   AS lng_e7
+          FROM documents
+        ),
+        q AS (
+          SELECT doc_id, lat_e7, lng_e7,
+                 (lat_e7 + 900000000) * 1073741824 // 1800000000 AS latq,
+                 (lng_e7 + 1800000000) * 1073741824 // 3600000000 AS lngq
+          FROM base
+        ),
+        gh AS (
+          SELECT doc_id, lat_e7, lng_e7,
+                 {" || ".join(_gh_chars)} AS geohash
+          FROM q
+        )
+        SELECT doc_id, lat_e7, lng_e7, geohash,
+               substr(geohash, 1, 4) AS cell4
+        FROM gh ORDER BY doc_id
     """
     o["kg_distmult_score"] = """
         WITH t AS (
