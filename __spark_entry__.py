@@ -3952,6 +3952,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geohash_encode"] = geohash
 
+    def pdfclean(spark, sf):
+        # PDF/OCR text cleanup (unicodenorm.py::pdf_text_cleanup):
+        # ligature expansion (the subset NFKC would fix without NFKC's
+        # collateral), lowercase-both-sides dehyphenation, whitespace
+        # collapse — with per-stage counts so each stage gates
+        # separately.
+        from aiwhispr_spark.operators.unicodenorm import pdf_text_cleanup
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        reps = (F.col("doc_id") % 3 + 1).cast("int")
+        unit = F.lit("eﬃcient ﬂow compu-\ntation num-\nber ")
+        text = F.concat(
+            F.array_join(
+                F.transform(F.sequence(F.lit(1), reps), lambda _: unit), ""
+            ),
+            F.lit("the ﬁnal line"),
+        )
+        return pdf_text_cleanup(d.select("doc_id", text.alias("text"))).orderBy(
+            "id"
+        )
+
+    q["pdf_text_cleanup"] = pdfclean
+
+    def topk_merge(spark, sf):
+        # incremental top-k maintenance (topk.py::topk_incremental_merge):
+        # top-20 priciest lineitems from TWO batch-local top-20s merged —
+        # provably ≡ the global top-20 for row-level scores; the oracle IS
+        # the direct global query, so the gate pins the equivalence.
+        from aiwhispr_spark.operators.topk import topk_incremental_merge
+
+        li = _t(spark, sf, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_ci"),
+        )
+        order = [
+            F.col("price_ci").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ]
+        b1 = li.filter(F.col("l_orderkey") % 2 == 0)
+        b2 = li.filter(F.col("l_orderkey") % 2 == 1)
+        return topk_incremental_merge([b1, b2], 20, order)
+
+    q["topk_incremental_merge"] = topk_merge
+
     def transe_eval_q(spark, sf):
         # Filtered link-prediction eval (kgscore.py::transe_eval): rank each
         # positive against its 8 filtered corrupted-object negatives, exact
@@ -8707,6 +8753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distmult_score",
         "soundex_blocking",
         "geohash_encode",
+        "pdf_text_cleanup",
+        "topk_incremental_merge",
         "postings_varint",
         "dirichlet_ql_rank",
         "kg_cliques_k4",
@@ -11090,6 +11138,44 @@ def oracle_sql() -> dict[str, str]:
                string_agg(name, ',' ORDER BY name) AS members
         FROM sx GROUP BY soundex HAVING count(*) >= 2
         ORDER BY soundex
+    """
+    o["topk_incremental_merge"] = """
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_ci
+        FROM lineitem
+        ORDER BY price_ci DESC, l_orderkey, l_linenumber
+        LIMIT 20
+    """
+    o["pdf_text_cleanup"] = """
+        WITH base AS (
+          SELECT doc_id AS id, CAST(doc_id % 3 + 1 AS INTEGER) AS reps
+          FROM documents
+        ),
+        built AS (
+          SELECT id, reps,
+                 repeat('eﬃcient ﬂow compu-' || chr(10) ||
+                        'tation num-' || chr(10) || 'ber ', reps)
+                   || 'the ﬁnal line' AS t
+          FROM base
+        ),
+        expanded AS (
+          SELECT id, reps,
+                 replace(replace(replace(t, 'ﬃ', 'ffi'),
+                         'ﬂ', 'fl'), 'ﬁ', 'fi') AS t2,
+                 CAST(2 * reps + 1 AS BIGINT) AS n_ligatures
+          FROM built
+        ),
+        rejoined AS (
+          SELECT id, n_ligatures,
+                 CAST(2 * reps AS BIGINT) AS n_rejoins,
+                 regexp_replace(t2, '([a-z])-\\s*\\n\\s*([a-z])', '\\1\\2', 'g')
+                   AS t3
+          FROM expanded
+        )
+        SELECT id,
+               trim(regexp_replace(t3, '\\s+', ' ', 'g')) AS clean_text,
+               n_ligatures, n_rejoins
+        FROM rejoined ORDER BY id
     """
     _gh_chars = []
     for _c in range(7):

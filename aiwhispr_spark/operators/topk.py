@@ -66,3 +66,21 @@ def rank_tiers(
         tier_col,
         F.when(rank <= 5, F.lit("blue")).when(rank <= 10, F.lit("orange")).otherwise(F.lit("red")),
     )
+
+
+def topk_incremental_merge(parts, k: int, order_cols) -> DataFrame:
+    """Mergeable row-level top-k: global top-k = top-k of the UNION of
+    per-batch top-k's — exact for ROW-level scores (each batch's local
+    top-k is a superset of its contribution to the global answer; no
+    deletions).  NOT valid for aggregated scores (a key outside every
+    local top-k can still win globally after summation) — that case needs
+    the full re-aggregate; the docstring is the guard.
+
+    100 TB shape: each incremental batch maintains only k rows; the merge
+    ranks |parts|·k rows via TakeOrderedAndProject — the nightly top-k
+    refresh never rescans history."""
+    pruned = [p.orderBy(*order_cols).limit(k) for p in parts]
+    u = pruned[0]
+    for p in pruned[1:]:
+        u = u.unionByName(p)
+    return u.orderBy(*order_cols).limit(k)

@@ -133,3 +133,61 @@ def homograph_pairs(
             (F.col("a_ascii_i") != F.col("b_ascii_i")).cast("int").alias("is_spoof_i"),
         )
     )
+
+
+# Latin typographic ligatures (U+FB00-FB06) → ASCII expansions.  NFC does
+# NOT decompose these (they are compatibility, not canonical, equivalents);
+# NFKC would, but it also mangles ²/½/㎒ — extraction pipelines want ONLY
+# the ligature subset, hence the explicit map.
+_LIGATURES = {
+    "ﬀ": "ff",
+    "ﬁ": "fi",
+    "ﬂ": "fl",
+    "ﬃ": "ffi",
+    "ﬄ": "ffl",
+    "ﬅ": "st",  # ſt (long-s t)
+    "ﬆ": "st",
+}
+
+
+def pdf_text_cleanup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Extracted-text cleanup for the PDF/OCR arm (docproc U5 output):
+
+    1. expand Latin ligatures (ﬁ → fi; the subset NFKC would fix without
+       NFKC's collateral damage);
+    2. dehyphenate line-broken words — ``compu-\\n tation`` rejoins when
+       BOTH fragments are lowercase letters (the standard extraction
+       heuristic; ``well-\\n known`` compounds stay hyphenated only if a
+       dictionary says so, which this deliberately does not claim);
+    3. collapse runs of whitespace to single spaces and trim.
+
+    Emits (id, clean_text, n_ligatures, n_rejoins) — the counts make the
+    gate sensitive to each stage separately.  Pure JVM regex/translate,
+    zero python, zero shuffle."""
+    t = F.col(text_col)
+    n_lig = F.lit(0).cast("long")
+    for lig in _LIGATURES:
+        n_lig = n_lig + F.size(
+            F.split(t, lig, -1)
+        ).cast("long") - 1
+    expanded = t
+    for lig, rep in _LIGATURES.items():
+        expanded = F.regexp_replace(expanded, lig, rep)
+    n_rejoin = (
+        F.size(
+            F.regexp_extract_all(
+                expanded, F.lit("([a-z])-\\s*\\n\\s*([a-z])"), F.lit(0)
+            )
+        )
+        .cast("long")
+    )
+    rejoined = F.regexp_replace(expanded, "([a-z])-\\s*\\n\\s*([a-z])", "$1$2")
+    collapsed = F.trim(F.regexp_replace(rejoined, "\\s+", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        collapsed.alias("clean_text"),
+        n_lig.alias("n_ligatures"),
+        n_rejoin.alias("n_rejoins"),
+    )
