@@ -3998,6 +3998,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_incremental_merge"] = topk_merge
 
+    def enc_stats(spark, sf):
+        # columnar encoding planner (layout.py::column_encoding_stats):
+        # exact integer plain/dict/RLE byte estimates under the writer's
+        # sort order, runs scoped to parquet-style row groups; the sort
+        # key is UNIQUE (orderkey·8 + linenumber) so the window order is
+        # total in both engines.
+        from aiwhispr_spark.operators.layout import column_encoding_stats
+
+        li = _t(spark, sf, "lineitem").withColumn(
+            "sk", F.expr("l_orderkey * 8 + l_linenumber")
+        )
+        return column_encoding_stats(
+            li,
+            ["l_returnflag", "l_linestatus", "l_quantity"],
+            "sk",
+        ).orderBy("column")
+
+    q["column_encoding_stats"] = enc_stats
+
     def transe_eval_q(spark, sf):
         # Filtered link-prediction eval (kgscore.py::transe_eval): rank each
         # positive against its 8 filtered corrupted-object negatives, exact
@@ -8755,6 +8774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_encode",
         "pdf_text_cleanup",
         "topk_incremental_merge",
+        "column_encoding_stats",
         "postings_varint",
         "dirichlet_ql_rank",
         "kg_cliques_k4",
@@ -11138,6 +11158,57 @@ def oracle_sql() -> dict[str, str]:
                string_agg(name, ',' ORDER BY name) AS members
         FROM sx GROUP BY soundex HAVING count(*) >= 2
         ORDER BY soundex
+    """
+    o["column_encoding_stats"] = """
+        WITH keyed AS (
+          SELECT l_orderkey * 8 + l_linenumber AS sk,
+                 CAST(l_returnflag AS VARCHAR) AS c1,
+                 CAST(l_linestatus AS VARCHAR) AS c2,
+                 CAST(l_quantity AS VARCHAR) AS c3
+          FROM lineitem
+        ),
+        longf AS (
+          SELECT sk, 'l_returnflag' AS col, coalesce(c1, '') AS v FROM keyed
+          UNION ALL
+          SELECT sk, 'l_linestatus', coalesce(c2, '') FROM keyed
+          UNION ALL
+          SELECT sk, 'l_quantity', coalesce(c3, '') FROM keyed
+        ),
+        runs AS (
+          SELECT col, v,
+                 CASE WHEN v IS DISTINCT FROM
+                        lag(v) OVER (PARTITION BY col, sk // 4096
+                                     ORDER BY sk, v)
+                      THEN 1 ELSE 0 END AS is_run_start
+          FROM longf
+        ),
+        agg AS (
+          SELECT col AS "column",
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+                 CAST(sum(is_run_start) AS BIGINT) AS n_runs,
+                 CAST(sum(length(v) + 4) AS BIGINT) AS plain_b,
+                 CAST(sum(CASE WHEN is_run_start = 1
+                          THEN length(v) + 8 ELSE 0 END) AS BIGINT) AS rle_b
+          FROM runs GROUP BY 1
+        ),
+        dictp AS (
+          SELECT col AS "column",
+                 CAST(sum(length(v) + 4) AS BIGINT) AS dict_payload
+          FROM (SELECT DISTINCT col, v FROM longf) GROUP BY 1
+        ),
+        final AS (
+          SELECT a."column", n_rows, n_distinct, n_runs, plain_b,
+                 CAST(dict_payload +
+                      (n_rows * greatest(length(bin(n_distinct - 1)), 1) + 7)
+                      // 8 AS BIGINT) AS dict_b,
+                 rle_b
+          FROM agg a JOIN dictp d ON a."column" = d."column"
+        )
+        SELECT "column", n_rows, n_distinct, n_runs, plain_b, dict_b, rle_b,
+               CASE WHEN plain_b <= dict_b AND plain_b <= rle_b THEN 'plain'
+                    WHEN dict_b <= rle_b THEN 'dict' ELSE 'rle' END AS best
+        FROM final ORDER BY "column"
     """
     o["topk_incremental_merge"] = """
         SELECT l_orderkey, l_linenumber,

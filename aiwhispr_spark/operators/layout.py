@@ -24,7 +24,7 @@ the spread breaks the value hash.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,3 +117,97 @@ def zorder_bucket_stats(
         touched.cast("int").alias("touched_i"),
         "rows_in_box",
     )
+
+
+def column_encoding_stats(
+    df: DataFrame,
+    cols,
+    sort_col: str,
+    rowgroup: int = 4096,
+) -> DataFrame:
+    """Columnar encoding-size planner: for each candidate column, the exact
+    integer byte estimates of the three classic parquet/ORC encodings
+    UNDER A GIVEN SORT ORDER (RLE is a property of the layout, not the
+    data — sorting by the right key is THE storage lever this surfaces):
+
+    * plain = Σ (4 + len(v))                     (length-prefixed values)
+    * dict  = Σ_distinct (4 + len(v)) + (n_rows · key_bits + 7) div 8,
+      key_bits = bit-length(n_distinct − 1), min 1
+    * rle   = Σ_runs (8 + len(run_value))        (run header + value)
+
+    where runs are maximal adjacent-equal spans in ``sort_col`` order
+    WITHIN a row group of ``rowgroup`` sort-key units (runs never span
+    row groups — exactly parquet's per-page encoding scope, and it keeps
+    the window partitioned instead of single-partition-global).  Emits
+    (column, n_rows, n_distinct, n_runs, plain_b, dict_b, rle_b, best),
+    best by min bytes with the name ordering plain<dict<rle on ties.
+
+    100 TB shape: per column one row-group-partitioned window pass (the
+    same order the writer would lay down) + two small aggregates; columns
+    process independently.  NULLs count as zero-length values."""
+    outs = []
+    for c in cols:
+        v = F.coalesce(F.col(c).cast("string"), F.lit(""))
+        # order by (sort key, value): when the sort key ties, equal values
+        # still group into runs deterministically — without the value
+        # tie-break, lag order over duplicate keys is engine-dependent
+        w = Window.partitionBy(
+            F.expr(f"{sort_col} div {rowgroup}")
+        ).orderBy(F.col(sort_col), v)
+        runs = df.select(
+            v.alias("v"),
+            (
+                v != F.coalesce(F.lag(v).over(w), F.concat(v, F.lit("\0")))
+            )
+            .cast("long")
+            .alias("is_run_start"),
+        )
+        agg = runs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("v").cast("long").alias("n_distinct"),
+            F.sum("is_run_start").cast("long").alias("n_runs"),
+            F.sum(F.length("v") + 4).cast("long").alias("plain_b"),
+            F.sum(
+                F.when(F.col("is_run_start") == 1, F.length("v") + 8).otherwise(0)
+            )
+            .cast("long")
+            .alias("rle_b"),
+        )
+        dict_vals = (
+            df.select(v.alias("v"))
+            .distinct()
+            .agg(F.sum(F.length("v") + 4).cast("long").alias("dict_payload"))
+        )
+        row = agg.crossJoin(dict_vals).select(
+            F.lit(c).alias("column"),
+            "n_rows",
+            "n_distinct",
+            "n_runs",
+            "plain_b",
+            (
+                F.col("dict_payload")
+                + F.expr(
+                    "(n_rows * greatest(length(bin(n_distinct - 1)), 1) + 7)"
+                    " div 8"
+                )
+            )
+            .cast("long")
+            .alias("dict_b"),
+            "rle_b",
+        )
+        outs.append(
+            row.withColumn(
+                "best",
+                F.when(
+                    (F.col("plain_b") <= F.col("dict_b"))
+                    & (F.col("plain_b") <= F.col("rle_b")),
+                    F.lit("plain"),
+                )
+                .when(F.col("dict_b") <= F.col("rle_b"), F.lit("dict"))
+                .otherwise(F.lit("rle")),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u
