@@ -8703,6 +8703,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bipartite_butterflies"] = butterflies
 
+    def ppjoin_pairs(spark, sf):
+        # EXACT all-pairs token-Jaccard with prefix filtering (dedup.py::
+        # ppjoin_jaccard_pairs, AllPairs/PPJoin): the exactness-preserving
+        # near-dup path — unlike the df-capped containment candidates or the
+        # probabilistic LSH bands, pruning here loses NOTHING, so the DuckDB
+        # oracle is the unpruned full token self-join and any divergence is
+        # a bug in the prefix/length filter.  Near-dup pairs are planted
+        # closed-form (every doc_id%5==0 doc reappears at +20000 with two
+        # appended tokens, J = V/(V+2)).
+        from aiwhispr_spark.operators.dedup import ppjoin_jaccard_pairs
+
+        d0 = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") < 300)
+            .select("doc_id", "text")
+        )
+        var = d0.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq1 zq2")).alias("text"),
+        )
+        return ppjoin_jaccard_pairs(d0.unionByName(var), threshold=0.8)
+
+    q["ppjoin_jaccard_pairs"] = ppjoin_pairs
+
+    def rake(spark, sf):
+        # RAKE keyphrases (keywords.py::rake_keyphrases, Rose et al. 2010):
+        # stopword/punct-delimited candidate runs via ONE zero-shuffle JVM
+        # fold per doc, deg/freq word scores floored to scaled ints BEFORE
+        # the phrase sum (the dirichlet pattern).  Oracle segments the same
+        # runs relationally (delimiter running-sum window).
+        from aiwhispr_spark.operators.keywords import rake_keyphrases
+
+        return rake_keyphrases(_t(spark, sf, "documents"), top_k=30)
+
+    q["rake_keyphrases"] = rake
+
+    def lexdiv(spark, sf):
+        # Lexical-diversity panel (textstats.py::lexical_diversity_panel):
+        # TTR, hapax ratio, Yule's K per source — the length-insensitive
+        # repetitiveness screen for training mixes; exact cross-multiplied
+        # BIGINTs, two map-side-combinable aggregates.
+        from aiwhispr_spark.operators.textstats import lexical_diversity_panel
+
+        return lexical_diversity_panel(_t(spark, sf, "documents"))
+
+    q["lexical_diversity_panel"] = lexdiv
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -8710,6 +8757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Names absent from q (e.g. during partial test monkeypatching) are skipped.
     first = [
         "flagship_semantic_search",
+        "ppjoin_jaccard_pairs",
+        "rake_keyphrases",
+        "lexical_diversity_panel",
         "kg_triples_synthetic",
         "kg_functional_keys",
         "kg_owl_inference",
@@ -15616,5 +15666,115 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                     AS BIGINT) AS view
         FROM events GROUP BY 1
+    """
+    o["ppjoin_jaccard_pairs"] = """
+        WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        alld AS (
+          SELECT doc_id AS id, text FROM d0
+          UNION ALL
+          SELECT doc_id + 20000, text || ' zq1 zq2' FROM d0 WHERE doc_id % 5 = 0
+        ),
+        toks AS (
+          SELECT id,
+                 list_distinct(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> '')) AS t
+          FROM alld
+        ),
+        base AS (SELECT id, t, CAST(len(t) AS BIGINT) AS sz
+                 FROM toks WHERE len(t) > 0),
+        post AS (SELECT id, unnest(t) AS tok FROM base),
+        pc AS (
+          SELECT l.id AS a, r.id AS b, CAST(count(*) AS BIGINT) AS c
+          FROM post l JOIN post r ON l.tok = r.tok AND l.id < r.id
+          GROUP BY 1, 2
+        ),
+        v AS (
+          SELECT pc.a, pc.b, ba.sz AS n_a, bb.sz AS n_b, pc.c AS n_common
+          FROM pc JOIN base ba ON ba.id = pc.a JOIN base bb ON bb.id = pc.b
+        )
+        SELECT a, b, n_a, n_b, n_common,
+               CAST((1000000 * n_common) // (n_a + n_b - n_common) AS BIGINT)
+                 AS jaccard_i
+        FROM v
+        WHERE 1000000 * n_common >= 800000 * (n_a + n_b - n_common)
+    """
+    o["rake_keyphrases"] = """
+        WITH toks AS (
+          SELECT doc_id AS id, u.tok AS tok, u.idx AS idx
+          FROM (SELECT doc_id,
+                       unnest(list_transform(
+                         regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         (x, i) -> struct_pack(tok := x, idx := i))) AS u
+                FROM documents)
+        ),
+        flag AS (
+          SELECT id, idx, tok,
+                 CASE WHEN NOT regexp_matches(tok, '^[a-z]+$')
+                      OR tok IN ('the','and','of','to','is','in','that','it',
+                                 'was','for')
+                      THEN 1 ELSE 0 END AS is_delim
+          FROM toks
+        ),
+        runs AS (
+          SELECT id, idx, tok, is_delim,
+                 sum(is_delim) OVER (PARTITION BY id ORDER BY idx) AS run_id
+          FROM flag
+        ),
+        ph AS (
+          SELECT id, run_id, string_agg(tok, ' ' ORDER BY idx) AS phrase,
+                 CAST(count(*) AS BIGINT) AS plen
+          FROM runs WHERE is_delim = 0
+          GROUP BY id, run_id
+        ),
+        words AS (
+          SELECT r.tok AS w, p.plen
+          FROM runs r JOIN ph p ON p.id = r.id AND p.run_id = r.run_id
+          WHERE r.is_delim = 0
+        ),
+        wscore AS (
+          SELECT w, CAST((10000 * sum(plen)) // count(*) AS BIGINT) AS wscore_i
+          FROM words GROUP BY 1
+        ),
+        dphr AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+                 FROM ph GROUP BY 1),
+        pw AS (SELECT phrase, n_occurrences,
+                      unnest(regexp_split_to_array(phrase, ' ')) AS w
+               FROM dphr),
+        sc AS (
+          SELECT phrase, n_occurrences,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(ws.wscore_i) AS BIGINT) AS score_i
+          FROM pw JOIN wscore ws ON ws.w = pw.w
+          GROUP BY 1, 2
+        )
+        SELECT phrase, n_words, n_occurrences, score_i
+        FROM sc ORDER BY score_i DESC, phrase LIMIT 30
+    """
+    o["lexical_diversity_panel"] = """
+        WITH toks AS (
+          SELECT source AS grp,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> '')) AS tok
+          FROM documents
+        ),
+        tc AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS cnt
+               FROM toks GROUP BY 1, 2),
+        agg AS (
+          SELECT grp,
+                 CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(cnt * cnt) AS BIGINT) AS s2,
+                 CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+          FROM tc GROUP BY 1
+        )
+        SELECT grp, n_tokens, n_types, n_hapax,
+               CAST((1000000 * n_types) // n_tokens AS BIGINT) AS ttr_i,
+               CAST((1000000 * n_hapax) // n_tokens AS BIGINT) AS hapax_i,
+               CAST((1000000 * (s2 - n_tokens)) // (n_tokens * n_tokens)
+                    AS BIGINT) AS yule_k_i
+        FROM agg
     """
     return o

@@ -816,3 +816,117 @@ def contrastive_triplets(
         .filter(F.col("_rn") == 1)
         .select("anchor", F.col("pos").alias("pos_id"), F.col("cand").alias("neg_id"))
     )
+
+
+def _ppjoin_parts(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    threshold: float,
+    scale: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared machinery for :func:`ppjoin_jaccard_pairs` — returns
+    ``(base, candidates)`` where ``base = (id, toks, sz)`` and
+    ``candidates = (a, b)`` distinct pairs surviving the prefix + length
+    filters.  Split out so tests can count candidates and assert the
+    pruning is non-vacuous (the wand_prune_stats pattern)."""
+    t_i = int(round(scale * threshold))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(content_col))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    base = base.select("id", "toks", F.size("toks").cast("long").alias("sz"))
+    post = base.select("id", "sz", F.explode("toks").alias("tok"))
+    # Global token order = (document frequency asc, token asc).  Any TOTAL
+    # order preserves exactness; rare-first maximises pruning because the
+    # prefix then holds the most selective tokens.  The (df, tok) struct IS
+    # the sort key — no global row_number / dense-rank pass over the vocab.
+    dfreq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
+    ordered = (
+        post.join(dfreq, "tok")
+        .groupBy("id", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("tdf", "tok"))).alias("ord"))
+    )
+    # prefix length = sz - ceil(t*sz) + 1; ceil in exact integer arithmetic
+    pref_len = (
+        F.col("sz") - ((F.lit(t_i) * F.col("sz") + F.lit(scale - 1)) / F.lit(scale)).cast("long") + 1
+    )
+    pref = ordered.select(
+        "id",
+        "sz",
+        F.explode(F.slice(F.col("ord"), 1, pref_len.cast("int"))).alias("p"),
+    ).select("id", "sz", F.col("p.tok").alias("ptok"))
+    cand = (
+        pref.alias("l")
+        .join(
+            pref.alias("r"),
+            (F.col("l.ptok") == F.col("r.ptok"))
+            & (F.col("l.id") < F.col("r.id"))
+            # length filter: J >= t requires t*max(|a|,|b|) <= min(|a|,|b|)
+            & (
+                F.lit(t_i) * F.greatest("l.sz", "r.sz")
+                <= F.lit(scale) * F.least("l.sz", "r.sz")
+            ),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    return base, cand
+
+
+def ppjoin_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT all-pairs token-Jaccard join with prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search";
+    Xiao et al. 2008).  Unlike the recall-lossy df-capped candidate paths
+    (:func:`containment_pairs`) or the probabilistic LSH band join, prefix
+    filtering is EXACTNESS-PRESERVING: order every doc's distinct tokens by
+    one global total order (document frequency asc, token asc) and a pair
+    with ``J >= t`` must share at least one token within each doc's first
+    ``|d| - ceil(t*|d|) + 1`` tokens — so joining on prefix tokens only
+    loses nothing, while the candidate join touches the rare end of the
+    vocabulary instead of every posting.
+
+    At 100 TB the prefix join shuffles (id, sz, prefix-token) rows where a
+    naive token self-join shuffles FULL posting lists of boilerplate tokens
+    (the df-descending tail dominates: a token appearing in 1% of docs
+    yields 10^14-scale candidate pairs); the length filter then kills
+    cross-size pairs before the verify re-joins full token arrays
+    candidate-sized.  Verify is exact integer math: ``scale*c >=
+    t_i*(n_a+n_b-c)``.
+
+    Output: (a, b, n_a, n_b, n_common, jaccard_i) for unordered pairs with
+    token Jaccard >= threshold.  Reference parity: the reference dedupes
+    via content digests only (aiwhisprConstants + indexing loop); this is
+    the training-pipeline near-dup tier over it."""
+    t_i = int(round(scale * threshold))
+    base, cand = _ppjoin_parts(df, content_col, id_col, threshold, scale)
+    v = (
+        cand.join(base.select(F.col("id").alias("a"), F.col("toks").alias("ta"),
+                              F.col("sz").alias("n_a")), "a")
+        .join(base.select(F.col("id").alias("b"), F.col("toks").alias("tb"),
+                          F.col("sz").alias("n_b")), "b")
+        .select(
+            "a", "b", "n_a", "n_b",
+            F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_common"),
+        )
+    )
+    return v.filter(
+        F.lit(scale) * F.col("n_common")
+        >= F.lit(t_i) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    ).select(
+        "a", "b", "n_a", "n_b", "n_common",
+        F.expr(f"CAST(({int(scale)} * n_common) div (n_a + n_b - n_common) AS BIGINT)").alias(
+            "jaccard_i"
+        ),
+    )

@@ -276,3 +276,97 @@ def multi_pattern_counts_expr(
         .select("id", F.col("s.pattern").alias("pattern"), F.col("s.n_hits").alias("n_hits"))
         .filter(F.col("n_hits") > 0)
     )
+
+
+def _rake_phrases(text: Column, stopwords: list[str] | None = None) -> Column:
+    """array<array<string>> of RAKE candidate phrases: maximal runs of
+    content tokens between delimiters (stopwords or non-[a-z]+ tokens),
+    built by ONE in-row JVM aggregate fold — no per-doc window, no shuffle.
+    State = struct(done: array<array<string>>, cur: array<string>); a
+    delimiter flushes cur, the finish lambda flushes the tail run."""
+    stops = F.array(*[F.lit(w) for w in (stopwords or LANG_STOPWORDS["en"])])
+
+    def fold(toks: Column) -> Column:
+        init = F.struct(
+            F.expr("CAST(array() AS array<array<string>>)").alias("done"),
+            F.expr("CAST(array() AS array<string>)").alias("cur"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            is_delim = ~x.rlike("^[a-z]+$") | F.array_contains(stops, x)
+            flushed = F.when(
+                F.size(acc["cur"]) > 0, F.concat(acc["done"], F.array(acc["cur"]))
+            ).otherwise(acc["done"])
+            return F.when(
+                is_delim,
+                F.struct(
+                    flushed.alias("done"),
+                    F.expr("CAST(array() AS array<string>)").alias("cur"),
+                ),
+            ).otherwise(
+                F.struct(
+                    acc["done"].alias("done"), F.concat(acc["cur"], F.array(x)).alias("cur")
+                )
+            )
+
+        def finish(acc: Column) -> Column:
+            return F.when(
+                F.size(acc["cur"]) > 0, F.concat(acc["done"], F.array(acc["cur"]))
+            ).otherwise(acc["done"])
+
+        return F.aggregate(toks, init, step, finish)
+
+    return bound(F.split(F.lower(F.trim(text)), r"\s+"), fold)
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    top_k: int = 30,
+    scale: int = 10_000,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are maximal
+    stopword/punctuation-free token runs; word score = deg(w)/freq(w) where
+    freq counts occurrences inside candidates and deg sums the lengths of
+    the phrases each occurrence sits in; phrase score = Σ word scores over
+    the phrase's token instances.
+
+    Exact-integer contract (the dirichlet_ql_rank pattern): the per-word
+    ratio floors to ``(deg*scale) div freq`` BEFORE the phrase sum, so both
+    engines sum identical integers.  Scale: segmentation is one zero-shuffle
+    JVM fold per doc; word stats aggregate vocab-sized; the phrase score
+    joins DISTINCT phrases (not occurrences) against the vocab-sized word
+    table.  Output: top_k (phrase, n_words, n_occurrences, score_i) by
+    (score_i desc, phrase)."""
+    phrases = df.select(
+        F.explode(_rake_phrases(F.col(text_col), stopwords)).alias("ph")
+    )
+    occ = phrases.select(
+        F.array_join("ph", " ").alias("phrase"), F.size("ph").alias("plen")
+    )
+    words = phrases.select(F.explode("ph").alias("w"), F.size("ph").alias("plen"))
+    wstats = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").cast("long").alias("deg")
+    )
+    wscore = wstats.select(
+        "w",
+        F.expr(f"CAST(({int(scale)} * deg) div freq AS BIGINT)").alias("wscore_i"),
+    )
+    dphr = occ.groupBy("phrase").agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    scored = (
+        dphr.select(
+            "phrase", "n_occurrences", F.explode(F.split("phrase", " ")).alias("w")
+        )
+        .join(wscore, "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("wscore_i").cast("long").alias("score_i"), F.count(F.lit(1)).alias("nw"))
+        .select(
+            "phrase",
+            F.col("nw").cast("long").alias("n_words"),
+            "n_occurrences",
+            "score_i",
+        )
+    )
+    return scored.orderBy(F.desc("score_i"), "phrase").limit(top_k)

@@ -1161,3 +1161,53 @@ def unigram_viterbi_segment(
             yield pd.DataFrame(rows, columns=["word", "cost", "n_pieces", "pieces"])
 
     return words.select(F.col(word_col)).distinct().mapInPandas(gen, schema)
+
+
+def lexical_diversity_panel(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group lexical-diversity panel over whitespace tokens: type/token
+    ratio, hapax ratio, and Yule's characteristic K — the repetitiveness
+    statistic that, unlike TTR, is length-insensitive (Yule 1944; K =
+    10^4 · (Σ_m m²·V(m) − N) / N² where V(m) = #types with frequency m,
+    equivalently Σ_m m²·V(m) = Σ_types cnt²).  Low-diversity groups (bot
+    spam, template farms) screen out of training mixes on K.
+
+    All-BIGINT: ttr_i = types·scale div N, hapax_i = hapax·scale div N,
+    yule_k_i = 10^4·100·(S2−N) div N² (K to 2 decimals — K itself carries
+    the 10^4; a fatter factor overflows BIGINT at S2 ≈ 10^10, i.e. a few
+    million tokens in one skewed group, under ANSI arithmetic).  Exact
+    cross-multiplied integers.  Scale: two map-side-combinable aggregates —
+    (group, token) counts then a group rollup; shuffle rows are token keys,
+    never text."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    agg = tc.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+    )
+    s = int(scale)
+    return agg.select(
+        "grp",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr(f"CAST(({s} * n_types) div n_tokens AS BIGINT)").alias("ttr_i"),
+        F.expr(f"CAST(({s} * n_hapax) div n_tokens AS BIGINT)").alias("hapax_i"),
+        F.expr(
+            "CAST((1000000 * (s2 - n_tokens)) div (n_tokens * n_tokens) AS BIGINT)"
+        ).alias("yule_k_i"),
+    )
