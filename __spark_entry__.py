@@ -8750,6 +8750,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lexical_diversity_panel"] = lexdiv
 
+    def l_div(spark, sf):
+        # l-diversity audit (pii.py::l_diversity_audit, Machanavajjhala):
+        # the homogeneity-attack screen k-anonymity misses — distinct-l and
+        # entropy-l verdicts per QI class; ONE float ln per (class, value)
+        # rounded to a scaled int BEFORE the integer dot product (dirichlet
+        # pattern), threshold round(1e6·ln 3) driver-side.
+        from aiwhispr_spark.operators.pii import l_diversity_audit
+
+        d = _t(spark, sf, "documents").select(
+            "lang", "source", F.expr("n_chars div 100").cast("long").alias("chars_c")
+        )
+        return l_diversity_audit(d, ["lang", "source"], "chars_c", l=3)
+
+    q["l_diversity_audit"] = l_div
+
+    def benford(spark, sf):
+        # Benford first-digit audit (literals.py::benford_first_digit_audit)
+        # over order totals in cents: expected log10(1+1/d) proportions as a
+        # driver-computed INTEGER LITERAL TABLE (NDCG-discount pattern);
+        # all 9 digits visible at zero count.  TPC-H prices are uniform-ish,
+        # so the audit REPORTS deviation — the gate pins the arithmetic,
+        # not conformance.
+        from aiwhispr_spark.operators.literals import benford_first_digit_audit
+
+        o_ = _t(spark, sf, "orders").select(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+        )
+        return benford_first_digit_audit(o_, "cents").orderBy("digit")
+
+    q["benford_quantity_audit"] = benford
+
+    def unit_norm(spark, sf):
+        # Exact-rational unit normalization (literals.py::normalize_units):
+        # measurements closed-form from doc_id (unit cycles through 8 known
+        # + 1 unknown arm), broadcast conversion table, value_i·num div den;
+        # unknown units stay visible with the −1 sentinel.
+        from aiwhispr_spark.operators.literals import normalize_units
+
+        units = [
+            "m", "km", "cm", "mi", "kg", "g", "lb", "oz", "furlong",
+        ]
+        arr = F.array(*[F.lit(u) for u in units])
+        meas = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("meas_id"),
+            F.element_at(arr, (F.col("doc_id") % 9 + 1).cast("int")).alias("unit"),
+            ((F.col("doc_id") + 1) * 137).cast("long").alias("value_i"),
+        )
+        return normalize_units(meas)
+
+    q["unit_normalize_quantities"] = unit_norm
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -8760,6 +8811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_jaccard_pairs",
         "rake_keyphrases",
         "lexical_diversity_panel",
+        "l_diversity_audit",
+        "benford_quantity_audit",
+        "unit_normalize_quantities",
         "kg_triples_synthetic",
         "kg_functional_keys",
         "kg_owl_inference",
@@ -15776,5 +15830,74 @@ def oracle_sql() -> dict[str, str]:
                CAST((1000000 * (s2 - n_tokens)) // (n_tokens * n_tokens)
                     AS BIGINT) AS yule_k_i
         FROM agg
+    """
+    o["l_diversity_audit"] = """
+        WITH d AS (SELECT lang, source, n_chars // 100 AS chars_c FROM documents),
+        vc AS (SELECT lang, source, chars_c, CAST(count(*) AS BIGINT) AS cnt
+               FROM d GROUP BY 1, 2, 3),
+        tot AS (SELECT lang, source, CAST(sum(cnt) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS n_distinct
+                FROM vc GROUP BY 1, 2),
+        j AS (
+          SELECT vc.lang, vc.source, t.n, t.n_distinct,
+                 CAST(round(1000000 * ln(CAST(t.n AS DOUBLE) / vc.cnt))
+                      AS BIGINT) * vc.cnt AS term_i
+          FROM vc JOIN tot t ON t.lang = vc.lang AND t.source = vc.source
+        ),
+        g AS (
+          SELECT lang, source, n, n_distinct,
+                 CAST(sum(term_i) // max(n) AS BIGINT) AS entropy_mi
+          FROM j GROUP BY 1, 2, 3, 4
+        )
+        SELECT lang, source, n AS n_rows, n_distinct,
+               CAST(CASE WHEN n_distinct >= 3 THEN 1 ELSE 0 END AS BIGINT)
+                 AS distinct_l_ok,
+               entropy_mi,
+               CAST(CASE WHEN entropy_mi >= 1098612 THEN 1 ELSE 0 END AS BIGINT)
+                 AS entropy_l_ok
+        FROM g
+    """
+    o["benford_quantity_audit"] = """
+        WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders),
+        d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                     CAST(count(*) AS BIGINT) AS n_obs
+              FROM v WHERE cents > 0 GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM d),
+        spine(digit, exp_mi) AS (VALUES
+          (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+          (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        SELECT CAST(spine.digit AS BIGINT) AS digit,
+               coalesce(d.n_obs, 0) AS n_obs,
+               CAST(CASE WHEN coalesce(n_total, 0) = 0 THEN 0
+                    ELSE (coalesce(d.n_obs, 0) * 1000000) // n_total END
+                    AS BIGINT) AS obs_mi,
+               CAST(spine.exp_mi AS BIGINT) AS exp_mi,
+               CAST(abs(CASE WHEN coalesce(n_total, 0) = 0 THEN 0
+                    ELSE (coalesce(d.n_obs, 0) * 1000000) // n_total END
+                    - spine.exp_mi) AS BIGINT) AS abs_dev_mi
+        FROM spine LEFT JOIN d ON d.digit = spine.digit, tot
+        ORDER BY digit
+    """
+    o["unit_normalize_quantities"] = """
+        WITH meas AS (
+          SELECT doc_id AS meas_id,
+                 list_extract(['m','km','cm','mi','kg','g','lb','oz','furlong'],
+                              CAST(doc_id % 9 AS INT) + 1) AS unit,
+                 CAST((doc_id + 1) * 137 AS BIGINT) AS value_i
+          FROM documents),
+        conv(unit, dimension, canonical_unit, num, den) AS (VALUES
+          ('m', 'length', 'm', 1, 1), ('km', 'length', 'm', 1000, 1),
+          ('cm', 'length', 'm', 1, 100), ('mi', 'length', 'm', 1609344, 1000),
+          ('g', 'mass', 'g', 1, 1), ('kg', 'mass', 'g', 1000, 1),
+          ('lb', 'mass', 'g', 45359237, 100000),
+          ('oz', 'mass', 'g', 45359237, 1600000))
+        SELECT meas_id, m.unit, value_i,
+               coalesce(c.dimension, 'unknown') AS dimension,
+               coalesce(c.canonical_unit, '?') AS canonical_unit,
+               CAST(CASE WHEN c.num IS NOT NULL
+                    THEN (value_i * c.num) // c.den ELSE -1 END AS BIGINT)
+                 AS norm_value_i
+        FROM meas m LEFT JOIN conv c ON c.unit = m.unit
     """
     return o

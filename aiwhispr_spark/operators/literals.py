@@ -191,3 +191,95 @@ def extract_normalize_dates(
         iso.alias("iso"),
         valid.cast("long").alias("valid_i"),
     )
+
+
+# exact rational factors to the dimension's canonical unit (num, den):
+# 1 mi = 1609.344 m and 1 lb = 453.59237 g are exact by definition
+UNIT_CONVERSIONS: dict[str, tuple[str, str, int, int]] = {
+    "m": ("length", "m", 1, 1),
+    "km": ("length", "m", 1000, 1),
+    "cm": ("length", "m", 1, 100),
+    "mi": ("length", "m", 1609344, 1000),
+    "g": ("mass", "g", 1, 1),
+    "kg": ("mass", "g", 1000, 1),
+    "lb": ("mass", "g", 45359237, 100000),
+    "oz": ("mass", "g", 45359237, 1600000),
+}
+
+
+def normalize_units(
+    df: DataFrame, value_col: str = "value_i", unit_col: str = "unit"
+) -> DataFrame:
+    """Normalize scaled-int measurements to each dimension's canonical unit
+    via a broadcast conversion table of EXACT rational factors —
+    ``norm_value_i = value_i·num div den`` (one floor div, documented; no
+    float factor ever touches the value).  Units absent from the table stay
+    VISIBLE with dimension 'unknown' and the −1 sentinel (a dropped row
+    reads as "normalized corpus" when it isn't — the linededup-NULL-doc
+    lesson).  Input rows keep their other columns.
+
+    100 TB shape: the conversion table is unit-cardinality-sized and
+    broadcast; the join adds no exchange to the fact stream."""
+    spark = df.sparkSession
+    conv = spark.createDataFrame(
+        [(u, d, c, n, dn) for u, (d, c, n, dn) in sorted(UNIT_CONVERSIONS.items())],
+        f"{unit_col} string, dimension string, canonical_unit string, num long, den long",
+    )
+    joined = df.join(F.broadcast(conv), unit_col, "left")
+    return joined.select(
+        *[c for c in df.columns],
+        F.coalesce("dimension", F.lit("unknown")).alias("dimension"),
+        F.coalesce("canonical_unit", F.lit("?")).alias("canonical_unit"),
+        F.when(
+            F.col("num").isNotNull(),
+            F.expr(f"CAST(({value_col} * num) div den AS BIGINT)"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("norm_value_i"),
+    )
+
+
+def benford_first_digit_audit(
+    df: DataFrame, value_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Benford's-law first-significant-digit audit over a positive BIGINT
+    value column (Benford 1938; the classic fabricated-data screen for
+    extracted quantity facts).  Expected proportions ``log10(1 + 1/d)``
+    enter as a 9-row INTEGER LITERAL TABLE computed driver-side (the NDCG
+    discount-table pattern) — no runtime float.  Every digit 1-9 stays
+    VISIBLE even at zero observations (spine + left join, count coalesced).
+
+    Output: (digit, n_obs, obs_mi, exp_mi, abs_dev_mi) with obs_mi =
+    n_obs·scale div N.  One map-side-combinable 9-key aggregate."""
+    import math
+
+    spark = df.sparkSession
+    exp_rows = [(d, int(round(scale * math.log10(1.0 + 1.0 / d)))) for d in range(1, 10)]
+    spine = spark.createDataFrame(exp_rows, "digit long, exp_mi long")
+    digits = (
+        df.filter(F.col(value_col) > 0)
+        .select(
+            F.substring(F.col(value_col).cast("string"), 1, 1).cast("long").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    total = digits.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    out = (
+        spine.join(digits, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            # empty input → n_total NULL: emit 0, not NULL (the NULL-BIGINT
+            # stringification trap); n_obs is 0 for every digit then anyway
+            F.expr(
+                f"CAST(CASE WHEN coalesce(n_total, 0) = 0 THEN 0 "
+                f"ELSE (coalesce(n_obs, 0) * {int(scale)}) div n_total END AS BIGINT)"
+            ).alias("obs_mi"),
+            "exp_mi",
+        )
+        .withColumn("abs_dev_mi", F.abs(F.col("obs_mi") - F.col("exp_mi")).cast("long"))
+    )
+    return out

@@ -102,3 +102,57 @@ def k_anonymity_audit(
         "n_rows",
     )
     return ok0.unionByName(ok1).unionByName(supp)
+
+
+def l_diversity_audit(
+    df,
+    qi_cols,
+    sensitive_col,
+    l: int = 3,  # noqa: E741
+    scale: int = 1_000_000,
+):
+    """l-diversity audit (Machanavajjhala et al. 2006): k-anonymity alone
+    leaks when an equivalence class is uniform in the SENSITIVE attribute
+    (the homogeneity attack), so audit each QI class for (a) DISTINCT
+    l-diversity — ≥ l distinct sensitive values — and (b) ENTROPY
+    l-diversity — entropy(class) ≥ ln(l).
+
+    Integer contract: entropy = Σ (cnt/n)·ln(n/cnt) is computed as
+    ``Σ cnt·round(scale·ln(n/cnt)) div n`` — ONE float ln per (class,
+    value) rounded to a scaled int BEFORE the integer dot product (the
+    dirichlet_ql_rank pattern), so both engines sum identical integers;
+    the entropy verdict compares against ``round(scale·ln(l))`` computed
+    driver-side.  Output per class: (*qi_cols, n_rows, n_distinct,
+    distinct_l_ok, entropy_mi, entropy_l_ok).
+
+    100 TB shape: two map-side-combinable aggregates — (QI…, sensitive)
+    counts, then a QI rollup; no windows, no text in the shuffle."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    qi = list(qi_cols)
+    thr_i = int(round(scale * math.log(l)))
+    vc = df.groupBy(*qi, sensitive_col).agg(F.count("*").cast("long").alias("cnt"))
+    term = F.expr(f"CAST(round({int(scale)} * ln(CAST(n AS DOUBLE) / cnt)) AS BIGINT)")
+    # two-pass: class totals first, then the per-value ln against the total
+    totals = vc.groupBy(*qi).agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    joined = vc.join(totals, qi).withColumn("term_i", term * F.col("cnt"))
+    out = joined.groupBy(*qi, "n", "n_distinct").agg(
+        F.expr("CAST(sum(term_i) div max(n) AS BIGINT)").alias("entropy_mi")
+    )
+    return out.select(
+        *qi,
+        F.col("n").alias("n_rows"),
+        "n_distinct",
+        F.when(F.col("n_distinct") >= l, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+            "distinct_l_ok"
+        ),
+        "entropy_mi",
+        F.when(F.col("entropy_mi") >= thr_i, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+            "entropy_l_ok"
+        ),
+    )
