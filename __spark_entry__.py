@@ -124,6 +124,22 @@ _SP_VOCAB = {
 }
 
 
+# WordPiece vocab (BERT-style: ## marks continuation pieces), shared verbatim
+# by the Spark query and the DuckDB oracle.  Single chars cover a-z EXCEPT
+# initial 'q' (continuations keep all 26), so q-words need the 'qu' merge and
+# digit-bearing words go [UNK] — both arms exercised by the corpus.
+_WP_VOCAB = sorted(
+    {
+        *[chr(c) for c in range(ord("a"), ord("z") + 1) if chr(c) != "q"],
+        *["##" + chr(c) for c in range(ord("a"), ord("z") + 1)],
+        "qu", "data", "dat", "str", "stre", "scan", "sca", "gro", "table",
+        "tab", "val", "win", "wind", "sort", "merge", "mer",
+        "##ream", "##eam", "##am", "##ta", "##able", "##ble", "##ery",
+        "##ry", "##up", "##oup", "##an", "##ue", "##rge",
+    }
+)
+
+
 def _ensure_simple_corpus() -> str:
     """Materialize the oracle-friendly KG corpus (idempotent; called from both
     the Spark query and the oracle-SQL builder so file existence never depends
@@ -8801,6 +8817,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unit_normalize_quantities"] = unit_norm
 
+    def wordpiece(spark, sf):
+        # WordPiece greedy longest-match encoding (textstats.py::
+        # wordpiece_encode, the BERT inference rule — distinct from BPE
+        # merge replay and unigram Viterbi): distinct words ≤ 10 chars
+        # (the oracle's unroll bound) through ONE mapInPandas stage; the
+        # oracle replays greedy as 10 unrolled arg_max stages.
+        from aiwhispr_spark.operators.textstats import wordpiece_encode
+
+        words = (
+            _t(spark, sf, "documents")
+            .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+            .filter((F.col("word") != "") & (F.length("word") <= 10))
+        )
+        return wordpiece_encode(words, _WP_VOCAB).orderBy("word")
+
+    q["wordpiece_encode"] = wordpiece
+
+    def assoc_rules(spark, sf):
+        # Apriori 2-itemset association rules (rulemine.py::
+        # association_rules_2item): content-word baskets per doc, frequent
+        # items pruned BEFORE the per-basket pair fan-out (downward
+        # closure = the hub guard); support/confidence/lift as exact
+        # cross-multiplied scaled ints.
+        from aiwhispr_spark.operators.keywords import kept_tokens_expr
+        from aiwhispr_spark.operators.rulemine import association_rules_2item
+
+        items = _t(spark, sf, "documents").select(
+            "doc_id", F.explode(kept_tokens_expr(F.col("text"))).alias("item")
+        )
+        return association_rules_2item(items, "doc_id", "item", min_support=25)
+
+    q["association_rules_2item"] = assoc_rules
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -8814,6 +8863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_audit",
         "benford_quantity_audit",
         "unit_normalize_quantities",
+        "wordpiece_encode",
+        "association_rules_2item",
         "kg_triples_synthetic",
         "kg_functional_keys",
         "kg_owl_inference",
@@ -15899,5 +15950,79 @@ def oracle_sql() -> dict[str, str]:
                     THEN (value_i * c.num) // c.den ELSE -1 END AS BIGINT)
                  AS norm_value_i
         FROM meas m LEFT JOIN conv c ON c.unit = m.unit
+    """
+    _wp_values = ", ".join(
+        f"('{p}', '{p[2:] if p.startswith('##') else p}', "
+        f"{str(p.startswith('##')).upper()})"
+        for p in _WP_VOCAB
+    )
+    _wp_stages = []
+    for _k in range(1, 11):
+        _wp_stages.append(f"""
+        g{_k} AS (
+          SELECT word, CAST(pos2 AS BIGINT) AS pos, enc2 AS enc FROM (
+            SELECT g.word AS word,
+                   g.pos + length(arg_max(v.form, length(v.form))) AS pos2,
+                   CASE WHEN g.enc = '' THEN arg_max(v.piece, length(v.form))
+                        ELSE g.enc || ' ' || arg_max(v.piece, length(v.form))
+                   END AS enc2
+            FROM g{_k - 1} g JOIN wpvocab v
+              ON ((g.pos = 0) = (NOT v.iscont))
+             AND substr(g.word, g.pos + 1, length(v.form)) = v.form
+            WHERE g.pos < length(g.word)
+            GROUP BY g.word, g.pos, g.enc
+          )
+        )""")
+    _wp_all = " UNION ALL ".join(f"SELECT * FROM g{_j}" for _j in range(1, 11))
+    o["wordpiece_encode"] = f"""
+        WITH words AS (
+          SELECT DISTINCT t AS word FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+            FROM documents) WHERE t <> '' AND length(t) <= 10
+        ),
+        wpvocab(piece, form, iscont) AS (VALUES {_wp_values}),
+        g0 AS (SELECT word, CAST(0 AS BIGINT) AS pos, '' AS enc FROM words),
+        {",".join(_wp_stages)},
+        allst AS ({_wp_all}),
+        best AS (SELECT word, max(pos) AS pos, arg_max(enc, pos) AS enc
+                 FROM allst GROUP BY word)
+        SELECT w.word,
+               CAST(CASE WHEN b.pos = length(w.word)
+                    THEN len(regexp_split_to_array(b.enc, ' ')) ELSE 1 END
+                    AS BIGINT) AS n_pieces,
+               CASE WHEN b.pos = length(w.word) THEN b.enc
+                    ELSE '[UNK]' END AS pieces,
+               CAST(CASE WHEN b.pos = length(w.word) THEN 0 ELSE 1 END
+                    AS BIGINT) AS is_unk
+        FROM words w LEFT JOIN best b ON b.word = w.word
+        ORDER BY w.word
+    """
+    o["association_rules_2item"] = f"""
+        WITH tk AS (SELECT doc_id AS bid, {_kept_tokens_sql()} AS t
+                    FROM documents),
+        b AS (SELECT DISTINCT bid, unnest(t) AS item FROM tk),
+        isup AS (SELECT item, CAST(count(*) AS BIGINT) AS isup
+                 FROM b GROUP BY 1),
+        freq AS (SELECT * FROM isup WHERE isup >= 25),
+        fb AS (SELECT b.bid, b.item FROM b JOIN freq USING (item)),
+        pairs AS (
+          SELECT l.item AS ia, r.item AS ib, CAST(count(*) AS BIGINT) AS psup
+          FROM fb l JOIN fb r ON l.bid = r.bid AND l.item < r.item
+          GROUP BY 1, 2 HAVING count(*) >= 25
+        ),
+        nt AS (SELECT CAST(count(DISTINCT bid) AS BIGINT) AS n FROM b),
+        dir AS (
+          SELECT ia AS antecedent, ib AS consequent, psup FROM pairs
+          UNION ALL SELECT ib, ia, psup FROM pairs
+        )
+        SELECT d.antecedent, d.consequent, d.psup AS supp_pair,
+               fa.isup AS supp_ante, fc.isup AS supp_cons,
+               CAST((1000000 * d.psup) // nt.n AS BIGINT) AS support_mi,
+               CAST((1000000 * d.psup) // fa.isup AS BIGINT) AS conf_mi,
+               CAST((1000000 * d.psup * nt.n) // (fa.isup * fc.isup) AS BIGINT)
+                 AS lift_mi
+        FROM dir d
+        JOIN freq fa ON fa.item = d.antecedent
+        JOIN freq fc ON fc.item = d.consequent, nt
     """
     return o

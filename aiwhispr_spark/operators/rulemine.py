@@ -121,3 +121,81 @@ def mine_horn_rules(
             F.expr(f"support * {sc} div n_pca").cast("long").alias("pca_conf_i"),
         )
     )
+
+
+def association_rules_2item(
+    df,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 5,
+    scale: int = 1_000_000,
+):
+    """Market-basket association rules over 2-itemsets (Agrawal/Srikant
+    Apriori '94): support, confidence, lift for every directed rule a→b
+    whose PAIR support ≥ ``min_support`` baskets.  Distinct items per
+    basket; the Apriori downward-closure prune filters items to frequent
+    ones BEFORE the per-basket pair fan-out, so a basket contributes
+    C(k_frequent, 2) pairs, never C(k_all, 2).
+
+    Integer contract: support_mi = supp_pair·scale div N, conf_mi =
+    supp_pair·scale div supp_ante, lift_mi = supp_pair·N·scale div
+    (supp_ante·supp_cons) — all exact BIGINT cross-multiplication.  The
+    lift numerator scale·psup·N stays in BIGINT while psup·N < 9.2e12;
+    at web scale drop ``scale`` to 1e3 or compute lift in DECIMAL(38) —
+    the floor-once contract is what the gate pins.
+
+    100 TB shape: item supports and pair supports are map-side-combinable
+    aggregates over (item)/(a,b) keys; the basket-total N rides as a
+    broadcast literal aggregate; per-basket fan-out is bounded by the
+    frequent-item count (min_support is the hub guard — raise it and the
+    candidate space shrinks quadratically)."""
+    from pyspark.sql import functions as F
+
+    b = df.select(F.col(basket_col).alias("bid"), F.col(item_col).alias("item")).distinct()
+    isup = b.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("isup"))
+    freq = isup.filter(F.col("isup") >= min_support)
+    fb = b.join(F.broadcast(freq.select("item")), "item")
+    pairs = (
+        fb.alias("l")
+        .join(fb.alias("r"), "bid")
+        .filter(F.col("l.item") < F.col("r.item"))
+        .groupBy(F.col("l.item").alias("ia"), F.col("r.item").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("long").alias("psup"))
+        .filter(F.col("psup") >= min_support)
+    )
+    n_total = b.select("bid").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    fwd = pairs.select(
+        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "psup"
+    )
+    bwd = pairs.select(
+        F.col("ib").alias("antecedent"), F.col("ia").alias("consequent"), "psup"
+    )
+    rules = (
+        fwd.unionByName(bwd)
+        .join(
+            F.broadcast(freq.select(F.col("item").alias("antecedent"),
+                                    F.col("isup").alias("supp_ante"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("item").alias("consequent"),
+                                    F.col("isup").alias("supp_cons"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    s = int(scale)
+    return rules.select(
+        "antecedent",
+        "consequent",
+        F.col("psup").alias("supp_pair"),
+        "supp_ante",
+        "supp_cons",
+        F.expr(f"CAST(({s} * psup) div n_baskets AS BIGINT)").alias("support_mi"),
+        F.expr(f"CAST(({s} * psup) div supp_ante AS BIGINT)").alias("conf_mi"),
+        F.expr(
+            f"CAST(({s} * psup * n_baskets) div (supp_ante * supp_cons) AS BIGINT)"
+        ).alias("lift_mi"),
+    )

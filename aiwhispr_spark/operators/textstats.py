@@ -1211,3 +1211,72 @@ def lexical_diversity_panel(
             "CAST((1000000 * (s2 - n_tokens)) div (n_tokens * n_tokens) AS BIGINT)"
         ).alias("yule_k_i"),
     )
+
+
+def wordpiece_encode(
+    words: DataFrame,
+    vocab: list[str],
+    word_col: str = "word",
+) -> DataFrame:
+    """WordPiece greedy longest-match-first encoding (Wu et al. 2016, the
+    BERT tokenizer's inference rule — distinct from BPE's merge-order replay
+    and from the unigram-LM Viterbi optimum): at each position take the
+    LONGEST vocab piece matching the remaining suffix, where pieces starting
+    ``##`` match only at non-initial positions; any position with no match
+    makes the whole word ``[UNK]`` (the all-or-nothing BERT contract).
+
+    Same execution shape as :func:`unigram_viterbi_segment`: the DISTINCT
+    word list (corpus-size independent) through ONE mapInPandas stage with
+    the vocab in the task closure; greedy is O(len·maxlen) per word via a
+    set keyed by (form, is_continuation).
+
+    Returns (word, n_pieces, pieces, is_unk) — is_unk the 0/1 BIGINT flag,
+    UNK rows emit pieces='[UNK]', n_pieces=1."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    initial = {p for p in vocab if not p.startswith("##")}
+    cont = {p[2:] for p in vocab if p.startswith("##")}
+    max_len = max((len(p.lstrip("#")) for p in vocab), default=1)
+
+    def encode(w: str):
+        pieces, pos = [], 0
+        while pos < len(w):
+            table = initial if pos == 0 else cont
+            hit = None
+            for L in range(min(max_len, len(w) - pos), 0, -1):
+                frag = w[pos : pos + L]
+                if frag in table:
+                    hit = frag
+                    break
+            if hit is None:
+                return None
+            pieces.append(hit if pos == 0 else "##" + hit)
+            pos += len(hit)
+        return pieces
+
+    schema = StructType(
+        [
+            StructField("word", StringType()),
+            StructField("n_pieces", LongType()),
+            StructField("pieces", StringType()),
+            StructField("is_unk", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for w in pdf[word_col]:
+                w = str(w)
+                ps = encode(w)
+                if ps is None:
+                    rows.append({"word": w, "n_pieces": 1, "pieces": "[UNK]", "is_unk": 1})
+                else:
+                    rows.append(
+                        {"word": w, "n_pieces": len(ps), "pieces": " ".join(ps), "is_unk": 0}
+                    )
+            yield pd.DataFrame(rows, columns=["word", "n_pieces", "pieces", "is_unk"])
+
+    return words.select(F.col(word_col)).distinct().mapInPandas(gen, schema)
