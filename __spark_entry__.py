@@ -8850,6 +8850,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["association_rules_2item"] = assoc_rules
 
+    def tpch_q12ish(spark, sf):
+        # TPC-H Q12 adaptation (shipping modes / order priority): the
+        # schema has no l_shipmode or l_commitdate, so shipmode is
+        # synthesized closed-form (l_suppkey%4) and "late" = shipped > 90
+        # days after order date — the SHAPE is Q12's: fact-fact join on
+        # orderkey + conditional two-tier aggregate.  Counts only (no
+        # float anywhere).
+        modes = F.array(F.lit("MAIL"), F.lit("SHIP"), F.lit("RAIL"), F.lit("TRUCK"))
+        li = _t(spark, sf, "lineitem").select(
+            "l_orderkey",
+            F.element_at(modes, (F.col("l_suppkey") % 4 + 1).cast("int")).alias(
+                "shipmode"
+            ),
+            "l_shipdate",
+        )
+        o_ = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+        j = li.join(o_, li.l_orderkey == o_.o_orderkey).filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            j.groupBy("shipmode")
+            .agg(
+                F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+                F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+            )
+            .orderBy("shipmode")
+        )
+
+    q["tpch_q12_late_priority"] = tpch_q12ish
+
+    def tpch_q13ish(spark, sf):
+        # TPC-H Q13 (customer order-count distribution): LEFT join keeps
+        # zero-order customers (count(o_orderkey) counts matches, not
+        # rows), '5-LOW' plays the excluded-comment role; two-level
+        # aggregate — per-customer then histogram.
+        c = _t(spark, sf, "customer").select("c_custkey")
+        o_ = _t(spark, sf, "orders").filter(
+            F.col("o_orderpriority") != "5-LOW"
+        ).select("o_custkey", "o_orderkey")
+        per = (
+            c.join(o_, c.c_custkey == o_.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        )
+        return (
+            per.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count"))
+        )
+
+    q["tpch_q13_order_distribution"] = tpch_q13ish
+
+    def tpch_q19ish(spark, sf):
+        # TPC-H Q19 (disjunctive brand/size/quantity predicates): revenue
+        # under an OR-of-ANDs filter — the predicate-pushdown stressor;
+        # part dim broadcast, per-row cents before the integer sum (the
+        # tpch_q5 ROUND-SUM rule).
+        p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+        li = _t(spark, sf, "lineitem").select(
+            "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        arm1 = (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        arm2 = (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        arm3 = (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+        cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+        return j.filter(arm1 | arm2 | arm3).agg(
+            F.sum(cents).cast("long").alias("revenue_ci"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+
+    q["tpch_q19_disjunctive_revenue"] = tpch_q19ish
+
+    def tpch_q22ish(spark, sf):
+        # TPC-H Q22 (global-average subquery + anti join): customers above
+        # the positive-balance floor-div average (integer cents — float
+        # avg is summation-order dependent) in selected "country codes"
+        # (c_nationkey%7 stands in for the phone prefix) with NO orders
+        # (left_anti; "no order since 2001" — every custkey has SOME
+        # order in this data, so recency makes the anti-join bite).  The
+        # scalar average broadcasts as a literal aggregate — no collect.
+        c = _t(spark, sf, "customer").select(
+            "c_custkey",
+            (F.col("c_nationkey") % 7).cast("long").alias("cntrycode"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_ci"),
+        ).filter(F.col("cntrycode").isin(1, 2, 4))
+        avg_pos = c.filter(F.col("bal_ci") > 0).agg(
+            F.expr("CAST(sum(bal_ci) div count(1) AS BIGINT)").alias("avg_ci")
+        )
+        o_ = (
+            _t(spark, sf, "orders")
+            .filter(F.col("o_orderdate") >= "2001-01-01")
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+        )
+        rich = (
+            c.crossJoin(F.broadcast(avg_pos))
+            .filter(F.col("bal_ci") > F.col("avg_ci"))
+            .join(o_, "c_custkey", "left_anti")
+        )
+        return (
+            rich.groupBy("cntrycode")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("numcust"),
+                F.sum("bal_ci").cast("long").alias("totacctbal_ci"),
+            )
+            .orderBy("cntrycode")
+        )
+
+    q["tpch_q22_global_sales_opportunity"] = tpch_q22ish
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -8865,6 +8991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unit_normalize_quantities",
         "wordpiece_encode",
         "association_rules_2item",
+        "tpch_q12_late_priority",
+        "tpch_q13_order_distribution",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q22_global_sales_opportunity",
         "kg_triples_synthetic",
         "kg_functional_keys",
         "kg_owl_inference",
@@ -16024,5 +16154,66 @@ def oracle_sql() -> dict[str, str]:
         FROM dir d
         JOIN freq fa ON fa.item = d.antecedent
         JOIN freq fc ON fc.item = d.consequent, nt
+    """
+    o["tpch_q12_late_priority"] = """
+        WITH li AS (
+          SELECT l_orderkey,
+                 list_extract(['MAIL','SHIP','RAIL','TRUCK'],
+                              CAST(l_suppkey % 4 AS INT) + 1) AS shipmode,
+                 l_shipdate
+          FROM lineitem
+        )
+        SELECT shipmode,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM li JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY shipmode ORDER BY shipmode
+    """
+    o["tpch_q13_order_distribution"] = """
+        WITH per AS (
+          SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+                     WHERE o_orderpriority <> '5-LOW') o
+            ON c.c_custkey = o.o_custkey
+          GROUP BY 1
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+    """
+    o["tpch_q19_disjunctive_revenue"] = """
+        SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_ci,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+    """
+    o["tpch_q22_global_sales_opportunity"] = """
+        WITH c AS (
+          SELECT c_custkey, CAST(c_nationkey % 7 AS BIGINT) AS cntrycode,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_ci
+          FROM customer WHERE c_nationkey % 7 IN (1, 2, 4)
+        ),
+        avg_pos AS (
+          SELECT CAST(sum(bal_ci) // count(*) AS BIGINT) AS avg_ci
+          FROM c WHERE bal_ci > 0
+        )
+        SELECT cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(bal_ci) AS BIGINT) AS totacctbal_ci
+        FROM c, avg_pos
+        WHERE bal_ci > avg_ci
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderdate >= DATE '2001-01-01')
+        GROUP BY cntrycode ORDER BY cntrycode
     """
     return o

@@ -230,3 +230,26 @@ def test_bucketed_triples_subject_ops_need_no_exchange(spark, tmp_path):
         assert self_join.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS triples_plan_t")
+
+
+def test_tpch_q19_broadcasts_part_no_sort_merge(spark):
+    # the OR-of-ANDs references both sides, so it can only run post-join —
+    # the plan-quality bar is: part broadcasts, no SortMergeJoin appears
+    df = entrymod.queries()["tpch_q19_disjunctive_revenue"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q13_left_join_counts_matches_not_rows(spark):
+    # zero-order customers must land in the c_count=0 bucket: count(col)
+    # over the left join, never count(*)
+    df = entrymod.queries()["tpch_q13_order_distribution"](spark, SF)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    total = sum(rows.values())
+    import duckdb
+
+    n_cust = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/customer.parquet')"
+    ).fetchone()[0]
+    assert total == n_cust  # every customer lands in exactly one bucket
