@@ -745,6 +745,53 @@ def _host_edges_sql(where_i: str = "TRUE") -> str:
     """
 
 
+def _ppr_push_sql(
+    rounds: int, edges_sql: str, seed: str, eps_i: int = 100_000,
+    scale: int = 100_000_000,
+) -> str:
+    """Unrolled DuckDB twin of graph_query.py::ppr_push_bounded — the same
+    integer push arithmetic (α=15/100, floor remainders kept in the
+    residual) replayed round by round with fresh CTE names."""
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})"
+        " WHERE src <> dst),",
+        "pdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),",
+        f"s0 AS (SELECT '{seed}' AS node, CAST(0 AS BIGINT) AS p,"
+        f" CAST({int(scale)} AS BIGINT) AS r),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+        a{k} AS (
+          SELECT s.node, s.p, s.r, coalesce(g.d, 0) AS d,
+                 CASE WHEN coalesce(g.d, 0) > 0
+                       AND s.r > coalesce(g.d, 0) * {int(eps_i)}
+                      THEN 1 ELSE 0 END AS act
+          FROM s{k - 1} s LEFT JOIN pdeg g ON g.src = s.node),
+        upd{k} AS (
+          SELECT node,
+                 CAST(CASE WHEN act = 1 THEN p + (15 * r) // 100 ELSE p END
+                      AS BIGINT) AS p,
+                 CAST(CASE WHEN act = 1
+                      THEN r - (15 * r) // 100 - (((85 * r) // 100) // d) * d
+                      ELSE r END AS BIGINT) AS r
+          FROM a{k}),
+        snt{k} AS (
+          SELECT e.dst AS node,
+                 CAST(sum(((85 * a.r) // 100) // a.d) AS BIGINT) AS add_r
+          FROM a{k} a JOIN edges e ON e.src = a.node
+          WHERE a.act = 1 GROUP BY 1),
+        s{k} AS (
+          SELECT coalesce(u.node, sn.node) AS node,
+                 CAST(coalesce(u.p, 0) AS BIGINT) AS p,
+                 CAST(coalesce(u.r, 0) + coalesce(sn.add_r, 0) AS BIGINT) AS r
+          FROM upd{k} u FULL JOIN snt{k} sn ON sn.node = u.node),""")
+    body = "\n".join(parts).rstrip(",")
+    return f"""{body}
+        SELECT node, p AS p_i, r AS r_i FROM s{rounds}
+        WHERE p > 0 OR r > 0 ORDER BY node
+    """
+
+
 def _simrank_sql(rounds: int, edges_sql: str) -> str:
     """Unrolled integer-exact SimRank recurrence (DuckDB twin of
     graph.py::simrank_bounded): per round, co-in-neighbor pair sums then
@@ -8976,6 +9023,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q22_global_sales_opportunity"] = tpch_q22ish
 
+    def ppr_push(spark, sf):
+        # Local PPR by synchronous residual push (graph_query.py::
+        # ppr_push_bounded, Andersen–Chung–Lang): frontier-sized work per
+        # round, exact BIGINT mass conservation (floor remainders stay in
+        # the residual), bounded rounds = exact-state contract.  Distinct
+        # from the power-iteration trustrank: push never ranks the whole
+        # graph.  Oracle: the same arithmetic unrolled (_ppr_push_sql).
+        from aiwhispr_spark.operators.graph_query import ppr_push_bounded
+
+        return ppr_push_bounded(
+            _host_graph_edges_df(spark), seed=_TRUST_SEED_HOSTS[0], rounds=4
+        ).orderBy("node")
+
+    q["ppr_push_local"] = ppr_push
+
+    def hard_negatives(spark, sf):
+        # DPR-style hard-negative mining (fulltext.py::mine_hard_negatives):
+        # per training query, the top BM25-ranked docs that are NOT gold —
+        # gold pairs closed-form (doc_id%7==0 docs assigned to q{id%3+1});
+        # global per-token df shared across queries; per-qid top-5 window.
+        from aiwhispr_spark.operators.fulltext import (
+            build_inverted_index,
+            mine_hard_negatives,
+            tokenize,
+        )
+
+        d = _t(spark, sf, "documents")
+        idx = build_inverted_index(d, "text", "doc_id")
+        dl = d.select(
+            F.col("doc_id").alias("id"),
+            F.size(F.filter(tokenize(F.col("text")), lambda t: t != ""))
+            .cast("double")
+            .alias("dl"),
+        )
+        qt = {"q1": ["data", "fast"], "q2": ["query", "slow"], "q3": ["merge", "stream"]}
+        pos = d.filter(F.col("doc_id") % 7 == 0).select(
+            F.concat(F.lit("q"), (F.col("doc_id") % 3 + 1).cast("string")).alias("qid"),
+            F.col("doc_id").alias("id"),
+        )
+        return mine_hard_negatives(idx, dl, qt, pos, n_neg=5)
+
+    q["hard_negative_mining"] = hard_negatives
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -8991,6 +9081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unit_normalize_quantities",
         "wordpiece_encode",
         "association_rules_2item",
+        "ppr_push_local",
+        "hard_negative_mining",
         "tpch_q12_late_priority",
         "tpch_q13_order_distribution",
         "tpch_q19_disjunctive_revenue",
@@ -16154,6 +16246,53 @@ def oracle_sql() -> dict[str, str]:
         FROM dir d
         JOIN freq fa ON fa.item = d.antecedent
         JOIN freq fc ON fc.item = d.consequent, nt
+    """
+    o["ppr_push_local"] = _ppr_push_sql(
+        4, _host_edges_sql(), _TRUST_SEED_HOSTS[0]
+    )
+    o["hard_negative_mining"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+          FROM documents
+        ),
+        postings AS (
+          SELECT doc_id AS id, token, count(*) AS tf
+          FROM toks WHERE token <> '' GROUP BY doc_id, token
+        ),
+        dl AS (
+          SELECT doc_id AS id,
+                 CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                      t -> t <> '')) AS DOUBLE) AS dl
+          FROM documents
+        ),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        q(qid, token) AS (VALUES ('q1', 'data'), ('q1', 'fast'), ('q2', 'query'),
+                                 ('q2', 'slow'), ('q3', 'merge'), ('q3', 'stream')),
+        dfp AS (SELECT token, count(DISTINCT id) AS df FROM postings
+                WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+        hits AS (SELECT q.qid, p.id, p.token, p.tf
+                 FROM postings p JOIN q ON q.token = p.token),
+        scored AS (
+          SELECT h.qid, h.id,
+                 CAST(round(10000 * sum(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * h.tf / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+                 )) AS BIGINT) AS score_i
+          FROM hits h JOIN dfp d USING (token) JOIN dl l ON l.id = h.id, stats s
+          GROUP BY 1, 2
+        ),
+        pos AS (SELECT 'q' || CAST(doc_id % 3 + 1 AS VARCHAR) AS qid,
+                       doc_id AS id
+                FROM documents WHERE doc_id % 7 = 0),
+        neg AS (SELECT s.* FROM scored s
+                LEFT JOIN pos ON pos.qid = s.qid AND pos.id = s.id
+                WHERE pos.id IS NULL),
+        rk AS (SELECT qid, id, score_i,
+                      CAST(row_number() OVER (
+                        PARTITION BY qid ORDER BY score_i DESC, id) AS BIGINT)
+                        AS neg_rank
+               FROM neg)
+        SELECT qid, id AS neg_id, score_i, neg_rank FROM rk WHERE neg_rank <= 5
     """
     o["tpch_q12_late_priority"] = """
         WITH li AS (

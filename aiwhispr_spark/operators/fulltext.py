@@ -1049,3 +1049,70 @@ def sdm_score(
         ).cast("long"),
     )
     return scored.orderBy(F.col("sdm_score").desc(), F.col(id_col)).limit(k)
+
+
+def mine_hard_negatives(
+    index: DataFrame,
+    doc_lengths: DataFrame,
+    query_terms: dict[str, Sequence[str]],
+    positives: DataFrame,
+    n_neg: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al. 2020): for each
+    training query, the negatives that teach the most are the docs BM25
+    ranks highest WITHOUT being gold — lexically confusable, semantically
+    wrong.  ``positives`` = (qid, id) gold pairs; returns (qid, neg_id,
+    score_i, neg_rank) with the ``n_neg`` top-scored non-gold docs per
+    query.
+
+    Same double-math association order as :func:`search_terms_bm25` so
+    round(1e4·score) hashes identically cross-engine; df/idf are GLOBAL
+    per token (shared across queries sharing a term).
+
+    Scale shape: the query table is (qid, token) broadcast; postings filter
+    to it first; the only corpus-sized shuffle is the (qid, id) score sum;
+    the per-qid top-n window runs over candidate docs of that query only
+    (WindowGroupLimit partial rank at scale)."""
+    from pyspark.sql.window import Window
+
+    rows = sorted(
+        {(qid, t.lower()) for qid, terms in query_terms.items() for t in terms}
+    )
+    spark = index.sparkSession
+    q = spark.createDataFrame(rows, "qid string, token string")
+    stats = doc_lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = index.join(F.broadcast(q), "token")
+    df_per_term = (
+        index.join(F.broadcast(q.select("token").distinct()), "token")
+        .groupBy("token")
+        .agg(F.countDistinct("id").alias("df"))
+    )
+    scored = (
+        hits.join(F.broadcast(df_per_term), "token")
+        .join(doc_lengths, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("qid", "id")
+        .agg(F.round(F.sum("contrib") * 10000).cast("long").alias("score_i"))
+    )
+    neg = scored.join(positives.select("qid", "id"), ["qid", "id"], "left_anti")
+    w = Window.partitionBy("qid").orderBy(F.desc("score_i"), F.col("id"))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select("qid", F.col("id").alias("neg_id"), "score_i", "neg_rank")
+    )

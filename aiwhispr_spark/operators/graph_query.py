@@ -1439,3 +1439,96 @@ def cliques_k4(
         .join(e3, (F.col("x3.x") == tri.c) & (F.col("x3.y") == F.col("x1.y")))
         .select(tri.a, tri.b, tri.c, F.col("x1.y").alias("d"))
     )
+
+
+def ppr_push_bounded(
+    edges: DataFrame,
+    seed: str,
+    rounds: int = 4,
+    eps_i: int = 100_000,
+    scale: int = 100_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Approximate personalized PageRank by SYNCHRONOUS residual push
+    (Andersen–Chung–Lang 2006 local clustering, batched: every round pushes
+    ALL nodes whose residual exceeds the degree-proportional threshold —
+    the distributed form of the sequential push loop).  Distinct from the
+    power-iteration PPR (host_trustrank_seeded): push touches only the
+    seed's neighborhood, never materializes a rank for every node, and its
+    residual vector bounds the approximation error pointwise.
+
+    Integer contract (α = 15/100): active iff ``r > deg·eps_i``; an active
+    node moves ``(15·r) div 100`` into its estimate p, sends
+    ``((85·r) div 100) div deg`` along each out-edge, and KEEPS both floor
+    remainders in its residual — total mass is conserved exactly, so both
+    engines see identical BIGINT states every round.  Dangling nodes
+    (out-degree 0) are never active and hold their residual — the directed-
+    graph caveat, documented.  Bounded ``rounds`` is the kg_scc_bounded
+    contract: the output is the exact state after N pushes, not a claimed
+    fixpoint.
+
+    100 TB shape: per round one join of the ACTIVE frontier against edges
+    (frontier-sized, not graph-sized) + one receive-side aggregate;
+    localCheckpoint per round caps the 3-frame lineage.
+
+    Returns (node, p_i, r_i), rows with any mass only."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    spark = edges.sparkSession
+    state = spark.createDataFrame(
+        [(seed, 0, int(scale))], "node string, p long, r long"
+    )
+    for _ in range(rounds):
+        a = state.join(deg, state.node == deg.src, "left").select(
+            "node",
+            "p",
+            "r",
+            F.coalesce("d", F.lit(0)).cast("long").alias("d"),
+        )
+        a = a.withColumn(
+            "act",
+            ((F.col("d") > 0) & (F.col("r") > F.col("d") * F.lit(int(eps_i)))).cast("int"),
+        ).localCheckpoint()
+        upd = a.select(
+            "node",
+            F.when(F.col("act") == 1, F.expr("p + (15 * r) div 100"))
+            .otherwise(F.col("p"))
+            .cast("long")
+            .alias("p"),
+            F.when(
+                F.col("act") == 1,
+                F.expr("r - (15 * r) div 100 - (((85 * r) div 100) div d) * d"),
+            )
+            .otherwise(F.col("r"))
+            .cast("long")
+            .alias("r"),
+        )
+        sent = (
+            a.filter(F.col("act") == 1)
+            .join(e, a.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("((85 * r) div 100) div d").cast("long").alias("add_r"),
+            )
+            .groupBy("node")
+            .agg(F.sum("add_r").cast("long").alias("add_r"))
+        )
+        state = (
+            upd.join(sent, "node", "full")
+            .select(
+                "node",
+                F.coalesce("p", F.lit(0)).cast("long").alias("p"),
+                (F.coalesce("r", F.lit(0)) + F.coalesce("add_r", F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return state.filter((F.col("p") > 0) | (F.col("r") > 0)).select(
+        "node", F.col("p").alias("p_i"), F.col("r").alias("r_i")
+    )
