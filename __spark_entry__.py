@@ -9066,6 +9066,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hard_negative_mining"] = hard_negatives
 
+    def ams_f2(spark, sf):
+        # AMS F2 sketch (sketches.py::ams_f2_sketch): 8 one-counter ±1-sign
+        # estimators of Σf², md5-nibble signs; exact F2 rides alongside
+        # (the probe-all≡exact gate pattern — pytest pins the estimator
+        # mean's accuracy, the oracle hashes the full per-estimator state).
+        from aiwhispr_spark.operators.sketches import ams_f2_sketch
+
+        toks = _t(spark, sf, "documents").select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != F.lit("")
+                )
+            ).alias("tok")
+        )
+        return ams_f2_sketch(toks, "tok", n_estimators=8)
+
+    q["ams_f2_sketch"] = ams_f2
+
+    def gorilla(spark, sf):
+        # Gorilla delta-of-delta timestamp encoding cost (layout.py::
+        # gorilla_timestamp_bits): per-user event streams, the VLDB'15 bit
+        # schedule; series-partitioned window (never global), exact BIGINT.
+        from aiwhispr_spark.operators.layout import gorilla_timestamp_bits
+
+        return gorilla_timestamp_bits(_t(spark, sf, "events"), "user_id", "ts")
+
+    q["timeseries_gorilla_bits"] = gorilla
+
+    def periodicity(spark, sf):
+        # KMP smallest-period detection (textstats.py::string_periodicity):
+        # long-unit template spam the token-level repetition signals miss;
+        # O(n) failure function in mapInPandas, quadratic border twin in the
+        # oracle; doc_id%5==0 docs replaced by an exact 20-char×10 stamp.
+        from aiwhispr_spark.operators.textstats import string_periodicity
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.repeat(F.substring("text", 1, 20), 10),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return string_periodicity(d, "text", "doc_id", max_chars=200).orderBy("id")
+
+    q["string_periodicity"] = periodicity
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -9083,6 +9131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules_2item",
         "ppr_push_local",
         "hard_negative_mining",
+        "ams_f2_sketch",
+        "timeseries_gorilla_bits",
+        "string_periodicity",
         "tpch_q12_late_priority",
         "tpch_q13_order_distribution",
         "tpch_q19_disjunctive_revenue",
@@ -16293,6 +16344,91 @@ def oracle_sql() -> dict[str, str]:
                         AS neg_rank
                FROM neg)
         SELECT qid, id AS neg_id, score_i, neg_rank FROM rk WHERE neg_rank <= 5
+    """
+    o["ams_f2_sketch"] = """
+        WITH toks AS (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> '')) AS item
+          FROM documents
+        ),
+        cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt
+                FROM toks GROUP BY 1),
+        ests AS (SELECT unnest(generate_series(0, 7)) AS est_id),
+        signed AS (
+          SELECT e.est_id,
+                 CASE WHEN ('0x' || substr(
+                        md5(CAST(e.est_id AS VARCHAR) || ':' || c.item),
+                        1, 1))::BIGINT % 2 = 0
+                      THEN c.cnt ELSE -c.cnt END AS signed
+          FROM cnt c, ests e
+        ),
+        z AS (SELECT est_id, CAST(sum(signed) AS BIGINT) AS z
+              FROM signed GROUP BY 1),
+        exact AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact FROM cnt)
+        SELECT CAST(est_id AS BIGINT) AS est_id, z,
+               CAST(z * z AS BIGINT) AS f2_est, f2_exact
+        FROM z, exact ORDER BY est_id
+    """
+    o["timeseries_gorilla_bits"] = """
+        WITH t AS (SELECT user_id AS series,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS t
+                   FROM events),
+        l AS (SELECT series, t,
+                     lag(t, 1) OVER (PARTITION BY series ORDER BY t) AS t1,
+                     lag(t, 2) OVER (PARTITION BY series ORDER BY t) AS t2
+              FROM t),
+        b AS (
+          SELECT series,
+                 CASE WHEN t1 IS NULL THEN 64
+                      WHEN t2 IS NULL THEN 36
+                      WHEN (t - t1) - (t1 - t2) = 0 THEN 1
+                      WHEN (t - t1) - (t1 - t2) BETWEEN -63 AND 64 THEN 9
+                      WHEN (t - t1) - (t1 - t2) BETWEEN -255 AND 256 THEN 12
+                      WHEN (t - t1) - (t1 - t2) BETWEEN -2047 AND 2048 THEN 16
+                      ELSE 36 END AS bits
+          FROM l
+        ),
+        agg AS (SELECT series, CAST(count(*) AS BIGINT) AS n_points,
+                       CAST(sum(bits) AS BIGINT) AS gorilla_bits
+                FROM b GROUP BY 1)
+        SELECT series, n_points,
+               CAST(n_points * 8 AS BIGINT) AS raw_bytes,
+               gorilla_bits,
+               CAST((gorilla_bits + 7) // 8 AS BIGINT) AS gorilla_bytes,
+               CAST((n_points * 8 * 10000) // ((gorilla_bits + 7) // 8)
+                    AS BIGINT) AS ratio_i
+        FROM agg
+    """
+    o["string_periodicity"] = """
+        WITH src AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 substr(CASE WHEN doc_id % 5 = 0
+                        THEN repeat(substr(text, 1, 20), 10)
+                        ELSE text END, 1, 200) AS s
+          FROM documents
+        ),
+        nn AS (SELECT id, s, CAST(length(s) AS BIGINT) AS n FROM src),
+        spine AS (SELECT unnest(generate_series(1, 199)) AS p),
+        cand AS (
+          SELECT nn.id, spine.p
+          FROM nn JOIN spine ON spine.p < nn.n
+          WHERE substr(nn.s, 1, CAST(nn.n - spine.p AS INT))
+                  = substr(nn.s, CAST(spine.p + 1 AS INT),
+                           CAST(nn.n - spine.p AS INT))
+        ),
+        per AS (
+          SELECT nn.id, nn.n,
+                 CAST(coalesce(min(c.p), nn.n) AS BIGINT) AS period
+          FROM nn LEFT JOIN cand c ON c.id = nn.id
+          GROUP BY 1, 2
+        )
+        SELECT id, n, period,
+               CAST(CASE WHEN period > 0 THEN n // period ELSE 0 END AS BIGINT)
+                 AS n_units,
+               CAST(CASE WHEN n > 0 AND period <= n // 2 AND n % period = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_periodic
+        FROM per ORDER BY id
     """
     o["tpch_q12_late_priority"] = """
         WITH li AS (

@@ -211,3 +211,72 @@ def column_encoding_stats(
     for o in outs[1:]:
         u = u.unionByName(o)
     return u
+
+
+def gorilla_timestamp_bits(
+    df: DataFrame,
+    series_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gorilla delta-of-delta timestamp encoding cost (Pelkonen et al.,
+    VLDB 2015 §4.1): per series, sort by time and encode each timestamp as
+    D = (tᵢ − tᵢ₋₁) − (tᵢ₋₁ − tᵢ₋₂); the bit schedule is the paper's —
+    D = 0 → 1 bit, [−63, 64] → 9, [−255, 256] → 12, [−2047, 2048] → 16,
+    else 36; the first point costs 64 (header) and the second 64 + the
+    first delta is carried at 36 (conservative single-delta arm).  The
+    integer byte estimate drives the same decision `column_encoding_stats`
+    makes for RLE/dict: is this column worth a timeseries codec at rest?
+
+    Ties in `ts` within a series order by a stable tie-break (ts, then the
+    row's rank among equal stamps is irrelevant to D since equal stamps
+    give D-chain over identical values — deterministic either way).
+    Timestamps FLOOR to whole seconds (unix_timestamp semantics; the twin
+    must floor(epoch(ts)) too — CAST alone rounds half-even on sub-second
+    stamps and the bit buckets shift).
+
+    Output per series: (series, n_points, raw_bytes = 8·n, gorilla_bits,
+    gorilla_bytes = ceil(bits/8), ratio_i = raw·10⁴ div gorilla_bytes).
+
+    100 TB shape: one window PARTITIONED BY series (the rowgroup-scoped
+    column_encoding_stats discipline — never a global sort) with two lags,
+    then a per-series aggregate; all arithmetic exact BIGINT."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(series_col).orderBy(ts_col)
+    t = df.select(
+        F.col(series_col).alias("series"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("t"),
+    ).withColumn("t1", F.lag("t", 1).over(Window.partitionBy("series").orderBy("t")))
+    t = t.withColumn("t2", F.lag("t", 2).over(Window.partitionBy("series").orderBy("t")))
+    bits = (
+        F.when(F.col("t1").isNull(), F.lit(64))  # header point
+        .when(F.col("t2").isNull(), F.lit(36))  # first delta, conservative arm
+        .otherwise(
+            _dod_bits(F.col("t") - F.col("t1") - (F.col("t1") - F.col("t2")))
+        )
+    )
+    per = t.select("series", bits.cast("long").alias("bits"))
+    agg = per.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("bits").cast("long").alias("gorilla_bits"),
+    )
+    return agg.select(
+        "series",
+        "n_points",
+        (F.col("n_points") * 8).cast("long").alias("raw_bytes"),
+        "gorilla_bits",
+        F.expr("CAST((gorilla_bits + 7) div 8 AS BIGINT)").alias("gorilla_bytes"),
+        F.expr(
+            "CAST((n_points * 8 * 10000) div ((gorilla_bits + 7) div 8) AS BIGINT)"
+        ).alias("ratio_i"),
+    )
+
+
+def _dod_bits(d):
+    return (
+        F.when(d == 0, F.lit(1))
+        .when((d >= -63) & (d <= 64), F.lit(9))
+        .when((d >= -255) & (d <= 256), F.lit(12))
+        .when((d >= -2047) & (d <= 2048), F.lit(16))
+        .otherwise(F.lit(36))
+    )

@@ -315,3 +315,57 @@ def kmv_pair_jaccard(
         .cast("long")
         .alias("est_inter"),
     )
+
+
+def ams_f2_sketch(
+    df: DataFrame,
+    item_col: str,
+    n_estimators: int = 8,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy '96): each
+    estimator j keeps one counter Z_j = Σ_x s_j(x)·f(x) with a ±1 hash sign
+    s_j(x); E[Z²] = F₂ = Σ f(x)² — the self-join size / skew statistic a
+    planner wants without holding per-key counts.  Signs derive from
+    md5(j:x) first-nibble parity (cross-engine deterministic, the
+    kmv/minhash_md5 convention).
+
+    Output one row per estimator: (est_id, z, f2_est = z²) plus the exact
+    F₂ alongside (f2_exact) — the probe-all ≡ exact gate pattern: the test
+    pins mean(f2_est) within bounds of f2_exact, the oracle hashes the
+    whole per-estimator state.  All BIGINT; z² stays in range while
+    Σf < 3e9 — at web scale the counters move to DECIMAL(38) (docstring
+    contract, same as the lift bound in rulemine).
+
+    100 TB shape: ONE (item, cnt) aggregate, an 8-way literal explode over
+    the ITEM-KEYED counts (never the raw stream), then an 8-key sum —
+    map-side combinable end to end; the sketch is mergeable by addition."""
+    cnt = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ests = F.array(*[F.lit(j) for j in range(n_estimators)])
+    signed = cnt.select(
+        "item",
+        "cnt",
+        F.explode(ests).alias("est_id"),
+    ).select(
+        "est_id",
+        F.when(
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.col("est_id"), F.col("item"))), 1, 1), 16, 10)
+            .cast("long") % 2 == 0,
+            F.col("cnt"),
+        )
+        .otherwise(-F.col("cnt"))
+        .alias("signed"),
+    )
+    z = signed.groupBy("est_id").agg(F.sum("signed").cast("long").alias("z"))
+    exact = cnt.agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("f2_exact"))
+    return (
+        z.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("est_id").cast("long").alias("est_id"),
+            "z",
+            (F.col("z") * F.col("z")).cast("long").alias("f2_est"),
+            "f2_exact",
+        )
+        .orderBy("est_id")
+    )

@@ -1280,3 +1280,74 @@ def wordpiece_encode(
             yield pd.DataFrame(rows, columns=["word", "n_pieces", "pieces", "is_unk"])
 
     return words.select(F.col(word_col)).distinct().mapInPandas(gen, schema)
+
+
+def string_periodicity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 200,
+) -> DataFrame:
+    """Smallest period of each document prefix (first ``max_chars`` chars):
+    the KMP failure-function period p = n − π(n) — the machine-generated /
+    template-spam signal repetition ratios miss when the repeated unit is
+    long (a 40-char sentence stamped 5× has no repeated token bigram
+    boundary issues but period 40).  ``is_periodic`` = the period divides n
+    AND p ≤ n/2 (the string is an exact repetition of ≥ 2 units).
+
+    Execution: O(n) failure function in ONE mapInPandas stage (the honest
+    python boundary, same as ROUGE's LCS); the oracle replays the
+    quadratic border definition relationally (min p with prefix(n−p) =
+    suffix(n−p)) — cap ``max_chars`` keeps that O(n²) twin cheap at gate
+    scale.  Returns (id, n, period, n_units, is_periodic)."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("n", LongType()),
+            StructField("period", LongType()),
+            StructField("n_units", LongType()),
+            StructField("is_periodic", LongType()),
+        ]
+    )
+
+    def period_of(s: str) -> int:
+        n = len(s)
+        pi = [0] * n
+        k = 0
+        for i in range(1, n):
+            while k > 0 and s[i] != s[k]:
+                k = pi[k - 1]
+            if s[i] == s[k]:
+                k += 1
+            pi[i] = k
+        return n - pi[n - 1] if n else 0
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for rid, txt in zip(pdf["id"], pdf["txt"]):
+                s = str(txt)[:max_chars]
+                n = len(s)
+                p = period_of(s)
+                periodic = 1 if n > 0 and p <= n // 2 and n % p == 0 else 0
+                rows.append(
+                    {
+                        "id": str(rid),
+                        "n": n,
+                        "period": p,
+                        "n_units": n // p if p else 0,
+                        "is_periodic": periodic,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "n", "period", "n_units", "is_periodic"]
+            )
+
+    src = df.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("txt")
+    )
+    return src.mapInPandas(gen, schema)
