@@ -1116,3 +1116,47 @@ def mine_hard_negatives(
         .filter(F.col("neg_rank") <= n_neg)
         .select("qid", F.col("id").alias("neg_id"), "score_i", "neg_rank")
     )
+
+
+def autocomplete_prefix_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 2,
+    max_len: int = 5,
+    k: int = 3,
+) -> DataFrame:
+    """Typeahead completion table: for every term prefix of length
+    [min_len, max_len], the top-k completions by corpus frequency (freq
+    desc, term asc — the deterministic typeahead contract).  A term whose
+    full length L ≤ max_len contributes itself as its own completion (the
+    standard trie semantics).
+
+    Scale shape: the corpus collapses to the (term, freq) vocabulary
+    FIRST; prefixes explode off vocab rows (≤ max_len−min_len+1 per term);
+    the rank window partitions by prefix over completion-sized groups
+    (WindowGroupLimit at scale) — the corpus never reaches the window.
+    Returns (prefix, term, freq, rnk)."""
+    from pyspark.sql.window import Window
+
+    vocab = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+        .filter((F.col("term") != "") & (F.length("term") >= min_len))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pref = vocab.select(
+        "term",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(min_len), F.least(F.lit(max_len), F.length("term"))),
+                lambda L: F.col("term").substr(F.lit(1), L),
+            )
+        ).alias("prefix"),
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("freq"), F.col("term"))
+    return (
+        pref.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("prefix", "term", "freq", "rnk")
+    )

@@ -277,3 +277,57 @@ def sitemap_urls_from_robots(
         .where(F.col("sitemap_url").isNotNull() & (F.col("sitemap_url") != ""))
         .distinct()
     )
+
+
+def revalidation_plan(
+    df,
+    now_ep: int,
+    url_col: str = "url",
+    etag_col: str = "etag",
+    lm_col: str = "lm_ep",
+    ma_col: str = "max_age_s",
+    fetched_col: str = "fetched_ep",
+):
+    """HTTP cache revalidation planner (RFC 7234-lite) — the recrawl-queue
+    decision a polite fetcher makes per cached page:
+
+    * ``fresh``            — explicit max-age not yet exceeded (no fetch);
+    * ``fresh_heuristic``  — no max-age, but age < 10% of (fetched −
+      Last-Modified), the §4.2.2 heuristic lifetime;
+    * ``revalidate_etag``  — stale with a validator → conditional GET
+      If-None-Match (a 304 costs headers, not bytes);
+    * ``revalidate_lm``    — stale, Last-Modified only → If-Modified-Since;
+    * ``refetch``          — no validator at all.
+
+    All epoch-second BIGINT math (age·10 < lifetime cross-multiplied — no
+    division); lifetime_s = −1 sentinel when no heuristic applies (visible,
+    never NULL).  Pure JVM CASE chain, zero shuffle — runs at scan speed
+    over the crawl-state table."""
+    from pyspark.sql import functions as F
+
+    age = (F.lit(int(now_ep)) - F.col(fetched_col)).cast("long")
+    has_ma = F.col(ma_col).isNotNull()
+    has_etag = F.col(etag_col).isNotNull()
+    has_lm = F.col(lm_col).isNotNull()
+    heur_life = (F.col(fetched_col) - F.col(lm_col)).cast("long")
+    decision = (
+        F.when(has_ma & (age < F.col(ma_col)), F.lit("fresh"))
+        .when(~has_ma & has_lm & (age * 10 < heur_life), F.lit("fresh_heuristic"))
+        .when(has_etag, F.lit("revalidate_etag"))
+        .when(has_lm, F.lit("revalidate_lm"))
+        .otherwise(F.lit("refetch"))
+    )
+    header = (
+        F.when(decision == "revalidate_etag", F.lit("if-none-match"))
+        .when(decision == "revalidate_lm", F.lit("if-modified-since"))
+        .otherwise(F.lit(""))
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        age.alias("age_s"),
+        F.when(~has_ma & has_lm, heur_life).otherwise(F.lit(-1)).cast("long").alias(
+            "lifetime_s"
+        ),
+        decision.alias("decision"),
+        header.alias("cond_header"),
+    )

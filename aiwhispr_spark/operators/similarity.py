@@ -357,3 +357,72 @@ def pq_adc_topk(
         id_col,
         "adc_i",
     )
+
+
+def matryoshka_overlap_eval(
+    df: DataFrame,
+    dims: tuple[int, ...] = (16, 32, 64),
+    n_queries: int = 5,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Matryoshka-truncation retrieval eval (Kusupati et al. 2022): how much
+    of the full-dimension top-k survives when the index stores only the
+    first d coordinates?  The d-vs-storage decision for a billion-vector
+    ANN tier wants exactly this table.
+
+    Exactness: vectors go through :func:`fixed_point_vectors` (round-half-
+    away ints) so every truncated dot product is an exact BIGINT; top-k
+    ties break (dot desc, id) — hash-gateable end to end.  The LAST entry
+    of ``dims`` is the full reference; its overlap row is k by construction
+    and stays visible (the self-gate).
+
+    Scale note: this is the brute-force EVAL harness (n_queries · corpus
+    dots per dim) — the measurement you run on a sample to pick d; the
+    production retrieval path is the IVF/LSH tier.  Same contract as
+    landmark_distance_eval's exact arm.
+
+    Returns (query_id, dims, overlap_at_k)."""
+    fp = fixed_point_vectors(df, vec_col=vec_col, id_col=id_col, scale=scale)
+    queries = fp.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("fp").alias("qfp")
+    )
+    full_d = dims[-1]
+    from pyspark.sql.window import Window
+
+    ranked = []
+    for d in dims:
+        dot = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qfp"), 1, d),
+                F.slice(F.col("fp"), 1, d),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        scored = (
+            fp.crossJoin(F.broadcast(queries))
+            .filter(F.col(id_col) != F.col("qid"))
+            .select("qid", F.col(id_col).alias("nid"), dot.alias("dot"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.col("nid"))
+        ranked.append(
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("qid", "nid", F.lit(d).cast("long").alias("dims"))
+        )
+    allr = ranked[0]
+    for r in ranked[1:]:
+        allr = allr.unionByName(r)
+    full = allr.filter(F.col("dims") == full_d).select(
+        "qid", "nid", F.lit(1).alias("_hit")
+    )
+    return (
+        allr.join(full, ["qid", "nid"], "left")
+        .groupBy(F.col("qid").alias("query_id"), "dims")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("overlap_at_k"))
+        .orderBy("query_id", "dims")
+    )

@@ -1,0 +1,82 @@
+"""Gates for revalidation planning, autocomplete, and Matryoshka eval:
+
+* revalidation — each RFC 7234-lite arm on a hand-built cache state,
+  max-age precedence over validators, heuristic cross-multiplication;
+* autocomplete — trie semantics (term completes its own short prefix),
+  frequency-then-lexicographic rank, min_len cutoff;
+* matryoshka — full-dim overlap is k by construction; truncated overlap
+  can only find true neighbors (subset sanity) on an orthogonal fixture.
+"""
+
+from __future__ import annotations
+
+from aiwhispr_spark.operators.fulltext import autocomplete_prefix_topk
+from aiwhispr_spark.operators.robots import revalidation_plan
+from aiwhispr_spark.operators.similarity import matryoshka_overlap_eval
+
+NOW = 1_000_000
+
+
+def test_revalidation_arms(spark):
+    rows = [
+        # url, fetched, etag, lm, max_age
+        ("fresh", NOW - 50, None, None, 100),
+        ("stale_etag", NOW - 500, 'W/"x"', NOW - 600, 100),  # etag beats lm
+        ("stale_lm", NOW - 500, None, NOW - 4_500, None),  # life 4000 <= 5000
+        ("heur", NOW - 500, None, NOW - 10_000, None),  # 5000 < 9500
+        ("bare", NOW - 500, None, None, None),
+        ("ma_zero", NOW - 500, 'W/"y"', None, 0),  # max-age 0 -> validator
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetched_ep long, etag string, lm_ep long, max_age_s long"
+    )
+    got = {r["url"]: r for r in revalidation_plan(df, NOW).collect()}
+    assert got["fresh"]["decision"] == "fresh" and got["fresh"]["cond_header"] == ""
+    assert got["stale_etag"]["decision"] == "revalidate_etag"
+    assert got["stale_etag"]["cond_header"] == "if-none-match"
+    assert got["stale_lm"]["decision"] == "revalidate_lm"
+    assert got["heur"]["decision"] == "fresh_heuristic"
+    assert got["heur"]["lifetime_s"] == 9_500
+    assert got["bare"]["decision"] == "refetch"
+    assert got["ma_zero"]["decision"] == "revalidate_etag"
+    assert got["fresh"]["lifetime_s"] == -1  # sentinel when max-age present
+
+
+def test_autocomplete_rank_and_self_completion(spark):
+    df = spark.createDataFrame(
+        [("spark spark spark spa sp x",)], "text string"
+    )
+    got = {
+        (r["prefix"], r["rnk"]): (r["term"], r["freq"])
+        for r in autocomplete_prefix_topk(df, k=3).collect()
+    }
+    # 'sp' completions by freq: spark(3), spa(1) < sp(1) lexicographically? ->
+    # ties (sp,1) vs (spa,1) break by term: 'sp' < 'spa'
+    assert got[("sp", 1)] == ("spark", 3)
+    assert got[("sp", 2)] == ("sp", 1)
+    assert got[("sp", 3)] == ("spa", 1)
+    # 'spark' completes itself at its full length (<= max_len)
+    assert got[("spark", 1)] == ("spark", 3)
+    # 'x' is below min_len: no prefix rows at all
+    assert not any(p.startswith("x") for p, _ in got)
+
+
+def test_matryoshka_full_dim_self_gate_and_orthogonal_prefix(spark):
+    # 8-dim toy: ids 0..5; vectors built so the 4-dim prefix ranking
+    # differs from the full: neighbor 5 hides its similarity in dims 5-8
+    rows = []
+    for i in range(6):
+        v = [0.0] * 8
+        v[i % 4] = 1.0
+        if i == 5:
+            v = [0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r["query_id"], r["dims"]): r["overlap_at_k"]
+        for r in matryoshka_overlap_eval(
+            df, dims=(4, 8), n_queries=2, k=2
+        ).collect()
+    }
+    assert out[(0, 8)] == 2 and out[(1, 8)] == 2  # self-gate
+    assert all(0 <= v <= 2 for v in out.values())
