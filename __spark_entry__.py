@@ -9167,6 +9167,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["matryoshka_overlap_eval"] = matryoshka
 
+    def complex_score(spark, sf):
+        # ComplEx scoring (kgscore.py::complex_scores, Trouillon 2016) over
+        # the kg_transe_score triple base — the conjugate fixes DistMult's
+        # symmetry collapse on directional relations (asymmetry pinned);
+        # pure JVM integer expression, zero shuffle.
+        from aiwhispr_spark.operators.kgscore import complex_scores
+
+        d = _t(spark, sf, "documents")
+        triples = d.select(
+            F.concat(F.lit("Entity_"), (F.col("doc_id") % 40).cast("string")).alias(
+                "subj"
+            ),
+            F.element_at(
+                F.array(F.lit("founded"), F.lit("acquired"), F.lit("based_in")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("pred"),
+            F.concat(
+                F.lit("Entity_"), ((F.col("doc_id") * 7 + 1) % 40).cast("string")
+            ).alias("obj"),
+        ).distinct()
+        return complex_scores(triples, dim=16)
+
+    q["kg_complex_score"] = complex_score
+
+    def apportion(spark, sf):
+        # Hamilton largest-remainder budget apportionment (mixing.py::
+        # apportion_largest_remainder): 1000 sample slots across sources by
+        # total chars — Σ alloc = budget EXACTLY (no float quota drift);
+        # remainder window is source-cardinality-sized (grouped_kfold
+        # discipline).
+        from aiwhispr_spark.operators.mixing import apportion_largest_remainder
+
+        w = (
+            _t(spark, sf, "documents")
+            .groupBy(F.col("source").alias("src"))
+            .agg(F.sum("n_chars").cast("long").alias("chars"))
+        )
+        return apportion_largest_remainder(w, "src", "chars", budget=1000)
+
+    q["sample_budget_apportionment"] = apportion
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -9190,6 +9231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_revalidation_plan",
         "autocomplete_prefix_topk",
         "matryoshka_overlap_eval",
+        "kg_complex_score",
+        "sample_budget_apportionment",
         "tpch_q12_late_priority",
         "tpch_q13_order_distribution",
         "tpch_q19_disjunctive_revenue",
@@ -16571,6 +16614,48 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS overlap_at_k
         FROM top t LEFT JOIN full64 f ON f.qid = t.qid AND f.nid = t.nid
         GROUP BY 1, 2 ORDER BY query_id, dims
+    """
+    o["kg_complex_score"] = """
+        WITH t AS (
+          SELECT DISTINCT
+                 'Entity_' || (doc_id % 40) AS subj,
+                 CASE doc_id % 3 WHEN 0 THEN 'founded'
+                                 WHEN 1 THEN 'acquired'
+                                 ELSE 'based_in' END AS pred,
+                 'Entity_' || ((doc_id * 7 + 1) % 40) AS obj
+          FROM documents)
+        SELECT subj, pred, obj,
+               CAST(list_aggregate(list_transform(range(0, 16), i ->
+                   ((('0x' || substr(md5('re:' || subj || ':' || i), 1, 8))::BIGINT % 2001) - 1000)
+                 * ((('0x' || substr(md5('re:rel:' || pred || ':' || i), 1, 8))::BIGINT % 2001) - 1000)
+                 * ((('0x' || substr(md5('re:' || obj || ':' || i), 1, 8))::BIGINT % 2001) - 1000)
+                 + ((('0x' || substr(md5('im:' || subj || ':' || i), 1, 8))::BIGINT % 2001) - 1000)
+                 * ((('0x' || substr(md5('re:rel:' || pred || ':' || i), 1, 8))::BIGINT % 2001) - 1000)
+                 * ((('0x' || substr(md5('im:' || obj || ':' || i), 1, 8))::BIGINT % 2001) - 1000)
+                 + ((('0x' || substr(md5('re:' || subj || ':' || i), 1, 8))::BIGINT % 2001) - 1000)
+                 * ((('0x' || substr(md5('im:rel:' || pred || ':' || i), 1, 8))::BIGINT % 2001) - 1000)
+                 * ((('0x' || substr(md5('im:' || obj || ':' || i), 1, 8))::BIGINT % 2001) - 1000)
+                 - ((('0x' || substr(md5('im:' || subj || ':' || i), 1, 8))::BIGINT % 2001) - 1000)
+                 * ((('0x' || substr(md5('im:rel:' || pred || ':' || i), 1, 8))::BIGINT % 2001) - 1000)
+                 * ((('0x' || substr(md5('re:' || obj || ':' || i), 1, 8))::BIGINT % 2001) - 1000)
+               ), 'sum') AS BIGINT) AS score_i
+        FROM t
+    """
+    o["sample_budget_apportionment"] = """
+        WITH w AS (SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS weight
+                   FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+        qq AS (SELECT key, weight,
+                      CAST((1000 * weight) // wsum AS BIGINT) AS base_alloc,
+                      CAST((1000 * weight) % wsum AS BIGINT) AS rem
+               FROM w, tot),
+        r AS (SELECT CAST(1000 - sum(base_alloc) AS BIGINT) AS n_extra FROM qq),
+        rk AS (SELECT qq.*, row_number() OVER (ORDER BY rem DESC, key) AS _rk
+               FROM qq)
+        SELECT key, weight, base_alloc,
+               CAST(base_alloc + CASE WHEN _rk <= r.n_extra THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM rk, r
     """
     o["tpch_q12_late_priority"] = """
         WITH li AS (

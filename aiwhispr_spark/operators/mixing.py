@@ -445,3 +445,56 @@ def curriculum_order(
     return global_row_number(
         base, [F.col("bucket"), F.col("_shuf"), F.col(id_col)], "rank"
     ).select("rank", id_col, "bucket")
+
+
+def apportion_largest_remainder(
+    df,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+):
+    """Hamilton largest-remainder apportionment of an integer budget across
+    weighted keys (the seat-allocation method; here: sampling-budget or
+    epoch-slot allocation across sources — the integer-exact complement to
+    the UniMax water-fill).  quota_h = budget·w_h / W; every key gets
+    ⌊quota⌋ and the R = budget − Σ⌊quota⌋ largest remainders get one more
+    (ties: remainder desc, key asc).  Σ alloc = budget EXACTLY — no float
+    quota ever drifts the total.  Zero/NULL-weight keys stay VISIBLE with
+    alloc 0 (they also provably never win a remainder seat: Σrem = R·W
+    with each rem < W).
+
+    100 TB shape: one weight aggregate broadcast as (W, Σbase, i.e. R)
+    literals; the remainder rank is a window over KEY-cardinality rows
+    (sources, not documents) — the grouped-kfold discipline.
+
+    Returns (key, weight, base_alloc, alloc)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    b = int(budget)
+    w = df.select(
+        F.col(key_col).alias("key"),
+        F.coalesce(F.col(weight_col), F.lit(0)).cast("long").alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").cast("long").alias("wsum"))
+    q = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("base_alloc", F.expr(f"CAST(({b} * weight) div wsum AS BIGINT)"))
+        .withColumn("rem", F.expr(f"CAST(({b} * weight) % wsum AS BIGINT)"))
+    )
+    r_tot = q.agg(
+        (F.lit(b) - F.sum("base_alloc")).cast("long").alias("n_extra")
+    )
+    win = Window.orderBy(F.desc("rem"), F.col("key"))
+    return (
+        q.crossJoin(F.broadcast(r_tot))
+        .withColumn("_rk", F.row_number().over(win))
+        .select(
+            "key",
+            "weight",
+            "base_alloc",
+            (F.col("base_alloc") + (F.col("_rk") <= F.col("n_extra")).cast("long"))
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

