@@ -9208,6 +9208,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_budget_apportionment"] = apportion
 
+    def set_cover(spark, sf):
+        # Greedy weighted set cover (mixing.py::greedy_source_cover): which
+        # 4 part brands maximize type#size coverage (25 brands × 299 items,
+        # best single brand covers 83 — all 4 rounds do real work, unlike a
+        # vocabulary incidence where source 1 covers everything) —
+        # declarative winner-as-1-row-frame rounds, no driver collect;
+        # oracle unrolls the same 4 rounds.
+        from aiwhispr_spark.operators.mixing import greedy_source_cover
+
+        inc = _t(spark, sf, "part").select(
+            F.col("p_brand").alias("source"),
+            F.concat_ws("#", F.col("p_type"), F.col("p_size")).alias("item"),
+        )
+        return greedy_source_cover(inc, "source", "item", k=4)
+
+    q["greedy_source_cover"] = set_cover
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -9233,6 +9250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_overlap_eval",
         "kg_complex_score",
         "sample_budget_apportionment",
+        "greedy_source_cover",
         "tpch_q12_late_priority",
         "tpch_q13_order_distribution",
         "tpch_q19_disjunctive_revenue",
@@ -16656,6 +16674,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(base_alloc + CASE WHEN _rk <= r.n_extra THEN 1 ELSE 0 END
                     AS BIGINT) AS alloc
         FROM rk, r
+    """
+    o["greedy_source_cover"] = """
+        WITH inc AS (SELECT DISTINCT p_brand AS src,
+                           p_type || '#' || p_size AS item FROM part),
+        g1 AS (SELECT src, CAST(count(DISTINCT item) AS BIGINT) AS gain
+                FROM inc GROUP BY 1),
+        w1 AS (SELECT src, gain FROM g1 ORDER BY gain DESC, src LIMIT 1),
+        c1 AS (SELECT DISTINCT i.item FROM inc i JOIN w1 USING (src)),
+        u1 AS (SELECT i.src, i.item FROM inc i
+                LEFT JOIN c1 cc ON cc.item = i.item WHERE cc.item IS NULL),
+        g2 AS (SELECT src, CAST(count(DISTINCT item) AS BIGINT) AS gain
+                FROM u1 GROUP BY 1),
+        w2 AS (SELECT src, gain FROM g2 ORDER BY gain DESC, src LIMIT 1),
+        c2 AS (SELECT DISTINCT i.item FROM u1 i JOIN w2 USING (src)),
+        u2 AS (SELECT i.src, i.item FROM u1 i
+                LEFT JOIN c2 cc ON cc.item = i.item WHERE cc.item IS NULL),
+        g3 AS (SELECT src, CAST(count(DISTINCT item) AS BIGINT) AS gain
+                FROM u2 GROUP BY 1),
+        w3 AS (SELECT src, gain FROM g3 ORDER BY gain DESC, src LIMIT 1),
+        c3 AS (SELECT DISTINCT i.item FROM u2 i JOIN w3 USING (src)),
+        u3 AS (SELECT i.src, i.item FROM u2 i
+                LEFT JOIN c3 cc ON cc.item = i.item WHERE cc.item IS NULL),
+        g4 AS (SELECT src, CAST(count(DISTINCT item) AS BIGINT) AS gain
+                FROM u3 GROUP BY 1),
+        w4 AS (SELECT src, gain FROM g4 ORDER BY gain DESC, src LIMIT 1),
+        c4 AS (SELECT DISTINCT i.item FROM u3 i JOIN w4 USING (src)),
+        u4 AS (SELECT i.src, i.item FROM u3 i
+                LEFT JOIN c4 cc ON cc.item = i.item WHERE cc.item IS NULL),
+        picks AS (SELECT 1 AS round, src, gain FROM w1
+          UNION ALL SELECT 2 AS round, src, gain FROM w2
+          UNION ALL SELECT 3 AS round, src, gain FROM w3
+          UNION ALL SELECT 4 AS round, src, gain FROM w4)
+        SELECT CAST(round AS BIGINT) AS round, src AS source, gain,
+               CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
+        FROM picks
     """
     o["tpch_q12_late_priority"] = """
         WITH li AS (

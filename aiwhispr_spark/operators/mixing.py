@@ -498,3 +498,54 @@ def apportion_largest_remainder(
             .alias("alloc"),
         )
     )
+
+
+def greedy_source_cover(
+    df,
+    source_col: str,
+    item_col: str,
+    k: int = 4,
+):
+    """Greedy weighted set cover for source selection (the classic (1−1/e)
+    approximation): pick k sources one at a time, each maximizing the count
+    of NOT-YET-COVERED items — the coverage-driven way to choose which
+    corpora/domains enter a training mix when the budget is "k sources",
+    complementing the token-budget allocators (waterfill, apportionment).
+
+    Deterministic: ties break (gain desc, source asc).  Entirely
+    declarative — the per-round winner stays a 1-ROW FRAME joined back
+    (broadcast), never a driver collect; covered-set state localCheckpoints
+    per round (the bounded-rounds iterative contract).  A round whose
+    uncovered incidence is empty emits nothing (visible by absence of that
+    round index — the cover is complete).
+
+    100 TB shape: per round one (source)-keyed aggregate over the UNCOVERED
+    incidence (which only shrinks) + one anti-join; k is small by contract.
+
+    Returns (round, source, gain, covered_total)."""
+    from pyspark.sql import functions as F
+
+    inc = df.select(
+        F.col(source_col).alias("src"), F.col(item_col).alias("item")
+    ).distinct()
+    covered_total = 0
+    out = None
+    remaining = inc.localCheckpoint()
+    for rnd in range(1, k + 1):
+        gains = remaining.groupBy("src").agg(
+            F.countDistinct("item").cast("long").alias("gain")
+        )
+        winner = gains.orderBy(F.desc("gain"), F.col("src")).limit(1)
+        row = winner.select(
+            F.lit(rnd).cast("long").alias("round"), "src", "gain"
+        ).localCheckpoint()
+        new_cov = remaining.join(F.broadcast(winner.select("src")), "src").select("item")
+        remaining = remaining.join(new_cov, "item", "left_anti").localCheckpoint()
+        out = row if out is None else out.unionByName(row)
+    # cumulative coverage: running sum over the k-row result (k rows only)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("round")
+    return out.withColumn(
+        "covered_total", F.sum("gain").over(w).cast("long")
+    ).select("round", F.col("src").alias("source"), "gain", "covered_total")
