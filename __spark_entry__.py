@@ -16442,10 +16442,10 @@ def oracle_sql() -> dict[str, str]:
                  FROM postings p JOIN q ON q.token = p.token),
         scored AS (
           SELECT h.qid, h.id,
-                 CAST(round(10000 * sum(
+                 CAST(sum(CAST(round(10000 *
                    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
                    * h.tf / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
-                 )) AS BIGINT) AS score_i
+                 ) AS BIGINT)) AS BIGINT) AS score_i
           FROM hits h JOIN dfp d USING (token) JOIN dl l ON l.id = h.id, stats s
           GROUP BY 1, 2
         ),

@@ -852,14 +852,16 @@ def _ppjoin_parts(
         .groupBy("id", "sz")
         .agg(F.sort_array(F.collect_list(F.struct("tdf", "tok"))).alias("ord"))
     )
-    # prefix length = sz - ceil(t*sz) + 1; ceil in exact integer arithmetic
-    pref_len = (
-        F.col("sz") - ((F.lit(t_i) * F.col("sz") + F.lit(scale - 1)) / F.lit(scale)).cast("long") + 1
+    # prefix length = sz - ceil(t*sz) + 1; ceil via INTEGER div (the `/`
+    # operator is double division — exact only below 2^53, and this
+    # operator's whole contract is exactness)
+    pref_len = F.expr(
+        f"CAST(sz - (({t_i} * sz + {int(scale) - 1}) div {int(scale)}) + 1 AS INT)"
     )
     pref = ordered.select(
         "id",
         "sz",
-        F.explode(F.slice(F.col("ord"), 1, pref_len.cast("int"))).alias("p"),
+        F.explode(F.slice(F.col("ord"), 1, pref_len)).alias("p"),
     ).select("id", "sz", F.col("p.tok").alias("ptok"))
     cand = (
         pref.alias("l")

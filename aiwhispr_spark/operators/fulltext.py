@@ -437,14 +437,41 @@ def search_terms_bm25(
     terms = sorted({t.lower() for t in terms})
     spark = index.sparkSession
     q = spark.createDataFrame([(t,) for t in terms], "token string")
+    scored = (
+        _bm25_contrib_hits(index, doc_lengths, q, k1, b)
+        .groupBy("id")
+        .agg(
+            F.round(F.sum("contrib") * 10000).cast("long").alias("score_i"),
+            F.countDistinct("token").cast("int").alias("n_terms"),
+        )
+    )
+    return scored.orderBy(F.col("score_i").desc(), F.col("id")).limit(k)
 
+
+def _bm25_contrib_hits(
+    index: DataFrame,
+    doc_lengths: DataFrame,
+    query: DataFrame,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The ONE BM25 formula both ranked search and hard-negative mining
+    score with (fix the math HERE, once — the _fuzzy_vocab_match rule):
+    per-(query-row, id, token) double ``contrib`` = idf·tf/(tf + k1·(1−b +
+    b·dl/avgdl)), Lucene's non-negative idf.  ``query`` is a broadcastable
+    (token[, qid…]) frame; df/idf are GLOBAL per token regardless of how
+    many query rows share the term."""
     stats = doc_lengths.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    hits = index.join(F.broadcast(q), "token")
-    df_per_term = hits.groupBy("token").agg(F.countDistinct("id").alias("df"))
-    scored = (
+    hits = index.join(F.broadcast(query), "token")
+    df_per_term = (
+        index.join(F.broadcast(query.select("token").distinct()), "token")
+        .groupBy("token")
+        .agg(F.countDistinct("id").alias("df"))
+    )
+    return (
         hits.join(F.broadcast(df_per_term), "token")
         .join(doc_lengths, "id")
         .crossJoin(F.broadcast(stats))
@@ -458,13 +485,7 @@ def search_terms_bm25(
             * F.col("tf")
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
         )
-        .groupBy("id")
-        .agg(
-            F.round(F.sum("contrib") * 10000).cast("long").alias("score_i"),
-            F.countDistinct("token").cast("int").alias("n_terms"),
-        )
     )
-    return scored.orderBy(F.col("score_i").desc(), F.col("id")).limit(k)
 
 
 def best_snippet(
@@ -1067,9 +1088,11 @@ def mine_hard_negatives(
     score_i, neg_rank) with the ``n_neg`` top-scored non-gold docs per
     query.
 
-    Same double-math association order as :func:`search_terms_bm25` so
-    round(1e4·score) hashes identically cross-engine; df/idf are GLOBAL
-    per token (shared across queries sharing a term).
+    Shares :func:`_bm25_contrib_hits` with search_terms_bm25 (one formula,
+    one place); each term's contrib rounds to a scaled int BEFORE the
+    integer sum (the ROUND-SUM rule — a 3-term float sum is summation-
+    order dependent); df/idf are GLOBAL per token (shared across queries
+    sharing a term).
 
     Scale shape: the query table is (qid, token) broadcast; postings filter
     to it first; the only corpus-sized shuffle is the (qid, id) score sum;
@@ -1082,32 +1105,16 @@ def mine_hard_negatives(
     )
     spark = index.sparkSession
     q = spark.createDataFrame(rows, "qid string, token string")
-    stats = doc_lengths.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    hits = index.join(F.broadcast(q), "token")
-    df_per_term = (
-        index.join(F.broadcast(q.select("token").distinct()), "token")
-        .groupBy("token")
-        .agg(F.countDistinct("id").alias("df"))
-    )
+    # per-TERM scaled-int rounding BEFORE the integer sum (the dirichlet /
+    # ROUND-SUM rule): a 3+-term float sum rounds summation-order-
+    # dependently, and partial aggregation orders differ across engines
     scored = (
-        hits.join(F.broadcast(df_per_term), "token")
-        .join(doc_lengths, "id")
-        .crossJoin(F.broadcast(stats))
+        _bm25_contrib_hits(index, doc_lengths, q, k1, b)
         .withColumn(
-            "idf",
-            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
-        )
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * F.col("tf")
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+            "term_i", F.round(F.col("contrib") * 10000).cast("long")
         )
         .groupBy("qid", "id")
-        .agg(F.round(F.sum("contrib") * 10000).cast("long").alias("score_i"))
+        .agg(F.sum("term_i").cast("long").alias("score_i"))
     )
     neg = scored.join(positives.select("qid", "id"), ["qid", "id"], "left_anti")
     w = Window.partitionBy("qid").orderBy(F.desc("score_i"), F.col("id"))

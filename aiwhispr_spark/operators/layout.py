@@ -242,7 +242,6 @@ def gorilla_timestamp_bits(
     then a per-series aggregate; all arithmetic exact BIGINT."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(series_col).orderBy(ts_col)
     t = df.select(
         F.col(series_col).alias("series"),
         F.unix_timestamp(F.col(ts_col)).cast("long").alias("t"),

@@ -477,10 +477,25 @@ def apportion_largest_remainder(
         F.coalesce(F.col(weight_col), F.lit(0)).cast("long").alias("weight"),
     )
     tot = w.agg(F.sum("weight").cast("long").alias("wsum"))
+    # wsum = 0 (all weights zero/NULL) is degenerate: every alloc is 0 —
+    # defined, visible, and NOT the Σalloc=budget contract (stated here);
+    # without the guard Spark's div/% return NULL and the twin diverges
     q = (
         w.crossJoin(F.broadcast(tot))
-        .withColumn("base_alloc", F.expr(f"CAST(({b} * weight) div wsum AS BIGINT)"))
-        .withColumn("rem", F.expr(f"CAST(({b} * weight) % wsum AS BIGINT)"))
+        .withColumn(
+            "base_alloc",
+            F.expr(
+                f"CAST(CASE WHEN wsum = 0 THEN 0 "
+                f"ELSE ({b} * weight) div wsum END AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "rem",
+            F.expr(
+                f"CAST(CASE WHEN wsum = 0 THEN 0 "
+                f"ELSE ({b} * weight) % wsum END AS BIGINT)"
+            ),
+        )
     )
     r_tot = q.agg(
         (F.lit(b) - F.sum("base_alloc")).cast("long").alias("n_extra")
@@ -493,7 +508,13 @@ def apportion_largest_remainder(
             "key",
             "weight",
             "base_alloc",
-            (F.col("base_alloc") + (F.col("_rk") <= F.col("n_extra")).cast("long"))
+            # seats require a POSITIVE remainder: provably a no-op in the
+            # normal case (R < #nonzero-rem keys), and it keeps the
+            # degenerate wsum=0 frame (n_extra = budget, all rems 0) at 0
+            (
+                F.col("base_alloc")
+                + ((F.col("_rk") <= F.col("n_extra")) & (F.col("rem") > 0)).cast("long")
+            )
             .cast("long")
             .alias("alloc"),
         )
@@ -539,7 +560,10 @@ def greedy_source_cover(
         row = winner.select(
             F.lit(rnd).cast("long").alias("round"), "src", "gain"
         ).localCheckpoint()
-        new_cov = remaining.join(F.broadcast(winner.select("src")), "src").select("item")
+        # join against the CHECKPOINTED row, not the lazy winner — otherwise
+        # the gains aggregate + top-1 sort re-execute when remaining
+        # materializes (2x the expensive step per round)
+        new_cov = remaining.join(F.broadcast(row.select("src")), "src").select("item")
         remaining = remaining.join(new_cov, "item", "left_anti").localCheckpoint()
         out = row if out is None else out.unionByName(row)
     # cumulative coverage: running sum over the k-row result (k rows only)

@@ -1177,9 +1177,10 @@ def lexical_diversity_panel(
     spam, template farms) screen out of training mixes on K.
 
     All-BIGINT: ttr_i = types·scale div N, hapax_i = hapax·scale div N,
-    yule_k_i = 10^4·100·(S2−N) div N² (K to 2 decimals — K itself carries
-    the 10^4; a fatter factor overflows BIGINT at S2 ≈ 10^10, i.e. a few
-    million tokens in one skewed group, under ANSI arithmetic).  Exact
+    yule_k_i = scale·(S2−N) div N² — at the default scale=1e6 that is K to
+    2 decimals (K itself carries the 10^4); the factor overflows BIGINT at
+    scale·S2 ≈ 9e18, so drop scale for multi-million-token groups (the
+    knob THREADS through — it must not silently apply to TTR only).  Exact
     cross-multiplied integers.  Scale: two map-side-combinable aggregates —
     (group, token) counts then a group rollup; shuffle rows are token keys,
     never text."""
@@ -1208,7 +1209,7 @@ def lexical_diversity_panel(
         F.expr(f"CAST(({s} * n_types) div n_tokens AS BIGINT)").alias("ttr_i"),
         F.expr(f"CAST(({s} * n_hapax) div n_tokens AS BIGINT)").alias("hapax_i"),
         F.expr(
-            "CAST((1000000 * (s2 - n_tokens)) div (n_tokens * n_tokens) AS BIGINT)"
+            f"CAST(({s} * (s2 - n_tokens)) div (n_tokens * n_tokens) AS BIGINT)"
         ).alias("yule_k_i"),
     )
 

@@ -71,3 +71,11 @@ def test_apportionment_zero_weight_visible_never_seated(spark):
     # 9*7=63 -> base 6 rem 3; 9*3=27 -> base 2 rem 7; the one extra seat
     # goes to d (remainder 7 beats 3)
     assert got["a"]["alloc"] == 6 and got["d"]["alloc"] == 3
+
+
+def test_apportionment_all_zero_weights_degenerate(spark):
+    # wsum = 0: every alloc is 0 (defined, visible) — never NULL, never a
+    # key-order seat handout from n_extra = budget
+    df = spark.createDataFrame([("a", 0), ("b", None)], "src string, w long")
+    got = {r["key"]: r["alloc"] for r in apportion_largest_remainder(df, "src", "w", 5).collect()}
+    assert got == {"a": 0, "b": 0}

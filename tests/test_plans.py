@@ -250,6 +250,6 @@ def test_tpch_q13_left_join_counts_matches_not_rows(spark):
     import duckdb
 
     n_cust = duckdb.sql(
-        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/customer.parquet')"
+        f"SELECT count(*) FROM read_parquet('{SF}/customer.parquet')"
     ).fetchone()[0]
     assert total == n_cust  # every customer lands in exactly one bucket
