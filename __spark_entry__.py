@@ -9225,6 +9225,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["greedy_source_cover"] = set_cover
 
+    def densest(spark, sf):
+        # Batched densest-subgraph peeling (graph_query.py::densest_
+        # subgraph_peel, Charikar via Bahmani batching): O(log n) rounds,
+        # cross-multiplied integer threshold, densest snapshot flagged.
+        # Fixture = planted 8-clique core + 20-ring + 30 leaves hanging off
+        # one core node: round 1 peels leaves+ring, round 2 isolates the
+        # clique (the BEST snapshot — best ≠ round 1 exercises the flag),
+        # round 3 peels the regular remainder to empty (visible fixpoint
+        # rows).  The near-regular host graph peels to empty in ONE round
+        # (avg-degree rule), which gates nothing.
+        from aiwhispr_spark.operators.graph_query import densest_subgraph_peel
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        core = d.select((F.col("doc_id") % 8).alias("v")).distinct()
+        clique = (
+            core.alias("x")
+            .crossJoin(core.alias("y"))
+            .filter(F.col("x.v") < F.col("y.v"))
+            .select(
+                F.concat(F.lit("c"), F.col("x.v").cast("string")).alias("src"),
+                F.concat(F.lit("c"), F.col("y.v").cast("string")).alias("dst"),
+            )
+        )
+        ring = d.filter(F.col("doc_id") < 20).select(
+            F.concat(F.lit("r"), F.col("doc_id").cast("string")).alias("src"),
+            F.concat(F.lit("r"), ((F.col("doc_id") + 1) % 20).cast("string")).alias(
+                "dst"
+            ),
+        )
+        leaves = d.filter(F.col("doc_id") < 30).select(
+            F.concat(F.lit("l"), F.col("doc_id").cast("string")).alias("src"),
+            F.lit("c0").alias("dst"),
+        )
+        edges = clique.unionByName(ring).unionByName(leaves)
+        return densest_subgraph_peel(edges, rounds=5).orderBy("round")
+
+    q["densest_subgraph_peel"] = densest
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -9251,6 +9289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_complex_score",
         "sample_budget_apportionment",
         "greedy_source_cover",
+        "densest_subgraph_peel",
         "tpch_q12_late_priority",
         "tpch_q13_order_distribution",
         "tpch_q19_disjunctive_revenue",
@@ -16709,6 +16748,116 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(round AS BIGINT) AS round, src AS source, gain,
                CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
         FROM picks
+    """
+    o["densest_subgraph_peel"] = """
+        WITH d0 AS (SELECT doc_id FROM documents),
+        core AS (SELECT DISTINCT doc_id % 8 AS v FROM d0),
+        raw AS (
+          SELECT 'c' || x.v AS src, 'c' || y.v AS dst
+          FROM core x, core y WHERE x.v < y.v
+          UNION ALL
+          SELECT 'r' || doc_id, 'r' || ((doc_id + 1) % 20)
+          FROM d0 WHERE doc_id < 20
+          UNION ALL
+          SELECT 'l' || doc_id, 'c0' FROM d0 WHERE doc_id < 30
+        ),
+        he AS (
+          SELECT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst
+        ),
+        e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM he),
+        d1 AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e0
+                      UNION ALL SELECT b FROM e0) GROUP BY 1),
+        t1 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                        CAST(coalesce(sum(deg) // 2, 0) AS BIGINT) AS n_edges
+                 FROM d1),
+        s1 AS (SELECT CAST(1 AS BIGINT) AS round, n_nodes, n_edges,
+                        CAST(CASE WHEN n_nodes = 0 THEN 0
+                             ELSE (10000 * n_edges) // n_nodes END AS BIGINT)
+                          AS density_mi
+                 FROM t1),
+        k1 AS (SELECT node FROM d1, t1
+                 WHERE deg * n_nodes * 10 > 22 * n_edges),
+        e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e
+                 JOIN k1 ka ON ka.node = e.a
+                 JOIN k1 kb ON kb.node = e.b),
+        d2 AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e1
+                      UNION ALL SELECT b FROM e1) GROUP BY 1),
+        t2 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                        CAST(coalesce(sum(deg) // 2, 0) AS BIGINT) AS n_edges
+                 FROM d2),
+        s2 AS (SELECT CAST(2 AS BIGINT) AS round, n_nodes, n_edges,
+                        CAST(CASE WHEN n_nodes = 0 THEN 0
+                             ELSE (10000 * n_edges) // n_nodes END AS BIGINT)
+                          AS density_mi
+                 FROM t2),
+        k2 AS (SELECT node FROM d2, t2
+                 WHERE deg * n_nodes * 10 > 22 * n_edges),
+        e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e
+                 JOIN k2 ka ON ka.node = e.a
+                 JOIN k2 kb ON kb.node = e.b),
+        d3 AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e2
+                      UNION ALL SELECT b FROM e2) GROUP BY 1),
+        t3 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                        CAST(coalesce(sum(deg) // 2, 0) AS BIGINT) AS n_edges
+                 FROM d3),
+        s3 AS (SELECT CAST(3 AS BIGINT) AS round, n_nodes, n_edges,
+                        CAST(CASE WHEN n_nodes = 0 THEN 0
+                             ELSE (10000 * n_edges) // n_nodes END AS BIGINT)
+                          AS density_mi
+                 FROM t3),
+        k3 AS (SELECT node FROM d3, t3
+                 WHERE deg * n_nodes * 10 > 22 * n_edges),
+        e3 AS MATERIALIZED (SELECT e.a, e.b FROM e2 e
+                 JOIN k3 ka ON ka.node = e.a
+                 JOIN k3 kb ON kb.node = e.b),
+        d4 AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e3
+                      UNION ALL SELECT b FROM e3) GROUP BY 1),
+        t4 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                        CAST(coalesce(sum(deg) // 2, 0) AS BIGINT) AS n_edges
+                 FROM d4),
+        s4 AS (SELECT CAST(4 AS BIGINT) AS round, n_nodes, n_edges,
+                        CAST(CASE WHEN n_nodes = 0 THEN 0
+                             ELSE (10000 * n_edges) // n_nodes END AS BIGINT)
+                          AS density_mi
+                 FROM t4),
+        k4 AS (SELECT node FROM d4, t4
+                 WHERE deg * n_nodes * 10 > 22 * n_edges),
+        e4 AS MATERIALIZED (SELECT e.a, e.b FROM e3 e
+                 JOIN k4 ka ON ka.node = e.a
+                 JOIN k4 kb ON kb.node = e.b),
+        d5 AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM e4
+                      UNION ALL SELECT b FROM e4) GROUP BY 1),
+        t5 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                        CAST(coalesce(sum(deg) // 2, 0) AS BIGINT) AS n_edges
+                 FROM d5),
+        s5 AS (SELECT CAST(5 AS BIGINT) AS round, n_nodes, n_edges,
+                        CAST(CASE WHEN n_nodes = 0 THEN 0
+                             ELSE (10000 * n_edges) // n_nodes END AS BIGINT)
+                          AS density_mi
+                 FROM t5),
+        k5 AS (SELECT node FROM d5, t5
+                 WHERE deg * n_nodes * 10 > 22 * n_edges),
+        e5 AS MATERIALIZED (SELECT e.a, e.b FROM e4 e
+                 JOIN k5 ka ON ka.node = e.a
+                 JOIN k5 kb ON kb.node = e.b),
+        allr AS (SELECT * FROM s1
+          UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3
+          UNION ALL SELECT * FROM s4
+          UNION ALL SELECT * FROM s5),
+        best AS (SELECT density_mi AS bd, round AS br FROM allr
+                 ORDER BY density_mi DESC, round LIMIT 1)
+        SELECT r.round, r.n_nodes, r.n_edges, r.density_mi,
+               CAST(CASE WHEN r.density_mi = b.bd AND r.round = b.br
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_best
+        FROM allr r, best b
+        ORDER BY r.round
     """
     o["tpch_q12_late_priority"] = """
         WITH li AS (

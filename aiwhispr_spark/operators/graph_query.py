@@ -1532,3 +1532,100 @@ def ppr_push_bounded(
     return state.filter((F.col("p") > 0) | (F.col("r") > 0)).select(
         "node", F.col("p").alias("p_i"), F.col("r").alias("r_i")
     )
+
+
+def densest_subgraph_peel(
+    edges: DataFrame,
+    rounds: int = 6,
+    eps_num: int = 11,
+    eps_den: int = 10,
+    scale: int = 10_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Batched greedy densest-subgraph peeling (Charikar 2000 via the
+    MapReduce batching of Bahmani/Kumar/Vassilvitskii 2012): each round
+    removes EVERY node whose degree ≤ (1+ε)·2·|E|/|V| at once — O(log n)
+    rounds instead of |V| sequential peels, the distributed form of the
+    2(1+ε)-approximation.  The densest snapshot across rounds is the
+    community core (spam farms, mirror clusters, boilerplate hubs all
+    surface as dense subgraphs of the host/entity graph).
+
+    Exact integer threshold: keep node v iff ``deg(v)·|V|·eps_den >
+    2·|E|·eps_num`` (cross-multiplied — no float ratio); density_mi =
+    |E|·scale div |V| per round snapshot; ``is_best`` marks the max
+    (ties: earliest round).  Bounded ``rounds`` is the exact-state
+    contract (kg_scc_bounded); a round that removes nothing emits the
+    same snapshot and the loop short-circuits nothing — rounds after
+    stabilization repeat the fixpoint row (visible, deterministic).
+
+    100 TB shape: per round one degree aggregate + one broadcast-able
+    scalar pair (|V|, |E|) + one semi-join; the edge frame only shrinks;
+    localCheckpoint per round caps lineage.
+
+    Returns one row per round: (round, n_nodes, n_edges, density_mi,
+    is_best)."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    snaps = []
+    for rnd in range(1, rounds + 1):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        tot = deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            # empty graph → SUM is NULL: coalesce so the snapshot row stays
+            # all-BIGINT (the NULL-stringification trap)
+            F.coalesce((F.sum("deg") / 2).cast("long"), F.lit(0)).alias("n_edges"),
+        )
+        snaps.append(
+            tot.select(
+                F.lit(rnd).cast("long").alias("round"),
+                "n_nodes",
+                "n_edges",
+                F.expr(
+                    f"CAST(CASE WHEN n_nodes = 0 THEN 0 "
+                    f"ELSE ({int(scale)} * n_edges) div n_nodes END AS BIGINT)"
+                ).alias("density_mi"),
+            ).localCheckpoint()
+        )
+        keep = (
+            deg.crossJoin(F.broadcast(tot))
+            .filter(
+                F.col("deg") * F.col("n_nodes") * F.lit(int(eps_den))
+                > F.lit(2 * int(eps_num)) * F.col("n_edges")
+            )
+            .select("node")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a")
+            .join(keep.withColumnRenamed("node", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    allr = snaps[0]
+    for sn in snaps[1:]:
+        allr = allr.unionByName(sn)
+    best = allr.agg(
+        F.max(F.struct(F.col("density_mi"), (-F.col("round")).alias("nr"))).alias("m")
+    ).select(F.col("m.density_mi").alias("bd"), (-F.col("m.nr")).cast("long").alias("br"))
+    return allr.crossJoin(F.broadcast(best)).select(
+        "round",
+        "n_nodes",
+        "n_edges",
+        "density_mi",
+        ((F.col("density_mi") == F.col("bd")) & (F.col("round") == F.col("br")))
+        .cast("long")
+        .alias("is_best"),
+    )

@@ -42,3 +42,31 @@ def test_tie_breaks_by_source_asc(spark):
     rows = [("b", "1"), ("b", "2"), ("a", "3"), ("a", "4")]
     got = _run(spark, rows, k=2)
     assert got[0][1] == "a" and got[1][1] == "b"
+
+
+def test_densest_subgraph_finds_planted_core(spark):
+    """Peeling must flag the planted clique's snapshot, not round 1; the
+    threshold is strict (a node at exactly (1+eps)·avg peels)."""
+    from aiwhispr_spark.operators.graph_query import densest_subgraph_peel
+
+    # 4-clique (deg 3 each) + 6 leaves on node a (deg-1 periphery)
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    edges += [(f"x{i}", "a") for i in range(6)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["round"]: r for r in densest_subgraph_peel(df, rounds=3).collect()}
+    # r1: V=10, E=12, density 1.2; leaves (deg 1 <= 1.1*2.4) peel
+    assert (got[1]["n_nodes"], got[1]["n_edges"], got[1]["is_best"]) == (10, 12, 0)
+    # r2: the clique alone, density 1.5 -> best
+    assert (got[2]["n_nodes"], got[2]["n_edges"], got[2]["is_best"]) == (4, 6, 1)
+    # r3: clique is 3-regular = avg -> strict threshold peels it; fixpoint 0s
+    assert (got[3]["n_nodes"], got[3]["density_mi"], got[3]["is_best"]) == (0, 0, 0)
+
+
+def test_densest_duplicate_and_directed_edges_collapse(spark):
+    from aiwhispr_spark.operators.graph_query import densest_subgraph_peel
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a")], "src string, dst string"
+    )
+    got = {r["round"]: r for r in densest_subgraph_peel(df, rounds=1).collect()}
+    assert (got[1]["n_nodes"], got[1]["n_edges"]) == (2, 1)
