@@ -9263,6 +9263,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["densest_subgraph_peel"] = densest
 
+    def chi2_features(spark, sf):
+        # χ² feature selection (evaluation.py::chi2_feature_selection,
+        # Manning IR 13.5.2): 2×2 presence/label cells per token, exact
+        # cross-multiplied BIGINT statistic, zero-margin guard; top-30 by
+        # (chi2 desc, item).
+        from aiwhispr_spark.operators.evaluation import chi2_feature_selection
+        from aiwhispr_spark.operators.keywords import kept_tokens_expr
+
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("id"),
+            (F.col("doc_id") % 3 == 0).cast("int").alias("lbl"),
+            F.explode(kept_tokens_expr(F.col("text"))).alias("item"),
+        )
+        return chi2_feature_selection(d, "lbl", "item", top_k=30)
+
+    q["chi2_feature_selection"] = chi2_features
+
+    def mcnemar(spark, sf):
+        # McNemar continuity-corrected paired test (evaluation.py::
+        # mcnemar_paired_test): disagreement-cell χ² for two systems on
+        # the same items; one scalar map-side-combinable aggregate.
+        from aiwhispr_spark.operators.evaluation import mcnemar_paired_test
+
+        d = _t(spark, sf, "documents").select(
+            (F.col("doc_id") % 2 == 0).cast("int").alias("sys_a"),
+            (F.col("doc_id") % 3 != 0).cast("int").alias("sys_b"),
+        )
+        return mcnemar_paired_test(d, "sys_a", "sys_b")
+
+    q["mcnemar_paired_test"] = mcnemar
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -9290,6 +9321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_budget_apportionment",
         "greedy_source_cover",
         "densest_subgraph_peel",
+        "chi2_feature_selection",
+        "mcnemar_paired_test",
         "tpch_q12_late_priority",
         "tpch_q13_order_distribution",
         "tpch_q19_disjunctive_revenue",
@@ -16858,6 +16891,67 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END AS BIGINT) AS is_best
         FROM allr r, best b
         ORDER BY r.round
+    """
+    o["chi2_feature_selection"] = f"""
+        WITH base AS (
+          SELECT doc_id AS id,
+                 CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS lbl,
+                 {_kept_tokens_sql()} AS t
+          FROM documents
+        ),
+        pres AS (SELECT DISTINCT id, lbl, unnest(t) AS item FROM base),
+        cells AS (
+          SELECT item,
+                 CAST(sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN lbl = 1 THEN 0 ELSE 1 END) AS BIGINT) AS b
+          FROM pres GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+                 CAST(sum(CASE WHEN lbl = 1 THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_neg
+          FROM (SELECT DISTINCT id, lbl FROM base)
+        ),
+        sc AS (
+          SELECT item, a, b,
+                 CAST(n_pos - a AS BIGINT) AS c, CAST(n_neg - b AS BIGINT) AS d,
+                 CAST(CASE WHEN (a+b) * ((n_pos-a)+(n_neg-b)) * (a+(n_pos-a))
+                                * (b+(n_neg-b)) = 0 THEN 0
+                      ELSE (10000 * (n_pos + n_neg)
+                            * (a*(n_neg-b) - b*(n_pos-a))
+                            * (a*(n_neg-b) - b*(n_pos-a)))
+                           // ((a+b) * ((n_pos-a)+(n_neg-b))
+                               * (a+(n_pos-a)) * (b+(n_neg-b))) END
+                      AS BIGINT) AS chi2_i
+          FROM cells, tot
+        )
+        SELECT item, a, b, c, d, chi2_i FROM sc
+        ORDER BY chi2_i DESC, item LIMIT 30
+    """
+    o["mcnemar_paired_test"] = """
+        WITH d AS (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS sa,
+                 CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS sb
+          FROM documents
+        ),
+        agg AS (
+          SELECT CAST(sum(CASE WHEN sa = 1 AND sb = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_both_right,
+                 CAST(sum(CASE WHEN sa = 1 AND sb = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_only_a,
+                 CAST(sum(CASE WHEN sa = 0 AND sb = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_only_b,
+                 CAST(sum(CASE WHEN sa = 0 AND sb = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_both_wrong
+          FROM d
+        )
+        SELECT n_both_right, n_only_a, n_only_b, n_both_wrong,
+               CAST(CASE WHEN n_only_a + n_only_b = 0 THEN 0
+                    ELSE (10000 * greatest(abs(n_only_a - n_only_b) - 1, 0)
+                          * greatest(abs(n_only_a - n_only_b) - 1, 0))
+                         // (n_only_a + n_only_b) END AS BIGINT) AS chi2_i
+        FROM agg
     """
     o["tpch_q12_late_priority"] = """
         WITH li AS (

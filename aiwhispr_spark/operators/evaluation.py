@@ -533,3 +533,106 @@ def bleu_ngram_stats(
             .alias("prec_i"),
         )
     )
+
+
+def chi2_feature_selection(
+    df: DataFrame,
+    label_col: str,
+    item_col: str,
+    top_k: int = 30,
+    scale: int = 10_000,
+) -> DataFrame:
+    """χ² feature selection for a binary document label (Manning IR §13.5.2
+    — which vocabulary items are evidence for the quality/spam classifier):
+    per item, the 2×2 presence/label table (a = pos docs with item, b = neg
+    with, c = pos without, d = neg without) scores
+
+        χ² = N·(a·d − b·c)² / ((a+b)·(c+d)·(a+c)·(b+d))
+
+    kept EXACT by cross-multiplication: chi2_i = scale·N·(ad−bc)² div
+    (margins product) — pure BIGINT, no float (the numerator peaks at
+    N⁵·scale: N ≤ ~38k keeps it under 2^63 at scale 1e4; sample the corpus
+    above that, the statistic is sample-stable by design).
+
+    Input: one row per (doc-label, item) OCCURRENCE — presence is computed
+    here (distinct), label must be constant per doc upstream.  Items in
+    only one label class still score; items in EVERY doc have (c=d=0
+    margin) → χ²=0 via the zero-margin guard (visible, never a div-0).
+
+    100 TB shape: one (item, label) presence aggregate (map-side
+    combinable) + one broadcast scalar pair (n_pos, n_neg);
+    TakeOrderedAndProject top-k by (chi2_i desc, item)."""
+    pres = df.select(
+        F.col(item_col).alias("item"), F.col(label_col).alias("lbl"), F.col("id")
+    ).distinct()
+    cells = pres.groupBy("item").agg(
+        F.sum(F.when(F.col("lbl") == 1, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("lbl") == 1, 0).otherwise(1)).cast("long").alias("b"),
+    )
+    totals = (
+        df.select("id", F.col(label_col).alias("lbl"))
+        .distinct()
+        .agg(
+            F.sum(F.when(F.col("lbl") == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum(F.when(F.col("lbl") == 1, 0).otherwise(1)).cast("long").alias("n_neg"),
+        )
+    )
+    s = int(scale)
+    out = (
+        cells.crossJoin(F.broadcast(totals))
+        .withColumn("c", (F.col("n_pos") - F.col("a")).cast("long"))
+        .withColumn("d", (F.col("n_neg") - F.col("b")).cast("long"))
+        .withColumn(
+            "chi2_i",
+            F.expr(
+                f"CAST(CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) = 0 THEN 0 "
+                f"ELSE ({s} * (n_pos + n_neg) * (a*d - b*c) * (a*d - b*c)) "
+                f"div ((a+b) * (c+d) * (a+c) * (b+d)) END AS BIGINT)"
+            ),
+        )
+        .select("item", "a", "b", "c", "d", "chi2_i")
+    )
+    return out.orderBy(F.desc("chi2_i"), "item").limit(top_k)
+
+
+def mcnemar_paired_test(
+    df: DataFrame,
+    sys_a_col: str,
+    sys_b_col: str,
+    scale: int = 10_000,
+) -> DataFrame:
+    """McNemar's test (continuity-corrected) for two systems scored on the
+    SAME items — the right significance test for "is ranker B actually
+    better than ranker A" because it looks only at the DISAGREEMENT cells:
+
+        χ² = (|b − c| − 1)² / (b + c)
+
+    with b = A-correct∧B-wrong, c = A-wrong∧B-correct.  Pure integers:
+    chi2_i = scale·(|b−c|−1)² div (b+c); b+c = 0 (perfect agreement)
+    reports chi2_i = 0 with the concordant counts still visible.  The
+    |b−c|−1 correction floors at 0 (|b−c| ≤ 1 is never evidence).
+
+    One map-side-combinable scalar aggregate — runs over a billion paired
+    judgments as one reduce.  Returns one row: (n_both_right, n_only_a,
+    n_only_b, n_both_wrong, chi2_i)."""
+    a_ok = F.col(sys_a_col) == 1
+    b_ok = F.col(sys_b_col) == 1
+    agg = df.agg(
+        F.sum((a_ok & b_ok).cast("long")).cast("long").alias("n_both_right"),
+        F.sum((a_ok & ~b_ok).cast("long")).cast("long").alias("n_only_a"),
+        F.sum((~a_ok & b_ok).cast("long")).cast("long").alias("n_only_b"),
+        F.sum((~a_ok & ~b_ok).cast("long")).cast("long").alias("n_both_wrong"),
+    )
+    s = int(scale)
+    return agg.select(
+        "n_both_right",
+        "n_only_a",
+        "n_only_b",
+        "n_both_wrong",
+        F.expr(
+            f"CAST(CASE WHEN n_only_a + n_only_b = 0 THEN 0 "
+            f"ELSE ({s} * greatest(abs(n_only_a - n_only_b) - 1, 0) "
+            f"* greatest(abs(n_only_a - n_only_b) - 1, 0)) "
+            f"div (n_only_a + n_only_b) END AS BIGINT)"
+        ).alias("chi2_i"),
+    )

@@ -79,3 +79,42 @@ def test_apportionment_all_zero_weights_degenerate(spark):
     df = spark.createDataFrame([("a", 0), ("b", None)], "src string, w long")
     got = {r["key"]: r["alloc"] for r in apportion_largest_remainder(df, "src", "w", 5).collect()}
     assert got == {"a": 0, "b": 0}
+
+
+def test_chi2_planted_discriminative_token(spark):
+    """A token present in exactly the positive docs must dominate; a token
+    in every doc scores 0 via the zero-margin guard."""
+    from pyspark.sql import functions as F
+
+    from aiwhispr_spark.operators.evaluation import chi2_feature_selection
+
+    rows = []
+    for i in range(10):
+        lbl = 1 if i < 5 else 0
+        toks = ["common"] + (["posonly"] if lbl else ["negonly"])
+        for t in toks:
+            rows.append((i, lbl, t))
+    df = spark.createDataFrame(rows, "id long, lbl int, item string")
+    got = {r["item"]: r for r in chi2_feature_selection(df, "lbl", "item").collect()}
+    # perfect separation: chi2 = N = 10 -> scaled 100000
+    assert got["posonly"]["chi2_i"] == 100_000
+    assert got["negonly"]["chi2_i"] == 100_000
+    assert got["common"]["chi2_i"] == 0
+    assert (got["posonly"]["a"], got["posonly"]["b"]) == (5, 0)
+
+
+def test_mcnemar_hand_computed(spark):
+    from aiwhispr_spark.operators.evaluation import mcnemar_paired_test
+
+    # b=6 (only a), c=1 (only b): chi2 = (|5|-1)^2/7 = 16/7 -> 22857
+    rows = [(1, 1)] * 3 + [(1, 0)] * 6 + [(0, 1)] * 1 + [(0, 0)] * 2
+    df = spark.createDataFrame(rows, "sys_a int, sys_b int")
+    r = mcnemar_paired_test(df, "sys_a", "sys_b").collect()[0]
+    assert (r["n_both_right"], r["n_only_a"], r["n_only_b"], r["n_both_wrong"]) == (3, 6, 1, 2)
+    assert r["chi2_i"] == (10000 * 16) // 7
+    # perfect agreement -> 0, not NULL
+    df2 = spark.createDataFrame([(1, 1), (0, 0)], "sys_a int, sys_b int")
+    assert mcnemar_paired_test(df2, "sys_a", "sys_b").collect()[0]["chi2_i"] == 0
+    # |b-c| <= 1 floors to zero evidence
+    df3 = spark.createDataFrame([(1, 0), (0, 1), (1, 0)], "sys_a int, sys_b int")
+    assert mcnemar_paired_test(df3, "sys_a", "sys_b").collect()[0]["chi2_i"] == 0
