@@ -9294,6 +9294,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mcnemar_paired_test"] = mcnemar
 
+    def measurements(spark, sf):
+        # Composed extraction→canonicalization gate: prose measurement
+        # mentions (literals.py::extract_measurements, longer-units-first
+        # alternation — regex | is first-match) through the exact-rational
+        # normalize_units; furlong docs match nothing (absent by design —
+        # the unknown-unit sentinel is unit_normalize_quantities' gate),
+        # the decoy clause never parses.
+        from aiwhispr_spark.operators.literals import (
+            extract_measurements,
+            normalize_units,
+        )
+
+        units = F.array(
+            *[F.lit(u) for u in ["m", "km", "cm", "mi", "kg", "g", "lb", "oz", "furlong"]]
+        )
+        src = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("Item"), F.col("doc_id").cast("string"),
+                F.lit(" weighs "), (F.col("doc_id") + 1).cast("string"),
+                F.lit("."), (F.col("doc_id") % 10).cast("string"), F.lit(" "),
+                F.element_at(units, (F.col("doc_id") % 9 + 1).cast("int")),
+                F.lit(" per the spec. Decoy weighs fast units."),
+            ).alias("text"),
+        )
+        return normalize_units(extract_measurements(src))
+
+    q["measurement_facts_normalized"] = measurements
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -9323,6 +9352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph_peel",
         "chi2_feature_selection",
         "mcnemar_paired_test",
+        "measurement_facts_normalized",
         "tpch_q12_late_priority",
         "tpch_q13_order_distribution",
         "tpch_q19_disjunctive_revenue",
@@ -16952,6 +16982,51 @@ def oracle_sql() -> dict[str, str]:
                           * greatest(abs(n_only_a - n_only_b) - 1, 0))
                          // (n_only_a + n_only_b) END AS BIGINT) AS chi2_i
         FROM agg
+    """
+    o["measurement_facts_normalized"] = """
+        WITH src AS (
+          SELECT doc_id AS id,
+                 'Item' || doc_id || ' weighs ' || (doc_id + 1) || '.'
+                 || (doc_id % 10) || ' '
+                 || list_extract(['m','km','cm','mi','kg','g','lb','oz','furlong'],
+                                 CAST(doc_id % 9 AS INT) + 1)
+                 || ' per the spec. Decoy weighs fast units.' AS text
+          FROM documents
+        ),
+        rx AS (
+          SELECT id,
+                 regexp_extract(text,
+                   '([A-Za-z][A-Za-z0-9_]*) (?:weighs|measures|spans) ([0-9]+(?:\\.[0-9]+)?) (km|cm|mi|kg|lb|oz|m|g)\\b',
+                   1) AS subj,
+                 regexp_extract(text,
+                   '([A-Za-z][A-Za-z0-9_]*) (?:weighs|measures|spans) ([0-9]+(?:\\.[0-9]+)?) (km|cm|mi|kg|lb|oz|m|g)\\b',
+                   2) AS num,
+                 regexp_extract(text,
+                   '([A-Za-z][A-Za-z0-9_]*) (?:weighs|measures|spans) ([0-9]+(?:\\.[0-9]+)?) (km|cm|mi|kg|lb|oz|m|g)\\b',
+                   3) AS unit
+          FROM src
+          WHERE regexp_matches(text,
+            '([A-Za-z][A-Za-z0-9_]*) (?:weighs|measures|spans) ([0-9]+(?:\\.[0-9]+)?) (km|cm|mi|kg|lb|oz|m|g)\\b')
+        ),
+        m AS (
+          SELECT id, subj,
+                 CAST(round(CAST(num AS DOUBLE) * 10000) AS BIGINT) AS value_i,
+                 unit
+          FROM rx
+        ),
+        conv(unit, dimension, canonical_unit, num, den) AS (VALUES
+          ('m', 'length', 'm', 1, 1), ('km', 'length', 'm', 1000, 1),
+          ('cm', 'length', 'm', 1, 100), ('mi', 'length', 'm', 1609344, 1000),
+          ('g', 'mass', 'g', 1, 1), ('kg', 'mass', 'g', 1000, 1),
+          ('lb', 'mass', 'g', 45359237, 100000),
+          ('oz', 'mass', 'g', 45359237, 1600000))
+        SELECT m.id, m.subj, m.value_i, m.unit,
+               coalesce(c.dimension, 'unknown') AS dimension,
+               coalesce(c.canonical_unit, '?') AS canonical_unit,
+               CAST(CASE WHEN c.num IS NOT NULL
+                    THEN (m.value_i * c.num) // c.den ELSE -1 END AS BIGINT)
+                 AS norm_value_i
+        FROM m LEFT JOIN conv c ON c.unit = m.unit
     """
     o["tpch_q12_late_priority"] = """
         WITH li AS (

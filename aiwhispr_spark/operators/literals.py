@@ -283,3 +283,30 @@ def benford_first_digit_audit(
         .withColumn("abs_dev_mi", F.abs(F.col("obs_mi") - F.col("exp_mi")).cast("long"))
     )
     return out
+
+
+_MEASURE_RE = r"([A-Za-z][A-Za-z0-9_]*) (?:weighs|measures|spans) ([0-9]+(?:\.[0-9]+)?) (km|cm|mi|kg|lb|oz|m|g)\b"
+
+
+def extract_measurements(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, subj, value_i, unit) — one row per ``<subj> weighs|measures|
+    spans <number> <unit>`` mention; value_i = round(number·10⁴) (one
+    string→double parse then one round — the established float discipline;
+    both engines parse decimal literals identically).  Alternation order in
+    the unit group lists longer units first (km before m, kg before g) —
+    regex alternation is first-match, not longest-match, so `km` must not
+    stop at `m`.  Pure JVM regexp_extract_all; composes with
+    :func:`normalize_units` for the extraction→canonicalization gate."""
+    text = F.col(text_col)
+    subs = F.regexp_extract_all(text, F.lit(_MEASURE_RE), F.lit(1))
+    nums = F.regexp_extract_all(text, F.lit(_MEASURE_RE), F.lit(2))
+    units = F.regexp_extract_all(text, F.lit(_MEASURE_RE), F.lit(3))
+    zipped = F.arrays_zip(subs.alias("subj"), nums.alias("num"), units.alias("unit"))
+    return df.select(F.col(id_col).alias("id"), F.explode(zipped).alias("m")).select(
+        "id",
+        F.col("m.subj").alias("subj"),
+        F.round(F.col("m.num").cast("double") * 10000).cast("long").alias("value_i"),
+        F.col("m.unit").alias("unit"),
+    )

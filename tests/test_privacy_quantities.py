@@ -64,3 +64,23 @@ def test_normalize_units_exact_and_sentinel(spark):
     assert got[3]["norm_value_i"] == 2  # 250//100: floor div is the contract
     assert got[4]["dimension"] == "unknown" and got[4]["norm_value_i"] == -1
     assert got[4]["unit"] == "parsec"  # unknown rows stay visible
+
+
+def test_extract_measurements_alternation_and_decoy(spark):
+    from aiwhispr_spark.operators.literals import extract_measurements
+
+    df = spark.createDataFrame(
+        [
+            (1, "Box1 weighs 12.5 km of rope"),  # km must not stop at 'm'
+            (2, "Crate measures 7 m wide"),
+            (3, "Decoy weighs fast units"),  # no number: no match
+            (4, "pallet spans 3.25 mi easily"),
+            (5, "Thing weighs 9 furlong"),  # unit outside alternation
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in extract_measurements(df).collect()}
+    assert got[1]["unit"] == "km" and got[1]["value_i"] == 125_000
+    assert got[2]["unit"] == "m" and got[2]["value_i"] == 70_000
+    assert got[4]["subj"] == "pallet" and got[4]["value_i"] == 32_500
+    assert 3 not in got and 5 not in got
