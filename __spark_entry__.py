@@ -9323,6 +9323,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["measurement_facts_normalized"] = measurements
 
+    def mutual_nn(spark, sf):
+        # Reciprocal-nearest-neighbor pairs (similarity.py::
+        # mutual_topk_pairs, k=2): the mutual filter over integer-dot kNN —
+        # high-precision alignment/dedup candidates; all-pairs is the eval
+        # harness, production verifies LSH/IVF candidates.
+        from aiwhispr_spark.operators.similarity import mutual_topk_pairs
+
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 120)
+        return mutual_topk_pairs(emb, k=2)
+
+    q["mutual_nn_pairs"] = mutual_nn
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -9353,6 +9365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_feature_selection",
         "mcnemar_paired_test",
         "measurement_facts_normalized",
+        "mutual_nn_pairs",
         "tpch_q12_late_priority",
         "tpch_q13_order_distribution",
         "tpch_q19_disjunctive_revenue",
@@ -17027,6 +17040,29 @@ def oracle_sql() -> dict[str, str]:
                     THEN (m.value_i * c.num) // c.den ELSE -1 END AS BIGINT)
                  AS norm_value_i
         FROM m LEFT JOIN conv c ON c.unit = m.unit
+    """
+    o["mutual_nn_pairs"] = """
+        WITH fp AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS fp
+          FROM embeddings WHERE vec_id < 120
+        ),
+        pairs AS (
+          SELECT l.vec_id AS src, r.vec_id AS dst,
+                 CAST(list_dot_product(l.fp, r.fp) AS BIGINT) AS dot_i
+          FROM fp l JOIN fp r ON l.vec_id <> r.vec_id
+        ),
+        top AS (
+          SELECT src, dst, dot_i,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY dot_i DESC, dst) AS rk
+          FROM pairs
+        ),
+        fwd AS (SELECT src, dst, dot_i FROM top WHERE rk <= 2)
+        SELECT x.src AS a, x.dst AS b, x.dot_i
+        FROM fwd x JOIN fwd y ON x.src = y.dst AND x.dst = y.src
+        WHERE x.src < x.dst
     """
     o["tpch_q12_late_priority"] = """
         WITH li AS (

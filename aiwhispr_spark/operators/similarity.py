@@ -426,3 +426,56 @@ def matryoshka_overlap_eval(
         .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("overlap_at_k"))
         .orderBy("query_id", "dims")
     )
+
+
+def mutual_topk_pairs(
+    df: DataFrame,
+    k: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Reciprocal-nearest-neighbor pairs: (a, b) where b is among a's top-k
+    by dot product AND a is among b's top-k — the mutual filter that turns
+    a noisy kNN graph into high-precision alignment/dedup candidates
+    (bilingual lexicon induction, RNN dedup; at k=1 this is the classic
+    mutual-best-match).  Direction-free output (a < b).
+
+    Exactness: fixed-point integer dots (:func:`fixed_point_vectors`),
+    ties (dot desc, id asc) — hash-gateable.  Eval-harness scaling contract
+    (the matryoshka note): all-pairs here; production candidates come from
+    the LSH/IVF tier and this operator runs as the verify stage over them.
+
+    Returns (a, b, dot_i)."""
+    from pyspark.sql.window import Window
+
+    fp = fixed_point_vectors(df, vec_col=vec_col, id_col=id_col, scale=scale)
+    dot = F.aggregate(
+        F.zip_with(F.col("l.fp"), F.col("r.fp"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        fp.alias("l")
+        .join(fp.alias("r"), F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("src"),
+            F.col(f"r.{id_col}").alias("dst"),
+            dot.alias("dot_i"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("dot_i"), F.col("dst"))
+    top = pairs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    fwd = top.select("src", "dst", "dot_i")
+    mutual = fwd.alias("x").join(
+        fwd.alias("y"),
+        (F.col("x.src") == F.col("y.dst")) & (F.col("x.dst") == F.col("y.src")),
+    )
+    return (
+        mutual.filter(F.col("x.src") < F.col("x.dst"))
+        .select(
+            F.col("x.src").alias("a"),
+            F.col("x.dst").alias("b"),
+            F.col("x.dot_i").alias("dot_i"),
+        )
+    )

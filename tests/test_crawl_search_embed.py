@@ -80,3 +80,25 @@ def test_matryoshka_full_dim_self_gate_and_orthogonal_prefix(spark):
     }
     assert out[(0, 8)] == 2 and out[(1, 8)] == 2  # self-gate
     assert all(0 <= v <= 2 for v in out.values())
+
+
+def test_mutual_topk_requires_reciprocity(spark):
+    from aiwhispr_spark.operators.similarity import mutual_topk_pairs
+
+    # a,b identical (mutual best); c closer to a than to d, but a's best is
+    # b -> (a,c) must NOT appear at k=1; d isolated-ish
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.7, 0.7, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["a"], r["b"]) for r in mutual_topk_pairs(df, k=1).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    # at k=2, a's top-2 includes c and c's top-2 includes a -> pair appears
+    got2 = {(r["a"], r["b"]) for r in mutual_topk_pairs(df, k=2).collect()}
+    assert (1, 3) in got2
+    # output is direction-free: no (b, a) duplicates
+    assert all(a < b for a, b in got2)
