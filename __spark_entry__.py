@@ -16954,19 +16954,19 @@ def oracle_sql() -> dict[str, str]:
                    AS n_pos,
                  CAST(sum(CASE WHEN lbl = 1 THEN 0 ELSE 1 END) AS BIGINT)
                    AS n_neg
-          FROM (SELECT DISTINCT id, lbl FROM base)
+          FROM (SELECT DISTINCT id, lbl FROM pres)
         ),
         sc AS (
           SELECT item, a, b,
                  CAST(n_pos - a AS BIGINT) AS c, CAST(n_neg - b AS BIGINT) AS d,
                  CAST(CASE WHEN (a+b) * ((n_pos-a)+(n_neg-b)) * (a+(n_pos-a))
                                 * (b+(n_neg-b)) = 0 THEN 0
-                      ELSE (10000 * (n_pos + n_neg)
-                            * (a*(n_neg-b) - b*(n_pos-a))
-                            * (a*(n_neg-b) - b*(n_pos-a)))
-                           // ((a+b) * ((n_pos-a)+(n_neg-b))
-                               * (a+(n_pos-a)) * (b+(n_neg-b))) END
-                      AS BIGINT) AS chi2_i
+                      ELSE round(10000 * ((CAST((n_pos + n_neg)
+                              * (a*(n_neg-b) - b*(n_pos-a)) AS DOUBLE)
+                            * CAST(a*(n_neg-b) - b*(n_pos-a) AS DOUBLE))
+                           / (CAST((a+b) * ((n_pos-a)+(n_neg-b)) AS DOUBLE)
+                              * CAST((a+(n_pos-a)) * (b+(n_neg-b)) AS DOUBLE))))
+                      END AS BIGINT) AS chi2_i
           FROM cells, tot
         )
         SELECT item, a, b, c, d, chi2_i FROM sc
@@ -17006,20 +17006,26 @@ def oracle_sql() -> dict[str, str]:
                  || ' per the spec. Decoy weighs fast units.' AS text
           FROM documents
         ),
-        rx AS (
+        lists AS (
           SELECT id,
-                 regexp_extract(text,
+                 regexp_extract_all(text,
                    '([A-Za-z][A-Za-z0-9_]*) (?:weighs|measures|spans) ([0-9]+(?:\\.[0-9]+)?) (km|cm|mi|kg|lb|oz|m|g)\\b',
-                   1) AS subj,
-                 regexp_extract(text,
+                   1) AS la,
+                 regexp_extract_all(text,
                    '([A-Za-z][A-Za-z0-9_]*) (?:weighs|measures|spans) ([0-9]+(?:\\.[0-9]+)?) (km|cm|mi|kg|lb|oz|m|g)\\b',
-                   2) AS num,
-                 regexp_extract(text,
+                   2) AS ln,
+                 regexp_extract_all(text,
                    '([A-Za-z][A-Za-z0-9_]*) (?:weighs|measures|spans) ([0-9]+(?:\\.[0-9]+)?) (km|cm|mi|kg|lb|oz|m|g)\\b',
-                   3) AS unit
+                   3) AS lu
           FROM src
-          WHERE regexp_matches(text,
-            '([A-Za-z][A-Za-z0-9_]*) (?:weighs|measures|spans) ([0-9]+(?:\\.[0-9]+)?) (km|cm|mi|kg|lb|oz|m|g)\\b')
+        ),
+        rx AS (
+          SELECT id, u.m.subj AS subj, u.m.num AS num, u.m.unit AS unit
+          FROM (SELECT id,
+                       unnest(list_transform(generate_series(1, len(la)),
+                         i -> struct_pack(subj := la[i], num := ln[i],
+                                          unit := lu[i]))) AS m
+                FROM lists) u(id, m)
         ),
         m AS (
           SELECT id, subj,

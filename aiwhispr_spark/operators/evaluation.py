@@ -539,6 +539,7 @@ def chi2_feature_selection(
     df: DataFrame,
     label_col: str,
     item_col: str,
+    id_col: str = "id",
     top_k: int = 30,
     scale: int = 10_000,
 ) -> DataFrame:
@@ -549,28 +550,34 @@ def chi2_feature_selection(
 
         χ² = N·(a·d − b·c)² / ((a+b)·(c+d)·(a+c)·(b+d))
 
-    kept EXACT by cross-multiplication: chi2_i = scale·N·(ad−bc)² div
-    (margins product) — pure BIGINT, no float (the numerator peaks at
-    N⁵·scale: N ≤ ~38k keeps it under 2^63 at scale 1e4; sample the corpus
-    above that, the statistic is sample-stable by design).
+    computed in DOUBLE with a PINNED association order (the bm25/WLM float
+    discipline: chi2_i = round(scale · ((N·Δ)·Δ) / ((ab·cd)·(ac·bd))) with
+    Δ = ad−bc as exact BIGINTs first) — cross-engine equality holds because
+    both engines run the identical IEEE op sequence; a pure-BIGINT
+    cross-multiplication is NOT used because the exact numerator peaks at
+    scale·N⁵/16, overflowing int64 already at N ≈ 1.7k docs.
 
     Input: one row per (doc-label, item) OCCURRENCE — presence is computed
-    here (distinct), label must be constant per doc upstream.  Items in
-    only one label class still score; items in EVERY doc have (c=d=0
-    margin) → χ²=0 via the zero-margin guard (visible, never a div-0).
+    here (distinct), label must be constant per doc upstream.  Docs with
+    ZERO items are outside the universe by construction (they have no
+    occurrence rows) — pre-union a label frame if they must count toward
+    the margins.  Items in only one label class still score; items in
+    EVERY doc have (c=d=0 margin) → χ²=0 via the zero-margin guard
+    (visible, never a div-0).
 
     100 TB shape: one (item, label) presence aggregate (map-side
     combinable) + one broadcast scalar pair (n_pos, n_neg);
     TakeOrderedAndProject top-k by (chi2_i desc, item)."""
     pres = df.select(
-        F.col(item_col).alias("item"), F.col(label_col).alias("lbl"), F.col("id")
+        F.col(item_col).alias("item"), F.col(label_col).alias("lbl"),
+        F.col(id_col).alias("id"),
     ).distinct()
     cells = pres.groupBy("item").agg(
         F.sum(F.when(F.col("lbl") == 1, 1).otherwise(0)).cast("long").alias("a"),
         F.sum(F.when(F.col("lbl") == 1, 0).otherwise(1)).cast("long").alias("b"),
     )
     totals = (
-        df.select("id", F.col(label_col).alias("lbl"))
+        pres.select("id", "lbl")
         .distinct()
         .agg(
             F.sum(F.when(F.col("lbl") == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
@@ -586,8 +593,10 @@ def chi2_feature_selection(
             "chi2_i",
             F.expr(
                 f"CAST(CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) = 0 THEN 0 "
-                f"ELSE ({s} * (n_pos + n_neg) * (a*d - b*c) * (a*d - b*c)) "
-                f"div ((a+b) * (c+d) * (a+c) * (b+d)) END AS BIGINT)"
+                f"ELSE round({s} * ((CAST((n_pos + n_neg) * (a*d - b*c) AS DOUBLE)"
+                f" * CAST(a*d - b*c AS DOUBLE))"
+                f" / (CAST((a+b) * (c+d) AS DOUBLE) * CAST((a+c) * (b+d) AS DOUBLE))))"
+                f" END AS BIGINT)"
             ),
         )
         .select("item", "a", "b", "c", "d", "chi2_i")
@@ -617,11 +626,13 @@ def mcnemar_paired_test(
     n_only_b, n_both_wrong, chi2_i)."""
     a_ok = F.col(sys_a_col) == 1
     b_ok = F.col(sys_b_col) == 1
+    # coalesce: empty input must emit ZEROS, not NULLs (the NULL-BIGINT
+    # stringification trap — benford does the same)
     agg = df.agg(
-        F.sum((a_ok & b_ok).cast("long")).cast("long").alias("n_both_right"),
-        F.sum((a_ok & ~b_ok).cast("long")).cast("long").alias("n_only_a"),
-        F.sum((~a_ok & b_ok).cast("long")).cast("long").alias("n_only_b"),
-        F.sum((~a_ok & ~b_ok).cast("long")).cast("long").alias("n_both_wrong"),
+        F.coalesce(F.sum((a_ok & b_ok).cast("long")), F.lit(0)).cast("long").alias("n_both_right"),
+        F.coalesce(F.sum((a_ok & ~b_ok).cast("long")), F.lit(0)).cast("long").alias("n_only_a"),
+        F.coalesce(F.sum((~a_ok & b_ok).cast("long")), F.lit(0)).cast("long").alias("n_only_b"),
+        F.coalesce(F.sum((~a_ok & ~b_ok).cast("long")), F.lit(0)).cast("long").alias("n_both_wrong"),
     )
     s = int(scale)
     return agg.select(

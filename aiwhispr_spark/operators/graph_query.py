@@ -1574,7 +1574,6 @@ def densest_subgraph_peel(
         .distinct()
         .localCheckpoint()
     )
-    spark = edges.sparkSession
     snaps = []
     for rnd in range(1, rounds + 1):
         deg = (
@@ -1600,6 +1599,8 @@ def densest_subgraph_peel(
                 ).alias("density_mi"),
             ).localCheckpoint()
         )
+        if rnd == rounds:
+            break  # the last snapshot is taken; peeling again is dead work
         keep = (
             deg.crossJoin(F.broadcast(tot))
             .filter(

@@ -359,6 +359,18 @@ def pq_adc_topk(
     )
 
 
+def int_dot_expr(a, b):
+    """Exact BIGINT dot product of two fixed-point integer array columns —
+    the ONE fold both matryoshka_overlap_eval and mutual_topk_pairs (and
+    any future integer-dot ranking) must share so tie/precision semantics
+    never drift between hash-gated surfaces."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def matryoshka_overlap_eval(
     df: DataFrame,
     dims: tuple[int, ...] = (16, 32, 64),
@@ -394,14 +406,8 @@ def matryoshka_overlap_eval(
 
     ranked = []
     for d in dims:
-        dot = F.aggregate(
-            F.zip_with(
-                F.slice(F.col("qfp"), 1, d),
-                F.slice(F.col("fp"), 1, d),
-                lambda a, b: a * b,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        dot = int_dot_expr(
+            F.slice(F.col("qfp"), 1, d), F.slice(F.col("fp"), 1, d)
         )
         scored = (
             fp.crossJoin(F.broadcast(queries))
@@ -450,11 +456,7 @@ def mutual_topk_pairs(
     from pyspark.sql.window import Window
 
     fp = fixed_point_vectors(df, vec_col=vec_col, id_col=id_col, scale=scale)
-    dot = F.aggregate(
-        F.zip_with(F.col("l.fp"), F.col("r.fp"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    dot = int_dot_expr(F.col("l.fp"), F.col("r.fp"))
     pairs = (
         fp.alias("l")
         .join(fp.alias("r"), F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
