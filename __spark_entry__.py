@@ -9335,6 +9335,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mutual_nn_pairs"] = mutual_nn
 
+    def skyline(spark, sf):
+        # Pareto skyline (ranking.py::skyline_pareto, Börzsönyi 2001):
+        # non-dominated docs on 3 integer criteria — the multi-objective
+        # selection no weighted score expresses; dominance anti-join,
+        # all-ties kept.
+        from aiwhispr_spark.operators.ranking import skyline_pareto
+
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("id"),
+            F.col("n_chars").cast("long").alias("len_score"),
+            (F.col("doc_id") % 97).cast("long").alias("fresh_score"),
+            ((F.col("doc_id") * 3) % 89).cast("long").alias("link_score"),
+        )
+        return skyline_pareto(
+            d, ["len_score", "fresh_score", "link_score"], id_col="id"
+        )
+
+    q["skyline_pareto_docs"] = skyline
+
+    def lt_cascade(spark, sf):
+        # Deterministic linear-threshold cascade (graph_query.py::
+        # lt_cascade_bounded, θ=1/3): influence spread from 6 seeds along
+        # the closed-form weighted graph; exact cross-multiplied
+        # activation, bounded rounds, unreached nodes absent by design.
+        from aiwhispr_spark.operators.graph_query import lt_cascade_bounded
+
+        edges = _t(spark, sf, "documents").select(
+            F.concat(F.lit("n"), (F.col("doc_id") % 40).cast("string")).alias("src"),
+            F.concat(
+                F.lit("n"), ((F.col("doc_id") * 7 + 1) % 40).cast("string")
+            ).alias("dst"),
+            (F.col("doc_id") % 5 + 1).cast("long").alias("w"),
+        )
+        return lt_cascade_bounded(
+            edges, [f"n{i}" for i in range(6)], rounds=4, theta_num=1, theta_den=3
+        ).orderBy("activated_round", "node")
+
+    q["lt_cascade_influence"] = lt_cascade
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -9366,6 +9405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnemar_paired_test",
         "measurement_facts_normalized",
         "mutual_nn_pairs",
+        "skyline_pareto_docs",
+        "lt_cascade_influence",
         "tpch_q12_late_priority",
         "tpch_q13_order_distribution",
         "tpch_q19_disjunctive_revenue",
@@ -17069,6 +17110,93 @@ def oracle_sql() -> dict[str, str]:
         SELECT x.src AS a, x.dst AS b, x.dot_i
         FROM fwd x JOIN fwd y ON x.src = y.dst AND x.dst = y.src
         WHERE x.src < x.dst
+    """
+    o["skyline_pareto_docs"] = """
+        WITH d AS (
+          SELECT doc_id AS id,
+                 CAST(n_chars AS BIGINT) AS len_score,
+                 CAST(doc_id % 97 AS BIGINT) AS fresh_score,
+                 CAST((doc_id * 3) % 89 AS BIGINT) AS link_score
+          FROM documents
+        )
+        SELECT a.id, a.len_score, a.fresh_score, a.link_score
+        FROM d a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM d b
+          WHERE b.id <> a.id
+            AND b.len_score >= a.len_score
+            AND b.fresh_score >= a.fresh_score
+            AND b.link_score >= a.link_score
+            AND (b.len_score > a.len_score
+                 OR b.fresh_score > a.fresh_score
+                 OR b.link_score > a.link_score)
+        )
+    """
+    o["lt_cascade_influence"] = """
+        WITH raw AS (
+          SELECT 'n' || (doc_id % 40) AS src,
+                 'n' || ((doc_id * 7 + 1) % 40) AS dst,
+                 CAST(doc_id % 5 + 1 AS BIGINT) AS w
+          FROM documents
+        ),
+        e AS MATERIALIZED (
+          SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+          FROM raw WHERE src <> dst GROUP BY 1, 2
+        ),
+        ti AS (SELECT dst, CAST(sum(w) AS BIGINT) AS total_w FROM e GROUP BY 1),
+        a0 AS (SELECT 'n' || CAST(i AS VARCHAR) AS node,
+                      CAST(0 AS BIGINT) AS activated_round
+               FROM unnest(generate_series(0, 5)) t(i)),
+        aw1 AS (
+          SELECT e.dst, CAST(sum(e.w) AS BIGINT) AS aw
+          FROM e JOIN a0 a ON a.node = e.src GROUP BY 1),
+        n1 AS (
+          SELECT aw1.dst AS node
+          FROM aw1 JOIN ti ON ti.dst = aw1.dst
+          WHERE aw1.aw * 3 >= ti.total_w * 1
+            AND aw1.dst NOT IN (SELECT node FROM a0)),
+        a1 AS (
+          SELECT node, activated_round FROM a0
+          UNION ALL
+          SELECT node, CAST(1 AS BIGINT) FROM n1),
+        aw2 AS (
+          SELECT e.dst, CAST(sum(e.w) AS BIGINT) AS aw
+          FROM e JOIN a1 a ON a.node = e.src GROUP BY 1),
+        n2 AS (
+          SELECT aw2.dst AS node
+          FROM aw2 JOIN ti ON ti.dst = aw2.dst
+          WHERE aw2.aw * 3 >= ti.total_w * 1
+            AND aw2.dst NOT IN (SELECT node FROM a1)),
+        a2 AS (
+          SELECT node, activated_round FROM a1
+          UNION ALL
+          SELECT node, CAST(2 AS BIGINT) FROM n2),
+        aw3 AS (
+          SELECT e.dst, CAST(sum(e.w) AS BIGINT) AS aw
+          FROM e JOIN a2 a ON a.node = e.src GROUP BY 1),
+        n3 AS (
+          SELECT aw3.dst AS node
+          FROM aw3 JOIN ti ON ti.dst = aw3.dst
+          WHERE aw3.aw * 3 >= ti.total_w * 1
+            AND aw3.dst NOT IN (SELECT node FROM a2)),
+        a3 AS (
+          SELECT node, activated_round FROM a2
+          UNION ALL
+          SELECT node, CAST(3 AS BIGINT) FROM n3),
+        aw4 AS (
+          SELECT e.dst, CAST(sum(e.w) AS BIGINT) AS aw
+          FROM e JOIN a3 a ON a.node = e.src GROUP BY 1),
+        n4 AS (
+          SELECT aw4.dst AS node
+          FROM aw4 JOIN ti ON ti.dst = aw4.dst
+          WHERE aw4.aw * 3 >= ti.total_w * 1
+            AND aw4.dst NOT IN (SELECT node FROM a3)),
+        a4 AS (
+          SELECT node, activated_round FROM a3
+          UNION ALL
+          SELECT node, CAST(4 AS BIGINT) FROM n4)
+        SELECT node, activated_round FROM a4
+        ORDER BY activated_round, node
     """
     o["tpch_q12_late_priority"] = """
         WITH li AS (

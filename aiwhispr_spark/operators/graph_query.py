@@ -1630,3 +1630,70 @@ def densest_subgraph_peel(
         .cast("long")
         .alias("is_best"),
     )
+
+
+def lt_cascade_bounded(
+    edges: DataFrame,
+    seeds: list[str],
+    rounds: int = 4,
+    theta_num: int = 1,
+    theta_den: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Deterministic linear-threshold cascade (Kempe/Kleinberg/Tardos 2003
+    with a FIXED uniform threshold θ instead of the randomized one — the
+    deterministic variant used for reproducible influence audits): a node
+    activates when the weight from already-active in-neighbors reaches
+    θ · (its total in-weight), synchronously per round; activation is
+    monotone.  Use: how far does a label/spam/trust signal spread from a
+    seed set along the weighted host/entity graph.
+
+    Exact integers: activate iff ``active_w · theta_den ≥ total_w ·
+    theta_num``.  Bounded rounds = exact-state contract; nodes never
+    reached stay absent (visible by absence); seeds report round 0.
+    Parallel edges pre-sum into one weight per (src, dst).
+
+    100 TB shape: per round ONE semi-join of edges against the cumulative
+    active set + one dst-keyed aggregate + one anti-join; state is
+    node-keyed, never edge-keyed; localCheckpoint per round.  (The
+    incremental form — aggregate only the NEWLY-active frontier's edges
+    into a running active-weight state — halves the join input at scale;
+    the recompute form is kept for the exact-state gate's simplicity.)
+
+    Returns (node, activated_round)."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    total_in = e.groupBy("dst").agg(F.sum("w").cast("long").alias("total_w"))
+    spark = edges.sparkSession
+    active = spark.createDataFrame(
+        [(s_, 0) for s_ in sorted(set(seeds))], "node string, activated_round long"
+    ).localCheckpoint()
+    for rnd in range(1, rounds + 1):
+        active_w = (
+            e.join(active.select(F.col("node").alias("src")), "src")
+            .groupBy("dst")
+            .agg(F.sum("w").cast("long").alias("aw"))
+        )
+        newly = (
+            active_w.join(total_in, "dst")
+            .filter(
+                F.col("aw") * F.lit(int(theta_den))
+                >= F.col("total_w") * F.lit(int(theta_num))
+            )
+            .select(F.col("dst").alias("node"))
+            .join(active.select("node"), "node", "left_anti")
+            .select("node", F.lit(rnd).cast("long").alias("activated_round"))
+        )
+        active = active.unionByName(newly).localCheckpoint()
+    return active
