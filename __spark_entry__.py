@@ -9374,6 +9374,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lt_cascade_influence"] = lt_cascade
 
+    def ring_assign(spark, sf):
+        # Consistent-hash ring (sharding.py::consistent_hash_assign, Karger
+        # vnodes=8) vs the SAME ring minus shard s3 — `moved_i` materializes
+        # the selling point (only s3's arcs remap; rendezvous is the sibling
+        # scheme).  Ring = driver-side literal CASE chain, zero joins.
+        from aiwhispr_spark.operators.sharding import consistent_hash_assign
+
+        shards = ["s1", "s2", "s3", "s4"]
+        src = _t(spark, sf, "documents").select(
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 37).cast("string"),
+                     F.lit(".example.com/p/"), F.col("doc_id").cast("string")).alias("url")
+        )
+        full = consistent_hash_assign(src, shards, "url", out_col="shard_full")
+        both = consistent_hash_assign(
+            full, [s_ for s_ in shards if s_ != "s3"], "url", out_col="shard_wo_s3"
+        )
+        return both.select(
+            "url",
+            "shard_full",
+            "shard_wo_s3",
+            (F.col("shard_full") != F.col("shard_wo_s3")).cast("long").alias("moved_i"),
+        )
+
+    q["consistent_hash_ring"] = ring_assign
+
+    def knapsack(spark, sf):
+        # Fractional-knapsack budget allocation (mixing.py::
+        # fractional_knapsack): hosts priced by fetch cost, funded by
+        # value density until the budget boundary (pro-rata at the
+        # boundary); floored-density sort key shared by both engines;
+        # zero-cost hosts visible with the −1 sentinel.
+        from aiwhispr_spark.operators.mixing import fractional_knapsack
+
+        hosts = (
+            _t(spark, sf, "documents")
+            .groupBy(F.concat(F.lit("h"), (F.col("doc_id") % 30).cast("string")).alias("host"))
+            .agg(
+                F.sum("n_chars").cast("long").alias("value"),
+                (F.count(F.lit(1)) * 3 + F.min(F.col("doc_id") % 7)).cast("long").alias("cost"),
+            )
+        )
+        return fractional_knapsack(hosts, "host", "value", "cost", budget=800)
+
+    q["knapsack_crawl_budget"] = knapsack
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -9407,6 +9452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_nn_pairs",
         "skyline_pareto_docs",
         "lt_cascade_influence",
+        "consistent_hash_ring",
+        "knapsack_crawl_budget",
         "tpch_q12_late_priority",
         "tpch_q13_order_distribution",
         "tpch_q19_disjunctive_revenue",
@@ -17197,6 +17244,68 @@ def oracle_sql() -> dict[str, str]:
           SELECT node, CAST(4 AS BIGINT) FROM n4)
         SELECT node, activated_round FROM a4
         ORDER BY activated_round, node
+    """
+    from aiwhispr_spark.operators.sharding import ring_positions
+
+    _ring_full = ring_positions(["s1", "s2", "s3", "s4"], 8)
+    _ring_wo3 = ring_positions(["s1", "s2", "s4"], 8)
+    _rv = lambda ring: ", ".join(f"('{sh}', {pos})" for sh, pos in ring)  # noqa: E731
+    o["consistent_hash_ring"] = f"""
+        WITH src AS (
+          SELECT 'https://h' || (doc_id % 37) || '.example.com/p/' || doc_id
+                   AS url
+          FROM documents
+        ),
+        k AS (SELECT url,
+                     ('0x' || substr(md5(url), 1, 15))::BIGINT AS h
+              FROM src),
+        rf(shard, pos) AS (VALUES {_rv(_ring_full)}),
+        rw(shard, pos) AS (VALUES {_rv(_ring_wo3)}),
+        cf AS (SELECT k.url, arg_min(rf.shard, rf.pos) AS s
+               FROM k JOIN rf ON rf.pos >= k.h GROUP BY k.url),
+        cw AS (SELECT k.url, arg_min(rw.shard, rw.pos) AS s
+               FROM k JOIN rw ON rw.pos >= k.h GROUP BY k.url)
+        SELECT k.url,
+               coalesce(cf.s, '{_ring_full[0][0]}') AS shard_full,
+               coalesce(cw.s, '{_ring_wo3[0][0]}') AS shard_wo_s3,
+               CAST(CASE WHEN coalesce(cf.s, '{_ring_full[0][0]}')
+                         <> coalesce(cw.s, '{_ring_wo3[0][0]}')
+                    THEN 1 ELSE 0 END AS BIGINT) AS moved_i
+        FROM k LEFT JOIN cf ON cf.url = k.url LEFT JOIN cw ON cw.url = k.url
+    """
+    o["knapsack_crawl_budget"] = """
+        WITH hosts AS (
+          SELECT 'h' || (doc_id % 30) AS key,
+                 CAST(sum(n_chars) AS BIGINT) AS value,
+                 CAST(count(*) * 3 + min(doc_id % 7) AS BIGINT) AS cost
+          FROM documents GROUP BY 1
+        ),
+        base AS (
+          SELECT key, value, cost,
+                 CAST(CASE WHEN cost <= 0 THEN -1
+                      ELSE (1000000 * value) // cost END AS BIGINT) AS ratio_i
+          FROM hosts
+        ),
+        cum AS (
+          SELECT *,
+                 CAST(coalesce(sum(CASE WHEN ratio_i >= 0 THEN cost END)
+                   OVER (ORDER BY ratio_i DESC, key
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cum_prev
+          FROM base
+        )
+        SELECT key, value, cost, ratio_i,
+               CAST(CASE WHEN ratio_i < 0 THEN 0
+                    ELSE greatest(0, least(cost, 800 - cum_prev)) END
+                    AS BIGINT) AS alloc_cost,
+               CAST(CASE WHEN cost <= 0
+                         OR (CASE WHEN ratio_i < 0 THEN 0
+                             ELSE greatest(0, least(cost, 800 - cum_prev)) END) = 0
+                    THEN 0
+                    ELSE (value * (CASE WHEN ratio_i < 0 THEN 0
+                          ELSE greatest(0, least(cost, 800 - cum_prev)) END)
+                          * 1000000) // cost END AS BIGINT) AS captured_mi
+        FROM cum
     """
     o["tpch_q12_late_priority"] = """
         WITH li AS (

@@ -573,3 +573,71 @@ def greedy_source_cover(
     return out.withColumn(
         "covered_total", F.sum("gain").over(w).cast("long")
     ).select("round", F.col("src").alias("source"), "gain", "covered_total")
+
+
+def fractional_knapsack(
+    df,
+    key_col: str,
+    value_col: str,
+    cost_col: str,
+    budget: int,
+    scale: int = 1_000_000,
+):
+    """Fractional-knapsack crawl/compute budget allocation (the greedy
+    value-density rule, optimal for the fractional relaxation): order keys
+    by value/cost density, fund each fully until the budget boundary, fund
+    the boundary key pro-rata, everything after gets zero — how a crawl
+    scheduler spends N fetches across hosts priced by cost with estimated
+    value.
+
+    Integer contract: the sort key is ``ratio_i = value·scale div cost``
+    (ties: key asc) — BOTH engines order by the same floored key, so
+    near-equal densities order identically cross-engine even where exact
+    rational order would differ from the floored order.  alloc =
+    clamp(budget − prior cumulative cost, 0, cost); captured_mi =
+    value·alloc·scale div cost (one floor; value·cost·scale must stay
+    under 2^63 — drop scale for corpus-bytes-sized values).  Zero/NULL-cost keys stay
+    VISIBLE with the −1 ratio sentinel and zero allocation (they can't be
+    priced — route upstream), the linededup-NULL lesson.
+
+    The density window is KEY-cardinality-sized (hosts, not documents —
+    grouped_kfold discipline).  Returns (key, value, cost, ratio_i,
+    alloc_cost, captured_mi)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    b = int(budget)
+    s = int(scale)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.coalesce(F.col(value_col), F.lit(0)).cast("long").alias("value"),
+        F.coalesce(F.col(cost_col), F.lit(0)).cast("long").alias("cost"),
+    ).withColumn(
+        "ratio_i",
+        F.expr(f"CAST(CASE WHEN cost <= 0 THEN -1 ELSE ({s} * value) div cost END AS BIGINT)"),
+    )
+    w = (
+        Window.orderBy(F.desc("ratio_i"), F.col("key"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = base.withColumn(
+        "cum_prev", F.coalesce(F.sum(F.when(F.col("ratio_i") >= 0, F.col("cost"))).over(w), F.lit(0))
+    ).withColumn(
+        "alloc_cost",
+        F.when(
+            F.col("ratio_i") < 0, F.lit(0)
+        ).otherwise(
+            F.greatest(F.lit(0), F.least(F.col("cost"), F.lit(b) - F.col("cum_prev")))
+        ).cast("long"),
+    )
+    return out.select(
+        "key",
+        "value",
+        "cost",
+        "ratio_i",
+        "alloc_cost",
+        F.expr(
+            f"CAST(CASE WHEN cost <= 0 OR alloc_cost = 0 THEN 0 "
+            f"ELSE (value * alloc_cost * {s}) div cost END AS BIGINT)"
+        ).alias("captured_mi"),
+    )

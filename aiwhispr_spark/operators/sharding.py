@@ -86,3 +86,50 @@ def grouped_kfold(
         "fold",
         F.when(r < k, r).otherwise(2 * k - 1 - r).cast("long"),
     )
+
+
+def ring_positions(shards: list[str], vnodes: int = 8) -> list[tuple[str, int]]:
+    """(shard, position) virtual-node ring: position = 60-bit md5 fingerprint
+    of 'shard#vnode' — driver-side (the ring is nodes·vnodes entries, never
+    data-sized), shared verbatim by the oracle builder so both engines see
+    the identical ring."""
+    import hashlib
+
+    out = []
+    for s_ in sorted(set(shards)):
+        for v in range(vnodes):
+            h = int(hashlib.md5(f"{s_}#{v}".encode()).hexdigest()[:15], 16)
+            out.append((s_, h))
+    return sorted(out, key=lambda t: (t[1], t[0]))
+
+
+def consistent_hash_assign(
+    df: DataFrame,
+    shards: list[str],
+    key_col: str = "url",
+    vnodes: int = 8,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Consistent-hash ring assignment (Karger et al. 1997): a key goes to
+    the first virtual node CLOCKWISE from its hash (wrap to the ring's
+    minimum) — the OTHER classic sharder next to rendezvous_assign, kept
+    because its selling point is measurable: removing a node moves ONLY the
+    keys that hashed to its arcs (≈1/n of keys), where a naive mod-n
+    remap moves (n−1)/n.  ``tests`` pin exactly that movement bound.
+
+    Ring and lookup are both deterministic md5 60-bit fingerprints (the
+    repo's one fingerprint discipline); the ring broadcasts as a literal
+    CASE chain over sorted positions — zero joins, zero shuffle, pure JVM
+    binary search compiled as nested whens.  NULL keys yield NULL shard
+    (visible, the rendezvous contract)."""
+    ring = ring_positions(shards, vnodes)
+    key_h = F.conv(
+        F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10
+    ).cast("long")
+    # nested whens over the sorted ring ("first position >= hash"), built in
+    # reverse so earlier ring entries take precedence
+    result = F.lit(ring[0][0])  # hash > max position wraps to ring minimum
+    for shard_name, pos in reversed(ring):
+        result = F.when(key_h <= F.lit(pos), F.lit(shard_name)).otherwise(result)
+    result = F.when(F.col(key_col).isNull(), F.lit(None)).otherwise(result)
+    return df.withColumn(out_col, result)

@@ -66,3 +66,43 @@ def test_lt_cascade_parallel_edges_presum(spark):
         for r in lt_cascade_bounded(df, ["a"], rounds=2).collect()
     }
     assert got.get("b") == 1  # 2*2 >= 4
+
+
+def test_ring_movement_bound_and_wrap(spark):
+    """Removing one of 4 shards must move ONLY keys from its arcs (≈1/4),
+    never between surviving shards; keys below the first ring position wrap."""
+    from aiwhispr_spark.operators.sharding import consistent_hash_assign
+
+    rows = [(f"k{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "url string")
+    full = consistent_hash_assign(df, ["s1", "s2", "s3", "s4"], "url", out_col="a")
+    both = consistent_hash_assign(full, ["s1", "s2", "s4"], "url", out_col="b").collect()
+    moved = [r for r in both if r["a"] != r["b"]]
+    # every moved key was on s3; survivors never shuffle among themselves
+    assert all(r["a"] == "s3" for r in moved)
+    assert all(r["b"] != "s3" for r in both)
+    # movement is s3's share, not (n-1)/n: strictly under half on 400 keys
+    assert 0 < len(moved) < 200
+    # NULL keys stay visible with NULL shard
+    nulldf = spark.createDataFrame([(None,)], "url string")
+    assert consistent_hash_assign(nulldf, ["s1", "s2"], "url").collect()[0]["shard"] is None
+
+
+def test_knapsack_boundary_prorata_and_sentinel(spark):
+    from aiwhispr_spark.operators.mixing import fractional_knapsack
+
+    rows = [
+        ("a", 100, 10),  # ratio 10: funded fully
+        ("b", 50, 10),   # ratio 5: funded fully
+        ("c", 30, 10),   # ratio 3: boundary -> 5 of 10 funded
+        ("d", 10, 10),   # ratio 1: nothing left
+        ("e", 99, 0),    # unpriced: sentinel, no allocation
+    ]
+    df = spark.createDataFrame(rows, "host string, v long, c long")
+    got = {r["key"]: r for r in fractional_knapsack(df, "host", "v", "c", budget=25).collect()}
+    assert got["a"]["alloc_cost"] == 10 and got["a"]["captured_mi"] == 100 * 1_000_000
+    assert got["b"]["alloc_cost"] == 10
+    assert got["c"]["alloc_cost"] == 5 and got["c"]["captured_mi"] == 15 * 1_000_000
+    assert got["d"]["alloc_cost"] == 0 and got["d"]["captured_mi"] == 0
+    assert got["e"]["ratio_i"] == -1 and got["e"]["alloc_cost"] == 0
+    assert sum(r["alloc_cost"] for r in got.values()) == 25
