@@ -1167,3 +1167,62 @@ def autocomplete_prefix_topk(
         .filter(F.col("rnk") <= k)
         .select("prefix", "term", "freq", "rnk")
     )
+
+
+def elias_fano_postings_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 30,
+) -> DataFrame:
+    """Elias–Fano posting-list size accounting (Vigna 2013 quasi-succinct
+    indices — the modern monotone-sequence encoding next to the
+    delta+LEB128 varint already gated by postings_varint_stats): for a
+    sorted id list of length n over universe u = max_id + 1,
+
+        l        = max(0, ⌊log2(u / n)⌋)          (low-bit width)
+        ef_bits  = n·l  +  n + (max_id >> l) + 1   (lows + unary highs)
+
+    all from exact integer bit-length arithmetic (⌊log2 x⌋ = bitlen(x)−1 —
+    no float log).  Output per token: (token, n_docs, max_id, low_bits,
+    ef_bits, plain_bits = 64·n, ratio_i = plain·10⁴ div ef) for the top_k
+    most frequent tokens (n_docs desc, token) — the encoding-planner
+    decision surface, same family as column_encoding_stats.
+
+    One (token, id) aggregate + one token rollup; shuffle rows are 8-byte
+    pairs, never text."""
+    post = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(tokenize(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    agg = post.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("id").cast("long").alias("max_id"),
+    )
+    out = (
+        agg.withColumn(
+            "low_bits",
+            F.expr(
+                "CAST(CASE WHEN (max_id + 1) div n_docs >= 2 "
+                "THEN length(bin((max_id + 1) div n_docs)) - 1 "
+                "ELSE 0 END AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "ef_bits",
+            F.expr(
+                "CAST(n_docs * low_bits + n_docs"
+                " + shiftright(max_id, CAST(low_bits AS INT)) + 1 AS BIGINT)"
+            ),
+        )
+        .withColumn("plain_bits", (F.col("n_docs") * 64).cast("long"))
+        .withColumn(
+            "ratio_i", F.expr("CAST((plain_bits * 10000) div ef_bits AS BIGINT)")
+        )
+    )
+    return out.orderBy(F.desc("n_docs"), "token").limit(top_k)

@@ -331,3 +331,54 @@ def revalidation_plan(
         decision.alias("decision"),
         header.alias("cond_header"),
     )
+
+
+def politeness_schedule(
+    frontier,
+    delay_s: int,
+    host_col: str = "host",
+    url_col: str = "url",
+    arrival_col: str = "arrival_ep",
+):
+    """Per-host fetch-time assignment under a crawl delay — the politeness
+    queue as DATA: within a host (arrival asc, url asc), fetch times obey
+    ``t_i = max(arrival_i, t_{i-1} + delay)``.  That recurrence looks
+    sequential, but unrolls to the CLOSED FORM
+
+        t_i = i·delay + max_{j ≤ i}(arrival_j − j·delay)
+
+    (induction in the docstring source), i.e. ONE host-partitioned running
+    max — no applyInPandas, no per-row loop, exact integers end to end.
+
+    Returns (host, url, arrival_ep, q_idx, fetch_ep, wait_s); wait_s ≥ 0
+    always (a fetch never precedes its arrival).
+
+    100 TB shape: one window partitioned by host (the politeness_budget
+    discipline); per-host queue length bounds the frame, never the
+    corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    d = int(delay_s)
+    w_idx = Window.partitionBy(host_col).orderBy(F.col(arrival_col), F.col(url_col))
+    base = frontier.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.col(arrival_col).cast("long").alias("arrival_ep"),
+    ).withColumn("q_idx", (F.row_number().over(
+        Window.partitionBy("host").orderBy(F.col("arrival_ep"), F.col("url"))
+    ) - 1).cast("long"))
+    run = Window.partitionBy("host").orderBy("q_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = base.withColumn(
+        "fetch_ep",
+        (
+            F.col("q_idx") * F.lit(d)
+            + F.max(F.col("arrival_ep") - F.col("q_idx") * F.lit(d)).over(run)
+        ).cast("long"),
+    )
+    return out.select(
+        "host", "url", "arrival_ep", "q_idx", "fetch_ep",
+        (F.col("fetch_ep") - F.col("arrival_ep")).cast("long").alias("wait_s"),
+    )

@@ -106,3 +106,41 @@ def test_knapsack_boundary_prorata_and_sentinel(spark):
     assert got["d"]["alloc_cost"] == 0 and got["d"]["captured_mi"] == 0
     assert got["e"]["ratio_i"] == -1 and got["e"]["alloc_cost"] == 0
     assert sum(r["alloc_cost"] for r in got.values()) == 25
+
+
+def test_politeness_schedule_matches_sequential_simulation(spark):
+    import itertools
+
+    from aiwhispr_spark.operators.robots import politeness_schedule
+
+    rows = [
+        ("h", "u1", 100), ("h", "u2", 100), ("h", "u3", 101),
+        ("h", "u4", 200),  # idle gap: fetch at its own arrival
+        ("g", "u5", 100),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, arrival_ep long")
+    got = {r["url"]: r for r in politeness_schedule(df, delay_s=7).collect()}
+    # sequential reference: t_i = max(a_i, t_{i-1} + d) in (arrival, url) order
+    for host, group in itertools.groupby(
+        sorted(rows, key=lambda r: (r[0], r[2], r[1])), key=lambda r: r[0]
+    ):
+        t = None
+        for _, url, a in group:
+            t = a if t is None else max(a, t + 7)
+            assert got[url]["fetch_ep"] == t, url
+    assert got["u4"]["wait_s"] == 0  # idle gap resets the queue
+    assert got["u2"]["wait_s"] == 7 and got["u3"]["wait_s"] == 13
+    assert got["u5"]["wait_s"] == 0  # hosts are independent
+
+
+def test_elias_fano_bits_hand_computed(spark):
+    from aiwhispr_spark.operators.fulltext import elias_fano_postings_stats
+
+    # token 'x' in docs {1, 5, 9}: n=3, u=10, u//n=3 -> l=1,
+    # ef = 3*1 + 3 + (9>>1) + 1 = 11 bits
+    rows = [(1, "x"), (5, "x"), (9, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["token"]: r for r in elias_fano_postings_stats(df).collect()}
+    assert (got["x"]["low_bits"], got["x"]["ef_bits"]) == (1, 11)
+    # singleton posting at id 2: u=3, u//n=3 -> l=1, ef = 1+1+(2>>1)+1 = 4
+    assert (got["y"]["low_bits"], got["y"]["ef_bits"]) == (1, 4)
