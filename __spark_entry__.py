@@ -9348,9 +9348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("doc_id") % 97).cast("long").alias("fresh_score"),
             ((F.col("doc_id") * 3) % 89).cast("long").alias("link_score"),
         )
-        return skyline_pareto(
-            d, ["len_score", "fresh_score", "link_score"], id_col="id"
-        )
+        return skyline_pareto(d, ["len_score", "fresh_score", "link_score"])
 
     q["skyline_pareto_docs"] = skyline
 

@@ -1191,18 +1191,10 @@ def elias_fano_postings_stats(
 
     One (token, id) aggregate + one token rollup; shuffle rows are 8-byte
     pairs, never text."""
-    post = (
-        df.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.explode(tokenize(F.col(text_col))).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .groupBy("token", "id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    post = build_inverted_index(df, text_col, id_col)
     agg = post.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.max("id").cast("long").alias("max_id"),
+        F.max(F.col("id").cast("long")).cast("long").alias("max_id"),
     )
     out = (
         agg.withColumn(

@@ -598,7 +598,9 @@ def fractional_knapsack(
     value·alloc·scale div cost (one floor; value·cost·scale must stay
     under 2^63 — drop scale for corpus-bytes-sized values).  Zero/NULL-cost keys stay
     VISIBLE with the −1 ratio sentinel and zero allocation (they can't be
-    priced — route upstream), the linededup-NULL lesson.
+    priced — route upstream), the linededup-NULL lesson; priced
+    negative-value keys floor to density 0 (funded last, never confused
+    with the sentinel).
 
     The density window is KEY-cardinality-sized (hosts, not documents —
     grouped_kfold discipline).  Returns (key, value, cost, ratio_i,
@@ -613,8 +615,14 @@ def fractional_knapsack(
         F.coalesce(F.col(value_col), F.lit(0)).cast("long").alias("value"),
         F.coalesce(F.col(cost_col), F.lit(0)).cast("long").alias("cost"),
     ).withColumn(
+        # priced keys floor to density >= 0 (negative value = worthless, not
+        # unpriceable) so the -1 sentinel can NEVER collide with a computed
+        # ratio
         "ratio_i",
-        F.expr(f"CAST(CASE WHEN cost <= 0 THEN -1 ELSE ({s} * value) div cost END AS BIGINT)"),
+        F.expr(
+            f"CAST(CASE WHEN cost <= 0 THEN -1 "
+            f"ELSE greatest(0, ({s} * value) div cost) END AS BIGINT)"
+        ),
     )
     w = (
         Window.orderBy(F.desc("ratio_i"), F.col("key"))

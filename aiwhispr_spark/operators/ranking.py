@@ -85,14 +85,15 @@ def global_row_number(
 def skyline_pareto(
     df,
     maximize: list[str],
-    id_col: str = "id",
 ):
     """Pareto skyline (Börzsönyi et al. 2001 "The Skyline Operator"): rows
     not DOMINATED on the ``maximize`` criteria — the multi-objective
     document-selection primitive (quality vs freshness vs brevity) that no
     single weighted score expresses.  Dominance: b dominates a iff b ≥ a on
     every criterion and b > a on at least one; ties on ALL criteria keep
-    every tied row (none dominates the others).
+    every tied row (none dominates the others — strict any_gt also makes a
+    self/id check unnecessary, and dropping by ROW rather than by an id
+    column means duplicate ids can never nuke a frontier row).
 
     Execution: dominated rows drop via ONE left_anti self-join on the
     dominance predicate.  That candidate join is quadratic in rows that
@@ -116,9 +117,8 @@ def skyline_pareto(
     any_gt = gt[0]
     for g in gt[1:]:
         any_gt = any_gt | g
-    dominated = a.join(
-        b,
-        all_geq & any_gt & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        "left_semi",
-    )
-    return df.join(dominated.select(F.col(id_col)), id_col, "left_anti")
+    # left_anti keyed on the DOMINANCE PREDICATE itself (rows, not ids):
+    # strict any_gt already excludes identical rows, and an id-keyed drop
+    # would nuke a frontier row that happens to share its id with a
+    # dominated one
+    return a.join(b, all_geq & any_gt, "left_anti")

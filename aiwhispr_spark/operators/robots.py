@@ -360,7 +360,6 @@ def politeness_schedule(
     from pyspark.sql.window import Window
 
     d = int(delay_s)
-    w_idx = Window.partitionBy(host_col).orderBy(F.col(arrival_col), F.col(url_col))
     base = frontier.select(
         F.col(host_col).alias("host"),
         F.col(url_col).alias("url"),

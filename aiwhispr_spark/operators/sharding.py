@@ -95,6 +95,8 @@ def ring_positions(shards: list[str], vnodes: int = 8) -> list[tuple[str, int]]:
     the identical ring."""
     import hashlib
 
+    if not shards:
+        raise ValueError("consistent hashing needs at least one shard")
     out = []
     for s_ in sorted(set(shards)):
         for v in range(vnodes):
@@ -123,9 +125,7 @@ def consistent_hash_assign(
     binary search compiled as nested whens.  NULL keys yield NULL shard
     (visible, the rendezvous contract)."""
     ring = ring_positions(shards, vnodes)
-    key_h = F.conv(
-        F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10
-    ).cast("long")
+    key_h = fingerprint_expr(F.col(key_col))  # the repo's ONE fingerprint
     # nested whens over the sorted ring ("first position >= hash"), built in
     # reverse so earlier ring entries take precedence
     result = F.lit(ring[0][0])  # hash > max position wraps to ring minimum

@@ -24,8 +24,15 @@ def test_skyline_dominance_and_ties(spark):
         (6, 20, 19),  # dominated by 2 (geq all + gt one)
     ]
     df = spark.createDataFrame(rows, "id long, x long, y long")
-    got = {r["id"] for r in skyline_pareto(df, ["x", "y"], id_col="id").collect()}
+    got = {r["id"] for r in skyline_pareto(df, ["x", "y"]).collect()}
     assert got == {2, 3, 4, 5}
+    # duplicate ids must not interact: the weak (id=7) row drops, the
+    # frontier (id=7) row survives — an id-keyed drop would kill both
+    dup = spark.createDataFrame(
+        [(7, 100, 100), (7, 1, 1), (8, 50, 50)], "id long, x long, y long"
+    )
+    rows = skyline_pareto(dup, ["x", "y"]).collect()
+    assert [(r["id"], r["x"]) for r in rows] == [(7, 100)]
 
 
 def test_lt_cascade_threshold_boundary_and_monotonicity(spark):
