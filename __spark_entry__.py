@@ -17313,7 +17313,8 @@ def oracle_sql() -> dict[str, str]:
         base AS (
           SELECT key, value, cost,
                  CAST(CASE WHEN cost <= 0 THEN -1
-                      ELSE (1000000 * value) // cost END AS BIGINT) AS ratio_i
+                      ELSE greatest(0, (1000000 * value) // cost) END
+                      AS BIGINT) AS ratio_i
           FROM hosts
         ),
         cum AS (
