@@ -9447,6 +9447,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["elias_fano_postings"] = ef_postings
 
+    def seq_patterns(spark, sf):
+        # 2-step sequential patterns (temporal.py::sequential_pattern_
+        # support): a-before-b user counts from (user, type) min/max
+        # summaries — subsequence semantics (the Markov surface gates
+        # adjacency); events never pairwise-scanned.
+        from aiwhispr_spark.operators.temporal import sequential_pattern_support
+
+        return sequential_pattern_support(_t(spark, sf, "events"), min_support=5)
+
+    q["sequential_pattern_support"] = seq_patterns
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -9484,6 +9495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knapsack_crawl_budget",
         "politeness_fetch_schedule",
         "elias_fano_postings",
+        "sequential_pattern_support",
         "tpch_q12_late_priority",
         "tpch_q13_order_distribution",
         "tpch_q19_disjunctive_revenue",
@@ -17394,6 +17406,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, n_docs, max_id, low_bits, ef_bits, plain_bits,
                CAST((plain_bits * 10000) // ef_bits AS BIGINT) AS ratio_i
         FROM ef ORDER BY n_docs DESC, token LIMIT 30
+    """
+    o["sequential_pattern_support"] = """
+        WITH g AS (
+          SELECT user_id AS uid, event_type AS etype,
+                 min(ts) AS first_ts, max(ts) AS last_ts
+          FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(count(DISTINCT uid) AS BIGINT) AS n_total FROM g),
+        pairs AS (
+          SELECT x.etype AS antecedent, y.etype AS consequent,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM g x JOIN g y ON x.uid = y.uid AND x.etype <> y.etype
+          WHERE x.first_ts < y.last_ts
+          GROUP BY 1, 2 HAVING count(*) >= 5
+        )
+        SELECT antecedent, consequent, n_users,
+               CAST((1000000 * n_users) // n_total AS BIGINT) AS support_mi
+        FROM pairs, tot
     """
     o["tpch_q12_late_priority"] = """
         WITH li AS (

@@ -1084,3 +1084,59 @@ def conversion_attribution(
     return credited.groupBy("last_touch", "first_touch").agg(
         F.count(F.lit(1)).cast("long").alias("conversions")
     )
+
+
+def sequential_pattern_support(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    min_support: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """2-step sequential-pattern support (the AprioriAll/PrefixSpan base
+    case, Agrawal/Srikant '95): for ordered event types (a → b), the number
+    of users whose timeline contains SOME a strictly before SOME b — the
+    gap may contain anything (subsequence, not adjacency; adjacency is the
+    Markov-transition surface, event_markov_transitions).
+
+    "Some a before some b" needs no pairwise scan: per (user, type) only
+    ``min(ts)`` and ``max(ts)`` matter — user supports a→b iff
+    min_ts(a) < max_ts(b).  So the corpus collapses to one (user, type)
+    aggregate and the pattern join runs on user-type summaries, never raw
+    events; a ≠ b pairs only (a→a needs 2nd-smallest ts — out of contract,
+    documented).
+
+    Output: (antecedent, consequent, n_users, support_mi = n_users·scale
+    div n_total_users) for pairs with n_users ≥ min_support."""
+    g = events.groupBy(
+        F.col(user_col).alias("uid"), F.col(type_col).alias("etype")
+    ).agg(
+        F.min(F.col(ts_col)).alias("first_ts"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+    )
+    tot = g.select("uid").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    pairs = (
+        g.alias("x")
+        .join(g.alias("y"), "uid")
+        .filter(
+            (F.col("x.etype") != F.col("y.etype"))
+            & (F.col("x.first_ts") < F.col("y.last_ts"))
+        )
+        .groupBy(
+            F.col("x.etype").alias("antecedent"),
+            F.col("y.etype").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .filter(F.col("n_users") >= min_support)
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "antecedent",
+        "consequent",
+        "n_users",
+        F.expr(f"CAST(({int(scale)} * n_users) div n_total AS BIGINT)").alias(
+            "support_mi"
+        ),
+    )

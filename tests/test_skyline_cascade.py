@@ -151,3 +151,34 @@ def test_elias_fano_bits_hand_computed(spark):
     assert (got["x"]["low_bits"], got["x"]["ef_bits"]) == (1, 11)
     # singleton posting at id 2: u=3, u//n=3 -> l=1, ef = 1+1+(2>>1)+1 = 4
     assert (got["y"]["low_bits"], got["y"]["ef_bits"]) == (1, 4)
+
+
+def test_sequential_pattern_subsequence_semantics(spark):
+    import datetime as dt
+
+    from aiwhispr_spark.operators.temporal import sequential_pattern_support
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda n: t0 + dt.timedelta(seconds=n)  # noqa: E731
+    rows = [
+        # u1: a(0) .. x(5) .. b(10): a->b holds through the gap
+        ("u1", "a", sec(0)), ("u1", "x", sec(5)), ("u1", "b", sec(10)),
+        # u2: b before a only -> supports b->a, not a->b
+        ("u2", "b", sec(0)), ("u2", "a", sec(1)),
+        # u3: simultaneous a,b -> STRICT order, supports neither direction
+        ("u3", "a", sec(0)), ("u3", "b", sec(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    got = {
+        (r["antecedent"], r["consequent"]): r["n_users"]
+        for r in sequential_pattern_support(df, min_support=1).collect()
+    }
+    assert got[("a", "b")] == 1  # u1 only (u3 tie excluded)
+    assert got[("b", "a")] == 1  # u2 only
+    assert got[("a", "x")] == 1 and got[("x", "b")] == 1
+    # support_mi denominator is ALL users (3), not just matching ones
+    out = {
+        (r["antecedent"], r["consequent"]): r["support_mi"]
+        for r in sequential_pattern_support(df, min_support=1).collect()
+    }
+    assert out[("a", "b")] == 1_000_000 // 3
