@@ -9458,6 +9458,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sequential_pattern_support"] = seq_patterns
 
+    def vocab_drift(spark, sf):
+        # Cross-epoch vocabulary drift (textstats.py::vocabulary_drift_jsd):
+        # exact JSD between even/odd-doc token distributions — one ln per
+        # token-side on the cross-multiplied rational (dirichlet pattern),
+        # absent tokens unsmoothed (exact ln2-bounded divergence).
+        from aiwhispr_spark.operators.textstats import vocabulary_drift_jsd
+
+        d = _t(spark, sf, "documents")
+        return vocabulary_drift_jsd(
+            d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+        )
+
+    q["vocabulary_drift_jsd"] = vocab_drift
+
     # The driver's CORRECTNESS gate checks the FIRST 50 registered queries, so
     # composition / scale-path / novel-operator oracles are promoted to the
     # front and trivial kernel wrappers (plus the three documented rows-only
@@ -9496,6 +9510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_fetch_schedule",
         "elias_fano_postings",
         "sequential_pattern_support",
+        "vocabulary_drift_jsd",
         "tpch_q12_late_priority",
         "tpch_q13_order_distribution",
         "tpch_q19_disjunctive_revenue",
@@ -17424,6 +17439,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT antecedent, consequent, n_users,
                CAST((1000000 * n_users) // n_total AS BIGINT) AS support_mi
         FROM pairs, tot
+    """
+    o["vocabulary_drift_jsd"] = """
+        WITH ta AS (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> '')) AS tok
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        tb AS (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> '')) AS tok
+          FROM documents WHERE doc_id % 2 = 1
+        ),
+        ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM ta GROUP BY 1),
+        cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY 1),
+        j AS (
+          SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+          FROM ca FULL JOIN cb ON ca.tok = cb.tok
+        ),
+        tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                       CAST(sum(cb) AS BIGINT) AS nb FROM j),
+        terms AS (
+          SELECT ca, cb, na, nb,
+                 CAST(CASE WHEN ca = 0 THEN 0 ELSE ca * CAST(round(1000000 * ln(
+                   (2.0 * ca * nb) / (CAST(ca AS DOUBLE) * nb
+                                      + CAST(cb AS DOUBLE) * na)
+                 )) AS BIGINT) END AS BIGINT) AS t_a,
+                 CAST(CASE WHEN cb = 0 THEN 0 ELSE cb * CAST(round(1000000 * ln(
+                   (2.0 * cb * na) / (CAST(ca AS DOUBLE) * nb
+                                      + CAST(cb AS DOUBLE) * na)
+                 )) AS BIGINT) END AS BIGINT) AS t_b
+          FROM j, tot
+        )
+        SELECT max(na) AS n_tokens_a, max(nb) AS n_tokens_b,
+               CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared_types,
+               CAST(sum(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_only_a,
+               CAST(sum(CASE WHEN ca = 0 AND cb > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_only_b,
+               CAST((sum(t_a) // (2 * max(na))) + (sum(t_b) // (2 * max(nb)))
+                    AS BIGINT) AS jsd_mi
+        FROM terms
     """
     o["tpch_q12_late_priority"] = """
         WITH li AS (

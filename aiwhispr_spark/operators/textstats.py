@@ -1352,3 +1352,90 @@ def string_periodicity(
         F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("txt")
     )
     return src.mapInPandas(gen, schema)
+
+
+def vocabulary_drift_jsd(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cross-epoch vocabulary drift as Jensen–Shannon divergence between the
+    two corpora's token distributions (base-e; bounded by ln 2) — the drift
+    monitor a recurring-crawl training pipeline alarms on (distribution
+    shift before model metrics move).
+
+    Integer contract (dirichlet pattern, one ln per token-side):
+
+        JSD = ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q))
+
+    with p = ca/na, q = cb/nb exact count ratios, each ln taken on the
+    cross-multiplied rational ``2·ca·nb / (ca·nb + cb·na)`` (one float ln,
+    rounded to a scaled int, then an exact integer dot with the counts and
+    a final div — both engines sum identical integers).  Absent tokens
+    contribute 0 to their side's sum (0·ln… = 0) and drive the other
+    side's term toward ln 2 — no smoothing, the exact JSD.
+
+    Output: ONE row (n_tokens_a, n_tokens_b, n_shared_types, n_only_a,
+    n_only_b, jsd_mi).  Scale: two vocab aggregates full-outer-joined on
+    token; totals broadcast; the ln runs per vocab row."""
+    def counts(df, side):
+        return (
+            df.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                        lambda x: x != F.lit(""),
+                    )
+                ).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias(side))
+        )
+    ca, cb = counts(df_a, "ca"), counts(df_b, "cb")
+    j = ca.join(cb, "tok", "full").select(
+        "tok",
+        F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+        F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+    )
+    tot = j.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    s = int(scale)
+    terms = j.crossJoin(F.broadcast(tot)).select(
+        "ca",
+        "cb",
+        "na",
+        "nb",
+        F.expr(
+            f"CAST(CASE WHEN ca = 0 THEN 0 ELSE ca * CAST(round({s} * ln("
+            f"(2.0 * ca * nb) / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na)"
+            f")) AS BIGINT) END AS BIGINT)"
+        ).alias("ta"),
+        F.expr(
+            f"CAST(CASE WHEN cb = 0 THEN 0 ELSE cb * CAST(round({s} * ln("
+            f"(2.0 * cb * na) / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na)"
+            f")) AS BIGINT) END AS BIGINT)"
+        ).alias("tb"),
+    )
+    return terms.groupBy("na", "nb").agg(
+        F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_types"),
+        F.sum(F.when((F.col("ca") > 0) & (F.col("cb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_only_a"),
+        F.sum(F.when((F.col("ca") == 0) & (F.col("cb") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_only_b"),
+        F.expr("CAST((sum(ta) div (2 * max(na))) + (sum(tb) div (2 * max(nb))) AS BIGINT)").alias(
+            "jsd_mi"
+        ),
+    ).select(
+        F.col("na").alias("n_tokens_a"),
+        F.col("nb").alias("n_tokens_b"),
+        "n_shared_types",
+        "n_only_a",
+        "n_only_b",
+        "jsd_mi",
+    )

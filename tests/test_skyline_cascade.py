@@ -182,3 +182,20 @@ def test_sequential_pattern_subsequence_semantics(spark):
         for r in sequential_pattern_support(df, min_support=1).collect()
     }
     assert out[("a", "b")] == 1_000_000 // 3
+
+
+def test_jsd_closed_forms(spark):
+    import math
+
+    from aiwhispr_spark.operators.textstats import vocabulary_drift_jsd
+
+    a = spark.createDataFrame([("x y",)], "text string")
+    b_same = spark.createDataFrame([("x y",)], "text string")
+    r = vocabulary_drift_jsd(a, b_same).collect()[0]
+    assert r["jsd_mi"] == 0 and r["n_shared_types"] == 2  # identical -> 0
+    # disjoint vocabularies -> exactly ln 2 (per-term ln(2) rounds once)
+    b_disj = spark.createDataFrame([("p q",)], "text string")
+    r2 = vocabulary_drift_jsd(a, b_disj).collect()[0]
+    assert r2["jsd_mi"] == round(1_000_000 * math.log(2)) - 1 or \
+           r2["jsd_mi"] == round(1_000_000 * math.log(2))  # two floor-divs
+    assert (r2["n_only_a"], r2["n_only_b"], r2["n_shared_types"]) == (2, 2, 0)
