@@ -253,3 +253,29 @@ def test_tpch_q13_left_join_counts_matches_not_rows(spark):
         f"SELECT count(*) FROM read_parquet('{SF}/customer.parquet')"
     ).fetchone()[0]
     assert total == n_cust  # every customer lands in exactly one bucket
+
+
+def test_new_session9_ops_stay_jvm_side(spark):
+    """The session-9 expression operators must compile without a python
+    stage (BatchEvalPython/ArrowEval would mean a UDF crept in) and the
+    pure projections without any Exchange."""
+    zero_python = [
+        "ppjoin_jaccard_pairs",
+        "rake_keyphrases",
+        "lexical_diversity_panel",
+        "benford_quantity_audit",
+        "http_revalidation_plan",
+        "consistent_hash_ring",
+        "kg_complex_score",
+        "timeseries_gorilla_bits",
+        "elias_fano_postings",
+        "politeness_fetch_schedule",
+    ]
+    for name in zero_python:
+        plan = plan_of(entrymod.queries()[name](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    # kg_complex_score's wrapper carries a fixture .distinct() (one
+    # exchange); the scoring itself is a projection — excluded here
+    for name in ["http_revalidation_plan", "consistent_hash_ring"]:
+        plan = plan_of(entrymod.queries()[name](spark, SF))
+        assert "Exchange" not in plan, name  # pure scan-speed projections
