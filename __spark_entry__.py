@@ -17473,15 +17473,18 @@ def oracle_sql() -> dict[str, str]:
                  )) AS BIGINT) END AS BIGINT) AS t_b
           FROM j, tot
         )
-        SELECT max(na) AS n_tokens_a, max(nb) AS n_tokens_b,
-               CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_shared_types,
-               CAST(sum(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_only_a,
-               CAST(sum(CASE WHEN ca = 0 AND cb > 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_only_b,
-               CAST((sum(t_a) // (2 * max(na))) + (sum(t_b) // (2 * max(nb)))
-                    AS BIGINT) AS jsd_mi
+        SELECT CAST(coalesce(max(na), 0) AS BIGINT) AS n_tokens_a,
+               CAST(coalesce(max(nb), 0) AS BIGINT) AS n_tokens_b,
+               CAST(coalesce(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END),
+                    0) AS BIGINT) AS n_shared_types,
+               CAST(coalesce(sum(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END),
+                    0) AS BIGINT) AS n_only_a,
+               CAST(coalesce(sum(CASE WHEN ca = 0 AND cb > 0 THEN 1 ELSE 0 END),
+                    0) AS BIGINT) AS n_only_b,
+               CAST(CASE WHEN coalesce(max(na), 0) = 0
+                         OR coalesce(max(nb), 0) = 0 THEN 0
+                    ELSE (sum(t_a) // (2 * max(na)))
+                         + (sum(t_b) // (2 * max(nb))) END AS BIGINT) AS jsd_mi
         FROM terms
     """
     o["tpch_q12_late_priority"] = """

@@ -1109,15 +1109,20 @@ def sequential_pattern_support(
 
     Output: (antecedent, consequent, n_users, support_mi = n_users·scale
     div n_total_users) for pairs with n_users ≥ min_support."""
-    g = events.groupBy(
-        F.col(user_col).alias("uid"), F.col(type_col).alias("etype")
-    ).agg(
-        F.min(F.col(ts_col)).alias("first_ts"),
-        F.max(F.col(ts_col)).alias("last_ts"),
+    # NULL users can never reach the pattern join (uid equi-join drops
+    # them) so they must not deflate the denominator either; localCheckpoint
+    # pins the (user,type) aggregate so the self-join sides and the total
+    # read ONE computed frame, not three re-aggregations of the event scan
+    g = (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("uid"), F.col(type_col).alias("etype"))
+        .agg(
+            F.min(F.col(ts_col)).alias("first_ts"),
+            F.max(F.col(ts_col)).alias("last_ts"),
+        )
+        .localCheckpoint()
     )
-    tot = g.select("uid").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_total")
-    )
+    tot = g.agg(F.countDistinct("uid").cast("long").alias("n_total"))
     pairs = (
         g.alias("x")
         .join(g.alias("y"), "uid")

@@ -270,12 +270,17 @@ def test_new_session9_ops_stay_jvm_side(spark):
         "timeseries_gorilla_bits",
         "elias_fano_postings",
         "politeness_fetch_schedule",
+        "sequential_pattern_support",
+        "vocabulary_drift_jsd",
     ]
-    for name in zero_python:
-        plan = plan_of(entrymod.queries()[name](spark, SF))
+    registry = entrymod.queries()
+    plans = {name: plan_of(registry[name](spark, SF)) for name in zero_python}
+    for name, plan in plans.items():
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     # kg_complex_score's wrapper carries a fixture .distinct() (one
     # exchange); the scoring itself is a projection — excluded here
     for name in ["http_revalidation_plan", "consistent_hash_ring"]:
-        plan = plan_of(entrymod.queries()[name](spark, SF))
-        assert "Exchange" not in plan, name  # pure scan-speed projections
+        assert "Exchange" not in plans[name], name  # pure scan-speed projections
+    # the vocab join runs ONCE: the joined frame is checkpointed, so the
+    # final plan reads the materialized RDD, not fresh parquet scans
+    assert plans["vocabulary_drift_jsd"].count("documents.parquet") == 0
