@@ -16781,8 +16781,8 @@ def oracle_sql() -> dict[str, str]:
         WITH src AS (
           SELECT CAST(doc_id AS VARCHAR) AS id,
                  substr(CASE WHEN doc_id % 5 = 0
-                        THEN repeat(substr(text, 1, 20), 10)
-                        ELSE text END, 1, 200) AS s
+                        THEN repeat(substr(coalesce(text, ''), 1, 20), 10)
+                        ELSE coalesce(text, '') END, 1, 200) AS s
           FROM documents
         ),
         nn AS (SELECT id, s, CAST(length(s) AS BIGINT) AS n FROM src),
@@ -16931,8 +16931,8 @@ def oracle_sql() -> dict[str, str]:
         rk AS (SELECT qq.*, row_number() OVER (ORDER BY rem DESC, key) AS _rk
                FROM qq)
         SELECT key, weight, base_alloc,
-               CAST(base_alloc + CASE WHEN _rk <= r.n_extra THEN 1 ELSE 0 END
-                    AS BIGINT) AS alloc
+               CAST(base_alloc + CASE WHEN _rk <= r.n_extra AND rem > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS alloc
         FROM rk, r
     """
     o["greedy_source_cover"] = """
@@ -17104,8 +17104,8 @@ def oracle_sql() -> dict[str, str]:
         sc AS (
           SELECT item, a, b,
                  CAST(n_pos - a AS BIGINT) AS c, CAST(n_neg - b AS BIGINT) AS d,
-                 CAST(CASE WHEN (a+b) * ((n_pos-a)+(n_neg-b)) * (a+(n_pos-a))
-                                * (b+(n_neg-b)) = 0 THEN 0
+                 CAST(CASE WHEN (a+b) = 0 OR ((n_pos-a)+(n_neg-b)) = 0
+                             OR (a+(n_pos-a)) = 0 OR (b+(n_neg-b)) = 0 THEN 0
                       ELSE round(10000 * ((CAST((n_pos + n_neg)
                               * (a*(n_neg-b) - b*(n_pos-a)) AS DOUBLE)
                             * CAST(a*(n_neg-b) - b*(n_pos-a) AS DOUBLE))

@@ -592,7 +592,11 @@ def chi2_feature_selection(
         .withColumn(
             "chi2_i",
             F.expr(
-                f"CAST(CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) = 0 THEN 0 "
+                # zero-margin guard tests each margin with OR, never their
+                # product: (a+b)*(c+d)*(a+c)*(b+d) overflows int64 around
+                # N≈55k docs and non-ANSI Spark wraps silently, which could
+                # mis-fire the guard well inside the double pipeline's range.
+                f"CAST(CASE WHEN (a+b) = 0 OR (c+d) = 0 OR (a+c) = 0 OR (b+d) = 0 THEN 0 "
                 f"ELSE round({s} * ((CAST((n_pos + n_neg) * (a*d - b*c) AS DOUBLE)"
                 f" * CAST(a*d - b*c AS DOUBLE))"
                 f" / (CAST((a+b) * (c+d) AS DOUBLE) * CAST((a+c) * (b+d) AS DOUBLE))))"
@@ -624,8 +628,12 @@ def mcnemar_paired_test(
     One map-side-combinable scalar aggregate — runs over a billion paired
     judgments as one reduce.  Returns one row: (n_both_right, n_only_a,
     n_only_b, n_both_wrong, chi2_i)."""
-    a_ok = F.col(sys_a_col) == 1
-    b_ok = F.col(sys_b_col) == 1
+    # NULL judgments count as WRONG (coalesce to 0), not invisible: a NULL
+    # score would make all four boolean cells NULL and the row would vanish
+    # from every count — the linededup NULL-doc lesson.  A NULL row lands in
+    # n_both_wrong / n_only_* like any other wrong answer.
+    a_ok = F.coalesce(F.col(sys_a_col), F.lit(0)) == 1
+    b_ok = F.coalesce(F.col(sys_b_col), F.lit(0)) == 1
     # coalesce: empty input must emit ZEROS, not NULLs (the NULL-BIGINT
     # stringification trap — benford does the same)
     agg = df.agg(

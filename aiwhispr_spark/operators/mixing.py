@@ -549,7 +549,6 @@ def greedy_source_cover(
     inc = df.select(
         F.col(source_col).alias("src"), F.col(item_col).alias("item")
     ).distinct()
-    covered_total = 0
     out = None
     remaining = inc.localCheckpoint()
     for rnd in range(1, k + 1):

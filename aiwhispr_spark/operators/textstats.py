@@ -1348,8 +1348,13 @@ def string_periodicity(
                 rows, columns=["id", "n", "period", "n_units", "is_periodic"]
             )
 
+    # NULL text coalesces to '' BEFORE the python boundary: str(None) inside
+    # mapInPandas would be the 4-char string 'None' (or pandas 'nan') and get
+    # a real period while a SQL twin propagates NULL — the linededup NULL-doc
+    # divergence class.  '' keeps the row visible as (n=0, period=0).
     src = df.select(
-        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("txt")
+        F.col(id_col).cast("string").alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("txt"),
     )
     return src.mapInPandas(gen, schema)
 

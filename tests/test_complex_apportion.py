@@ -118,3 +118,36 @@ def test_mcnemar_hand_computed(spark):
     # |b-c| <= 1 floors to zero evidence
     df3 = spark.createDataFrame([(1, 0), (0, 1), (1, 0)], "sys_a int, sys_b int")
     assert mcnemar_paired_test(df3, "sys_a", "sys_b").collect()[0]["chi2_i"] == 0
+
+
+def test_mcnemar_null_judgments_count_as_wrong(spark):
+    # ADVICE r3: NULL scores used to NULL all four cells and vanish the row.
+    # Contract: NULL judgment = wrong, visible in the counts.
+    from aiwhispr_spark.operators.evaluation import mcnemar_paired_test
+
+    rows = [(1, 1), (None, 1), (1, None), (None, None)]
+    df = spark.createDataFrame(rows, "sys_a int, sys_b int")
+    r = mcnemar_paired_test(df, "sys_a", "sys_b").collect()[0]
+    # every input row lands in exactly one cell
+    assert (
+        r["n_both_right"] + r["n_only_a"] + r["n_only_b"] + r["n_both_wrong"]
+    ) == 4
+    assert (r["n_both_right"], r["n_only_a"], r["n_only_b"], r["n_both_wrong"]) == (
+        1, 1, 1, 1,
+    )
+
+
+def test_chi2_margin_guard_is_overflow_safe(spark):
+    # ADVICE r3: the old (a+b)*(c+d)*(a+c)*(b+d) product guard overflowed
+    # int64 near N~55k docs.  The OR-of-margins guard must fire identically
+    # on true zero margins and never on a large non-degenerate table.
+    from aiwhispr_spark.operators.evaluation import chi2_feature_selection
+
+    # item "every" appears in EVERY doc -> c = d = 0 margin -> chi2 = 0
+    rows = [(i, i % 2, "every") for i in range(20)] + [
+        (i, i % 2, "posonly") for i in range(0, 20, 2)
+    ]
+    df = spark.createDataFrame(rows, "id long, lbl int, item string")
+    got = {r["item"]: r for r in chi2_feature_selection(df, "lbl", "item").collect()}
+    assert got["every"]["chi2_i"] == 0
+    assert got["posonly"]["chi2_i"] > 0

@@ -87,3 +87,15 @@ def test_periodicity_truncates_at_max_chars(spark):
     df = spark.createDataFrame([(1, "ab" * 300)], "doc_id long, text string")
     got = string_periodicity(df, max_chars=10).collect()[0]
     assert got["n"] == 10 and got["period"] == 2 and got["n_units"] == 5
+
+
+def test_periodicity_null_text_is_empty_not_nan(spark):
+    # ADVICE r3: NULL text used to reach mapInPandas as str(None)/'nan' and
+    # get a real period; now it coalesces to '' (visible, n=0) like the
+    # DuckDB twin's coalesce(text, '').
+    df = spark.createDataFrame(
+        [(1, None), (2, "abab")], "doc_id long, text string"
+    )
+    got = {r["id"]: r for r in string_periodicity(df).collect()}
+    assert (got["1"]["n"], got["1"]["period"], got["1"]["is_periodic"]) == (0, 0, 0)
+    assert (got["2"]["period"], got["2"]["n_units"]) == (2, 2)
