@@ -132,18 +132,50 @@ def kg_throughput(master_cores: int, docs_path: str, n_docs: int) -> float:
     raise RuntimeError(f"kg bench subprocess failed: {proc.stderr[-500:]}")
 
 
-def wait_for_quiet_machine(max_wait_s: float = 180.0, load_per_cpu: float = 0.5) -> float:
-    """Block (bounded) until 1-min loadavg drops below load_per_cpu × CPUS.
+LOAD_MAX = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "1.0"))
+LOAD_MAX_WAIT = float(os.environ.get("SPARK_GRAFT_LOAD_MAX_WAIT", "900"))
+COOLDOWN_S = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "60"))
+
+
+def wait_for_quiet_machine(
+    max_wait_s: float = LOAD_MAX_WAIT,
+    load_max: float = LOAD_MAX,
+    cooldown_s: float = COOLDOWN_S,
+    refuse_if_loaded: bool = True,
+) -> float:
+    """Block (bounded) until 1-min loadavg drops below ``load_max`` ABSOLUTE
+    (default 1.0 — this box idles at 0.0-0.3), then sleep ``cooldown_s`` more:
+    page-cache / JIT contention from freshly-exited JVMs is invisible to
+    loadavg but still depresses throughput for ~2 min (measured: 7.88 s vs
+    6.10 s headline at loadavg 0.00 right after a 20-min sweep).
+
     Concurrent CPU load is the single biggest source of bench variance here
     (a co-running pytest once turned a 14 s total into 27 s and a 0.93
     scaling efficiency into 0.60) — measuring under load produces numbers
-    that are wrong, not just noisy.  Returns the loadavg at start-of-bench
-    (recorded in the output JSON so a still-loaded run is at least visible)."""
-    threshold = float(CPUS) * load_per_cpu
+    that are wrong, not just noisy.  A loaded official artifact is worse
+    than a late one (BENCH_r03 shipped at loadavg 6.59 and read as a fake
+    22% regression), so if the machine is STILL loaded after the full wait
+    this refuses: prints a diagnostic to stderr and exits nonzero instead
+    of emitting a JSON line that needs a judge rerun to interpret.
+    Returns the loadavg after the wait (recorded in the output JSON)."""
     deadline = time.time() + max_wait_s
     load = os.getloadavg()[0]
-    while load > threshold and time.time() < deadline:
+    while load > load_max and time.time() < deadline:
         time.sleep(10)
+        load = os.getloadavg()[0]
+    if load > load_max:
+        if refuse_if_loaded:
+            print(
+                f"bench.py: REFUSING to measure — 1-min loadavg {load:.2f} "
+                f"still > {load_max} after {max_wait_s:.0f}s wait. A loaded "
+                f"benchmark artifact is misleading; rerun when quiet "
+                f"(override: SPARK_GRAFT_LOAD_MAX / SPARK_GRAFT_LOAD_MAX_WAIT).",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        return load
+    if cooldown_s > 0:
+        time.sleep(cooldown_s)
         load = os.getloadavg()[0]
     return load
 
