@@ -6253,6 +6253,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_all_probe_equals_exact"] = ivf_all_probe
 
+    def knn_graph(spark, sf):
+        # Graph-navigable ANN (similarity.py::build_knn_graph +
+        # knn_graph_beam_search) — the NSW/DiskANN-style sibling of the
+        # reference's HNSW indexes (qdrantVectorDb.py:270-273 ef=128,
+        # postgresVectorDb.py:67-68 M=16/ef=64).  Value gate: the oracle
+        # computes the EXACT top-10 independently and pins found_i = 1 for
+        # every row — the beam (m=8, ef=32, 4 rounds, 8 entries) must reach
+        # recall@10 = 1.0 or the hash diverges.  The beam result feeds the
+        # left join only; score_i comes from the same exact JVM cosine the
+        # flagship uses, so the gate isolates COVERAGE, not float noise.
+        from aiwhispr_spark.operators.similarity import (
+            build_knn_graph,
+            knn_graph_beam_search,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        adj = build_knn_graph(emb, m=8)
+        beam = knn_graph_beam_search(adj, emb, qvec, k=10, ef=32, rounds=4, n_entries=8)
+        exact = (
+            emb.select("vec_id", _scaled(cosine_expr("embedding", qvec)).alias("score_i"))
+            .orderBy(F.col("score_i").desc(), F.col("vec_id"))
+            .limit(10)
+        )
+        found = beam.select(F.col("nid").alias("vec_id"), F.lit(1).alias("_hit"))
+        return (
+            exact.join(found, "vec_id", "left")
+            .select(
+                "vec_id",
+                "score_i",
+                F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("found_i"),
+            )
+            .orderBy(F.col("score_i").desc(), F.col("vec_id"))
+        )
+
+    q["knn_graph_search"] = knn_graph
+
     def ivf_topk_search(spark, sf):
         # IVF-flat ANN scale path (rows-only: approximate by construction;
         # exactness vs brute force gated by tests/test_operators.py recall
@@ -9501,6 +9538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first = [
         "flagship_semantic_search",
         "ppjoin_jaccard_pairs",
+        "knn_graph_search",
         "wand_topk_pruned",
         "span_corruption_t5",
         "warc_curation_pipeline",
@@ -14050,6 +14088,18 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings
         )
         SELECT vec_id, score_i FROM scored ORDER BY score_i DESC, vec_id LIMIT 10
+    """
+    o["knn_graph_search"] = """
+        WITH q AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 CAST(round(10000 * list_dot_product(embedding::DOUBLE[], (SELECT e FROM q)::DOUBLE[])
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product((SELECT e FROM q)::DOUBLE[], (SELECT e FROM q)::DOUBLE[])))) AS BIGINT) AS score_i
+          FROM embeddings
+        )
+        SELECT vec_id, score_i, CAST(1 AS BIGINT) AS found_i
+        FROM scored ORDER BY score_i DESC, vec_id LIMIT 10
     """
     o["minhash_pairs_md5"] = _minhash_sql()
     o["minhash_groups_md5"] = _minhash_groups_sql()

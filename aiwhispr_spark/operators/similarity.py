@@ -481,3 +481,160 @@ def mutual_topk_pairs(
             F.col("x.dot_i").alias("dot_i"),
         )
     )
+
+
+def build_knn_graph(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    max_build_rows: int = 100_000,
+) -> DataFrame:
+    """M-nearest-neighbor adjacency by cosine — the index side of
+    graph-navigable ANN (the reference's actual ANN structures are HNSW:
+    qdrantVectorDb.py:270-273 ef=128, postgresVectorDb.py:67-68 M=16/ef=64;
+    this is the flat one-layer k-NN-graph ("NSW") sibling expressed as
+    DataFrames — a pointer-chasing multi-layer HNSW is hostile to Spark, a
+    bounded beam over an edge TABLE is not).
+
+    Build = blocked brute-force GEMM: the (bounded, ≤ ``max_build_rows``)
+    index side is collected once, L2-normalized, and closure-shipped to a
+    ``mapInPandas`` stage that scores each partition's query block against
+    it as ONE numpy matrix product and emits each row's top-M directly — no
+    N² pair shuffle ever materializes.  At 100 TB the exact-GEMM candidate
+    set swaps for the sign-LSH blocking tier (embedding_near_dup's
+    hyperplane buckets) feeding the same per-src top-M; the beam search is
+    agnostic to how edges were produced.  The guard raises past
+    ``max_build_rows`` rather than silently collecting a huge table.
+
+    The adjacency CARRIES the destination vector (DiskANN-style co-location:
+    neighbors and their vectors in one row) so the beam search below never
+    re-joins the vector table per round — each search round probes only
+    this edge table, partitioned by src.  Storage cost is ×m, the standard
+    graph-ANN trade.
+
+    Returns (src, dst, sim_i, dst_vec) — directed, m rows per src."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    n_rows = df.count()
+    if n_rows > max_build_rows:
+        raise ValueError(
+            f"exact kNN-graph build capped at {max_build_rows} rows (got "
+            f"{n_rows}); block candidates with the sign-LSH tier first"
+        )
+    idx = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).collect()
+    ids = np.array([r["_id"] for r in idx], dtype=np.int64)
+    mat = np.array([list(map(float, r["_v"])) for r in idx], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    order = np.argsort(ids)
+    ids, mat, matn = ids[order], mat[order], matn[order]
+
+    schema = StructType(
+        [
+            StructField("src", LongType()),
+            StructField("dst", LongType()),
+            StructField("sim_i", LongType()),
+            StructField("dst_vec", ArrayType(FloatType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array([list(map(float, v)) for v in pdf["_v"]], dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (q / qn[:, None]) @ matn.T
+            sim_i = np.rint(sims * 10000).astype(np.int64)
+            rows = []
+            for bi, sid in enumerate(pdf["_id"]):
+                s = sim_i[bi]
+                # self-exclusion + top-m with (sim desc, dst asc) tie-break
+                self_pos = np.searchsorted(ids, sid)
+                keyed = np.lexsort((ids, -s))
+                taken = 0
+                for j in keyed:
+                    if taken >= m:
+                        break
+                    if self_pos < len(ids) and j == self_pos and ids[j] == sid:
+                        continue
+                    rows.append(
+                        {
+                            "src": int(sid),
+                            "dst": int(ids[j]),
+                            "sim_i": int(s[j]),
+                            "dst_vec": [float(x) for x in mat[j]],
+                        }
+                    )
+                    taken += 1
+            yield pd.DataFrame(rows, columns=["src", "dst", "sim_i", "dst_vec"])
+
+    src_df = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return src_df.mapInPandas(gen, schema)
+
+
+def knn_graph_beam_search(
+    adj: DataFrame,
+    df: DataFrame,
+    qvec: list,
+    k: int = 10,
+    ef: int = 16,
+    rounds: int = 4,
+    n_entries: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy beam search over the k-NN graph ``adj`` (from
+    :func:`build_knn_graph`): keep the ``ef`` best-scoring nodes seen so
+    far; each round expand their out-neighbors, score the neighbors' CARRIED
+    vectors against the query, keep the best ``ef`` again; after ``rounds``
+    rounds return the top ``k``.
+
+    Entry points are the ``n_entries`` lowest ids (deterministic; multiple
+    entries are the standard recall insurance for a one-layer graph — HNSW's
+    upper layers play this role in the reference's indexes).
+
+    Scale shape: the beam is ≤ ef rows — every round is ONE broadcast probe
+    of the beam into the src-partitioned edge table (scores come from the
+    co-located dst_vec, so no per-round scan of the vector table) plus a
+    TakeOrderedAndProject.  localCheckpoint per round truncates the
+    iterative lineage (the 3^rounds logical-plan blowup class).
+    Determinism: scaled-int scores, id tie-breaks everywhere.
+
+    Returns (nid, score_i) — the beam's top k."""
+    q = [float(x) for x in qvec]
+    entry = (
+        df.select(
+            F.col(id_col).alias("nid"),
+            F.round(cosine_expr(vec_col, q) * 10000).cast("long").alias("score_i"),
+        )
+        .orderBy(F.col("nid"))
+        .limit(n_entries)
+    )
+    score_dst = F.round(cosine_expr(F.col("dst_vec"), q) * 10000).cast("long")
+    beam = entry.localCheckpoint()
+    for _ in range(rounds):
+        cand = (
+            adj.join(F.broadcast(beam.select(F.col("nid").alias("src"))), "src")
+            .select(F.col("dst").alias("nid"), score_dst.alias("score_i"))
+        )
+        beam = (
+            beam.unionByName(cand)
+            .dropDuplicates(["nid"])
+            .orderBy(F.desc("score_i"), F.col("nid"))
+            .limit(ef)
+            .localCheckpoint()
+        )
+    return beam.orderBy(F.desc("score_i"), F.col("nid")).limit(k)
