@@ -529,8 +529,7 @@ def bpe_train(
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
             "syms"
         ),
-    ).persist()
-    state.count()
+    ).localCheckpoint()
     sep = "\x1f"  # unit separator: C0 controls were scrubbed from tokens above
     merges = []
     prev = state
@@ -557,11 +556,135 @@ def bpe_train(
         n = best[0]["n"]
         merges.append((step, x, y, x + y, n))
         merged = _bpe_merge_fold(F.col("syms"), x, y)
-        nxt = prev.select("cnt", merged.alias("syms")).persist()
-        nxt.count()
-        prev.unpersist()
+        # localCheckpoint, not persist: persist caches DATA but the logical
+        # plan keeps nesting one aggregate-fold per round — at ~40 rounds the
+        # accumulated expression tree OOMs the driver during analysis (found
+        # live pushing n_merges past the gate's 5; the k-truss 3^round
+        # lesson applies to expression chains too)
+        nxt = prev.select("cnt", merged.alias("syms")).localCheckpoint()
         prev = nxt
-    prev.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, x string, y string, merged string, n long"
+    )
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    batch_m: int = 8,
+) -> DataFrame:
+    """BPE merge training with up to ``batch_m`` merges applied per Spark
+    round — collapses :func:`bpe_train`'s one-job-per-merge wall-clock
+    (VERDICT r3: a production 32k-merge vocabulary is 32k sequential jobs ×
+    the ~250 ms/job floor) to ~``n_merges / batch_m`` rounds while emitting
+    EXACTLY the sequential merge table.
+
+    Batch selection per round, from the (count desc, pair asc)-ordered
+    top-K pair list:
+
+    1. **Safe prefix**: walk in order, keeping pairs while each new pair's
+       members are disjoint from every kept pair's {x, y, x+y}; STOP at the
+       first conflict (a conflicting pair is one whose count sequential
+       training could re-rank mid-round).
+    2. **Conflict margin**: let C = max over (a) counts of candidates
+       anywhere in the list that conflict with the FINAL kept set, (b) the
+       count at the stop position, (c) the last collected count when the
+       list is full (bounds everything below the collection horizon).
+       Keep only pairs with count > 3·C.
+
+    Why 3·C makes batched ≡ sequential (docstring-proof):
+
+    - Kept counts are invariant within the round: a kept adjacency is
+      destroyed only by a merge consuming its members (excluded by 1) and
+      created only where a new symbol equals a kept member (excluded by 1).
+    - A non-kept OLD pair never out-ranks a kept pair at its original
+      count: the kept set is a count-ordered prefix, and the (count desc,
+      pair asc) tie-break is the same order sequential uses.
+    - A non-kept pair can GAIN count mid-round only via occurrences
+      "… x y c …" of a kept merge (x, y): each such gain ≤ count(y, c),
+      and (y, c) shares y with the kept pair, so the donor is a conflicting
+      candidate (or below the horizon) with count ≤ C.  A pair has two
+      members, so at most two such boosts; with its original count also
+      ≤ C (it conflicts, or sits below the horizon), any boosted count is
+      ≤ 3·C < every kept count — strictly, so ties are impossible.
+    - Brand-NEW pairs (involving a just-created symbol) have count ≤ their
+      donor's ≤ C.
+
+    Sequential training therefore picks exactly kept[0], kept[1], … within
+    the round.  If the margin empties the batch, the round falls back to
+    the plain argmax — which IS the sequential step — so ``batch_m=1`` and
+    every degenerate round reduce to :func:`bpe_train` exactly.
+
+    100 TB shape: identical to :func:`bpe_train` (vocab-sized rounds, one
+    corpus scan) with the driver-side job count divided by the realized
+    batch size; a round's merge passes chain as ONE select of nested JVM
+    folds (order-free by member-disjointness)."""
+    from ..functions.udfs import bound
+
+    words = docs.select(F.explode(_bpe_word_array(text_col)).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    state = vocab.select(
+        "cnt",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "syms"
+        ),
+    ).localCheckpoint()
+    sep = "\x1f"
+    merges = []
+    prev = state
+    while len(merges) < n_merges:
+        pair_arr = bound(
+            F.col("syms"),
+            lambda s: F.zip_with(
+                F.slice(s, 1, F.size(s) - 1),
+                F.slice(s, 2, F.size(s) - 1),
+                lambda a, b: F.concat(a, F.lit(sep), b),
+            ),
+        )
+        room = n_merges - len(merges)
+        top_k = max(4 * batch_m + 8, 16)
+        cand = (
+            prev.select(F.explode(pair_arr).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(top_k)
+            .collect()
+        )
+        if not cand:
+            break
+        pairs = [
+            (r["pair"].split(sep)[0], r["pair"].split(sep)[1], r["n"]) for r in cand
+        ]
+        kept = []
+        kept_syms: set = set()
+        stop_count = 0
+        for x, y, n in pairs:
+            if len(kept) >= min(batch_m, room) or ({x, y} & kept_syms):
+                stop_count = n
+                break
+            kept.append((x, y, n))
+            kept_syms |= {x, y, x + y}
+        c_bound = stop_count
+        if len(pairs) == top_k:
+            c_bound = max(c_bound, pairs[-1][2])
+        for x, y, n in pairs:
+            if (x, y) not in [(kx, ky) for kx, ky, _ in kept] and ({x, y} & kept_syms):
+                c_bound = max(c_bound, n)
+        kept = [(x, y, n) for (x, y, n) in kept if n > 3 * c_bound]
+        if not kept:
+            kept = [pairs[0]]  # argmax fallback — exactly the sequential step
+        merged = F.col("syms")
+        for x, y, _n in kept:
+            merged = _bpe_merge_fold(merged, x, y)
+        for x, y, n in kept:
+            merges.append((len(merges) + 1, x, y, x + y, n))
+        # localCheckpoint per round (see bpe_train) — truncates the nested
+        # fold-expression chain that OOMs analysis past ~40 rounds
+        nxt = prev.select("cnt", merged.alias("syms")).localCheckpoint()
+        prev = nxt
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "step int, x string, y string, merged string, n long"

@@ -440,3 +440,64 @@ def test_harmonic_centrality_hop_bound(spark):
     )
     got = {r.node: r.n_reach for r in harmonic_centrality(edges, max_hops=2).collect()}
     assert got["d"] == 2  # a@3 is beyond the 2-hop bound
+
+
+def test_bpe_batched_equals_sequential(spark):
+    # VERDICT r3 #7: batched merge rounds must emit EXACTLY the sequential
+    # merge table.  batch_m=1 reduces to bpe_train by construction; batch_m=8
+    # must agree through the safe-prefix + 3C-margin selection (docstring
+    # proof) on both the textbook fixture and the gate corpus.
+    from aiwhispr_spark.operators.textstats import bpe_train, bpe_train_batched
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "aaa aaa banana",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    seq = [tuple(r) for r in bpe_train(docs, n_merges=8).orderBy("step").collect()]
+    for m in (1, 4, 8):
+        got = [
+            tuple(r)
+            for r in bpe_train_batched(docs, n_merges=8, batch_m=m)
+            .orderBy("step")
+            .collect()
+        ]
+        assert got == seq, f"batch_m={m} diverged from sequential"
+
+
+def test_bpe_batched_equals_sequential_gate_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from aiwhispr_spark.operators.textstats import bpe_train, bpe_train_batched
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 120)
+        .select("text")
+    )
+    seq = [tuple(r) for r in bpe_train(docs, n_merges=12).orderBy("step").collect()]
+    got = [
+        tuple(r)
+        for r in bpe_train_batched(docs, n_merges=12, batch_m=8)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == seq
+
+
+def test_bpe_train_survives_many_rounds(spark):
+    # regression for the round-4 find: persist+count left the nested
+    # aggregate-fold expression chain growing one level per merge round and
+    # the driver OOMed during analysis at ~40 rounds (invisible at the
+    # gate's n_merges=5).  localCheckpoint per round truncates it.
+    from aiwhispr_spark.operators.textstats import bpe_train
+
+    docs = spark.createDataFrame(
+        [(f"w{i} w{i} token{i % 7} stem{i % 11} common common word",)
+         for i in range(60)],
+        "text string",
+    )
+    table = bpe_train(docs, n_merges=40).collect()
+    assert len(table) == 40
