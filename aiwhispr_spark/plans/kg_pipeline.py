@@ -26,6 +26,7 @@ reference kept in its SQLite status table.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -106,14 +107,44 @@ def recanonicalize_output(
     output_dir: str,
     target_partitions: int = 32,
     salt_factor: int = 16,
+    max_intent_age_s: float = 3600.0,
 ) -> None:
     """Compaction: refresh subj_id/obj_id of EVERY written triple against the
     current (merged) alias map.  Resume runs append triples with the ids
     current at their run time; if a later run merged alias families, old rows
     may carry superseded ids.  This is the periodic full-rewrite job (one scan
     + two broadcast joins + one salted write) — deliberately separate from
-    resume, which must stay O(delta) at 10^12 docs."""
+    resume, which must stay O(delta) at 10^12 docs.
+
+    Concurrency contract with the streaming sink (VERDICT r3 #8): a
+    streaming batch holds an intent marker (``_stream_intents/<run_id>``)
+    from before its first append until after its commit; inside that window
+    its triples exist WITHOUT a manifest row, so the orphan-drop below would
+    eat them — and the full-rewrite directory swap could clobber a
+    concurrent append outright (plain parquet has no ACID; Iceberg would,
+    jars absent).  Compaction therefore REFUSES (RuntimeError) while any
+    intent marker younger than ``max_intent_age_s`` exists — the caller
+    retries after the batch commits.  Markers OLDER than the threshold are
+    crashed runs: compaction proceeds and their manifestless rows are
+    dropped as orphans, which stays consistent with stream replay — a
+    replaying batch probes ``_run_landed`` first, finds its rows gone, and
+    simply re-appends them."""
     triples_path = os.path.join(output_dir, "triples")
+    intents_dir = os.path.join(output_dir, "_stream_intents")
+    if os.path.isdir(intents_dir):
+        now = time.time()
+        in_flight = [
+            name
+            for name in sorted(os.listdir(intents_dir))
+            if now - os.path.getmtime(os.path.join(intents_dir, name))
+            < max_intent_age_s
+        ]
+        if in_flight:
+            raise RuntimeError(
+                "compaction refused: streaming runs in flight (fresh intent "
+                f"markers: {in_flight}); retry after they commit, or raise "
+                "max_intent_age_s only for markers known to be crashed"
+            )
     alias_map = spark.read.parquet(os.path.join(output_dir, "aliases"))
     triples = spark.read.parquet(triples_path)
     # crash cleanup: a resume that died between its triples append and its

@@ -622,3 +622,71 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
     # A's batch-1 arrival at ts=5 is EARLIER than the batch-0 winner, but
     # first-SEEN semantics keep the batch-0 election — that's the contract
     assert rows == {"u2": 10, "u3": 20, "u5": 99}
+
+
+def test_compaction_refuses_during_in_flight_stream_run(spark, tmp_path):
+    """VERDICT r3 #8: recanonicalize_output's orphan-drop must not eat a
+    streaming run that has appended triples but not yet its manifest row
+    (the intent-marker window).  Contract: compaction REFUSES while a fresh
+    intent marker exists; after the run commits it proceeds and the run's
+    rows survive; a STALE intent marker (crashed run) is compacted away as
+    an orphan, which stream replay then re-appends via its _run_landed
+    probe."""
+    import os
+    import time as _time
+
+    from aiwhispr_spark.plans.kg_pipeline import build_knowledge_graph, recanonicalize_output
+    from aiwhispr_spark.sources.synthetic import write_corpus_parquet
+    from aiwhispr_spark.streaming.kg_stream import make_stream_sink
+
+    corpus = str(tmp_path / "corpus.parquet")
+    write_corpus_parquet(corpus, n_docs=20)
+    docs = spark.read.parquet(corpus)
+    out = str(tmp_path / "kg")
+    # batch run creates the aliases table compaction refreshes against
+    build_knowledge_graph(spark, docs, output_dir=out, run_id="batch1")
+
+    # simulate a streaming batch frozen mid-window: intent marker up,
+    # triples appended, manifest NOT yet written (the sink does exactly this
+    # sequence — reproduced here with the sink's own marker layout)
+    intents = os.path.join(out, "_stream_intents")
+    os.makedirs(intents, exist_ok=True)
+    open(os.path.join(intents, "stream-42"), "w").close()
+    stream_rows = spark.read.parquet(out + "/triples").limit(3).withColumn(
+        "run_id", F.lit("stream-42")
+    )
+    stream_rows.write.mode("append").parquet(out + "/triples")
+    n_stream = 3
+
+    with pytest.raises(RuntimeError, match="in flight"):
+        recanonicalize_output(spark, out)
+    # refused → the in-flight rows are untouched
+    live = spark.read.parquet(out + "/triples").filter(F.col("run_id") == "stream-42")
+    assert live.count() == n_stream
+
+    # run commits: manifest row lands, intent marker removed → compaction
+    # proceeds and the run's rows SURVIVE
+    spark.createDataFrame(
+        [("u", 0, n_stream, "stream-42")],
+        "url string, partition_id int, rows_out long, run_id string",
+    ).withColumn("completed_ts", F.current_timestamp()).write.mode("append").parquet(
+        out + "/manifest"
+    )
+    os.remove(os.path.join(intents, "stream-42"))
+    recanonicalize_output(spark, out)
+    survived = spark.read.parquet(out + "/triples").filter(
+        F.col("run_id") == "stream-42"
+    )
+    assert survived.count() == n_stream
+
+    # stale-intent path: a crashed manifestless run IS dropped once its
+    # marker ages past the threshold
+    open(os.path.join(intents, "stream-99"), "w").close()
+    old = _time.time() - 7200
+    os.utime(os.path.join(intents, "stream-99"), (old, old))
+    spark.read.parquet(out + "/triples").limit(2).withColumn(
+        "run_id", F.lit("stream-99")
+    ).write.mode("append").parquet(out + "/triples")
+    recanonicalize_output(spark, out)
+    gone = spark.read.parquet(out + "/triples").filter(F.col("run_id") == "stream-99")
+    assert gone.count() == 0
