@@ -549,6 +549,15 @@ def build_knn_graph(
         ]
     )
 
+    n_idx = len(ids)
+
+    def _round_half_up(x):
+        # match Spark's F.round (HALF_UP) — np.rint is half-even and could
+        # rank a boundary-sim edge differently than the cosine_expr twin
+        return np.where(
+            x >= 0, np.floor(x * 10000 + 0.5), np.ceil(x * 10000 - 0.5)
+        ).astype(np.int64)
+
     def gen(batches):
         for pdf in batches:
             if not len(pdf):
@@ -557,29 +566,35 @@ def build_knn_graph(
             qn = np.linalg.norm(q, axis=1)
             qn[qn == 0] = 1.0
             sims = (q / qn[:, None]) @ matn.T
-            sim_i = np.rint(sims * 10000).astype(np.int64)
-            rows = []
+            sim_i = _round_half_up(sims)
+            # composite argpartition key realizes (sim desc, dst asc)
+            # EXACTLY without a full per-row lexsort (O(n log n) per row is
+            # quadratic-log at the 100k cap): ids are pre-sorted ascending,
+            # so position j is the id rank; |sim_i| ≤ 10^4 and n ≤ 10^5
+            # keep the composite in int64
+            key_base = sim_i * np.int64(n_idx) - np.arange(n_idx, dtype=np.int64)
+            srcs, dsts, sims_out, vecs = [], [], [], []
             for bi, sid in enumerate(pdf["_id"]):
-                s = sim_i[bi]
-                # self-exclusion + top-m with (sim desc, dst asc) tie-break
+                k = key_base[bi].copy()
                 self_pos = np.searchsorted(ids, sid)
-                keyed = np.lexsort((ids, -s))
-                taken = 0
-                for j in keyed:
-                    if taken >= m:
-                        break
-                    if self_pos < len(ids) and j == self_pos and ids[j] == sid:
-                        continue
-                    rows.append(
-                        {
-                            "src": int(sid),
-                            "dst": int(ids[j]),
-                            "sim_i": int(s[j]),
-                            "dst_vec": [float(x) for x in mat[j]],
-                        }
-                    )
-                    taken += 1
-            yield pd.DataFrame(rows, columns=["src", "dst", "sim_i", "dst_vec"])
+                if self_pos < n_idx and ids[self_pos] == sid:
+                    # self-exclusion sentinel: NOT int64.min — argpartition
+                    # runs on -k and -int64.min overflows back to int64.min,
+                    # which would rank self FIRST instead of last
+                    k[self_pos] = np.int64(-(2**62))
+                take = min(m, n_idx - 1)
+                if take <= 0:
+                    continue
+                cand = np.argpartition(-k, take - 1)[:take]
+                cand = cand[np.argsort(-k[cand])]
+                srcs.extend([int(sid)] * take)
+                dsts.extend(int(ids[j]) for j in cand)
+                sims_out.extend(int(sim_i[bi, j]) for j in cand)
+                vecs.extend([float(x) for x in mat[j]] for j in cand)
+            yield pd.DataFrame(
+                {"src": srcs, "dst": dsts, "sim_i": sims_out, "dst_vec": vecs},
+                columns=["src", "dst", "sim_i", "dst_vec"],
+            )
 
     src_df = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     return src_df.mapInPandas(gen, schema)

@@ -509,64 +509,11 @@ def bpe_train(
     that pair inside every word.  Returns the merge table
     ``(step, x, y, merged, n)`` — the artifact a tokenizer ships.
 
-    The per-round argmax is ONE collected row (the merge table is driver
-    state in every real BPE trainer — bounded by n_merges, not data).  The
-    merge itself is a JVM-side aggregate fold whose accumulator carries the
-    rebuilt symbol array; the fold is equivalent to the textbook greedy
-    left-to-right pass (a just-created symbol never re-matches as the LEFT
-    of the same pair because it is the concat, not the left part).
-
-    100 TB shape: all per-round work is vocab-sized (words × their symbol
-    arrays), map-side combinable into ≤ |pairs| keys; the corpus is scanned
-    exactly once, at vocabulary collapse.  State persists per round with a
-    count() lineage cut (iterative-plan discipline)."""
-    from ..functions.udfs import bound
-
-    words = docs.select(F.explode(_bpe_word_array(text_col)).alias("w"))
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    state = vocab.select(
-        "cnt",
-        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
-            "syms"
-        ),
-    ).localCheckpoint()
-    sep = "\x1f"  # unit separator: C0 controls were scrubbed from tokens above
-    merges = []
-    prev = state
-    for step in range(1, n_merges + 1):
-        pair_arr = bound(
-            F.col("syms"),
-            lambda s: F.zip_with(
-                F.slice(s, 1, F.size(s) - 1),
-                F.slice(s, 2, F.size(s) - 1),
-                lambda a, b: F.concat(a, F.lit(sep), b),
-            ),
-        )
-        best = (
-            prev.select(F.explode(pair_arr).alias("pair"), "cnt")
-            .groupBy("pair")
-            .agg(F.sum("cnt").cast("long").alias("n"))
-            .orderBy(F.desc("n"), F.asc("pair"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        x, y = best[0]["pair"].split(sep)
-        n = best[0]["n"]
-        merges.append((step, x, y, x + y, n))
-        merged = _bpe_merge_fold(F.col("syms"), x, y)
-        # localCheckpoint, not persist: persist caches DATA but the logical
-        # plan keeps nesting one aggregate-fold per round — at ~40 rounds the
-        # accumulated expression tree OOMs the driver during analysis (found
-        # live pushing n_merges past the gate's 5; the k-truss 3^round
-        # lesson applies to expression chains too)
-        nxt = prev.select("cnt", merged.alias("syms")).localCheckpoint()
-        prev = nxt
-    spark = docs.sparkSession
-    return spark.createDataFrame(
-        merges, "step int, x string, y string, merged string, n long"
-    )
+    Implemented as :func:`bpe_train_batched` at ``batch_m=1`` (whose
+    selection rules provably reduce to the per-round argmax) so the two
+    trainers cannot drift — the equality gates in
+    tests/test_graph_analytics.py pin the reduction."""
+    return bpe_train_batched(docs, n_merges=n_merges, text_col=text_col, batch_m=1)
 
 
 def bpe_train_batched(

@@ -131,20 +131,48 @@ def recanonicalize_output(
     simply re-appends them."""
     triples_path = os.path.join(output_dir, "triples")
     intents_dir = os.path.join(output_dir, "_stream_intents")
-    if os.path.isdir(intents_dir):
-        now = time.time()
-        in_flight = [
-            name
-            for name in sorted(os.listdir(intents_dir))
-            if now - os.path.getmtime(os.path.join(intents_dir, name))
-            < max_intent_age_s
-        ]
-        if in_flight:
-            raise RuntimeError(
-                "compaction refused: streaming runs in flight (fresh intent "
-                f"markers: {in_flight}); retry after they commit, or raise "
-                "max_intent_age_s only for markers known to be crashed"
-            )
+    lock_path = os.path.join(output_dir, "_compaction_lock")
+    # Dekker ordering (mirrored in kg_stream.make_stream_sink): publish OUR
+    # flag (the lock) FIRST, then read the other side's (intent markers).
+    # A batch starting after this scan sees the lock and waits; a batch
+    # whose intent landed before the scan makes us refuse — no interleaving
+    # lets a batch append between our snapshot read and the directory swap.
+    with open(lock_path, "w"):
+        pass
+    try:
+        if os.path.isdir(intents_dir):
+            now = time.time()
+            in_flight = []
+            for name in sorted(os.listdir(intents_dir)):
+                try:
+                    age = now - os.path.getmtime(os.path.join(intents_dir, name))
+                except OSError:
+                    continue  # marker vanished = that run just committed
+                if age < max_intent_age_s:
+                    in_flight.append(name)
+            if in_flight:
+                raise RuntimeError(
+                    "compaction refused: streaming runs in flight (fresh intent "
+                    f"markers: {in_flight}); retry after they commit, or raise "
+                    "max_intent_age_s only for markers known to be crashed"
+                )
+        _recanonicalize_locked(
+            spark, output_dir, triples_path, target_partitions, salt_factor
+        )
+    finally:
+        try:
+            os.remove(lock_path)
+        except OSError:
+            pass
+
+
+def _recanonicalize_locked(
+    spark: SparkSession,
+    output_dir: str,
+    triples_path: str,
+    target_partitions: int,
+    salt_factor: int,
+) -> None:
     alias_map = spark.read.parquet(os.path.join(output_dir, "aliases"))
     triples = spark.read.parquet(triples_path)
     # crash cleanup: a resume that died between its triples append and its

@@ -55,6 +55,31 @@ def _touch(path: str) -> None:
         pass
 
 
+def _wait_for_compaction(
+    lock_path: str, max_wait_s: float = 600.0, stale_after_s: float = 3600.0
+) -> None:
+    """Block while recanonicalize_output's compaction lock is live.  A lock
+    older than ``stale_after_s`` belongs to a crashed compaction and is
+    ignored; if a live lock persists past ``max_wait_s`` the batch raises —
+    the stream's retry/replay re-runs it cleanly afterwards (our intent
+    marker is already up, so the replay path handles any partial state)."""
+    import time as _time
+
+    deadline = _time.time() + max_wait_s
+    while True:
+        try:
+            age = _time.time() - os.path.getmtime(lock_path)
+        except OSError:
+            return  # no lock (or it vanished mid-check): compaction done
+        if age > stale_after_s:
+            return  # crashed compaction; its tmp-dir swap never ran
+        if _time.time() > deadline:
+            raise RuntimeError(
+                f"compaction lock {lock_path} still live after {max_wait_s}s"
+            )
+        _time.sleep(2.0)
+
+
 def _run_landed(spark: SparkSession, table_path: str, run_id: str) -> bool:
     """True when `table_path` already holds rows of `run_id` (atomic-append
     probe for crash replay; pushed-down point lookup)."""
@@ -117,6 +142,18 @@ def make_stream_sink(output_dir: str, dedup: bool = False, near_dedup: bool = Fa
         intent_marker = os.path.join(intents_dir, run_id)
         partial_replay = os.path.exists(intent_marker)
         _touch(intent_marker)
+        # Dekker-style mutual exclusion with compaction
+        # (plans/kg_pipeline.py::recanonicalize_output): each side publishes
+        # its own flag FIRST (our intent marker above / compaction's lock
+        # file), THEN reads the other's.  Whatever the interleaving, at
+        # least one side sees the other: compaction that scanned intents
+        # before ours landed has its lock visible here, so we WAIT; if our
+        # intent landed first, compaction's scan sees it and refuses.
+        # Without this, a batch starting mid-rewrite could append + commit
+        # and then have its rows silently clobbered by the directory swap —
+        # with the commit marker suppressing the replay that would have
+        # healed it.
+        _wait_for_compaction(os.path.join(output_dir, "_compaction_lock"))
 
         to_extract = batch_df
         new_digests = None

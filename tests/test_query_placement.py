@@ -12,15 +12,11 @@ the discipline structural:
 - demotion reasons must be real sentences, not empty strings.
 """
 
-import re
-
 import __spark_entry__ as e
 
 
 def _first_list():
-    src = open(e.__file__).read()
-    m = re.search(r"\n    first = \[(.*?)\]\n", src, re.S)
-    return re.findall(r'"([^"]+)"', m.group(1))
+    return list(e.QUERY_RISK_ORDER)
 
 
 def test_every_query_is_explicitly_placed():

@@ -690,3 +690,34 @@ def test_compaction_refuses_during_in_flight_stream_run(spark, tmp_path):
     recanonicalize_output(spark, out)
     gone = spark.read.parquet(out + "/triples").filter(F.col("run_id") == "stream-99")
     assert gone.count() == 0
+
+
+def test_wait_for_compaction_lock_semantics(tmp_path):
+    """The sink side of the Dekker pair (kg_stream._wait_for_compaction):
+    no lock → proceed; stale lock → proceed (crashed compaction); live lock
+    → bounded wait then RuntimeError; lock removed mid-wait → proceed."""
+    import os
+    import threading
+    import time as _time
+
+    from aiwhispr_spark.streaming.kg_stream import _wait_for_compaction
+
+    lock = str(tmp_path / "_compaction_lock")
+    # no lock
+    _wait_for_compaction(lock, max_wait_s=0.1)
+    # stale lock
+    open(lock, "w").close()
+    old = _time.time() - 7200
+    os.utime(lock, (old, old))
+    _wait_for_compaction(lock, max_wait_s=0.1, stale_after_s=3600)
+    # live lock → raises after the bounded wait
+    os.utime(lock, None)
+    with pytest.raises(RuntimeError, match="compaction lock"):
+        _wait_for_compaction(lock, max_wait_s=0.5)
+    # lock released while waiting → proceeds
+    os.utime(lock, None)
+    t = threading.Timer(1.0, os.remove, args=(lock,))
+    t.start()
+    t0 = _time.time()
+    _wait_for_compaction(lock, max_wait_s=30.0)
+    assert _time.time() - t0 < 10
