@@ -26,7 +26,6 @@ reference kept in its SQLite status table.
 from __future__ import annotations
 
 import os
-import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +34,7 @@ from pyspark.sql import functions as F
 from ..functions.udfs import chunk_documents, clean_html_udf, extract_triples_df
 from ..operators.canonicalize import canonicalize_aliases
 from ..operators.linking import link_triples
+from ..operators import markers
 from ..operators.resume import filter_unprocessed, lineage_manifest
 from ..operators.skew import salted_repartition
 from .. import kernels
@@ -132,32 +132,27 @@ def recanonicalize_output(
     triples_path = os.path.join(output_dir, "triples")
     intents_dir = os.path.join(output_dir, "_stream_intents")
     lock_path = os.path.join(output_dir, "_compaction_lock")
-    # Dekker ordering (mirrored in kg_stream.make_stream_sink): publish OUR
-    # flag (the lock) FIRST, then read the other side's (intent markers).
-    # A batch starting after this scan sees the lock and waits; a batch
-    # whose intent landed before the scan makes us refuse — no interleaving
-    # lets a batch append between our snapshot read and the directory swap.
-    with open(lock_path, "w"):
-        pass
+    # Dekker ordering (mirrored in kg_stream.make_stream_sink and the batch
+    # E7 writer below): publish OUR flag (the lock, pid-carrying) FIRST,
+    # then read the other side's (intent markers).  An appender starting
+    # after this scan sees the lock and waits; one whose intent landed
+    # before the scan makes us refuse — no interleaving lets an append slip
+    # between our snapshot read and the directory swap.  fresh_intents
+    # treats an aged marker whose owner pid is still alive as IN FLIGHT
+    # (long-running ≠ crashed), and appenders heartbeat their markers
+    # around writes.
+    markers.touch(lock_path)
     try:
-        if os.path.isdir(intents_dir):
-            now = time.time()
-            in_flight = []
-            for name in sorted(os.listdir(intents_dir)):
-                try:
-                    age = now - os.path.getmtime(os.path.join(intents_dir, name))
-                except OSError:
-                    continue  # marker vanished = that run just committed
-                if age < max_intent_age_s:
-                    in_flight.append(name)
-            if in_flight:
-                raise RuntimeError(
-                    "compaction refused: streaming runs in flight (fresh intent "
-                    f"markers: {in_flight}); retry after they commit, or raise "
-                    "max_intent_age_s only for markers known to be crashed"
-                )
+        in_flight = markers.fresh_intents(intents_dir, max_intent_age_s)
+        if in_flight:
+            raise RuntimeError(
+                "compaction refused: appender runs in flight (fresh intent "
+                f"markers: {in_flight}); retry after they commit, or raise "
+                "max_intent_age_s only for markers known to be crashed"
+            )
         _recanonicalize_locked(
-            spark, output_dir, triples_path, target_partitions, salt_factor
+            spark, output_dir, triples_path, target_partitions, salt_factor,
+            lock_path,
         )
     finally:
         try:
@@ -172,6 +167,7 @@ def _recanonicalize_locked(
     triples_path: str,
     target_partitions: int,
     salt_factor: int,
+    lock_path: str,
 ) -> None:
     alias_map = spark.read.parquet(os.path.join(output_dir, "aliases"))
     triples = spark.read.parquet(triples_path)
@@ -209,6 +205,10 @@ def _recanonicalize_locked(
         .withColumn("subj_id", F.coalesce("subj_id", "subj"))
         .withColumn("obj_id", F.coalesce("obj_id", "obj"))
     )
+    # heartbeat right before the swap: the rewrite above may have run long,
+    # and a waiting appender's stale-bypass must see a FRESH lock while the
+    # directory replacement — the dangerous window — is imminent/underway
+    markers.heartbeat(lock_path)
     _overwrite_via_tmp(
         spark,
         salted_repartition(refreshed, "subj_id", target_partitions, salt_factor),
@@ -371,6 +371,17 @@ def build_knowledge_graph(
         triples_path = os.path.join(output_dir, "triples")
         aliases_path = os.path.join(output_dir, "aliases")
         entities_path = os.path.join(output_dir, "entities")
+        # the batch writer speaks the same appender protocol as the
+        # streaming sink: publish our intent marker, THEN wait out any live
+        # compaction — otherwise a concurrent --compact could drop this
+        # run's manifestless triples mid-write or clobber the append with
+        # its directory swap (the race class VERDICT r3 #8 pinned for
+        # streaming; resume has no replay-healing, so losing the append
+        # would be permanent).  The marker stays behind on a crash, where
+        # the age/pid staleness rules classify it.
+        intent_marker = os.path.join(output_dir, "_stream_intents", run_id)
+        markers.touch(intent_marker)
+        markers.wait_for_compaction(os.path.join(output_dir, "_compaction_lock"))
         if manifest is not None:
             # resume: the input was anti-joined down to the UNPROCESSED delta,
             # so prior runs' triples must survive — append (Iceberg: table
@@ -442,8 +453,13 @@ def build_knowledge_graph(
         manifest_df = manifest_df.unionByName(
             all_urls.join(manifest_df.select("url"), "url", "left_anti")
         )
+        markers.heartbeat(intent_marker)
         manifest_df.write.mode("append").parquet(os.path.join(output_dir, "manifest"))
         result["manifest_path"] = os.path.join(output_dir, "manifest")
+        try:
+            os.remove(intent_marker)
+        except OSError:
+            pass
 
     result["metrics"] = {"docs": n_docs, "chunks": n_chunks, "triples": n_triples}
     return result

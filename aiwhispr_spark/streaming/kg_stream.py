@@ -49,35 +49,12 @@ from pyspark.sql import functions as F
 DOCS_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def _touch(path: str) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w"):
-        pass
-
-
-def _wait_for_compaction(
-    lock_path: str, max_wait_s: float = 600.0, stale_after_s: float = 3600.0
-) -> None:
-    """Block while recanonicalize_output's compaction lock is live.  A lock
-    older than ``stale_after_s`` belongs to a crashed compaction and is
-    ignored; if a live lock persists past ``max_wait_s`` the batch raises —
-    the stream's retry/replay re-runs it cleanly afterwards (our intent
-    marker is already up, so the replay path handles any partial state)."""
-    import time as _time
-
-    deadline = _time.time() + max_wait_s
-    while True:
-        try:
-            age = _time.time() - os.path.getmtime(lock_path)
-        except OSError:
-            return  # no lock (or it vanished mid-check): compaction done
-        if age > stale_after_s:
-            return  # crashed compaction; its tmp-dir swap never ran
-        if _time.time() > deadline:
-            raise RuntimeError(
-                f"compaction lock {lock_path} still live after {max_wait_s}s"
-            )
-        _time.sleep(2.0)
+# shared marker protocol (pid-carrying touch, heartbeats, pid-liveness
+# stale detection) lives in operators/markers.py — the batch pipeline's E7
+# writer and compaction speak the same dialect
+from ..operators.markers import heartbeat as _heartbeat
+from ..operators.markers import touch as _touch
+from ..operators.markers import wait_for_compaction as _wait_for_compaction
 
 
 def _run_landed(spark: SparkSession, table_path: str, run_id: str) -> bool:
@@ -164,9 +141,16 @@ def make_stream_sink(output_dir: str, dedup: bool = False, near_dedup: bool = Fa
             keep = F.min("url").over(Window.partitionBy("_digest"))
             intra = hashed.withColumn("_keep", keep).filter(F.col("url") == F.col("_keep"))
             if os.path.exists(digests_path):
-                store = spark.read.parquet(digests_path).select(
-                    F.col("digest").alias("_digest")
-                )
+                # exclude OUR OWN run_id (like the LSH stores below): a
+                # crashed attempt's digests must not mark this replay's docs
+                # as already-seen — with stale-intent orphan-dropping
+                # (recanonicalize_output) the crashed run's TRIPLES may be
+                # gone, and an own-run digest hit would make the replay
+                # re-append nothing while the manifest records the urls as
+                # processed: silent permanent loss
+                store = spark.read.parquet(digests_path).filter(
+                    F.col("run_id") != run_id
+                ).select(F.col("digest").alias("_digest"))
                 fresh = intra.join(store, "_digest", "left_anti")
             else:
                 fresh = intra
@@ -190,12 +174,14 @@ def make_stream_sink(output_dir: str, dedup: bool = False, near_dedup: bool = Fa
             )
             out = out.join(F.broadcast(smap), "url", "left")
         out = out.persist()
+        _heartbeat(intent_marker)  # long batch ≠ crashed batch: refresh
         if not (partial_replay and _run_landed(spark, triples_path, run_id)):
             out.write.mode("append").parquet(triples_path)
         if new_digests is not None and not (
             partial_replay and _run_landed(spark, digests_path, run_id)
         ):
             new_digests.write.mode("append").parquet(digests_path)
+        _heartbeat(intent_marker)
         if not (partial_replay and _run_landed(spark, manifest_path, run_id)):
             manifest = lineage_manifest(out, run_id=run_id)
             no_triple_urls = (
@@ -239,6 +225,7 @@ def make_stream_sink(output_dir: str, dedup: bool = False, near_dedup: bool = Fa
                 content_col="text",
                 id_col="url",
             )
+            _heartbeat(intent_marker)
             if not (partial_replay and _run_landed(spark, lsh_bands_path, run_id)):
                 d_bands.withColumn("run_id", F.lit(run_id)).write.mode(
                     "append"

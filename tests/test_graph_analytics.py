@@ -442,12 +442,25 @@ def test_harmonic_centrality_hop_bound(spark):
     assert got["d"] == 2  # a@3 is beyond the 2-hop bound
 
 
+def _brute_words(texts):
+    # mirror _bpe_word_array exactly: scrub C0 controls to spaces, lower,
+    # split on ASCII whitespace (Java \\s+ after the scrub)
+    import re as _re
+
+    words = Counter()
+    for t in texts:
+        for w in _re.split(r"\s+", _re.sub(r"[\x00-\x1f]", " ", t).lower(), flags=_re.ASCII):
+            if w:
+                words[w] += 1
+    return words
+
+
 def test_bpe_batched_equals_sequential(spark):
     # VERDICT r3 #7: batched merge rounds must emit EXACTLY the sequential
-    # merge table.  batch_m=1 reduces to bpe_train by construction; batch_m=8
-    # must agree through the safe-prefix + 3C-margin selection (docstring
-    # proof) on both the textbook fixture and the gate corpus.
-    from aiwhispr_spark.operators.textstats import bpe_train, bpe_train_batched
+    # merge table.  bpe_train now DELEGATES to batch_m=1, so the independent
+    # reference here is _brute_bpe (the textbook python trainer), not
+    # bpe_train — comparing against bpe_train would be a tautology.
+    from aiwhispr_spark.operators.textstats import bpe_train_batched
 
     texts = [
         "low low low low low",
@@ -456,7 +469,7 @@ def test_bpe_batched_equals_sequential(spark):
         "aaa aaa banana",
     ]
     docs = spark.createDataFrame([(t,) for t in texts], "text string")
-    seq = [tuple(r) for r in bpe_train(docs, n_merges=8).orderBy("step").collect()]
+    expected = _brute_bpe(_brute_words(texts), 8)
     for m in (1, 4, 8):
         got = [
             tuple(r)
@@ -464,27 +477,29 @@ def test_bpe_batched_equals_sequential(spark):
             .orderBy("step")
             .collect()
         ]
-        assert got == seq, f"batch_m={m} diverged from sequential"
+        assert got == expected, f"batch_m={m} diverged from textbook sequential"
 
 
 def test_bpe_batched_equals_sequential_gate_corpus(spark):
     from pyspark.sql import functions as F
 
-    from aiwhispr_spark.operators.textstats import bpe_train, bpe_train_batched
+    from aiwhispr_spark.operators.textstats import bpe_train_batched
 
     docs = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .filter(F.col("doc_id") < 120)
         .select("text")
     )
-    seq = [tuple(r) for r in bpe_train(docs, n_merges=12).orderBy("step").collect()]
-    got = [
-        tuple(r)
-        for r in bpe_train_batched(docs, n_merges=12, batch_m=8)
-        .orderBy("step")
-        .collect()
-    ]
-    assert got == seq
+    texts = [r["text"] for r in docs.collect()]
+    expected = _brute_bpe(_brute_words(texts), 12)
+    for m in (1, 8):
+        got = [
+            tuple(r)
+            for r in bpe_train_batched(docs, n_merges=12, batch_m=m)
+            .orderBy("step")
+            .collect()
+        ]
+        assert got == expected, f"batch_m={m} diverged from textbook sequential"
 
 
 def test_bpe_train_survives_many_rounds(spark):

@@ -721,3 +721,42 @@ def test_wait_for_compaction_lock_semantics(tmp_path):
     t0 = _time.time()
     _wait_for_compaction(lock, max_wait_s=30.0)
     assert _time.time() - t0 < 10
+
+
+def test_dedup_sink_replay_heals_orphan_dropped_triples(spark, tmp_path):
+    """Review r4: with dedup=True, the digest-store read must EXCLUDE the
+    current run_id.  Scenario: a crashed attempt landed triples+digests but
+    no manifest; a stale-intent compaction orphan-dropped the triples; the
+    replay must re-extract and re-append them — with an own-run digest hit
+    the batch would dedup against itself, append nothing, and mark every
+    url processed (silent permanent loss)."""
+    import os
+    import shutil
+
+    from aiwhispr_spark.sources.synthetic import write_corpus_parquet
+    from aiwhispr_spark.streaming.kg_stream import make_stream_sink
+
+    corpus = str(tmp_path / "corpus.parquet")
+    write_corpus_parquet(corpus, n_docs=12)
+    docs = spark.read.parquet(corpus)
+    out = str(tmp_path / "kg")
+    sink = make_stream_sink(out, dedup=True)
+
+    # clean run to learn the expected output, then simulate the
+    # crash+compaction state: triples GONE, digests present, intent marker
+    # up, no commit marker, no manifest
+    sink(docs, 3)
+    expected = spark.read.parquet(out + "/triples").count()
+    assert expected > 0
+    shutil.rmtree(out + "/triples")
+    shutil.rmtree(out + "/manifest")
+    os.remove(os.path.join(out, "_stream_commits", "stream-3"))
+    open(os.path.join(out, "_stream_intents", "stream-3"), "w").close()
+
+    sink(docs, 3)  # replay
+    healed = spark.read.parquet(out + "/triples").count()
+    assert healed == expected, (
+        f"replay re-appended {healed} of {expected} triples — own-run "
+        f"digests suppressed re-extraction"
+    )
+    assert os.path.exists(os.path.join(out, "_stream_commits", "stream-3"))

@@ -110,14 +110,19 @@ def main() -> None:
     vanished = [r["source"] for r in joined if r["n_cand"] >= 1000 and r["rate_i"] is None]
     assert not vanished, f"big sources vanished from the mix: {vanished[:5]}"
     audit = [r for r in joined if r["n_cand"] >= 1000 and r["rate_i"] is not None]
-    bad = [
-        (r["source"], r["n_kept"] / r["n_cand"], r["rate_i"] / 1_000_000)
-        for r in audit
-        # decontam + quality run BEFORE sampling, so realized ≤ rate is the
-        # honest bound to audit both ways with slack
-        if abs(r["n_kept"] / r["n_cand"] - r["rate_i"] / 1_000_000)
-        > 0.15 * (r["rate_i"] / 1_000_000)
-    ]
+    # asymmetric bounds because lang/quality/dedup/decontam filters run
+    # BEFORE the sampler and this harness only sees the pre-filter
+    # denominator: the sampler can never keep MORE than rate (strict upper
+    # bound, +15% binomial slack), while the lower bound must leave room
+    # for pre-sampler attrition (30% allowance — a synthetic curated corpus
+    # losing more than that per source is a different bug, and the
+    # `vanished` assert above already catches total loss)
+    bad = []
+    for r in audit:
+        realized = r["n_kept"] / r["n_cand"]
+        rate = r["rate_i"] / 1_000_000
+        if realized > 1.15 * rate or realized < 0.70 * rate:
+            bad.append((r["source"], realized, rate))
     assert not bad, f"sampler rate divergence on big sources: {bad[:5]}"
 
     print(
