@@ -116,19 +116,23 @@ def recanonicalize_output(
     + two broadcast joins + one salted write) — deliberately separate from
     resume, which must stay O(delta) at 10^12 docs.
 
-    Concurrency contract with the streaming sink (VERDICT r3 #8): a
-    streaming batch holds an intent marker (``_stream_intents/<run_id>``)
-    from before its first append until after its commit; inside that window
-    its triples exist WITHOUT a manifest row, so the orphan-drop below would
-    eat them — and the full-rewrite directory swap could clobber a
-    concurrent append outright (plain parquet has no ACID; Iceberg would,
-    jars absent).  Compaction therefore REFUSES (RuntimeError) while any
-    intent marker younger than ``max_intent_age_s`` exists — the caller
-    retries after the batch commits.  Markers OLDER than the threshold are
-    crashed runs: compaction proceeds and their manifestless rows are
-    dropped as orphans, which stays consistent with stream replay — a
-    replaying batch probes ``_run_landed`` first, finds its rows gone, and
-    simply re-appends them."""
+    Concurrency contract with the appenders (VERDICT r3 #8; both the
+    streaming sink and the batch E7 writer): an appender holds an intent
+    marker (``_stream_intents/<run_id>``) from before its first append
+    until after its last metadata write; inside that window its triples
+    exist WITHOUT a manifest row, so the orphan-drop below would eat them —
+    and the full-rewrite directory swap could clobber a concurrent append
+    outright (plain parquet has no ACID; Iceberg would, jars absent).
+    Two-sided Dekker protocol (operators/markers.py): compaction publishes
+    its pid-carrying ``_compaction_lock`` FIRST, then scans intents and
+    REFUSES (RuntimeError) while any looks in-flight; appenders publish
+    their intent FIRST, then wait out a live lock.  "In flight" = younger
+    than ``max_intent_age_s`` (owners heartbeat around appends) OR owned by
+    a pid still alive on this host; genuinely stale markers are crashed
+    runs, whose manifestless rows compact away consistently with stream
+    replay — a replaying batch probes ``_run_landed`` first, finds its rows
+    gone, and re-appends them (the dedup digest store excludes the
+    replaying run's own id so re-extraction actually happens)."""
     triples_path = os.path.join(output_dir, "triples")
     intents_dir = os.path.join(output_dir, "_stream_intents")
     lock_path = os.path.join(output_dir, "_compaction_lock")
