@@ -1494,6 +1494,8 @@ QUERY_RISK_ORDER: list[str] = [
     "flagship_semantic_search",
     "ppjoin_jaccard_pairs",
     "knn_graph_search",
+    "kg_literal_datatypes",
+    "kg_datatype_enforce",
     "wand_topk_pruned",
     "span_corruption_t5",
     "warc_curation_pipeline",
@@ -1680,8 +1682,6 @@ QUERY_RISK_ORDER: list[str] = [
     "ccnet_perplexity_buckets",
     "html_list_triples",
     "mention_bursts",
-    "kg_literal_datatypes",
-    "kg_datatype_enforce",
     "appositive_isa",
     "homograph_spoof_pairs",
     "host_cocitation_pairs",
@@ -11107,7 +11107,13 @@ def oracle_sql() -> dict[str, str]:
           FROM dd
           UNION ALL
           SELECT 'employees',
-                 CASE WHEN i % 7 = 0 THEN 'decimal' ELSE 'integer' END
+                 -- the year-SHAPE overlap (caught by the r4 sf0.1 sweep):
+                 -- employee counts 1800..2099 are indistinguishable from
+                 -- years by value shape, exactly as the operator's
+                 -- documented rule table classifies them
+                 CASE WHEN i % 7 = 0 THEN 'decimal'
+                      WHEN i BETWEEN 1800 AND 2099 THEN 'year'
+                      ELSE 'integer' END
           FROM dd
           UNION ALL SELECT 'launched', 'date' FROM dd
           UNION ALL SELECT 'homepage', 'url' FROM dd
@@ -11287,7 +11293,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'S' || i, 'employees',
                  CASE WHEN i % 7 = 0 THEN (i % 20) || '.5'
                       ELSE CAST(i AS VARCHAR) END,
-                 CASE WHEN i % 7 = 0 THEN 'decimal' ELSE 'integer' END,
+                 -- year-shape overlap for counts 1800..2099 (r4 sf0.1
+                 -- sweep); dominance stays integer at every sf (the
+                 -- overlap is a fixed 300-id band)
+                 CASE WHEN i % 7 = 0 THEN 'decimal'
+                      WHEN i BETWEEN 1800 AND 2099 THEN 'year'
+                      ELSE 'integer' END,
                  'integer'
           FROM dd
           UNION ALL
@@ -13113,7 +13124,11 @@ def oracle_sql() -> dict[str, str]:
         WITH dd AS (SELECT CAST(count(*) AS BIGINT) AS n,
                            CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)
                                 AS BIGINT) AS n_year,
-                           CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+                           -- employee counts 1800..2099 classify as year
+                           -- shapes, not integers (r4 sf0.1 sweep)
+                           CAST(sum(CASE WHEN doc_id % 7 <> 0
+                                         AND doc_id NOT BETWEEN 1800 AND 2099
+                                    THEN 1 ELSE 0 END)
                                 AS BIGINT) AS n_int
                     FROM documents)
         SELECT 'founded_in' AS pred, 'owl:DatatypeProperty' AS prop_kind,
