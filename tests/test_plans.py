@@ -284,3 +284,43 @@ def test_new_session9_ops_stay_jvm_side(spark):
     # the vocab join runs ONCE: the joined frame is checkpointed, so the
     # final plan reads the materialized RDD, not fresh parquet scans
     assert plans["vocabulary_drift_jsd"].count("documents.parquet") == 0
+
+
+def test_knn_graph_search_plan_shape(spark):
+    """Graph-ANN plan contract (PLANS.md §knn_graph_search): the index
+    build is ONE mapInPandas stage (no N² pair join materializes — no
+    SortMergeJoin anywhere), and the beam search's per-round edge probes
+    are BROADCAST joins plus TakeOrderedAndProject (never a shuffled join
+    of the edge table)."""
+    from pyspark.sql import functions as F
+
+    from aiwhispr_spark.operators.similarity import (
+        build_knn_graph,
+        knn_graph_beam_search,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    adj = build_knn_graph(emb, m=4)
+    build_plan = plan_of(adj)
+    assert "SortMergeJoin" not in build_plan
+    assert "MapInPandas" in build_plan
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # one un-executed round: the checkpoints inside the loop erase plan
+    # history, so inspect the FIRST round's candidate expansion directly
+    beam0 = (
+        emb.select(
+            F.col("vec_id").alias("nid"),
+            F.round(F.lit(0.0)).cast("long").alias("score_i"),
+        )
+        .orderBy("nid")
+        .limit(4)
+    )
+    cand = adj.join(
+        F.broadcast(beam0.select(F.col("nid").alias("src"))), "src"
+    )
+    probe_plan = plan_of(cand)
+    assert "BroadcastHashJoin" in probe_plan and "SortMergeJoin" not in probe_plan
+    # the full search's final top-k compiles to TakeOrderedAndProject
+    top = knn_graph_beam_search(adj, emb, qvec, k=5, ef=8, rounds=1, n_entries=2)
+    assert "TakeOrderedAndProject" in plan_of(top)
