@@ -1496,6 +1496,7 @@ QUERY_RISK_ORDER: list[str] = [
     "knn_graph_search",
     "kg_literal_datatypes",
     "kg_datatype_enforce",
+    "kg_rdfs_schema",
     "wand_topk_pruned",
     "span_corruption_t5",
     "warc_curation_pipeline",
@@ -1698,7 +1699,6 @@ QUERY_RISK_ORDER: list[str] = [
     "kg_void_stats",
     "sitemap_index_expand",
     "kg_fact_confidence",
-    "kg_rdfs_schema",
     "corpus_vocab_stats",
     "kg_seeded_label_propagation",
     "robots_sitemap_discovery",

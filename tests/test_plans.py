@@ -292,8 +292,6 @@ def test_knn_graph_search_plan_shape(spark):
     SortMergeJoin anywhere), and the beam search's per-round edge probes
     are BROADCAST joins plus TakeOrderedAndProject (never a shuffled join
     of the edge table)."""
-    from pyspark.sql import functions as F
-
     from aiwhispr_spark.operators.similarity import (
         build_knn_graph,
         knn_graph_beam_search,
@@ -308,14 +306,7 @@ def test_knn_graph_search_plan_shape(spark):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     # one un-executed round: the checkpoints inside the loop erase plan
     # history, so inspect the FIRST round's candidate expansion directly
-    beam0 = (
-        emb.select(
-            F.col("vec_id").alias("nid"),
-            F.round(F.lit(0.0)).cast("long").alias("score_i"),
-        )
-        .orderBy("nid")
-        .limit(4)
-    )
+    beam0 = emb.select(F.col("vec_id").alias("nid")).orderBy("nid").limit(4)
     cand = adj.join(
         F.broadcast(beam0.select(F.col("nid").alias("src"))), "src"
     )
