@@ -1494,6 +1494,7 @@ QUERY_RISK_ORDER: list[str] = [
     "flagship_semantic_search",
     "ppjoin_jaccard_pairs",
     "knn_graph_search",
+    "knn_graph_incremental_insert",
     "kg_literal_datatypes",
     "kg_datatype_enforce",
     "kg_rdfs_schema",
@@ -6658,6 +6659,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["knn_graph_search"] = knn_graph
+
+    def knn_graph_incremental(spark, sf):
+        # O(delta) ANN-index maintenance (similarity.py::insert_into_
+        # knn_graph): build the kNN graph on 80% of the vectors, insert the
+        # interleaved 20% delta WITHOUT a rebuild — the incremental ≡ batch
+        # contract (cc_incremental_merge / dedup_incremental_two_batch
+        # pattern).  The oracle computes the FULL-table exact top-m graph
+        # from scratch in DuckDB: the incremental path must land exactly
+        # there.  Both engines share (sim desc, dst asc) election and the
+        # half-up 1e4 scaling.
+        from aiwhispr_spark.operators.similarity import (
+            build_knn_graph,
+            insert_into_knn_graph,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        existing = emb.filter(F.col("vec_id") % 5 != 0)
+        delta = emb.filter(F.col("vec_id") % 5 == 0)
+        adj = build_knn_graph(existing, m=6)
+        refreshed = insert_into_knn_graph(adj, existing, delta, m=6)
+        return refreshed.select("src", "dst", "sim_i").orderBy(
+            "src", F.desc("sim_i"), "dst"
+        )
+
+    q["knn_graph_incremental_insert"] = knn_graph_incremental
 
     def ivf_topk_search(spark, sf):
         # IVF-flat ANN scale path (rows-only: approximate by construction;
@@ -14122,6 +14148,27 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, score_i, CAST(1 AS BIGINT) AS found_i
         FROM scored ORDER BY score_i DESC, vec_id LIMIT 10
+    """
+    o["knn_graph_incremental_insert"] = """
+        WITH e AS (
+          SELECT vec_id,
+                 embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS nrm
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 CAST(round(10000 * list_dot_product(a.v, b.v)
+                      / (a.nrm * b.nrm)) AS BIGINT) AS sim_i
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ),
+        rk AS (SELECT src, dst, sim_i,
+                      row_number() OVER (PARTITION BY src
+                                         ORDER BY sim_i DESC, dst) AS _rk
+               FROM pairs)
+        SELECT src, dst, sim_i FROM rk WHERE _rk <= 6
+        ORDER BY src, sim_i DESC, dst
     """
     o["minhash_pairs_md5"] = _minhash_sql()
     o["minhash_groups_md5"] = _minhash_groups_sql()

@@ -497,15 +497,18 @@ def build_knn_graph(
     DataFrames — a pointer-chasing multi-layer HNSW is hostile to Spark, a
     bounded beam over an edge TABLE is not).
 
-    Build = blocked brute-force GEMM: the (bounded, ≤ ``max_build_rows``)
-    index side is collected once, L2-normalized, and closure-shipped to a
-    ``mapInPandas`` stage that scores each partition's query block against
-    it as ONE numpy matrix product and emits each row's top-M directly — no
-    N² pair shuffle ever materializes.  At 100 TB the exact-GEMM candidate
-    set swaps for the sign-LSH blocking tier (embedding_near_dup's
-    hyperplane buckets) feeding the same per-src top-M; the beam search is
-    agnostic to how edges were produced.  The guard raises past
-    ``max_build_rows`` rather than silently collecting a huge table.
+    Build = blocked brute-force GEMM (:func:`_knn_edges_for_queries` with
+    the table as both query and index side): the (bounded,
+    ≤ ``max_build_rows``) index side is collected once, L2-normalized, and
+    closure-shipped to a ``mapInPandas`` stage that scores each partition's
+    query block against it as ONE numpy matrix product and emits each row's
+    top-M directly — no N² pair shuffle ever materializes.  At 100 TB the
+    exact-GEMM candidate set swaps for the sign-LSH blocking tier
+    (embedding_near_dup's hyperplane buckets) feeding the same per-src
+    top-M; the beam search is agnostic to how edges were produced.  The
+    guard raises past ``max_build_rows`` rather than silently collecting a
+    huge table.  Delta inserts: :func:`insert_into_knn_graph` (O(delta),
+    provably ≡ this rebuild).
 
     The adjacency CARRIES the destination vector (DiskANN-style co-location:
     neighbors and their vectors in one row) so the beam search below never
@@ -514,90 +517,13 @@ def build_knn_graph(
     graph-ANN trade.
 
     Returns (src, dst, sim_i, dst_vec) — directed, m rows per src."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.types import (
-        ArrayType,
-        FloatType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
     n_rows = df.count()
     if n_rows > max_build_rows:
         raise ValueError(
             f"exact kNN-graph build capped at {max_build_rows} rows (got "
             f"{n_rows}); block candidates with the sign-LSH tier first"
         )
-    idx = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).collect()
-    ids = np.array([r["_id"] for r in idx], dtype=np.int64)
-    mat = np.array([list(map(float, r["_v"])) for r in idx], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    order = np.argsort(ids)
-    ids, mat, matn = ids[order], mat[order], matn[order]
-
-    schema = StructType(
-        [
-            StructField("src", LongType()),
-            StructField("dst", LongType()),
-            StructField("sim_i", LongType()),
-            StructField("dst_vec", ArrayType(FloatType())),
-        ]
-    )
-
-    n_idx = len(ids)
-
-    def _round_half_up(x):
-        # match Spark's F.round (HALF_UP) — np.rint is half-even and could
-        # rank a boundary-sim edge differently than the cosine_expr twin
-        return np.where(
-            x >= 0, np.floor(x * 10000 + 0.5), np.ceil(x * 10000 - 0.5)
-        ).astype(np.int64)
-
-    def gen(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.array([list(map(float, v)) for v in pdf["_v"]], dtype=np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            qn[qn == 0] = 1.0
-            sims = (q / qn[:, None]) @ matn.T
-            sim_i = _round_half_up(sims)
-            # composite argpartition key realizes (sim desc, dst asc)
-            # EXACTLY without a full per-row lexsort (O(n log n) per row is
-            # quadratic-log at the 100k cap): ids are pre-sorted ascending,
-            # so position j is the id rank; |sim_i| ≤ 10^4 and n ≤ 10^5
-            # keep the composite in int64
-            key_base = sim_i * np.int64(n_idx) - np.arange(n_idx, dtype=np.int64)
-            srcs, dsts, sims_out, vecs = [], [], [], []
-            for bi, sid in enumerate(pdf["_id"]):
-                k = key_base[bi].copy()
-                self_pos = np.searchsorted(ids, sid)
-                if self_pos < n_idx and ids[self_pos] == sid:
-                    # self-exclusion sentinel: NOT int64.min — argpartition
-                    # runs on -k and -int64.min overflows back to int64.min,
-                    # which would rank self FIRST instead of last
-                    k[self_pos] = np.int64(-(2**62))
-                take = min(m, n_idx - 1)
-                if take <= 0:
-                    continue
-                cand = np.argpartition(-k, take - 1)[:take]
-                cand = cand[np.argsort(-k[cand])]
-                srcs.extend([int(sid)] * take)
-                dsts.extend(int(ids[j]) for j in cand)
-                sims_out.extend(int(sim_i[bi, j]) for j in cand)
-                vecs.extend([float(x) for x in mat[j]] for j in cand)
-            yield pd.DataFrame(
-                {"src": srcs, "dst": dsts, "sim_i": sims_out, "dst_vec": vecs},
-                columns=["src", "dst", "sim_i", "dst_vec"],
-            )
-
-    src_df = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    return src_df.mapInPandas(gen, schema)
+    return _knn_edges_for_queries(df, df, vec_col, id_col, m)
 
 
 def knn_graph_beam_search(
@@ -653,3 +579,142 @@ def knn_graph_beam_search(
             .localCheckpoint()
         )
     return beam.orderBy(F.desc("score_i"), F.col("nid")).limit(k)
+
+
+def insert_into_knn_graph(
+    adj: DataFrame,
+    existing: DataFrame,
+    delta: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+) -> DataFrame:
+    """O(delta)-shaped maintenance of a :func:`build_knn_graph` adjacency:
+    insert the ``delta`` vectors WITHOUT rebuilding the graph — the
+    incremental-dedup discipline (incremental_minhash_step) applied to the
+    ANN index, and what a 10^12-vector index needs when a crawl lands new
+    embeddings.
+
+    Exactness contract (the incremental ≡ batch pattern): the result is
+    IDENTICAL to ``build_knn_graph(existing ∪ delta)`` because both sides
+    of the update are exact:
+
+    * delta rows get their edges from a :func:`build_knn_graph` pass whose
+      mapInPandas GEMM scores them against the FULL union index (the delta
+      is the query side — the corpus is never rescanned per row);
+    * every EXISTING row's adjacency is re-elected over its old top-m
+      PLUS its sims to the delta vectors (a new vector can only enter a
+      top-m list, never change the order of old candidates, so old-edges ∪
+      new-candidates is a superset of the true top-m's support).
+
+    Scale shape: the delta cross join is |existing| × |delta| with the
+    delta BROADCAST (delta is batch-sized, the table is not), followed by
+    one per-src top-m window over ≤ m + |delta| candidates per src; the
+    full N² never re-materializes.  Ids must be globally unique across
+    existing ∪ delta (enforced by the union distinct check upstream).
+
+    Returns the refreshed (src, dst, sim_i, dst_vec) adjacency."""
+    union = existing.select(id_col, vec_col).unionByName(
+        delta.select(id_col, vec_col)
+    )
+    # edges FOR the delta rows: exact GEMM of delta queries vs the union
+    # index — the builder's own stage with the delta as the query side
+    delta_edges = _knn_edges_for_queries(delta, union, vec_col, id_col, m)
+    # candidate refresh for EXISTING rows: old edges ∪ ALL sims to delta,
+    # scored by the SAME numpy GEMM kernel the rebuild uses — a JVM-fold
+    # cosine here could differ by one ulp at a .5 rounding boundary and
+    # break the incremental ≡ rebuild contract
+    n_delta = delta.count()
+    new_cand = _knn_edges_for_queries(
+        existing, delta, vec_col, id_col, m=n_delta, exclude_self=False
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim_i"), F.col("dst"))
+    refreshed_existing = (
+        adj.unionByName(new_cand)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= m)
+        .drop("_rk")
+    )
+    return refreshed_existing.unionByName(delta_edges)
+
+
+def _knn_edges_for_queries(
+    queries: DataFrame,
+    index: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """build_knn_graph's GEMM stage with separate query/index sides (the
+    builder itself is the queries == index special case).  ``exclude_self``
+    reserves one slot for the query row's own id in the index — pass False
+    for disjoint query/index sides or ``min(m, n_index)`` caps at n−1."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    idx = index.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).collect()
+    ids = np.array([r["_id"] for r in idx], dtype=np.int64)
+    mat = np.array([list(map(float, r["_v"])) for r in idx], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    order = np.argsort(ids)
+    ids, mat, matn = ids[order], mat[order], matn[order]
+    n_idx = len(ids)
+
+    schema = StructType(
+        [
+            StructField("src", LongType()),
+            StructField("dst", LongType()),
+            StructField("sim_i", LongType()),
+            StructField("dst_vec", ArrayType(FloatType())),
+        ]
+    )
+
+    def _round_half_up(x):
+        return np.where(
+            x >= 0, np.floor(x * 10000 + 0.5), np.ceil(x * 10000 - 0.5)
+        ).astype(np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array([list(map(float, v)) for v in pdf["_v"]], dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (q / qn[:, None]) @ matn.T
+            sim_i = _round_half_up(sims)
+            key_base = sim_i * np.int64(n_idx) - np.arange(n_idx, dtype=np.int64)
+            srcs, dsts, sims_out, vecs = [], [], [], []
+            for bi, sid in enumerate(pdf["_id"]):
+                k = key_base[bi].copy()
+                if exclude_self:
+                    self_pos = np.searchsorted(ids, sid)
+                    if self_pos < n_idx and ids[self_pos] == sid:
+                        k[self_pos] = np.int64(-(2**62))
+                take = min(m, n_idx - 1) if exclude_self else min(m, n_idx)
+                if take <= 0:
+                    continue
+                cand = np.argpartition(-k, take - 1)[:take]
+                cand = cand[np.argsort(-k[cand])]
+                srcs.extend([int(sid)] * take)
+                dsts.extend(int(ids[j]) for j in cand)
+                sims_out.extend(int(sim_i[bi, j]) for j in cand)
+                vecs.extend([float(x) for x in mat[j]] for j in cand)
+            yield pd.DataFrame(
+                {"src": srcs, "dst": dsts, "sim_i": sims_out, "dst_vec": vecs},
+                columns=["src", "dst", "sim_i", "dst_vec"],
+            )
+
+    src_df = queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return src_df.mapInPandas(gen, schema)

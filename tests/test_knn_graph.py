@@ -82,3 +82,26 @@ def test_beam_search_recall_at_10(emb):
 def test_build_guard_refuses_unbounded_collect(emb):
     with pytest.raises(ValueError, match="sign-LSH"):
         build_knn_graph(emb, m=4, max_build_rows=10)
+
+
+def test_incremental_insert_equals_rebuild(emb):
+    # the incremental ≡ batch contract: inserting an interleaved delta into
+    # an existing graph must land EXACTLY on the from-scratch rebuild of
+    # the union — same numpy kernel on both paths, so even rounded-sim
+    # boundary cases agree (a JVM-fold refresh could differ by one ulp)
+    from aiwhispr_spark.operators.similarity import insert_into_knn_graph
+
+    existing = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    adj = build_knn_graph(existing, m=5)
+    inc = insert_into_knn_graph(adj, existing, delta, m=5)
+    full = build_knn_graph(emb, m=5)
+    a = {(r["src"], r["dst"], r["sim_i"]) for r in inc.collect()}
+    b = {(r["src"], r["dst"], r["sim_i"]) for r in full.collect()}
+    assert a == b
+    # every delta src present with exactly m edges
+    per_src = {}
+    for s, _, _ in a:
+        per_src[s] = per_src.get(s, 0) + 1
+    for r in delta.select("vec_id").collect():
+        assert per_src.get(r["vec_id"]) == 5
