@@ -1495,6 +1495,7 @@ QUERY_RISK_ORDER: list[str] = [
     "ppjoin_jaccard_pairs",
     "knn_graph_search",
     "knn_graph_incremental_insert",
+    "knn_graph_delete_repair",
     "kg_literal_datatypes",
     "kg_datatype_enforce",
     "kg_rdfs_schema",
@@ -6684,6 +6685,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["knn_graph_incremental_insert"] = knn_graph_incremental
+
+    def knn_graph_delete(spark, sf):
+        # Delete half of the lifecycle (similarity.py::remove_from_knn_
+        # graph): tombstone every 7th vector and eagerly repair only the
+        # degraded sources (those that lost an edge); oracle rebuilds the
+        # exact top-m graph over the REMAINING set from scratch — repaired
+        # ∪ intact must land exactly there.
+        from aiwhispr_spark.operators.similarity import (
+            build_knn_graph,
+            remove_from_knn_graph,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        removed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+        remaining = emb.filter(F.col("vec_id") % 7 != 0)
+        adj = build_knn_graph(emb, m=6)
+        repaired = remove_from_knn_graph(adj, remaining, removed, m=6)
+        return repaired.select("src", "dst", "sim_i").orderBy(
+            "src", F.desc("sim_i"), "dst"
+        )
+
+    q["knn_graph_delete_repair"] = knn_graph_delete
 
     def ivf_topk_search(spark, sf):
         # IVF-flat ANN scale path (rows-only: approximate by construction;
@@ -14156,6 +14179,27 @@ def oracle_sql() -> dict[str, str]:
                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                    AS nrm
           FROM embeddings
+        ),
+        pairs AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 CAST(round(10000 * list_dot_product(a.v, b.v)
+                      / (a.nrm * b.nrm)) AS BIGINT) AS sim_i
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ),
+        rk AS (SELECT src, dst, sim_i,
+                      row_number() OVER (PARTITION BY src
+                                         ORDER BY sim_i DESC, dst) AS _rk
+               FROM pairs)
+        SELECT src, dst, sim_i FROM rk WHERE _rk <= 6
+        ORDER BY src, sim_i DESC, dst
+    """
+    o["knn_graph_delete_repair"] = """
+        WITH e AS (
+          SELECT vec_id,
+                 embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS nrm
+          FROM embeddings WHERE vec_id % 7 <> 0
         ),
         pairs AS (
           SELECT a.vec_id AS src, b.vec_id AS dst,

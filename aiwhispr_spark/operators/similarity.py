@@ -718,3 +718,53 @@ def _knn_edges_for_queries(
 
     src_df = queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     return src_df.mapInPandas(gen, schema)
+
+
+def remove_from_knn_graph(
+    adj: DataFrame,
+    remaining: DataFrame,
+    removed_ids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+) -> DataFrame:
+    """The delete half of the index-maintenance lifecycle
+    (:func:`insert_into_knn_graph` is the insert half): drop the removed
+    vectors' rows and REPAIR only the sources that lost an edge to a
+    removed destination — a top-m list missing a member needs candidates
+    the adjacency never stored (the m+1-th neighbor), so degraded sources
+    re-run the builder's GEMM stage against the remaining index while
+    untouched sources keep their rows byte-identical.
+
+    Exactness contract: result ≡ ``build_knn_graph(remaining)`` — repaired
+    rows come from the same kernel the rebuild uses, and unrepaired rows
+    are unchanged by construction (removing vectors never alters the
+    relative order of survivors).
+
+    Scale shape: tombstone filter (broadcast anti-join on the removed-id
+    set) + ONE GEMM pass sized |degraded| × |remaining| — the typical
+    delete touches m·|removed| degraded sources, so repair cost tracks the
+    delete batch, not the table.  Real ANN stores (qdrant, DiskANN) do the
+    same lazily as tombstones + background repair; here repair is eager so
+    the equality gate can pin it.
+
+    Returns the repaired (src, dst, sim_i, dst_vec) adjacency."""
+    rem = F.broadcast(removed_ids.select(F.col(id_col).alias("_rm")).distinct())
+    # sources that are themselves removed vanish entirely
+    kept = adj.join(rem, adj["src"] == F.col("_rm"), "left_anti")
+    degraded_srcs = (
+        kept.join(rem, kept["dst"] == F.col("_rm"), "left_semi")
+        .select("src")
+        .distinct()
+    )
+    intact = kept.join(F.broadcast(degraded_srcs), "src", "left_anti")
+    repaired = _knn_edges_for_queries(
+        remaining.join(
+            F.broadcast(degraded_srcs.withColumnRenamed("src", id_col)), id_col
+        ),
+        remaining,
+        vec_col,
+        id_col,
+        m,
+    )
+    return intact.unionByName(repaired)

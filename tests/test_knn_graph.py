@@ -105,3 +105,22 @@ def test_incremental_insert_equals_rebuild(emb):
         per_src[s] = per_src.get(s, 0) + 1
     for r in delta.select("vec_id").collect():
         assert per_src.get(r["vec_id"]) == 5
+
+
+def test_delete_repair_equals_rebuild(emb):
+    # delete half of the lifecycle: tombstone + eager repair of degraded
+    # sources must land exactly on the from-scratch rebuild of the
+    # remaining set; untouched sources keep their rows byte-identical
+    from aiwhispr_spark.operators.similarity import remove_from_knn_graph
+
+    removed = emb.filter(F.col("vec_id") % 6 == 0).select("vec_id")
+    remaining = emb.filter(F.col("vec_id") % 6 != 0)
+    adj = build_knn_graph(emb, m=5)
+    rep = remove_from_knn_graph(adj, remaining, removed, m=5)
+    full = build_knn_graph(remaining, m=5)
+    a = {(r["src"], r["dst"], r["sim_i"]) for r in rep.collect()}
+    b = {(r["src"], r["dst"], r["sim_i"]) for r in full.collect()}
+    assert a == b
+    # no removed id survives as src or dst
+    gone = {r["vec_id"] for r in removed.collect()}
+    assert not any(s in gone or d in gone for s, d, _ in a)
