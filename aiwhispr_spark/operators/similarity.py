@@ -607,26 +607,46 @@ def insert_into_knn_graph(
       top-m list, never change the order of old candidates, so old-edges ∪
       new-candidates is a superset of the true top-m's support).
 
-    Scale shape: the delta cross join is |existing| × |delta| with the
-    delta BROADCAST (delta is batch-sized, the table is not), followed by
-    one per-src top-m window over ≤ m + |delta| candidates per src; the
-    full N² never re-materializes.  Ids must be globally unique across
-    existing ∪ delta (enforced by the union distinct check upstream).
+    Scale shape: the existing-side refresh scores |existing| × |delta|
+    pairs but EMITS only each src's top-min(m, |delta|) of them (the final
+    election can never pick more delta candidates than that), so the window
+    sees ≤ 2m candidates per src; the full N² never re-materializes.  Ids
+    must be disjoint between existing and delta — enforced here (a
+    re-asserted id would duplicate index entries and silently corrupt the
+    GEMM's self-exclusion); upsert = remove_from_knn_graph then insert.
+    The same ``max_build_rows``-style guard as the builder applies to the
+    union (it becomes the collected GEMM index).
 
     Returns the refreshed (src, dst, sim_i, dst_vec) adjacency."""
+    n_delta = delta.count()
+    if n_delta == 0:
+        return adj  # 0-delta batch: first-class no-op (the resume pattern)
+    overlap = existing.join(
+        F.broadcast(delta.select(id_col)), id_col, "left_semi"
+    ).count()
+    if overlap:
+        raise ValueError(
+            f"{overlap} delta ids already exist in the index; upsert = "
+            "remove_from_knn_graph then insert_into_knn_graph"
+        )
     union = existing.select(id_col, vec_col).unionByName(
         delta.select(id_col, vec_col)
     )
+    if existing.count() + n_delta > 100_000:
+        raise ValueError(
+            "exact kNN-graph maintenance capped at 100000 index rows "
+            "(the union is collected as the GEMM index); block candidates "
+            "with the sign-LSH tier first"
+        )
     # edges FOR the delta rows: exact GEMM of delta queries vs the union
     # index — the builder's own stage with the delta as the query side
     delta_edges = _knn_edges_for_queries(delta, union, vec_col, id_col, m)
-    # candidate refresh for EXISTING rows: old edges ∪ ALL sims to delta,
-    # scored by the SAME numpy GEMM kernel the rebuild uses — a JVM-fold
-    # cosine here could differ by one ulp at a .5 rounding boundary and
-    # break the incremental ≡ rebuild contract
-    n_delta = delta.count()
+    # candidate refresh for EXISTING rows: top-min(m,|delta|) sims to the
+    # delta per src, scored by the SAME numpy GEMM kernel the rebuild uses
+    # — a JVM-fold cosine here could differ by one ulp at a .5 rounding
+    # boundary and break the incremental ≡ rebuild contract
     new_cand = _knn_edges_for_queries(
-        existing, delta, vec_col, id_col, m=n_delta, exclude_self=False
+        existing, delta, vec_col, id_col, m=min(m, n_delta), exclude_self=False
     )
     w = Window.partitionBy("src").orderBy(F.desc("sim_i"), F.col("dst"))
     refreshed_existing = (
@@ -662,6 +682,14 @@ def _knn_edges_for_queries(
     )
 
     idx = index.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).collect()
+    spark = queries.sparkSession
+    empty_schema = (
+        "src long, dst long, sim_i long, dst_vec array<float>"
+    )
+    if not idx:
+        # empty index (0-delta insert / total delete): a 1-D np.array([])
+        # would crash axis-1 norms — the no-op result is an empty adjacency
+        return spark.createDataFrame([], empty_schema)
     ids = np.array([r["_id"] for r in idx], dtype=np.int64)
     mat = np.array([list(map(float, r["_v"])) for r in idx], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -681,6 +709,8 @@ def _knn_edges_for_queries(
     )
 
     def _round_half_up(x):
+        # match Spark's F.round (HALF_UP) — np.rint is half-even and could
+        # rank a boundary-sim edge differently than the cosine_expr twin
         return np.where(
             x >= 0, np.floor(x * 10000 + 0.5), np.ceil(x * 10000 - 0.5)
         ).astype(np.int64)
@@ -694,6 +724,10 @@ def _knn_edges_for_queries(
             qn[qn == 0] = 1.0
             sims = (q / qn[:, None]) @ matn.T
             sim_i = _round_half_up(sims)
+            # composite argpartition key realizes (sim desc, dst asc)
+            # EXACTLY without a full per-row lexsort: ids are pre-sorted
+            # ascending, so position j is the id rank; |sim_i| ≤ 10^4 and
+            # n ≤ 10^5 keep the composite in int64
             key_base = sim_i * np.int64(n_idx) - np.arange(n_idx, dtype=np.int64)
             srcs, dsts, sims_out, vecs = [], [], [], []
             for bi, sid in enumerate(pdf["_id"]):
@@ -701,6 +735,9 @@ def _knn_edges_for_queries(
                 if exclude_self:
                     self_pos = np.searchsorted(ids, sid)
                     if self_pos < n_idx and ids[self_pos] == sid:
+                        # sentinel is NOT int64.min: argpartition negates k
+                        # and -int64.min overflows back to int64.min, which
+                        # would rank self FIRST instead of last
                         k[self_pos] = np.int64(-(2**62))
                 take = min(m, n_idx - 1) if exclude_self else min(m, n_idx)
                 if take <= 0:
@@ -749,6 +786,12 @@ def remove_from_knn_graph(
     the equality gate can pin it.
 
     Returns the repaired (src, dst, sim_i, dst_vec) adjacency."""
+    if remaining.count() > 100_000:
+        raise ValueError(
+            "exact kNN-graph maintenance capped at 100000 index rows "
+            "(remaining becomes the collected GEMM repair index); block "
+            "candidates with the sign-LSH tier first"
+        )
     rem = F.broadcast(removed_ids.select(F.col(id_col).alias("_rm")).distinct())
     # sources that are themselves removed vanish entirely
     kept = adj.join(rem, adj["src"] == F.col("_rm"), "left_anti")

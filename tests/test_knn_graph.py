@@ -124,3 +124,23 @@ def test_delete_repair_equals_rebuild(emb):
     # no removed id survives as src or dst
     gone = {r["vec_id"] for r in removed.collect()}
     assert not any(s in gone or d in gone for s, d, _ in a)
+
+
+def test_maintenance_edge_cases(emb):
+    # review-pass r4: empty delta is a first-class no-op; total delete
+    # yields an empty adjacency (not a numpy AxisError); overlapping delta
+    # ids are refused (silent index corruption otherwise)
+    from aiwhispr_spark.operators.similarity import (
+        insert_into_knn_graph,
+        remove_from_knn_graph,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 40)
+    adj = build_knn_graph(sub, m=3)
+    n = adj.count()
+    empty = sub.filter(F.lit(False))
+    assert insert_into_knn_graph(adj, sub, empty, m=3).count() == n
+    wiped = remove_from_knn_graph(adj, empty, sub.select("vec_id"), m=3)
+    assert wiped.count() == 0
+    with pytest.raises(ValueError, match="upsert"):
+        insert_into_knn_graph(adj, sub, sub.limit(3), m=3)
