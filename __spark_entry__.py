@@ -10935,8 +10935,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
                                        chr(10) ORDER BY ord), '')) AS clean_md5,
-               sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS n_kept,
-               sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dropped
+               CAST(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         FROM flagged GROUP BY doc_id
     """
     o["url_canonicalize"] = """
@@ -13425,9 +13425,9 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT part_dir, file_name, size_bytes,
-               (SUM(size_bytes) OVER (
+               CAST((SUM(size_bytes) OVER (
                   PARTITION BY part_dir ORDER BY file_name
-                  ROWS UNBOUNDED PRECEDING) - size_bytes) // 1024 AS bin
+                  ROWS UNBOUNDED PRECEDING) - size_bytes) // 1024 AS BIGINT) AS bin
         FROM listing
     """
     o["xml_native_roundtrip"] = """

@@ -10,13 +10,16 @@ reads the other's, so in every interleaving at least one of them yields —
 compaction refuses while fresh intents exist, appenders wait while the lock
 is live.
 
-Liveness: both flags carry the owner's pid and are HEARTBEATED (utime)
-around the owner's dangerous writes, so "stale" (mtime older than the
-threshold) really means crashed, not merely long-running; a readable pid
-that no longer exists short-circuits the age check entirely (local-FS
-best-effort — on a cluster with shared storage the pid check is skipped
-automatically because the pid is from another host and ``kill 0`` hitting
-an unrelated live process just falls back to the age rule).
+Liveness: both flags carry ``"<owner pid> <created epoch>"`` and are
+HEARTBEATED (utime) while the owner works — compaction holds its lock under
+a background heartbeat thread (``held``) for the WHOLE rewrite, so a
+multi-hour refreshed-table job never looks crashed to a waiting appender.
+A marker whose pid verifiably no longer exists — or whose pid was started
+AFTER the marker was written (pid recycled by an unrelated process, checked
+via /proc start time) — is crashed regardless of age; a marker whose pid is
+demonstrably alive-and-original is live regardless of age.  The age rule is
+only the fallback for pids that cannot be verified on this host
+(cluster/shared-storage case, unreadable /proc).
 
 Local-FS implementation; on HDFS/S3 the same touches go through the Hadoop
 FileSystem API (create-with-overwrite is atomic on both), and Iceberg's
@@ -25,15 +28,17 @@ transactional commits would subsume the whole protocol.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 import time
 
 
 def touch(path: str) -> None:
-    """Create/refresh a marker carrying the owner pid."""
+    """Create/refresh a marker carrying the owner pid + creation epoch."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as fh:
-        fh.write(str(os.getpid()))
+        fh.write(f"{os.getpid()} {time.time():.3f}")
 
 
 def heartbeat(path: str) -> None:
@@ -44,45 +49,111 @@ def heartbeat(path: str) -> None:
         pass
 
 
-def _owner_dead(path: str) -> bool:
-    """Best-effort: True only when the marker names a pid that verifiably
-    no longer exists on THIS host.  Unparseable/foreign pids return False
-    (fall back to the age rule)."""
+@contextlib.contextmanager
+def held(path: str, interval_s: float = 60.0):
+    """Hold a marker under a background heartbeat for a whole critical
+    section: touch on entry, utime every ``interval_s`` from a daemon
+    thread, remove on exit.  This is how compaction keeps its lock looking
+    live across an arbitrarily long rewrite job (a single pre-swap
+    heartbeat left rewrites longer than the waiters' stale threshold
+    bypassable — the ADVICE-r4 clobber window)."""
+    touch(path)
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(interval_s):
+            heartbeat(path)
+
+    t = threading.Thread(target=_beat, daemon=True, name=f"marker-heartbeat:{path}")
+    t.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        t.join(timeout=5.0)
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
+def _read_marker(path: str) -> tuple[int, float | None]:
+    """(owner pid, created epoch) from a marker; (0, None) if unreadable.
+    Pre-upgrade markers carry only the pid — created stays None."""
     try:
         with open(path) as fh:
-            pid = int(fh.read().strip() or "0")
+            parts = fh.read().split()
+        pid = int(parts[0]) if parts else 0
+        created = float(parts[1]) if len(parts) > 1 else None
+        return pid, created
     except (OSError, ValueError):
-        return False
+        return 0, None
+
+
+def _pid_start_epoch(pid: int) -> float | None:
+    """Epoch seconds at which ``pid`` started, from /proc (Linux); None when
+    unknowable.  Lets us distinguish the marker's original owner from an
+    unrelated process that recycled its pid."""
+    try:
+        with open(f"/proc/{pid}/stat") as fh:
+            stat = fh.read()
+        # comm (field 2) may contain spaces/parens: split after the LAST ')'
+        ticks = int(stat.rsplit(")", 1)[1].split()[19])  # starttime, field 22
+        with open("/proc/stat") as fh:
+            btime = next(
+                int(line.split()[1]) for line in fh if line.startswith("btime ")
+            )
+        return btime + ticks / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError, StopIteration):
+        return None
+
+
+def _owner_alive(path: str) -> bool | None:
+    """True: the marker's ORIGINAL owner is demonstrably alive on this host.
+    False: demonstrably dead (no such pid, or the pid's current occupant
+    started after the marker was written — recycled).  None: unverifiable
+    (foreign host, unreadable marker, permission-denied without /proc) —
+    caller falls back to the age rule."""
+    pid, created = _read_marker(path)
     if pid <= 0:
-        return False
+        return None
     try:
         os.kill(pid, 0)
-        return False
     except ProcessLookupError:
-        return True
+        return False
     except PermissionError:
-        return False  # exists, owned by someone else
+        pass  # exists, owned by someone else — still check for recycling
+    start = _pid_start_epoch(pid)
+    if start is not None and created is not None and start > created + 1.0:
+        return False  # pid recycled: current occupant postdates the marker
+    if start is None and created is not None:
+        return None  # alive pid but can't date it — age rule decides
+    return True
 
 
 def wait_for_compaction(
     lock_path: str, max_wait_s: float = 600.0, stale_after_s: float = 3600.0
 ) -> None:
-    """Block while the compaction lock is live.  A lock whose owner pid is
-    verifiably dead, or whose mtime is older than ``stale_after_s``
-    (compaction heartbeats the lock around its rewrite, so a fresh mtime
-    means live work), belongs to a crashed compaction and is ignored; a
-    live lock persisting past ``max_wait_s`` raises — the stream's
-    retry/replay re-runs the batch cleanly afterwards."""
+    """Block while the compaction lock is live.  Liveness mirrors
+    ``fresh_intents``: a verifiably alive original owner keeps the lock live
+    REGARDLESS of age (compaction heartbeats from a background thread, but
+    even a missed beat must not let an appender slip under a running
+    rewrite's directory swap — the ADVICE-r4 loss class); a verifiably
+    dead/recycled owner releases it immediately; only an unverifiable owner
+    falls back to the ``stale_after_s`` age rule.  A live lock persisting
+    past ``max_wait_s`` raises — the stream's retry/replay re-runs the
+    batch cleanly afterwards."""
     deadline = time.time() + max_wait_s
     while True:
         try:
             age = time.time() - os.path.getmtime(lock_path)
         except OSError:
             return  # no lock (or it vanished mid-check): compaction done
-        if _owner_dead(lock_path):
-            return  # crashed compaction (pid gone): its swap never ran
-        if age > stale_after_s:
-            return  # crashed compaction (heartbeat stopped)
+        alive = _owner_alive(lock_path)
+        if alive is False:
+            return  # crashed compaction (pid gone/recycled): swap never ran
+        if alive is None and age > stale_after_s:
+            return  # unverifiable owner + heartbeat stopped: crashed
         if time.time() > deadline:
             raise RuntimeError(
                 f"compaction lock {lock_path} still live after {max_wait_s}s"
@@ -93,8 +164,8 @@ def wait_for_compaction(
 def fresh_intents(intents_dir: str, max_age_s: float) -> list[str]:
     """Names of intent markers that look in-flight: younger than
     ``max_age_s`` (owners heartbeat around appends) or owned by a pid that
-    is still alive on this host.  Markers vanishing mid-scan (their run
-    just committed) are skipped."""
+    is still alive-and-original on this host.  Markers vanishing mid-scan
+    (their run just committed) are skipped."""
     if not os.path.isdir(intents_dir):
         return []
     now = time.time()
@@ -105,25 +176,18 @@ def fresh_intents(intents_dir: str, max_age_s: float) -> list[str]:
             age = now - os.path.getmtime(path)
         except OSError:
             continue
-        if age < max_age_s or (age >= max_age_s and not _marker_stale(path)):
+        if age < max_age_s or not _marker_stale(path):
             out.append(name)
     return out
 
 
 def _marker_stale(path: str) -> bool:
-    """An aged marker is stale unless its owner pid is demonstrably alive
-    on this host."""
-    try:
-        with open(path) as fh:
-            pid = int(fh.read().strip() or "0")
-    except (OSError, ValueError):
+    """An aged marker is stale unless its owner is demonstrably the original
+    live process (recycled pids count as stale — ADVICE-r4: without the
+    /proc start-time check, a crashed run whose pid was recycled by a
+    long-lived unrelated process blocked compaction at ANY age)."""
+    alive = _owner_alive(path)
+    if alive is None:
+        # unverifiable (foreign/unreadable): the age rule already fired
         return True
-    if pid <= 0:
-        return True
-    try:
-        os.kill(pid, 0)
-        return False  # owner alive: long-running, not crashed
-    except ProcessLookupError:
-        return True
-    except PermissionError:
-        return False
+    return not alive

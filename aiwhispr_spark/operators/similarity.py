@@ -588,6 +588,7 @@ def insert_into_knn_graph(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     m: int = 8,
+    max_build_rows: int = 100_000,
 ) -> DataFrame:
     """O(delta)-shaped maintenance of a :func:`build_knn_graph` adjacency:
     insert the ``delta`` vectors WITHOUT rebuilding the graph — the
@@ -614,8 +615,9 @@ def insert_into_knn_graph(
     must be disjoint between existing and delta — enforced here (a
     re-asserted id would duplicate index entries and silently corrupt the
     GEMM's self-exclusion); upsert = remove_from_knn_graph then insert.
-    The same ``max_build_rows``-style guard as the builder applies to the
-    union (it becomes the collected GEMM index).
+    The builder's ``max_build_rows`` guard applies to the union (it becomes
+    the collected GEMM index) — a caller who raised the builder cap passes
+    the same value here to maintain the index it built.
 
     Returns the refreshed (src, dst, sim_i, dst_vec) adjacency."""
     n_delta = delta.count()
@@ -632,11 +634,11 @@ def insert_into_knn_graph(
     union = existing.select(id_col, vec_col).unionByName(
         delta.select(id_col, vec_col)
     )
-    if existing.count() + n_delta > 100_000:
+    if existing.count() + n_delta > max_build_rows:
         raise ValueError(
-            "exact kNN-graph maintenance capped at 100000 index rows "
-            "(the union is collected as the GEMM index); block candidates "
-            "with the sign-LSH tier first"
+            f"exact kNN-graph maintenance capped at {max_build_rows} index "
+            "rows (the union is collected as the GEMM index); block "
+            "candidates with the sign-LSH tier first"
         )
     # edges FOR the delta rows: exact GEMM of delta queries vs the union
     # index — the builder's own stage with the delta as the query side
@@ -764,6 +766,7 @@ def remove_from_knn_graph(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     m: int = 8,
+    max_build_rows: int = 100_000,
 ) -> DataFrame:
     """The delete half of the index-maintenance lifecycle
     (:func:`insert_into_knn_graph` is the insert half): drop the removed
@@ -786,11 +789,11 @@ def remove_from_knn_graph(
     the equality gate can pin it.
 
     Returns the repaired (src, dst, sim_i, dst_vec) adjacency."""
-    if remaining.count() > 100_000:
+    if remaining.count() > max_build_rows:
         raise ValueError(
-            "exact kNN-graph maintenance capped at 100000 index rows "
-            "(remaining becomes the collected GEMM repair index); block "
-            "candidates with the sign-LSH tier first"
+            f"exact kNN-graph maintenance capped at {max_build_rows} index "
+            "rows (remaining becomes the collected GEMM repair index); "
+            "block candidates with the sign-LSH tier first"
         )
     rem = F.broadcast(removed_ids.select(F.col(id_col).alias("_rm")).distinct())
     # sources that are themselves removed vanish entirely

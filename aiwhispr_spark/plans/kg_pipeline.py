@@ -108,6 +108,7 @@ def recanonicalize_output(
     target_partitions: int = 32,
     salt_factor: int = 16,
     max_intent_age_s: float = 3600.0,
+    ignore_markers: tuple[str, ...] = (),
 ) -> None:
     """Compaction: refresh subj_id/obj_id of EVERY written triple against the
     current (merged) alias map.  Resume runs append triples with the ids
@@ -145,24 +146,30 @@ def recanonicalize_output(
     # treats an aged marker whose owner pid is still alive as IN FLIGHT
     # (long-running ≠ crashed), and appenders heartbeat their markers
     # around writes.
-    markers.touch(lock_path)
-    try:
-        in_flight = markers.fresh_intents(intents_dir, max_intent_age_s)
+    # held() keeps a background heartbeat on the lock for the WHOLE rewrite
+    # (touch on entry, utime every 60 s, remove on exit) — a multi-hour
+    # refreshed-table job never looks crashed to a waiting appender
+    # (ADVICE r4: a single pre-swap heartbeat left rewrites longer than the
+    # waiters' stale threshold bypassable).
+    with markers.held(lock_path):
+        in_flight = [
+            m
+            for m in markers.fresh_intents(intents_dir, max_intent_age_s)
+            if m not in ignore_markers
+        ]
         if in_flight:
             raise RuntimeError(
                 "compaction refused: appender runs in flight (fresh intent "
-                f"markers: {in_flight}); retry after they commit, or raise "
-                "max_intent_age_s only for markers known to be crashed"
+                f"markers: {in_flight}); retry after they commit.  A marker "
+                "whose owner pid is alive is in-flight at ANY age; for a "
+                "marker KNOWN to be a crashed run (e.g. its pid was recycled "
+                "on another host), pass ignore_markers=('<name>',) to force "
+                "past it"
             )
         _recanonicalize_locked(
             spark, output_dir, triples_path, target_partitions, salt_factor,
             lock_path,
         )
-    finally:
-        try:
-            os.remove(lock_path)
-        except OSError:
-            pass
 
 
 def _recanonicalize_locked(
@@ -209,9 +216,8 @@ def _recanonicalize_locked(
         .withColumn("subj_id", F.coalesce("subj_id", "subj"))
         .withColumn("obj_id", F.coalesce("obj_id", "obj"))
     )
-    # heartbeat right before the swap: the rewrite above may have run long,
-    # and a waiting appender's stale-bypass must see a FRESH lock while the
-    # directory replacement — the dangerous window — is imminent/underway
+    # belt-and-braces beat right before the swap (the held() background
+    # thread is the primary liveness signal through the whole rewrite)
     markers.heartbeat(lock_path)
     _overwrite_via_tmp(
         spark,

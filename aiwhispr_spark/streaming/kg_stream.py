@@ -147,9 +147,12 @@ def make_stream_sink(output_dir: str, dedup: bool = False, near_dedup: bool = Fa
                 # (recanonicalize_output) the crashed run's TRIPLES may be
                 # gone, and an own-run digest hit would make the replay
                 # re-append nothing while the manifest records the urls as
-                # processed: silent permanent loss
+                # processed: silent permanent loss.  Null-safe exclusion
+                # (<=>): plain != yields NULL for a NULL-tagged legacy
+                # digest row, silently dropping it from the store instead
+                # of treating it as another run's digest
                 store = spark.read.parquet(digests_path).filter(
-                    F.col("run_id") != run_id
+                    ~(F.col("run_id").eqNullSafe(F.lit(run_id)))
                 ).select(F.col("digest").alias("_digest"))
                 fresh = intra.join(store, "_digest", "left_anti")
             else:
@@ -204,12 +207,12 @@ def make_stream_sink(output_dir: str, dedup: bool = False, near_dedup: bool = Fa
                 # therefore the pairs) identical across a partial replay
                 store_s = (
                     spark.read.parquet(lsh_sigs_path)
-                    .filter(F.col("run_id") != run_id)
+                    .filter(~(F.col("run_id").eqNullSafe(F.lit(run_id))))
                     .select("id", "sig")
                 )
                 store_b = (
                     spark.read.parquet(lsh_bands_path)
-                    .filter(F.col("run_id") != run_id)
+                    .filter(~(F.col("run_id").eqNullSafe(F.lit(run_id))))
                     .select("id", "band", "bhash")
                 )
             # fingerprint the EXTRACTED text (E1), the same surface the batch

@@ -17,7 +17,9 @@ def emb(spark):
 
 
 def test_graph_shape_and_self_exclusion(emb):
-    adj = build_knn_graph(emb.limit(50), m=4)
+    # deterministic subset (limit without orderBy is partition-order
+    # dependent — ADVICE r4), same discipline as the sibling test
+    adj = build_knn_graph(emb.filter(F.col("vec_id") < 50), m=4)
     rows = adj.collect()
     assert all(r["src"] != r["dst"] for r in rows)
     per_src = {}

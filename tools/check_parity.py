@@ -19,14 +19,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_rows(cols, rows):
+    """Driver-faithful stringification: plain str() on the raw value, no
+    float normalization.  The driver hashes str(v) over the Spark-collected
+    Python values and the DuckDB .df() pandas/numpy values — so a HUGEINT
+    sum that pandas converts to float64 reads '150.0' vs Spark's '150' and
+    MUST fail here too (it did not under the old %.9g rounding, which is how
+    the r4 line_dedup_boilerplate driver red passed 4 local sweeps)."""
     out = []
     for row in rows:
-        vals = []
-        for c in sorted(cols):
-            v = row[c]
-            if isinstance(v, float):
-                v = f"{v:.9g}"
-            vals.append(str(v))
+        vals = [str(row[c]) for c in sorted(cols)]
         out.append("\x1f".join(vals))
     return sorted(out)
 
