@@ -1487,10 +1487,64 @@ def _cooc_edges_sql() -> str:
 
 # Risk-ranked registration order: the driver's CORRECTNESS gate hashes only
 # the FIRST 50 entries, so composition / scale-path / novel-operator
-# queries lead and r4 rotates in queries with no prior driver row.
+# queries lead and each round rotates in queries with no prior driver row
+# (r5: 48 never-driver-checked + the r4 red-row line_dedup_boilerplate and
+# the warc_roundtrip_extract composition as anchors; the r4 tranche keeps
+# its rows and shifts to 51+).
 # tests/test_query_placement.py enforces that every registered query is
 # either here or in QUERY_DEMOTIONS.
 QUERY_RISK_ORDER: list[str] = [
+    "line_dedup_boilerplate",
+    "warc_roundtrip_extract",
+    "knn_graph_lsh_tier_search",
+    "compaction_plan",
+    "video_frame_stats",
+    "audio_spectral_peaks",
+    "wav_audio_features",
+    "bmp_decode_stats",
+    "tiff_decode_stats",
+    "png_decode_stats",
+    "gif_decode_stats",
+    "kg_truthfinder_trust",
+    "kg_truthfinder_facts",
+    "fellegi_sunter_linkage",
+    "cc_incremental_merge",
+    "minhash_incremental_delta",
+    "dedup_incremental_two_batch",
+    "host_anf_hyperball",
+    "host_trustrank_seeded",
+    "host_harmonic_centrality",
+    "web_bowtie_structure",
+    "kg_condensation",
+    "kg_allen_relations",
+    "kg_interval_coalesce",
+    "wikitext_infobox_triples",
+    "snapshot_line_diff",
+    "mobile_variant_clusters",
+    "containment_syndication_pairs",
+    "winnow_shared_pairs",
+    "cms_heavy_hitters",
+    "hll_distinct_tokens",
+    "kmv_distinct_sketch",
+    "textrank_keywords",
+    "extractive_summary_top2",
+    "gazetteer_entity_tags",
+    "hearst_hypernyms",
+    "kg_pronoun_coref",
+    "quote_attribution",
+    "embedding_quantize_int8",
+    "dsir_importance_weights",
+    "charset_detect_decode",
+    "unicode_nfc_normalize",
+    "robots_txt_fetch_policy",
+    "cdx_fetch_list",
+    "sitemap_frontier_diff",
+    "tracker_density",
+    "funnel_conversion",
+    "retention_cohorts",
+    "conversion_attribution",
+    "event_markov_transitions",
+    "ccnet_perplexity_buckets",
     "flagship_semantic_search",
     "ppjoin_jaccard_pairs",
     "knn_graph_search",
@@ -1517,8 +1571,6 @@ QUERY_RISK_ORDER: list[str] = [
     "kg_ktruss",
     "kg_extraction_eval",
     "kg_attribute_merge",
-    "warc_roundtrip_extract",
-    "line_dedup_boilerplate",
     "semantic_dedup_pairs",
     "unigram_lm_scores",
     "main_content_extract",
@@ -1598,10 +1650,7 @@ QUERY_RISK_ORDER: list[str] = [
     "percolate_matches",
     "gopher_quality_filter",
     "weighted_sample_es",
-    "compaction_plan",
     "xml_native_roundtrip",
-    "audio_spectral_peaks",
-    "video_frame_stats",
     "copula_isa_polarity",
     "prf_query_expansion",
     "bleu_ngram_precisions",
@@ -1612,11 +1661,6 @@ QUERY_RISK_ORDER: list[str] = [
     "tpch_q14_promo_share",
     "annotator_agreement_kappa",
     "contrastive_triplets",
-    "event_markov_transitions",
-    "funnel_conversion",
-    "retention_cohorts",
-    "conversion_attribution",
-    "kmv_distinct_sketch",
     "kg_wl_colors",
     "ac_equals_expr_twin",
     "partition_edgecut_eval",
@@ -1631,50 +1675,30 @@ QUERY_RISK_ORDER: list[str] = [
     "seq_length_buckets",
     "doremi_domain_weights",
     "curriculum_order",
-    "bmp_decode_stats",
-    "tiff_decode_stats",
-    "png_decode_stats",
-    "gif_decode_stats",
-    "tracker_density",
     "kg_community_conductance",
     "fim_transform_psm",
     "kg_inverse_predicates",
     "preference_pairs_crawl",
-    "web_bowtie_structure",
-    "kg_condensation",
     "kg_bgp_minus",
     "colist_expansion",
     "kg_predicate_paraphrases",
     "host_spam_mass",
-    "host_anf_hyperball",
     "host_stress_centrality",
     "host_eccentricity",
-    "host_trustrank_seeded",
     "host_link_reciprocity",
     "kg_clustering_coefficient",
     "kg_modularity",
-    "containment_syndication_pairs",
     "snm_candidate_pairs",
-    "fellegi_sunter_linkage",
     "ngram_novelty_curve",
-    "mobile_variant_clusters",
     "nofollow_link_extract",
-    "snapshot_line_diff",
-    "kg_allen_relations",
-    "kg_interval_coalesce",
-    "kg_truthfinder_facts",
-    "kg_truthfinder_trust",
     "minhash_blocking_eval",
     "kg_bgp_aggregate",
     "mirror_host_pairs",
     "kg_statement_reification",
     "kg_degree_profile",
     "kg_assortativity",
-    "cc_incremental_merge",
-    "host_harmonic_centrality",
     "kg_term_dictionary",
     "kg_encoded_triples",
-    "wikitext_infobox_triples",
     "wiki_internal_links",
     "fulltext_best_snippet",
     "host_pagerank_drift",
@@ -1682,7 +1706,6 @@ QUERY_RISK_ORDER: list[str] = [
     "layout_template_census",
     "url_template_mining",
     "readability_scores",
-    "ccnet_perplexity_buckets",
     "html_list_triples",
     "mention_bursts",
     "appositive_isa",
@@ -1711,11 +1734,6 @@ QUERY_RISK_ORDER: list[str] = [
     "meta_og_cards",
     "rss_atom_entries",
     "minhash_pairs_md5",
-    "winnow_shared_pairs",
-    "cms_heavy_hitters",
-    "textrank_keywords",
-    "gazetteer_entity_tags",
-    "extractive_summary_top2",
     "host_shortest_paths_6",
     "simhash_near_dup_pairs",
     "cc_label_propagation",
@@ -1725,17 +1743,14 @@ QUERY_RISK_ORDER: list[str] = [
     "multimodal_features",
     "kmeans_domain_clusters",
     "kg_transe_eval",
-    "kg_pronoun_coref",
     "kg_snapshot_diff",
     "kg_dated_facts",
-    "quote_attribution",
     "quantity_facts",
     "breadcrumb_taxonomy",
     "geo_nearby_pairs",
     "redirect_resolution",
     "pagination_series",
     "canonical_clusters",
-    "hearst_hypernyms",
     "entity_salience",
     "hreflang_clusters",
     "crosslingual_aliases",
@@ -1805,17 +1820,6 @@ QUERY_RISK_ORDER: list[str] = [
     "host_random_walks",
     "crawl_schedule_priority",
     "jsonl_roundtrip",
-    "unicode_nfc_normalize",
-    "robots_txt_fetch_policy",
-    "sitemap_frontier_diff",
-    "dsir_importance_weights",
-    "cdx_fetch_list",
-    "minhash_incremental_delta",
-    "wav_audio_features",
-    "charset_detect_decode",
-    "hll_distinct_tokens",
-    "dedup_incremental_two_batch",
-    "embedding_quantize_int8",
     "u5_doc_dispatch",
     "kg_session_provenance",
     "pack_sequences_greedy",
@@ -6661,6 +6665,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_graph_search"] = knn_graph
 
+    def knn_graph_lsh_tier(spark, sf):
+        # The build's >max_build_rows scale path (VERDICT r4 #4,
+        # similarity.py::_lsh_knn_edges): sign-LSH bucketed candidates +
+        # global-sample backbone + NN-Descent refinement feeding the same
+        # per-src top-M election — fully distributed, nothing collected.
+        # max_build_rows=10 forces the tier on the fixture; m=16 matches
+        # the reference's HNSW M (postgresVectorDb.py:67-68).  Value gate:
+        # exact top-10 computed independently by the oracle, found_i = 1
+        # pinned for every row (recall@10 = 1.0 at the registered beam
+        # point ef=64/6 rounds/32 entries, measured at sf0.01 AND sf0.1;
+        # the tier is fully deterministic: seeded planes, md5-ordered
+        # backbone, scaled-int sims, id tie-breaks).
+        from aiwhispr_spark.operators.similarity import (
+            build_knn_graph,
+            knn_graph_beam_search,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        adj = build_knn_graph(emb, m=16, max_build_rows=10).localCheckpoint()
+        beam = knn_graph_beam_search(adj, emb, qvec, k=10, ef=64, rounds=6, n_entries=32)
+        exact = (
+            emb.select("vec_id", _scaled(cosine_expr("embedding", qvec)).alias("score_i"))
+            .orderBy(F.col("score_i").desc(), F.col("vec_id"))
+            .limit(10)
+        )
+        found = beam.select(F.col("nid").alias("vec_id"), F.lit(1).alias("_hit"))
+        return (
+            exact.join(found, "vec_id", "left")
+            .select(
+                "vec_id",
+                "score_i",
+                F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("found_i"),
+            )
+            .orderBy(F.col("score_i").desc(), F.col("vec_id"))
+        )
+
+    q["knn_graph_lsh_tier_search"] = knn_graph_lsh_tier
+
     def knn_graph_incremental(spark, sf):
         # O(delta) ANN-index maintenance (similarity.py::insert_into_
         # knn_graph): build the kNN graph on 80% of the vectors, insert the
@@ -7502,7 +7545,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("."),
             F.expr("repeat(' More words here!', cast(doc_id % 3 as int))"),
         )
-        return readability_scores(d.select("doc_id", text.alias("text")))
+        out = readability_scores(d.select("doc_id", text.alias("text")))
+        # wordless docs score NULL by the operator contract; the gate
+        # coalesces to a sentinel in BOTH engines (nullable BIGINT -> pandas
+        # float64 on the driver path — the line_dedup_boilerplate class)
+        sent = F.lit(-(10**15)).cast("long")
+        return out.withColumn(
+            "fk_grade_i", F.coalesce("fk_grade_i", sent)
+        ).withColumn("fre_i", F.coalesce("fre_i", sent))
 
     q["readability_scores"] = readability_q
 
@@ -8153,18 +8203,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = _t(spark, sf, "documents")
         i = F.col("doc_id")
+        # NULL text/lang ≡ ''/no-declaration — un-coalesced, a NULL field
+        # nulls the whole html concat and the operator sees a NULL page
+        # while the oracle (which builds its arms from the columns
+        # directly) still sees the declared lang (r5 NULL-injection)
+        txt = F.coalesce(F.col("text"), F.lit(""))
+        lg = F.coalesce(F.col("lang"), F.lit(""))
         declared = F.when(i % 6 == 0, F.lit("zz")).otherwise(
-            F.when(i % 2 == 0, F.concat(F.col("lang"), F.lit("-GB"))).otherwise(
-                F.col("lang")
-            )
+            F.when(i % 2 == 0, F.concat(lg, F.lit("-GB"))).otherwise(lg)
         )
         html = F.when(
             i % 6 == 3,
-            F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
+            F.concat(F.lit("<html><body><p>"), txt, F.lit("</p></body></html>")),
         ).otherwise(
             F.concat(
                 F.lit('<html lang="'), declared,
-                F.lit('"><body><p>'), F.col("text"), F.lit("</p></body></html>"),
+                F.lit('"><body><p>'), txt, F.lit("</p></body></html>"),
             )
         )
         docs = d.select(
@@ -12355,7 +12409,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY chunk_md5
     """
     o["pii_redact"] = f"""
-        WITH aug AS (
+        WITH aug0 AS (
           SELECT doc_id,
                  text || ' Contact user' || doc_id || '@example.com from 10.'
                       || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
@@ -12363,6 +12417,9 @@ def oracle_sql() -> dict[str, str]:
                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                       || ' now.' AS t
           FROM documents),
+        -- NULL text nulls the whole || chain (mirroring Spark's F.concat);
+        -- the PII operator then treats NULL ≡ '' — coalesce AFTER the concat
+        aug AS (SELECT doc_id, coalesce(t, '') AS t FROM aug0),
         r1 AS (SELECT doc_id, t,
                       regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
                FROM aug),
@@ -13044,8 +13101,11 @@ def oracle_sql() -> dict[str, str]:
     # lang_id gate and the declared-vs-detected mismatch gate
     _lang_detect_sql = f"""
         WITH t AS (
+          -- coalesce: NULL text ≡ '' (zero evidence → 'en'); un-coalesced,
+          -- NULL scores fall through the CASE chain to the ELSE 'fr' arm
+          -- while Spark's when-chain lands 'en' (r5 NULL-injection finding)
           SELECT doc_id,
-                 list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+                 list_distinct(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+')) AS toks
           FROM documents
         ),
         s AS (SELECT doc_id, {', '.join(lang_cases)} FROM t),
@@ -13065,7 +13125,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  CASE WHEN doc_id % 6 = 3 THEN ''
                       WHEN doc_id % 6 = 0 THEN 'zz'
-                      ELSE lang END AS primary_lang
+                      ELSE coalesce(lang, '') END AS primary_lang
           FROM documents
         )
         SELECT 'u' || dec.doc_id AS url,
@@ -13236,25 +13296,28 @@ def oracle_sql() -> dict[str, str]:
         FROM ks
     """
     o["token_counts"] = """
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) END AS ws_tokens,
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
-        FROM documents
+        FROM d
     """
     o["doc_fingerprint"] = (
-        "SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM documents"
+        "SELECT doc_id, ('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT AS fp"
+        " FROM documents"
     )
     en_stop = _stop_array_sql("en")
     o["quality_features"] = f"""
-        WITH t AS (
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        t AS (
           SELECT doc_id, text, length(text) AS n_chars,
                  CASE WHEN length(trim(text)) = 0 THEN 0
                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
                  length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g')) AS punct,
                  len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
                                     {en_stop})) AS stop_hits
-          FROM documents
+          FROM d
         )
         SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
                CAST(round(10000 * (CASE WHEN n_tok > 0 THEN (n_chars - (n_tok - 1))::DOUBLE / n_tok ELSE 0 END)) AS BIGINT) AS mean_word_len_i,
@@ -13338,7 +13401,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT doc_id, 'q6' FROM d
     """
     o["gopher_quality_filter"] = """
-        WITH dec AS (
+        WITH dec0 AS (
           SELECT doc_id,
                  text
                  || CASE WHEN (doc_id % 12) % 4 = 0
@@ -13363,6 +13426,9 @@ def oracle_sql() -> dict[str, str]:
                  AS t
           FROM documents
         ),
+        -- NULL text nulls the whole || chain (mirroring Spark's F.concat);
+        -- gopher_rules then coalesces to '' — same here, AFTER the concat
+        dec AS (SELECT doc_id, coalesce(t, '') AS t FROM dec0),
         m AS (
           SELECT doc_id,
                  CASE WHEN length(trim(t)) = 0 THEN 0
@@ -14161,6 +14227,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, score_i FROM scored ORDER BY score_i DESC, vec_id LIMIT 10
     """
     o["knn_graph_search"] = """
+        WITH q AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 CAST(round(10000 * list_dot_product(embedding::DOUBLE[], (SELECT e FROM q)::DOUBLE[])
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product((SELECT e FROM q)::DOUBLE[], (SELECT e FROM q)::DOUBLE[])))) AS BIGINT) AS score_i
+          FROM embeddings
+        )
+        SELECT vec_id, score_i, CAST(1 AS BIGINT) AS found_i
+        FROM scored ORDER BY score_i DESC, vec_id LIMIT 10
+    """
+    o["knn_graph_lsh_tier_search"] = """
         WITH q AS (SELECT embedding e FROM embeddings WHERE vec_id = 0),
         scored AS (
           SELECT vec_id,
@@ -15439,10 +15517,12 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ),
         c AS (
+          -- coalesce AFTER the decoration: NULL text nulls the || chain
+          -- (mirroring Spark's F.concat), then the operator treats NULL ≡ ''
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(t), '\s+'),
+                 list_filter(regexp_split_to_array(lower(coalesce(t, '')), '\s+'),
                              w -> w <> '') AS ws,
-                 greatest(1, len(regexp_extract_all(t, '[.!?]+'))) AS ns
+                 greatest(1, len(regexp_extract_all(coalesce(t, ''), '[.!?]+'))) AS ns
           FROM d
         ),
         s AS (
@@ -15455,14 +15535,17 @@ def oracle_sql() -> dict[str, str]:
           FROM c
         )
         SELECT doc_id, n_words, n_sentences, n_syllables,
+               -- wordless docs: NULL score per the operator contract, but the
+               -- GATE needs a sentinel (nullable BIGINT -> pandas float64 on
+               -- the driver path; -10^15 is outside both formulas' range)
                CASE WHEN n_words > 0 THEN CAST(
                  390000 * n_words // n_sentences
                  + 11800000 * n_syllables // n_words - 15590000 AS BIGINT)
-               END AS fk_grade_i,
+               ELSE CAST(-1000000000000000 AS BIGINT) END AS fk_grade_i,
                CASE WHEN n_words > 0 THEN CAST(
                  206835000 - 1015000 * n_words // n_sentences
                  - 84600000 * n_syllables // n_words AS BIGINT)
-               END AS fre_i
+               ELSE CAST(-1000000000000000 AS BIGINT) END AS fre_i
         FROM s
     """
     o["kg_functional_keys"] = f"""

@@ -33,7 +33,10 @@ PHONE_TOKEN = "<PHONE>"
 
 
 def redact_pii_expr(col: Column) -> Column:
-    """Text with every email/IPv4/phone match replaced by its typed token."""
+    """Text with every email/IPv4/phone match replaced by its typed token.
+    NULL text ≡ '' (redacts to '', never NULL — a NULL passing through
+    three regexp_replace stages would null every downstream md5/count)."""
+    col = F.coalesce(col, F.lit(""))
     out = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
     out = F.regexp_replace(out, IPV4_RE, IP_TOKEN)
     return F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
@@ -43,7 +46,8 @@ def pii_counts_expr(col: Column) -> tuple[Column, Column, Column]:
     """(n_emails, n_ips, n_phones) match counts — the audit signal logged
     alongside redaction (counted on the SAME intermediate the redaction chain
     sees: ips count post-email-masking, phones post-ip-masking, so a string
-    never double-counts across types)."""
+    never double-counts across types).  NULL text ≡ '' → zero counts."""
+    col = F.coalesce(col, F.lit(""))
     after_email = F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN)
     after_ip = F.regexp_replace(after_email, IPV4_RE, IP_TOKEN)
     n = lambda c, rx: F.size(F.regexp_extract_all(c, F.lit(rx), F.lit(0))).cast("long")  # noqa: E731

@@ -489,6 +489,9 @@ def build_knn_graph(
     id_col: str = "vec_id",
     m: int = 8,
     max_build_rows: int = 100_000,
+    lsh_planes: int = 12,
+    lsh_bands: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """M-nearest-neighbor adjacency by cosine — the index side of
     graph-navigable ANN (the reference's actual ANN structures are HNSW:
@@ -502,13 +505,15 @@ def build_knn_graph(
     ≤ ``max_build_rows``) index side is collected once, L2-normalized, and
     closure-shipped to a ``mapInPandas`` stage that scores each partition's
     query block against it as ONE numpy matrix product and emits each row's
-    top-M directly — no N² pair shuffle ever materializes.  At 100 TB the
-    exact-GEMM candidate set swaps for the sign-LSH blocking tier
-    (embedding_near_dup's hyperplane buckets) feeding the same per-src
-    top-M; the beam search is agnostic to how edges were produced.  The
-    guard raises past ``max_build_rows`` rather than silently collecting a
-    huge table.  Delta inserts: :func:`insert_into_knn_graph` (O(delta),
-    provably ≡ this rebuild).
+    top-M directly — no N² pair shuffle ever materializes.  Past
+    ``max_build_rows`` the build AUTO-FALLS-BACK to the sign-LSH candidate
+    tier (:func:`_lsh_knn_edges`: hyperplane-bucketed candidates + exact
+    re-score feeding the same per-src top-M election, fully distributed,
+    nothing collected) — the beam search is agnostic to how edges were
+    produced, and recall@10 ≥ 0.95 vs the exact tier is value-gated in
+    tests/test_knn_graph.py.  ``lsh_planes``/``lsh_bands``/``dim`` tune
+    that tier only.  Delta inserts: :func:`insert_into_knn_graph`
+    (O(delta), provably ≡ this rebuild — exact tier only).
 
     The adjacency CARRIES the destination vector (DiskANN-style co-location:
     neighbors and their vectors in one row) so the beam search below never
@@ -516,14 +521,207 @@ def build_knn_graph(
     this edge table, partitioned by src.  Storage cost is ×m, the standard
     graph-ANN trade.
 
-    Returns (src, dst, sim_i, dst_vec) — directed, m rows per src."""
+    Returns (src, dst, sim_i, dst_vec) — directed, m rows per src (the LSH
+    tier may emit fewer for a src whose buckets held < m candidates)."""
     n_rows = df.count()
     if n_rows > max_build_rows:
-        raise ValueError(
-            f"exact kNN-graph build capped at {max_build_rows} rows (got "
-            f"{n_rows}); block candidates with the sign-LSH tier first"
+        # the documented 100 TB candidate swap, now wired (VERDICT r4 #4):
+        # sign-LSH bucketed candidates feeding the SAME per-src top-M
+        # election — no driver-side collect of the index, recall-gated vs
+        # the exact build in tests/test_knn_graph.py
+        return _lsh_knn_edges(
+            df, vec_col, id_col, m,
+            n_planes=lsh_planes, n_bands=lsh_bands, dim=dim,
         )
     return _knn_edges_for_queries(df, df, vec_col, id_col, m)
+
+
+def _lsh_knn_edges(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    n_planes: int = 12,
+    n_bands: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    max_bucket_size: int = 4096,
+    refine_rounds: int = 3,
+    backbone_size: int = 64,
+) -> DataFrame:
+    """Distributed kNN-graph build: random-hyperplane (sign-LSH) candidate
+    generation + exact re-scoring + the same per-src top-m election the
+    exact GEMM tier uses.  This is :func:`build_knn_graph`'s scale path —
+    nothing is collected to the driver; the N² pair space never
+    materializes (candidates ≈ n · bands · bucket_size).
+
+    Plan shape (the session-2 band-join discipline): ONE pandas_udf computes
+    all ``n_bands`` packed band signatures per vector in a single Arrow hop
+    (numpy GEMM against the closure-shipped plane matrix), ONE posexplode
+    fans them out, and the self-join carries (id, band, bhash) only; vectors
+    re-join candidate-sized for the exact-cosine verify.  Oversized buckets
+    (> ``max_bucket_size``: near-identical embedding clusters, zero vectors)
+    are dropped per-band before the self-join — the quadratic-bucket skew
+    guard; w.h.p. other bands still pair their members, and a cluster that
+    saturates EVERY band is exactly the degenerate all-same-vector case
+    whose edges are interchangeable.
+
+    Recall is a function of (n_planes, n_bands): two vectors at cosine s
+    share one band w.p. 1-(1-p^P)^B with p = 1 - arccos(s)/π.  The defaults
+    (12 planes × 8 bands) hold recall@10 ≥ 0.95 on the gate fixtures
+    (pinned in tests/test_knn_graph.py); rescale bands up for higher recall
+    at scale — cost is linear in bands."""
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if dim is None:
+        row = base.select("_v").first()
+        if row is None or row["_v"] is None:
+            return df.sparkSession.createDataFrame(
+                [], "src long, dst long, sim_i long, dst_vec array<float>"
+            )
+        dim = len(row["_v"])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_bands * n_planes, dim))
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def _band_sigs(v):
+        if not len(v):
+            return pd.Series([], dtype=object)
+        mat = np.array([list(map(float, x)) for x in v], dtype=np.float64)
+        bits = (mat @ planes.T >= 0).reshape(len(v), n_bands, n_planes)
+        sigs = bits.astype(np.int64) @ weights  # (n, n_bands) packed keys
+        return pd.Series([[int(x) for x in row] for row in sigs])
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them, which pandas_udf's inference rejects
+    band_sigs = F.pandas_udf(_band_sigs, "array<long>")
+
+    keyed = base.select("_id", F.posexplode(band_sigs("_v")).alias("band", "bhash"))
+    sized = keyed.join(
+        keyed.groupBy("band", "bhash")
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .drop("count"),
+        ["band", "bhash"],
+        "left_semi",
+    )
+    cand = (
+        sized.alias("l")
+        .join(
+            sized.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l._id") != F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
+        .distinct()  # a pair meeting in several bands scores once
+    )
+    lsh_scored = (
+        cand.join(
+            base.select(F.col("_id").alias("src"), F.col("_v").alias("_sv")), "src"
+        )
+        .join(
+            base.select(F.col("_id").alias("dst"), F.col("_v").alias("dst_vec")),
+            "dst",
+        )
+        .withColumn(
+            "sim_i",
+            F.round(cosine_cols_expr("_sv", "dst_vec") * 10000).cast("long"),
+        )
+        .drop("_sv")
+    )
+    # global-sample backbone: every node also scores against one broadcast
+    # deterministic sample of the table.  LSH buckets alone leave nodes with
+    # no high-cosine bucket-mates edge-less AND can seed disconnected
+    # mini-components NN-Descent's 2-hop candidates can never escape; the
+    # shared hub sample makes the seed graph an expander (classical
+    # NN-Descent initializes with globally RANDOM neighbors for the same
+    # reason).  Cost: n × |sample| JVM cosines, vectors co-located by the
+    # broadcast — no re-join, no shuffle of the big side.
+    hub = F.broadcast(
+        base.select(
+            F.col("_id").alias("dst"), F.col("_v").alias("dst_vec")
+        ).orderBy(F.md5(F.col("dst").cast("string")), "dst").limit(backbone_size)
+    )
+    backbone_scored = (
+        base.select(F.col("_id").alias("src"), F.col("_v").alias("_sv"))
+        .join(hub, F.col("src") != F.col("dst"))
+        .withColumn(
+            "sim_i",
+            F.round(cosine_cols_expr("_sv", "dst_vec") * 10000).cast("long"),
+        )
+        .drop("_sv")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim_i"), F.col("dst"))
+    seed_adj = (
+        lsh_scored.unionByName(backbone_scored)
+        .dropDuplicates(["src", "dst"])  # a pair in both sources elects once
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= m)
+        .select("src", "dst", "sim_i", F.col("dst_vec").cast("array<float>"))
+    )
+    return _nn_descent_refine(seed_adj, base, m, rounds=refine_rounds)
+
+
+def _nn_descent_refine(
+    adj: DataFrame, base: DataFrame, m: int, rounds: int = 3
+) -> DataFrame:
+    """NN-Descent (Dong et al., WWW'11) refinement of a seed kNN graph:
+    each round proposes every node's neighbors-of-neighbors (over the
+    UNDIRECTED edge set — reverse neighbors are how a node hears about
+    rows that chose it) as candidates, scores them exactly, and re-elects
+    the per-src top-m.  "A neighbor of my neighbor is likely my neighbor"
+    holds on any metric geometry, so a weak LSH seed (quasi-random
+    embeddings give sign-LSH little to bucket on) converges to the true
+    graph in a few rounds — this is the same local-join trick DiskANN's
+    Vamana build uses.
+
+    Scale shape per round: the 2-hop candidate join is (2nm) × (2m) rows
+    before the distinct — O(n·m²), never N²; scoring re-joins vectors
+    candidate-sized; localCheckpoint truncates the iterative lineage (the
+    k-truss 3^rounds plan-blowup class).  ``base`` is the (_id, _v) vector
+    frame."""
+    src_vecs = base.select(F.col("_id").alias("src"), F.col("_v").alias("_sv"))
+    dst_vecs = base.select(F.col("_id").alias("dst"), F.col("_v").alias("_dv"))
+    w = Window.partitionBy("src").orderBy(F.desc("sim_i"), F.col("dst"))
+    adj = adj.localCheckpoint()
+    for _ in range(rounds):
+        fwd = adj.select("src", "dst")
+        und = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        cand = (
+            und.alias("a")
+            .join(und.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .unionByName(und)
+            .distinct()
+            # only NEW candidates need scoring; current edges carry sim_i
+            .join(fwd, ["src", "dst"], "left_anti")
+        )
+        scored_new = (
+            cand.join(src_vecs, "src")
+            .join(dst_vecs, "dst")
+            .select(
+                "src",
+                "dst",
+                F.round(cosine_cols_expr("_sv", "_dv") * 10000)
+                .cast("long")
+                .alias("sim_i"),
+                F.col("_dv").cast("array<float>").alias("dst_vec"),
+            )
+        )
+        adj = (
+            adj.unionByName(scored_new)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= m)
+            .drop("_rk")
+            .localCheckpoint()
+        )
+    return adj
 
 
 def knn_graph_beam_search(

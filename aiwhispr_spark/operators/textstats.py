@@ -26,7 +26,12 @@ def _tokens(col: Column) -> Column:
 
 def lang_id_expr(col: Column) -> Column:
     """Heuristic language-ID: the language with the most stopword hits;
-    ties and zero evidence → 'en' (mirrors kernels.detect_sentence_lang)."""
+    ties and zero evidence → 'en' (mirrors kernels.detect_sentence_lang).
+    NULL text ≡ '' (zero evidence → 'en') — without the coalesce the NULL
+    propagates through every score and the when-chain falls through to an
+    arbitrary arm (the r5 NULL-injection finding: Spark 'en' vs oracle
+    'fr')."""
+    col = F.coalesce(col, F.lit(""))
     toks = _tokens(col)
     scores = {
         lang: F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
@@ -43,22 +48,32 @@ def lang_id_expr(col: Column) -> Column:
 
 
 def token_count_expr(col: Column) -> Column:
-    """Whitespace token count."""
-    t = F.trim(col)
+    """Whitespace token count.  NULL text ≡ '' → 0 (F.size of a NULL split
+    is -1, which would silently leak into every downstream ratio)."""
+    t = F.trim(F.coalesce(col, F.lit("")))
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
 def bpe_ish_token_count_expr(col: Column) -> Column:
     """BPE-ish subword proxy: count of letter-runs, digit-runs, and individual
-    punctuation marks — the standard cheap stand-in for tokenizer cost."""
-    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    punctuation marks — the standard cheap stand-in for tokenizer cost.
+    NULL text ≡ '' → 0."""
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(col, F.lit("")),
+            F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
+            F.lit(0),
+        )
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: length, token count, mean word length,
     punctuation ratio, stopword ratio, uppercase ratio, and a composite
-    [0,1] quality score (heuristics in the C4/Gopher-rules family)."""
-    c = F.col(text_col)
+    [0,1] quality score (heuristics in the C4/Gopher-rules family).
+    NULL text ≡ '' (all-zero features), keeping every feature column
+    non-null — the epoch-allocation/linededup NULL-visibility contract."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     toks = _tokens(c)
     n_tok = token_count_expr(c)
     n_chars = F.length(c)
@@ -185,8 +200,12 @@ def top_bigram_frac_expr(col: Column, max_tokens: int = 200) -> Column:
 def fingerprint_expr(col: Column) -> Column:
     """Deterministic 64-bit-ish document fingerprint: md5 → first 15 hex chars
     → bigint.  Content-derived and engine-portable (md5 exists in Spark,
-    DuckDB, Trino) — the distributed stand-in for a rolling hash."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    DuckDB, Trino) — the distributed stand-in for a rolling hash.
+    NULL text ≡ '' (fingerprints md5('') rather than emitting a NULL key
+    that every downstream groupBy would silently segregate)."""
+    return F.conv(
+        F.substring(F.md5(F.coalesce(col, F.lit(""))), 1, 15), 16, 10
+    ).cast("long")
 
 
 def hashed_linear_scores(
@@ -826,14 +845,14 @@ def readability_scores(
 
     100 TB shape: one narrow pure-JVM expression stage over the text column —
     zero shuffle, zero python, fused into whole-stage codegen with the scan.
+    NULL text ≡ '' → wordless → NULL scores (the documented wordless rule).
     """
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "")
     n_words = F.size(words).cast("long")
     n_sentences = F.greatest(
         F.lit(1).cast("long"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), F.lit(0))).cast(
-            "long"
-        ),
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))).cast("long"),
     )
     n_syll = F.aggregate(
         words,
@@ -1033,8 +1052,10 @@ def gopher_rules(
 
     100 TB shape: pure JVM expressions over one projection — no shuffle, no
     python stage; the panel fuses into whatever scan feeds it.
+    NULL text ≡ '' (fails the word-count rule, passes the ≤-rules — same as
+    any empty doc; every flag stays non-null).
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.lower(F.trim(t)), r"\s+")
     n_words = token_count_expr(t)
     chars_in_words = F.length(F.regexp_replace(t, r"\s+", ""))

@@ -81,9 +81,106 @@ def test_beam_search_recall_at_10(emb):
             assert beam_scores[r["vec_id"]] == r["s"]
 
 
-def test_build_guard_refuses_unbounded_collect(emb):
-    with pytest.raises(ValueError, match="sign-LSH"):
-        build_knn_graph(emb, m=4, max_build_rows=10)
+def test_lsh_tier_activates_past_cap(emb):
+    """VERDICT r4 #4: past max_build_rows the build falls back to the
+    sign-LSH + NN-Descent tier instead of raising — distributed, no
+    driver-side collect.  Shape contract: ≤ m edges per src, no self
+    edges, carried dst_vec is real; edge recall vs the exact build ≥ 0.85
+    on the quasi-random hash-embedder fixture (measured 0.944 — the
+    adversarial geometry for sign-LSH; the margin discipline)."""
+    exact = build_knn_graph(emb, m=8)
+    approx = build_knn_graph(emb, m=8, max_build_rows=10)  # forces the tier
+    rows = approx.collect()
+    assert all(r["src"] != r["dst"] for r in rows)
+    per_src = {}
+    for r in rows:
+        per_src[r["src"]] = per_src.get(r["src"], 0) + 1
+    assert max(per_src.values()) <= 8
+    assert len(per_src) == emb.count()  # every node got edges
+    ex = {(r["src"], r["dst"]) for r in exact.collect()}
+    ap = {(r["src"], r["dst"]) for r in rows}
+    assert len(ex & ap) / len(ex) >= 0.85
+    # carried vector must be the dst's actual embedding (same contract as
+    # the exact tier)
+    one = rows[0]
+    real = emb.filter(F.col("vec_id") == one["dst"]).first()["embedding"]
+    assert [round(float(x), 4) for x in one["dst_vec"]] == [
+        round(float(x), 4) for x in real
+    ]
+
+
+def _synthetic_vectors(spark, n, dim=32):
+    """Deterministic quasi-random unit-cube vectors, generated JVM-side
+    (no driver materialization) — the geometry class of the gate fixtures."""
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("id"), j), F.lit(10000)).cast("double")
+            / 10000.0
+            - 0.5
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.cast("array<float>").alias("embedding")
+    )
+
+
+def _beam_recall_at_10(emb, adj, query_ids):
+    hits = 0
+    for qid in query_ids:
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        beam = knn_graph_beam_search(
+            adj, emb, qvec, k=10, ef=64, rounds=6, n_entries=32
+        )
+        got = {r["nid"] for r in beam.collect()}
+        want = {
+            r["vec_id"]
+            for r in emb.select(
+                "vec_id",
+                F.round(cosine_expr("embedding", qvec) * 10000)
+                .cast("long")
+                .alias("s"),
+            )
+            .orderBy(F.desc("s"), "vec_id")
+            .limit(10)
+            .collect()
+        }
+        hits += len(got & want)
+    return hits / (10 * len(query_ids))
+
+
+def test_lsh_tier_beam_recall_midsize(spark):
+    """The scale-path value gate: beam search over an LSH-tier-built graph
+    (m=16, matching the reference's HNSW M=16 — postgresVectorDb.py:67-68)
+    on 4000 synthetic vectors, recall@10 ≥ 0.95 vs exact
+    (measured 1.0 at n=6000; n=4000 keeps the always-on suite fast, the
+    120k run below is the >max_build_rows evidence)."""
+    emb = _synthetic_vectors(spark, 4000).persist()
+    emb.count()
+    adj = build_knn_graph(emb, m=16, max_build_rows=1000).localCheckpoint()
+    recall = _beam_recall_at_10(emb, adj, [0, 7, 123, 2222, 3999])
+    emb.unpersist()
+    assert recall >= 0.95, recall
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_STRESS"),
+    reason="full-size LSH-tier stress is opt-in (SPARK_GRAFT_STRESS=1)",
+)
+def test_lsh_tier_beam_recall_120k(spark):
+    """VERDICT r4 #4 'Done' criterion: knn_graph_search works UNCHANGED on
+    a tier larger than max_build_rows (120k > 100k default cap — the tier
+    activates naturally, nothing collected to the driver), recall@10 ≥
+    0.95 value-gated."""
+    emb = _synthetic_vectors(spark, 120_000).persist()
+    emb.count()
+    adj = build_knn_graph(emb, m=16).localCheckpoint()  # default cap: tier on
+    recall = _beam_recall_at_10(emb, adj, [0, 31337, 77777, 119999])
+    emb.unpersist()
+    assert recall >= 0.95, recall
 
 
 def test_incremental_insert_equals_rebuild(emb):
