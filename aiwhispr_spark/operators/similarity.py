@@ -546,7 +546,7 @@ def _lsh_knn_edges(
     dim: int | None = None,
     seed: int = 42,
     max_bucket_size: int = 4096,
-    refine_rounds: int = 3,
+    refine_rounds: int = 10,
     backbone_size: int = 64,
 ) -> DataFrame:
     """Distributed kNN-graph build: random-hyperplane (sign-LSH) candidate
@@ -666,7 +666,11 @@ def _lsh_knn_edges(
 
 
 def _nn_descent_refine(
-    adj: DataFrame, base: DataFrame, m: int, rounds: int = 3
+    adj: DataFrame,
+    base: DataFrame,
+    m: int,
+    rounds: int = 10,
+    min_delta_frac: float = 0.002,
 ) -> DataFrame:
     """NN-Descent (Dong et al., WWW'11) refinement of a seed kNN graph:
     each round proposes every node's neighbors-of-neighbors (over the
@@ -682,11 +686,19 @@ def _nn_descent_refine(
     before the distinct — O(n·m²), never N²; scoring re-joins vectors
     candidate-sized; localCheckpoint truncates the iterative lineage (the
     k-truss 3^rounds plan-blowup class).  ``base`` is the (_id, _v) vector
-    frame."""
+    frame.
+
+    Convergence: standard NN-Descent termination — stop when a round
+    replaces fewer than ``min_delta_frac`` of the edges (``rounds`` is the
+    hard cap).  A FIXED small round count under-converges as n grows
+    (measured at 120k: 3 rounds left query adjacencies holding only 2-8 of
+    their true top-10; information needs ~log_{2m}(n) rounds to mix), while
+    small gate fixtures exit after 3-4 rounds at no extra cost."""
     src_vecs = base.select(F.col("_id").alias("src"), F.col("_v").alias("_sv"))
     dst_vecs = base.select(F.col("_id").alias("dst"), F.col("_v").alias("_dv"))
     w = Window.partitionBy("src").orderBy(F.desc("sim_i"), F.col("dst"))
     adj = adj.localCheckpoint()
+    n_edges = max(adj.count(), 1)
     for _ in range(rounds):
         fwd = adj.select("src", "dst")
         und = fwd.unionByName(
@@ -714,13 +726,19 @@ def _nn_descent_refine(
                 F.col("_dv").cast("array<float>").alias("dst_vec"),
             )
         )
-        adj = (
+        nxt = (
             adj.unionByName(scored_new)
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= m)
             .drop("_rk")
             .localCheckpoint()
         )
+        changed = nxt.select("src", "dst").join(
+            adj.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).count()
+        adj = nxt
+        if changed < min_delta_frac * n_edges:
+            break
     return adj
 
 

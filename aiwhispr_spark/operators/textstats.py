@@ -535,11 +535,12 @@ def bpe_train(
     return bpe_train_batched(docs, n_merges=n_merges, text_col=text_col, batch_m=1)
 
 
-def bpe_train_batched(
+def bpe_train_batched(  # noqa: C901
     docs: DataFrame,
     n_merges: int = 5,
     text_col: str = "text",
     batch_m: int = 8,
+    batch_log: list | None = None,
 ) -> DataFrame:
     """BPE merge training with up to ``batch_m`` merges applied per Spark
     round — collapses :func:`bpe_train`'s one-job-per-merge wall-clock
@@ -645,6 +646,8 @@ def bpe_train_batched(
         merged = F.col("syms")
         for x, y, _n in kept:
             merged = _bpe_merge_fold(merged, x, y)
+        if batch_log is not None:
+            batch_log.append(len(kept))  # realized batch size this round
         for x, y, n in kept:
             merges.append((len(merges) + 1, x, y, x + y, n))
         # localCheckpoint per round (see bpe_train) — truncates the nested
