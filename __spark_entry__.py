@@ -1488,9 +1488,12 @@ def _cooc_edges_sql() -> str:
 # Risk-ranked registration order: the driver's CORRECTNESS gate hashes only
 # the FIRST 50 entries, so composition / scale-path / novel-operator
 # queries lead and each round rotates in queries with no prior driver row
-# (r5: 48 never-driver-checked + the r4 red-row line_dedup_boilerplate and
-# the warc_roundtrip_extract composition as anchors; the r4 tranche keeps
-# its rows and shifts to 51+).
+# (r5 first-50: 2 anchors — the r4 red-row line_dedup_boilerplate and the
+# warc_roundtrip_extract composition — + the new knn_graph_lsh_tier_search
+# + 47 never-driver-checked promotions; ccnet_perplexity_buckets, the 48th
+# never-checked promotion, was displaced to position 51 when the LSH gate
+# landed at 3 and stays covered by the full-sweep tier; the r4 tranche
+# keeps its rows and shifts to 51+).
 # tests/test_query_placement.py enforces that every registered query is
 # either here or in QUERY_DEMOTIONS.
 QUERY_RISK_ORDER: list[str] = [

@@ -10,16 +10,19 @@ reads the other's, so in every interleaving at least one of them yields —
 compaction refuses while fresh intents exist, appenders wait while the lock
 is live.
 
-Liveness: both flags carry ``"<owner pid> <created epoch>"`` and are
-HEARTBEATED (utime) while the owner works — compaction holds its lock under
-a background heartbeat thread (``held``) for the WHOLE rewrite, so a
+Liveness: both flags carry ``"<owner pid> <created epoch> <hostname>"`` and
+are HEARTBEATED (utime) while the owner works — compaction holds its lock
+under a background heartbeat thread (``held``) for the WHOLE rewrite, so a
 multi-hour refreshed-table job never looks crashed to a waiting appender.
-A marker whose pid verifiably no longer exists — or whose pid was started
-AFTER the marker was written (pid recycled by an unrelated process, checked
-via /proc start time) — is crashed regardless of age; a marker whose pid is
-demonstrably alive-and-original is live regardless of age.  The age rule is
-only the fallback for pids that cannot be verified on this host
-(cluster/shared-storage case, unreadable /proc).
+A SAME-HOST marker whose pid verifiably no longer exists — or whose pid was
+started AFTER the marker was written (pid recycled by an unrelated process,
+checked via /proc start time) — is crashed regardless of age; one whose pid
+is demonstrably alive-and-original is live regardless of age.  Markers from
+ANOTHER host (shared storage) and legacy pid-only markers are unverifiable
+by construction — their pid is meaningless against the local /proc / cannot
+be dated — and fall back to the mtime age rule, never to a pid verdict
+(review r5: a local-pid check against a foreign marker could declare a live
+remote compaction dead and let an appender write under its directory swap).
 
 Local-FS implementation; on HDFS/S3 the same touches go through the Hadoop
 FileSystem API (create-with-overwrite is atomic on both), and Iceberg's
@@ -35,10 +38,14 @@ import time
 
 
 def touch(path: str) -> None:
-    """Create/refresh a marker carrying the owner pid + creation epoch."""
+    """Create/refresh a marker carrying the owner pid + creation epoch +
+    hostname (the hostname scopes the pid checks: pids are only meaningful
+    on the host that wrote them)."""
+    import socket
+
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as fh:
-        fh.write(f"{os.getpid()} {time.time():.3f}")
+        fh.write(f"{os.getpid()} {time.time():.3f} {socket.gethostname()}")
 
 
 def heartbeat(path: str) -> None:
@@ -77,17 +84,19 @@ def held(path: str, interval_s: float = 60.0):
             pass
 
 
-def _read_marker(path: str) -> tuple[int, float | None]:
-    """(owner pid, created epoch) from a marker; (0, None) if unreadable.
-    Pre-upgrade markers carry only the pid — created stays None."""
+def _read_marker(path: str) -> tuple[int, float | None, str | None]:
+    """(owner pid, created epoch, owner host) from a marker;
+    (0, None, None) if unreadable.  Pre-upgrade markers carry only the pid
+    — created/host stay None."""
     try:
         with open(path) as fh:
             parts = fh.read().split()
         pid = int(parts[0]) if parts else 0
         created = float(parts[1]) if len(parts) > 1 else None
-        return pid, created
+        host = parts[2] if len(parts) > 2 else None
+        return pid, created, host
     except (OSError, ValueError):
-        return 0, None
+        return 0, None, None
 
 
 def _pid_start_epoch(pid: int) -> float | None:
@@ -111,12 +120,22 @@ def _pid_start_epoch(pid: int) -> float | None:
 def _owner_alive(path: str) -> bool | None:
     """True: the marker's ORIGINAL owner is demonstrably alive on this host.
     False: demonstrably dead (no such pid, or the pid's current occupant
-    started after the marker was written — recycled).  None: unverifiable
-    (foreign host, unreadable marker, permission-denied without /proc) —
-    caller falls back to the age rule."""
-    pid, created = _read_marker(path)
+    started after the marker was written — recycled).  None: unverifiable —
+    caller falls back to the age rule.  Unverifiable covers: a marker
+    written on ANOTHER host (its pid is meaningless against our /proc — a
+    remote owner must never be declared dead OR alive from here), a legacy
+    pid-only marker (no creation epoch to date the pid against, so a
+    recycled pid would otherwise look alive forever — review r5), and an
+    unreadable /proc."""
+    import socket
+
+    pid, created, host = _read_marker(path)
     if pid <= 0:
         return None
+    if host is None or host != socket.gethostname():
+        return None  # foreign/legacy marker: only the age rule applies
+    if created is None:
+        return None  # cannot date the pid: recycling undetectable
     try:
         os.kill(pid, 0)
     except ProcessLookupError:
@@ -124,10 +143,10 @@ def _owner_alive(path: str) -> bool | None:
     except PermissionError:
         pass  # exists, owned by someone else — still check for recycling
     start = _pid_start_epoch(pid)
-    if start is not None and created is not None and start > created + 1.0:
-        return False  # pid recycled: current occupant postdates the marker
-    if start is None and created is not None:
+    if start is None:
         return None  # alive pid but can't date it — age rule decides
+    if start > created + 1.0:
+        return False  # pid recycled: current occupant postdates the marker
     return True
 
 

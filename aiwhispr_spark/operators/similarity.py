@@ -574,10 +574,22 @@ def _lsh_knn_edges(
     import numpy as np
     import pandas as pd
 
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # NULL-vector rows cannot be indexed (no signature, no cosine) — filter
+    # them out up front with a documented absent-src contract.  Review r5:
+    # the old dim probe used an UNFILTERED first() and a NULL first vector
+    # made the whole 100k+-row build silently return an empty adjacency.
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    # persist: the signature UDF and vector column feed four plan branches
+    # (bucket count, semi-join probe, both self-join sides) plus every
+    # NN-Descent round's re-joins — un-cached, the Arrow GEMM stage ran 4×
+    # and upstream lineage re-executed ~2× per round (review r5, plan dump:
+    # 4 ArrowEvalPython nodes, 8 base scans)
+    base = base.persist()
     if dim is None:
         row = base.select("_v").first()
-        if row is None or row["_v"] is None:
+        if row is None:
             return df.sparkSession.createDataFrame(
                 [], "src long, dst long, sim_i long, dst_vec array<float>"
             )
@@ -598,7 +610,9 @@ def _lsh_knn_edges(
     # stringifies them, which pandas_udf's inference rejects
     band_sigs = F.pandas_udf(_band_sigs, "array<long>")
 
-    keyed = base.select("_id", F.posexplode(band_sigs("_v")).alias("band", "bhash"))
+    keyed = base.select(
+        "_id", F.posexplode(band_sigs("_v")).alias("band", "bhash")
+    ).persist()
     sized = keyed.join(
         keyed.groupBy("band", "bhash")
         .count()
@@ -662,7 +676,12 @@ def _lsh_knn_edges(
         .filter(F.col("_rk") <= m)
         .select("src", "dst", "sim_i", F.col("dst_vec").cast("array<float>"))
     )
-    return _nn_descent_refine(seed_adj, base, m, rounds=refine_rounds)
+    # refine localCheckpoints the seed (and every round), so after it
+    # returns nothing references the cached band/vector frames
+    out = _nn_descent_refine(seed_adj, base, m, rounds=refine_rounds)
+    keyed.unpersist()
+    base.unpersist()
+    return out
 
 
 def _nn_descent_refine(

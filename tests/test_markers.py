@@ -3,12 +3,15 @@ upgrades: background-heartbeat lock holding, alive-owner-keeps-lock-live,
 and recycled-pid detection via /proc start time."""
 
 import os
+import socket
 import subprocess
 import time
 
 import pytest
 
 from aiwhispr_spark.operators import markers
+
+HOST = socket.gethostname()
 
 
 def test_held_heartbeats_and_cleans_up(tmp_path):
@@ -44,7 +47,7 @@ def test_dead_owner_releases_lock_immediately(tmp_path):
     p = subprocess.Popen(["true"])
     p.wait()
     with open(lock, "w") as fh:
-        fh.write(f"{p.pid} {time.time():.3f}")
+        fh.write(f"{p.pid} {time.time():.3f} {HOST}")
     t0 = time.time()
     markers.wait_for_compaction(lock, max_wait_s=30.0, stale_after_s=3600)
     assert time.time() - t0 < 5
@@ -60,7 +63,7 @@ def test_recycled_pid_counts_as_dead(tmp_path):
     # marker claims it was written BEFORE this process started -> the live
     # pid cannot be the writer
     with open(lock, "w") as fh:
-        fh.write(f"{os.getpid()} {start - 100:.3f}")
+        fh.write(f"{os.getpid()} {start - 100:.3f} {HOST}")
     assert markers._owner_alive(lock) is False
     t0 = time.time()
     markers.wait_for_compaction(lock, max_wait_s=30.0, stale_after_s=3600)
@@ -73,7 +76,7 @@ def test_fresh_intents_ignores_recycled_pid_marker(tmp_path):
     start = markers._pid_start_epoch(os.getpid())
     stale = intents / "stream-old"
     with open(stale, "w") as fh:
-        fh.write(f"{os.getpid()} {start - 100:.3f}")
+        fh.write(f"{os.getpid()} {start - 100:.3f} {HOST}")
     old = time.time() - 7200
     os.utime(stale, (old, old))
     live = intents / "stream-live"
@@ -95,3 +98,39 @@ def test_unverifiable_owner_falls_back_to_age_rule(tmp_path):
     os.utime(lock, None)
     with pytest.raises(RuntimeError, match="compaction lock"):
         markers.wait_for_compaction(lock, max_wait_s=0.3, stale_after_s=3600)
+
+
+def test_foreign_host_marker_never_gets_a_pid_verdict(tmp_path):
+    """Review r5: a marker written on another host carries a pid that is
+    meaningless against the local /proc — even if that pid is free locally
+    (which would read 'dead') or busy locally (which would read 'alive'),
+    only the age rule may decide.  Fresh foreign lock → honored; aged
+    foreign lock → released by age, not by pid."""
+    lock = str(tmp_path / "_compaction_lock")
+    p = subprocess.Popen(["true"])
+    p.wait()  # locally-dead pid — would bypass instantly if misread as ours
+    with open(lock, "w") as fh:
+        fh.write(f"{p.pid} {time.time():.3f} some-other-host")
+    assert markers._owner_alive(lock) is None
+    with pytest.raises(RuntimeError, match="compaction lock"):
+        markers.wait_for_compaction(lock, max_wait_s=0.3, stale_after_s=3600)
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    t0 = time.time()
+    markers.wait_for_compaction(lock, max_wait_s=30.0, stale_after_s=3600)
+    assert time.time() - t0 < 5
+
+
+def test_legacy_pid_only_marker_uses_age_rule(tmp_path):
+    """Review r5: a pre-upgrade marker (pid only, no creation epoch) cannot
+    be dated, so a recycled pid would look alive forever under the
+    alive-wins rule — it must fall back to the age rule instead."""
+    lock = str(tmp_path / "_compaction_lock")
+    with open(lock, "w") as fh:
+        fh.write(str(os.getpid()))  # alive pid, but legacy format
+    assert markers._owner_alive(lock) is None
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    t0 = time.time()
+    markers.wait_for_compaction(lock, max_wait_s=30.0, stale_after_s=3600)
+    assert time.time() - t0 < 5

@@ -87,6 +87,11 @@ def test_no_decimal_objects_on_driver_path(oracle_frames):
         for col, dt in df.dtypes.items():
             if dt.kind == "O":
                 series = df[col].dropna()
-                if len(series) and isinstance(series.iloc[0], decimal.Decimal):
+                # check EVERY value, not just the first: a CASE with one
+                # un-CAST round() arm yields a mixed str/Decimal column
+                # that a first-value probe misses (review r5)
+                if len(series) and series.map(
+                    lambda v: isinstance(v, decimal.Decimal)
+                ).any():
                     bad.append((name, col))
     assert not bad, f"DECIMAL-valued oracle columns (CAST them): {bad}"
