@@ -125,7 +125,7 @@ def _synthetic_vectors(spark, n, dim=32):
     )
 
 
-def _beam_recall_at_10(emb, adj, query_ids):
+def _beam_recall_at_10(emb, adj, query_ids, ef=64, rounds=6, n_entries=32):
     hits = 0
     for qid in query_ids:
         qvec = [
@@ -133,7 +133,7 @@ def _beam_recall_at_10(emb, adj, query_ids):
             for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
         ]
         beam = knn_graph_beam_search(
-            adj, emb, qvec, k=10, ef=64, rounds=6, n_entries=32
+            adj, emb, qvec, k=10, ef=ef, rounds=rounds, n_entries=n_entries
         )
         got = {r["nid"] for r in beam.collect()}
         want = {
@@ -174,11 +174,17 @@ def test_lsh_tier_beam_recall_120k(spark):
     """VERDICT r4 #4 'Done' criterion: knn_graph_search works UNCHANGED on
     a tier larger than max_build_rows (120k > 100k default cap — the tier
     activates naturally, nothing collected to the driver), recall@10 ≥
-    0.95 value-gated."""
+    0.95 value-gated.  Beam point ef=128/10 rounds/64 entries — search-time
+    beam width is the standard graph-ANN recall dial (HNSW ef_search; the
+    reference runs ef=128 too, qdrantVectorDb.py:270-273): measured 0.98
+    here vs 0.96 at ef=96 and 0.86 at the small-fixture point ef=64."""
     emb = _synthetic_vectors(spark, 120_000).persist()
     emb.count()
     adj = build_knn_graph(emb, m=16).localCheckpoint()  # default cap: tier on
-    recall = _beam_recall_at_10(emb, adj, [0, 31337, 77777, 119999])
+    recall = _beam_recall_at_10(
+        emb, adj, [0, 31337, 77777, 119999, 55555], ef=128, rounds=10,
+        n_entries=64,
+    )
     emb.unpersist()
     assert recall >= 0.95, recall
 
