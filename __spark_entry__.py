@@ -1490,10 +1490,13 @@ def _cooc_edges_sql() -> str:
 # queries lead and each round rotates in queries with no prior driver row
 # (r5 first-50: 2 anchors — the r4 red-row line_dedup_boilerplate and the
 # warc_roundtrip_extract composition — + the new knn_graph_lsh_tier_search
-# + 47 never-driver-checked promotions; ccnet_perplexity_buckets, the 48th
-# never-checked promotion, was displaced to position 51 when the LSH gate
-# landed at 3 and stays covered by the full-sweep tier; the r4 tranche
-# keeps its rows and shifts to 51+).
+# + 4 brand-new late-r5 gates (bitext_margin_mine and the tpch q8/q17/q21
+# adaptations, riskiest because their oracles have never run anywhere)
+# + 43 never-driver-checked promotions; displaced to 51+ and covered by
+# the full-sweep tier: ccnet_perplexity_buckets, funnel_conversion,
+# retention_cohorts, conversion_attribution, event_markov_transitions,
+# plus the milder new tpch q7/q11/q15/q16; the r4 tranche keeps its rows
+# and shifts further down).
 # tests/test_query_placement.py enforces that every registered query is
 # either here or in QUERY_DEMOTIONS.
 QUERY_RISK_ORDER: list[str] = [
@@ -1501,6 +1504,10 @@ QUERY_RISK_ORDER: list[str] = [
     "warc_roundtrip_extract",
     "knn_graph_lsh_tier_search",
     "compaction_plan",
+    "bitext_margin_mine",
+    "tpch_q8_market_share",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_supplier",
     "video_frame_stats",
     "audio_spectral_peaks",
     "wav_audio_features",
@@ -1548,6 +1555,10 @@ QUERY_RISK_ORDER: list[str] = [
     "conversion_attribution",
     "event_markov_transitions",
     "ccnet_perplexity_buckets",
+    "tpch_q7_volume_shipping",
+    "tpch_q11_important_value",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_cnt",
     "flagship_semantic_search",
     "ppjoin_jaccard_pairs",
     "knn_graph_search",
@@ -9556,6 +9567,323 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q22_global_sales_opportunity"] = tpch_q22ish
 
+    def tpch_q7ish(spark, sf):
+        # TPC-H Q7 (volume shipping): revenue flowing between one nation
+        # PAIR in both directions, per ship year.  Plan shape: nation is
+        # joined TWICE (supplier side + customer side) — both broadcast;
+        # the disjunctive pair predicate rides the joined frame, NOT a
+        # union of two branches (the session-2 fan-out trap); lineitem ⋈
+        # orders is the only big shuffle.  NATION_3/NATION_8 both have
+        # suppliers at every sf tier (sf0.001 has only 10 suppliers).
+        n = _t(spark, sf, "nation")
+        s = _t(spark, sf, "supplier").join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        c = _t(spark, sf, "customer").join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .filter(
+                (
+                    (F.col("supp_nation") == "NATION_3")
+                    & (F.col("cust_nation") == "NATION_8")
+                )
+                | (
+                    (F.col("supp_nation") == "NATION_8")
+                    & (F.col("cust_nation") == "NATION_3")
+                )
+            )
+        )
+        return (
+            j.groupBy(
+                "supp_nation",
+                "cust_nation",
+                F.year("l_shipdate").cast("long").alias("l_year"),
+            )
+            .agg(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                    .cast("long")
+                )
+                .cast("long")
+                .alias("revenue_ci")
+            )
+            .orderBy("supp_nation", "cust_nation", "l_year")
+        )
+
+    q["tpch_q7_volume_shipping"] = tpch_q7ish
+
+    def tpch_q8ish(spark, sf):
+        # TPC-H Q8 (national market share): NATION_3's share of ECONOMY-part
+        # revenue sold to EUROPE customers, per order year.  ONE aggregation
+        # with a conditional sum — not two branches joined (the share and
+        # the total come from the same scan); the ratio is an integer
+        # basis-point division (div ≡ DuckDB //, both truncate toward zero)
+        # so no float reaches the output.  All dims broadcast; the only
+        # big shuffle is lineitem ⋈ orders.
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+        cust_dim = (
+            _t(spark, sf, "customer")
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey")
+        )
+        supp_dim = (
+            _t(spark, sf, "supplier")
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        )
+        p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select(
+            "p_partkey"
+        )
+        o = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        li = _t(spark, sf, "lineitem")
+        cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+        j = (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(cust_dim, o.o_custkey == cust_dim.c_custkey)
+            .join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+            .select(
+                F.year("o_orderdate").cast("long").alias("o_year"),
+                cents.alias("cents"),
+                F.col("supp_nation"),
+            )
+        )
+        agg = j.groupBy("o_year").agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("nation_ci"),
+            F.sum("cents").cast("long").alias("total_ci"),
+        )
+        return agg.select(
+            "o_year",
+            "nation_ci",
+            "total_ci",
+            F.expr("(nation_ci * 10000) div total_ci").alias("mkt_share_bp"),
+        ).orderBy("o_year")
+
+    q["tpch_q8_market_share"] = tpch_q8ish
+
+    def tpch_q11ish(spark, sf):
+        # TPC-H Q11 (important stock), adapted to this schema (no partsupp):
+        # per-part shipped value from EUROPE-region suppliers, keeping parts
+        # whose value exceeds 1.5x the MEAN part value.  The original's
+        # fixed fraction is sf-dependent (0 rows past sf0.001); the mean-
+        # relative threshold is scale-free.  The global scalar (count, sum)
+        # is a 1-row broadcast — the HAVING-against-global-aggregate plan
+        # shape — compared in exact integers (value*2*n > 3*total).
+        sup = (
+            _t(spark, sf, "supplier")
+            .join(
+                F.broadcast(_t(spark, sf, "nation")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .join(
+                F.broadcast(
+                    _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+                ),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select("s_suppkey")
+        )
+        li = _t(spark, sf, "lineitem")
+        val = (
+            li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .groupBy(F.col("l_partkey").alias("p_partkey"))
+            .agg(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                    .cast("long")
+                )
+                .cast("long")
+                .alias("value_ci")
+            )
+        )
+        tot = val.agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("value_ci").cast("long").alias("total_ci"),
+        )
+        return (
+            val.crossJoin(F.broadcast(tot))
+            .filter(F.col("value_ci") * F.col("n_parts") * 2 > 3 * F.col("total_ci"))
+            .select("p_partkey", "value_ci")
+            .orderBy(F.desc("value_ci"), "p_partkey")
+        )
+
+    q["tpch_q11_important_value"] = tpch_q11ish
+
+    def tpch_q15ish(spark, sf):
+        # TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+        # max-revenue supplier(s).  The max is a 1-row aggregate broadcast
+        # and joined on EQUALITY (ties all surface, as in the spec) — not a
+        # collect, not a global window.  The supplier dim broadcasts.
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("total_rev_ci")
+        )
+        mx = rev.agg(F.max("total_rev_ci").alias("_mx"))
+        s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+        return (
+            rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev_ci") == F.col("_mx"))
+            .join(F.broadcast(s), "s_suppkey")
+            .select("s_suppkey", "s_name", "total_rev_ci")
+            .orderBy("s_suppkey")
+        )
+
+    q["tpch_q15_top_supplier"] = tpch_q15ish
+
+    def tpch_q16ish(spark, sf):
+        # TPC-H Q16 (part/supplier relationship): distinct-supplier counts
+        # per surviving (brand, type, size) bucket.  The part filter pushes
+        # to the scan (plan-gated family); count(DISTINCT) is a two-phase
+        # exact aggregate — no sketch needed at this cardinality (the
+        # KMV/HLL tier is the approximate twin when 100 TB makes exact
+        # distinct too hot).
+        p = _t(spark, sf, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 2, 3, 4, 5, 6, 7, 8))
+        )
+        li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+        return (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+            .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        )
+
+    q["tpch_q16_supplier_part_cnt"] = tpch_q16ish
+
+    def tpch_q17ish(spark, sf):
+        # TPC-H Q17 (small-quantity revenue): lines of Brand#3 parts whose
+        # quantity is below HALF the part's average quantity.  The
+        # correlated AVG becomes a per-part aggregate joined back to the
+        # SAME brand-restricted line set; the comparison is cross-
+        # multiplied integers (2*qty*cnt < sumq) — quantities are integral
+        # doubles, so no float threshold exists in either engine.  Output
+        # is the spec's avg-yearly figure as an integer cents div 7.
+        p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#3").select(
+            "p_partkey"
+        )
+        pl = (
+            _t(spark, sf, "lineitem")
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .select(
+                "l_partkey",
+                F.col("l_quantity").cast("long").alias("qty"),
+                F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            )
+        )
+        pa = pl.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("qty").cast("long").alias("sumq"),
+        )
+        small = pl.join(pa, "l_partkey").filter(
+            2 * F.col("qty") * F.col("cnt") < F.col("sumq")
+        )
+        return small.agg(
+            F.expr("CAST(coalesce(sum(cents), 0) div 7 AS BIGINT)").alias(
+                "avg_yearly_ci"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+
+    q["tpch_q17_small_qty_revenue"] = tpch_q17ish
+
+    def tpch_q21ish(spark, sf):
+        # TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" is
+        # shipped >60 days after the order date (no receipt/commit dates in
+        # this schema).  The EXISTS becomes a LEFT SEMI against OTHER
+        # suppliers' lines on the order, the NOT EXISTS a LEFT ANTI against
+        # OTHER suppliers' LATE lines — both probe-side joins that never
+        # fan out l1, the classic multi-self-join shape.  numwait counts l1
+        # rows (the spec's semantics), not distinct orders.
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderdate"
+        )
+        li = _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate"
+        )
+        late = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            )
+            .select("l_orderkey", "l_suppkey")
+        )
+        others = li.select(
+            F.col("l_orderkey").alias("o2_orderkey"),
+            F.col("l_suppkey").alias("o2_suppkey"),
+        )
+        with_other = late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        other_late = late.select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+        waiting = with_other.join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+        return (
+            waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(20)
+        )
+
+    q["tpch_q21_waiting_supplier"] = tpch_q21ish
+
+    def bitext_mine(spark, sf):
+        # Margin-based bitext mining (similarity.py::bitext_margin_mine,
+        # Artetxe & Schwenk ACL'19 / CCMatrix): mutual margin-best pairs
+        # across the even/odd vec_id arms with ratio-margin >= 1.0.  All
+        # arithmetic is fixed-point BIGINT (normalized vectors at 1e4, one
+        # integer div) — hash-gateable end to end.  The cross-join is the
+        # gate tier; production feeds ANN candidates (see docstring).
+        from aiwhispr_spark.operators.similarity import bitext_margin_mine
+
+        return bitext_margin_mine(_t(spark, sf, "embeddings"))
+
+    q["bitext_margin_mine"] = bitext_mine
+
     def ppr_push(spark, sf):
         # Local PPR by synchronous residual push (graph_query.py::
         # ppr_push_bounded, Andersen–Chung–Lang): frontier-sized work per
@@ -13893,6 +14221,167 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY n_name
         ORDER BY revenue_ci DESC, n_name
+    """
+    o["tpch_q7_volume_shipping"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_ci
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY supp_nation, cust_nation, l_year
+    """
+    o["tpch_q8_market_share"] = """
+        WITH rev AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+                 n1.n_name AS supp_nation
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN part ON l_partkey = p_partkey
+          WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT) AS nation_ci,
+               CAST(sum(cents) AS BIGINT) AS total_ci,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) * 10000
+                    // sum(cents) AS BIGINT) AS mkt_share_bp
+        FROM rev GROUP BY o_year ORDER BY o_year
+    """
+    o["tpch_q11_important_value"] = """
+        WITH val AS (
+          SELECT l_partkey AS p_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS value_ci
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+          GROUP BY 1
+        )
+        SELECT p_partkey, value_ci
+        FROM val
+        WHERE value_ci * (SELECT count(*) FROM val) * 2
+              > 3 * (SELECT sum(value_ci) FROM val)
+        ORDER BY value_ci DESC, p_partkey
+    """
+    o["tpch_q15_top_supplier"] = """
+        WITH rev AS (
+          SELECT l_suppkey AS s_suppkey,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev_ci
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev_ci
+        FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+        WHERE r.total_rev_ci = (SELECT max(total_rev_ci) FROM rev)
+        ORDER BY s.s_suppkey
+    """
+    o["tpch_q16_supplier_part_cnt"] = """
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+    o["tpch_q17_small_qty_revenue"] = """
+        WITH pl AS (
+          SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'
+        ),
+        pa AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(qty) AS BIGINT) AS sumq
+          FROM pl GROUP BY 1
+        )
+        SELECT CAST(coalesce(sum(pl.cents), 0) // 7 AS BIGINT) AS avg_yearly_ci,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM pl JOIN pa ON pl.l_partkey = pa.l_partkey
+        WHERE 2 * pl.qty * pa.cnt < pa.sumq
+    """
+    o["tpch_q21_waiting_supplier"] = """
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """
+    o["bitext_margin_mine"] = """
+        WITH n AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        ),
+        fp AS (
+          SELECT vec_id,
+                 list_transform(e, x -> CAST(round((x / nrm) * 10000) AS BIGINT)) AS fp
+          FROM n WHERE nrm > 0
+        ),
+        p AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 CAST(list_dot_product(a.fp::DOUBLE[], b.fp::DOUBLE[]) AS BIGINT) AS dot_i
+          FROM fp a, fp b
+          WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        ),
+        ks AS (
+          SELECT src, dst, dot_i,
+                 row_number() OVER (PARTITION BY src ORDER BY dot_i DESC, dst) AS rs,
+                 row_number() OVER (PARTITION BY dst ORDER BY dot_i DESC, src) AS rd
+          FROM p
+        ),
+        ssrc AS (SELECT src, CAST(sum(dot_i) AS BIGINT) AS sumk_src
+                 FROM ks WHERE rs <= 4 GROUP BY 1),
+        sdst AS (SELECT dst, CAST(sum(dot_i) AS BIGINT) AS sumk_dst
+                 FROM ks WHERE rd <= 4 GROUP BY 1),
+        m AS (
+          SELECT p.src, p.dst,
+                 CAST((p.dot_i * 80000) // (sumk_src + sumk_dst) AS BIGINT) AS margin_bp
+          FROM p JOIN ssrc ON p.src = ssrc.src JOIN sdst ON p.dst = sdst.dst
+          WHERE sumk_src + sumk_dst > 0
+        ),
+        best AS (
+          SELECT src, dst, margin_bp,
+                 row_number() OVER (PARTITION BY src ORDER BY margin_bp DESC, dst) AS rf,
+                 row_number() OVER (PARTITION BY dst ORDER BY margin_bp DESC, src) AS rb
+          FROM m
+        )
+        SELECT src, dst, margin_bp
+        FROM best
+        WHERE rf = 1 AND rb = 1 AND margin_bp >= 10000
+        ORDER BY src
     """
     o["tpch_q4_priority_exists"] = """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -483,6 +483,131 @@ def mutual_topk_pairs(
     )
 
 
+def bitext_margin_mine(
+    df: DataFrame,
+    k: int = 4,
+    margin_bp_min: int = 10000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10000,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based bitext/alignment mining (Artetxe & Schwenk, ACL 2019 —
+    the LASER/CCMatrix parallel-corpus miner): split the table into two
+    arms (default: even ``id`` = source, odd = target), score every
+    cross-arm pair by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((sum_kNN(x) + sum_kNN(y)) / 2k)
+
+    where sum_kNN is the sum of the k best cross-arm cosines of that row —
+    a candidate only survives if it beats the AVERAGE of its own
+    neighborhood, which kills hubness in a way a raw-cosine threshold
+    can't.  Pairs are kept when they are MUTUAL margin-best (forward best
+    of x is y and backward best of y is x) and margin ≥ margin_bp_min
+    basis points (10000 = 1.0, the paper's natural threshold).
+
+    Exactness: vectors are L2-normalized in double then fixed-pointed at
+    ``scale`` (round-half-away BIGINTs, the :func:`fixed_point_vectors`
+    contract), so every cosine is an exact BIGINT and the margin is one
+    integer division (`div`, truncation matching DuckDB `//`) — no float
+    ever reaches a comparison.  Ties break (margin desc, id asc).
+    Zero-norm vectors are dropped in both engines (documented contract).
+
+    Scale: the default cross-join is the eval/gate tier (the matryoshka
+    note).  At 100 TB pass ``candidates`` — (src, dst) pairs from the ANN
+    tier (build_knn_graph / LSH buckets); the margin election then runs
+    over O(candidates) instead of |A|·|B|, which is exactly how CCMatrix
+    mines at corpus scale.
+
+    Returns (src, dst, margin_bp) with one row per mutual pair, src-unique.
+    """
+    from pyspark.sql.window import Window
+
+    sq = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(vec_col),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    fp = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_nrm", F.sqrt(sq))
+        .filter(F.col("_nrm") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(
+                    (x.cast("double") / F.col("_nrm")) * float(scale)
+                ).cast("long"),
+            ).alias("fp"),
+        )
+    )
+    src = fp.filter(F.col(id_col) % 2 == 0).select(
+        F.col(id_col).alias("src"), F.col("fp").alias("sfp")
+    )
+    dst = fp.filter(F.col(id_col) % 2 == 1).select(
+        F.col(id_col).alias("dst"), F.col("fp").alias("dfp")
+    )
+    if candidates is not None:
+        pairs_base = (
+            candidates.select("src", "dst")
+            .join(src, "src")
+            .join(dst, "dst")
+        )
+    else:
+        pairs_base = src.crossJoin(dst)
+    pairs = pairs_base.select(
+        "src",
+        "dst",
+        int_dot_expr(F.col("sfp"), F.col("dfp")).alias("dot_i"),
+    )
+    ws = Window.partitionBy("src").orderBy(F.desc("dot_i"), F.col("dst"))
+    wd = Window.partitionBy("dst").orderBy(F.desc("dot_i"), F.col("src"))
+    ks = pairs.withColumn("rs", F.row_number().over(ws)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    ssrc = (
+        ks.filter(F.col("rs") <= k)
+        .groupBy("src")
+        .agg(F.sum("dot_i").cast("long").alias("sumk_src"))
+    )
+    sdst = (
+        ks.filter(F.col("rd") <= k)
+        .groupBy("dst")
+        .agg(F.sum("dot_i").cast("long").alias("sumk_dst"))
+    )
+    m = (
+        pairs.join(ssrc, "src")
+        .join(sdst, "dst")
+        .filter(F.col("sumk_src") + F.col("sumk_dst") > 0)
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                f"(dot_i * {2 * k * 10000}) div (sumk_src + sumk_dst)"
+            ).alias("margin_bp"),
+        )
+    )
+    wf = Window.partitionBy("src").orderBy(F.desc("margin_bp"), F.col("dst"))
+    wb = Window.partitionBy("dst").orderBy(F.desc("margin_bp"), F.col("src"))
+    best = m.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rb", F.row_number().over(wb)
+    )
+    return (
+        best.filter(
+            (F.col("rf") == 1)
+            & (F.col("rb") == 1)
+            & (F.col("margin_bp") >= margin_bp_min)
+        )
+        .select("src", "dst", "margin_bp")
+        .orderBy("src")
+    )
+
+
 def build_knn_graph(
     df: DataFrame,
     vec_col: str = "embedding",

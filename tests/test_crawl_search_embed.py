@@ -102,3 +102,57 @@ def test_mutual_topk_requires_reciprocity(spark):
     assert (1, 3) in got2
     # output is direction-free: no (b, a) duplicates
     assert all(a < b for a, b in got2)
+
+
+def test_bitext_margin_mutual_and_threshold(spark):
+    from aiwhispr_spark.operators.similarity import bitext_margin_mine
+
+    # Even ids = source arm, odd = target arm.  0<->1 and 2<->3 are planted
+    # near-duplicates (mutual best with high margin); 4 points at 5 but 5's
+    # best is 1 (5 sits between 1's and 4's directions, closer to 1) so
+    # (4,5) must NOT survive the mutual filter; 6 is zero-norm and must be
+    # dropped, not crash.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.1, 0.99, 0.0]),
+        (4, [0.5, 0.5, 0.0, 0.0]),
+        (5, [0.9, 0.3, 0.0, 0.0]),
+        (6, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = bitext_margin_mine(df, k=2, margin_bp_min=0).collect()
+    pairs = {(r["src"], r["dst"]) for r in out}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    # src is unique (one forward-best row per source at most)
+    srcs = [r["src"] for r in out]
+    assert len(srcs) == len(set(srcs))
+    # zero-norm vector never appears on either side
+    assert all(r["src"] != 6 and r["dst"] != 6 for r in out)
+    # margins are integers; the planted near-dups beat margin 1.0
+    m = {(r["src"], r["dst"]): r["margin_bp"] for r in out}
+    assert m[(0, 1)] > 10000 and m[(2, 3)] > 10000
+    # a margin_bp_min above the best pair's margin empties the output
+    hi = max(m.values()) + 1
+    assert bitext_margin_mine(df, k=2, margin_bp_min=hi).count() == 0
+
+
+def test_bitext_candidates_restrict_pairs(spark):
+    from aiwhispr_spark.operators.similarity import bitext_margin_mine
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # candidate tier only proposes the cross pairs (0,3) and (2,1): the
+    # true matches (0,1)/(2,3) are invisible, so the election must run
+    # over the candidate set only — the 100 TB contract.
+    cand = spark.createDataFrame([(0, 3), (2, 1)], "src long, dst long")
+    out = bitext_margin_mine(df, k=2, margin_bp_min=0, candidates=cand).collect()
+    pairs = {(r["src"], r["dst"]) for r in out}
+    assert pairs <= {(0, 3), (2, 1)}
+    assert (0, 1) not in pairs
