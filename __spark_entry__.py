@@ -9674,11 +9674,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("nation_ci"),
             F.sum("cents").cast("long").alias("total_ci"),
         )
+        # total_ci = 0 would NULL the div (→ float64 on the driver's pandas
+        # path, the r4 red-row class) — coalesce to the -1 sentinel in BOTH
+        # engines per the gate discipline
         return agg.select(
             "o_year",
             "nation_ci",
             "total_ci",
-            F.expr("(nation_ci * 10000) div total_ci").alias("mkt_share_bp"),
+            F.expr(
+                "CAST(coalesce((nation_ci * 10000) div total_ci, -1) AS BIGINT)"
+            ).alias("mkt_share_bp"),
         ).orderBy("o_year")
 
     q["tpch_q8_market_share"] = tpch_q8ish
@@ -14259,8 +14264,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_year,
                CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT) AS nation_ci,
                CAST(sum(cents) AS BIGINT) AS total_ci,
-               CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) * 10000
-                    // sum(cents) AS BIGINT) AS mkt_share_bp
+               CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) * 10000
+                    // sum(cents), -1) AS BIGINT) AS mkt_share_bp
         FROM rev GROUP BY o_year ORDER BY o_year
     """
     o["tpch_q11_important_value"] = """

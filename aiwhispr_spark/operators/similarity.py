@@ -532,20 +532,20 @@ def bitext_margin_mine(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    fp = (
+    unit = (
         df.select(F.col(id_col), F.col(vec_col))
         .withColumn("_nrm", F.sqrt(sq))
         .filter(F.col("_nrm") > 0)
         .select(
             F.col(id_col),
             F.transform(
-                F.col(vec_col),
-                lambda x: F.round(
-                    (x.cast("double") / F.col("_nrm")) * float(scale)
-                ).cast("long"),
-            ).alias("fp"),
+                F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")
+            ).alias("_unit"),
         )
     )
+    # the round/cast contract lives in ONE place (fixed_point_vectors) so
+    # this surface can never drift from matryoshka/mutual_topk semantics
+    fp = fixed_point_vectors(unit, vec_col="_unit", id_col=id_col, scale=scale)
     src = fp.filter(F.col(id_col) % 2 == 0).select(
         F.col(id_col).alias("src"), F.col("fp").alias("sfp")
     )
@@ -553,18 +553,25 @@ def bitext_margin_mine(
         F.col(id_col).alias("dst"), F.col("fp").alias("dfp")
     )
     if candidates is not None:
+        # LSH/ANN candidate tiers repeat pairs across bands — duplicates
+        # would split the mutual row_number ranks (dropping true pairs
+        # nondeterministically) and double-count dot_i in the kNN sums
         pairs_base = (
             candidates.select("src", "dst")
+            .distinct()
             .join(src, "src")
             .join(dst, "dst")
         )
     else:
         pairs_base = src.crossJoin(dst)
+    # persisted: the scored frame feeds three subtrees (both window/sum
+    # branches + the margin join-back) — unpersisted, the |A|x|B| dot
+    # scoring would re-execute per consumer (the LSH-tier lesson)
     pairs = pairs_base.select(
         "src",
         "dst",
         int_dot_expr(F.col("sfp"), F.col("dfp")).alias("dot_i"),
-    )
+    ).persist()
     ws = Window.partitionBy("src").orderBy(F.desc("dot_i"), F.col("dst"))
     wd = Window.partitionBy("dst").orderBy(F.desc("dot_i"), F.col("src"))
     ks = pairs.withColumn("rs", F.row_number().over(ws)).withColumn(

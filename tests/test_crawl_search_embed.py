@@ -108,9 +108,12 @@ def test_bitext_margin_mutual_and_threshold(spark):
     from aiwhispr_spark.operators.similarity import bitext_margin_mine
 
     # Even ids = source arm, odd = target arm.  0<->1 and 2<->3 are planted
-    # near-duplicates (mutual best with high margin); 4 points at 5 but 5's
-    # best is 1 (5 sits between 1's and 4's directions, closer to 1) so
-    # (4,5) must NOT survive the mutual filter; 6 is zero-norm and must be
+    # near-duplicates (mutual best with high margin).  5's RAW-cosine best
+    # src is 0 (0.949 vs 0.894 for 4), but 0's dense neighborhood (sum_k2 =
+    # 1.944) drags margin(0,5) to 1.002 while margin(4,5) = 1.019 — the
+    # margin's hubness correction hands 5 to 4, and (4,5) is mutual.  The
+    # mutual veto shows on (0,5): 0's forward best is 1, so (0,5) dies even
+    # though it is 5's best raw cosine.  6 is zero-norm and must be
     # dropped, not crash.
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
@@ -125,6 +128,11 @@ def test_bitext_margin_mutual_and_threshold(spark):
     out = bitext_margin_mine(df, k=2, margin_bp_min=0).collect()
     pairs = {(r["src"], r["dst"]) for r in out}
     assert (0, 1) in pairs and (2, 3) in pairs
+    # hubness correction: margin (not raw cosine) decides the backward best
+    assert (4, 5) in pairs
+    # the mutual veto: 5's raw-cosine-best src is 0, but 0's forward best
+    # is 1 -> (0,5) must die
+    assert (0, 5) not in pairs
     # src is unique (one forward-best row per source at most)
     srcs = [r["src"] for r in out]
     assert len(srcs) == len(set(srcs))
