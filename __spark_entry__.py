@@ -1555,6 +1555,9 @@ QUERY_RISK_ORDER: list[str] = [
     "conversion_attribution",
     "event_markov_transitions",
     "ccnet_perplexity_buckets",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q20_part_promotion",
     "tpch_q7_volume_shipping",
     "tpch_q11_important_value",
     "tpch_q15_top_supplier",
@@ -9889,6 +9892,159 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bitext_margin_mine"] = bitext_mine
 
+    def tpch_q2ish(spark, sf):
+        # TPC-H Q2 (minimum-cost supplier), adapted to this schema (no
+        # partsupp): a EUROPE supplier's "offer" for a part is their MIN
+        # line price (cents) over history; for SMALL parts of size <= 10,
+        # keep the offer(s) matching the per-part minimum — the correlated
+        # MIN becomes a per-part aggregate joined back on equality, ties
+        # all surface (the spec's semantics).  Part + supplier dims
+        # broadcast; the only big shuffle is the (part, supplier) offer agg.
+        esup = (
+            _t(spark, sf, "supplier")
+            .join(
+                F.broadcast(_t(spark, sf, "nation")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .join(
+                F.broadcast(
+                    _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+                ),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select(
+                "s_suppkey",
+                "s_name",
+                "n_name",
+                F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_ci"),
+            )
+        )
+        p = _t(spark, sf, "part").filter(
+            (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+        ).select("p_partkey")
+        offers = (
+            _t(spark, sf, "lineitem")
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(
+                F.broadcast(esup.select("s_suppkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+            )
+            .groupBy("p_partkey", "l_suppkey")
+            .agg(
+                F.min(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("long")
+                .alias("offer_ci")
+            )
+        )
+        pm = offers.groupBy("p_partkey").agg(F.min("offer_ci").alias("_min_ci"))
+        return (
+            offers.join(pm, "p_partkey")
+            .filter(F.col("offer_ci") == F.col("_min_ci"))
+            .join(F.broadcast(esup), offers.l_suppkey == esup.s_suppkey)
+            .select("acctbal_ci", "s_name", "n_name", "p_partkey", "offer_ci")
+            .orderBy(F.desc("acctbal_ci"), "s_name", "p_partkey")
+            .limit(100)
+        )
+
+    q["tpch_q2_min_cost_supplier"] = tpch_q2ish
+
+    def tpch_q9ish(spark, sf):
+        # TPC-H Q9 (product-type profit), adapted: profit on 'widget' parts
+        # per supplier nation per order year; supply cost stands in as half
+        # the part's retail price (schema lacks ps_supplycost).  BOTH money
+        # terms round per-row BEFORE the sum (the tpch_q5 ROUND-SUM rule);
+        # part/supplier dims broadcast; lineitem ⋈ orders is the only big
+        # shuffle.
+        p = _t(spark, sf, "part").filter(F.col("p_name").contains("widget")).select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 50).cast("long").alias("half_retail_ci"),
+        )
+        sup = (
+            _t(spark, sf, "supplier")
+            .join(
+                F.broadcast(_t(spark, sf, "nation")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .select("s_suppkey", F.col("n_name").alias("nation"))
+        )
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+        li = _t(spark, sf, "lineitem")
+        amount = (
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            - F.col("l_quantity").cast("long") * F.col("half_retail_ci")
+        )
+        j = (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+        )
+        return (
+            j.groupBy(
+                "nation", F.year("o_orderdate").cast("long").alias("o_year")
+            )
+            .agg(F.sum(amount).cast("long").alias("profit_ci"))
+            .orderBy("nation", F.desc("o_year"))
+        )
+
+    q["tpch_q9_product_profit"] = tpch_q9ish
+
+    def tpch_q20ish(spark, sf):
+        # TPC-H Q20 (potential part promotion), adapted: EUROPE suppliers
+        # who shipped a MAJORITY (2*qty > part total) of some 'red' part's
+        # 1997 volume.  The availqty>half-shipped EXISTS becomes: per-
+        # (part, supplier) 1997 quantity vs per-part total (integer cross-
+        # multiply), then a left_semi from suppliers into the qualifying
+        # set — supplier rows never fan out.
+        li97 = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        red = _t(spark, sf, "part").filter(F.col("p_name").startswith("red ")).select(
+            "p_partkey"
+        )
+        sp = (
+            li97.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sp_qty"))
+        )
+        tot = (
+            li97.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty")
+            )
+        )
+        qual = (
+            sp.join(tot, "l_partkey")
+            .filter(2 * F.col("sp_qty") > F.col("total_qty"))
+            .select(F.col("l_suppkey").alias("qual_suppkey"))
+            .distinct()
+        )
+        esup = (
+            _t(spark, sf, "supplier")
+            .join(
+                F.broadcast(_t(spark, sf, "nation")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .join(
+                F.broadcast(
+                    _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+                ),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select("s_suppkey", "s_name")
+        )
+        return (
+            esup.join(
+                qual, esup.s_suppkey == qual.qual_suppkey, "left_semi"
+            )
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey")
+        )
+
+    q["tpch_q20_part_promotion"] = tpch_q20ish
+
     def ppr_push(spark, sf):
         # Local PPR by synchronous residual push (graph_query.py::
         # ppr_push_bounded, Andersen–Chung–Lang): frontier-sized work per
@@ -14387,6 +14543,71 @@ def oracle_sql() -> dict[str, str]:
         FROM best
         WHERE rf = 1 AND rb = 1 AND margin_bp >= 10000
         ORDER BY src
+    """
+    o["tpch_q2_min_cost_supplier"] = """
+        WITH esup AS (
+          SELECT s_suppkey, s_name, n_name,
+                 CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_ci
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ),
+        sp AS (SELECT p_partkey FROM part WHERE p_type = 'SMALL' AND p_size <= 10),
+        offers AS (
+          SELECT sp.p_partkey, l_suppkey,
+                 CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS offer_ci
+          FROM lineitem
+          JOIN sp ON l_partkey = sp.p_partkey
+          JOIN esup ON l_suppkey = esup.s_suppkey
+          GROUP BY 1, 2
+        ),
+        pm AS (SELECT p_partkey, min(offer_ci) AS min_ci FROM offers GROUP BY 1)
+        SELECT e.acctbal_ci, e.s_name, e.n_name, o.p_partkey, o.offer_ci
+        FROM offers o
+        JOIN pm ON o.p_partkey = pm.p_partkey AND o.offer_ci = pm.min_ci
+        JOIN esup e ON o.l_suppkey = e.s_suppkey
+        ORDER BY acctbal_ci DESC, s_name, o.p_partkey
+        LIMIT 100
+    """
+    o["tpch_q9_product_profit"] = """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                        - CAST(l_quantity AS BIGINT)
+                          * CAST(round(p_retailprice * 50) AS BIGINT)) AS BIGINT) AS profit_ci
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """
+    o["tpch_q20_part_promotion"] = """
+        WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+        li97 AS (
+          SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem JOIN red ON l_partkey = red.p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+        ),
+        sp AS (SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS sp_qty
+               FROM li97 GROUP BY 1, 2),
+        tot AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty
+                FROM li97 GROUP BY 1),
+        qual AS (
+          SELECT DISTINCT sp.l_suppkey FROM sp
+          JOIN tot ON sp.l_partkey = tot.l_partkey
+          WHERE 2 * sp_qty > total_qty
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND EXISTS (SELECT 1 FROM qual WHERE qual.l_suppkey = s_suppkey)
+        ORDER BY s_suppkey
     """
     o["tpch_q4_priority_exists"] = """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
