@@ -48,6 +48,31 @@ def _scaled(col, scale: int = 10000):
     return F.round(col * scale).cast("long")
 
 
+def _esup_europe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EUROPE-region supplier dim (s_suppkey, s_name, n_name, acctbal_ci) —
+    the supplier⋈nation⋈region broadcast block shared by the TPC-H q2/q11/
+    q20 adaptations; callers project the columns they need."""
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_ci"),
+        )
+    )
+
+
 # --- the synthesized-HTML wrappers shared by Spark and SQL --------------------------
 # (driver `documents.text` is plain words; the T-kernels need HTML-ish input,
 #  so both engines wrap the text identically before cleaning)
@@ -9699,20 +9724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relative threshold is scale-free.  The global scalar (count, sum)
         # is a 1-row broadcast — the HAVING-against-global-aggregate plan
         # shape — compared in exact integers (value*2*n > 3*total).
-        sup = (
-            _t(spark, sf, "supplier")
-            .join(
-                F.broadcast(_t(spark, sf, "nation")),
-                F.col("s_nationkey") == F.col("n_nationkey"),
-            )
-            .join(
-                F.broadcast(
-                    _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
-                ),
-                F.col("n_regionkey") == F.col("r_regionkey"),
-            )
-            .select("s_suppkey")
-        )
+        sup = _esup_europe(spark, sf).select("s_suppkey")
         li = _t(spark, sf, "lineitem")
         val = (
             li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
@@ -9900,25 +9912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MIN becomes a per-part aggregate joined back on equality, ties
         # all surface (the spec's semantics).  Part + supplier dims
         # broadcast; the only big shuffle is the (part, supplier) offer agg.
-        esup = (
-            _t(spark, sf, "supplier")
-            .join(
-                F.broadcast(_t(spark, sf, "nation")),
-                F.col("s_nationkey") == F.col("n_nationkey"),
-            )
-            .join(
-                F.broadcast(
-                    _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
-                ),
-                F.col("n_regionkey") == F.col("r_regionkey"),
-            )
-            .select(
-                "s_suppkey",
-                "s_name",
-                "n_name",
-                F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_ci"),
-            )
-        )
+        esup = _esup_europe(spark, sf)
         p = _t(spark, sf, "part").filter(
             (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
         ).select("p_partkey")
@@ -10008,12 +10002,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("l_partkey", "l_suppkey")
             .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sp_qty"))
         )
-        tot = (
-            li97.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
-            .groupBy("l_partkey")
-            .agg(
-                F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty")
-            )
+        # per-part total == the supplier shares re-grouped — the fact table
+        # is scanned/aggregated ONCE, not twice
+        tot = sp.groupBy("l_partkey").agg(
+            F.sum("sp_qty").cast("long").alias("total_qty")
         )
         qual = (
             sp.join(tot, "l_partkey")
@@ -10021,20 +10013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("l_suppkey").alias("qual_suppkey"))
             .distinct()
         )
-        esup = (
-            _t(spark, sf, "supplier")
-            .join(
-                F.broadcast(_t(spark, sf, "nation")),
-                F.col("s_nationkey") == F.col("n_nationkey"),
-            )
-            .join(
-                F.broadcast(
-                    _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
-                ),
-                F.col("n_regionkey") == F.col("r_regionkey"),
-            )
-            .select("s_suppkey", "s_name")
-        )
+        esup = _esup_europe(spark, sf).select("s_suppkey", "s_name")
         return (
             esup.join(
                 qual, esup.s_suppkey == qual.qual_suppkey, "left_semi"

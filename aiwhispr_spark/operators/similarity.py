@@ -572,18 +572,19 @@ def bitext_margin_mine(
         "dst",
         int_dot_expr(F.col("sfp"), F.col("dfp")).alias("dot_i"),
     ).persist()
+    # each branch carries ONLY its own window (chaining both row_numbers
+    # would make every branch pay both exchanges on the scored frame)
     ws = Window.partitionBy("src").orderBy(F.desc("dot_i"), F.col("dst"))
     wd = Window.partitionBy("dst").orderBy(F.desc("dot_i"), F.col("src"))
-    ks = pairs.withColumn("rs", F.row_number().over(ws)).withColumn(
-        "rd", F.row_number().over(wd)
-    )
     ssrc = (
-        ks.filter(F.col("rs") <= k)
+        pairs.withColumn("rs", F.row_number().over(ws))
+        .filter(F.col("rs") <= k)
         .groupBy("src")
         .agg(F.sum("dot_i").cast("long").alias("sumk_src"))
     )
     sdst = (
-        ks.filter(F.col("rd") <= k)
+        pairs.withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= k)
         .groupBy("dst")
         .agg(F.sum("dot_i").cast("long").alias("sumk_dst"))
     )
