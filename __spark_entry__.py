@@ -9997,13 +9997,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         red = _t(spark, sf, "part").filter(F.col("p_name").startswith("red ")).select(
             "p_partkey"
         )
+        # persisted: both the share filter and the per-part total consume
+        # this tiny (part, supplier) aggregate — unpersisted, the lineitem
+        # scan + agg would re-execute in the total's branch (ReuseExchange
+        # does not fire across the differing downstream subtrees)
         sp = (
             li97.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
             .groupBy("l_partkey", "l_suppkey")
             .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sp_qty"))
+            .persist()
         )
-        # per-part total == the supplier shares re-grouped — the fact table
-        # is scanned/aggregated ONCE, not twice
         tot = sp.groupBy("l_partkey").agg(
             F.sum("sp_qty").cast("long").alias("total_qty")
         )
