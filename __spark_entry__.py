@@ -1581,6 +1581,8 @@ QUERY_RISK_ORDER: list[str] = [
     "event_markov_transitions",
     "ccnet_perplexity_buckets",
     "tpch_q2_min_cost_supplier",
+    "wilson_conversion_rank",
+    "gini_source_concentration",
     "tpch_q9_product_profit",
     "tpch_q20_part_promotion",
     "tpch_q7_volume_shipping",
@@ -10027,6 +10029,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q20_part_promotion"] = tpch_q20ish
 
+    def gini_sources(spark, sf):
+        # Lorenz curve + Gini coefficient of per-source character mass —
+        # the concentration diagnostic a mixing plan reads before choosing
+        # temperature/water-fill rates (a Gini near 1 means a handful of
+        # sources dominate the corpus and uniform sampling starves the
+        # tail).  ALL integer arithmetic: sources ranked (mass asc, name),
+        # Gini = (2*sum(i*x_i) - (n+1)*tot) / (n*tot) as one BIGINT
+        # cross-multiplied div; cumulative shares are integer basis
+        # points.  One aggregate + one n-sources-sized window — the fact
+        # scan never re-sorts.
+        d = _t(spark, sf, "documents")
+        mass = d.groupBy("source").agg(
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0)).cast("long"))
+            .cast("long")
+            .alias("mass")
+        )
+        from pyspark.sql.window import Window as W
+
+        w = W.orderBy("mass", "source")
+        ranked = mass.select(
+            "source",
+            "mass",
+            F.row_number().over(w).alias("rnk"),
+            F.sum("mass").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        )
+        tot = ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_src"),
+            F.sum("mass").cast("long").alias("tot_mass"),
+            F.sum(F.col("rnk") * F.col("mass")).cast("long").alias("weighted"),
+        )
+        return (
+            ranked.crossJoin(F.broadcast(tot))
+            .select(
+                F.col("rnk").cast("long").alias("rnk"),
+                "source",
+                "mass",
+                F.expr("(10000 * cum) div tot_mass").alias("cum_share_bp"),
+                F.expr(
+                    "(10000 * (2 * weighted - (n_src + 1) * tot_mass))"
+                    " div (n_src * tot_mass)"
+                ).alias("gini_bp"),
+            )
+            .orderBy("rnk")
+        )
+
+    q["gini_source_concentration"] = gini_sources
+
+    def wilson_rank(spark, sf):
+        # Wilson-score lower-bound ranking (the confidence-adjusted
+        # fraction that keeps a 1/1 conversion from outranking 80/100 —
+        # the standard small-sample fix for quality/CTR ranking): per-user
+        # purchase rate over view+purchase events at z=1.96.  The bound is
+        # computed in DOUBLE with the formula text IDENTICAL in both
+        # engines (sqrt is IEEE correctly-rounded, so same input bits →
+        # same output bits), then floored to micro-units — the dirichlet
+        # double-pipeline discipline.  One conditional-sum aggregate.
+        ev = _t(spark, sf, "events").filter(
+            F.col("event_type").isin("view", "purchase")
+        )
+        agg = ev.groupBy("user_id").agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        lb = (
+            "(CAST(pos AS DOUBLE) + 1.9208 - 1.96 * sqrt((CAST(pos AS DOUBLE)"
+            " * CAST(n - pos AS DOUBLE)) / CAST(n AS DOUBLE) + 0.9604))"
+            " / (CAST(n AS DOUBLE) + 3.8416)"
+        )
+        return (
+            agg.select(
+                "user_id",
+                "pos",
+                "n",
+                F.expr(f"CAST(floor(1000000 * ({lb})) AS BIGINT)").alias(
+                    "wilson_lb_u"
+                ),
+            )
+            .orderBy(F.desc("wilson_lb_u"), "user_id")
+            .limit(20)
+        )
+
+    q["wilson_conversion_rank"] = wilson_rank
+
     def ppr_push(spark, sf):
         # Local PPR by synchronous residual push (graph_query.py::
         # ppr_push_bounded, Andersen–Chung–Lang): frontier-sized work per
@@ -14590,6 +14677,49 @@ def oracle_sql() -> dict[str, str]:
         WHERE r_name = 'EUROPE'
           AND EXISTS (SELECT 1 FROM qual WHERE qual.l_suppkey = s_suppkey)
         ORDER BY s_suppkey
+    """
+    o["gini_source_concentration"] = """
+        WITH mass AS (
+          SELECT source, CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS mass
+          FROM documents GROUP BY 1
+        ),
+        ranked AS (
+          SELECT source, mass,
+                 row_number() OVER (ORDER BY mass, source) AS rnk,
+                 CAST(sum(mass) OVER (ORDER BY mass, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM mass
+        ),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_src,
+                 CAST(sum(mass) AS BIGINT) AS tot_mass,
+                 CAST(sum(rnk * mass) AS BIGINT) AS weighted
+          FROM ranked
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk, source, mass,
+               CAST((10000 * cum) // tot_mass AS BIGINT) AS cum_share_bp,
+               CAST((10000 * (2 * weighted - (n_src + 1) * tot_mass))
+                    // (n_src * tot_mass) AS BIGINT) AS gini_bp
+        FROM ranked, tot
+        ORDER BY rnk
+    """
+    o["wilson_conversion_rank"] = """
+        WITH agg AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events
+          WHERE event_type IN ('view', 'purchase')
+          GROUP BY 1
+        )
+        SELECT user_id, pos, n,
+               CAST(floor(1000000 * ((CAST(pos AS DOUBLE) + 1.9208
+                    - 1.96 * sqrt((CAST(pos AS DOUBLE) * CAST(n - pos AS DOUBLE))
+                                  / CAST(n AS DOUBLE) + 0.9604))
+                    / (CAST(n AS DOUBLE) + 3.8416))) AS BIGINT) AS wilson_lb_u
+        FROM agg
+        ORDER BY wilson_lb_u DESC, user_id
+        LIMIT 20
     """
     o["tpch_q4_priority_exists"] = """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
