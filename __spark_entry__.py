@@ -10047,13 +10047,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         from pyspark.sql.window import Window as W
 
-        w = W.orderBy("mass", "source")
+        # NULL source sorts FIRST (Spark's asc default) — the oracle pins
+        # the same NULLS FIRST explicitly; persisted because the tot
+        # branch and the output branch both consume this frame (the fact
+        # scan would otherwise re-execute per branch)
+        w = W.orderBy(F.col("mass").asc(), F.col("source").asc_nulls_first())
         ranked = mass.select(
             "source",
             "mass",
             F.row_number().over(w).alias("rnk"),
             F.sum("mass").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
-        )
+        ).persist()
         tot = ranked.agg(
             F.count(F.lit(1)).cast("long").alias("n_src"),
             F.sum("mass").cast("long").alias("tot_mass"),
@@ -10065,10 +10069,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("rnk").cast("long").alias("rnk"),
                 "source",
                 "mass",
-                F.expr("(10000 * cum) div tot_mass").alias("cum_share_bp"),
+                # greatest(.,1) keeps an all-zero-mass corpus at 0 instead
+                # of a NULL (driver float64) or an ANSI divide-by-zero
+                F.expr("(10000 * cum) div greatest(tot_mass, 1)").alias(
+                    "cum_share_bp"
+                ),
                 F.expr(
                     "(10000 * (2 * weighted - (n_src + 1) * tot_mass))"
-                    " div (n_src * tot_mass)"
+                    " div greatest(n_src * tot_mass, 1)"
                 ).alias("gini_bp"),
             )
             .orderBy("rnk")
@@ -14685,8 +14693,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         ranked AS (
           SELECT source, mass,
-                 row_number() OVER (ORDER BY mass, source) AS rnk,
-                 CAST(sum(mass) OVER (ORDER BY mass, source
+                 row_number() OVER (ORDER BY mass, source NULLS FIRST) AS rnk,
+                 CAST(sum(mass) OVER (ORDER BY mass, source NULLS FIRST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
           FROM mass
         ),
@@ -14697,9 +14705,9 @@ def oracle_sql() -> dict[str, str]:
           FROM ranked
         )
         SELECT CAST(rnk AS BIGINT) AS rnk, source, mass,
-               CAST((10000 * cum) // tot_mass AS BIGINT) AS cum_share_bp,
+               CAST((10000 * cum) // greatest(tot_mass, 1) AS BIGINT) AS cum_share_bp,
                CAST((10000 * (2 * weighted - (n_src + 1) * tot_mass))
-                    // (n_src * tot_mass) AS BIGINT) AS gini_bp
+                    // greatest(n_src * tot_mass, 1) AS BIGINT) AS gini_bp
         FROM ranked, tot
         ORDER BY rnk
     """
