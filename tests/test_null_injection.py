@@ -70,6 +70,9 @@ PINNED = [
     "doremi_domain_weights",
     "dsir_importance_weights",
     "clean_corpus_filter_chain",
+    # r5: reads source AND n_chars — the NULL-source rank-order pin
+    # (NULLS FIRST both engines) and the coalesce(n_chars, 0) live here
+    "gini_source_concentration",
 ]
 
 
