@@ -1583,6 +1583,7 @@ QUERY_RISK_ORDER: list[str] = [
     "tpch_q2_min_cost_supplier",
     "wilson_conversion_rank",
     "gini_source_concentration",
+    "burrows_delta_attribution",
     "tpch_q9_product_profit",
     "tpch_q20_part_promotion",
     "tpch_q7_volume_shipping",
@@ -10122,6 +10123,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wilson_conversion_rank"] = wilson_rank
 
+    def burrows_delta(spark, sf):
+        # Burrows' Delta stylometric attribution (the standard authorship-
+        # similarity measure): function-word rates per mille -> per-word
+        # corpus z-scores -> Delta(q, d) = mean |z_q - z_d|; smallest
+        # Delta = most stylistically similar.  Exactness discipline:
+        # rates are integer per-mille (floor div), the variance numerator
+        # n*Q - S^2 is an EXACT BIGINT (bound documented: rates <= 1000 so
+        # n*Q fits int64 past 10^12 docs), each |z_i - z_j| term FLOORS to
+        # micro-units BEFORE the cross-word sum (the BM25 per-term rule —
+        # a float sum over words would be summation-order dependent), and
+        # sqrt of identical BIGINT-origin doubles is IEEE-identical.
+        # Zero-variance words carry no style signal and drop in BOTH
+        # engines; token-less docs drop (n_tok > 0).  One token explode +
+        # one 10-word broadcast spine; pairs are (3 queries x corpus).
+        FW = ["the", "of", "and", "to", "a", "in", "is", "that", "it", "as"]
+        d = _t(spark, sf, "documents")
+        toks = d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z]+")
+            ).alias("tok"),
+        ).filter(F.col("tok") != "")
+        total = toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok")
+        )
+        cnts = (
+            toks.filter(F.col("tok").isin(FW))
+            .groupBy("doc_id", F.col("tok").alias("word"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        spine = total.filter(F.col("n_tok") > 0).crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(w,) for w in FW], "word string")
+            )
+        )
+        rates = (
+            spine.join(cnts, ["doc_id", "word"], "left")
+            .select(
+                "doc_id",
+                "word",
+                F.expr("(1000 * coalesce(cnt, 0)) div n_tok").alias("rate"),
+            )
+        ).persist()
+        stats = rates.groupBy("word").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rate").cast("long").alias("s"),
+            F.sum(F.col("rate") * F.col("rate")).cast("long").alias("q"),
+        )
+        vstats = stats.select(
+            "word", "n", (F.col("n") * F.col("q") - F.col("s") * F.col("s")).alias("vnum")
+        ).filter(F.col("vnum") > 0)
+        qr = rates.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("qid"), "word", F.col("rate").alias("qrate")
+        )
+        pairs = qr.join(rates, "word").filter(F.col("qid") != F.col("doc_id")).select(
+            "qid",
+            F.col("doc_id").alias("oid"),
+            "word",
+            F.abs(F.col("qrate") - F.col("rate")).alias("diff"),
+        )
+        terms = pairs.join(F.broadcast(vstats), "word").select(
+            "qid",
+            "oid",
+            F.expr(
+                "CAST(floor(1000000 * (CAST(diff AS DOUBLE) * CAST(n AS DOUBLE)"
+                " / sqrt(CAST(vnum AS DOUBLE)))) AS BIGINT)"
+            ).alias("term_u"),
+        )
+        delta = terms.groupBy("qid", "oid").agg(
+            F.sum("term_u").cast("long").alias("delta_u")
+        )
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("qid").orderBy("delta_u", "oid")
+        return (
+            delta.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 5)
+            .select("qid", "oid", "delta_u")
+            .orderBy("qid", "delta_u", "oid")
+        )
+
+    q["burrows_delta_attribution"] = burrows_delta
+
     def ppr_push(spark, sf):
         # Local PPR by synchronous residual push (graph_query.py::
         # ppr_push_bounded, Andersen–Chung–Lang): frontier-sized work per
@@ -14728,6 +14812,58 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
         ORDER BY wilson_lb_u DESC, user_id
         LIMIT 20
+    """
+    o["burrows_delta_attribution"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(coalesce(text, '')), '[^a-z]+')) AS tok
+          FROM documents
+        ),
+        toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        total AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks2 GROUP BY 1),
+        fw(word) AS (VALUES ('the'),('of'),('and'),('to'),('a'),('in'),('is'),('that'),('it'),('as')),
+        cnts AS (
+          SELECT doc_id, tok AS word, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks2 WHERE tok IN (SELECT word FROM fw) GROUP BY 1, 2
+        ),
+        rates AS (
+          SELECT t.doc_id, fw.word,
+                 CAST((1000 * coalesce(c.cnt, 0)) // t.n_tok AS BIGINT) AS rate
+          FROM total t CROSS JOIN fw
+          LEFT JOIN cnts c ON c.doc_id = t.doc_id AND c.word = fw.word
+          WHERE t.n_tok > 0
+        ),
+        stats AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(rate) AS BIGINT) AS s,
+                 CAST(sum(rate * rate) AS BIGINT) AS q
+          FROM rates GROUP BY 1
+        ),
+        vstats AS (
+          SELECT word, n, CAST(n * q - s * s AS BIGINT) AS vnum
+          FROM stats WHERE n * q - s * s > 0
+        ),
+        pairs AS (
+          SELECT a.doc_id AS qid, b.doc_id AS oid, a.word,
+                 abs(a.rate - b.rate) AS diff
+          FROM rates a JOIN rates b ON a.word = b.word AND a.doc_id <> b.doc_id
+          WHERE a.doc_id < 3
+        ),
+        terms AS (
+          SELECT p.qid, p.oid,
+                 CAST(floor(1000000 * (CAST(p.diff AS DOUBLE) * CAST(v.n AS DOUBLE)
+                      / sqrt(CAST(v.vnum AS DOUBLE)))) AS BIGINT) AS term_u
+          FROM pairs p JOIN vstats v ON p.word = v.word
+        ),
+        delta AS (
+          SELECT qid, oid, CAST(sum(term_u) AS BIGINT) AS delta_u
+          FROM terms GROUP BY 1, 2
+        ),
+        rk AS (
+          SELECT qid, oid, delta_u,
+                 row_number() OVER (PARTITION BY qid ORDER BY delta_u, oid) AS r
+          FROM delta
+        )
+        SELECT qid, oid, delta_u FROM rk WHERE r <= 5 ORDER BY qid, delta_u, oid
     """
     o["tpch_q4_priority_exists"] = """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
