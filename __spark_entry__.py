@@ -10126,17 +10126,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def burrows_delta(spark, sf):
         # Burrows' Delta stylometric attribution (the standard authorship-
         # similarity measure): function-word rates per mille -> per-word
-        # corpus z-scores -> Delta(q, d) = mean |z_q - z_d|; smallest
-        # Delta = most stylistically similar.  Exactness discipline:
-        # rates are integer per-mille (floor div), the variance numerator
-        # n*Q - S^2 is an EXACT BIGINT (bound documented: rates <= 1000 so
-        # n*Q fits int64 past 10^12 docs), each |z_i - z_j| term FLOORS to
-        # micro-units BEFORE the cross-word sum (the BM25 per-term rule —
-        # a float sum over words would be summation-order dependent), and
-        # sqrt of identical BIGINT-origin doubles is IEEE-identical.
-        # Zero-variance words carry no style signal and drop in BOTH
-        # engines; token-less docs drop (n_tok > 0).  One token explode +
-        # one 10-word broadcast spine; pairs are (3 queries x corpus).
+        # corpus z-scores -> Delta(q, d) = SUM of |z_q - z_d| over the
+        # surviving word set (vstats filters words GLOBALLY, so every pair
+        # sums the same words and sum-ranking == mean-ranking; the
+        # conventional mean is delta_u / n_words); smallest Delta = most
+        # stylistically similar.  Exactness discipline: rates are integer
+        # per-mille (floor div), the variance numerator n*Q - S^2 is an
+        # EXACT BIGINT — worst-case bound: rate <= 1000 so n*Q <= n^2*1e6,
+        # int64-safe to ~3e6 docs (realistic fw rates <= ~100/1000 buy
+        # ~100x more); past that, rescale rates or bucket the corpus —
+        # Spark would wrap silently while DuckDB errors (the chi2 lesson).
+        # Each |z_i - z_j| term FLOORS to micro-units BEFORE the
+        # cross-word sum (the BM25 per-term rule — a float sum over words
+        # would be summation-order dependent), and sqrt of identical
+        # BIGINT-origin doubles is IEEE-identical.  Zero-variance words
+        # carry no style signal and drop in BOTH engines; token-less docs
+        # never reach the spine (they produce no token rows).  ONE token
+        # explode -> ONE groupBy with conditional sums, melted over the
+        # 10-word stack; pairs are (3 queries x corpus).
         FW = ["the", "of", "and", "to", "a", "in", "is", "that", "it", "as"]
         d = _t(spark, sf, "documents")
         toks = d.select(
@@ -10145,25 +10152,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z]+")
             ).alias("tok"),
         ).filter(F.col("tok") != "")
-        total = toks.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_tok")
+        aggs = toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            *[
+                F.sum(F.when(F.col("tok") == w, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_c{i}")
+                for i, w in enumerate(FW)
+            ],
         )
-        cnts = (
-            toks.filter(F.col("tok").isin(FW))
-            .groupBy("doc_id", F.col("tok").alias("word"))
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        )
-        spine = total.filter(F.col("n_tok") > 0).crossJoin(
-            F.broadcast(
-                spark.createDataFrame([(w,) for w in FW], "word string")
-            )
-        )
+        stack = ", ".join(f"'{w}', _c{i}" for i, w in enumerate(FW))
         rates = (
-            spine.join(cnts, ["doc_id", "word"], "left")
+            aggs.select(
+                "doc_id",
+                "n_tok",
+                F.expr(f"stack({len(FW)}, {stack}) AS (word, cnt)"),
+            )
             .select(
                 "doc_id",
                 "word",
-                F.expr("(1000 * coalesce(cnt, 0)) div n_tok").alias("rate"),
+                F.expr("(1000 * cnt) div n_tok").alias("rate"),
             )
         ).persist()
         stats = rates.groupBy("word").agg(
@@ -10194,9 +10202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         delta = terms.groupBy("qid", "oid").agg(
             F.sum("term_u").cast("long").alias("delta_u")
         )
-        from pyspark.sql.window import Window as W
-
-        w = W.partitionBy("qid").orderBy("delta_u", "oid")
+        w = Window.partitionBy("qid").orderBy("delta_u", "oid")
         return (
             delta.withColumn("r", F.row_number().over(w))
             .filter(F.col("r") <= 5)

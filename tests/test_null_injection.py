@@ -73,7 +73,8 @@ PINNED = [
     # r5: reads source AND n_chars — the NULL-source rank-order pin
     # (NULLS FIRST both engines) and the coalesce(n_chars, 0) live here
     "gini_source_concentration",
-    # r5: NULL/empty/whitespace text must drop via n_tok > 0, not diverge
+    # r5: NULL/empty/whitespace text must drop at tokenization (no token
+    # rows -> absent from the rate spine) identically in both engines
     "burrows_delta_attribution",
 ]
 
